@@ -29,10 +29,24 @@ def get_spark(app_name: str = "petastorm_spark", cpus: int | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type — read as bigint ns-since-epoch and
+        # convert with ns_to_timestamp() where needed.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ns_to_timestamp(col):
+    """bigint nanoseconds-since-epoch -> TimestampType (microsecond
+    precision, truncating — matches how DuckDB reads TIMESTAMP(NANOS))."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_micros(F.floor(c / F.lit(1000)).cast("bigint"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
