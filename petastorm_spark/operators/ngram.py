@@ -1,0 +1,112 @@
+"""NGram: sliding windows over timestamp-ordered rows (time-series
+training samples).
+
+Parity surface: petastorm/ngram.py:20-133 (NGram spec), :225-270
+(form_ngram). The reference builds windows inside one row group only
+(documented caveat petastorm/ngram.py:85-91) and only on the row
+path. This implementation uses ``Window.orderBy`` + ``lead()`` so
+windows are global (strictly more complete) and work on any path.
+
+Scale: one shuffle on ``partition_by`` (hash exchange), then a
+partition-local sort — the same cost profile as any windowed query;
+no driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+class NGram:
+    """Declarative n-gram spec.
+
+    ``fields`` maps offset -> list of column names emitted at that
+    offset (petastorm-style per-timestep column sets). Offsets may be
+    non-contiguous; window length = max(offsets) - min(offsets) + 1.
+    ``delta_threshold``: max allowed difference of consecutive
+    ``timestamp_field`` values inside one window.
+    ``timestamp_overlap=False`` emits only non-overlapping windows
+    (block semantics: consecutive disjoint row blocks, a deterministic
+    variant of the reference's greedy skip).
+    """
+
+    def __init__(
+        self,
+        fields: dict[int, list[str]],
+        delta_threshold,
+        timestamp_field: str,
+        timestamp_overlap: bool = True,
+    ):
+        if not fields:
+            raise ValueError("fields must be a non-empty {offset: [columns]}")
+        self.fields = {int(k): list(v) for k, v in fields.items()}
+        self.delta_threshold = delta_threshold
+        self.timestamp_field = timestamp_field
+        self.timestamp_overlap = timestamp_overlap
+        self.offsets = sorted(self.fields)
+        self.length = self.offsets[-1] - self.offsets[0] + 1
+
+    def apply(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        order_tiebreak: list[str] | None = None,
+        flat: bool = True,
+    ) -> DataFrame:
+        """Emit one row per valid window.
+
+        ``flat=True`` names output columns ``t{offset}_{col}``;
+        ``flat=False`` emits one struct column ``t{offset}`` per offset.
+        """
+        ts = self.timestamp_field
+        order_cols = [F.col(ts)] + [F.col(c) for c in (order_tiebreak or [])]
+        w = (
+            Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+        ).orderBy(*order_cols)
+
+        base = self.offsets[0]
+        proj = list(df.columns)
+        out = df
+        needed_cols = sorted({c for cols in self.fields.values() for c in cols} | {ts})
+        for off in range(self.offsets[0], self.offsets[-1] + 1):
+            k = off - base
+            for c in needed_cols:
+                out = out.withColumn(f"_lead{k}_{c}", F.lead(c, k).over(w))
+
+        # validity: every consecutive timestamp delta within threshold,
+        # and the window does not run off the end of the partition.
+        cond = F.lit(True)
+        for k in range(1, self.length):
+            prev, cur = f"_lead{k-1}_{ts}", f"_lead{k}_{ts}"
+            cond = (
+                cond
+                & F.col(cur).isNotNull()
+                & ((F.col(cur) - F.col(prev)) <= F.lit(self.delta_threshold))
+            )
+        out = out.where(cond)
+
+        if not self.timestamp_overlap:
+            rn = F.row_number().over(w)
+            out = out.withColumn("_rn", rn).where(
+                (F.col("_rn") - 1) % self.length == 0
+            )
+
+        sel = [F.col(c) for c in (partition_by or [])]
+        for off in self.offsets:
+            k = off - base
+            if flat:
+                sel += [
+                    F.col(f"_lead{k}_{c}").alias(f"t{off}_{c}")
+                    for c in self.fields[off]
+                ]
+            else:
+                sel.append(
+                    F.struct(
+                        *[
+                            F.col(f"_lead{k}_{c}").alias(c)
+                            for c in self.fields[off]
+                        ]
+                    ).alias(f"t{off}")
+                )
+        return out.select(*sel)

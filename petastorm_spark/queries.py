@@ -209,6 +209,222 @@ def scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# md5-fraction SQL fragment shared by the DuckDB oracles (matches
+# petastorm_spark.predicates.md5_fraction bit-for-bit, verified).
+_FRAC = "(('0x'||substr(md5(CAST({col} AS VARCHAR)),1,15))::BIGINT / 1152921504606846976.0)"
+
+
+@register(
+    "pred_pseudorandom_split",
+    oracle=f"""
+    WITH f AS (SELECT o_orderkey, o_totalprice,
+                      {_FRAC.format(col='o_orderkey')} AS frac
+               FROM orders)
+    SELECT CASE WHEN frac < 0.7 THEN 0 WHEN frac < 0.85 THEN 1 ELSE 2 END AS split_id,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_totalprice
+    FROM f GROUP BY split_id
+    """,
+)
+def pred_pseudorandom_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (P9): 70/15/15 on o_orderkey.
+    Key-stable — a row's subset never changes as the table grows.
+    Scale: three filtered scans of the same source unioned; no shuffle
+    until the tiny aggregation."""
+    from petastorm_spark.predicates import in_pseudorandom_split
+
+    orders = _t(spark, sf_dir, "orders")
+    fractions = [0.7, 0.15, 0.15]
+    parts = []
+    for i in range(3):
+        pred = in_pseudorandom_split(fractions, i, "o_orderkey")
+        parts.append(orders.where(pred.to_column()).withColumn("split_id", F.lit(i)))
+    un = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return un.groupBy("split_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+    )
+
+
+@register(
+    "shard_distribution",
+    oracle=f"""
+    SELECT CAST(floor({_FRAC.format(col='l_orderkey')} * 8) AS INT) AS shard_id,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY shard_id
+    """,
+)
+def shard_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharding D1 as a deterministic md5 row-shard: the verification
+    query shows every row lands in exactly one of 8 shards with even
+    mass. Scale: single scan, 8-group agg."""
+    from petastorm_spark.operators.sampling import shard_id
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("shard_id", shard_id("l_orderkey", 8))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "weighted_mix_events",
+    oracle=f"""
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'
+                    AND {_FRAC.format(col='event_id')} < 0.7),
+         buys   AS (SELECT * FROM events WHERE event_type = 'purchase'
+                    AND {_FRAC.format(col='event_id')} < 0.3)
+    SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM (SELECT * FROM clicks UNION ALL SELECT * FROM buys)
+    GROUP BY event_type
+    """,
+)
+def weighted_mix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WeightedSamplingReader D9, deterministic pipeline flavor: mix a
+    0.7 sample of clicks with a 0.3 sample of purchases. Scale: two
+    filtered scans unioned, zero shuffle before the 2-group agg."""
+    from petastorm_spark.operators.sampling import weighted_mix
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    buys = ev.where(F.col("event_type") == "purchase")
+    mixed = weighted_mix([clicks, buys], [0.7, 0.3], "event_id")
+    return mixed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "ngram_trigram",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type, value,
+                      epoch_us(ts) AS ts_us
+               FROM events),
+         w AS (SELECT user_id,
+                      ts_us                                                            AS t0_ts_us,
+                      event_type                                                       AS t0_event_type,
+                      lead(ts_us, 1)      OVER win AS t1_ts_us,
+                      lead(event_type, 1) OVER win AS t1_event_type,
+                      lead(ts_us, 2)      OVER win AS t2_ts_us,
+                      lead(event_type, 2) OVER win AS t2_event_type,
+                      lead(value, 2)      OVER win AS t2_value
+               FROM e
+               WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+    SELECT user_id, t0_ts_us, t0_event_type, t1_event_type, t2_event_type,
+           round(t2_value, 2) AS t2_value
+    FROM w
+    WHERE t1_ts_us IS NOT NULL AND t2_ts_us IS NOT NULL
+      AND (t1_ts_us - t0_ts_us) <= 86400000000
+      AND (t2_ts_us - t1_ts_us) <= 86400000000
+    """,
+)
+def ngram_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NGram W1: per-user trigrams over event time with a 24-hour
+    delta threshold; per-offset column sets (full columns at t0, type
+    only at t1, type+value at t2). Scale: one hash exchange on user_id
+    + partition-local sort — no driver involvement."""
+    from petastorm_spark.operators.ngram import NGram
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    ngram = NGram(
+        fields={0: ["ts_us", "event_type"], 1: ["event_type"], 2: ["event_type", "value"]},
+        delta_threshold=86_400_000_000,  # 24 h in µs
+        timestamp_field="ts_us",
+    )
+    out = ngram.apply(ev, partition_by=["user_id"], order_tiebreak=["event_id"])
+    return out.select(
+        "user_id",
+        "t0_ts_us",
+        "t0_event_type",
+        "t1_event_type",
+        "t2_event_type",
+        F.round(F.col("t2_value"), 2).alias("t2_value"),
+    )
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+         g AS (SELECT *,
+                      CASE WHEN ts_us - lag(ts_us) OVER win > 1800000000
+                           OR lag(ts_us) OVER win IS NULL THEN 1 ELSE 0 END AS is_new
+               FROM e
+               WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (SELECT *,
+                      sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM g)
+    SELECT user_id, session_id, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value, min(ts_us) AS session_start_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream sessionization (30-min inactivity gap) via lag + running
+    sum — the batch twin of the structured-streaming session operator.
+    Scale: one exchange on user_id; sessions never cross partitions."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    win = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = ev.withColumn(
+        "is_new",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(win) > 1_800_000_000)
+            | F.lag("ts_us").over(win).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "session_id", F.sum("is_new").over(win.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("ts_us").alias("session_start_us"),
+    )
+
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT event_type,
+           (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY event_type, hour_us
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch twin of the
+    readStream windowed agg in petastorm_spark.streaming). Scale:
+    partial agg map-side, exchange on (type, hour)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = (F.expr("(ts div 1000) div 3600000000") * 3_600_000_000).cast(
+        "bigint"
+    )
+    return (
+        ev.withColumn("hour_us", hour)
+        .groupBy("event_type", "hour_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
 @register(
     "pred_in_set",
     oracle="""

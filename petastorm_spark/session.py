@@ -46,7 +46,9 @@ def ns_to_timestamp(col):
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col
-    return F.timestamp_micros(F.floor(c / F.lit(1000)).cast("bigint"))
+    # exact decimal division — double division loses precision on int64 nanos
+    us = F.floor(c.cast("decimal(28,0)") / F.lit(1000)).cast("bigint")
+    return F.timestamp_micros(us)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
