@@ -1,0 +1,187 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard near-dup.
+
+Everything is expressed with built-in Spark SQL functions (JVM-side);
+hashes are md5-prefix integers so the semantics are reproducible in
+any engine (the DuckDB oracles recompute them bit-for-bit).
+
+Scale design notes (100 TB):
+  - exact dedup: one hash-shuffle on the digest — the minimum possible;
+  - minhash signatures: pure map (explode shingles -> 16 min-aggregates
+    per doc); LSH banding turns all-pairs into per-bucket joins, the
+    standard linear-ish near-dup path;
+  - simhash: pure map + one small agg; hamming-ball search would add a
+    multi-probe join, not implemented round 1;
+  - jaccard pairs: inverted-index self-join on shingles — quadratic in
+    per-shingle posting length; always run it AFTER LSH/banding has cut
+    candidates (the exposed query keeps a selective shingle set).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from petastorm_spark.operators.text import tokens
+
+# 60-bit integer from an md5 prefix, seedable. Matches the oracle SQL
+# fragment hash60_sql() below.
+def hash60(col, seed: int | None = None) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    payload = c if seed is None else F.concat(F.lit(f"{seed}|"), c)
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
+
+
+def hash60_sql(expr: str, seed: int | None = None) -> str:
+    payload = expr if seed is None else f"'{seed}|' || {expr}"
+    return f"(('0x'||substr(md5({payload}),1,15))::BIGINT)"
+
+
+def shingles(text_col, n: int = 3) -> Column:
+    """Positional n-token shingles as strings (distinct)."""
+    t = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + k + 1).cast("int")) for k in range(n)]),
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on md5(text): one surviving row (min id) per digest,
+    with the copy count. groupBy on the digest — single shuffle."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: explode distinct shingles, take
+    ``num_hashes`` seeded min-aggregates. Output: id, mh_0..mh_{k-1}.
+    Docs with no shingles (shorter than ``shingle_n``) are dropped."""
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
+    )
+    aggs = [
+        F.min(hash60(F.col("sh"), seed=s)).alias(f"mh_{s}") for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature (``bands`` bands of ``num_hashes/bands``
+    rows), hash each band, and self-join per (band, band_hash) bucket.
+    Returns distinct candidate pairs (id_a < id_b)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[p.cast("string") for p in parts])).alias("bh"),
+            )
+        )
+    buckets = sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFrame:
+    """60-bit SimHash over unigram tokens: per-bit signed vote of token
+    hashes, majority -> bit set. One explode + one agg with ``bits``
+    expressions — no 60x row blowup."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).withColumn("h", hash60(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*votes)
+    sim = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+        range(bits),
+        F.lit(0).cast("bigint"),
+    )
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold, via an
+    inverted-index self-join (only pairs sharing >= 1 shingle are ever
+    materialized)."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, fingerprinting.
+
+All column expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage-codegen) — no Python UDFs in any hot path. Each operator
+is a Column factory so it composes into any DataFrame plan and scales
+as a pure map (no shuffle).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lexicons. Real deployments swap in full
+# lists; the operator shape (array_intersect against a literal array)
+# is what matters at scale.
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "on", "for"]
+
+LANG_LEXICONS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit"],
+    "en": ["the", "a", "and", "of", "to", "is", "in", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "zh": ["de", "shi", "bu", "le", "ren", "wo", "you", "ta"],
+}
+
+
+def tokens(text_col) -> Column:
+    """Whitespace tokenization of lowercased text -> array<string>."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(text_col) -> Column:
+    return F.size(tokens(text_col))
+
+
+def distinct_token_count(text_col) -> Column:
+    return F.size(F.array_distinct(tokens(text_col)))
+
+
+def avg_token_len(text_col) -> Column:
+    """Mean token length (0 for empty docs)."""
+    t = tokens(text_col)
+    total = F.aggregate(
+        t, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    return F.when(F.size(t) > 0, total / F.size(t)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text_col) -> Column:
+    """Fraction of tokens that are stopwords (quality signal)."""
+    t = tokens(text_col)
+    hits = F.size(F.filter(t, lambda x: x.isin(STOPWORDS)))
+    return F.when(F.size(t) > 0, hits / F.size(t)).otherwise(F.lit(0.0))
+
+
+def uniqueness_ratio(text_col) -> Column:
+    """distinct/total token ratio — low values flag boilerplate/spam."""
+    t = tokens(text_col)
+    return F.when(
+        F.size(t) > 0, F.size(F.array_distinct(t)) / F.size(t)
+    ).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(text_col) -> Column:
+    """Fraction of characters that are a-z/space (punctuation/noise
+    signal)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    low = F.lower(c)
+    clean = F.regexp_replace(low, r"[^a-z ]", "")
+    return F.when(F.length(low) > 0, F.length(clean) / F.length(low)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(text_col) -> Column:
+    """Composite quality in [0,1]: rewards natural stopword density,
+    lexical variety, clean characters, and reasonable length."""
+    sw = stopword_ratio(text_col)
+    uniq = uniqueness_ratio(text_col)
+    alpha = alpha_ratio(text_col)
+    n = token_count(text_col)
+    len_ok = F.when((n >= 10) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw_ok = F.when((sw > 0.01) & (sw < 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    return sw_ok * 0.3 + uniq * 0.3 + alpha * 0.2 + len_ok * 0.2
+
+
+def _lexicon_hits(t: Column, lex: list[str]) -> Column:
+    # NB: the lambda must take exactly one parameter — F.filter treats a
+    # two-parameter lambda as (element, index), so a `lex=lex` default
+    # would silently receive the index column.
+    return F.size(F.filter(t, lambda x: x.isin(lex)))
+
+
+def lang_scores(text_col) -> list[tuple[str, Column]]:
+    """Per-language lexicon hit counts."""
+    t = tokens(text_col)
+    return [
+        (lang, _lexicon_hits(t, lex)) for lang, lex in sorted(LANG_LEXICONS.items())
+    ]
+
+
+def detect_language(text_col) -> Column:
+    """argmax of lexicon hit counts; ties break alphabetically; no hits
+    at all -> 'und' (BCP-47 undetermined)."""
+    scores = lang_scores(text_col)
+    best_score = reduce(lambda a, b: F.greatest(a, b), [s for _, s in scores])
+    pick = F.lit("und")
+    for lang, score in reversed(scores):  # earlier langs win ties
+        pick = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(
+            pick
+        )
+    return pick
+
+
+def fingerprint(text_col) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set (catches shuffled/bag-of-words duplicates)."""
+    t = F.array_sort(F.array_distinct(tokens(text_col)))
+    return F.md5(F.concat_ws(" ", t))

@@ -447,3 +447,8 @@ def pred_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+# LLM-pipeline catalog registers itself on import (dedup / text /
+# similarity queries live in queries_llm.py).
+from petastorm_spark import queries_llm  # noqa: E402,F401  (import side effect)

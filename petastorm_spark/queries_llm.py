@@ -1,0 +1,376 @@
+"""LLM-data-pipeline query catalog: dedup, similarity search, text
+analysis — each with a bit-for-bit DuckDB oracle.
+
+Tokenization parity contract (Spark <-> DuckDB):
+  Spark  : split(lower(trim(text)), '\\s+')
+  DuckDB : string_split_regex(lower(trim(text)), '\\s+')
+Hash parity: 60-bit md5-prefix integers (dedup.hash60 / hash60_sql).
+
+The dedup queries run on ``documents`` unioned with a shifted-id copy
+of itself — the testdata has no organic exact duplicates, so the
+synthetic copies make every dedup check non-vacuous (each digest must
+collapse exactly two rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from petastorm_spark.queries import _t, register
+
+_COPY_SHIFT = 100_000
+
+# DuckDB token expression (parity with operators.text.tokens)
+_TOK = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = d.select((F.col("doc_id") + _COPY_SHIFT).alias("doc_id"), "text")
+    return d.unionByName(copy)
+
+
+_DOCS_CTE = f"""
+    WITH d AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + {_COPY_SHIFT} AS doc_id, text FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=_DOCS_CTE
+    + """
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM d GROUP BY digest
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 digest -> keep lowest id. Every group must have
+    exactly 2 copies (the synthetic duplicate). Scale: one shuffle on
+    the digest; at 100 TB use sha2-256 to make collisions negligible."""
+    from petastorm_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs_with_copies(spark, sf_dir), "text", "doc_id")
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    from petastorm_spark.operators.dedup import hash60_sql
+
+    rows = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min({hash60_sql('sh', seed=s)}) AS mh_{s}" for s in range(num_hashes)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ',' || ".join(
+            f"mh_{b * rows + r}::VARCHAR" for r in range(rows)
+        )
+        + ") AS bh FROM sig"
+        for b in range(bands)
+    )
+    return (
+        _DOCS_CTE
+        + f""",
+    tok AS (SELECT doc_id, {_TOK} AS t FROM d),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+           FROM tok WHERE len(t) >= 3),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({band_rows})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+    )
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands of 4): near-dup candidate pairs. The
+    500 synthetic copy pairs must all surface (identical signatures
+    collide in every band). Scale: signatures are a pure map; the
+    bucket self-join replaces all-pairs comparison."""
+    from petastorm_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _docs_with_copies(spark, sf_dir)
+    sig = minhash_signatures(docs, "text", "doc_id", num_hashes=16, shingle_n=3)
+    return lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    from petastorm_spark.operators.dedup import hash60_sql
+
+    return f"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(list_distinct({_TOK})) AS tok
+                 FROM documents),
+    h AS (SELECT doc_id, {hash60_sql('tok')} AS h FROM tok),
+    bits AS (SELECT doc_id, bb.b AS b,
+                    sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM h, (SELECT unnest(range({bits})) AS b) bb
+             GROUP BY doc_id, bb.b)
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+    FROM bits GROUP BY doc_id
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (near-dup fingerprint; hamming
+    distance <= 3 would be the dup criterion). Scale: pure map + one
+    agg, no blowup — the 60 vote columns ride one shuffle."""
+    from petastorm_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), "text", "doc_id", bits=60)
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=_DOCS_CTE
+    + f""",
+    tok AS (SELECT doc_id, {_TOK} AS t FROM d),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+           FROM tok WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY id_a, id_b)
+    SELECT id_a, id_b,
+           round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.8
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-shingle Jaccard >= 0.8 near-dup pairs via inverted-index
+    self-join. The 500 copy pairs score exactly 1.0. Scale: postings
+    join — run after LSH banding in a real pipeline (see SURVEY §7
+    phase 6 notes in dedup.py)."""
+    from petastorm_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _docs_with_copies(spark, sf_dir), "text", "doc_id", shingle_n=3, threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, n_chars, {_TOK} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           round(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 4) AS avg_tok_len,
+           n_chars
+    FROM tok
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over documents: counts, distinct counts, mean
+    token length. Scale: pure map, zero shuffle."""
+    from petastorm_spark.operators import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        T.distinct_token_count("text").cast("bigint").alias("n_distinct"),
+        F.round(T.avg_token_len("text"), 4).alias("avg_tok_len"),
+        "n_chars",
+    )
+
+
+_SW_LIST = "['the','a','of','to','and','in','is','it','on','for']"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lower(trim(text)) AS low, {_TOK} AS t FROM documents),
+    m AS (SELECT doc_id,
+                 len(list_filter(t, x -> list_contains({_SW_LIST}, x))) * 1.0 / len(t) AS sw,
+                 len(list_distinct(t)) * 1.0 / len(t) AS uniq,
+                 length(regexp_replace(low, '[^a-z ]', '', 'g')) * 1.0 / length(low) AS alpha,
+                 len(t) AS n
+          FROM tok)
+    SELECT doc_id,
+           floor(sw * 10000) / 10000 AS stopword_ratio,
+           floor(uniq * 10000) / 10000 AS uniqueness_ratio,
+           floor(alpha * 10000) / 10000 AS alpha_ratio,
+           floor(((CASE WHEN sw > 0.01 AND sw < 0.6 THEN 1.0 ELSE 0.5 END) * 0.3
+                 + uniq * 0.3 + alpha * 0.2
+                 + (CASE WHEN n >= 10 AND n <= 5000 THEN 1.0 ELSE 0.5 END) * 0.2)
+                 * 10000) / 10000 AS quality
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword/uniqueness/character-class ratios and
+    a composite score. Scale: pure map."""
+    from petastorm_spark.operators import text as T
+
+    d = _t(spark, sf_dir, "documents")
+
+    def f4(c):  # floor-scale: round() half-way ties differ across engines
+        return F.floor(c * 10000) / 10000
+
+    return d.select(
+        "doc_id",
+        f4(T.stopword_ratio("text")).alias("stopword_ratio"),
+        f4(T.uniqueness_ratio("text")).alias("uniqueness_ratio"),
+        f4(T.alpha_ratio("text")).alias("alpha_ratio"),
+        f4(T.quality_score("text")).alias("quality"),
+    )
+
+
+def _langid_oracle() -> str:
+    from petastorm_spark.operators.text import LANG_LEXICONS
+
+    score_cols = []
+    for lang, lex in sorted(LANG_LEXICONS.items()):
+        arr = "[" + ",".join(f"'{w}'" for w in lex) + "]"
+        score_cols.append(
+            f"len(list_filter(t, x -> list_contains({arr}, x))) AS s_{lang}"
+        )
+    langs = sorted(LANG_LEXICONS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+    WITH tok AS (SELECT doc_id, lang, {_TOK} AS t FROM documents),
+    s AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM tok)
+    SELECT doc_id, lang AS labeled_lang, {case} AS detected_lang FROM s
+    """
+
+
+@register("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based language ID (argmax of per-language stopword hits,
+    alphabetical tie-break, 'und' when nothing matches). Scale: pure
+    map against broadcast-literal lexicons."""
+    from petastorm_spark.operators.text import detect_language
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        detect_language("text").alias("detected_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+    FROM tok
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint: md5 over the sorted distinct token
+    set — catches order-shuffled duplicates that exact dedup misses."""
+    from petastorm_spark.operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * "
+    "sqrt(list_dot_product(cv, cv)))"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, {_COS} AS cos
+          FROM q, c WHERE neighbor_id != query_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cos, 4) AS cos_sim
+    FROM r WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 10 query vectors against the
+    whole corpus. Scale: broadcast query set; one corpus scan."""
+    from petastorm_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def _lsh_planes_sql(n_planes: int = 8, dim: int = 64, seed: int = 7) -> str:
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ",".join(repr(float(v)) for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "ann_cosine_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({_lsh_planes_sql()} AS INT) AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+    s AS (SELECT query_id, neighbor_id, {_COS} AS cos
+          FROM q JOIN c USING (bucket) WHERE neighbor_id != query_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cos, 4) AS cos_sim
+    FROM r WHERE rank <= 5
+    """,
+)
+def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (8 planes, seed 7):
+    candidates restricted to the query's sign-pattern bucket. Same
+    plane matrix is embedded in the oracle, so approximation error is
+    deterministic and checkable. Scale: equi-join on bucket replaces
+    the cross join."""
+    from petastorm_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(
+        emb, emb.where(F.col("vec_id") < 10), dim=64, k=5, n_planes=8, seed=7
+    )

@@ -1,0 +1,149 @@
+"""Dedup / text / similarity / multimodal operator semantics."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from petastorm_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from petastorm_spark.operators.multimodal import (
+    embed_images,
+    encode_fake_image,
+    frame_sample_video,
+    resize_images,
+    with_image_meta,
+)
+from petastorm_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from petastorm_spark.operators.text import detect_language, fingerprint, tokens
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different words entirely here now"),
+        (5, "dog lazy the over jumps fox brown quick the"),  # shuffled 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    out = {r.digest: (r.keep_id, r.n_copies) for r in exact_dedup(docs, "text", "doc_id").collect()}
+    assert len(out) == 4  # 1&2 collapse
+    assert (1, 2) in out.values()
+
+
+def test_fingerprint_catches_shuffled(docs):
+    fps = {r.doc_id: r.fp for r in docs.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[5]  # bag-of-words identical
+    assert fps[1] != fps[4]
+
+
+def test_minhash_lsh_finds_dups(docs):
+    sig = minhash_signatures(docs, "text", "doc_id", num_hashes=16, shingle_n=3)
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sig, "doc_id").collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    assert all(a < b for a, b in pairs)
+
+
+def test_jaccard_exact_pair_is_one(docs):
+    out = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 4) not in out
+
+
+def test_simhash_near_dup_close(docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs, "text", "doc_id").collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(sh[1], sh[2]) == 0          # identical
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])  # near-dup closer than unrelated
+
+
+def test_langid_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is on the mat"), (2, "el perro es un animal"), (3, "zzz qqq")],
+        ["id", "text"],
+    )
+    out = {r.id: r.lang for r in df.select("id", detect_language("text").alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 8)).astype(np.float32)
+    base[7] = base[3] + 0.01 * rng.standard_normal(8).astype(np.float32)  # near-dup pair
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(vectors):
+    out = cosine_topk(vectors, vectors.where(F.col("vec_id") == 3), k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows[0].neighbor_id == 7  # the planted near-duplicate
+    assert rows[0].cos_sim > 0.99
+    assert [r.rank for r in rows] == [1, 2, 3]
+
+
+def test_cosine_lsh_subset_of_bucket(vectors):
+    out = cosine_topk_lsh(
+        vectors, vectors.where(F.col("vec_id") == 3), dim=8, k=3, n_planes=4, seed=7
+    ).collect()
+    # approximate: returns <= k in-bucket neighbors, ranked
+    assert all(r.query_id == 3 for r in out)
+    assert len(out) <= 3
+
+
+@pytest.fixture(scope="module")
+def image_df(spark):
+    rng = np.random.default_rng(1)
+    rows = [
+        (i, bytearray(encode_fake_image(rng.integers(0, 255, (16, 12, 3), dtype=np.uint8))))
+        for i in range(6)
+    ]
+    return spark.createDataFrame(rows, ["img_id", "img"])
+
+
+def test_image_meta_plumbing(image_df):
+    out = with_image_meta(image_df, "img").collect()
+    assert len(out) == 6
+    m = out[0].image_meta
+    assert (m.height, m.width, m.channels, m.format) == (16, 12, 3, "raw0")
+    assert m.byte_len > 0
+
+
+def test_image_meta_opaque_bytes(spark):
+    df = spark.createDataFrame([(1, bytearray(b"\x89PNG fake"))], ["img_id", "img"])
+    m = with_image_meta(df, "img").collect()[0].image_meta
+    assert m.format == "opaque" and m.height is None
+
+
+def test_resize_and_embed(image_df):
+    from petastorm_spark.operators.multimodal import decode_image_bytes
+
+    resized = resize_images(image_df, "img", "small", (8, 6)).collect()
+    arr = decode_image_bytes(bytes(resized[0].small))
+    assert arr.shape == (8, 6, 3)
+    emb = embed_images(image_df, "img", dim=16).collect()
+    assert len(emb[0].embedding) == 16
+
+
+def test_frame_sampling(spark):
+    vid = np.arange(10 * 4 * 4, dtype=np.uint8).reshape(10, 4, 4)
+    df = spark.createDataFrame([(1, bytearray(encode_fake_image(vid)))], ["vid_id", "vid"])
+    from petastorm_spark.operators.multimodal import decode_image_bytes
+
+    out = frame_sample_video(df, "vid", "sampled", every_nth=3).collect()
+    arr = decode_image_bytes(bytes(out[0].sampled))
+    assert arr.shape == (4, 4, 4)  # frames 0,3,6,9
+    np.testing.assert_array_equal(arr[1], vid[3])
