@@ -7,7 +7,7 @@ Public surface mirrors the reference's exports (petastorm/__init__.py)
 re-expressed Spark-first.
 """
 
-from petastorm_spark.session import get_spark, load_tables  # noqa: F401
+from petastorm_spark.session import get_spark, load_tables, ns_to_timestamp  # noqa: F401
 from petastorm_spark.predicates import (  # noqa: F401
     in_set,
     in_intersection,
@@ -18,5 +18,22 @@ from petastorm_spark.predicates import (  # noqa: F401
     filter_dataframe,
     md5_fraction,
 )
+from petastorm_spark.unischema import (  # noqa: F401
+    Unischema,
+    UnischemaField,
+    dict_to_spark_row,
+)
+from petastorm_spark.codecs import (  # noqa: F401
+    CompressedImageCodec,
+    CompressedNdarrayCodec,
+    NdarrayCodec,
+    ScalarCodec,
+)
+from petastorm_spark.etl.dataset_metadata import materialize_dataset  # noqa: F401
+from petastorm_spark.reader import Reader, make_batch_reader, make_reader  # noqa: F401
+from petastorm_spark.transform import TransformSpec  # noqa: F401
+from petastorm_spark.converter import make_spark_converter  # noqa: F401
+from petastorm_spark.operators.ngram import NGram  # noqa: F401
+from petastorm_spark.operators.sampling import WeightedSamplingReader  # noqa: F401
 
 __version__ = "0.1.0"

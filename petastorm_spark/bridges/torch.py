@@ -1,0 +1,132 @@
+"""PyTorch bridge (parity: petastorm/pytorch.py:131-501 DataLoader /
+BatchedDataLoader / InMemBatchedDataLoader).
+
+torch is not installed in this container; the loaders run fully on
+numpy and convert to torch tensors only if torch imports. Dtype
+sanitization mirrors petastorm/pytorch.py:40-70 (uint16->int32,
+uint32->int64, bool->uint8; strings rejected).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:  # gated: container has no torch
+    import torch
+
+    HAS_TORCH = True
+except ImportError:  # pragma: no cover
+    torch = None
+    HAS_TORCH = False
+
+_SANITIZE = {
+    np.dtype(np.uint16): np.int32,
+    np.dtype(np.uint32): np.int64,
+    np.dtype(np.bool_): np.uint8,
+}
+
+
+def _sanitize(arr: np.ndarray) -> np.ndarray:
+    if arr.dtype in _SANITIZE:
+        return arr.astype(_SANITIZE[arr.dtype])
+    if arr.dtype.kind in ("U", "S", "O"):
+        raise TypeError(
+            f"dtype {arr.dtype} is not torch-collatable (reference parity: "
+            "strings/None rejected, petastorm/pytorch.py:40-70)"
+        )
+    return arr
+
+
+def _to_tensor(arr: np.ndarray):
+    return torch.from_numpy(np.ascontiguousarray(arr)) if HAS_TORCH else arr
+
+
+class DataLoader:
+    """Batches a (batched) Reader into dicts of tensors/arrays of
+    ``batch_size`` rows, slicing/stitching across row-group batches."""
+
+    def __init__(self, reader, batch_size: int = 32, keys: list[str] | None = None):
+        self.reader = reader
+        self.batch_size = batch_size
+        self._keys = keys
+
+    def __iter__(self):
+        pend: dict[str, list[np.ndarray]] = {}
+        count = 0
+        keys = self._keys
+        for batch in self.reader:
+            d = batch._asdict()
+            keys = keys or list(d)
+            for k in keys:
+                pend.setdefault(k, []).append(np.asarray(d[k]))
+            count += len(next(iter(d.values())))
+            while count >= self.batch_size:
+                out = {}
+                rest = {}
+                for k, chunks in pend.items():
+                    merged = np.concatenate(chunks)
+                    out[k] = merged[: self.batch_size]
+                    rest[k] = [merged[self.batch_size :]]
+                pend = rest
+                count -= self.batch_size
+                yield {k: _to_tensor(_sanitize(v)) for k, v in out.items()}
+        if count:
+            yield {
+                k: _to_tensor(_sanitize(np.concatenate(chunks)))
+                for k, chunks in pend.items()
+            }
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.reader.close()
+
+
+class BatchedDataLoader(DataLoader):
+    """Same contract; kept as a named alias for reference parity — the
+    base loader is already vectorized (column-chunk concatenation, no
+    per-row work)."""
+
+
+class InMemBatchedDataLoader:
+    """Load at most ``capacity`` rows once, then epoch-reshuffle by a
+    seeded permutation (petastorm/pytorch.py:373-501)."""
+
+    def __init__(
+        self,
+        reader,
+        batch_size: int = 32,
+        capacity: int | None = None,
+        num_epochs: int = 1,
+        seed: int | None = None,
+        shuffle: bool = True,
+    ):
+        cols: dict[str, list[np.ndarray]] = {}
+        n = 0
+        for batch in reader:
+            d = batch._asdict()
+            for k, v in d.items():
+                cols.setdefault(k, []).append(np.asarray(v))
+            n += len(next(iter(d.values())))
+            if capacity is not None and n >= capacity:
+                break
+        self._data = {
+            k: np.concatenate(chunks)[: capacity or n] for k, chunks in cols.items()
+        }
+        self._n = min(n, capacity) if capacity else n
+        self.batch_size = batch_size
+        self.num_epochs = num_epochs
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        for _ in range(self.num_epochs):
+            order = (
+                self._rng.permutation(self._n) if self.shuffle else np.arange(self._n)
+            )
+            for start in range(0, self._n, self.batch_size):
+                idx = order[start : start + self.batch_size]
+                yield {
+                    k: _to_tensor(_sanitize(v[idx])) for k, v in self._data.items()
+                }

@@ -57,6 +57,11 @@ def _local_path(url: str) -> str | None:
     return None
 
 
+def _strip_scheme(path: str) -> str:
+    parsed = urlparse(path)
+    return parsed.path if parsed.scheme else path
+
+
 def _is_null_scalar(v) -> bool:
     return v is None or (isinstance(v, float) and np.isnan(v))
 
@@ -64,11 +69,16 @@ def _is_null_scalar(v) -> bool:
 def _list_parquet_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
+    def visible(f: str) -> bool:
+        # skip _metadata/_ps_index/.crc etc. at any directory level
+        rel = os.path.relpath(f, path)
+        return not any(part.startswith(("_", ".")) for part in rel.split(os.sep))
+
     files = sorted(
         f
         for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         + glob.glob(os.path.join(path, "**", "part-*"), recursive=True)
-        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        if os.path.isfile(f) and visible(f)
     )
     return sorted(set(files))
 
@@ -99,6 +109,7 @@ class Reader:
         num_epochs: int | None = 1,
         batched: bool = False,
         cache_dir: str | None = None,
+        rowgroup_selector=None,
     ):
         if (dataset_url is None) == (dataframe is None):
             raise ValueError("exactly one of dataset_url / dataframe is required")
@@ -158,6 +169,17 @@ class Reader:
             self._files = _list_parquet_files(self._owned_cache)
         if not self._files:
             raise ValueError(f"no parquet files found for {dataset_url or 'dataframe'}")
+
+        if rowgroup_selector is not None:
+            if dataset_url is None:
+                raise ValueError("rowgroup_selector requires a dataset_url reader")
+            selected = {
+                _strip_scheme(f)
+                for f in rowgroup_selector.select_files(self._spark, dataset_url)
+            }
+            self._files = [f for f in self._files if _strip_scheme(f) in selected]
+            if not self._files:
+                raise ValueError("rowgroup_selector matched no files")
 
         # ---- piece list (one per row group) --------------------------------
         self._pieces: list[tuple[str, int]] = []

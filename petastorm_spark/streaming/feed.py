@@ -1,0 +1,102 @@
+"""Structured Streaming surface (SURVEY §2.9 stretch goal: the
+reference has no streaming; the natural Spark upgrade is exposing a
+dataset directory as a continuous training feed).
+
+  - ``stream_dataset``: readStream over a (growing) parquet dataset
+    directory — new files picked up per micro-batch; the streaming twin
+    of make_batch_reader.
+  - ``windowed_event_counts``: event-time tumbling windows with a
+    watermark for late data — the streaming twin of the
+    ``events_hourly`` batch query.
+  - ``sessionize_stream``: session windows per key via
+    ``F.session_window`` (gap-based), the streaming twin of the
+    ``sessionization`` batch query.
+
+Scale: state lives in the streaming state store, partitioned by key;
+watermarks bound state size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from petastorm_spark.etl.dataset_metadata import load_unischema
+from petastorm_spark.unischema import Unischema
+
+
+def stream_dataset(
+    spark: SparkSession,
+    dataset_url: str,
+    schema_fields: list | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Continuous feed over a parquet dataset dir (schema taken from the
+    sidecar or the existing files)."""
+    static = spark.read.parquet(dataset_url)
+    schema = load_unischema(spark, dataset_url) or Unischema.from_spark_schema(
+        static.schema
+    )
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(dataset_url)
+    if schema_fields:
+        view = schema.create_schema_view(schema_fields)
+        df = df.select(*view.field_names())
+    return df
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_is_nanos: bool = True,
+) -> DataFrame:
+    """Tumbling event-time windows with late-data watermark."""
+    from petastorm_spark.session import ns_to_timestamp
+
+    ts = ns_to_timestamp(F.col(ts_col)) if ts_is_nanos else F.col(ts_col)
+    with_ts = events.withColumn("_event_time", ts).withWatermark(
+        "_event_time", watermark
+    )
+    return (
+        with_ts.groupBy(F.window("_event_time", window), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_is_nanos: bool = True,
+) -> DataFrame:
+    """Gap-based session windows per key (stateful streaming op)."""
+    from petastorm_spark.session import ns_to_timestamp
+
+    ts = ns_to_timestamp(F.col(ts_col)) if ts_is_nanos else F.col(ts_col)
+    with_ts = events.withColumn("_event_time", ts).withWatermark(
+        "_event_time", watermark
+    )
+    return (
+        with_ts.groupBy(F.session_window("_event_time", gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

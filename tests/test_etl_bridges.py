@@ -1,0 +1,209 @@
+"""Indexing, converter, bridges, CLI tools, streaming."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from petastorm_spark.converter import make_spark_converter
+from petastorm_spark.etl.generate_metadata import generate_metadata
+from petastorm_spark.etl.rowgroup_indexing import (
+    FieldNotNullIndexer,
+    IntersectIndexSelector,
+    SingleFieldIndexer,
+    SingleIndexSelector,
+    UnionIndexSelector,
+    build_rowgroup_index,
+    list_indexes,
+)
+from petastorm_spark.reader import make_batch_reader, make_reader
+from petastorm_spark.tools.copy_dataset import copy_dataset
+
+
+@pytest.fixture(scope="module")
+def indexed_ds(spark, tmp_path_factory):
+    url = str(tmp_path_factory.mktemp("idx") / "ds")
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("bucket"),
+        F.when(F.col("id") % 3 == 0, F.col("id")).alias("sparse"),
+    )
+    df.repartition(10, "bucket").write.parquet(url)
+    build_rowgroup_index(
+        spark,
+        url,
+        [SingleFieldIndexer("by_bucket", "bucket"), FieldNotNullIndexer("has_sparse", "sparse")],
+    )
+    return url
+
+
+def test_index_listing(spark, indexed_ds):
+    assert sorted(list_indexes(spark, indexed_ds)) == ["by_bucket", "has_sparse"]
+
+
+def test_single_index_selector_prunes(spark, indexed_ds):
+    sel = SingleIndexSelector("by_bucket", [3])
+    files = sel.select_files(spark, indexed_ds)
+    assert 0 < len(files) < 10  # pruned to the files holding bucket 3
+    with make_reader(indexed_ds, spark=spark, rowgroup_selector=sel) as r:
+        buckets = {row.bucket for row in r}
+    assert 3 in buckets  # selected files contain target (plus co-located rows)
+
+
+def test_union_intersect_selectors(spark, indexed_ds):
+    s3 = SingleIndexSelector("by_bucket", [3])
+    s7 = SingleIndexSelector("by_bucket", [7])
+    u = UnionIndexSelector([s3, s7]).select_files(spark, indexed_ds)
+    i = IntersectIndexSelector([s3, s7]).select_files(spark, indexed_ds)
+    assert u >= s3.select_files(spark, indexed_ds)
+    assert i <= u
+
+
+def test_selector_plus_predicate_exact(spark, indexed_ds):
+    from petastorm_spark.predicates import in_set
+
+    sel = SingleIndexSelector("by_bucket", [5])
+    with make_reader(
+        indexed_ds, spark=spark, rowgroup_selector=sel, predicate=in_set([5], "bucket")
+    ) as r:
+        ids = sorted(row.id for row in r)
+    assert ids == [i for i in range(100) if i % 10 == 5]
+
+
+def test_converter_roundtrip_and_cache(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    conv = make_spark_converter(df, dtype=None)
+    try:
+        assert len(conv) == 25
+        again = make_spark_converter(df, dtype=None)
+        assert again is conv  # plan-keyed cache hit (sameSemantics)
+        with conv.make_batch_reader() as r:
+            total = sum(len(b.n_nationkey) for b in r)
+        assert total == 25
+    finally:
+        conv.delete()
+
+
+def test_converter_precision_cast(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    conv = make_spark_converter(df, dtype="float32")
+    try:
+        with conv.make_batch_reader() as r:
+            batch = next(iter(r))
+            assert batch.c_acctbal.dtype == np.float32
+    finally:
+        conv.delete()
+
+
+def test_torch_dataloader_batches(spark, sf_dir):
+    from petastorm_spark.bridges.torch import DataLoader
+
+    with DataLoader(
+        make_batch_reader(
+            f"{sf_dir}/customer.parquet",
+            spark=spark,
+            schema_fields=["c_custkey", "c_acctbal"],
+        ),
+        batch_size=64,
+    ) as loader:
+        sizes = [len(b["c_custkey"]) for b in loader]
+    assert sum(sizes) == spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert set(sizes[:-1]) == {64}
+
+
+def test_torch_inmem_loader_epochs(spark, sf_dir):
+    from petastorm_spark.bridges.torch import InMemBatchedDataLoader
+
+    reader = make_batch_reader(
+        f"{sf_dir}/nation.parquet", spark=spark, schema_fields=["n_nationkey"]
+    )
+    loader = InMemBatchedDataLoader(reader, batch_size=10, num_epochs=2, seed=5)
+    batches = list(loader)
+    assert sum(len(b["n_nationkey"]) for b in batches) == 50
+
+
+def test_tf_batch_generator(spark, sf_dir):
+    from petastorm_spark.bridges.tf import batch_generator
+
+    reader = make_batch_reader(f"{sf_dir}/orders.parquet", spark=spark)
+    gen = batch_generator(reader, batch_size=100)
+    first = next(gen)
+    assert len(first["o_orderkey"]) == 100
+    # datetime64 -> int64 ns sanitization
+    assert first["o_orderdate"].dtype == np.int64
+
+
+def test_copy_dataset_projection_and_filter(spark, sf_dir, tmp_path):
+    dst = str(tmp_path / "copied")
+    copy_dataset(
+        spark,
+        f"{sf_dir}/customer.parquet",
+        dst,
+        field_regex=["c_custkey", "c_acctbal"],
+        not_null_fields=["c_acctbal"],
+        partitions_count=2,
+    )
+    out = spark.read.parquet(dst)
+    assert set(out.columns) == {"c_custkey", "c_acctbal"}
+    from petastorm_spark.etl.dataset_metadata import load_unischema
+
+    assert load_unischema(spark, dst).field_names() == ["c_custkey", "c_acctbal"]
+
+
+def test_generate_metadata_retrofit(spark, sf_dir, tmp_path):
+    url = str(tmp_path / "plain")
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(url)
+    schema = generate_metadata(spark, url)
+    assert schema.field_names() == ["r_regionkey", "r_name"]
+    from petastorm_spark.etl.dataset_metadata import load_unischema
+
+    assert load_unischema(spark, url) is not None
+
+
+def test_dataset_as_rdd(spark, sf_dir):
+    from petastorm_spark.spark_utils import dataset_as_rdd
+
+    rdd = dataset_as_rdd(f"{sf_dir}/region.parquet", spark, schema_fields=["r_name"])
+    names = {t.r_name for t in rdd.collect()}
+    assert names == {"AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"}
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    # readStream needs a dataset DIRECTORY (growing-file feed), not a file
+    d = str(tmp_path_factory.mktemp("stream") / "events")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(d)
+    return d
+
+
+def test_streaming_windowed_counts(spark, sf_dir, events_dir):
+    from petastorm_spark.streaming.feed import stream_dataset, windowed_event_counts
+
+    stream = stream_dataset(spark, events_dir)
+    agg = windowed_event_counts(stream, window="6 hours", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n_events) AS n FROM win_counts").collect()[0].n
+    assert got == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_streaming_sessionize(spark, events_dir):
+    from petastorm_spark.streaming.feed import sessionize_stream, stream_dataset
+
+    stream = stream_dataset(spark, events_dir)
+    sess = sessionize_stream(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) AS n FROM sessions").collect()[0].n
+    assert n > 0
