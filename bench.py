@@ -1,16 +1,21 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+ONE JSON line {"metric", "value", "unit", "queries", "sf", ...}.
 
-Each query is forced with a count() so the full plan executes but no
-result materialization cost is measured on the driver.
+Also measures reader throughput on a hello_world-shaped tensor dataset
+(int32 id + uint8 (128,256,3) image), the only number the reference
+publishes (BASELINE.md: 709.84 samples/sec via petastorm-throughput.py,
+200 warmup + 1000 measured row reads). Reported as
+"reader_samples_per_sec" with the same warmup/measure protocol.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -18,15 +23,85 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from petastorm_spark.queries import QUERIES  # noqa: E402
 from petastorm_spark.session import get_spark  # noqa: E402
 
-# Headline set: kept deliberately diverse — scan+agg, join-heavy,
-# reader-parity predicate paths, and (as they land) dedup/similarity.
+# Diverse headline set: scan+agg, join-heavy, windowing, distribution,
+# dedup/text/similarity. Driver compares the total against BASELINE.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "scan_projection",
     "pred_in_set",
+    "agg_rollup",
+    "topk_per_group",
+    "distinct_agg",
+    "ngram_trigram",
+    "sessionization",
+    "events_hourly",
+    "shard_distribution",
+    "pred_pseudorandom_split",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "text_quality",
+    "ann_cosine_topk",
+    "ann_cosine_lsh",
 ]
+
+N_WARMUP_READS = 200
+N_MEASURED_READS = 1000
+
+
+def measure_reader_throughput(spark) -> float:
+    """Rows/sec through make_reader on a hello_world-shaped dataset
+    (reference harness protocol: petastorm/benchmark/throughput.py)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType
+
+    from petastorm_spark.codecs import CompressedImageCodec, ScalarCodec
+    from petastorm_spark.etl.dataset_metadata import materialize_dataset
+    from petastorm_spark.reader import make_reader
+    from petastorm_spark.unischema import Unischema, UnischemaField, dict_to_spark_row
+
+    schema = Unischema(
+        "HelloWorld",
+        [
+            UnischemaField("id", np.int32, (), ScalarCodec(IntegerType()), False),
+            UnischemaField(
+                "image", np.uint8, (128, 256, 3), CompressedImageCodec("png"), False
+            ),
+        ],
+    )
+    url = tempfile.mkdtemp(prefix="bench_hello_") + "/ds"
+    rng = np.random.default_rng(0)
+    n_rows = 300  # reader loops epochs; 300 rows x 98 KB keeps setup fast
+    rows = [
+        dict_to_spark_row(
+            schema,
+            {
+                "id": i,
+                "image": rng.integers(0, 255, (128, 256, 3), dtype=np.uint8),
+            },
+        )
+        for i in range(n_rows)
+    ]
+    try:
+        with materialize_dataset(spark, url, schema, row_group_size_mb=8):
+            spark.createDataFrame(rows, schema.as_spark_schema()).repartition(
+                4
+            ).write.mode("overwrite").parquet(url)
+
+        with make_reader(url, spark=spark, num_epochs=None) as reader:
+            it = iter(reader)
+            for _ in range(N_WARMUP_READS):
+                next(it)
+            t0 = time.perf_counter()
+            for _ in range(N_MEASURED_READS):
+                next(it)
+            dt = time.perf_counter() - t0
+        return N_MEASURED_READS / dt
+    finally:
+        shutil.rmtree(os.path.dirname(url), ignore_errors=True)
 
 
 def main() -> None:
@@ -48,6 +123,12 @@ def main() -> None:
         df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    reader_rate = (
+        None
+        if os.environ.get("SPARK_GRAFT_SKIP_READER_BENCH")
+        else round(measure_reader_throughput(spark), 1)
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -57,6 +138,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reader_samples_per_sec": reader_rate,
+                "reader_protocol": f"{N_WARMUP_READS} warmup + {N_MEASURED_READS} measured row reads, hello_world-shaped dataset (BASELINE.md parity)",
             }
         )
     )

@@ -39,16 +39,29 @@ def hash60_sql(expr: str, seed: int | None = None) -> str:
     return f"(('0x'||substr(md5({payload}),1,15))::BIGINT)"
 
 
-def shingles(text_col, n: int = 3) -> Column:
-    """Positional n-token shingles as strings (distinct)."""
-    t = tokens(text_col)
+def shingles_from_tokens(tok_col, n: int = 3) -> Column:
+    """Positional n-token shingles (distinct) from a MATERIALIZED token
+    array column. Keep the token array a real column — expressions
+    inside transform() lambdas are re-evaluated per element, so passing
+    tokens(text) directly re-runs split() O(len) times per row."""
+    t = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     idx = F.sequence(F.lit(0), F.size(t) - n)
     sh = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + k + 1).cast("int")) for k in range(n)]),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + k + 1).cast("int")) for k in range(n)]
+        ),
     )
     return F.when(F.size(t) >= n, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """id, sh rows: tokenize once into a column, then explode shingles."""
+    return (
+        df.withColumn("_toks", tokens(text_col))
+        .select(F.col(id_col), F.explode(shingles_from_tokens("_toks", n)).alias("sh"))
     )
 
 
@@ -65,6 +78,30 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# Carter-Wegman double hashing: ONE md5 per shingle yields two 30-bit
+# integers (h1 from hex[0:8], h2 from hex[9:17], forced odd); the i-th
+# hash is (h1 + i*h2) mod 2^30. 30-bit space keeps i*h2 far from int64
+# overflow in every engine. 16x fewer md5 evaluations than seeded-md5.
+MINHASH_MOD = 1 << 30
+
+
+def cw_hash_pair(col) -> tuple[Column, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    digest = F.md5(c)
+    h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint") % MINHASH_MOD
+    h2 = (
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("bigint") % MINHASH_MOD
+    ).bitwiseOR(F.lit(1))
+    return h1, h2
+
+
+def cw_hash_pair_sql(expr: str) -> tuple[str, str]:
+    d = f"md5({expr})"
+    h1 = f"((('0x'||substr({d},1,8))::BIGINT) % {MINHASH_MOD})"
+    h2 = f"(((('0x'||substr({d},9,8))::BIGINT) % {MINHASH_MOD}) | 1)"
+    return h1, h2
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -73,13 +110,14 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Per-doc MinHash signature: explode distinct shingles, take
-    ``num_hashes`` seeded min-aggregates. Output: id, mh_0..mh_{k-1}.
-    Docs with no shingles (shorter than ``shingle_n``) are dropped."""
-    sh = (
-        df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
-    )
+    ``num_hashes`` min-aggregates of double-hashed values. Output:
+    id, mh_0..mh_{k-1}. Docs shorter than ``shingle_n`` are dropped."""
+    sh = exploded_shingles(df, text_col, id_col, shingle_n)
+    h1, h2 = cw_hash_pair(F.col("sh"))
+    sh = sh.select(F.col(id_col), h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(hash60(F.col("sh"), seed=s)).alias(f"mh_{s}") for s in range(num_hashes)
+        F.min((F.col("h1") + s * F.col("h2")) % MINHASH_MOD).alias(f"mh_{s}")
+        for s in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -156,9 +194,7 @@ def jaccard_pairs(
     """All pairs with shingle-set Jaccard >= threshold, via an
     inverted-index self-join (only pairs sharing >= 1 shingle are ever
     materialized)."""
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh")
-    )
+    sh = exploded_shingles(df, text_col, id_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

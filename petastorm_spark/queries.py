@@ -182,6 +182,103 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregation (subtotals + grand total) —
+    §2.6 surface. Scale: one pass, partial aggregation per grouping
+    set before the exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "set_ops_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                                   AND o_orderdate <  TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                                   AND o_orderdate <  TIMESTAMP '1998-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                                   AND o_orderdate <  TIMESTAMP '1999-01-01'
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT set algebra: customers active in both 1996 and
+    1997 but not 1998. Scale: three filtered scans of one table; set ops
+    hash-shuffle on the single key column only."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def active(y: int) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    return active(1996).intersect(active(1997)).exceptAll(active(1998).distinct())
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    WITH r AS (SELECT p_brand, p_partkey, p_retailprice,
+                      row_number() OVER (PARTITION BY p_brand
+                                         ORDER BY p_retailprice DESC, p_partkey) AS rk
+               FROM part)
+    SELECT p_brand, p_partkey, p_retailprice, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (3 priciest parts per brand) via ranked window.
+    Scale: one exchange on the group key; AQE skew-join handles hot
+    brands."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+@register(
+    "distinct_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation. Scale: expand+two-phase agg by
+    Catalyst; approx_count_distinct is the 100 TB variant (HLL, one
+    pass) exposed in functions but not oracle-comparable."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reader-parity surface (SURVEY §2.1/§2.2): projection + predicates.
 # ---------------------------------------------------------------------------

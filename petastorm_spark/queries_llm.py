@@ -62,11 +62,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
-    from petastorm_spark.operators.dedup import hash60_sql
+    from petastorm_spark.operators.dedup import MINHASH_MOD, cw_hash_pair_sql
 
+    h1, h2 = cw_hash_pair_sql("sh")
     rows = num_hashes // bands
     mins = ",\n               ".join(
-        f"min({hash60_sql('sh', seed=s)}) AS mh_{s}" for s in range(num_hashes)
+        f"min(({h1} + {s} * {h2}) % {MINHASH_MOD}) AS mh_{s}"
+        for s in range(num_hashes)
     )
     band_rows = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band, md5("

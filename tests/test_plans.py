@@ -1,0 +1,58 @@
+"""Plan-shape regression tests: the properties that matter at 100 TB
+(pushdown, pruning, broadcast, codegen) hold on the headline queries."""
+
+import pytest
+
+from petastorm_spark.plans.checks import (
+    codegen_stage_count,
+    count_broadcast_joins,
+    has_pushed_filters,
+    read_schema_columns,
+)
+from petastorm_spark.queries import QUERIES
+
+
+def test_scan_projection_prunes_and_pushes(spark, sf_dir):
+    df = QUERIES["scan_projection"](spark, sf_dir)
+    assert has_pushed_filters(df)
+    cols = read_schema_columns(df)
+    # 5 of 11 lineitem columns read (4 projected + shipdate filter)
+    assert set(cols) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipdate",
+    }
+
+
+def test_q1_pushes_shipdate_filter(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    assert has_pushed_filters(df)
+    assert "l_partkey" not in read_schema_columns(df)  # pruned
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    df = QUERIES["q3_shipping_priority"](spark, sf_dir)
+    assert count_broadcast_joins(df) >= 1
+
+
+def test_q5_broadcast_chain(spark, sf_dir):
+    df = QUERIES["q5_local_supplier_volume"](spark, sf_dir)
+    # all four dimension joins broadcast; no shuffle-side dim join
+    assert count_broadcast_joins(df) >= 3
+
+
+def test_headline_queries_are_codegen(spark, sf_dir):
+    for name in ("q1_pricing_summary", "pred_in_set", "text_stats"):
+        df = QUERIES[name](spark, sf_dir)
+        assert codegen_stage_count(df) >= 1, name
+
+
+def test_reader_plan_projection_reaches_scan(spark, sf_dir):
+    from petastorm_spark.reader import make_batch_reader
+
+    with make_batch_reader(
+        f"{sf_dir}/lineitem.parquet", spark=spark, schema_fields=["l_orderkey"]
+    ) as r:
+        assert read_schema_columns(r.dataframe) == ["l_orderkey"]
