@@ -110,6 +110,7 @@ class Reader:
         batched: bool = False,
         cache_dir: str | None = None,
         rowgroup_selector=None,
+        shuffle_row_drop_partitions: int = 1,
     ):
         if (dataset_url is None) == (dataframe is None):
             raise ValueError("exactly one of dataset_url / dataframe is required")
@@ -126,6 +127,10 @@ class Reader:
         self._shard_count = shard_count
         self._num_epochs = num_epochs
         self._batched = batched
+        # D4 (petastorm/reader.py:654-664): split each row group into k
+        # strided slices read as separate pieces — trades extra reads
+        # for shuffle decorrelation.
+        self._drop_parts = max(1, int(shuffle_row_drop_partitions))
         self._owned_cache: str | None = None
         self.last_row_consumed = False
 
@@ -182,10 +187,11 @@ class Reader:
                 raise ValueError("rowgroup_selector matched no files")
 
         # ---- piece list (one per row group) --------------------------------
-        self._pieces: list[tuple[str, int]] = []
+        self._pieces: list[tuple[str, int, int]] = []
         for f in self._files:
             for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
-                self._pieces.append((f, rg))
+                for sl in range(self._drop_parts):
+                    self._pieces.append((f, rg, sl))
         if shard_count is not None and len(self._pieces) < shard_count:
             raise ValueError(
                 f"{len(self._pieces)} row groups < {shard_count} shards; "
@@ -203,11 +209,13 @@ class Reader:
             order = order[self._cur_shard :: self._shard_count]
         return [self._pieces[i] for i in order]
 
-    def _decode_piece(self, path: str, rg: int) -> pd.DataFrame | None:
+    def _decode_piece(self, path: str, rg: int, sl: int = 0) -> pd.DataFrame | None:
         pf = pq.ParquetFile(path)
         cols = [c for c in self._read_columns if c in pf.schema_arrow.names]
         table = pf.read_row_group(rg, columns=cols or None)
         pdf = table.to_pandas()
+        if self._drop_parts > 1:
+            pdf = pdf.iloc[sl :: self._drop_parts].reset_index(drop=True)
 
         # hive-partition columns are not in the file; recover from path
         missing = [c for c in self._read_columns if c not in pdf.columns]
@@ -299,8 +307,8 @@ class Reader:
         self.last_row_consumed = False
         epoch = 0
         while self._num_epochs is None or epoch < self._num_epochs:
-            for path, rg in self._epoch_pieces():
-                pdf = self._decode_piece(path, rg)
+            for path, rg, sl in self._epoch_pieces():
+                pdf = self._decode_piece(path, rg, sl)
                 if pdf is None or not len(pdf):
                     continue
                 if self._batched:

@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis): codec round-trips over random
+shapes/dtypes/values, md5_fraction uniformity contract, and the
+schema-driven row generator feeding dict_to_spark_row."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql.types import IntegerType, StringType
+
+from petastorm_spark.codecs import (
+    CompressedImageCodec,
+    CompressedNdarrayCodec,
+    NdarrayCodec,
+    ScalarCodec,
+)
+from petastorm_spark.unischema import Unischema, UnischemaField, dict_to_spark_row
+
+_DTYPES = [np.uint8, np.int16, np.int32, np.int64, np.float32, np.float64]
+
+
+@st.composite
+def arrays(draw):
+    dtype = draw(st.sampled_from(_DTYPES))
+    ndim = draw(st.integers(1, 4))
+    shape = tuple(draw(st.integers(1, 5)) for _ in range(ndim))
+    if np.dtype(dtype).kind == "f":
+        arr = draw(
+            st.just(
+                np.random.default_rng(draw(st.integers(0, 2**31))).random(shape).astype(dtype)
+            )
+        )
+    else:
+        info = np.iinfo(dtype)
+        arr = np.random.default_rng(draw(st.integers(0, 2**31))).integers(
+            max(info.min, -1000), min(info.max, 1000), shape, dtype=dtype
+        )
+    return arr
+
+
+@settings(max_examples=40, deadline=None)
+@given(arr=arrays(), codec_cls=st.sampled_from([NdarrayCodec, CompressedNdarrayCodec]))
+def test_ndarray_codec_roundtrip_any_shape(arr, codec_cls):
+    field = UnischemaField("x", arr.dtype.type, tuple(None for _ in arr.shape), codec_cls(), False)
+    codec = codec_cls()
+    out = codec.decode(field, bytes(codec.encode(field, arr)))
+    np.testing.assert_array_equal(out, arr)
+    assert out.dtype == arr.dtype
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+    seed=st.integers(0, 2**31),
+    fmt=st.sampled_from(["png", "jpeg"]),
+)
+def test_image_codec_roundtrip(h, w, seed, fmt):
+    arr = np.random.default_rng(seed).integers(0, 255, (h, w, 3), dtype=np.uint8)
+    field = UnischemaField("img", np.uint8, (None, None, 3), CompressedImageCodec(fmt), False)
+    codec = CompressedImageCodec(fmt)
+    out = codec.decode(field, bytes(codec.encode(field, arr)))
+    np.testing.assert_array_equal(out, arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(value=st.one_of(st.integers(-(2**40), 2**40), st.text(max_size=40)))
+def test_md5_fraction_pandas_matches_definition(value):
+    import hashlib
+
+    from petastorm_spark.predicates import HASH_SPACE, in_pseudorandom_split
+
+    p = in_pseudorandom_split([1.0], 0, "k")
+    import pandas as pd
+
+    s = p.do_include_pandas(pd.DataFrame({"k": [value]}))
+    assert bool(s.iloc[0])  # fraction always in [0,1) -> subset 0 of [1.0]
+    frac = int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16) / HASH_SPACE
+    assert 0.0 <= frac < 1.0
+
+
+def test_generator_rows_encode(spark):
+    from petastorm_spark.test_util.generator import random_rows
+
+    schema = Unischema(
+        "Gen",
+        [
+            UnischemaField("id", np.int64, (), ScalarCodec(IntegerType()), False),
+            UnischemaField("name", np.str_, (), ScalarCodec(StringType()), False),
+            UnischemaField("mat", np.float32, (None, 3), NdarrayCodec(), False),
+            UnischemaField("opt", np.int32, (), ScalarCodec(IntegerType()), True),
+        ],
+    )
+    rows = random_rows(schema, 25, seed=11)
+    encoded = [dict_to_spark_row(schema, r) for r in rows]
+    df = spark.createDataFrame(encoded, schema.as_spark_schema())
+    assert df.count() == 25
+
+
+def test_shuffle_row_drop_partitions_complete(spark, sf_dir):
+    from petastorm_spark.reader import make_reader
+
+    url = f"{sf_dir}/nation.parquet"
+    with make_reader(url, spark=spark, shuffle_row_drop_partitions=3) as r:
+        keys = sorted(row.n_nationkey for row in r)
+    assert keys == list(range(25))  # every row exactly once across slices
