@@ -298,6 +298,26 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint("text").alias("fingerprint"))
 
 
+@register(
+    "pred_in_intersection",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, {_TOK} AS t FROM documents)
+    SELECT doc_id, source
+    FROM tok
+    WHERE list_has_any(t, ['spark', 'window'])
+    """,
+)
+def pred_in_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_intersection (P5): documents whose token array overlaps a
+    literal word set — arrays_overlap stays JVM-side."""
+    from petastorm_spark.operators.text import tokens
+    from petastorm_spark.predicates import in_intersection
+
+    d = _t(spark, sf_dir, "documents").withColumn("_toks", tokens("text"))
+    pred = in_intersection(["spark", "window"], "_toks")
+    return d.where(pred.to_column()).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -222,7 +222,19 @@ class Reader:
         for c in missing:
             marker = f"{os.sep}{c}="
             if marker in path:
-                val = path.split(marker, 1)[1].split(os.sep, 1)[0]
+                val: object = path.split(marker, 1)[1].split(os.sep, 1)[0]
+                # honor Spark's partition-value type inference (pk=1 -> int)
+                field = self._storage_schema.fields.get(c)
+                if (
+                    field is not None
+                    and field.numpy_dtype is not None
+                    and field.numpy_dtype not in (np.str_, np.bytes_, str, bytes)
+                ):
+                    kind = np.dtype(field.numpy_dtype).kind
+                    if kind in "iu":
+                        val = int(val)
+                    elif kind == "f":
+                        val = float(val)
                 pdf[c] = val
             else:
                 raise KeyError(f"column {c} not found in {path}")
