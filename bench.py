@@ -48,8 +48,8 @@ HEADLINE = [
     "ann_cosine_lsh",
 ]
 
-N_WARMUP_READS = 200
-N_MEASURED_READS = 1000
+N_WARMUP_READS = 500
+N_MEASURED_READS = 3000
 
 
 def measure_reader_throughput(spark) -> float:
@@ -139,7 +139,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reader_samples_per_sec": reader_rate,
-                "reader_protocol": f"{N_WARMUP_READS} warmup + {N_MEASURED_READS} measured row reads, hello_world-shaped dataset (BASELINE.md parity)",
+                "reader_protocol": f"{N_WARMUP_READS} warmup + {N_MEASURED_READS} measured row reads, hello_world-shaped dataset (BASELINE.md protocol, longer measurement window)",
             }
         )
     )

@@ -111,6 +111,8 @@ class Reader:
         cache_dir: str | None = None,
         rowgroup_selector=None,
         shuffle_row_drop_partitions: int = 1,
+        workers_count: int = 4,
+        reader_pool_type: str = "thread",
     ):
         if (dataset_url is None) == (dataframe is None):
             raise ValueError("exactly one of dataset_url / dataframe is required")
@@ -118,7 +120,13 @@ class Reader:
             raise ValueError("cur_shard and shard_count must be set together")
 
         self._spark = spark or (dataframe.sparkSession if dataframe is not None else get_spark())
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
+        # pool parity (petastorm reader_pool_type thread|process|dummy):
+        # 'thread' prefetches row-group decodes; 'dummy' is synchronous.
+        if reader_pool_type not in ("thread", "dummy"):
+            raise ValueError(f"unsupported reader_pool_type {reader_pool_type!r}")
+        self._workers = 1 if reader_pool_type == "dummy" else max(1, workers_count)
         self._predicate = predicate
         self._spec = transform_spec
         self._shuffle_row_groups = shuffle_row_groups
@@ -209,7 +217,9 @@ class Reader:
             order = order[self._cur_shard :: self._shard_count]
         return [self._pieces[i] for i in order]
 
-    def _decode_piece(self, path: str, rg: int, sl: int = 0) -> pd.DataFrame | None:
+    def _decode_piece(
+        self, path: str, rg: int, sl: int = 0, rng: np.random.Generator | None = None
+    ) -> pd.DataFrame | None:
         pf = pq.ParquetFile(path)
         cols = [c for c in self._read_columns if c in pf.schema_arrow.names]
         table = pf.read_row_group(rg, columns=cols or None)
@@ -290,7 +300,8 @@ class Reader:
             decoded = apply_transform_pandas(decoded, self._spec)
 
         if self._shuffle_rows and len(decoded) > 1:
-            decoded = decoded.iloc[self._rng.permutation(len(decoded))].reset_index(
+            rng = rng if rng is not None else self._rng
+            decoded = decoded.iloc[rng.permutation(len(decoded))].reset_index(
                 drop=True
             )
         return decoded
@@ -315,21 +326,48 @@ class Reader:
                 vals[name] = col.to_numpy()
         return self._nt(**vals)
 
-    def __iter__(self):
-        self.last_row_consumed = False
+    def _piece_stream(self):
+        """(path, rg, slice, rng) across all epochs. Per-piece RNGs are
+        derived from (seed, epoch, index) so decode order — including
+        threaded prefetch — never changes results."""
         epoch = 0
         while self._num_epochs is None or epoch < self._num_epochs:
-            for path, rg, sl in self._epoch_pieces():
-                pdf = self._decode_piece(path, rg, sl)
-                if pdf is None or not len(pdf):
-                    continue
-                if self._batched:
-                    yield self._batch_to_vectors(pdf)
-                else:
-                    cols = [pdf[n] for n in self._nt._fields]
-                    for vals in zip(*cols):
-                        yield self._nt(*vals)
+            for idx, (path, rg, sl) in enumerate(self._epoch_pieces()):
+                rng = np.random.default_rng(
+                    None if self._seed is None else (self._seed, epoch, idx)
+                )
+                yield path, rg, sl, rng
             epoch += 1
+
+    def _emit(self, pdf):
+        if pdf is None or not len(pdf):
+            return
+        if self._batched:
+            yield self._batch_to_vectors(pdf)
+        else:
+            cols = [pdf[n] for n in self._nt._fields]
+            yield from (self._nt(*vals) for vals in zip(*cols))
+
+    def __iter__(self):
+        self.last_row_consumed = False
+        if self._workers <= 1:
+            for piece in self._piece_stream():
+                yield from self._emit(self._decode_piece(*piece))
+        else:
+            # bounded prefetch: up to 2x workers row groups in flight,
+            # consumed in submission order (round-robin determinism,
+            # like the reference's thread pool result draining)
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self._workers) as pool:
+                window: deque = deque()
+                for piece in self._piece_stream():
+                    window.append(pool.submit(self._decode_piece, *piece))
+                    if len(window) >= self._workers * 2:
+                        yield from self._emit(window.popleft().result())
+                while window:
+                    yield from self._emit(window.popleft().result())
         self.last_row_consumed = True
 
     # ---- lifecycle ---------------------------------------------------------
