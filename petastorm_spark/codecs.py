@@ -119,7 +119,11 @@ class ScalarCodec(DataframeColumnCodec):
             return bool(value)
         if isinstance(self._spark_type, StringType):
             return str(value)
-        return value  # Decimal and friends pass through
+        if isinstance(self._spark_type, DecimalType):
+            from decimal import Decimal
+
+            return value if isinstance(value, Decimal) else Decimal(str(value))
+        return value
 
     def decode(self, field, encoded):
         if isinstance(self._spark_type, DecimalType):

@@ -296,6 +296,8 @@ def dict_to_spark_row(unischema: Unischema, row_dict: dict) -> Row:
             encoded[field.name] = None
         elif field.codec is not None:
             encoded[field.name] = field.codec.encode(field, value)
+        elif isinstance(value, np.generic):
+            encoded[field.name] = value.item()  # Spark rejects numpy scalars
         else:
             encoded[field.name] = value
     return Row(**encoded)

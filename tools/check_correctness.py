@@ -114,7 +114,10 @@ def main() -> None:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS {name} rows={len(sdf)}")
+            # a 0-row agreement can hide a shared wrong literal (both
+            # engines agreeing on the empty set proves nothing)
+            flag = " (WARN: empty result — vacuous agreement?)" if len(sdf) == 0 else ""
+            print(f"PASS {name} rows={len(sdf)}{flag}")
             n_pass += 1
 
     print(f"== {n_pass} pass, {n_weak} weak, {n_fail} fail ==")
