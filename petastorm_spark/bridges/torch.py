@@ -43,18 +43,47 @@ def _to_tensor(arr: np.ndarray):
 
 class DataLoader:
     """Batches a (batched) Reader into dicts of tensors/arrays of
-    ``batch_size`` rows, slicing/stitching across row-group batches."""
+    ``batch_size`` rows, slicing/stitching across row-group batches.
 
-    def __init__(self, reader, batch_size: int = 32, keys: list[str] | None = None):
+    ``shuffling_queue_capacity`` inserts a bounded uniform shuffle
+    between the reader and batching. It operates at row-group-batch
+    granularity; combine with the Reader's ``shuffle_rows`` /
+    ``shuffle_row_groups`` for row-level decorrelation (the pair covers
+    the reference's shuffling-buffer semantics)."""
+
+    def __init__(
+        self,
+        reader,
+        batch_size: int = 32,
+        keys: list[str] | None = None,
+        shuffling_queue_capacity: int = 0,
+        shuffling_queue_seed: int | None = None,
+    ):
         self.reader = reader
         self.batch_size = batch_size
         self._keys = keys
+        # petastorm parity: a bounded uniform shuffling buffer between
+        # the reader and batching (petastorm/pytorch.py:131-256)
+        self._shuffle_capacity = shuffling_queue_capacity
+        self._shuffle_seed = shuffling_queue_seed
+
+    def _source(self):
+        if self._shuffle_capacity > 1:
+            from petastorm_spark.bridges.shuffling import RandomShufflingBuffer
+
+            buf = RandomShufflingBuffer(
+                self._shuffle_capacity,
+                max(1, self._shuffle_capacity // 2),
+                seed=self._shuffle_seed,
+            )
+            return buf.shuffle(self.reader)
+        return self.reader
 
     def __iter__(self):
         pend: dict[str, list[np.ndarray]] = {}
         count = 0
         keys = self._keys
-        for batch in self.reader:
+        for batch in self._source():
             d = batch._asdict()
             keys = keys or list(d)
             for k in keys:

@@ -386,6 +386,33 @@ def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "numeric_stats",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           round(stddev(l_extendedprice), 4) AS sd_price,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics + dispersion per group (percentile is
+    exact interpolated, matching quantile_cont). Scale: percentile
+    needs per-group sorted data — at 100 TB prefer approx_percentile
+    (t-digest, one pass, mergeable); exact kept for the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.round(F.stddev("l_extendedprice"), 4).alias("sd_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
     "json_extract_events",
     oracle="""
     SELECT json_extract_string(props, '$.k')::BIGINT % 10 AS k_bucket,

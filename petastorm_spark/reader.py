@@ -113,7 +113,40 @@ class Reader:
         shuffle_row_drop_partitions: int = 1,
         workers_count: int = 4,
         reader_pool_type: str = "thread",
+        cache_type: str | None = None,
+        cache_location: str | None = None,
+        **compat_kwargs,
     ):
+        # Drop-in signature compatibility with petastorm's make_reader
+        # (petastorm/reader.py:60-206): knobs that are meaningless under
+        # the Spark architecture are accepted and warned about, so
+        # existing call sites run unchanged.
+        _IGNORED = {
+            "pyarrow_serialize",
+            "results_queue_size",
+            "zmq_copy_buffers",
+            "hdfs_driver",
+            "infer_schema_from_first_row",
+            "cache_size_limit",
+            "cache_row_size_estimate",
+            "cache_extra_settings",
+            "shard_seed",
+        }
+        unknown = set(compat_kwargs) - _IGNORED
+        if unknown:
+            raise TypeError(f"unexpected reader arguments: {sorted(unknown)}")
+        if compat_kwargs:
+            import warnings
+
+            warnings.warn(
+                f"ignoring petastorm-compat args with no Spark-side effect: "
+                f"{sorted(compat_kwargs)}",
+                stacklevel=3,
+            )
+        if cache_type not in (None, "null", "local-disk"):
+            raise ValueError(f"unsupported cache_type {cache_type!r}")
+        if cache_type == "local-disk" and cache_dir is None:
+            cache_dir = cache_location
         if (dataset_url is None) == (dataframe is None):
             raise ValueError("exactly one of dataset_url / dataframe is required")
         if (cur_shard is None) != (shard_count is None):
