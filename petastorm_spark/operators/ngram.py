@@ -110,3 +110,43 @@ class NGram:
                     ).alias(f"t{off}")
                 )
         return out.select(*sel)
+
+    # ---- reader integration (reference behavior: make_reader(schema_
+    # fields=NGram) yields one {offset: namedtuple} dict per window,
+    # petastorm/ngram.py:205-223 + py_dict_reader_worker.py:171-172) ----
+
+    def form_ngram_dicts(self, pdf, tiebreak: list[str] | None = None):
+        """Materialize windows from one decoded pandas batch (rows are
+        ts-sorted within the batch; windows do not cross batches — the
+        reference's documented row-group caveat, petastorm/ngram.py:85-91).
+        Yields {offset: namedtuple} dicts."""
+        from collections import namedtuple
+
+        ts = self.timestamp_field
+        order_cols = [ts] + [c for c in (tiebreak or []) if c in pdf.columns]
+        pdf = pdf.sort_values(order_cols, kind="stable").reset_index(drop=True)
+        nts = {
+            off: namedtuple(f"ngram_t{off}", self.fields[off], rename=True)
+            for off in self.offsets
+        }
+        base = self.offsets[0]
+        n = len(pdf)
+        ts_vals = pdf[ts].to_numpy()
+        emitted_rows: set[int] = set()
+        for start in range(n - self.length + 1):
+            ok = all(
+                ts_vals[start + k] - ts_vals[start + k - 1] <= self.delta_threshold
+                for k in range(1, self.length)
+            )
+            if not ok:
+                continue
+            rows = range(start, start + self.length)
+            if not self.timestamp_overlap and any(r in emitted_rows for r in rows):
+                continue
+            emitted_rows.update(rows)
+            yield {
+                off: nts[off](
+                    **{c: pdf.at[start + off - base, c] for c in self.fields[off]}
+                )
+                for off in self.offsets
+            }

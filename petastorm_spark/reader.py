@@ -185,6 +185,25 @@ class Reader:
 
         full_schema = stored or Unischema.from_spark_schema(df.schema)
 
+        # reference behavior: schema_fields may be an NGram spec — the
+        # reader then yields {offset: namedtuple} window dicts
+        # (petastorm/reader.py:196-200; not supported on the batch path,
+        # petastorm/arrow_reader_worker.py:99)
+        from petastorm_spark.operators.ngram import NGram
+
+        self._ngram: NGram | None = None
+        if isinstance(schema_fields, NGram):
+            if batched:
+                raise NotImplementedError(
+                    "NGram is not supported by make_batch_reader (reference parity)"
+                )
+            self._ngram = schema_fields
+            needed = sorted(
+                {c for cols in self._ngram.fields.values() for c in cols}
+                | {self._ngram.timestamp_field}
+            )
+            schema_fields = needed
+
         if schema_fields is not None:
             view = full_schema.create_schema_view(schema_fields)
         else:
@@ -375,7 +394,9 @@ class Reader:
     def _emit(self, pdf):
         if pdf is None or not len(pdf):
             return
-        if self._batched:
+        if self._ngram is not None:
+            yield from self._ngram.form_ngram_dicts(pdf)
+        elif self._batched:
             yield self._batch_to_vectors(pdf)
         else:
             cols = [pdf[n] for n in self._nt._fields]

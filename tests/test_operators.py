@@ -93,3 +93,42 @@ def test_weighted_sampling_reader(spark, sf_dir, tmp_path):
         rows = list(mixed)
     assert len(rows) == 4 * 25  # both readers fully drained
     assert mixed.schema.field_names() == ["n_nationkey", "n_name", "n_regionkey"]
+
+
+def test_ngram_reader_integration(spark, tmp_path):
+    """make_reader(schema_fields=NGram) yields {offset: namedtuple}
+    dicts (reference: petastorm/tests/test_ngram_end_to_end.py)."""
+    from petastorm_spark.reader import make_batch_reader, make_reader
+
+    url = str(tmp_path / "ts_ds")
+    rows = [("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("a", 10, 40), ("a", 11, 50)]
+    spark.createDataFrame(rows, ["key", "ts", "v"]).coalesce(1).write.parquet(url)
+
+    ngram = NGram(fields={0: ["ts", "v"], 1: ["ts", "v"]}, delta_threshold=2, timestamp_field="ts")
+    with make_reader(url, spark=spark, schema_fields=ngram) as r:
+        windows = list(r)
+    got = sorted((w[0].ts, w[1].ts) for w in windows)
+    assert got == [(1, 2), (2, 3), (10, 11)]
+    assert windows[0][0]._fields == ("ts", "v")
+
+    with pytest.raises(NotImplementedError):
+        make_batch_reader(url, spark=spark, schema_fields=ngram)
+
+
+def test_ngram_reader_non_overlap(spark, tmp_path):
+    from petastorm_spark.reader import make_reader
+
+    url = str(tmp_path / "ts_ds2")
+    rows = [("a", i, i * 10) for i in range(1, 7)]
+    spark.createDataFrame(rows, ["key", "ts", "v"]).coalesce(1).write.parquet(url)
+    ngram = NGram(
+        fields={0: ["ts"], 1: ["ts"]},
+        delta_threshold=5,
+        timestamp_field="ts",
+        timestamp_overlap=False,
+    )
+    with make_reader(url, spark=spark, schema_fields=ngram) as r:
+        got = [(w[0].ts, w[1].ts) for w in r]
+    used = [t for pair in got for t in pair]
+    assert len(used) == len(set(used))  # disjoint windows
+    assert got == [(1, 2), (3, 4), (5, 6)]
