@@ -67,15 +67,17 @@ def make_petastorm_dataset(reader, batch_size: int | None = None):
             "tensorflow is not available in this environment; use "
             "batch_generator() directly"
         )
-    probe_iter = batch_generator(reader, batch_size)
-    first = next(probe_iter)
+    # probe one batch for the signature only; the dataset generator
+    # re-iterates the reader from scratch, so epoch 2+ sees all data
+    # (Reader supports repeated iteration until close())
+    try:
+        first = next(batch_generator(reader, batch_size))
+    except StopIteration:
+        raise ValueError("cannot build a tf.data signature from an empty reader") from None
     signature = {
         k: tf.TensorSpec(shape=(None, *v.shape[1:]), dtype=tf.as_dtype(v.dtype))
         for k, v in first.items()
     }
-
-    def gen():
-        yield first
-        yield from probe_iter
-
-    return tf.data.Dataset.from_generator(gen, output_signature=signature)
+    return tf.data.Dataset.from_generator(
+        lambda: batch_generator(reader, batch_size), output_signature=signature
+    )

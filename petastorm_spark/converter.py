@@ -121,11 +121,9 @@ def make_spark_converter(
     """
     prepared = _cast_precision(_vectors_to_arrays(df), dtype)
 
+    options_key = (compression_codec, row_group_size_mb, dtype, parent_cache_dir)
     for conv in _CACHE:
-        if (
-            conv._options == (compression_codec, row_group_size_mb, dtype)
-            and conv._source_df.sameSemantics(df)
-        ):
+        if conv._options == options_key and conv._source_df.sameSemantics(df):
             return conv
 
     parent = parent_cache_dir or os.path.join(
@@ -149,6 +147,6 @@ def make_spark_converter(
     num_rows = spark.read.parquet(path).count()
     conv = SparkDatasetConverter(path, num_rows, prepared)
     conv._source_df = df
-    conv._options = (compression_codec, row_group_size_mb, dtype)
+    conv._options = options_key
     _CACHE.append(conv)
     return conv

@@ -128,6 +128,11 @@ def lsh_candidate_pairs(
     """Band the signature (``bands`` bands of ``num_hashes/bands``
     rows), hash each band, and self-join per (band, band_hash) bucket.
     Returns distinct candidate pairs (id_a < id_b)."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); trailing "
+            "signature rows would otherwise be silently dropped from banding"
+        )
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):

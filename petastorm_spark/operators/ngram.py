@@ -66,13 +66,20 @@ class NGram:
         ).orderBy(*order_cols)
 
         base = self.offsets[0]
-        proj = list(df.columns)
-        out = df
-        needed_cols = sorted({c for cols in self.fields.values() for c in cols} | {ts})
-        for off in range(self.offsets[0], self.offsets[-1] + 1):
-            k = off - base
-            for c in needed_cols:
-                out = out.withColumn(f"_lead{k}_{c}", F.lead(c, k).over(w))
+        # one projection with ONLY the needed (k, column) leads — a
+        # withColumn-per-lead loop would add a plan layer per column
+        # (Catalyst analysis blowup) and compute leads never emitted:
+        # ts at every step (validity check) + each offset's own fields.
+        needed: set[tuple[int, str]] = {
+            (k, ts) for k in range(self.length)
+        } | {(off - base, c) for off in self.offsets for c in self.fields[off]}
+        out = df.select(
+            "*",
+            *[
+                F.lead(c, k).over(w).alias(f"_lead{k}_{c}")
+                for k, c in sorted(needed)
+            ],
+        )
 
         # validity: every consecutive timestamp delta within threshold,
         # and the window does not run off the end of the partition.

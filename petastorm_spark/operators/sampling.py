@@ -81,17 +81,17 @@ class WeightedSamplingReader:
 
     def __iter__(self):
         iters = [iter(r) for r in self._readers]
-        alive = [True] * len(iters)
-        while any(alive):
-            u = self._rng.random()
-            i = int(np.searchsorted(self._cum, u, side="right"))
-            i = min(i, len(iters) - 1)
-            if not alive[i]:
-                i = next(j for j, a in enumerate(alive) if a)
+        probs = np.diff(np.concatenate([[0.0], self._cum]))
+        alive = list(range(len(iters)))
+        while alive:
+            # renormalize over the surviving readers — falling back to a
+            # fixed reader would skew the mixture after one exhausts
+            p = probs[alive] / probs[alive].sum()
+            i = alive[int(self._rng.choice(len(alive), p=p))]
             try:
                 yield next(iters[i])
             except StopIteration:
-                alive[i] = False
+                alive.remove(i)
 
     def __enter__(self):
         return self

@@ -197,6 +197,12 @@ class Reader:
                 raise NotImplementedError(
                     "NGram is not supported by make_batch_reader (reference parity)"
                 )
+            if shuffle_row_drop_partitions > 1:
+                raise ValueError(
+                    "NGram cannot be combined with shuffle_row_drop_partitions: "
+                    "strided slicing changes consecutive-row timestamp deltas "
+                    "and would silently drop valid windows"
+                )
             self._ngram = schema_fields
             needed = sorted(
                 {c for cols in self._ngram.fields.values() for c in cols}
@@ -219,6 +225,21 @@ class Reader:
             need += [f for f in predicate.get_fields() if f not in need]
         self._read_columns = need
 
+        # Index selection happens on the SOURCE dataset before any
+        # materialization — the pruned file list feeds both the Spark
+        # plan and the direct iteration path.
+        selected_files: set[str] | None = None
+        if rowgroup_selector is not None:
+            if dataset_url is None:
+                raise ValueError("rowgroup_selector requires a dataset_url reader")
+            selected_files = {
+                _strip_scheme(f)
+                for f in rowgroup_selector.select_files(self._spark, dataset_url)
+            }
+            if not selected_files:
+                raise ValueError("rowgroup_selector matched no files")
+            df = self._spark.read.parquet(*sorted(selected_files))
+
         plan = df.select(*need) if set(need) != set(df.columns) else df
         if filters is not None:
             plan = plan.filter(filters)
@@ -228,23 +249,29 @@ class Reader:
         local = _local_path(dataset_url) if dataset_url else None
         if local is not None and filters is None:
             self._files = _list_parquet_files(local)
+            if selected_files is not None:
+                self._files = [
+                    f for f in self._files if _strip_scheme(f) in selected_files
+                ]
+        elif cache_dir is not None:
+            # user-managed cache dir: materialize into a managed
+            # SUBDIRECTORY (an overwrite-write into the dir itself would
+            # wipe unrelated user files); reuse it when already filled;
+            # never deleted on close()
+            managed = os.path.join(cache_dir, "_ps_materialized")
+            existing = (
+                _list_parquet_files(managed) if os.path.isdir(managed) else []
+            )
+            if not existing:
+                plan.write.mode("overwrite").parquet(managed)
+                existing = _list_parquet_files(managed)
+            self._files = existing
         else:
-            self._owned_cache = cache_dir or tempfile.mkdtemp(prefix="pstorm_cache_")
+            self._owned_cache = tempfile.mkdtemp(prefix="pstorm_cache_")
             plan.write.mode("overwrite").parquet(self._owned_cache)
             self._files = _list_parquet_files(self._owned_cache)
         if not self._files:
             raise ValueError(f"no parquet files found for {dataset_url or 'dataframe'}")
-
-        if rowgroup_selector is not None:
-            if dataset_url is None:
-                raise ValueError("rowgroup_selector requires a dataset_url reader")
-            selected = {
-                _strip_scheme(f)
-                for f in rowgroup_selector.select_files(self._spark, dataset_url)
-            }
-            self._files = [f for f in self._files if _strip_scheme(f) in selected]
-            if not self._files:
-                raise ValueError("rowgroup_selector matched no files")
 
         # ---- piece list (one per row group) --------------------------------
         self._pieces: list[tuple[str, int, int]] = []

@@ -54,23 +54,25 @@ def windowed_event_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     ts_is_nanos: bool = True,
+    value_col: str | None = "value",
 ) -> DataFrame:
-    """Tumbling event-time windows with late-data watermark."""
+    """Tumbling event-time windows with late-data watermark.
+    ``value_col``: numeric column to average (skipped when None or
+    absent from the frame)."""
     from petastorm_spark.session import ns_to_timestamp
 
     ts = ns_to_timestamp(F.col(ts_col)) if ts_is_nanos else F.col(ts_col)
     with_ts = events.withColumn("_event_time", ts).withWatermark(
         "_event_time", watermark
     )
-    return (
-        with_ts.groupBy(F.window("_event_time", window), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
-        .select(
-            F.col("window.start").alias("window_start"),
-            key_col,
-            "n_events",
-            "avg_value",
-        )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None and value_col in events.columns:
+        aggs.append(F.avg(value_col).alias(f"avg_{value_col}"))
+    out = with_ts.groupBy(F.window("_event_time", window), F.col(key_col)).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        key_col,
+        *[c for c in out.columns if c.startswith(("n_events", "avg_"))],
     )
 
 
@@ -81,22 +83,25 @@ def sessionize_stream(
     gap: str = "30 minutes",
     watermark: str = "2 hours",
     ts_is_nanos: bool = True,
+    value_col: str | None = "value",
 ) -> DataFrame:
-    """Gap-based session windows per key (stateful streaming op)."""
+    """Gap-based session windows per key (stateful streaming op).
+    ``value_col``: numeric column to sum (skipped when None or absent)."""
     from petastorm_spark.session import ns_to_timestamp
 
     ts = ns_to_timestamp(F.col(ts_col)) if ts_is_nanos else F.col(ts_col)
     with_ts = events.withColumn("_event_time", ts).withWatermark(
         "_event_time", watermark
     )
-    return (
-        with_ts.groupBy(F.session_window("_event_time", gap), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
-        .select(
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            key_col,
-            "n_events",
-            "sum_value",
-        )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None and value_col in events.columns:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+    out = with_ts.groupBy(F.session_window("_event_time", gap), F.col(key_col)).agg(
+        *aggs
+    )
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        key_col,
+        *[c for c in out.columns if c.startswith(("n_events", "sum_"))],
     )
