@@ -318,14 +318,122 @@ def pred_in_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(pred.to_column()).select("doc_id", "source")
 
 
-# ---------------------------------------------------------------------------
-# Similarity search
-# ---------------------------------------------------------------------------
+@register(
+    "token_frequencies",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOK}) AS token FROM documents),
+    counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+    SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word count, top 20 (the canonical distributed op). Scale:
+    explode -> partial agg map-side -> one exchange on token; top-k via
+    ordered limit (Spark plans TakeOrdered, no global sort)."""
+    from petastorm_spark.operators.text import tokens
 
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e)
+    SELECT label, CAST(dim AS INT) AS dim, round(avg(x), 6) AS centroid
+    FROM u WHERE dim <= 8 GROUP BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (first 8 dims shown): posexplode + grouped
+    mean — the building block of k-means/IVF coarse quantizers. Scale:
+    explode is a map; one exchange on (label, dim)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim0", "x"))
+        .withColumn("dim", (F.col("dim0") + 1).cast("int"))
+        .where(F.col("dim") <= 8)
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
+    )
+
+
+# DuckDB cosine expression shared by the similarity oracles.
 _COS = (
     "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * "
     "sqrt(list_dot_product(cv, cv)))"
 )
+
+
+@register(
+    "knn_classify",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    s AS (SELECT query_id, true_label, neighbor_id, label, {_COS} AS cos
+          FROM q, c WHERE neighbor_id != query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rk
+          FROM s),
+    votes AS (SELECT query_id, true_label, label, count(*) AS n_votes
+              FROM r WHERE rk <= 5 GROUP BY query_id, true_label, label),
+    best AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY n_votes DESC, label) AS vr
+             FROM votes)
+    SELECT query_id, true_label, label AS predicted_label,
+           CAST(n_votes AS BIGINT) AS n_votes
+    FROM best WHERE vr = 1
+    """,
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote classification for 10 query vectors (ties ->
+    smallest label). Composes cosine_topk with a vote aggregation —
+    the eval loop of an embedding-space classifier."""
+    from pyspark.sql import Window
+
+    from petastorm_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    topk = cosine_topk(emb, queries, k=5)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label")
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        topk.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .where(F.col("vr") == 1)
+        .join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
 
 
 @register(
