@@ -386,6 +386,71 @@ def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "running_totals",
+    oracle="""
+    WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+               FROM orders WHERE o_custkey < 100)
+    SELECT o_custkey, o_orderkey,
+           floor(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING) * 100) / 100 AS running_spend,
+           floor(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100) / 100 AS avg_last3
+    FROM o
+    """,
+)
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum + 3-row moving average per customer
+    (window frames). Scale: one exchange on the partition key; frames
+    evaluated in a single partition-local sort."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.floor(
+                F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                * 100
+            )
+            / 100
+        ).alias("running_spend"),
+        (F.floor(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)) * 100) / 100).alias(
+            "avg_last3"
+        ),
+    )
+
+
+@register(
+    "pred_in_lambda",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_rows
+    FROM lineitem
+    WHERE l_quantity * (1 - l_discount) > 30
+    GROUP BY l_returnflag
+    """,
+)
+def pred_in_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_lambda (P6): an arbitrary Python predicate evaluated as an
+    Arrow-batched pandas UDF — the engine's UDF filter path, checked
+    against the same logic in SQL. Scale: vectorized batches, but still
+    the slow path; prefer Column predicates when expressible."""
+    from petastorm_spark.predicates import filter_dataframe, in_lambda
+
+    li = _t(spark, sf_dir, "lineitem")
+    pred = in_lambda(
+        ["l_quantity", "l_discount"],
+        lambda cols: cols["l_quantity"] * (1 - cols["l_discount"]) > 30,
+    )
+    return filter_dataframe(li, pred).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@register(
     "numeric_stats",
     oracle="""
     SELECT l_returnflag,

@@ -458,6 +458,12 @@ class Reader:
             shutil.rmtree(self._owned_cache, ignore_errors=True)
             self._owned_cache = None
 
+    def reset(self) -> None:
+        """Reference API compat (petastorm Reader.reset): our reader
+        supports repeated iteration until close(), so reset only clears
+        the consumed flag."""
+        self.last_row_consumed = False
+
     stop = close  # reference API alias
     join = close
 

@@ -1,0 +1,123 @@
+"""Scaling study: replicate the sf0.1 tables 10x (shifted keys) into a
+synthetic ~sf1 dataset, run a headline-query subset at sf0.01 / sf0.1 /
+sf1-synthetic, and print a scaling table (wall seconds + ratio).
+
+The point is evidence for the 100 TB design claims: a plan whose
+runtime grows ~linearly from 60 K to 6 M rows with constant plan shape
+is credible at 1000x; one that grows superlinearly is not.
+
+    python tools/scaling_study.py [out_markdown]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from petastorm_spark.queries import QUERIES  # noqa: E402
+from petastorm_spark.session import get_spark  # noqa: E402
+
+SHIFT = 10**9
+REPLICAS = 10
+KEY_COLS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
+
+STUDY_QUERIES = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "shard_distribution",
+    "sessionization",
+    "text_stats",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+]
+
+
+def build_sf1(spark, src: str, dst: str) -> None:
+    if os.path.isdir(dst) and os.path.isdir(f"{dst}/lineitem.parquet"):
+        return
+    os.makedirs(dst, exist_ok=True)
+    for t in COPY_TABLES:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+    for t, keys in KEY_COLS.items():
+        base = spark.read.parquet(f"{src}/{t}.parquet")
+        out = None
+        for i in range(REPLICAS):
+            part = base
+            for k in keys:
+                part = part.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            out = part if out is None else out.unionByName(part)
+        out.repartition(16).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+
+
+def main() -> None:
+    out_md = sys.argv[1] if len(sys.argv) > 1 else "SCALING.md"
+    spark = get_spark("scaling_study")
+    sf1_dir = "/tmp/ps_scale_sf1"
+    t0 = time.perf_counter()
+    build_sf1(spark, "/root/testdata/sf0.1", sf1_dir)
+    print(f"sf1 build: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    dirs = [
+        ("sf0.01 (60K li rows)", "/root/testdata/sf0.01"),
+        ("sf0.1 (600K)", "/root/testdata/sf0.1"),
+        ("sf1-synthetic (6M)", sf1_dir),
+    ]
+    # JIT warmup
+    for name in STUDY_QUERIES:
+        QUERIES[name](spark, "/root/testdata/sf0.001").count()
+
+    results: dict[str, list[float]] = {}
+    for name in STUDY_QUERIES:
+        row = []
+        for _, d in dirs:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, d).count()
+            row.append(time.perf_counter() - t0)
+        results[name] = row
+        print(f"{name}: " + "  ".join(f"{x:.2f}s" for x in row), file=sys.stderr)
+
+    lines = [
+        "# SCALING — measured query scaling (local[32], one timed run, JIT-warmed)",
+        "",
+        "10x data (sf0.1 -> synthetic sf1) should cost ~10x at worst for",
+        "linear operators; sublinear growth means fixed costs still",
+        "dominate at this size. Plan shapes are identical across scales",
+        "(verified by tests/test_plans.py).",
+        "",
+        "| query | " + " | ".join(n for n, _ in dirs) + " | sf1/sf0.1 ratio |",
+        "|---|---|---|---|---|",
+    ]
+    for name, row in results.items():
+        ratio = row[2] / row[1] if row[1] else float("nan")
+        lines.append(
+            f"| {name} | "
+            + " | ".join(f"{x:.2f}s" for x in row)
+            + f" | {ratio:.1f}x |"
+        )
+    lines.append("")
+    lines.append(
+        f"Synthetic sf1 = sf0.1 replicated {REPLICAS}x with key columns "
+        f"shifted by i*1e9 (fact tables only; dimensions shared)."
+    )
+    with open(out_md, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out_md}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
