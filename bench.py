@@ -46,6 +46,9 @@ HEADLINE = [
     "text_quality",
     "ann_cosine_topk",
     "ann_cosine_lsh",
+    "token_frequencies",
+    "knn_classify",
+    "running_totals",
 ]
 
 N_WARMUP_READS = 500
