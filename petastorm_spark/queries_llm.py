@@ -121,7 +121,7 @@ def _simhash_oracle(bits: int = 60) -> str:
              FROM h, (SELECT unnest(range({bits})) AS b) bb
              GROUP BY doc_id, bb.b)
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """
 

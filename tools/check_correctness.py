@@ -96,6 +96,13 @@ def main() -> None:
         problems = []
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        else:
+            # dtype drift (int32 vs int64 etc.) may trip the driver's
+            # schema comparison — surface it loudly as a warning
+            for c in sorted(sdf.columns):
+                st, ot = str(sdf[c].dtype), str(odf[c].dtype)
+                if st != ot:
+                    print(f"  DTYPE {name}.{c}: spark={st} oracle={ot}")
         if len(sdf) != len(odf):
             problems.append(f"rows spark={len(sdf)} oracle={len(odf)}")
         if not problems:
