@@ -21,22 +21,24 @@ class RandomShufflingBuffer:
         capacity: int,
         min_after_dequeue: int,
         seed: int | None = None,
+        rng: np.random.Generator | None = None,
     ):
         if min_after_dequeue >= capacity:
             raise ValueError("min_after_dequeue must be < capacity")
         self._capacity = capacity
         self._min = min_after_dequeue
-        self._rng = np.random.default_rng(seed)
+        self._rng = rng if rng is not None else np.random.default_rng(seed)
         self._items: list = []
 
     def shuffle(self, source: Iterable) -> Iterator:
         """Stream items through the buffer, yielding a shuffled stream
-        with the same multiset."""
+        with the same multiset. The buffer FILLS to capacity before the
+        first retrieval (petastorm semantics: shuffle window ==
+        capacity, not min_after_dequeue), then runs one-in/one-out, and
+        drains fully at end-of-stream."""
         for item in source:
             self._items.append(item)
-            while len(self._items) > self._capacity:
-                yield self._pop_random()
-            if len(self._items) > self._min:
+            if len(self._items) >= self._capacity:
                 yield self._pop_random()
         while self._items:
             yield self._pop_random()

@@ -69,7 +69,10 @@ def make_petastorm_dataset(reader, batch_size: int | None = None):
         )
     # probe one batch for the signature only; the dataset generator
     # re-iterates the reader from scratch, so epoch 2+ sees all data
-    # (Reader supports repeated iteration until close())
+    # (Reader supports repeated iteration until close()). Known startup
+    # cost: the probe decodes up to the reader pool's prefetch window
+    # and discards it — a schema-derived signature would avoid this but
+    # cannot know stacked-vs-object batch shapes without data.
     try:
         first = next(batch_generator(reader, batch_size))
     except StopIteration:

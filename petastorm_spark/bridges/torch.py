@@ -65,7 +65,13 @@ class DataLoader:
         # petastorm parity: a bounded uniform shuffling buffer between
         # the reader and batching (petastorm/pytorch.py:131-256)
         self._shuffle_capacity = shuffling_queue_capacity
-        self._shuffle_seed = shuffling_queue_seed
+        # ONE rng across epochs — rebuilding a same-seeded buffer per
+        # __iter__ would replay an identical shuffle every epoch
+        self._shuffle_rng = (
+            np.random.default_rng(shuffling_queue_seed)
+            if shuffling_queue_capacity > 1
+            else None
+        )
 
     def _source(self):
         if self._shuffle_capacity > 1:
@@ -74,7 +80,7 @@ class DataLoader:
             buf = RandomShufflingBuffer(
                 self._shuffle_capacity,
                 max(1, self._shuffle_capacity // 2),
-                seed=self._shuffle_seed,
+                rng=self._shuffle_rng,
             )
             return buf.shuffle(self.reader)
         return self.reader

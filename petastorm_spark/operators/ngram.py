@@ -91,13 +91,18 @@ class NGram:
                 & F.col(cur).isNotNull()
                 & ((F.col(cur) - F.col(prev)) <= F.lit(self.delta_threshold))
             )
-        out = out.where(cond)
 
         if not self.timestamp_overlap:
-            rn = F.row_number().over(w)
-            out = out.withColumn("_rn", rn).where(
-                (F.col("_rn") - 1) % self.length == 0
-            )
+            # block-aligned non-overlap: windows start only at fixed
+            # row-number boundaries of the ORIGINAL frame (computing
+            # row_number after the validity filter would renumber
+            # surviving rows and drop valid windows after every gap).
+            # NB the reader path (form_ngram_dicts) uses greedy
+            # selection instead — it can emit more windows; both are
+            # valid disjoint-window semantics, documented here.
+            out = out.withColumn("_rn", F.row_number().over(w))
+            cond = cond & ((F.col("_rn") - 1) % self.length == 0)
+        out = out.where(cond)
 
         sel = [F.col(c) for c in (partition_by or [])]
         for off in self.offsets:

@@ -85,8 +85,12 @@ class WeightedSamplingReader:
         alive = list(range(len(iters)))
         while alive:
             # renormalize over the surviving readers — falling back to a
-            # fixed reader would skew the mixture after one exhausts
-            p = probs[alive] / probs[alive].sum()
+            # fixed reader would skew the mixture after one exhausts.
+            # If only zero-probability readers remain, drain them
+            # uniformly (their rows are still part of the union).
+            p = probs[alive]
+            total = p.sum()
+            p = p / total if total > 0 else np.full(len(alive), 1.0 / len(alive))
             i = alive[int(self._rng.choice(len(alive), p=p))]
             try:
                 yield next(iters[i])

@@ -238,7 +238,12 @@ class Reader:
             }
             if not selected_files:
                 raise ValueError("rowgroup_selector matched no files")
-            df = self._spark.read.parquet(*sorted(selected_files))
+            # basePath keeps hive partition columns alive when reading
+            # leaf files directly
+            df = (
+                self._spark.read.option("basePath", dataset_url)
+                .parquet(*sorted(selected_files))
+            )
 
         plan = df.select(*need) if set(need) != set(df.columns) else df
         if filters is not None:
@@ -256,9 +261,12 @@ class Reader:
         elif cache_dir is not None:
             # user-managed cache dir: materialize into a managed
             # SUBDIRECTORY (an overwrite-write into the dir itself would
-            # wipe unrelated user files); reuse it when already filled;
-            # never deleted on close()
-            managed = os.path.join(cache_dir, "_ps_materialized")
+            # wipe unrelated user files), keyed by the plan's semantic
+            # hash so a different dataset/projection/filter can never
+            # silently reuse stale data; never deleted on close()
+            managed = os.path.join(
+                cache_dir, f"_ps_materialized_{plan.semanticHash() & 0xFFFFFFFF:08x}"
+            )
             existing = (
                 _list_parquet_files(managed) if os.path.isdir(managed) else []
             )

@@ -66,13 +66,13 @@ def windowed_event_counts(
         "_event_time", watermark
     )
     aggs = [F.count(F.lit(1)).alias("n_events")]
+    agg_names = ["n_events"]
     if value_col is not None and value_col in events.columns:
         aggs.append(F.avg(value_col).alias(f"avg_{value_col}"))
+        agg_names.append(f"avg_{value_col}")
     out = with_ts.groupBy(F.window("_event_time", window), F.col(key_col)).agg(*aggs)
     return out.select(
-        F.col("window.start").alias("window_start"),
-        key_col,
-        *[c for c in out.columns if c.startswith(("n_events", "avg_"))],
+        F.col("window.start").alias("window_start"), key_col, *agg_names
     )
 
 
@@ -94,8 +94,10 @@ def sessionize_stream(
         "_event_time", watermark
     )
     aggs = [F.count(F.lit(1)).alias("n_events")]
+    agg_names = ["n_events"]
     if value_col is not None and value_col in events.columns:
         aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+        agg_names.append(f"sum_{value_col}")
     out = with_ts.groupBy(F.session_window("_event_time", gap), F.col(key_col)).agg(
         *aggs
     )
@@ -103,5 +105,5 @@ def sessionize_stream(
         F.col("session_window.start").alias("session_start"),
         F.col("session_window.end").alias("session_end"),
         key_col,
-        *[c for c in out.columns if c.startswith(("n_events", "sum_"))],
+        *agg_names,
     )

@@ -168,5 +168,7 @@ def test_shuffling_buffer_uniform_and_complete():
     out = list(buf.shuffle(range(1000)))
     assert sorted(out) == list(range(1000))
     assert out != list(range(1000))  # actually shuffled
-    # bounded lookahead: early outputs come from the early window
-    assert max(out[:10]) <= 70
+    # shuffle window == capacity: i-th output drawn from first cap+i items
+    assert all(v < 50 + i + 1 for i, v in enumerate(out[:100]))
+    # the buffer actually fills to capacity before the first yield
+    assert max(out[:10]) > 10  # a min-window-only buffer could not reach here

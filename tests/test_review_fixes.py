@@ -97,22 +97,45 @@ def test_streaming_value_col_optional(spark, sf_dir):
     assert "n_events" in out.columns and "avg_value" not in out.columns
 
 
-def test_weighted_sampling_renormalizes(spark, sf_dir):
+def test_weighted_sampling_renormalizes(spark, sf_dir, tmp_path):
     """Finding: exhausted readers skewed the mixture toward the first
-    survivor. After the small reader drains, remaining draws must split
-    evenly between the two equal-probability survivors."""
+    survivor. With a dominant small reader that drains early, the
+    remaining draws must split ~evenly between the two equal-probability
+    survivors (the old code sent nearly all of them to the first)."""
     from petastorm_spark.operators.sampling import WeightedSamplingReader
 
-    small = make_reader(f"{sf_dir}/region.parquet", spark=spark)  # 5 rows
-    b1 = make_reader(f"{sf_dir}/customer.parquet", spark=spark, schema_fields=["c_custkey"])
-    b2 = make_reader(f"{sf_dir}/customer.parquet", spark=spark, schema_fields=["c_custkey"])
-    # schemas must match: wrap region to a single-col view like the others?
-    small.close()
-    small = make_reader(
+    small_url = str(tmp_path / "small")
+    big = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    big.limit(20).write.parquet(small_url)  # same schema, 20 rows
+
+    shifted_url = str(tmp_path / "shifted")
+    big.selectExpr("c_custkey + 1000000 AS c_custkey").write.parquet(shifted_url)
+
+    small = make_reader(small_url, spark=spark)
+    b1 = make_reader(
         f"{sf_dir}/customer.parquet", spark=spark, schema_fields=["c_custkey"]
     )
-    # emulate a small reader by limiting epochs... instead use orders vs customer sizes
-    with WeightedSamplingReader([small, b1, b2], [0.8, 0.1, 0.1], seed=5) as mixed:
+    b2 = make_reader(shifted_url, spark=spark)  # distinguishable values
+    with WeightedSamplingReader([small, b1, b2], [0.9, 0.05, 0.05], seed=5) as mixed:
+        rows = [r.c_custkey for r in mixed]
+    n = big.count()
+    assert len(rows) == 20 + 2 * n  # full drain, nothing lost
+    # after the dominant small reader drains (early), b1/b2 must
+    # interleave ~50/50 — the old first-alive fallback sent ~90% of
+    # draws to b1, emitting all of b1 long before b2
+    tail = rows[len(rows) // 2 :]
+    b1_tail = sum(1 for v in tail if v < 1000000)
+    frac = b1_tail / len(tail)
+    assert 0.3 < frac < 0.7, frac
+
+
+def test_weighted_sampling_zero_probability_drains(spark, sf_dir):
+    """Zero-probability readers must still drain (uniformly) after the
+    weighted ones finish, not crash with NaN probabilities."""
+    from petastorm_spark.operators.sampling import WeightedSamplingReader
+
+    r0 = make_reader(f"{sf_dir}/region.parquet", spark=spark)
+    r1 = make_reader(f"{sf_dir}/region.parquet", spark=spark)
+    with WeightedSamplingReader([r0, r1], [1.0, 0.0], seed=2) as mixed:
         rows = list(mixed)
-    n = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
-    assert len(rows) == 3 * n  # everything drains exactly once per reader
+    assert len(rows) == 10  # both drained, no ValueError

@@ -46,7 +46,8 @@ STUDY_QUERIES = [
 
 
 def build_sf1(spark, src: str, dst: str) -> None:
-    if os.path.isdir(dst) and os.path.isdir(f"{dst}/lineitem.parquet"):
+    marker = f"{dst}/_BUILD_COMPLETE"
+    if os.path.exists(marker):  # partial builds (no marker) are redone
         return
     os.makedirs(dst, exist_ok=True)
     for t in COPY_TABLES:
@@ -62,6 +63,8 @@ def build_sf1(spark, src: str, dst: str) -> None:
                 part = part.withColumn(k, F.col(k) + F.lit(i * SHIFT))
             out = part if out is None else out.unionByName(part)
         out.repartition(16).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok\n")
 
 
 def main() -> None:
