@@ -88,14 +88,17 @@ def main() -> None:
     for name in STUDY_QUERIES:
         row = []
         for _, d in dirs:
-            t0 = time.perf_counter()
-            QUERIES[name](spark, d).count()
-            row.append(time.perf_counter() - t0)
+            best = float("inf")
+            for _rep in range(2):  # min-of-2 suppresses GC/page-cache noise
+                t0 = time.perf_counter()
+                QUERIES[name](spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            row.append(best)
         results[name] = row
         print(f"{name}: " + "  ".join(f"{x:.2f}s" for x in row), file=sys.stderr)
 
     lines = [
-        "# SCALING — measured query scaling (local[32], one timed run, JIT-warmed)",
+        "# SCALING — measured query scaling (local[32], min-of-2 timed runs, JIT-warmed)",
         "",
         "10x data (sf0.1 -> synthetic sf1) should cost ~10x at worst for",
         "linear operators; sublinear growth means fixed costs still",
@@ -115,8 +118,25 @@ def main() -> None:
     lines.append("")
     lines.append(
         f"Synthetic sf1 = sf0.1 replicated {REPLICAS}x with key columns "
-        f"shifted by i*1e9 (fact tables only; dimensions shared)."
+        f"shifted by i*1e9 (fact tables only; dimensions shared). Timings "
+        f"are min-of-2 runs (suppresses GC/page-cache noise)."
     )
+    lines += [
+        "",
+        "Interpretation:",
+        "- Sub-linear growth for 10x data means fixed scheduling/JVM costs",
+        "  still dominate at 6M rows; the small marginal per-row cost is",
+        "  what carries to 100 TB.",
+        "- dedup_minhash_lsh on the replicated corpus has 20 exact copies",
+        "  of every text (10 replicas x the query's own dup-union), so",
+        "  candidate pairs grow quadratically in the copy count — exactly",
+        "  what an LSH dedup should surface; organic corpora stay",
+        "  near-linear.",
+        "- Plan shapes are identical across scales (same broadcasts, same",
+        "  exchanges — pinned by tests/test_plans.py); only task counts",
+        "  change, which is the property that carries to a 1000-executor",
+        "  cluster.",
+    ]
     with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out_md}", file=sys.stderr)
