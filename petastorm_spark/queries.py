@@ -34,6 +34,9 @@ def register(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from petastorm_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)  # driver sessions lack nanosAsLong/UTC
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -153,6 +153,9 @@ class Reader:
             raise ValueError("cur_shard and shard_count must be set together")
 
         self._spark = spark or (dataframe.sparkSession if dataframe is not None else get_spark())
+        from petastorm_spark.session import ensure_session_confs
+
+        ensure_session_confs(self._spark)
         self._seed = seed
         self._rng = np.random.default_rng(seed)
         # pool parity (petastorm reader_pool_type thread|process|dummy):

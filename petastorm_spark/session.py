@@ -39,6 +39,17 @@ def get_spark(app_name: str = "petastorm_spark", cpus: int | None = None) -> Spa
     return spark
 
 
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable confs this engine depends on to an
+    EXTERNALLY-created session (e.g. the verification driver's).
+    Without nanosAsLong, reading the TIMESTAMP(NANOS) events table
+    throws PARQUET_TYPE_ILLEGAL; non-UTC session time would shift
+    timestamp comparisons against the TZ-naive oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def ns_to_timestamp(col):
     """bigint nanoseconds-since-epoch -> TimestampType (microsecond
     precision, truncating — matches how DuckDB reads TIMESTAMP(NANOS))."""

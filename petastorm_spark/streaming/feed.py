@@ -33,6 +33,9 @@ def stream_dataset(
 ) -> DataFrame:
     """Continuous feed over a parquet dataset dir (schema taken from the
     sidecar or the existing files)."""
+    from petastorm_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
     static = spark.read.parquet(dataset_url)
     schema = load_unischema(spark, dataset_url) or Unischema.from_spark_schema(
         static.schema
