@@ -3,9 +3,12 @@ streams (parity: petastorm/reader_impl/shuffling_buffer.py:103-180 D6
 and the batched torch variant D7).
 
 Used between a Reader and a training loop to decorrelate row order
-beyond row-group granularity: items fill a buffer to ``min_after_dequeue``
+beyond row-group granularity: items fill the buffer to ``capacity``
 before any retrieval; each retrieval removes a uniformly random
-element; on finish the buffer drains in random order.
+element (one-in/one-out steady state at capacity); on finish the
+buffer drains in random order. ``min_after_dequeue`` is kept for
+reference API parity and validated, but has no effect in this
+single-threaded generator form (retrieval never races the producer).
 """
 
 from __future__ import annotations

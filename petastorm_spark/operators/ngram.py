@@ -93,15 +93,10 @@ class NGram:
             )
 
         if not self.timestamp_overlap:
-            # block-aligned non-overlap: windows start only at fixed
-            # row-number boundaries of the ORIGINAL frame (computing
-            # row_number after the validity filter would renumber
-            # surviving rows and drop valid windows after every gap).
-            # NB the reader path (form_ngram_dicts) uses greedy
-            # selection instead — it can emit more windows; both are
-            # valid disjoint-window semantics, documented here.
-            out = out.withColumn("_rn", F.row_number().over(w))
-            cond = cond & ((F.col("_rn") - 1) % self.length == 0)
+            # greedy disjoint windows are inherently sequential —
+            # delegate to the same per-group kernel the reader path
+            # uses (applyInPandas), so both paths agree exactly
+            return self._apply_greedy(df, partition_by, order_tiebreak, flat)
         out = out.where(cond)
 
         sel = [F.col(c) for c in (partition_by or [])]
@@ -121,6 +116,58 @@ class NGram:
                         ]
                     ).alias(f"t{off}")
                 )
+        return out.select(*sel)
+
+    def _apply_greedy(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None,
+        order_tiebreak: list[str] | None,
+        flat: bool,
+    ) -> DataFrame:
+        """Non-overlapping windows via greedy left-to-right selection,
+        executed per group with applyInPandas (Arrow-batched) — the
+        exact same kernel as the reader path, so both emit identical
+        window sets. Scale: one exchange on partition_by; groups are
+        processed independently."""
+        import pandas as pd
+        from pyspark.sql.types import StructField, StructType
+
+        pcols = list(partition_by or [])
+        types = {f.name: f.dataType for f in df.schema.fields}
+        out_fields = [StructField(c, types[c], True) for c in pcols]
+        flat_cols: list[tuple[str, int, str]] = []
+        for off in self.offsets:
+            for c in self.fields[off]:
+                out_fields.append(StructField(f"t{off}_{c}", types[c], True))
+                flat_cols.append((f"t{off}_{c}", off, c))
+        out_schema = StructType(out_fields)
+        spec = self
+        tiebreak = list(order_tiebreak or [])
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for win in spec.form_ngram_dicts(pdf, tiebreak=tiebreak):
+                row = {c: pdf[c].iloc[0] for c in pcols}
+                for name, off, c in flat_cols:
+                    row[name] = getattr(win[off], c)
+                rows.append(row)
+            return pd.DataFrame(rows, columns=[f.name for f in out_fields])
+
+        if pcols:
+            grouped = df.groupBy(*pcols)
+        else:  # global greedy selection = one group
+            grouped = df.withColumn("_g", F.lit(1)).groupBy("_g")
+        out = grouped.applyInPandas(kernel, schema=out_schema)
+        if flat:
+            return out
+        sel = [F.col(c) for c in pcols]
+        for off in self.offsets:
+            sel.append(
+                F.struct(
+                    *[F.col(f"t{off}_{c}").alias(c) for c in self.fields[off]]
+                ).alias(f"t{off}")
+            )
         return out.select(*sel)
 
     # ---- reader integration (reference behavior: make_reader(schema_

@@ -264,12 +264,23 @@ class Reader:
         elif cache_dir is not None:
             # user-managed cache dir: materialize into a managed
             # SUBDIRECTORY (an overwrite-write into the dir itself would
-            # wipe unrelated user files), keyed by the plan's semantic
-            # hash so a different dataset/projection/filter can never
-            # silently reuse stale data; never deleted on close()
-            managed = os.path.join(
-                cache_dir, f"_ps_materialized_{plan.semanticHash() & 0xFFFFFFFF:08x}"
-            )
+            # wipe unrelated user files), keyed by a STABLE content
+            # descriptor — semanticHash() changes across JVM restarts
+            # (verified empirically), which would defeat cross-run
+            # reuse and grow the cache unboundedly. Descriptor: source
+            # url + projected columns + filter text; dataframe-based
+            # readers fall back to semanticHash (session-lifetime reuse
+            # only, documented).
+            import hashlib
+
+            if dataset_url is not None:
+                desc = "|".join(
+                    [dataset_url, ",".join(sorted(need)), str(filters)]
+                )
+                key = hashlib.sha256(desc.encode()).hexdigest()[:12]
+            else:
+                key = f"sess{plan.semanticHash() & 0xFFFFFFFF:08x}"
+            managed = os.path.join(cache_dir, f"_ps_materialized_{key}")
             existing = (
                 _list_parquet_files(managed) if os.path.isdir(managed) else []
             )

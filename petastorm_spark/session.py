@@ -44,9 +44,24 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     EXTERNALLY-created session (e.g. the verification driver's).
     Without nanosAsLong, reading the TIMESTAMP(NANOS) events table
     throws PARQUET_TYPE_ILLEGAL; non-UTC session time would shift
-    timestamp comparisons against the TZ-naive oracle."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    timestamp comparisons against the TZ-naive oracle.
+
+    NB this intentionally MUTATES the caller's session (the settings
+    must hold at execution time, which may be long after plan
+    construction) — documented side effect, set only when differing to
+    avoid repeated JVM round trips.
+    """
+    want = {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }
+    for k, v in want.items():
+        try:
+            current = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 - unset conf
+            current = None
+        if current != v:
+            spark.conf.set(k, v)
     return spark
 
 

@@ -12,9 +12,13 @@ def bucketed_tables(spark, sf_dir):
     import shutil
 
     # clear stale catalog entries AND warehouse dirs from prior sessions
+    # (warehouse path from the session conf — cwd-relative would miss)
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for t in ("li_bucketed", "o_bucketed"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     write_bucketed(li, "li_bucketed", ["l_orderkey"], 8, sort_cols=["l_orderkey"])

@@ -46,8 +46,11 @@ STUDY_QUERIES = [
 
 
 def build_sf1(spark, src: str, dst: str) -> None:
+    # marker records the build PARAMETERS — a partial build (no marker)
+    # or one made with different replicas/shift/tables is redone
+    params = f"replicas={REPLICAS};shift={SHIFT};tables={sorted(KEY_COLS)}{COPY_TABLES}"
     marker = f"{dst}/_BUILD_COMPLETE"
-    if os.path.exists(marker):  # partial builds (no marker) are redone
+    if os.path.exists(marker) and open(marker).read().strip() == params:
         return
     os.makedirs(dst, exist_ok=True)
     for t in COPY_TABLES:
@@ -64,7 +67,7 @@ def build_sf1(spark, src: str, dst: str) -> None:
             out = part if out is None else out.unionByName(part)
         out.repartition(16).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
     with open(marker, "w") as f:
-        f.write("ok\n")
+        f.write(params + "\n")
 
 
 def main() -> None:
