@@ -41,6 +41,31 @@ def md5_fraction(col) -> Column:
     ).cast("double")
 
 
+def _spark_cast_string(v) -> str:
+    """Render a python/numpy value the way Spark's CAST(x AS STRING)
+    does, so the pandas evaluation path of a hash-keyed predicate lands
+    rows in the same subset as the Column path: booleans lowercase
+    ('true'/'false', not Python's 'True'), timestamps as
+    'yyyy-MM-dd HH:mm:ss[.ffffff]' with the trailing zeros of the
+    fractional part trimmed."""
+    import datetime
+
+    import numpy as np
+
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, np.datetime64):
+        v = pd.Timestamp(v).to_pydatetime()
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += f".{v.microsecond:06d}".rstrip("0")
+        return s
+    return str(v)
+
+
 class PredicateBase:
     """A predicate over named fields, compilable to a Spark Column."""
 
@@ -205,7 +230,7 @@ class in_pseudorandom_split(PredicateBase):
         import hashlib
 
         def frac(v) -> float:
-            h = hashlib.md5(str(v).encode()).hexdigest()[:15]
+            h = hashlib.md5(_spark_cast_string(v).encode()).hexdigest()[:15]
             return int(h, 16) / HASH_SPACE
 
         f = df[self._field].map(frac)

@@ -151,6 +151,10 @@ class Reader:
             raise ValueError("exactly one of dataset_url / dataframe is required")
         if (cur_shard is None) != (shard_count is None):
             raise ValueError("cur_shard and shard_count must be set together")
+        if shard_count is not None and not 0 <= cur_shard < shard_count:
+            raise ValueError(
+                f"cur_shard must be in [0, {shard_count}), got {cur_shard}"
+            )
 
         self._spark = spark or (dataframe.sparkSession if dataframe is not None else get_spark())
         from petastorm_spark.session import ensure_session_confs
@@ -218,6 +222,7 @@ class Reader:
         else:
             view = full_schema
         self._storage_schema = view
+        self._full_schema = full_schema
 
         # Final (post-transform) schema the consumer sees.
         self.schema = transform_schema(view, self._spec) if self._spec else view
@@ -312,11 +317,54 @@ class Reader:
 
     def _epoch_pieces(self) -> list[tuple[str, int]]:
         order = np.arange(len(self._pieces))
-        if self._shuffle_row_groups:
-            self._rng.shuffle(order)
+        # D1: shard by PIECE INDEX before any shuffle (reference
+        # petastorm/reader.py:596 `index % shard_count == cur_shard`) —
+        # shards stay disjoint across workers even with
+        # shuffle_row_groups=True and per-worker default RNGs; each
+        # worker then shuffles only its own shard.
         if self._shard_count is not None:
             order = order[self._cur_shard :: self._shard_count]
+        if self._shuffle_row_groups:
+            self._rng.shuffle(order)
         return [self._pieces[i] for i in order]
+
+    @staticmethod
+    def _decode_series(field, col: pd.Series) -> pd.Series:
+        """Codec decode / numpy dtype restore for one column (C5)."""
+        if field is None:
+            return col
+        castable = (
+            field.numpy_dtype is not None
+            and field.numpy_dtype not in (np.str_, np.bytes_, str, bytes)
+            and np.dtype(field.numpy_dtype).kind in "iufb"
+        )
+        if field.codec is None and not castable:
+            return col
+        if col.isna().any():
+            return pd.Series(
+                [
+                    None
+                    if _is_null_scalar(v)
+                    else (
+                        field.codec.decode(field, v)
+                        if field.codec
+                        else np.dtype(field.numpy_dtype).type(v)
+                    )
+                    for v in col
+                ],
+                dtype=object,
+                index=col.index,
+            )
+        if field.codec is not None and not field.is_tensor and castable:
+            # scalar codec == a dtype cast; stay vectorized
+            return col.astype(np.dtype(field.numpy_dtype))
+        if field.codec is not None:
+            return pd.Series(
+                [field.codec.decode(field, v) for v in col],
+                dtype=object,
+                index=col.index,
+            )
+        return col.astype(np.dtype(field.numpy_dtype))
 
     def _decode_piece(
         self, path: str, rg: int, sl: int = 0, rng: np.random.Generator | None = None
@@ -350,51 +398,40 @@ class Reader:
             else:
                 raise KeyError(f"column {c} not found in {path}")
 
+        # Two-phase decode (reference py_dict_reader_worker.py:222-232):
+        # 1. decode the PREDICATE columns, evaluate, filter;
+        # 2. decode the remaining view columns for surviving rows only.
+        # The predicate therefore always sees decoded values (ndarrays,
+        # numpy-dtyped scalars), never np.save/compressed bytes.
+        done: dict[str, pd.Series] = {}
         if self._predicate is not None:
-            mask = self._predicate.do_include_pandas(pdf)
-            pdf = pdf[np.asarray(mask, dtype=bool)]
-            if not len(pdf):
+            pred_cols = sorted(self._predicate.get_fields())
+            for name in pred_cols:
+                field = self._full_schema.fields.get(name)
+                done[name] = (
+                    self._decode_series(field, pdf[name])
+                    if field is not None
+                    else pdf[name]
+                )
+            mask = np.asarray(
+                self._predicate.do_include_pandas(pd.DataFrame(done)), dtype=bool
+            )
+            if not mask.any():
                 return None
-            pdf = pdf.reset_index(drop=True)
+            pdf = pdf[mask].reset_index(drop=True)
+            done = {
+                n: s[mask].reset_index(drop=True)
+                for n, s in done.items()
+                if n in self._storage_schema.fields
+            }
 
         # codec decode + dtype restore, view columns only
         out = {}
         for name, field in self._storage_schema.fields.items():
-            col = pdf[name]
-            castable = (
-                field.numpy_dtype is not None
-                and field.numpy_dtype not in (np.str_, np.bytes_, str, bytes)
-                and np.dtype(field.numpy_dtype).kind in "iufb"
-            )
-            if field.codec is not None or castable:
-                if col.isna().any():
-                    out[name] = pd.Series(
-                        [
-                            None
-                            if _is_null_scalar(v)
-                            else (
-                                field.codec.decode(field, v)
-                                if field.codec
-                                else np.dtype(field.numpy_dtype).type(v)
-                            )
-                            for v in col
-                        ],
-                        dtype=object,
-                        index=col.index,
-                    )
-                elif field.codec is not None and not field.is_tensor and castable:
-                    # scalar codec == a dtype cast; stay vectorized
-                    out[name] = col.astype(np.dtype(field.numpy_dtype))
-                elif field.codec is not None:
-                    out[name] = pd.Series(
-                        [field.codec.decode(field, v) for v in col],
-                        dtype=object,
-                        index=col.index,
-                    )
-                else:
-                    out[name] = col.astype(np.dtype(field.numpy_dtype))
+            if name in done:
+                out[name] = done[name]
             else:
-                out[name] = col
+                out[name] = self._decode_series(field, pdf[name])
         decoded = pd.DataFrame(out)
 
         if self._spec is not None:

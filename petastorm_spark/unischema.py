@@ -128,7 +128,12 @@ class UnischemaField:
             return self.codec.spark_dtype()
         return numpy_to_spark_type(self.numpy_dtype)
 
-    def _dtype_name(self) -> str:
+    def _dtype_name(self) -> str | None:
+        # None stays None: np.dtype(None) is float64, which would
+        # serialize struct/map/unmapped-array fields as castable
+        # float64 in the sidecar and corrupt a later read.
+        if self.numpy_dtype is None:
+            return None
         if self.numpy_dtype is Decimal:
             return "decimal"
         if self.numpy_dtype in (str, np.str_):
@@ -149,7 +154,9 @@ class UnischemaField:
     @classmethod
     def from_json(cls, d: dict) -> "UnischemaField":
         dtype_name = d["numpy_dtype"]
-        if dtype_name == "decimal":
+        if dtype_name is None:
+            dtype = None
+        elif dtype_name == "decimal":
             dtype = Decimal
         elif dtype_name == "str":
             dtype = np.str_
