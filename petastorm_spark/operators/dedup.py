@@ -10,8 +10,9 @@ Scale design notes (100 TB):
   - minhash signatures: pure map (explode shingles -> 16 min-aggregates
     per doc); LSH banding turns all-pairs into per-bucket joins, the
     standard linear-ish near-dup path;
-  - simhash: pure map + one small agg; hamming-ball search would add a
-    multi-probe join, not implemented round 1;
+  - simhash: pure map + one small agg; near-dup PAIRS via banded
+    self-join on fingerprint bit-bands (simhash_dup_pairs) — pigeonhole
+    makes the bucket join exact for hamming <= bands-1;
   - jaccard pairs: inverted-index self-join on shingles — quadratic in
     per-shingle posting length; always run it AFTER LSH/banding has cut
     candidates (the exposed query keeps a selective shingle set).
@@ -187,6 +188,73 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
         F.lit(0).cast("bigint"),
     )
     return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming,
+    found via a banded self-join (the multi-probe search round 1
+    deferred): split the ``bits``-bit fingerprint into ``bands`` equal
+    bit-bands; by pigeonhole, any pair within hamming distance
+    ``< bands`` agrees EXACTLY on at least one band, so candidates are
+    pairs colliding on >= 1 (band, band_value) bucket — never all
+    pairs. The exact hamming check (bit_count of xor) then verifies.
+
+    Scale: one explode to ``bands`` rows per doc, a bucket equi-join,
+    and a cheap verify on the 64-bit fingerprints already in hand —
+    the same shape as MinHash LSH banding. Requires
+    ``bands > max_hamming`` (else the pigeonhole guarantee breaks) and
+    ``bands | bits``.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) for the "
+            "pigeonhole guarantee (distance d can touch at most d bands)"
+        )
+    if bits % bands:
+        raise ValueError(f"bands ({bands}) must divide bits ({bits})")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash(df, text_col, id_col, bits=bits)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("val"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.where(hamming <= max_hamming).select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    )
 
 
 def jaccard_pairs(

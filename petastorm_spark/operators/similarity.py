@@ -35,6 +35,47 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k over pre-scored (query_id, neighbor_id,
+    cos_sim) rows, in two stages:
+
+      1. partition-local top-k — a window keyed on
+         ``(spark_partition_id(), query_id)`` spreads the sort over
+         partitions x queries tasks, each holding only its own
+         partition's candidates (a row in the global top-k is
+         necessarily in its partition's top-k, so this loses nothing);
+      2. merge — the final per-query window ranks only the <= k * P
+         survivors.
+
+    This replaces the single ``row_number() OVER (PARTITION BY
+    query_id)`` window whose one-task-per-query funnel held
+    corpus-sized sorted state (round-1 verdict). Vector columns are
+    projected away before any exchange; only (query, neighbor, score)
+    ever shuffles."""
+    from pyspark.sql import Window
+
+    slim = scored.select("query_id", "neighbor_id", "cos_sim")
+    w1 = Window.partitionBy("_pid", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    partial = (
+        slim.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= k)
+        .drop("_pid", "_r")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim")
+        )
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -46,11 +87,8 @@ def cosine_topk(
     Output: query_id, neighbor_id, rank, cos_sim.
 
     Scale: broadcast the (small) query set; corpus scan is a single
-    pass; per-query top-k via window over the scored rows. For large
-    query sets, swap the window for a groupBy + max_by-heap pattern or
-    the LSH variant below."""
-    from pyspark.sql import Window
-
+    pass; per-query top-k via partition-local windows + a tiny merge
+    (see :func:`topk_per_query`)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -62,14 +100,7 @@ def cosine_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
-    )
+    return topk_per_query(scored, k)
 
 
 def hyperplane_buckets(
@@ -102,11 +133,10 @@ def cosine_topk_lsh(
     seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket candidates. Recall
-    trades off with n_planes; multi-probe (flip one bit) would raise it.
-    Scale: the cross join becomes an equi-join on ``bucket`` — shuffle
-    instead of broadcast-everything."""
-    from pyspark.sql import Window
-
+    trades off with n_planes; see :func:`cosine_topk_multiprobe` for the
+    recall-raising flip-1-bit variant. Scale: the cross join becomes an
+    equi-join on ``bucket`` — shuffle instead of broadcast-everything;
+    top-k via partition-local windows + merge."""
     cb = hyperplane_buckets(corpus, vec_col, dim, n_planes, seed).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
@@ -120,11 +150,51 @@ def cosine_topk_lsh(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
+    return topk_per_query(scored, k)
+
+
+def cosine_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its own bucket plus the
+    ``n_planes`` buckets at hamming distance 1 (one sign bit flipped).
+    Near-miss neighbors that landed just across one hyperplane are
+    recovered, raising recall without coarser buckets (fewer planes
+    would widen EVERY bucket; multi-probe only widens the probe set).
+
+    Scale: queries explode to ``n_planes + 1`` probe rows — the corpus
+    side (the big side) is hashed once and untouched. The join stays a
+    bucket equi-join; candidate pairs are deduped before scoring so
+    each (query, neighbor) cosine is computed once."""
+    cb = hyperplane_buckets(corpus, vec_col, dim, n_planes, seed).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "bucket",
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(1 << i) for i in range(n_planes)]
     )
+    qb = (
+        hyperplane_buckets(queries, vec_col, dim, n_planes, seed)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    # No dedup needed: the n_planes+1 probe values are pairwise distinct
+    # and the corpus vector has exactly one bucket, so each
+    # (query, neighbor) pair matches at most one probe.
+    scored = (
+        cb.join(qb, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    return topk_per_query(scored, k)

@@ -237,6 +237,23 @@ class in_pseudorandom_split(PredicateBase):
         return (f >= self._lo) & (f < self._hi)
 
 
+def split_column(fraction_list: list[float], field) -> Column:
+    """Single-scan companion to :class:`in_pseudorandom_split`: a CASE
+    expression mapping the key's md5-fraction to its subset index
+    (int), so all subsets materialize from ONE scan instead of one
+    filtered scan per subset. Rows falling past ``sum(fraction_list)``
+    get NULL (the discard bucket). Bit-identical subset assignment to
+    the predicate form — same md5-fraction keying."""
+    frac = md5_fraction(field)
+    expr: Column | None = None
+    hi = 0.0
+    for i, f in enumerate(fraction_list):
+        hi += f
+        cond = frac < F.lit(hi)
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+    return expr.cast("int")
+
+
 def filter_dataframe(df, predicate: PredicateBase):
     """Apply any predicate to a DataFrame.
 

@@ -136,6 +136,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"), "text", "doc_id", bits=60)
 
 
+def _simhash_pairs_oracle(bits: int = 60, bands: int = 4, max_hamming: int = 3) -> str:
+    from petastorm_spark.operators.dedup import hash60_sql
+
+    width = bits // bands
+    mask = (1 << width) - 1
+    return (
+        _DOCS_CTE
+        + f""",
+    tok AS (SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM d),
+    h AS (SELECT doc_id, {hash60_sql('tok')} AS h FROM tok),
+    bits AS (SELECT doc_id, bb.b AS b,
+                    sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM h, (SELECT unnest(range({bits})) AS b) bb
+             GROUP BY doc_id, bb.b),
+    sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id),
+    bands AS (SELECT doc_id, simhash, bb.b AS band,
+                     (simhash >> (bb.b * {width})) & {mask} AS val
+              FROM sig, (SELECT unnest(range({bands})) AS b) bb),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.simhash AS sa, b.simhash AS sb
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+    )
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (hamming <= 3) via banded self-join on
+    15-bit fingerprint bands — pigeonhole-exact for distance < 4. The
+    500 synthetic copies surface at hamming 0. Scale: same shape as
+    MinHash LSH (explode -> bucket join -> cheap verify), no all-pairs."""
+    from petastorm_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(
+        _docs_with_copies(spark, sf_dir), "text", "doc_id",
+        bits=60, bands=4, max_hamming=3,
+    )
+
+
 @register(
     "dedup_jaccard_pairs",
     oracle=_DOCS_CTE
@@ -502,5 +546,44 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(
+        emb, emb.where(F.col("vec_id") < 10), dim=64, k=5, n_planes=8, seed=7
+    )
+
+
+def _multiprobe_oracle(n_planes: int = 8) -> str:
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({_lsh_planes_sql(n_planes)} AS INT) AS bucket FROM e),
+    q0 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+    q AS (SELECT query_id, qv,
+                 CAST(unnest([{probe_list}]) AS INT) AS bucket
+          FROM q0),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+    s AS (SELECT query_id, neighbor_id, {_COS} AS cos
+          FROM q JOIN c USING (bucket) WHERE neighbor_id != query_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cos, 4) AS cos_sim
+    FROM r WHERE rank <= 5
+    """
+
+
+@register("ann_cosine_multiprobe", oracle=_multiprobe_oracle())
+def ann_cosine_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5: each query probes its own bucket plus the
+    8 flip-1-bit neighbors, recovering near-misses that fell just
+    across one hyperplane. The probe expansion and planes are embedded
+    in the oracle, so the recall gain itself is deterministic and
+    checked. Scale: probe explosion is on the tiny query side only."""
+    from petastorm_spark.operators.similarity import cosine_topk_multiprobe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_multiprobe(
         emb, emb.where(F.col("vec_id") < 10), dim=64, k=5, n_planes=8, seed=7
     )

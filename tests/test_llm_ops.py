@@ -67,6 +67,23 @@ def test_simhash_near_dup_close(docs):
     assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])  # near-dup closer than unrelated
 
 
+def test_simhash_dup_pairs_banded(docs):
+    from petastorm_spark.operators.dedup import simhash_dup_pairs
+
+    out = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_dup_pairs(
+            docs, "text", "doc_id", bits=60, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert out[(1, 2)] == 0  # exact dup -> identical fingerprint
+    assert all(h <= 3 for h in out.values())
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_dup_pairs(docs, "text", "doc_id", bands=3, max_hamming=3)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_dup_pairs(docs, "text", "doc_id", bits=60, bands=7)
+
+
 def test_langid_deterministic(spark):
     df = spark.createDataFrame(
         [(1, "the cat is on the mat"), (2, "el perro es un animal"), (3, "zzz qqq")],
@@ -102,6 +119,37 @@ def test_cosine_lsh_subset_of_bucket(vectors):
     # approximate: returns <= k in-bucket neighbors, ranked
     assert all(r.query_id == 3 for r in out)
     assert len(out) <= 3
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    """Flip-1-bit probing must recover a superset of single-probe
+    candidates, so recall vs the exact top-k can only go up."""
+    from petastorm_spark.operators.similarity import cosine_topk_multiprobe
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = pairs(cosine_topk(emb, queries, k=5))
+    single = pairs(
+        cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=8, seed=7)
+    )
+    multi = pairs(
+        cosine_topk_multiprobe(emb, queries, dim=64, k=5, n_planes=8, seed=7)
+    )
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    # Structural guarantee: multi-probe candidates are a superset, and
+    # an exact-top-k member can only be displaced by other exact-top-k
+    # members, so recall can never drop.
+    assert r_multi >= r_single
+    # On iid-random embeddings absolute recall is inherently low (the
+    # "nearest" neighbors of noise are barely above the bulk), but 9
+    # probes must find strictly more of them than 1 probe here.
+    assert r_multi > r_single
+    assert len(multi) > len(single)
 
 
 @pytest.fixture(scope="module")

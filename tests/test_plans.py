@@ -56,3 +56,29 @@ def test_reader_plan_projection_reaches_scan(spark, sf_dir):
         f"{sf_dir}/lineitem.parquet", spark=spark, schema_fields=["l_orderkey"]
     ) as r:
         assert read_schema_columns(r.dataframe) == ["l_orderkey"]
+
+
+def test_topk_has_no_per_query_corpus_funnel(spark, sf_dir):
+    """Round-1 verdict #1: the per-query top-k must do a
+    partition-local pass first — the full scored set may never be
+    range/hash-partitioned on query_id alone (one corpus-sized sorted
+    task per query). The first window's exchange must key on
+    (_pid, query_id)."""
+    from petastorm_spark.operators.similarity import cosine_topk
+    from petastorm_spark.plans.checks import formatted_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = cosine_topk(emb, emb.where("vec_id < 10"), k=5)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(_pid" in plan, plan
+    # the merge window exists, but it only ever sees <= k * P survivors
+    assert plan.count("Window (") >= 2
+
+
+def test_pseudorandom_split_single_scan(spark, sf_dir):
+    """Round-1 verdict #10: the 3-way split must read orders ONCE (CASE
+    bucket column), not once per subset."""
+    from petastorm_spark.plans.checks import formatted_plan
+
+    df = QUERIES["pred_pseudorandom_split"](spark, sf_dir)
+    assert formatted_plan(df).count("ReadSchema") == 1
