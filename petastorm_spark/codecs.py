@@ -254,6 +254,9 @@ _CODEC_CLASSES = {
 def codec_from_json(d: dict | None) -> DataframeColumnCodec | None:
     if d is None:
         return None
+    if d["codec"] not in _CODEC_CLASSES:
+        # compat codecs (petastorm npz container) register on import
+        from petastorm_spark.etl import petastorm_compat  # noqa: F401
     cls = _CODEC_CLASSES[d["codec"]]
     if cls is ScalarCodec:
         return ScalarCodec(_spark_type_from_json(d["spark_type"]))

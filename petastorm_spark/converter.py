@@ -64,6 +64,46 @@ def _vectors_to_arrays(df: DataFrame) -> DataFrame:
     return df
 
 
+def _distributed_rank_and_size() -> tuple[int | None, int | None]:
+    """(rank, size) from the launcher environment — horovod / OpenMPI /
+    PMI (reference spark_dataset_converter.py:122-137) plus
+    torchrun/torch.distributed RANK/WORLD_SIZE."""
+    pairs = [
+        ("HOROVOD_RANK", "HOROVOD_SIZE"),
+        ("OMPI_COMM_WORLD_RANK", "OMPI_COMM_WORLD_SIZE"),
+        ("PMI_RANK", "PMI_SIZE"),
+        ("RANK", "WORLD_SIZE"),
+    ]
+    for rank_var, size_var in pairs:
+        rank, size = os.environ.get(rank_var), os.environ.get(size_var)
+        if rank is not None and size is not None:
+            return int(rank), int(size)
+        if rank is not None or size is not None:
+            return None, None
+    return None, None
+
+
+def _check_shard_consistency(reader_kwargs: dict) -> None:
+    """O6: raise when the declared shards disagree with the detected
+    distributed-training world — silent wrong-sharding (every worker
+    training on the same or overlapping data) is exactly the failure
+    this guards. The reference only logs a warning
+    (spark_dataset_converter.py:140-161); a hard error is safer."""
+    rank, size = _distributed_rank_and_size()
+    if rank is None or size is None:
+        return
+    cur_shard = reader_kwargs.get("cur_shard")
+    shard_count = reader_kwargs.get("shard_count")
+    if cur_shard != rank or shard_count != size:
+        raise ValueError(
+            f"reader sharding (cur_shard={cur_shard}, shard_count="
+            f"{shard_count}) is inconsistent with the distributed "
+            f"environment (rank={rank}, world size={size}); pass "
+            "cur_shard=<rank> and shard_count=<world size> so each "
+            "training worker reads a disjoint shard"
+        )
+
+
 class SparkDatasetConverter:
     """Handle over a materialized parquet cache of a DataFrame."""
 
@@ -79,11 +119,13 @@ class SparkDatasetConverter:
     def make_reader(self, **kwargs):
         from petastorm_spark.reader import make_reader
 
+        _check_shard_consistency(kwargs)
         return make_reader(self.cache_path, spark=self._df.sparkSession, **kwargs)
 
     def make_batch_reader(self, **kwargs):
         from petastorm_spark.reader import make_batch_reader
 
+        _check_shard_consistency(kwargs)
         return make_batch_reader(self.cache_path, spark=self._df.sparkSession, **kwargs)
 
     def make_torch_dataloader(self, batch_size: int = 32, **reader_kwargs):

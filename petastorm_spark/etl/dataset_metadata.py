@@ -7,8 +7,12 @@ row-group stats). Differences by design:
     not pickles in the parquet ``_common_metadata`` footer (the
     reference flags its own pickling as a compat trap,
     petastorm/etl/dataset_metadata.py:201-202);
-  - row-group counts are not stored — Spark's split planning reads
-    parquet footers itself; we store only the schema and write config.
+  - per-file row-group counts ARE stored (``row_groups``), like the
+    reference's num_row_groups_per_file map: the Reader's iteration
+    tier builds its piece list from them without opening a single
+    footer. The plan tier never needs them (Spark reads footers
+    itself). Counts are computed by a distributed Spark job for large
+    datasets, a parallel driver scan for small ones.
 
 All filesystem access goes through the Hadoop FileSystem API of the
 live JVM, so the same code works on file://, hdfs://, s3a://, gs://.
@@ -65,6 +69,54 @@ def load_unischema(spark: SparkSession, dataset_url: str) -> Unischema | None:
     return Unischema.from_json(payload["unischema"])
 
 
+def collect_rowgroup_counts(
+    spark: SparkSession, dataset_url: str
+) -> dict[str, int] | None:
+    """{relative file path: num row groups} for the dataset — a
+    distributed Spark job over the file list when it is large
+    (reference model: petastorm/etl/dataset_metadata.py:208-241), a
+    parallel driver-side footer scan when small. None if pyarrow
+    cannot reach the filesystem."""
+    import os
+
+    from petastorm_spark.reader import (
+        _list_parquet_files_fs,
+        _parallel_footers,
+        _resolve_fs,
+    )
+
+    pair = _resolve_fs(dataset_url)
+    if pair is None:
+        return None
+    fs, root = pair
+    files = _list_parquet_files_fs(fs, root)
+    if not files:
+        return {}
+    if len(files) > 64:
+        def count_fn(batches):
+            import pandas as pd
+            import pyarrow.parquet as _pq
+
+            for b in batches:
+                ns = []
+                for p in b["path"]:
+                    with fs.open_input_file(p) as fh:
+                        ns.append(_pq.ParquetFile(fh).metadata.num_row_groups)
+                yield pd.DataFrame({"path": b["path"], "n": ns})
+
+        rows = (
+            spark.createDataFrame([(f,) for f in files], "path string")
+            .repartition(min(len(files), 256))
+            .mapInPandas(count_fn, "path string, n int")
+            .collect()
+        )
+        counts = {r.path: r.n for r in rows}
+    else:
+        counts = _parallel_footers(fs, files, lambda p, md: md.num_row_groups)
+    rootp = root.rstrip("/")
+    return {os.path.relpath(p, rootp): int(n) for p, n in counts.items()}
+
+
 @contextmanager
 def materialize_dataset(
     spark: SparkSession,
@@ -96,5 +148,6 @@ def materialize_dataset(
         {
             "unischema": schema.to_json(),
             "row_group_size_mb": row_group_size_mb,
+            "row_groups": collect_rowgroup_counts(spark, dataset_url),
         },
     )

@@ -28,7 +28,17 @@ def generate_metadata(
         else:
             df = spark.read.parquet(dataset_url)
             unischema = Unischema.from_spark_schema(df.schema)
-    write_sidecar(spark, dataset_url, {"unischema": unischema.to_json(), "row_group_size_mb": None})
+    from petastorm_spark.etl.dataset_metadata import collect_rowgroup_counts
+
+    write_sidecar(
+        spark,
+        dataset_url,
+        {
+            "unischema": unischema.to_json(),
+            "row_group_size_mb": None,
+            "row_groups": collect_rowgroup_counts(spark, dataset_url),
+        },
+    )
     return unischema
 
 

@@ -8,26 +8,33 @@ Architecture (two-tier, mirrors how the reference's converter works but
 with Spark doing the heavy lifting):
 
   1. **Plan tier (distributed)** — the dataset is a Spark DataFrame;
-     projection (schema view), Column filters, and any heavy transform
-     run as a Catalyst plan with parquet pushdown. If the plan is more
-     than a pristine scan, it is materialized once to a local cache dir
-     by a distributed Spark write job.
-  2. **Iteration tier (local, constant memory)** — the (source or
-     cached) parquet files are iterated **one row group at a time**
-     with pyarrow: seeded piece-order shuffle per epoch (D2), shard
-     selection ``index % shard_count == cur_shard`` (D1), in-row-group
-     row shuffle (D3), codec decode (C5), row predicate (P2/P3),
-     TransformSpec (U1), then rows or column-vector batches are
-     yielded as namedtuples.
+     projection (schema view), filters, and any heavy transform run as
+     a Catalyst plan with parquet pushdown. Only a JVM-only ``Column``
+     filter (or a dataframe-based reader, or an explicit local cache
+     request for a remote store) forces a one-time Spark-side
+     materialization; everything else streams.
+  2. **Iteration tier (streaming, constant memory)** — the source
+     parquet files are iterated **one row group at a time** through a
+     pyarrow FileSystem handle (local, s3://, gs://, hdfs:// — the
+     reference's fs_utils.py model): seeded piece-order shuffle per
+     epoch (D2), shard selection ``index % shard_count == cur_shard``
+     (D1), DNF-filter row-group pruning from parquet statistics,
+     in-row-group row shuffle (D3), codec decode (C5) — in threads or
+     spawned worker processes — row predicate on decoded values
+     (P2/P3), TransformSpec (U1), then rows or column-vector batches
+     are yielded as namedtuples. Row-group counts come from the
+     metadata sidecar when present, so no footer is opened up front.
 
 At cluster scale the iteration tier runs on each training worker with
-a distinct ``cur_shard`` — exactly the reference's distribution model —
-while the plan tier is a normal Spark job sized by the cluster.
+a distinct ``cur_shard`` streaming its shard straight from the store —
+exactly the reference's distribution model — while the plan tier is a
+normal Spark job sized by the cluster.
 """
 
 from __future__ import annotations
 
 import glob
+import json
 import os
 import shutil
 import tempfile
@@ -35,10 +42,20 @@ from urllib.parse import urlparse
 
 import numpy as np
 import pandas as pd
+import pyarrow.fs as pafs
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from petastorm_spark.etl.dataset_metadata import load_unischema
+from petastorm_spark._piece_worker import (
+    decode_series,
+    dnf_columns,
+    dnf_mask,
+    is_dnf_filters,
+    load_raw,
+    rg_may_match,
+)
+from petastorm_spark.etl.dataset_metadata import read_sidecar
 from petastorm_spark.predicates import PredicateBase
 from petastorm_spark.session import get_spark
 from petastorm_spark.transform import (
@@ -49,14 +66,6 @@ from petastorm_spark.transform import (
 from petastorm_spark.unischema import Unischema
 
 
-def _local_path(url: str) -> str | None:
-    """Return a local filesystem path for file:// or bare-path URLs."""
-    parsed = urlparse(url)
-    if parsed.scheme in ("", "file"):
-        return parsed.path or url
-    return None
-
-
 def _strip_scheme(path: str) -> str:
     parsed = urlparse(path)
     return parsed.path if parsed.scheme else path
@@ -64,6 +73,128 @@ def _strip_scheme(path: str) -> str:
 
 def _is_null_scalar(v) -> bool:
     return v is None or (isinstance(v, float) and np.isnan(v))
+
+
+def _resolve_fs(url: str) -> tuple[pafs.FileSystem, str] | None:
+    """(pyarrow FileSystem, root path) for any URL pyarrow can reach —
+    bare paths and file:// map to LocalFileSystem; s3://, gs://,
+    hdfs:// go through ``FileSystem.from_uri``. None if the scheme is
+    unsupported (caller falls back to Spark-side materialization)."""
+    try:
+        scheme = urlparse(url).scheme
+        if scheme in ("", "file"):
+            return pafs.LocalFileSystem(), _strip_scheme(url)
+        return pafs.FileSystem.from_uri(url)
+    except Exception:
+        return None
+
+
+def _list_parquet_files_fs(fs: pafs.FileSystem, root: str) -> list[str]:
+    """Data files under ``root`` on any pyarrow filesystem, skipping
+    _metadata/_ps_index/hidden entries at every directory level."""
+    info = fs.get_file_info([root])[0]
+    if info.type == pafs.FileType.File:
+        return [root]
+    if info.type != pafs.FileType.Directory:
+        raise FileNotFoundError(f"{root} does not exist")
+    out = []
+    for fi in fs.get_file_info(pafs.FileSelector(root, recursive=True)):
+        if fi.type != pafs.FileType.File:
+            continue
+        rel = fi.path[len(root):].lstrip("/")
+        parts = rel.split("/")
+        if any(p.startswith(("_", ".")) for p in parts):
+            continue
+        base = parts[-1]
+        if base.endswith(".parquet") or base.startswith("part-"):
+            out.append(fi.path)
+    return sorted(set(out))
+
+
+def _parallel_footers(fs: pafs.FileSystem, files: list[str], fn, workers: int = 16):
+    """Map ``fn(path, parquet_metadata)`` over file footers in parallel
+    (the reference stores rowgroup counts to avoid this scan entirely;
+    we do the same via the sidecar, and parallelize the fallback
+    instead of petastorm's serial driver loop)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(path: str):
+        with fs.open_input_file(path) as f:
+            return path, fn(path, pq.ParquetFile(f).metadata)
+
+    if len(files) <= 1:
+        return dict(one(p) for p in files)
+    with ThreadPoolExecutor(min(workers, len(files))) as ex:
+        return dict(ex.map(one, files))
+
+
+def _dnf_to_column(filters) -> Column:
+    """Compile DNF tuple filters to a Spark Column so the plan tier
+    gets the same semantics (and Catalyst pushdown) the iteration tier
+    evaluates with pyarrow stats + pandas masks."""
+    from functools import reduce
+
+    from petastorm_spark._piece_worker import dnf_clauses
+
+    def cond(col: str, op: str, val) -> Column:
+        c = F.col(col)
+        if op in ("=", "=="):
+            return c == F.lit(val)
+        if op == "!=":
+            return c != F.lit(val)
+        if op == "<":
+            return c < F.lit(val)
+        if op == "<=":
+            return c <= F.lit(val)
+        if op == ">":
+            return c > F.lit(val)
+        if op == ">=":
+            return c >= F.lit(val)
+        if op == "in":
+            return c.isin(list(val))
+        if op == "not in":
+            return ~c.isin(list(val))
+        raise ValueError(f"unsupported DNF filter op {op!r}")
+
+    clause_cols = [
+        reduce(lambda a, b: a & b, [cond(*t) for t in clause])
+        for clause in dnf_clauses(filters)
+    ]
+    return reduce(lambda a, b: a | b, clause_cols)
+
+
+def _enforce_cache_limit(cache_dir: str, limit_bytes: int, keep: str) -> None:
+    """K2 parity (reference local_disk_cache.py:23-82 size limit):
+    evict oldest managed cache subdirs until the total is under the
+    limit. The subdir just (re)used is never evicted."""
+    import warnings
+
+    entries = []
+    for d in os.listdir(cache_dir):
+        if not d.startswith("_ps_materialized_"):
+            continue
+        p = os.path.join(cache_dir, d)
+        if not os.path.isdir(p):
+            continue
+        size = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, names in os.walk(p)
+            for f in names
+        )
+        entries.append((os.path.getmtime(p), p, size))
+    total = sum(e[2] for e in entries)
+    for _, p, size in sorted(entries):
+        if total <= limit_bytes:
+            break
+        if os.path.abspath(p) == os.path.abspath(keep):
+            continue
+        shutil.rmtree(p, ignore_errors=True)
+        total -= size
+        warnings.warn(
+            f"cache_size_limit exceeded: evicted oldest cache entry {p} "
+            f"({size} bytes)",
+            stacklevel=3,
+        )
 
 
 def _list_parquet_files(path: str) -> list[str]:
@@ -115,6 +246,7 @@ class Reader:
         reader_pool_type: str = "thread",
         cache_type: str | None = None,
         cache_location: str | None = None,
+        cache_size_limit: int | None = None,
         **compat_kwargs,
     ):
         # Drop-in signature compatibility with petastorm's make_reader
@@ -127,7 +259,6 @@ class Reader:
             "zmq_copy_buffers",
             "hdfs_driver",
             "infer_schema_from_first_row",
-            "cache_size_limit",
             "cache_row_size_estimate",
             "cache_extra_settings",
             "shard_seed",
@@ -163,9 +294,13 @@ class Reader:
         self._seed = seed
         self._rng = np.random.default_rng(seed)
         # pool parity (petastorm reader_pool_type thread|process|dummy):
-        # 'thread' prefetches row-group decodes; 'dummy' is synchronous.
-        if reader_pool_type not in ("thread", "dummy"):
+        # 'thread' prefetches row-group decodes in threads; 'process'
+        # moves the GIL-bound codec decode into spawned worker
+        # processes (reference workers_pool/process_pool.py); 'dummy'
+        # is synchronous.
+        if reader_pool_type not in ("thread", "process", "dummy"):
             raise ValueError(f"unsupported reader_pool_type {reader_pool_type!r}")
+        self._pool_type = reader_pool_type
         self._workers = 1 if reader_pool_type == "dummy" else max(1, workers_count)
         self._predicate = predicate
         self._spec = transform_spec
@@ -183,12 +318,25 @@ class Reader:
         self.last_row_consumed = False
 
         # ---- plan tier -----------------------------------------------------
+        self._sidecar_counts: dict | None = None
         if dataframe is not None:
             df = dataframe
             stored = None
         else:
             df = self._spark.read.parquet(dataset_url)
-            stored = load_unischema(self._spark, dataset_url)
+            payload = read_sidecar(self._spark, dataset_url)
+            if payload is not None:
+                stored = Unischema.from_json(payload["unischema"])
+                self._sidecar_counts = payload.get("row_groups")
+            else:
+                # interop: a dataset written by original petastorm keeps
+                # its pickled Unischema + rowgroup counts in
+                # _common_metadata — load them so tensor columns decode
+                from petastorm_spark.etl.petastorm_compat import (
+                    load_petastorm_metadata,
+                )
+
+                stored, self._sidecar_counts = load_petastorm_metadata(dataset_url)
 
         full_schema = stored or Unischema.from_spark_schema(df.schema)
 
@@ -223,14 +371,28 @@ class Reader:
             view = full_schema
         self._storage_schema = view
         self._full_schema = full_schema
+        # JSON forms cross the process-pool boundary (schemas hold
+        # dynamically-created namedtuple classes, so never pickled)
+        self._storage_json = json.dumps(view.to_json(), sort_keys=True)
+        self._full_json = json.dumps(full_schema.to_json(), sort_keys=True)
 
         # Final (post-transform) schema the consumer sees.
         self.schema = transform_schema(view, self._spec) if self._spec else view
 
-        # Columns needed from storage: view columns + predicate columns.
+        # Columns needed from storage: view + predicate + DNF filter
+        # columns. ``filters`` accepts either a Spark Column (plan-tier
+        # only) or petastorm/pyarrow-style DNF tuples, which the
+        # iteration tier can evaluate itself (stats pruning + row mask)
+        # on ANY filesystem without materializing.
+        self._dnf = filters if (filters is not None and is_dnf_filters(filters)) else None
+        col_filter: Column | None = (
+            filters if (filters is not None and self._dnf is None) else None
+        )
         need = list(view.fields)
         if predicate is not None:
             need += [f for f in predicate.get_fields() if f not in need]
+        if self._dnf is not None:
+            need += [c for c in dnf_columns(self._dnf) if c not in need]
         self._read_columns = need
 
         # Index selection happens on the SOURCE dataset before any
@@ -254,18 +416,32 @@ class Reader:
             )
 
         plan = df.select(*need) if set(need) != set(df.columns) else df
-        if filters is not None:
-            plan = plan.filter(filters)
+        if self._dnf is not None:
+            plan = plan.filter(_dnf_to_column(self._dnf))
+        elif col_filter is not None:
+            plan = plan.filter(col_filter)
         self.dataframe = plan
 
-        # Direct-iteration path: pristine local scan, no Column filters.
-        local = _local_path(dataset_url) if dataset_url else None
-        if local is not None and filters is None:
-            self._files = _list_parquet_files(local)
+        # Direct-iteration path: stream row groups straight from the
+        # source filesystem (local, file://, s3://, gs://, hdfs:// —
+        # anything pyarrow's FileSystem.from_uri reaches). Only a
+        # JVM-only Column filter, an exotic scheme, or an explicit
+        # local cache request for a remote store forces a Spark-side
+        # materialization.
+        self._fs: pafs.FileSystem = pafs.LocalFileSystem()
+        self._direct_root: str | None = None
+        fs_pair = _resolve_fs(dataset_url) if dataset_url is not None else None
+        if (
+            fs_pair is not None
+            and col_filter is None
+            and (cache_dir is None or isinstance(fs_pair[0], pafs.LocalFileSystem))
+        ):
+            self._fs, root = fs_pair
+            self._direct_root = root
+            files = _list_parquet_files_fs(self._fs, root)
             if selected_files is not None:
-                self._files = [
-                    f for f in self._files if _strip_scheme(f) in selected_files
-                ]
+                files = [f for f in files if _strip_scheme(f) in selected_files]
+            self._files = files
         elif cache_dir is not None:
             # user-managed cache dir: materialize into a managed
             # SUBDIRECTORY (an overwrite-write into the dir itself would
@@ -292,6 +468,10 @@ class Reader:
             if not existing:
                 plan.write.mode("overwrite").parquet(managed)
                 existing = _list_parquet_files(managed)
+            else:
+                os.utime(managed)  # refresh LRU rank on reuse
+            if cache_size_limit is not None:
+                _enforce_cache_limit(cache_dir, cache_size_limit, keep=managed)
             self._files = existing
         else:
             self._owned_cache = tempfile.mkdtemp(prefix="pstorm_cache_")
@@ -301,9 +481,38 @@ class Reader:
             raise ValueError(f"no parquet files found for {dataset_url or 'dataframe'}")
 
         # ---- piece list (one per row group) --------------------------------
+        # Row-group counts come from the metadata sidecar when present
+        # (no footer opened at all — the reference's
+        # num_row_groups_per_file map, same idea); otherwise a PARALLEL
+        # footer scan, never a serial per-file driver loop. With DNF
+        # filters the footer scan also prunes row groups whose min/max
+        # statistics cannot match.
         self._pieces: list[tuple[str, int, int]] = []
+        if self._dnf is not None and self._direct_root is not None:
+            dnf = self._dnf
+            keep = _parallel_footers(
+                self._fs,
+                self._files,
+                lambda p, md: [
+                    rg
+                    for rg in range(md.num_row_groups)
+                    if rg_may_match(
+                        md.row_group(rg),
+                        [md.schema.column(i).name for i in range(md.num_columns)],
+                        dnf,
+                    )
+                ],
+            )
+            rgs_per_file = {f: keep[f] for f in self._files}
+        else:
+            counts = self._rowgroup_counts_from_sidecar()
+            if counts is None:
+                counts = _parallel_footers(
+                    self._fs, self._files, lambda p, md: md.num_row_groups
+                )
+            rgs_per_file = {f: range(counts[f]) for f in self._files}
         for f in self._files:
-            for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
+            for rg in rgs_per_file[f]:
                 for sl in range(self._drop_parts):
                     self._pieces.append((f, rg, sl))
         if shard_count is not None and len(self._pieces) < shard_count:
@@ -328,75 +537,29 @@ class Reader:
             self._rng.shuffle(order)
         return [self._pieces[i] for i in order]
 
-    @staticmethod
-    def _decode_series(field, col: pd.Series) -> pd.Series:
-        """Codec decode / numpy dtype restore for one column (C5)."""
-        if field is None:
-            return col
-        castable = (
-            field.numpy_dtype is not None
-            and field.numpy_dtype not in (np.str_, np.bytes_, str, bytes)
-            and np.dtype(field.numpy_dtype).kind in "iufb"
-        )
-        if field.codec is None and not castable:
-            return col
-        if col.isna().any():
-            return pd.Series(
-                [
-                    None
-                    if _is_null_scalar(v)
-                    else (
-                        field.codec.decode(field, v)
-                        if field.codec
-                        else np.dtype(field.numpy_dtype).type(v)
-                    )
-                    for v in col
-                ],
-                dtype=object,
-                index=col.index,
-            )
-        if field.codec is not None and not field.is_tensor and castable:
-            # scalar codec == a dtype cast; stay vectorized
-            return col.astype(np.dtype(field.numpy_dtype))
-        if field.codec is not None:
-            return pd.Series(
-                [field.codec.decode(field, v) for v in col],
-                dtype=object,
-                index=col.index,
-            )
-        return col.astype(np.dtype(field.numpy_dtype))
+    def _rowgroup_counts_from_sidecar(self) -> dict | None:
+        """Per-file row-group counts from the metadata sidecar — valid
+        only on the direct path over the original dataset files."""
+        if self._sidecar_counts is None or self._direct_root is None:
+            return None
+        root = self._direct_root.rstrip("/")
+        by_path = {f"{root}/{rel}": n for rel, n in self._sidecar_counts.items()}
+        if all(f in by_path for f in self._files):
+            return {f: by_path[f] for f in self._files}
+        return None  # stale/partial sidecar: fall back to footer scan
 
     def _decode_piece(
         self, path: str, rg: int, sl: int = 0, rng: np.random.Generator | None = None
     ) -> pd.DataFrame | None:
-        pf = pq.ParquetFile(path)
-        cols = [c for c in self._read_columns if c in pf.schema_arrow.names]
-        table = pf.read_row_group(rg, columns=cols or None)
-        pdf = table.to_pandas()
-        if self._drop_parts > 1:
-            pdf = pdf.iloc[sl :: self._drop_parts].reset_index(drop=True)
-
-        # hive-partition columns are not in the file; recover from path
-        missing = [c for c in self._read_columns if c not in pdf.columns]
-        for c in missing:
-            marker = f"{os.sep}{c}="
-            if marker in path:
-                val: object = path.split(marker, 1)[1].split(os.sep, 1)[0]
-                # honor Spark's partition-value type inference (pk=1 -> int)
-                field = self._storage_schema.fields.get(c)
-                if (
-                    field is not None
-                    and field.numpy_dtype is not None
-                    and field.numpy_dtype not in (np.str_, np.bytes_, str, bytes)
-                ):
-                    kind = np.dtype(field.numpy_dtype).kind
-                    if kind in "iu":
-                        val = int(val)
-                    elif kind == "f":
-                        val = float(val)
-                pdf[c] = val
-            else:
-                raise KeyError(f"column {c} not found in {path}")
+        pdf = load_raw(
+            self._fs, path, rg, sl, self._drop_parts, self._read_columns,
+            self._storage_schema,
+        )
+        if self._dnf is not None:
+            m = dnf_mask(pdf, self._dnf)
+            if not m.any():
+                return None
+            pdf = pdf[m].reset_index(drop=True)
 
         # Two-phase decode (reference py_dict_reader_worker.py:222-232):
         # 1. decode the PREDICATE columns, evaluate, filter;
@@ -409,7 +572,7 @@ class Reader:
             for name in pred_cols:
                 field = self._full_schema.fields.get(name)
                 done[name] = (
-                    self._decode_series(field, pdf[name])
+                    decode_series(field, pdf[name])
                     if field is not None
                     else pdf[name]
                 )
@@ -431,7 +594,7 @@ class Reader:
             if name in done:
                 out[name] = done[name]
             else:
-                out[name] = self._decode_series(field, pdf[name])
+                out[name] = decode_series(field, pdf[name])
         decoded = pd.DataFrame(out)
 
         if self._spec is not None:
@@ -488,9 +651,56 @@ class Reader:
             cols = [pdf[n] for n in self._nt._fields]
             yield from (self._nt(*vals) for vals in zip(*cols))
 
+    def _post_process(self, pdf, rng) -> pd.DataFrame | None:
+        """Parent-side tail of a process-pool piece: the worker already
+        decoded every read column, so the predicate sees decoded values
+        here too; then view projection, transform, row shuffle."""
+        if pdf is None or not len(pdf):
+            return None
+        if self._predicate is not None:
+            mask = np.asarray(self._predicate.do_include_pandas(pdf), dtype=bool)
+            if not mask.any():
+                return None
+            pdf = pdf[mask].reset_index(drop=True)
+        pdf = pdf[[n for n in self._storage_schema.fields]]
+        if self._spec is not None:
+            pdf = apply_transform_pandas(pdf, self._spec)
+        if self._shuffle_rows and len(pdf) > 1:
+            pdf = pdf.iloc[rng.permutation(len(pdf))].reset_index(drop=True)
+        return pdf
+
+    def _proc_task(self, path: str, rg: int, sl: int) -> tuple:
+        return (
+            self._fs, path, rg, sl, self._drop_parts, self._read_columns,
+            self._storage_json, self._full_json, self._dnf,
+        )
+
     def __iter__(self):
         self.last_row_consumed = False
-        if self._workers <= 1:
+        if self._pool_type == "process":
+            # spawned workers do the GIL-bound IO + codec decode;
+            # closures (predicate/transform) never cross the boundary —
+            # they run parent-side on the decoded frames.
+            import multiprocessing
+            from collections import deque
+            from concurrent.futures import ProcessPoolExecutor
+
+            from petastorm_spark._piece_worker import process_piece
+
+            ctx = multiprocessing.get_context("spawn")
+            with ProcessPoolExecutor(self._workers, mp_context=ctx) as pool:
+                window: deque = deque()
+                for path, rg, sl, rng in self._piece_stream():
+                    window.append(
+                        (pool.submit(process_piece, self._proc_task(path, rg, sl)), rng)
+                    )
+                    if len(window) >= self._workers * 2:
+                        fut, r = window.popleft()
+                        yield from self._emit(self._post_process(fut.result(), r))
+                while window:
+                    fut, r = window.popleft()
+                    yield from self._emit(self._post_process(fut.result(), r))
+        elif self._workers <= 1:
             for piece in self._piece_stream():
                 yield from self._emit(self._decode_piece(*piece))
         else:
