@@ -49,6 +49,10 @@ HEADLINE = [
     "token_frequencies",
     "knn_classify",
     "running_totals",
+    "q9_profit_by_nation_year",
+    "dedup_simhash_pairs",
+    "ann_cosine_multiprobe",
+    "events_pivot",
 ]
 
 N_WARMUP_READS = 500
