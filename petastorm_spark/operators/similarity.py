@@ -153,6 +153,82 @@ def cosine_topk_lsh(
     return topk_per_query(scored, k)
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus vectors are bucketed by nearest
+    coarse centroid; each query scores only the ``n_probe`` cells whose
+    centroids are closest to it. The classic scale path next to LSH —
+    recall/cost tunes with n_probe instead of hash width.
+
+    The coarse quantizer here is deterministic (centroids = the
+    ``n_cells`` corpus vectors with the lowest ids) so the DuckDB
+    oracle can rebuild the exact same index; in production feed k-means
+    centroids in via ``centroids=``. Scale: centroid table is tiny and
+    broadcast everywhere; the corpus is scanned once for assignment
+    (one partial-agg argmax, no window) and the candidate join is a
+    cell equi-join; top-k via partition-local windows + merge."""
+    if centroids is not None:
+        cent = centroids.select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
+        )
+    else:
+        cent = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
+        )
+
+    def assign(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+            .crossJoin(F.broadcast(cent))
+            .withColumn("_cos", cosine(F.col(out_vec), F.col("cent_vec")))
+        )
+        return (
+            scored.groupBy(out_id, out_vec)
+            .agg(
+                F.max(
+                    F.struct(F.col("_cos"), (-F.col("cell")).alias("_nc"))
+                ).alias("_b")
+            )
+            .withColumn("cell", (-F.col("_b").getField("_nc")).cast("int"))
+            .drop("_b")
+        )
+
+    corpus_cells = assign(corpus, "neighbor_id", "c_vec")
+
+    # per-query probe list: top n_probe cells by centroid cosine (query
+    # side is small; the window is over n_cells rows per query)
+    from pyspark.sql import Window
+
+    qs = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_cos", cosine(F.col("q_vec"), F.col("cent_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("cell"))
+    query_probes = (
+        qs.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+
+    scored = (
+        corpus_cells.join(query_probes, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    return topk_per_query(scored, k)
+
+
 def cosine_topk_multiprobe(
     corpus: DataFrame,
     queries: DataFrame,

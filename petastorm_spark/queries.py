@@ -1355,6 +1355,31 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skew_join_salted",
+    oracle="""
+    SELECT s_name, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    """,
+)
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join equivalence: the (key, salt) join with the
+    small side replicated must reproduce the plain join bit-for-bit
+    (the oracle IS the plain join). Scale: whale suppkeys spread over
+    8 reducers instead of one straggler; the replication cost rides
+    the dimension side only."""
+    from petastorm_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    joined = salted_join(li, supp, "l_suppkey", "s_suppkey", salt=8)
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 # LLM-pipeline catalog registers itself on import (dedup / text /
 # similarity queries live in queries_llm.py).
 from petastorm_spark import queries_llm  # noqa: E402,F401  (import side effect)

@@ -550,6 +550,51 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle(n_cells: int = 16, n_probe: int = 3, k: int = 5) -> str:
+    cos = lambda a, b: (  # noqa: E731
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {n_cells}),
+    ca AS (SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM e, cent c) WHERE rn = 1),
+    qp AS (SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM e, cent c WHERE e.vec_id < 10) WHERE rn <= {n_probe}),
+    s AS (SELECT query_id, ca.vec_id AS neighbor_id, {cos('qp.qv', 'ca.v')} AS cos
+          FROM qp JOIN ca USING (cell) WHERE ca.vec_id != query_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cos, 4) AS cos_sim
+    FROM r WHERE rank <= {k}
+    """
+
+
+@register("ann_cosine_ivf", oracle=_ivf_oracle())
+def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: corpus bucketed by nearest coarse centroid
+    (deterministic quantizer: the 16 lowest-id vectors, so the oracle
+    rebuilds the identical index); queries probe their 3 nearest
+    cells. Scale: centroid table broadcast, corpus assigned in one
+    partial-agg argmax pass, candidates via cell equi-join."""
+    from petastorm_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=3
+    )
+
+
 def _multiprobe_oracle(n_planes: int = 8) -> str:
     probe_list = ", ".join(
         ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)]

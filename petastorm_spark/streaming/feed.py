@@ -11,6 +11,9 @@ dataset directory as a continuous training feed).
   - ``sessionize_stream``: session windows per key via
     ``F.session_window`` (gap-based), the streaming twin of the
     ``sessionization`` batch query.
+  - ``dedup_stream``: watermarked exact dedup on a content digest —
+    the streaming twin of ``operators.dedup.exact_dedup`` for a
+    continuously-ingested corpus.
 
 Scale: state lives in the streaming state store, partitioned by key;
 watermarks bound state size.
@@ -77,6 +80,35 @@ def windowed_event_counts(
     return out.select(
         F.col("window.start").alias("window_start"), key_col, *agg_names
     )
+
+
+def dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    ts_is_nanos: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup: first arrival of each md5(text) digest
+    passes, later copies are dropped by ``dropDuplicates`` state.
+
+    With ``ts_col`` set, ``dropDuplicatesWithinWatermark`` bounds the
+    digest state (a digest older than the watermark is forgotten —
+    duplicates arriving later than the lateness bound pass through, the
+    standard streaming trade-off). Without it, state grows with
+    distinct digests — fine for bounded backfills, documented footgun
+    for unbounded 100 TB feeds.
+    """
+    from petastorm_spark.session import ns_to_timestamp
+
+    out = docs.withColumn("_digest", F.md5(F.col(text_col)))
+    if ts_col is not None:
+        ts = ns_to_timestamp(F.col(ts_col)) if ts_is_nanos else F.col(ts_col)
+        out = out.withColumn("_event_time", ts).withWatermark(
+            "_event_time", watermark
+        )
+        return out.dropDuplicatesWithinWatermark(["_digest"]).drop("_event_time")
+    return out.dropDuplicates(["_digest"])
 
 
 def sessionize_stream(

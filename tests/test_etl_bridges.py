@@ -207,3 +207,27 @@ def test_streaming_sessionize(spark, events_dir):
     q.awaitTermination(120)
     n = spark.sql("SELECT count(*) AS n FROM sessions").collect()[0].n
     assert n > 0
+
+
+def test_streaming_dedup(spark, sf_dir, tmp_path_factory):
+    """dedup_stream drops later copies of a digest: streaming over a
+    corpus with planted duplicates yields exactly the distinct count."""
+    from petastorm_spark.streaming.feed import dedup_stream, stream_dataset
+
+    d = str(tmp_path_factory.mktemp("streamdup") / "docs")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs.unionByName(docs.withColumn("doc_id", docs.doc_id + 100000)).write.parquet(d)
+    distinct_texts = docs.select("text").distinct().count()
+
+    stream = stream_dataset(spark, d)
+    q = (
+        dedup_stream(stream, "text")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0].n
+    assert n == distinct_texts

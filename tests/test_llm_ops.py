@@ -195,3 +195,43 @@ def test_frame_sampling(spark):
     arr = decode_image_bytes(bytes(out[0].sampled))
     assert arr.shape == (4, 4, 4)  # frames 0,3,6,9
     np.testing.assert_array_equal(arr[1], vid[3])
+
+
+def test_ivf_recall_and_probe_monotonicity(spark, sf_dir):
+    """More probes -> candidate superset -> recall vs exact top-k can
+    only rise (same argument as LSH multi-probe)."""
+    from petastorm_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = pairs(cosine_topk(emb, queries, k=5))
+    p1 = pairs(cosine_topk_ivf(emb, queries, k=5, n_cells=16, n_probe=1))
+    p4 = pairs(cosine_topk_ivf(emb, queries, k=5, n_cells=16, n_probe=4))
+    assert len(p4 & exact) >= len(p1 & exact)
+    assert len(p4) >= len(p1)
+
+
+def test_shuffling_analysis_util(spark, tmp_path):
+    from petastorm_spark.test_util.shuffling_analysis import (
+        compute_correlation_distribution,
+        generate_shuffle_analysis_dataset,
+    )
+
+    url = str(tmp_path / "shufds")
+    generate_shuffle_analysis_dataset(spark, url, num_rows=2000, row_group_size=50)
+    plain = compute_correlation_distribution(
+        url, spark=spark, num_corr_samples=2
+    )
+    assert plain["mean_abs_rho"] == pytest.approx(1.0)
+    shuffled = compute_correlation_distribution(
+        url,
+        spark=spark,
+        num_corr_samples=4,  # unseeded: fresh permutation per sample
+        shuffle_row_groups=True,
+        shuffle_rows=True,
+    )
+    assert shuffled["mean_abs_rho"] < 0.5
