@@ -141,7 +141,10 @@ def _cond_mask(pdf: pd.DataFrame, col: str, op: str, val) -> np.ndarray:
     if op in ("=", "=="):
         m = s == val
     elif op == "!=":
-        m = s != val
+        # SQL/pyarrow null semantics: NULL != x is NULL (dropped).  Plain
+        # pandas `s != val` evaluates True for float NaN, which would make
+        # the direct-stream tier keep rows the plan tier drops.
+        m = (s != val) & s.notna()
     elif op == "<":
         m = s < val
     elif op == "<=":
@@ -153,7 +156,7 @@ def _cond_mask(pdf: pd.DataFrame, col: str, op: str, val) -> np.ndarray:
     elif op == "in":
         m = s.isin(list(val))
     elif op == "not in":
-        m = ~s.isin(list(val))
+        m = ~s.isin(list(val)) & s.notna()
     else:
         raise ValueError(f"unsupported DNF filter op {op!r}")
     return np.asarray(m.fillna(False), dtype=bool)

@@ -17,6 +17,7 @@ import os
 import shutil
 import tempfile
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -92,10 +93,27 @@ def _check_shard_consistency(reader_kwargs: dict) -> None:
     rank, size = _distributed_rank_and_size()
     if rank is None or size is None:
         return
+    if size == 1:
+        # torchrun exports RANK=0/WORLD_SIZE=1 even for single-process
+        # runs; a world of one cannot be mis-sharded.
+        return
     cur_shard = reader_kwargs.get("cur_shard")
     shard_count = reader_kwargs.get("shard_count")
-    if cur_shard != rank or shard_count != size:
-        raise ValueError(
+    if cur_shard == rank and shard_count == size:
+        return
+    if cur_shard is None and shard_count is None:
+        # Sharding simply omitted (e.g. deliberate rank-0-only validation
+        # read): warn like the reference (spark_dataset_converter.py:140-161)
+        # instead of forbidding it.
+        warnings.warn(
+            f"distributed environment detected (rank={rank}, world size="
+            f"{size}) but the reader is unsharded; every worker will read "
+            "the full dataset. Pass cur_shard/shard_count for disjoint "
+            "training shards.",
+            stacklevel=3,
+        )
+        return
+    raise ValueError(
             f"reader sharding (cur_shard={cur_shard}, shard_count="
             f"{shard_count}) is inconsistent with the distributed "
             f"environment (rank={rank}, world size={size}); pass "

@@ -163,6 +163,28 @@ def _dnf_to_column(filters) -> Column:
     return reduce(lambda a, b: a | b, clause_cols)
 
 
+def _cache_dir_in_use(managed_dir: str) -> bool:
+    """True if a live same-host Reader holds a sentinel in this managed
+    cache subdir. Sentinels from dead pids are treated as stale (crashed
+    readers must not pin cache entries forever)."""
+    try:
+        names = os.listdir(managed_dir)
+    except OSError:
+        return False
+    for n in names:
+        if not n.startswith(".ps_inuse_"):
+            continue
+        try:
+            pid = int(n.rsplit("_", 1)[1])
+            os.kill(pid, 0)  # liveness probe, no signal delivered
+            return True
+        except (ValueError, ProcessLookupError):
+            continue  # malformed or dead: stale sentinel
+        except PermissionError:
+            return True  # alive but other uid
+    return False
+
+
 def _enforce_cache_limit(cache_dir: str, limit_bytes: int, keep: str) -> None:
     """K2 parity (reference local_disk_cache.py:23-82 size limit):
     evict oldest managed cache subdirs until the total is under the
@@ -176,6 +198,8 @@ def _enforce_cache_limit(cache_dir: str, limit_bytes: int, keep: str) -> None:
         p = os.path.join(cache_dir, d)
         if not os.path.isdir(p):
             continue
+        if _cache_dir_in_use(p):
+            continue  # a live Reader (this or another process) iterates here
         size = sum(
             os.path.getsize(os.path.join(r, f))
             for r, _, names in os.walk(p)
@@ -315,6 +339,8 @@ class Reader:
         # for shuffle decorrelation.
         self._drop_parts = max(1, int(shuffle_row_drop_partitions))
         self._owned_cache: str | None = None
+        self._managed_cache: str | None = None
+        self._sentinel: str | None = None
         self.last_row_consumed = False
 
         # ---- plan tier -----------------------------------------------------
@@ -470,6 +496,11 @@ class Reader:
                 existing = _list_parquet_files(managed)
             else:
                 os.utime(managed)  # refresh LRU rank on reuse
+            # pin against concurrent eviction while this Reader is alive
+            self._managed_cache = managed
+            self._sentinel = os.path.join(managed, f".ps_inuse_{os.getpid()}")
+            with open(self._sentinel, "w"):
+                pass
             if cache_size_limit is not None:
                 _enforce_cache_limit(cache_dir, cache_size_limit, keep=managed)
             self._files = existing
@@ -493,32 +524,42 @@ class Reader:
             keep = _parallel_footers(
                 self._fs,
                 self._files,
-                lambda p, md: [
-                    rg
-                    for rg in range(md.num_row_groups)
-                    if rg_may_match(
-                        md.row_group(rg),
-                        [md.schema.column(i).name for i in range(md.num_columns)],
-                        dnf,
-                    )
-                ],
+                lambda p, md: (
+                    md.num_row_groups,
+                    [
+                        rg
+                        for rg in range(md.num_row_groups)
+                        if rg_may_match(
+                            md.row_group(rg),
+                            [md.schema.column(i).name for i in range(md.num_columns)],
+                            dnf,
+                        )
+                    ],
+                ),
             )
-            rgs_per_file = {f: keep[f] for f in self._files}
+            unpruned_rgs = sum(keep[f][0] for f in self._files)
+            rgs_per_file = {f: keep[f][1] for f in self._files}
         else:
             counts = self._rowgroup_counts_from_sidecar()
             if counts is None:
                 counts = _parallel_footers(
                     self._fs, self._files, lambda p, md: md.num_row_groups
                 )
+            unpruned_rgs = sum(counts[f] for f in self._files)
             rgs_per_file = {f: range(counts[f]) for f in self._files}
         for f in self._files:
             for rg in rgs_per_file[f]:
                 for sl in range(self._drop_parts):
                     self._pieces.append((f, rg, sl))
-        if shard_count is not None and len(self._pieces) < shard_count:
+        # Validate shard_count against the UNPRUNED piece count: a
+        # selective DNF filter (or absent parquet stats) must not turn a
+        # working sharded read into a hard error — shards emptied by
+        # pruning simply yield nothing, matching the materialized path.
+        if shard_count is not None and unpruned_rgs * self._drop_parts < shard_count:
             raise ValueError(
-                f"{len(self._pieces)} row groups < {shard_count} shards; "
-                "write the dataset with more/smaller row groups"
+                f"{unpruned_rgs * self._drop_parts} row groups < "
+                f"{shard_count} shards; write the dataset with "
+                "more/smaller row groups"
             )
         self._nt = self.schema.namedtuple_cls()
 
@@ -677,6 +718,11 @@ class Reader:
 
     def __iter__(self):
         self.last_row_consumed = False
+        if self._managed_cache is not None:
+            try:  # refresh LRU rank so a mid-epoch reader isn't "oldest"
+                os.utime(self._managed_cache)
+            except OSError:
+                pass
         if self._pool_type == "process":
             # spawned workers do the GIL-bound IO + codec decode;
             # closures (predicate/transform) never cross the boundary —
@@ -726,6 +772,12 @@ class Reader:
         if self._owned_cache and os.path.isdir(self._owned_cache):
             shutil.rmtree(self._owned_cache, ignore_errors=True)
             self._owned_cache = None
+        if self._sentinel is not None:
+            try:
+                os.unlink(self._sentinel)
+            except OSError:
+                pass
+            self._sentinel = None
 
     def reset(self) -> None:
         """Reference API compat (petastorm Reader.reset): our reader

@@ -107,8 +107,12 @@ def dedup_stream(
         out = out.withColumn("_event_time", ts).withWatermark(
             "_event_time", watermark
         )
-        return out.dropDuplicatesWithinWatermark(["_digest"]).drop("_event_time")
-    return out.dropDuplicates(["_digest"])
+        return (
+            out.dropDuplicatesWithinWatermark(["_digest"])
+            .drop("_event_time")
+            .drop("_digest")
+        )
+    return out.dropDuplicates(["_digest"]).drop("_digest")
 
 
 def sessionize_stream(

@@ -132,3 +132,130 @@ def test_spark_cast_string_rendering():
         == "2021-03-04 05:06:07"
     )
     assert _spark_cast_string(np.int64(7)) == "7"
+
+
+# ---------------------------------------------------------------------------
+# Round-2 ADVICE findings
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nullable_ds(spark, tmp_path_factory):
+    url = str(tmp_path_factory.mktemp("nullds") / "ds")
+    spark.createDataFrame(
+        [(i, None if i % 3 == 0 else i % 7) for i in range(90)],
+        "id bigint, x int",
+    ).coalesce(1).write.parquet(url)
+    return url
+
+
+def test_dnf_neq_null_semantics(spark, nullable_ds):
+    """ADVICE medium: pandas `s != val` keeps NaN rows, so the direct
+    tier returned MORE rows than the Spark plan tier for '!='/'not in'.
+    Both tiers must drop nulls (SQL / pyarrow semantics)."""
+    from petastorm_spark.reader import make_batch_reader
+
+    for filters in ([("x", "!=", 5)], [("x", "not in", [5, 6])]):
+        with make_batch_reader(nullable_ds, spark=spark, filters=filters) as r:
+            assert r._direct_root is not None  # direct tier engaged
+            direct_ids = sorted(
+                int(i) for batch in r for i in np.asarray(batch.id).ravel()
+            )
+        plan_ids = sorted(
+            row.id
+            for row in spark.read.parquet(nullable_ds)
+            .filter(
+                F.col("x") != 5
+                if filters[0][1] == "!="
+                else ~F.col("x").isin(5, 6)
+            )
+            .collect()
+        )
+        assert direct_ids == plan_ids, filters
+        assert all(i % 3 != 0 for i in direct_ids)  # null rows dropped
+
+
+def test_converter_shard_consistency_single_world(monkeypatch):
+    """ADVICE medium: torchrun exports RANK=0/WORLD_SIZE=1 for plain
+    single-process runs; an unsharded reader must not raise."""
+    from petastorm_spark.converter import _check_shard_consistency
+
+    monkeypatch.setenv("RANK", "0")
+    monkeypatch.setenv("WORLD_SIZE", "1")
+    _check_shard_consistency({})  # no raise
+    _check_shard_consistency({"cur_shard": None, "shard_count": None})
+
+
+def test_converter_shard_consistency_omitted_warns(monkeypatch):
+    """Deliberate unsharded read in a multi-worker world: warn like the
+    reference, don't forbid."""
+    from petastorm_spark.converter import _check_shard_consistency
+
+    monkeypatch.setenv("RANK", "1")
+    monkeypatch.setenv("WORLD_SIZE", "2")
+    with pytest.warns(UserWarning, match="unsharded"):
+        _check_shard_consistency({})
+    # explicit but WRONG values still hard-fail
+    with pytest.raises(ValueError, match="inconsistent"):
+        _check_shard_consistency({"cur_shard": 0, "shard_count": 4})
+    # correct values pass silently
+    _check_shard_consistency({"cur_shard": 1, "shard_count": 2})
+
+
+def test_selective_dnf_filter_allows_empty_shards(spark, tmp_path_factory):
+    """ADVICE low: stats pruning ran before the shard_count check, so a
+    selective filter could turn a valid sharded read into a ValueError.
+    shard_count now validates against the UNPRUNED piece count."""
+    from petastorm_spark.reader import make_batch_reader
+
+    url = str(tmp_path_factory.mktemp("pruneshard") / "ds")
+    # 8 files; filter keeps only ids < 100 (1 file survives pruning)
+    spark.range(800).repartition(8).write.parquet(url)
+    got = set()
+    for shard in range(8):
+        with make_batch_reader(
+            url,
+            spark=spark,
+            filters=[("id", "<", 100)],
+            cur_shard=shard,
+            shard_count=8,
+        ) as r:
+            for batch in r:
+                got.update(int(i) for i in np.asarray(batch.id).ravel())
+    assert got == set(range(100))
+
+
+def test_dedup_stream_drops_helper_columns(spark, sf_dir):
+    """ADVICE low: _digest leaked into the dedup_stream output schema."""
+    from petastorm_spark.streaming.feed import dedup_stream
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("created_at", F.lit(1_600_000_000_000_000_000))
+    )
+    assert "_digest" not in dedup_stream(docs, "text").columns
+    assert "_digest" not in dedup_stream(docs, "text", ts_col="created_at").columns
+
+
+def test_cache_eviction_skips_live_reader(tmp_path):
+    """ADVICE low: eviction could delete a managed subdir another live
+    reader was iterating. Live same-host sentinels now pin the dir."""
+    import os
+
+    from petastorm_spark.reader import _enforce_cache_limit
+
+    cache = tmp_path / "cache"
+    live, dead = cache / "_ps_materialized_live", cache / "_ps_materialized_dead"
+    for d in (live, dead):
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"x" * 1024)
+    (live / f".ps_inuse_{os.getpid()}").touch()
+    (dead / ".ps_inuse_999999999").touch()  # stale pid: not pinned
+    os.utime(dead, (1, 1))
+    os.utime(live, (2, 2))
+    keep = cache / "_ps_materialized_keep"
+    keep.mkdir()
+    _enforce_cache_limit(str(cache), limit_bytes=512, keep=str(keep))
+    assert live.is_dir()  # pinned by live sentinel despite limit
+    assert not dead.is_dir()  # stale sentinel did not protect it
