@@ -190,6 +190,131 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
     return per_doc.select(F.col(id_col), sim.alias("simhash"))
 
 
+def _pair_join(buckets: DataFrame, id_col: str, keys: list[str]) -> DataFrame:
+    """Self-join a bucket table on ``keys``, returning candidate pairs
+    (id_a < id_b) with both fingerprints carried along."""
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cond = reduce(
+        lambda acc, k: acc & (F.col(f"a.{k}") == F.col(f"b.{k}")),
+        keys[1:],
+        F.col(f"a.{keys[0]}") == F.col(f"b.{keys[0]}"),
+    ) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    return a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.simhash").alias("sig_a"),
+        F.col("b.simhash").alias("sig_b"),
+    )
+
+
+def simhash_pair_candidates(
+    sig: DataFrame,
+    id_col: str,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    hot_threshold: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs from a SimHash signature table
+    (columns: id, simhash), EXACT for hamming <= bands-1 and never
+    quadratic in any bucket.
+
+    Level 1 (pigeonhole): any pair within hamming ``< bands`` agrees
+    exactly on >= 1 of the ``bands`` bit-bands, so candidates collide on
+    a (band, value) bucket. A ``bands=4``/``bits=60`` split gives 15-bit
+    buckets — at 10^9+ docs a single band value (e.g. near-empty
+    boilerplate docs) can hold ~N/2^15 docs and the per-bucket self-join
+    goes quadratic.
+
+    Level 2 (hot-bucket refinement, Manku-style prefix widening): bucket
+    sizes are counted first; buckets above ``hot_threshold`` docs are
+    re-joined on an ADDITIONAL sub-band key. Within a hot (band, value)
+    bucket every doc agrees on that band, so a qualifying pair's
+    remaining ``bits - width`` fingerprint bits differ in at most
+    ``max_hamming`` positions; splitting them into ``max_hamming + 1``
+    sub-bands pigeonholes again — the pair agrees exactly on >= 1
+    sub-band. The effective match prefix widens from 15 to ~26 bits
+    exactly where density demands it, with ZERO recall loss (both levels
+    are pigeonhole-exact, verified by the final bit_count check).
+    Refinement applies recursively in spirit; one level cuts the largest
+    bucket by ~2^11, which covers any corpus whose band collisions fit
+    in memory per executor after a 2048x split.
+
+    Scale: the bucket-size count is one partial agg over bands*N rows;
+    the hot list is tiny (<= N/hot_threshold entries) and broadcast.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_structs = []
+    for b in range(bands):
+        # fingerprint with band b's bits excised: high bits shifted down
+        # next to the low bits — the "rest" the sub-bands slice.
+        high = F.shiftleft(
+            F.shiftright(F.col("simhash"), (b + 1) * width), b * width
+        )
+        low = F.col("simhash").bitwiseAND(F.lit((1 << (b * width)) - 1))
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+                high.bitwiseOR(low).alias("rest"),
+            )
+        )
+    buckets = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        id_col,
+        "simhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.val").alias("val"),
+        F.col("bk.rest").alias("rest"),
+    )
+    hot = (
+        buckets.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > hot_threshold)
+        .select("band", "val", F.lit(True).alias("_hot"))
+    )
+    marked = buckets.join(F.broadcast(hot), ["band", "val"], "left")
+    cold = marked.where(F.col("_hot").isNull())
+    cold_pairs = _pair_join(cold, id_col, ["band", "val"])
+
+    # sub-band split of the remaining bits: max_hamming+1 slices, the
+    # leftover bits folded into the last slice (still pigeonhole-exact).
+    rest_bits = bits - width
+    nsub = max_hamming + 1
+    base = rest_bits // nsub
+    sub_structs = []
+    off = 0
+    for j in range(nsub):
+        w = base if j < nsub - 1 else rest_bits - base * (nsub - 1)
+        sub_structs.append(
+            F.struct(
+                F.lit(j).alias("sub"),
+                F.shiftright(F.col("rest"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("subval"),
+            )
+        )
+        off += w
+    hot_rows = (
+        marked.where(F.col("_hot").isNotNull())
+        .select(
+            id_col, "simhash", "band", "val",
+            F.explode(F.array(*sub_structs)).alias("sb"),
+        )
+        .select(
+            id_col, "simhash", "band", "val",
+            F.col("sb.sub").alias("sub"), F.col("sb.subval").alias("subval"),
+        )
+    )
+    hot_pairs = _pair_join(hot_rows, id_col, ["band", "val", "sub", "subval"])
+    return cold_pairs.unionByName(hot_pairs).distinct()
+
+
 def simhash_dup_pairs(
     df: DataFrame,
     text_col: str,
@@ -197,20 +322,15 @@ def simhash_dup_pairs(
     bits: int = 60,
     bands: int = 4,
     max_hamming: int = 3,
+    hot_threshold: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming,
-    found via a banded self-join (the multi-probe search round 1
-    deferred): split the ``bits``-bit fingerprint into ``bands`` equal
-    bit-bands; by pigeonhole, any pair within hamming distance
-    ``< bands`` agrees EXACTLY on at least one band, so candidates are
-    pairs colliding on >= 1 (band, band_value) bucket — never all
-    pairs. The exact hamming check (bit_count of xor) then verifies.
+    via the two-level pigeonhole banded self-join of
+    ``simhash_pair_candidates`` (exact — never all pairs, never a
+    quadratic hot bucket) followed by the bit_count verify.
 
-    Scale: one explode to ``bands`` rows per doc, a bucket equi-join,
-    and a cheap verify on the 64-bit fingerprints already in hand —
-    the same shape as MinHash LSH banding. Requires
-    ``bands > max_hamming`` (else the pigeonhole guarantee breaks) and
-    ``bands | bits``.
+    Requires ``bands > max_hamming`` (distance d can touch at most d
+    bands) and ``bands | bits``.
     """
     if bands <= max_hamming:
         raise ValueError(
@@ -219,37 +339,10 @@ def simhash_dup_pairs(
         )
     if bits % bands:
         raise ValueError(f"bands ({bands}) must divide bits ({bits})")
-    width = bits // bands
-    mask = (1 << width) - 1
     sig = simhash(df, text_col, id_col, bits=bits)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * width)
-            .bitwiseAND(F.lit(mask))
-            .alias("val"),
-        )
-        for b in range(bands)
-    ]
-    buckets = sig.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
+    cand = simhash_pair_candidates(
+        sig, id_col, bits=bits, bands=bands,
+        max_hamming=max_hamming, hot_threshold=hot_threshold,
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.where(hamming <= max_hamming).select(
