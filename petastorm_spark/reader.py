@@ -304,6 +304,26 @@ class Reader:
             cache_dir = cache_location
         if (dataset_url is None) == (dataframe is None):
             raise ValueError("exactly one of dataset_url / dataframe is required")
+        # Multi-URL datasets (reference petastorm/reader.py:51-57,209):
+        # a list of file/dir URLs sharing one scheme reads as ONE
+        # dataset — piece lists merge, sharding spans all of them.
+        urls: list[str] | None = None
+        if dataset_url is not None:
+            if isinstance(dataset_url, (list, tuple)):
+                if not dataset_url:
+                    raise ValueError("dataset url list must be non-empty")
+                urls = [str(u) for u in dataset_url]
+                schemes = {
+                    u.split("://", 1)[0] if "://" in u else "file" for u in urls
+                }
+                if len(schemes) > 1:
+                    raise ValueError(
+                        "all dataset URLs must share one scheme, got "
+                        f"{sorted(schemes)}"
+                    )
+                dataset_url = urls[0] if len(urls) == 1 else None
+            else:
+                urls = [dataset_url]
         if (cur_shard is None) != (shard_count is None):
             raise ValueError("cur_shard and shard_count must be set together")
         if shard_count is not None and not 0 <= cur_shard < shard_count:
@@ -348,7 +368,7 @@ class Reader:
         if dataframe is not None:
             df = dataframe
             stored = None
-        else:
+        elif dataset_url is not None:
             df = self._spark.read.parquet(dataset_url)
             payload = read_sidecar(self._spark, dataset_url)
             if payload is not None:
@@ -363,6 +383,27 @@ class Reader:
                 )
 
                 stored, self._sidecar_counts = load_petastorm_metadata(dataset_url)
+        else:
+            # multi-URL: validate the shards agree on a schema (name ->
+            # type, order-insensitive) before merging; one footer-only
+            # read per URL, driver-side metadata cost only.
+            first_fields = None
+            for u in urls:
+                fields = {
+                    f.name: f.dataType
+                    for f in self._spark.read.parquet(u).schema.fields
+                }
+                if first_fields is None:
+                    first_fields = fields
+                elif fields != first_fields:
+                    raise ValueError(
+                        f"dataset URL {u!r} schema {sorted(fields)} is "
+                        f"incompatible with {urls[0]!r} "
+                        f"({sorted(first_fields)}); multi-URL datasets "
+                        "must share one schema"
+                    )
+            df = self._spark.read.parquet(*urls)
+            stored = None  # petastorm sidecars are per-dataset: plain-store path
 
         full_schema = stored or Unischema.from_spark_schema(df.schema)
 
@@ -414,6 +455,17 @@ class Reader:
         col_filter: Column | None = (
             filters if (filters is not None and self._dnf is None) else None
         )
+        if col_filter is not None:
+            # Compile simple comparison Columns to DNF tuples so the
+            # direct streaming tier (and rowgroup stats pruning) applies
+            # to them too — a filters=Column reader over a 100 TB store
+            # must not materialize a filtered copy to driver-local disk.
+            from petastorm_spark.plans.filter_compile import column_to_dnf
+
+            compiled = column_to_dnf(col_filter)
+            if compiled is not None:
+                self._dnf = compiled
+                col_filter = None
         need = list(view.fields)
         if predicate is not None:
             need += [f for f in predicate.get_fields() if f not in need]
@@ -456,18 +508,28 @@ class Reader:
         # materialization.
         self._fs: pafs.FileSystem = pafs.LocalFileSystem()
         self._direct_root: str | None = None
-        fs_pair = _resolve_fs(dataset_url) if dataset_url is not None else None
+        fs_pairs = (
+            [_resolve_fs(u) for u in urls] if urls is not None else None
+        )
         if (
-            fs_pair is not None
+            fs_pairs is not None
+            and all(p is not None for p in fs_pairs)
             and col_filter is None
-            and (cache_dir is None or isinstance(fs_pair[0], pafs.LocalFileSystem))
+            and (cache_dir is None or isinstance(fs_pairs[0][0], pafs.LocalFileSystem))
         ):
-            self._fs, root = fs_pair
-            self._direct_root = root
-            files = _list_parquet_files_fs(self._fs, root)
+            # one scheme -> one fs implementation; roots may be many
+            self._fs = fs_pairs[0][0]
+            self._direct_root = fs_pairs[0][1]
+            files = []
+            for _, root in fs_pairs:
+                files.extend(_list_parquet_files_fs(self._fs, root))
             if selected_files is not None:
                 files = [f for f in files if _strip_scheme(f) in selected_files]
             self._files = files
+            if len(fs_pairs) > 1:
+                # sidecar rowgroup counts are keyed relative to ONE
+                # root; a merged dataset always takes the footer scan
+                self._sidecar_counts = None
         elif cache_dir is not None:
             # user-managed cache dir: materialize into a managed
             # SUBDIRECTORY (an overwrite-write into the dir itself would
@@ -480,9 +542,9 @@ class Reader:
             # only, documented).
             import hashlib
 
-            if dataset_url is not None:
+            if urls is not None:
                 desc = "|".join(
-                    [dataset_url, ",".join(sorted(need)), str(filters)]
+                    ["|".join(urls), ",".join(sorted(need)), str(filters)]
                 )
                 key = hashlib.sha256(desc.encode()).hexdigest()[:12]
             else:
@@ -505,11 +567,29 @@ class Reader:
                 _enforce_cache_limit(cache_dir, cache_size_limit, keep=managed)
             self._files = existing
         else:
+            if urls is not None and col_filter is not None:
+                # Residual JVM-only Column filter over a URL-addressed
+                # store: a silent driver-local tempdir write would not
+                # survive cluster mode (executors write where only the
+                # driver iterates) and copies the filtered scan to one
+                # machine's disk. Demand an explicit durable location.
+                raise ValueError(
+                    "filters=<Column> could not be compiled to DNF for "
+                    "direct streaming (only comparison/in/and/or/not "
+                    "over plain columns and primitive literals compile)."
+                    " Pass pyarrow-style DNF filter tuples, or an "
+                    "explicit cache_dir on a durable filesystem to "
+                    "materialize the filtered scan."
+                )
+            # dataframe-based reader: an arbitrary Spark plan has no
+            # source files to stream, so a materialization is inherent.
             self._owned_cache = tempfile.mkdtemp(prefix="pstorm_cache_")
             plan.write.mode("overwrite").parquet(self._owned_cache)
             self._files = _list_parquet_files(self._owned_cache)
         if not self._files:
-            raise ValueError(f"no parquet files found for {dataset_url or 'dataframe'}")
+            raise ValueError(
+                f"no parquet files found for {urls or 'dataframe'}"
+            )
 
         # ---- piece list (one per row group) --------------------------------
         # Row-group counts come from the metadata sidecar when present
@@ -797,11 +877,19 @@ class Reader:
 
 def make_reader(dataset_url: str | None = None, **kwargs) -> Reader:
     """Row-oriented reader over a (petastorm-style or plain) parquet
-    dataset: yields one namedtuple per row with tensor fields decoded."""
+    dataset: yields one namedtuple per row with tensor fields decoded.
+    Single URL only (reference parity, petastorm/reader.py:60)."""
+    if isinstance(dataset_url, (list, tuple)):
+        raise ValueError(
+            "make_reader accepts a single dataset URL; use "
+            "make_batch_reader for a list of URLs (reference parity)"
+        )
     return Reader(dataset_url, batched=False, **kwargs)
 
 
-def make_batch_reader(dataset_url: str | None = None, **kwargs) -> Reader:
+def make_batch_reader(dataset_url_or_urls=None, **kwargs) -> Reader:
     """Columnar reader: yields one namedtuple of column vectors per row
-    group (post filter/transform)."""
-    return Reader(dataset_url, batched=True, **kwargs)
+    group (post filter/transform). Accepts one parquet URL or a list of
+    same-scheme URLs merged as a single dataset (reference
+    petastorm/reader.py:51-57,209)."""
+    return Reader(dataset_url_or_urls, batched=True, **kwargs)

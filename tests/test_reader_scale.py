@@ -190,7 +190,7 @@ def test_cache_eviction(spark, sf_dir, tmp_path):
         with make_reader(
             f"{sf_dir}/nation.parquet",
             spark=spark,
-            filters=F.col("n_nationkey") < filt,  # Column filter -> materialize
+            filters=(F.col("n_nationkey") % 100) < filt,  # JVM-only filter -> materialize
             cache_dir=cache,
             cache_size_limit=1,  # 1 byte: everything but current evicts
         ) as r:
@@ -348,3 +348,71 @@ def test_petastorm_interop_rejects_malicious_pickle(tmp_path):
 
     with pytest.raises(pickle.UnpicklingError, match="refusing"):
         unischema_from_pickle(pickle.dumps(os.system))
+
+
+# ---------------------------------------------------------------------------
+# Multi-URL make_batch_reader (reference petastorm/reader.py:51-57,209)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def two_shard_dirs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("multiurl")
+    a, b = str(base / "shard_a"), str(base / "shard_b")
+    spark.range(0, 600).repartition(4).write.parquet(a)
+    spark.range(600, 1000).repartition(3).write.parquet(b)
+    return a, b
+
+
+def test_multi_url_batch_reader_merges(spark, two_shard_dirs):
+    a, b = two_shard_dirs
+    with make_batch_reader([a, b], spark=spark) as r:
+        assert r._direct_root is not None  # streams, no materialization
+        got = sorted(int(i) for bt in r for i in np.asarray(bt.id).ravel())
+    assert got == list(range(1000))
+
+
+def test_multi_url_sharding_spans_both(spark, two_shard_dirs):
+    a, b = two_shard_dirs
+    seen = []
+    for shard in range(3):
+        with make_batch_reader(
+            [a, b], spark=spark, cur_shard=shard, shard_count=3
+        ) as r:
+            seen.append(
+                {int(i) for bt in r for i in np.asarray(bt.id).ravel()}
+            )
+    assert seen[0] | seen[1] | seen[2] == set(range(1000))
+    assert not (seen[0] & seen[1] or seen[0] & seen[2] or seen[1] & seen[2])
+    # pieces from BOTH dirs land in shards (7 rowgroups over 3 shards)
+    assert all(s for s in seen)
+
+
+def test_multi_url_filters_push_to_both(spark, two_shard_dirs):
+    a, b = two_shard_dirs
+    with make_batch_reader(
+        [a, b], spark=spark, filters=[("id", ">=", 550), ("id", "<", 650)]
+    ) as r:
+        got = sorted(int(i) for bt in r for i in np.asarray(bt.id).ravel())
+    assert got == list(range(550, 650))
+
+
+def test_multi_url_schema_mismatch_rejected(spark, tmp_path):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    spark.range(10).write.parquet(a)
+    spark.range(10).selectExpr("id", "id * 2 AS other").write.parquet(b)
+    with pytest.raises(ValueError, match="incompatible"):
+        make_batch_reader([a, b], spark=spark)
+
+
+def test_multi_url_mixed_schemes_rejected(spark, two_shard_dirs):
+    a, b = two_shard_dirs
+    with pytest.raises(ValueError, match="scheme"):
+        make_batch_reader([a, f"s3://bucket/x"], spark=spark)
+
+
+def test_make_reader_rejects_url_list(spark, two_shard_dirs):
+    a, b = two_shard_dirs
+    with pytest.raises(ValueError, match="single dataset URL"):
+        make_reader([a, b], spark=spark)

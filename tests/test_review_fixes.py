@@ -11,11 +11,12 @@ from petastorm_spark.reader import make_reader
 def test_user_cache_dir_survives_close_and_is_reused(spark, sf_dir, tmp_path):
     """Finding: close() rmtree'd a user-supplied cache_location."""
     cache = str(tmp_path / "my_cache")
-    # force the materialization path with a Column filter
+    # force the materialization path with a JVM-only (non-DNF-compilable)
+    # Column filter — plain comparisons now compile to DNF and stream
     with make_reader(
         f"{sf_dir}/nation.parquet",
         spark=spark,
-        filters=F.col("n_nationkey") < 10,
+        filters=(F.col("n_nationkey") % 100) < 10,
         cache_dir=cache,
     ) as r:
         assert len(list(r)) == 10
@@ -25,7 +26,7 @@ def test_user_cache_dir_survives_close_and_is_reused(spark, sf_dir, tmp_path):
     with make_reader(
         f"{sf_dir}/nation.parquet",
         spark=spark,
-        filters=F.col("n_nationkey") < 10,
+        filters=(F.col("n_nationkey") % 100) < 10,
         cache_dir=cache,
     ) as r:
         assert len(list(r)) == 10
