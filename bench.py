@@ -135,12 +135,19 @@ def main() -> None:
     else:
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Min-of-N timed runs per query (default 3): a single timed run
+    # conflates plan cost with JVM/GC session noise — the r2 verdict
+    # flagged ±20-36% swings on queries whose code never changed.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     reader_rate = (
         None
@@ -159,7 +166,7 @@ def main() -> None:
                 "sf": sf,
                 "reader_samples_per_sec": reader_rate,
                 "reader_protocol": f"{N_WARMUP_READS} warmup + {N_MEASURED_READS} measured row reads, hello_world-shaped dataset (BASELINE.md protocol, longer measurement window)",
-                "query_protocol": "one untimed warmup run per query at sf0.001 (JIT/codegen), then one timed run at target sf",
+                "query_protocol": f"one untimed warmup run per query at sf0.001 (JIT/codegen), then min of {n_runs} timed runs at target sf",
             }
         )
     )

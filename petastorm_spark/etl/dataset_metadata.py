@@ -123,12 +123,20 @@ def materialize_dataset(
     dataset_url: str,
     schema: Unischema,
     row_group_size_mb: int | None = None,
+    petastorm_compat: bool = True,
 ):
     """Wrap a ``df.write.parquet(dataset_url)`` call: sets the parquet
     row-group size for the write and stores the Unischema sidecar after.
 
         with materialize_dataset(spark, url, schema, 32):
             df.write.mode("overwrite").parquet(url)
+
+    With ``petastorm_compat`` (default), also writes the reference's
+    ``_common_metadata`` footer (pickled Unischema + rowgroup-count
+    keys, format /root/reference/petastorm/etl/dataset_metadata.py:194-241)
+    so ORIGINAL petastorm readers can consume the dataset — mixed-fleet
+    migrations where old trainers read new ETL output. Skipped with a
+    warning when a codec has no byte-compatible reference equivalent.
     """
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     old_block = hconf.get("parquet.block.size")
@@ -142,12 +150,19 @@ def materialize_dataset(
                 hconf.unset("parquet.block.size")
             else:
                 hconf.set("parquet.block.size", old_block)
+    row_groups = collect_rowgroup_counts(spark, dataset_url)
     write_sidecar(
         spark,
         dataset_url,
         {
             "unischema": schema.to_json(),
             "row_group_size_mb": row_group_size_mb,
-            "row_groups": collect_rowgroup_counts(spark, dataset_url),
+            "row_groups": row_groups,
         },
     )
+    if petastorm_compat:
+        from petastorm_spark.etl.petastorm_compat import (
+            write_petastorm_compat_metadata,
+        )
+
+        write_petastorm_compat_metadata(dataset_url, schema, row_groups)

@@ -201,3 +201,173 @@ def load_petastorm_metadata(
         except (ValueError, UnicodeDecodeError):
             counts = None
     return schema, counts
+
+
+# ---------------------------------------------------------------------------
+# Write-side interop: store the reference's pickled-Unischema key so that
+# ORIGINAL petastorm readers can consume datasets this engine writes
+# (format: /root/reference/petastorm/etl/dataset_metadata.py:194-241).
+#
+# The pickle must reference class paths petastorm.unischema.Unischema /
+# petastorm.codecs.* that do not exist in this environment. Writer shim
+# classes carry those __module__/__qualname__ identities, and matching
+# fake modules are injected into sys.modules only for the duration of
+# the dump (pickle verifies global identity at save time); the real
+# petastorm on the READING side resolves the same names to its own
+# classes. No reference code is imported or executed here.
+# ---------------------------------------------------------------------------
+
+import sys
+import types
+import warnings
+from collections import OrderedDict
+from contextlib import contextmanager
+
+
+class _WUnischemaField(NamedTuple):
+    name: str
+    numpy_dtype: object
+    shape: object
+    codec: object = None
+    nullable: object = False
+
+
+class _WUnischema:
+    pass
+
+
+class _WScalarCodec:
+    pass
+
+
+class _WNdarrayCodec:
+    pass
+
+
+class _WCompressedNdarrayCodec:
+    pass
+
+
+class _WCompressedImageCodec:
+    pass
+
+
+_WRITER_NAMES: dict[type, tuple[str, str]] = {
+    _WUnischema: ("petastorm.unischema", "Unischema"),
+    _WUnischemaField: ("petastorm.unischema", "UnischemaField"),
+    _WScalarCodec: ("petastorm.codecs", "ScalarCodec"),
+    _WNdarrayCodec: ("petastorm.codecs", "NdarrayCodec"),
+    _WCompressedNdarrayCodec: ("petastorm.codecs", "CompressedNdarrayCodec"),
+    _WCompressedImageCodec: ("petastorm.codecs", "CompressedImageCodec"),
+}
+for _cls, (_mod, _qual) in _WRITER_NAMES.items():
+    _cls.__module__ = _mod
+    _cls.__qualname__ = _qual
+    _cls.__name__ = _qual
+
+
+@contextmanager
+def _fake_petastorm_modules():
+    mods: dict[str, types.ModuleType] = {}
+    for cls, (mod_name, qual) in _WRITER_NAMES.items():
+        mod = mods.setdefault(mod_name, types.ModuleType(mod_name))
+        setattr(mod, qual, cls)
+    pkg = types.ModuleType("petastorm")
+    pkg.unischema = mods["petastorm.unischema"]
+    pkg.codecs = mods["petastorm.codecs"]
+    injected = {"petastorm": pkg, **mods}
+    saved = {name: sys.modules.get(name) for name in injected}
+    sys.modules.update(injected)
+    try:
+        yield
+    finally:
+        for name, old in saved.items():
+            if old is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = old
+
+
+def _codec_to_ref(codec):
+    if codec is None:
+        return None
+    if isinstance(codec, ScalarCodec):
+        c = _WScalarCodec()
+        c.__dict__["_spark_type"] = codec.spark_dtype()
+        return c
+    if isinstance(codec, NdarrayCodec):
+        return _WNdarrayCodec()  # both sides: plain np.save bytes
+    if isinstance(codec, PetastormNpzCodec):
+        return _WCompressedNdarrayCodec()  # npz container, byte-compatible
+    if isinstance(codec, CompressedImageCodec):
+        c = _WCompressedImageCodec()
+        c.__dict__["_image_codec"] = "." + codec.to_json()["format"]
+        c.__dict__["_quality"] = codec.to_json()["quality"]
+        return c
+    # e.g. our zlib CompressedNdarrayCodec: the PAYLOAD bytes would not
+    # decode in original petastorm, so advertising a schema would
+    # produce silent garbage — refuse instead.
+    raise ValueError(
+        f"codec {type(codec).__name__} has no byte-compatible original-"
+        "petastorm equivalent; use NdarrayCodec or PetastormNpzCodec for "
+        "datasets that original petastorm must read"
+    )
+
+
+def unischema_to_pickle(schema: Unischema) -> bytes:
+    """Reference-compatible pickled Unischema bytes (the
+    dataset-toolkit.unischema.v1 value)."""
+    fields = OrderedDict()
+    for name, f in schema.fields.items():
+        fields[name] = _WUnischemaField(
+            f.name,
+            f.numpy_dtype,
+            tuple(f.shape) if f.shape is not None else None,
+            _codec_to_ref(f.codec),
+            bool(f.nullable),
+        )
+    ref = _WUnischema()
+    ref.__dict__["_name"] = schema._name
+    ref.__dict__["_fields"] = fields
+    # the reference also exposes each field as an instance attribute
+    # (unischema.py:190-198); mirror that state for faithful pickles
+    for name, wf in fields.items():
+        ref.__dict__.setdefault(name, wf)
+    with _fake_petastorm_modules():
+        return pickle.dumps(ref, protocol=2)
+
+
+def write_petastorm_compat_metadata(
+    dataset_url: str,
+    schema: Unischema | None = None,
+    row_groups: dict | None = None,
+) -> bool:
+    """Write a ``_common_metadata`` footer carrying the reference's
+    pickled-Unischema and rowgroup-count keys. Returns False (with a
+    warning) when a codec has no byte-compatible reference equivalent."""
+    from petastorm_spark.reader import _list_parquet_files_fs
+
+    pair = _fs_for(dataset_url)
+    if pair is None:
+        return False
+    fs, root = pair
+    files = _list_parquet_files_fs(fs, root)
+    if not files:
+        return False
+    with fs.open_input_file(files[0]) as fh:
+        arrow_schema = pq.ParquetFile(fh).schema_arrow
+    meta = dict(arrow_schema.metadata or {})
+    if schema is not None:
+        try:
+            meta[UNISCHEMA_KEY] = unischema_to_pickle(schema)
+        except ValueError as e:
+            warnings.warn(
+                f"skipping petastorm-compat unischema key: {e}", stacklevel=2
+            )
+            return False
+    if row_groups is not None:
+        meta[ROW_GROUPS_KEY] = json.dumps(row_groups).encode()
+    out_path = root.rstrip("/") + "/_common_metadata"
+    with fs.open_output_stream(out_path) as f:
+        pq.write_metadata(arrow_schema.with_metadata(meta), f)
+    return True

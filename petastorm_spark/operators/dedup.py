@@ -272,14 +272,15 @@ def simhash_pair_candidates(
         F.col("bk.val").alias("val"),
         F.col("bk.rest").alias("rest"),
     )
-    hot = (
-        buckets.groupBy("band", "val")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > hot_threshold)
-        .select("band", "val", F.lit(True).alias("_hot"))
+    # bucket sizes via a window over the SAME key the self-join shuffles
+    # on — no separate agg job or broadcast marking join, and Spark
+    # reuses the (band, val) exchange across both join sides.
+    from pyspark.sql import Window
+
+    marked = buckets.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "val"))
     )
-    marked = buckets.join(F.broadcast(hot), ["band", "val"], "left")
-    cold = marked.where(F.col("_hot").isNull())
+    cold = marked.where(F.col("_n") <= hot_threshold)
     cold_pairs = _pair_join(cold, id_col, ["band", "val"])
 
     # sub-band split of the remaining bits: max_hamming+1 slices, the
@@ -301,7 +302,7 @@ def simhash_pair_candidates(
         )
         off += w
     hot_rows = (
-        marked.where(F.col("_hot").isNotNull())
+        marked.where(F.col("_n") > hot_threshold)
         .select(
             id_col, "simhash", "band", "val",
             F.explode(F.array(*sub_structs)).alias("sb"),

@@ -416,3 +416,111 @@ def test_make_reader_rejects_url_list(spark, two_shard_dirs):
     a, b = two_shard_dirs
     with pytest.raises(ValueError, match="single dataset URL"):
         make_reader([a, b], spark=spark)
+
+
+# ---------------------------------------------------------------------------
+# Write-side petastorm interop: datasets materialized HERE carry the
+# reference's pickled-Unischema _common_metadata so original petastorm
+# readers can consume them (reference dataset_metadata.py:194-241)
+# ---------------------------------------------------------------------------
+
+
+def test_materialize_writes_petastorm_readable_metadata(spark, tmp_path):
+    from petastorm_spark.codecs import NdarrayCodec, ScalarCodec
+    from petastorm_spark.etl.dataset_metadata import materialize_dataset
+    from petastorm_spark.etl.petastorm_compat import (
+        ROW_GROUPS_KEY,
+        UNISCHEMA_KEY,
+        unischema_from_pickle,
+    )
+    from petastorm_spark.unischema import (
+        Unischema,
+        UnischemaField,
+        dict_to_spark_row,
+    )
+
+    schema = Unischema(
+        "WSchema",
+        [
+            UnischemaField("id", np.int32, (), ScalarCodec(IntegerType()), False),
+            UnischemaField("vec", np.float32, (4,), NdarrayCodec(), False),
+        ],
+    )
+    url = str(tmp_path / "wds")
+    rows = [
+        {"id": i, "vec": np.full((4,), float(i), dtype=np.float32)}
+        for i in range(8)
+    ]
+    with materialize_dataset(spark, url, schema):
+        spark.createDataFrame(
+            [dict_to_spark_row(schema, r) for r in rows],
+            schema.as_spark_schema(),
+        ).coalesce(1).write.mode("overwrite").parquet(url)
+
+    meta = pq.read_metadata(os.path.join(url, "_common_metadata")).metadata
+    assert UNISCHEMA_KEY in meta and ROW_GROUPS_KEY in meta
+
+    # 1) a stand-in for ORIGINAL petastorm (its class names installed as
+    # importable modules) unpickles the key with plain pickle.loads —
+    # exactly what the reference reader does
+    _install_fake_petastorm()
+    try:
+        ref = pickle.loads(meta[UNISCHEMA_KEY])
+        assert ref._name == "WSchema"
+        assert set(ref._fields) == {"id", "vec"}
+        f_id, f_vec = ref._fields["id"], ref._fields["vec"]
+        assert f_id.codec._spark_type == IntegerType()
+        assert f_vec.shape == (4,) and f_vec.numpy_dtype is np.float32
+        assert type(f_vec.codec).__name__ == "NdarrayCodec"
+    finally:
+        for m in ("petastorm", "petastorm.unischema", "petastorm.codecs"):
+            sys.modules.pop(m, None)
+
+    # 2) our own restricted read-side unpickler round-trips it
+    back = unischema_from_pickle(meta[UNISCHEMA_KEY])
+    assert set(back.fields) == {"id", "vec"}
+    assert back.fields["vec"].shape == (4,)
+
+    # 3) rowgroup map matches the physical files
+    counts = json.loads(meta[ROW_GROUPS_KEY].decode())
+    assert sum(counts.values()) >= 1 and all(
+        not k.startswith("/") for k in counts
+    )
+
+    # 4) payloads decode back through a fresh reader (full round trip)
+    with make_reader(url, spark=spark) as r:
+        got = {x.id: x.vec for x in r}
+    np.testing.assert_array_almost_equal(got[3], rows[3]["vec"])
+
+
+def test_materialize_compat_skips_incompatible_codec(spark, tmp_path):
+    """Our zlib CompressedNdarrayCodec has no byte-compatible reference
+    equivalent — the compat key must be SKIPPED (advertising a schema
+    the reference would decode into garbage is worse than absence)."""
+    from petastorm_spark.codecs import CompressedNdarrayCodec, ScalarCodec
+    from petastorm_spark.etl.dataset_metadata import materialize_dataset
+    from petastorm_spark.etl.petastorm_compat import UNISCHEMA_KEY
+    from petastorm_spark.unischema import (
+        Unischema,
+        UnischemaField,
+        dict_to_spark_row,
+    )
+
+    schema = Unischema(
+        "ZSchema",
+        [
+            UnischemaField("id", np.int32, (), ScalarCodec(IntegerType()), False),
+            UnischemaField("z", np.float64, (2,), CompressedNdarrayCodec(), False),
+        ],
+    )
+    url = str(tmp_path / "zds")
+    rows = [{"id": i, "z": np.ones(2)} for i in range(4)]
+    with pytest.warns(UserWarning, match="petastorm-compat"):
+        with materialize_dataset(spark, url, schema):
+            spark.createDataFrame(
+                [dict_to_spark_row(schema, r) for r in rows],
+                schema.as_spark_schema(),
+            ).coalesce(1).write.mode("overwrite").parquet(url)
+    cm = os.path.join(url, "_common_metadata")
+    if os.path.exists(cm):
+        assert UNISCHEMA_KEY not in (pq.read_metadata(cm).metadata or {})
