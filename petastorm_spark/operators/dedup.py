@@ -351,6 +351,50 @@ def simhash_dup_pairs(
     )
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The composed near-dup operator: MinHash+LSH candidate generation
+    followed by an EXACT shingle-Jaccard verify, in one call — the
+    "run jaccard only after LSH has cut candidates" mandate as an
+    operator instead of a docstring.
+
+    Scale: the verify joins the candidate-pair table to per-doc shingle
+    SETS by id (two id-keyed equi-joins over ~|candidates| rows), never
+    the shingle inverted index — so the quadratic posting-list blowup of
+    raw ``jaccard_pairs`` cannot occur. Shingle arrays ride the shuffle
+    but are bounded by document length. Recall is the LSH recall: a pair
+    missed by every band is not verified (the standard trade).
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    sets_df = (
+        df.withColumn("_toks", tokens(text_col))
+        .select(
+            F.col(id_col),
+            shingles_from_tokens("_toks", shingle_n).alias("sh_set"),
+        )
+        .where(F.size("sh_set") > 0)
+    )
+    a = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sa"))
+    b = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_j", jac)
+        .where(F.col("_j") >= threshold)
+        .select("id_a", "id_b", F.round("_j", 4).alias("jaccard"))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,

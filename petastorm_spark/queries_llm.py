@@ -213,6 +213,62 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_oracle(threshold: float = 0.8, num_hashes: int = 16, bands: int = 4) -> str:
+    from petastorm_spark.operators.dedup import MINHASH_MOD, cw_hash_pair_sql
+
+    h1, h2 = cw_hash_pair_sql("sh")
+    rows = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min(({h1} + {s} * {h2}) % {MINHASH_MOD}) AS mh_{s}"
+        for s in range(num_hashes)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ',' || ".join(f"mh_{b * rows + r}::VARCHAR" for r in range(rows))
+        + ") AS bh FROM sig"
+        for b in range(bands)
+    )
+    return (
+        _DOCS_CTE
+        + f""",
+    tok AS (SELECT doc_id, {_TOK} AS t FROM d),
+    sets AS (SELECT doc_id,
+                    list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             FROM tok WHERE len(t) >= 3),
+    sh AS (SELECT doc_id, unnest(s) AS sh FROM sets),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+                 (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4)
+             AS jaccard
+    FROM cand
+    JOIN sets sa ON sa.doc_id = id_a
+    JOIN sets sb ON sb.doc_id = id_b
+    WHERE len(list_intersect(sa.s, sb.s)) * 1.0 /
+          (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= {threshold}
+    """
+    )
+
+
+@register("dedup_near_pairs", oracle=_near_dup_oracle(threshold=0.8))
+def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed near-dup operator: MinHash+LSH candidates -> exact
+    shingle-Jaccard verify >= 0.8, one call. Scale: the verify is two
+    id-keyed joins over candidate pairs (shingle sets as bounded
+    arrays), never the shingle inverted index."""
+    from petastorm_spark.operators.dedup import near_dup_pairs
+
+    return near_dup_pairs(
+        _docs_with_copies(spark, sf_dir), "text", "doc_id",
+        threshold=0.8, num_hashes=16, bands=4, shingle_n=3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

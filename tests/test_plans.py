@@ -82,3 +82,21 @@ def test_pseudorandom_split_single_scan(spark, sf_dir):
 
     df = QUERIES["pred_pseudorandom_split"](spark, sf_dir)
     assert formatted_plan(df).count("ReadSchema") == 1
+
+
+def test_near_dup_verify_keyed_on_candidates(spark, sf_dir):
+    """Round-2 verdict #7: near_dup_pairs' Jaccard verify must join the
+    candidate pairs to per-doc shingle SETS by id — the exploded
+    shingle column may appear as a join key only inside the LSH banding
+    (band, band-hash), never as an `sh = sh` inverted-index self-join."""
+    from petastorm_spark.operators.dedup import near_dup_pairs
+    from petastorm_spark.plans.checks import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(near_dup_pairs(docs, "text", "doc_id"))
+    import re
+
+    assert "id_a" in plan and "id_b" in plan
+    # the banded join keys on (band, bh); a raw postings self-join would
+    # key two exploded `sh` columns against each other
+    assert not re.search(r"\bsh#\d+ = sh#\d+", plan), "inverted-index join found"
