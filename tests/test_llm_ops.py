@@ -307,3 +307,70 @@ def test_simhash_pairs_hot_path_matches_cold_path(spark, sf_dir):
     key = lambda r: (r.id_a, r.id_b, r.hamming)
     assert sorted(map(key, hot)) == sorted(map(key, cold))
     assert cold  # non-degenerate fixture
+
+
+@pytest.fixture(scope="module")
+def clustered_embeddings(spark):
+    """1000 vectors in 20 tight clusters (dim 16, unit-norm), ids
+    round-robin across clusters so IVF's deterministic lowest-id
+    centroids span clusters. Recall@5 on this fixture is meaningful —
+    an iid fixture has no structure for ANN to find."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    n_clusters, per, dim = 20, 50, 16
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for _ in range(per):
+        for c in range(n_clusters):
+            v = centers[c] + 0.15 * rng.standard_normal(dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).cache()
+    emb.count()
+    return emb, dim
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_ann_recall_at_5_on_clustered_fixture(spark, clustered_embeddings):
+    """Round-2 verdict #8: absolute recall@5 floors (not just
+    monotonicity) for each ANN variant on a structured corpus.
+    Observed on this seed: lsh 0.24, multiprobe 0.61, ivf 0.94."""
+    import numpy as np
+
+    from petastorm_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+        cosine_topk_multiprobe,
+    )
+
+    emb, dim = clustered_embeddings
+    q = emb.where("vec_id < 20")
+    exact = _topk_sets(cosine_topk(emb, q, k=5))
+    assert len(exact) == 20
+
+    def recall(df):
+        got = _topk_sets(df)
+        return float(
+            np.mean([len(got.get(k, set()) & exact[k]) / 5 for k in exact])
+        )
+
+    r_lsh = recall(cosine_topk_lsh(emb, q, dim=dim, k=5))
+    r_mp = recall(cosine_topk_multiprobe(emb, q, dim=dim, k=5))
+    r_ivf = recall(cosine_topk_ivf(emb, q, k=5, n_cells=16, n_probe=3))
+    assert r_lsh >= 0.15, r_lsh
+    assert r_mp >= 0.50, r_mp
+    assert r_ivf >= 0.85, r_ivf
+    # multi-probe exists to beat single-probe on exactly this shape
+    assert r_mp > r_lsh
