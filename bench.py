@@ -165,7 +165,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reader_samples_per_sec": reader_rate,
-                "reader_protocol": f"{N_WARMUP_READS} warmup + {N_MEASURED_READS} measured row reads, hello_world-shaped dataset (BASELINE.md protocol, longer measurement window)",
+                "reader_protocol": f"{N_WARMUP_READS} warmup + {N_MEASURED_READS} measured row reads, hello_world-shaped dataset (BASELINE.md protocol, longer measurement window). Since r3 the png payloads are REAL PNG byte streams (pure-python codec) — r1/r2 used a raw np.save container, so their reader rates are not directly comparable",
                 "query_protocol": f"one untimed warmup run per query at sf0.001 (JIT/codegen), then min of {n_runs} timed runs at target sf",
             }
         )

@@ -174,14 +174,20 @@ class CompressedNdarrayCodec(DataframeColumnCodec):
 class CompressedImageCodec(DataframeColumnCodec):
     """HxW / HxWx3 uint8|uint16 image <-> png/jpeg bytes.
 
-    Uses PIL if importable. Without an image library (this container),
-    encodes a deterministic raw container: ``b'RAW0' + np.save`` bytes.
-    The container is self-describing, so datasets written with the
-    fallback decode anywhere.
+    Backends, in order:
+      - PIL when importable (png + jpeg);
+      - for png without PIL, a pure-python spec-compliant codec
+        (:mod:`petastorm_spark.functions.pure_png`) — real ``.png``
+        bytes, lossless, interoperable with any external decoder;
+      - for jpeg without PIL (DCT is out of scope for a fallback), a
+        deterministic raw container ``b'RAW0' + np.save`` bytes —
+        self-describing, so such datasets still decode anywhere THIS
+        library runs.
     """
 
     name = "compressed_image"
     _MAGIC = b"RAW0"
+    _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
     def __init__(self, image_codec: str = "png", quality: int = 80):
         if image_codec not in ("png", "jpeg"):
@@ -192,19 +198,29 @@ class CompressedImageCodec(DataframeColumnCodec):
     def spark_dtype(self) -> DataType:
         return BinaryType()
 
-    @staticmethod
-    def _pil():
-        try:
-            from PIL import Image  # noqa: PLC0415
+    _pil_cache: object = False  # False = not probed yet; None = absent
 
-            return Image
-        except ImportError:
-            return None
+    @classmethod
+    def _pil(cls):
+        # cache the probe: a FAILED import re-scans sys.path every call,
+        # which at one decode per row dominated the read path
+        if cls._pil_cache is False:
+            try:
+                from PIL import Image  # noqa: PLC0415
+
+                cls._pil_cache = Image
+            except ImportError:
+                cls._pil_cache = None
+        return cls._pil_cache
 
     def encode(self, field, value):
         _check_shape_and_dtype(field, value)
         Image = self._pil()
         if Image is None:
+            if self._format == "png":
+                from petastorm_spark.functions.pure_png import png_encode
+
+                return bytearray(png_encode(np.asarray(value)))
             buf = io.BytesIO()
             np.save(buf, value)
             return bytearray(self._MAGIC + buf.getvalue())
@@ -218,12 +234,16 @@ class CompressedImageCodec(DataframeColumnCodec):
         if raw[:4] == self._MAGIC:
             return np.load(io.BytesIO(raw[4:]), allow_pickle=False)
         Image = self._pil()
-        if Image is None:
-            raise NotImplementedError(
-                "decoding real png/jpeg requires PIL/OpenCV, neither is "
-                "available in this environment"
-            )
-        return np.asarray(Image.open(io.BytesIO(raw)))
+        if Image is not None:
+            return np.asarray(Image.open(io.BytesIO(raw)))
+        if raw[:8] == self._PNG_SIG:
+            from petastorm_spark.functions.pure_png import png_decode
+
+            return png_decode(raw)
+        raise NotImplementedError(
+            "decoding jpeg requires PIL/OpenCV, neither is available in "
+            "this environment (png decodes via the pure-python codec)"
+        )
 
     def to_json(self) -> dict:
         return {"codec": self.name, "format": self._format, "quality": self._quality}
