@@ -215,6 +215,7 @@ def simhash_pair_candidates(
     bands: int = 4,
     max_hamming: int = 3,
     hot_threshold: int = 1000,
+    prefilter_hamming: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs from a SimHash signature table
     (columns: id, simhash), EXACT for hamming <= bands-1 and never
@@ -313,7 +314,16 @@ def simhash_pair_candidates(
         )
     )
     hot_pairs = _pair_join(hot_rows, id_col, ["band", "val", "sub", "subval"])
-    return cold_pairs.unionByName(hot_pairs).distinct()
+    cand = cold_pairs.unionByName(hot_pairs)
+    if prefilter_hamming is not None:
+        # verify BEFORE the dedup shuffle: bit_count is a per-row map,
+        # so the distinct then exchanges only true near-dup pairs
+        # instead of every band collision
+        cand = cand.where(
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            <= prefilter_hamming
+        )
+    return cand.distinct()
 
 
 def simhash_dup_pairs(
@@ -344,9 +354,10 @@ def simhash_dup_pairs(
     cand = simhash_pair_candidates(
         sig, id_col, bits=bits, bands=bands,
         max_hamming=max_hamming, hot_threshold=hot_threshold,
+        prefilter_hamming=max_hamming,
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.where(hamming <= max_hamming).select(
+    return cand.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     )
 
