@@ -29,6 +29,13 @@ _FRONT = [
     # hash-red in r2 (dtype-only; oracle now CASTs to BIGINT) — re-prove
     "q12_priority_shipping",
     "events_pivot",
+    # new in r3 — first driver-oracle evidence
+    "dedup_near_pairs",
+    "dedup_embedding_pairs",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
 ]
 _TAIL = [
     # green in BOTH r1 and r2; simple analytic variants whose operators
@@ -43,6 +50,8 @@ _TAIL = [
     "running_totals",
     "set_ops_customers",
     "distinct_agg",
+    "numeric_stats",
+    "json_extract_events",
 ]
 
 

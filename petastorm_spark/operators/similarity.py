@@ -274,3 +274,41 @@ def cosine_topk_multiprobe(
         .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
     )
     return topk_per_query(scored, k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.995,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: random-hyperplane LSH
+    bucketing (each vector lands in exactly one sign-pattern bucket) and
+    an exact cosine verify >= ``threshold`` on same-bucket pairs.
+
+    The dedup-by-embedding modality next to MinHash/SimHash text dedup:
+    exact duplicates (identical vectors) always share a bucket, so
+    recall for true copies is 1.0; near-miss recall follows the LSH
+    plane count (raise via multi-probe if needed).
+
+    Scale: bucket equi-join — never all pairs; the verify is a per-row
+    JVM map over candidate pairs. No distinct needed: one bucket per
+    vector means a pair can only collide once.
+    """
+    b = hyperplane_buckets(df, vec_col, dim, n_planes, seed)
+    a = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        a.join(c, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("_c", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("_c") >= threshold)
+        .select("id_a", "id_b", F.round("_c", 4).alias("cos_sim"))
+    )

@@ -1380,6 +1380,202 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)) / sum(l_quantity), 4)
+                 AS unit_cost
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_size IN (15, 25)
+        GROUP BY l_partkey, l_suppkey),
+    ranked AS (
+        SELECT l_partkey, l_suppkey, unit_cost,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY unit_cost, l_suppkey) AS rn
+        FROM cost)
+    SELECT l_partkey AS p_partkey, s_name, unit_cost
+    FROM ranked JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rn = 1
+    ORDER BY p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analogue (no partsupp table: the observed unit cost in
+    lineitem stands in for ps_supplycost). Cheapest supplier per part in
+    a size slice, ties broken by suppkey. Scale: part filter broadcasts
+    into the fact scan; one (part, supp) agg shuffle; the rank window
+    partitions by part (thousands of small groups, no funnel)."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_size").isin(15, 25))
+    li = _t(spark, sf_dir, "lineitem")
+    cost = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                / F.sum("l_quantity"),
+                4,
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        cost.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"), "s_name", "unit_cost"
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH val AS (
+        SELECT l_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey)
+    SELECT l_partkey AS p_partkey, part_value
+    FROM val
+    WHERE part_value > (SELECT sum(part_value) * 0.002 FROM val)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analogue: parts whose traded value through one
+    nation's suppliers exceeds a fraction of that nation's total.
+    Scale: nation+supplier dims broadcast; one part agg shuffle; the
+    scalar total comes back as a 1-row broadcast, not a second scan of
+    the aggregate (the val frame is reused across both sides)."""
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    li = _t(spark, sf_dir, "lineitem")
+    val = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("part_value")
+        )
+    )
+    total = val.agg((F.sum("part_value") * 0.002).alias("threshold"))
+    return (
+        val.join(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+    GROUP BY s_suppkey, s_name
+    HAVING sum(l_quantity) > 100
+    ORDER BY s_suppkey
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analogue: suppliers who moved a large volume of a part
+    family in one year. Scale: the part-family id list is a broadcast
+    LEFT SEMI join (no row duplication); shipdate range reaches the
+    row-group stats; HAVING is post-agg on tiny groups."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 100)
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH ls AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN CAST(l_shipdate AS DATE) >
+                             CAST(o_orderdate AS DATE) + 90
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY l_orderkey, l_suppkey),
+    per_order AS (
+        SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+        FROM ls GROUP BY l_orderkey)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM ls
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue (no receipt/commit dates: 'late' = shipped
+    more than 90 days after the order date). Suppliers who were the
+    SOLE late supplier on a multi-supplier order — the exists/not-exists
+    pair re-expressed as one grouped pass plus an order-level profile
+    join, so the fact table is scanned once, not three times.
+    Scale: two shuffles ((order,supp) agg, then order profile), both
+    key-partitioned; supplier dim broadcasts; deterministic total
+    order before the LIMIT."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    late_flag = F.when(
+        F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 90), 1
+    ).otherwise(0)
+    ls = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late_flag).alias("late"))
+    )
+    per_order = ls.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        ls.join(per_order, "l_orderkey")
+        .where((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
 # LLM-pipeline catalog registers itself on import (dedup / text /
 # similarity queries live in queries_llm.py).
 from petastorm_spark import queries_llm  # noqa: E402,F401  (import side effect)

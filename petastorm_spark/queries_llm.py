@@ -688,3 +688,39 @@ def ann_cosine_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_multiprobe(
         emb, emb.where(F.col("vec_id") < 10), dim=64, k=5, n_planes=8, seed=7
     )
+
+
+def _embedding_dedup_oracle(threshold: float = 0.995) -> str:
+    return f"""
+    WITH e0 AS (SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + {_COPY_SHIFT} AS vec_id, embedding FROM embeddings),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM e0),
+    b AS (SELECT vec_id, v, CAST({_lsh_planes_sql(8)} AS INT) AS bucket FROM e),
+    s AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 list_dot_product(a.v, b2.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b2.v, b2.v))) AS cos
+          FROM b a JOIN b b2 USING (bucket)
+          WHERE a.vec_id < b2.vec_id)
+    SELECT id_a, id_b, round(cos, 4) AS cos_sim
+    FROM s WHERE cos >= {threshold}
+    """
+
+
+@register("dedup_embedding_pairs", oracle=_embedding_dedup_oracle())
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the vector-space dedup modality
+    next to MinHash/SimHash): LSH sign-pattern buckets + exact cosine
+    verify >= 0.995. The synthetic copies (identical vectors) always
+    share a bucket, so every true duplicate pair surfaces at cos 1.0.
+    Scale: one bucket equi-join, per-row verify, no all-pairs."""
+    from petastorm_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    both = emb.unionByName(
+        emb.select((F.col("vec_id") + _COPY_SHIFT).alias("vec_id"), "embedding")
+    )
+    return embedding_near_dup_pairs(
+        both, "vec_id", "embedding", dim=64, threshold=0.995, n_planes=8, seed=7
+    )
