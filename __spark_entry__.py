@@ -36,6 +36,7 @@ _FRONT = [
     "q11_important_parts",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
+    "events_ewma",
 ]
 _TAIL = [
     # green in BOTH r1 and r2; simple analytic variants whose operators
@@ -52,6 +53,7 @@ _TAIL = [
     "distinct_agg",
     "numeric_stats",
     "json_extract_events",
+    "token_frequencies",
 ]
 
 

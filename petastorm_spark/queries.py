@@ -1576,6 +1576,41 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_ewma",
+    oracle="""
+    WITH g AS (SELECT user_id,
+                      list(value ORDER BY ts, value) AS vals,
+                      epoch_us(max(ts)) AS last_ts_us
+               FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           round(list_reduce(vals, (acc, x) -> 0.3*x + 0.7*acc), 4) AS ewma,
+           last_ts_us
+    FROM g
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values in (ts, value) order — an
+    order-dependent fold no built-in aggregate expresses, so the
+    pandas-UDF path (applyInPandas, vectorized closed-form fold) is the
+    right tool; its streaming twin is applyInPandasWithState
+    (streaming/feed.py:running_ewma_stream) with the same fold. Scale:
+    one key shuffle, Arrow-batched groups."""
+    from petastorm_spark.operators.stateful import ewma_by_key
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma_by_key(ev, "user_id", "ts", "value", alpha=0.3)
+    # DuckDB timestamps carry microseconds; emit last_ts at us so both
+    # engines hash the same integers (ts is ns-as-long on the Spark side)
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("ewma", 4).alias("ewma"),
+        F.expr("CAST(last_ts DIV 1000 AS BIGINT)").alias("last_ts_us"),
+    )
+
+
 # LLM-pipeline catalog registers itself on import (dedup / text /
 # similarity queries live in queries_llm.py).
 from petastorm_spark import queries_llm  # noqa: E402,F401  (import side effect)

@@ -146,3 +146,63 @@ def sessionize_stream(
         key_col,
         *agg_names,
     )
+
+
+def running_ewma_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-key running EWMA of ``value_col`` in (ts, value) order — an
+    order-dependent fold no built-in streaming aggregate expresses.
+
+    State per key: (count, ewma, last_ts) in the state store, hash-
+    partitioned by key; each micro-batch folds its Arrow batches into
+    the state with the same closed-form update as the batch twin
+    (operators/stateful.py), so `availableNow` over a static directory
+    reproduces ``ewma_by_key`` exactly. Emits one updated row per key
+    per micro-batch (outputMode update).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from petastorm_spark.operators.stateful import ewma_update
+
+    out_schema = (
+        f"{key_col} bigint, n_events bigint, ewma double, last_ts bigint"
+    )
+    state_schema = "cnt bigint, ewma double, last_ts bigint"
+
+    def fold(key, pdfs, state: GroupState):
+        cnt, ewma, last = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, value_col])
+            vals = pdf[value_col].to_numpy()
+            if len(vals):
+                ewma = ewma_update(vals, alpha, ewma)
+                cnt += len(vals)
+                last = int(pdf[ts_col].iloc[-1])
+        state.update((cnt, ewma, last))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [cnt],
+                "ewma": [ewma],
+                "last_ts": [last],
+            }
+        )
+
+    return (
+        events.select(key_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -231,3 +231,35 @@ def test_streaming_dedup(spark, sf_dir, tmp_path_factory):
     q.awaitTermination(120)
     n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0].n
     assert n == distinct_texts
+
+
+def test_streaming_ewma_matches_batch_twin(spark, sf_dir, tmp_path_factory):
+    """applyInPandasWithState custom stateful fold: availableNow over a
+    static directory must reproduce the batch applyInPandas twin
+    exactly (same closed-form update, state folded per key)."""
+    from petastorm_spark.operators.stateful import ewma_by_key
+    from petastorm_spark.streaming.feed import running_ewma_stream, stream_dataset
+
+    d = str(tmp_path_factory.mktemp("ewma") / "events")
+    # one file -> one micro-batch, so cross-batch arrival order cannot
+    # diverge from event-time order
+    spark.read.parquet(f"{sf_dir}/events.parquet").coalesce(1).write.parquet(d)
+
+    q = (
+        running_ewma_stream(stream_dataset(spark, d))
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        r.user_id: (r.n_events, round(r.ewma, 6), r.last_ts)
+        for r in spark.sql("SELECT * FROM ewma_out").collect()
+    }
+    batch_rows = {
+        r.user_id: (r.n_events, round(r.ewma, 6), r.last_ts)
+        for r in ewma_by_key(spark.read.parquet(d)).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
