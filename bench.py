@@ -53,6 +53,10 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "ann_cosine_multiprobe",
     "events_pivot",
+    "q21_waiting_suppliers",
+    "dedup_near_pairs",
+    "dedup_embedding_pairs",
+    "events_ewma",
 ]
 
 N_WARMUP_READS = 500

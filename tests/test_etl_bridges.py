@@ -263,3 +263,37 @@ def test_streaming_ewma_matches_batch_twin(spark, sf_dir, tmp_path_factory):
         for r in ewma_by_key(spark.read.parquet(d)).collect()
     }
     assert stream_rows == batch_rows and stream_rows
+
+
+def test_throughput_cli(spark, sf_dir, capsys):
+    """petastorm-throughput parity: measures cycles/sec on any dataset."""
+    from petastorm_spark.benchmark.cli import main
+    from petastorm_spark.benchmark.throughput import reader_throughput
+
+    res = reader_throughput(
+        f"{sf_dir}/nation.parquet",
+        warmup_cycles=5,
+        measure_cycles=20,
+        workers_count=2,
+        spark=spark,
+    )
+    assert res.samples_per_second > 0
+    r2 = reader_throughput(
+        f"{sf_dir}/nation.parquet",
+        warmup_cycles=1,
+        measure_cycles=2,
+        read_method="batch",
+        spark=spark,
+    )
+    assert r2.batched and r2.samples_per_second > 0
+    assert (
+        main(
+            [
+                f"{sf_dir}/nation.parquet",
+                "-m", "2", "-n", "5", "-w", "2",
+                "--field-regex", "n_.*",
+            ]
+        )
+        == 0
+    )
+    assert "samples/sec" in capsys.readouterr().out
