@@ -42,6 +42,10 @@ STUDY_QUERIES = [
     "text_stats",
     "dedup_simhash",
     "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "ann_cosine_multiprobe",
+    "events_ewma",
+    "q21_waiting_suppliers",
 ]
 
 
