@@ -276,6 +276,20 @@ def cosine_topk_multiprobe(
     return topk_per_query(scored, k)
 
 
+def adaptive_plane_count(
+    corpus_size_hint: int, target_bucket: int = 1024, floor: int = 8
+) -> int:
+    """Plane count so the EXPECTED bucket holds ~``target_bucket``
+    vectors: ceil(log2(N / target)). 60k rows keep the 8-plane floor;
+    a 10^9-vector corpus gets ~20 planes (1M buckets) instead of 256.
+    Capped at 30 so the sign pattern stays an int."""
+    import math
+
+    if corpus_size_hint <= target_bucket:
+        return floor
+    return max(floor, min(30, math.ceil(math.log2(corpus_size_hint / target_bucket))))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -284,29 +298,84 @@ def embedding_near_dup_pairs(
     threshold: float = 0.995,
     n_planes: int = 8,
     seed: int = 7,
+    hot_threshold: int = 2000,
+    extra_planes: int = 12,
+    corpus_size_hint: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: random-hyperplane LSH
     bucketing (each vector lands in exactly one sign-pattern bucket) and
     an exact cosine verify >= ``threshold`` on same-bucket pairs.
 
     The dedup-by-embedding modality next to MinHash/SimHash text dedup:
-    exact duplicates (identical vectors) always share a bucket, so
-    recall for true copies is 1.0; near-miss recall follows the LSH
-    plane count (raise via multi-probe if needed).
+    exact duplicates (identical vectors) always share a bucket — they
+    agree on EVERY hyperplane sign, including the refinement bits below
+    — so recall for true copies is 1.0 at any threshold/bucket density;
+    near-miss recall follows the LSH plane count.
 
-    Scale: bucket equi-join — never all pairs; the verify is a per-row
-    JVM map over candidate pairs. No distinct needed: one bucket per
-    vector means a pair can only collide once.
+    Scale (two defenses, mirroring the simhash two-level pigeonhole in
+    ``dedup.simhash_pair_candidates``):
+
+    1. *Adaptive plane count* — pass ``corpus_size_hint`` and the
+       bucket width grows as ceil(log2(N / 1024)), keeping the expected
+       bucket near-constant instead of N/2^8 (quadratic per bucket).
+    2. *Hot-bucket refinement* — bucket sizes are counted with a window
+       over the same key the self-join shuffles on (exchange reused,
+       no extra agg job). Buckets above ``hot_threshold`` — clustered
+       embeddings concentrate far beyond the expectation; that skew is
+       WHY one is deduping — are re-joined on ``extra_planes``
+       additional hyperplane sign bits, splitting a hot bucket ~2^12
+       ways. Identical vectors still agree on all extra bits (lossless
+       for true copies); near-miss recall inside hot buckets follows
+       the wider effective hash, the standard LSH trade.
+
+    The verify is a per-row JVM map over candidate pairs. No distinct
+    needed: cold/hot rows are disjoint and each vector has exactly one
+    (bucket, refine) key, so a pair collides at most once.
     """
-    b = hyperplane_buckets(df, vec_col, dim, n_planes, seed)
-    a = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    if corpus_size_hint is not None:
+        n_planes = max(n_planes, adaptive_plane_count(corpus_size_hint))
+
+    # One rng stream: the first n_planes rows match hyperplane_buckets
+    # (and the SQL oracle) for the same seed; the extras are the
+    # refinement planes.
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes + extra_planes, dim))
+
+    def sign_pattern(rows) -> Column:
+        pat = F.lit(0)
+        for i, plane in enumerate(rows):
+            proj = dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in plane]))
+            pat = pat + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return pat.cast("int")
+
+    b = df.withColumn("bucket", sign_pattern(planes[:n_planes])).withColumn(
+        "_refine", sign_pattern(planes[n_planes:])
     )
-    c = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+
+    from pyspark.sql import Window
+
+    # A bucket is uniformly hot or cold (the count is a bucket
+    # property), so hot refinement folds into ONE equi-join key:
+    # cold rows take a constant subkey (whole-bucket matching), hot
+    # rows their extra-plane sign pattern. The bucket-size window and
+    # the join then share a single hashpartitioning(bucket) exchange —
+    # partitioning on bucket alone satisfies the (bucket, subkey)
+    # clustering — so the corpus is scanned, projected, and shuffled
+    # exactly once, with the join's second side a ReusedExchange.
+    marked = b.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    ).withColumn(
+        "_sub",
+        F.when(F.col("_n") > hot_threshold, F.col("_refine")).otherwise(F.lit(-1)),
+    )
+    a = marked.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket", "_sub"
+    )
+    c = marked.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket", "_sub"
     )
     return (
-        a.join(c, "bucket")
+        a.join(c, ["bucket", "_sub"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("_c", cosine(F.col("va"), F.col("vb")))
         .where(F.col("_c") >= threshold)

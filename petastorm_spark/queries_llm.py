@@ -713,8 +713,12 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (the vector-space dedup modality
     next to MinHash/SimHash): LSH sign-pattern buckets + exact cosine
     verify >= 0.995. The synthetic copies (identical vectors) always
-    share a bucket, so every true duplicate pair surfaces at cos 1.0.
-    Scale: one bucket equi-join, per-row verify, no all-pairs."""
+    share a bucket — and agree on the hot-bucket refinement planes —
+    so every true duplicate pair surfaces at cos 1.0 regardless of
+    bucket density; the plain-bucket oracle stays exact because only
+    identical vectors clear the 0.995 threshold in this corpus.
+    Scale: one scan + one shuffle (window count and join share the
+    bucket exchange); hot buckets split on 12 extra hyperplane bits."""
     from petastorm_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -374,3 +374,80 @@ def test_ann_recall_at_5_on_clustered_fixture(spark, clustered_embeddings):
     assert r_ivf >= 0.85, r_ivf
     # multi-probe exists to beat single-probe on exactly this shape
     assert r_mp > r_lsh
+
+
+def test_adaptive_plane_count():
+    from petastorm_spark.operators.similarity import adaptive_plane_count
+
+    assert adaptive_plane_count(60_000) == 8          # floor holds small corpora
+    assert adaptive_plane_count(10**9) == 20          # ~1M buckets at 1B vectors
+    assert adaptive_plane_count(10**15) == 30         # int-bucket cap
+    assert adaptive_plane_count(0) == 8
+
+
+def test_embedding_pairs_hot_bucket_not_quadratic(spark):
+    """VERDICT r3: a hot LSH bucket must not trigger a quadratic
+    self-join. Diverse vectors that collide on the 8 bucket planes are
+    split by the extra refinement planes; exact copies agree on every
+    plane so true-duplicate recall stays 1.0."""
+    from petastorm_spark.operators.similarity import embedding_near_dup_pairs
+
+    dim, n_planes, seed = 16, 8, 7
+    rng_planes = np.random.default_rng(seed)
+    planes = rng_planes.standard_normal((n_planes, dim))
+
+    # numpy-side rejection: draw random unit vectors, keep the modal
+    # 8-plane bucket -> one genuinely hot, genuinely diverse bucket
+    rng = np.random.default_rng(123)
+    vecs = rng.standard_normal((60_000, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    signs = (vecs @ planes.T > 0).astype(np.int64)
+    buckets = signs @ (1 << np.arange(n_planes))
+    modal = np.bincount(buckets).argmax()
+    hot_vecs = vecs[buckets == modal]
+    n_hot = len(hot_vecs)
+    assert n_hot > 150  # fixture is genuinely hot
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(hot_vecs)]
+    # plant 20 exact copies (ids n_hot..n_hot+19 copy ids 0..19)
+    rows += [(n_hot + i, rows[i][1]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    # threshold=-1 surfaces every candidate pair the join generated
+    cand = embedding_near_dup_pairs(
+        df, "vec_id", "embedding", dim=dim, threshold=-1.0,
+        n_planes=n_planes, seed=seed, hot_threshold=50,
+    )
+    n_cand = cand.count()
+    quadratic = (n_hot + 20) * (n_hot + 19) // 2
+    assert n_cand < quadratic / 10, (n_cand, quadratic)
+
+    # true-copy recall 1.0 through the hot path at the real threshold
+    out = embedding_near_dup_pairs(
+        df, "vec_id", "embedding", dim=dim, threshold=0.995,
+        n_planes=n_planes, seed=seed, hot_threshold=50,
+    ).collect()
+    copy_pairs = {(i, n_hot + i) for i in range(20)}
+    got_pairs = {(r.id_a, r.id_b) for r in out}
+    assert copy_pairs <= got_pairs
+    assert all(r.cos_sim == 1.0 for r in out if (r.id_a, r.id_b) in copy_pairs)
+
+
+def test_embedding_pairs_hot_path_matches_cold_path(spark, sf_dir):
+    """Forcing every bucket hot (threshold=1) must not change the
+    surfaced duplicate set vs the plain bucket join (threshold=inf) on
+    the real embeddings table, where only exact copies clear 0.995."""
+    from petastorm_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    both = emb.unionByName(
+        emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    kw = dict(dim=64, threshold=0.995, n_planes=8, seed=7)
+    cold = embedding_near_dup_pairs(both, "vec_id", "embedding", hot_threshold=10**9, **kw).collect()
+    hot = embedding_near_dup_pairs(both, "vec_id", "embedding", hot_threshold=1, **kw).collect()
+    key = lambda r: (r.id_a, r.id_b, r.cos_sim)
+    assert sorted(map(key, hot)) == sorted(map(key, cold))
+    assert cold  # every vector has a planted copy
