@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary columns with
 typed metadata, processed by Arrow-batched pandas functions.
 
-The container has no image/audio libraries, so the *decode* kernels are
-stubs: a deterministic fake container (same RAW0 format as
-codecs.CompressedImageCodec) decodes for real; genuine jpeg/png/wav
-bytes raise NotImplementedError. Everything Spark-side — schemas,
-mapInPandas batch shapes, partition behavior — is real and tested.
+Image decode is real for the formats the engine itself produces: RAW0
+deterministic containers AND spec-compliant PNG byte streams (via
+functions.pure_png, or PIL when present) — so a column written by
+codecs.CompressedImageCodec('.png') round-trips through every kernel
+here. jpeg without PIL raises NotImplementedError. Everything
+Spark-side — schemas, mapInPandas batch shapes, partition behavior —
+is real and tested.
 
 Scale: mapInPandas streams Arrow batches; per-batch Python overhead is
 amortized, memory is bounded by the batch size
@@ -42,14 +44,31 @@ def encode_fake_image(arr: np.ndarray) -> bytes:
     return RAW_MAGIC + buf.getvalue()
 
 
-def decode_image_bytes(raw: bytes) -> np.ndarray:
-    """Decode one image blob. RAW0 containers decode for real; anything
-    else needs an image library this environment doesn't ship."""
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_image_bytes(raw: bytes) -> tuple[np.ndarray, str]:
+    """Decode one image blob -> (array, format). RAW0 containers and
+    real PNG byte streams (via the pure-python codec, or PIL when
+    present) decode for real; jpeg without PIL raises."""
     if raw[:4] == RAW_MAGIC:
-        return np.load(io.BytesIO(raw[4:]), allow_pickle=False)
+        return np.load(io.BytesIO(raw[4:]), allow_pickle=False), "raw0"
+    if raw[:8] == PNG_SIG:
+        from petastorm_spark.functions.pure_png import png_decode
+
+        return png_decode(raw), "png"
+    try:
+        from PIL import Image  # noqa: F401 - optional, absent in container
+    except ImportError:
+        pass
+    else:
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(raw))
+        return np.asarray(img), (img.format or "pil").lower()
     raise NotImplementedError(
-        "real png/jpeg decode requires PIL/OpenCV (not in this container); "
-        "plumbing is exercised via the RAW0 deterministic container"
+        "jpeg decode requires PIL/OpenCV (not in this container); RAW0 "
+        "and real PNG byte streams decode via the pure-python codec"
     )
 
 
@@ -75,11 +94,11 @@ def with_image_meta(df: DataFrame, binary_col: str, out_col: str = "image_meta")
             for raw in pdf[binary_col]:
                 raw = bytes(raw)
                 try:
-                    arr = decode_image_bytes(raw)
+                    arr, fmt = decode_image_bytes(raw)
                     h = int(arr.shape[0]) if arr.ndim >= 1 else None
                     w = int(arr.shape[1]) if arr.ndim >= 2 else None
                     c = int(arr.shape[2]) if arr.ndim >= 3 else 1
-                    metas.append((len(raw), h, w, c, "raw0"))
+                    metas.append((len(raw), h, w, c, fmt))
                 except NotImplementedError:
                     metas.append((len(raw), None, None, None, "opaque"))
             pdf[out_col] = [
@@ -94,9 +113,10 @@ def with_image_meta(df: DataFrame, binary_col: str, out_col: str = "image_meta")
 def resize_images(
     df: DataFrame, binary_col: str, out_col: str, target_hw: tuple[int, int]
 ) -> DataFrame:
-    """Nearest-neighbor resize of RAW0 images to (H, W) — the decode →
-    transform → re-encode kernel pattern (petastorm TransformSpec over
-    image codecs). Output column is RAW0 binary."""
+    """Nearest-neighbor resize to (H, W) — the decode → transform →
+    re-encode kernel pattern (petastorm TransformSpec over image
+    codecs). Output stays in the input's container: PNG in → PNG out
+    (pure-python encoder), RAW0 in → RAW0 out."""
     out_schema = StructType(df.schema.fields + [StructField(out_col, BinaryType(), True)])
     th, tw = target_hw
 
@@ -104,10 +124,16 @@ def resize_images(
         for pdf in batches:
             out = []
             for raw in pdf[binary_col]:
-                arr = decode_image_bytes(bytes(raw))
+                arr, fmt = decode_image_bytes(bytes(raw))
                 ys = (np.arange(th) * arr.shape[0] // th).astype(int)
                 xs = (np.arange(tw) * arr.shape[1] // tw).astype(int)
-                out.append(encode_fake_image(arr[np.ix_(ys, xs)]))
+                resized = arr[np.ix_(ys, xs)]
+                if fmt == "png":
+                    from petastorm_spark.functions.pure_png import png_encode
+
+                    out.append(png_encode(np.ascontiguousarray(resized)))
+                else:
+                    out.append(encode_fake_image(resized))
             pdf[out_col] = out
             yield pdf
 
@@ -124,7 +150,7 @@ def frame_sample_video(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf[out_col] = [
-                encode_fake_image(decode_image_bytes(bytes(raw))[::every_nth])
+                encode_fake_image(decode_image_bytes(bytes(raw))[0][::every_nth])
                 for raw in pdf[binary_col]
             ]
             yield pdf
@@ -146,7 +172,7 @@ def embed_images(
         for pdf in batches:
             feats = []
             for raw in pdf[binary_col]:
-                arr = decode_image_bytes(bytes(raw)).astype(np.float64)
+                arr = decode_image_bytes(bytes(raw))[0].astype(np.float64)
                 hist, _ = np.histogram(arr, bins=dim - 1, range=(0, 255))
                 total = hist.sum() or 1
                 feats.append(
