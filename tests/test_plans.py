@@ -100,3 +100,13 @@ def test_near_dup_verify_keyed_on_candidates(spark, sf_dir):
     # the banded join keys on (band, bh); a raw postings self-join would
     # key two exploded `sh` columns against each other
     assert not re.search(r"\bsh#\d+ = sh#\d+", plan), "inverted-index join found"
+    # round-3 verdict #3: ONE tokenize pass — both the signature branch
+    # and the verify branch must read the persisted shingle-set table
+    # (InMemoryTableScan), not recompute split()+shingling from parquet.
+    # (formatted explain re-prints the cached subtree under each scan,
+    # so split() textual counts overcount; cache scans are the pin.)
+    assert plan.count("InMemoryTableScan") >= 2, "shingle sets not read from cache"
+    # no explode-based signature path: the only generate/explode stages
+    # left are the LSH band explode, not a shingle explode feeding a
+    # 16-min aggregate
+    assert "mh_0" in plan
