@@ -142,16 +142,25 @@ def main() -> None:
     # Min-of-N timed runs per query (default 3): a single timed run
     # conflates plan cost with JVM/GC session noise — the r2 verdict
     # flagged ±20-36% swings on queries whose code never changed.
+    # Median is reported alongside min (r3 ADVICE): min is the
+    # continuity metric vs r3, median shows what a typical run costs.
+    # The cache is cleared before EVERY timed run: operators that
+    # persist intermediates (near_dup_pairs' shingle sets) would
+    # otherwise hand runs 2..N a warm cache and min-of-N would report
+    # the zero-scan rerun, not the operator's real single-pass cost.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        runs = []
         for _ in range(n_runs):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        medians[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     reader_rate = (
         None
@@ -167,10 +176,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": sf,
                 "reader_samples_per_sec": reader_rate,
                 "reader_protocol": f"{N_WARMUP_READS} warmup + {N_MEASURED_READS} measured row reads, hello_world-shaped dataset (BASELINE.md protocol, longer measurement window). Since r3 the png payloads are REAL PNG byte streams (pure-python codec) — r1/r2 used a raw np.save container, so their reader rates are not directly comparable",
-                "query_protocol": f"one untimed warmup run per query at sf0.001 (JIT/codegen), then min of {n_runs} timed runs at target sf",
+                "query_protocol": f"one untimed warmup run per query at sf0.001 (JIT/codegen), then {n_runs} timed runs at target sf with spark.catalog.clearCache() before each; 'queries' is min-of-{n_runs} (continuity with r3), 'queries_median' the median. r1/r2 were single-run — cross-round comparison to them overstates speedups",
             }
         )
     )

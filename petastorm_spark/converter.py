@@ -93,12 +93,14 @@ def _check_shard_consistency(reader_kwargs: dict) -> None:
     rank, size = _distributed_rank_and_size()
     if rank is None or size is None:
         return
-    if size == 1:
-        # torchrun exports RANK=0/WORLD_SIZE=1 even for single-process
-        # runs; a world of one cannot be mis-sharded.
-        return
     cur_shard = reader_kwargs.get("cur_shard")
     shard_count = reader_kwargs.get("shard_count")
+    if size == 1 and cur_shard in (None, rank) and shard_count in (None, size):
+        # torchrun exports RANK=0/WORLD_SIZE=1 even for single-process
+        # runs; a world of one cannot be mis-sharded — but an EXPLICIT
+        # mismatch (e.g. shard_count=8 under WORLD_SIZE=1 silently
+        # reading 1/8 of the data) still falls through to the raise.
+        return
     if cur_shard == rank and shard_count == size:
         return
     if cur_shard is None and shard_count is None:

@@ -1578,14 +1578,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_ewma",
-    oracle="""
+    # r3 ADVICE: both coefficients derive from the SAME float64
+    # computation the Spark-side fold uses (1.0 - alpha, which is NOT
+    # the literal 0.7 — it differs by 1 ulp), so the engines disagree
+    # only by accumulation order, which round(4) absorbs.
+    oracle=f"""
     WITH g AS (SELECT user_id,
                       list(value ORDER BY ts, value) AS vals,
                       epoch_us(max(ts)) AS last_ts_us
                FROM events GROUP BY user_id)
     SELECT user_id,
            CAST(len(vals) AS BIGINT) AS n_events,
-           round(list_reduce(vals, (acc, x) -> 0.3*x + 0.7*acc), 4) AS ewma,
+           round(list_reduce(vals, (acc, x) -> 0.3*x + {1.0 - 0.3!r}*acc), 4)
+             AS ewma,
            last_ts_us
     FROM g
     """,

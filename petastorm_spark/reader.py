@@ -163,10 +163,23 @@ def _dnf_to_column(filters) -> Column:
     return reduce(lambda a, b: a | b, clause_cols)
 
 
+# A sentinel is a lease: __iter__ refreshes its mtime, so a sentinel
+# older than the TTL belongs to a hung/dead/recycled-pid reader and no
+# longer pins the cache dir (r3 ADVICE: pid probes alone are blind to
+# readers on OTHER hosts of a shared filesystem and can pin forever
+# when the pid is recycled).
+_SENTINEL_TTL_SEC = 30 * 60
+
+
 def _cache_dir_in_use(managed_dir: str) -> bool:
-    """True if a live same-host Reader holds a sentinel in this managed
-    cache subdir. Sentinels from dead pids are treated as stale (crashed
-    readers must not pin cache entries forever)."""
+    """True if a live Reader holds a sentinel lease in this managed
+    cache subdir. Same-host sentinels need a live pid AND a fresh
+    lease; foreign-host sentinels (shared filesystem) are trusted
+    while their lease is fresh — their pids are unprobeable here."""
+    import socket
+    import time
+
+    local_host = socket.gethostname()
     try:
         names = os.listdir(managed_dir)
     except OSError:
@@ -175,8 +188,17 @@ def _cache_dir_in_use(managed_dir: str) -> bool:
         if not n.startswith(".ps_inuse_"):
             continue
         try:
-            pid = int(n.rsplit("_", 1)[1])
-            os.kill(pid, 0)  # liveness probe, no signal delivered
+            age = time.time() - os.path.getmtime(os.path.join(managed_dir, n))
+        except OSError:
+            continue  # vanished between listdir and stat
+        if age > _SENTINEL_TTL_SEC:
+            continue  # expired lease: dead, hung, or recycled pid
+        tail = n[len(".ps_inuse_"):]
+        pid_s, _, host = tail.partition("@")
+        if host and host != local_host:
+            return True  # fresh foreign-host lease: trust it
+        try:
+            os.kill(int(pid_s), 0)  # liveness probe, no signal delivered
             return True
         except (ValueError, ProcessLookupError):
             continue  # malformed or dead: stale sentinel
@@ -560,7 +582,11 @@ class Reader:
                 os.utime(managed)  # refresh LRU rank on reuse
             # pin against concurrent eviction while this Reader is alive
             self._managed_cache = managed
-            self._sentinel = os.path.join(managed, f".ps_inuse_{os.getpid()}")
+            import socket
+
+            self._sentinel = os.path.join(
+                managed, f".ps_inuse_{os.getpid()}@{socket.gethostname()}"
+            )
             with open(self._sentinel, "w"):
                 pass
             if cache_size_limit is not None:
@@ -801,6 +827,11 @@ class Reader:
         if self._managed_cache is not None:
             try:  # refresh LRU rank so a mid-epoch reader isn't "oldest"
                 os.utime(self._managed_cache)
+            except OSError:
+                pass
+        if self._sentinel is not None:
+            try:  # refresh the pin lease (see _SENTINEL_TTL_SEC)
+                os.utime(self._sentinel)
             except OSError:
                 pass
         if self._pool_type == "process":

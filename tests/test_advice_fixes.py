@@ -184,6 +184,11 @@ def test_converter_shard_consistency_single_world(monkeypatch):
     monkeypatch.setenv("WORLD_SIZE", "1")
     _check_shard_consistency({})  # no raise
     _check_shard_consistency({"cur_shard": None, "shard_count": None})
+    _check_shard_consistency({"cur_shard": 0, "shard_count": 1})  # consistent
+    # ADVICE r3 low: an EXPLICIT mismatch must still raise in a world
+    # of one — shard_count=8 here silently reads 1/8 of the dataset
+    with pytest.raises(ValueError, match="inconsistent"):
+        _check_shard_consistency({"cur_shard": 0, "shard_count": 8})
 
 
 def test_converter_shard_consistency_omitted_warns(monkeypatch):
@@ -259,3 +264,37 @@ def test_cache_eviction_skips_live_reader(tmp_path):
     _enforce_cache_limit(str(cache), limit_bytes=512, keep=str(keep))
     assert live.is_dir()  # pinned by live sentinel despite limit
     assert not dead.is_dir()  # stale sentinel did not protect it
+
+
+def test_cache_sentinel_foreign_host_and_ttl(tmp_path):
+    """ADVICE r3 low: on a shared filesystem a pid probe can't see
+    readers on other hosts, and a recycled pid could pin forever.
+    Sentinels are mtime leases: fresh foreign-host leases pin, expired
+    leases (any host, even a live local pid) do not."""
+    import os
+    import time
+
+    from petastorm_spark.reader import _SENTINEL_TTL_SEC, _cache_dir_in_use
+
+    d = tmp_path / "_ps_materialized_x"
+    d.mkdir()
+    assert not _cache_dir_in_use(str(d))
+
+    foreign = d / ".ps_inuse_12345@other-host"
+    foreign.touch()
+    assert _cache_dir_in_use(str(d))  # fresh foreign lease: trusted
+
+    old = time.time() - _SENTINEL_TTL_SEC - 60
+    os.utime(foreign, (old, old))
+    assert not _cache_dir_in_use(str(d))  # expired foreign lease
+    foreign.unlink()
+
+    import socket
+
+    local = d / f".ps_inuse_{os.getpid()}@{socket.gethostname()}"
+    local.touch()
+    assert _cache_dir_in_use(str(d))  # live pid + fresh lease
+    os.utime(local, (old, old))
+    # expired lease loses the pin even though the pid is alive
+    # (recycled-pid defense; real readers refresh the lease in __iter__)
+    assert not _cache_dir_in_use(str(d))
