@@ -61,18 +61,26 @@ def compute_correlation_distribution(
     dataset_url: str,
     id_column: str = "id",
     num_corr_samples: int = 10,
+    seed: int | None = None,
     **reader_kwargs,
 ) -> dict:
     """Read the dataset ``num_corr_samples`` times with the given
     reader options and report the distribution of |Spearman rho|
     between the observed read order and the sorted order.
 
+    ``seed`` makes the measurement reproducible: sample ``i`` reads
+    with ``seed + i`` (distinct permutations, deterministic run).
+    Unseeded, each sample draws a fresh random permutation.
+
     Returns {"mean_abs_rho", "max_abs_rho", "samples"} — lower is
     better-shuffled; an unshuffled reader reports 1.0 exactly.
     """
     rhos = []
-    for _ in range(num_corr_samples):
-        with make_reader(dataset_url, **reader_kwargs) as r:
+    for i in range(num_corr_samples):
+        kwargs = dict(reader_kwargs)
+        if seed is not None:
+            kwargs["seed"] = seed + i
+        with make_reader(dataset_url, **kwargs) as r:
             ids = np.array([getattr(row, id_column) for row in r])
         rhos.append(abs(_spearman_rho(ids)))
     return {
