@@ -175,14 +175,16 @@ class CompressedImageCodec(DataframeColumnCodec):
     """HxW / HxWx3 uint8|uint16 image <-> png/jpeg bytes.
 
     Backends, in order:
-      - PIL when importable (png + jpeg);
+      - PIL when importable (png + jpeg, encode + decode);
       - for png without PIL, a pure-python spec-compliant codec
         (:mod:`petastorm_spark.functions.pure_png`) — real ``.png``
         bytes, lossless, interoperable with any external decoder;
-      - for jpeg without PIL (DCT is out of scope for a fallback), a
-        deterministic raw container ``b'RAW0' + np.save`` bytes —
-        self-describing, so such datasets still decode anywhere THIS
-        library runs.
+      - for jpeg without PIL, DECODE is real (baseline JFIF via
+        :mod:`petastorm_spark.functions.pure_jpeg` — Huffman +
+        dequant + IDCT on numpy), so externally-written jpeg datasets
+        read fine; ENCODE falls back to a deterministic raw container
+        ``b'RAW0' + np.save`` bytes — self-describing, so such
+        datasets still decode anywhere THIS library runs.
     """
 
     name = "compressed_image"
@@ -240,9 +242,13 @@ class CompressedImageCodec(DataframeColumnCodec):
             from petastorm_spark.functions.pure_png import png_decode
 
             return png_decode(raw)
+        if raw[:2] == b"\xff\xd8":
+            from petastorm_spark.functions.pure_jpeg import jpeg_decode
+
+            return jpeg_decode(raw)
         raise NotImplementedError(
-            "decoding jpeg requires PIL/OpenCV, neither is available in "
-            "this environment (png decodes via the pure-python codec)"
+            "unrecognized compressed-image byte stream (png and baseline "
+            "jpeg decode via the pure-python codecs; PIL extends coverage)"
         )
 
     def to_json(self) -> dict:

@@ -48,15 +48,11 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_image_bytes(raw: bytes) -> tuple[np.ndarray, str]:
-    """Decode one image blob -> (array, format). RAW0 containers and
-    real PNG byte streams (via the pure-python codec, or PIL when
-    present) decode for real; jpeg without PIL raises."""
+    """Decode one image blob -> (array, format). RAW0 containers, real
+    PNG byte streams, and real baseline JPEG byte streams all decode
+    via the pure-python codecs (PIL is preferred when present)."""
     if raw[:4] == RAW_MAGIC:
         return np.load(io.BytesIO(raw[4:]), allow_pickle=False), "raw0"
-    if raw[:8] == PNG_SIG:
-        from petastorm_spark.functions.pure_png import png_decode
-
-        return png_decode(raw), "png"
     try:
         from PIL import Image  # noqa: F401 - optional, absent in container
     except ImportError:
@@ -66,9 +62,17 @@ def decode_image_bytes(raw: bytes) -> tuple[np.ndarray, str]:
 
         img = PIL.Image.open(io.BytesIO(raw))
         return np.asarray(img), (img.format or "pil").lower()
+    if raw[:8] == PNG_SIG:
+        from petastorm_spark.functions.pure_png import png_decode
+
+        return png_decode(raw), "png"
+    if raw[:2] == b"\xff\xd8":
+        from petastorm_spark.functions.pure_jpeg import jpeg_decode
+
+        return jpeg_decode(raw), "jpeg"
     raise NotImplementedError(
-        "jpeg decode requires PIL/OpenCV (not in this container); RAW0 "
-        "and real PNG byte streams decode via the pure-python codec"
+        "unrecognized image byte stream; RAW0, PNG, and baseline JPEG "
+        "decode via the pure-python codecs (PIL extends coverage)"
     )
 
 
