@@ -110,6 +110,20 @@ _SHIMS = {
     ("petastorm.codecs", "CompressedImageCodec"): _RefCompressedImageCodec,
 }
 
+# Datasets written before the reference's package rename pickle the same
+# classes under two historical package roots (reference etl/legacy.py:
+# LEGACY_PACKAGE_NAMES, depickle_legacy_package_name_compatible). Mapping
+# the names in find_class covers every pickle protocol, where the
+# reference's raw \n(c...\n byte substitution only handles the text
+# GLOBAL opcode of protocols <= 2.
+_LEGACY_PACKAGES = (
+    "av.experimental.deepdrive.dataset_toolkit",
+    "av.ml.dataset_toolkit",
+)
+for _pkg in _LEGACY_PACKAGES:
+    for (_mod, _cls), _shim in list(_SHIMS.items()):
+        _SHIMS[(_mod.replace("petastorm", _pkg, 1), _cls)] = _shim
+
 _SAFE_MODULES = ("numpy", "decimal", "collections", "builtins", "pyspark.sql.types")
 
 

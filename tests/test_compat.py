@@ -53,3 +53,132 @@ def test_dataloader_shuffling_queue(spark, sf_dir):
     ) as loader:
         total = sum(len(b["c_custkey"]) for b in loader)
     assert total == spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+
+
+# ---- legacy-layout matrix (reference etl/legacy.py + pre-sidecar) ----------
+
+
+def _legacy_pickled_unischema(pkg: str) -> bytes:
+    """Pickle a Unischema the way a pre-rename reference version did:
+    class globals under ``<pkg>.unischema`` / ``<pkg>.codecs``. Fake
+    modules exist only for the duration of the dump."""
+    import pickle
+    import sys
+    import types
+    from collections import namedtuple
+
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    uni_name, cod_name = f"{pkg}.unischema", f"{pkg}.codecs"
+    uni_mod = types.ModuleType(uni_name)
+    cod_mod = types.ModuleType(cod_name)
+
+    UF = namedtuple(
+        "UnischemaField", ["name", "numpy_dtype", "shape", "codec", "nullable"]
+    )
+    UF.__module__ = uni_name
+
+    class Unischema:  # noqa: N801 - mirrors the reference class name
+        pass
+
+    class ScalarCodec:
+        pass
+
+    class NdarrayCodec:
+        pass
+
+    for cls, mod in ((Unischema, uni_name), (ScalarCodec, cod_name), (NdarrayCodec, cod_name)):
+        cls.__module__ = mod
+        cls.__qualname__ = cls.__name__
+    uni_mod.Unischema, uni_mod.UnischemaField = Unischema, UF
+    cod_mod.ScalarCodec, cod_mod.NdarrayCodec = ScalarCodec, NdarrayCodec
+
+    sc = ScalarCodec()
+    sc._spark_type = LongType()
+    f_id = UF("id", np.int64, (), sc, False)
+    f_vec = UF("vec", np.float32, (3,), NdarrayCodec(), False)
+    sch = Unischema()
+    sch._name = "LegacySchema"
+    sch._fields = {"id": f_id, "vec": f_vec}
+    sch.id, sch.vec = f_id, f_vec  # reference mirrors fields as attrs
+
+    # pickle's save_global __import__s the module, which needs every
+    # ancestor package importable too
+    injected = {uni_name: uni_mod, cod_name: cod_mod}
+    parts = pkg.split(".")
+    for i in range(1, len(parts) + 1):
+        name = ".".join(parts[:i])
+        if name not in sys.modules:
+            injected[name] = types.ModuleType(name)
+    inserted = [n for n in injected if n not in sys.modules]
+    sys.modules.update({n: injected[n] for n in inserted})
+    try:
+        return pickle.dumps(sch, protocol=2)
+    finally:
+        for n in inserted:
+            del sys.modules[n]
+
+
+def _write_legacy_dataset(spark, url: str, pkg: str, with_rowgroup_key: bool) -> None:
+    """Plain parquet + a hand-written reference-style ``_common_metadata``
+    (pickled Unischema under the legacy package name; optionally the
+    rowgroup-count JSON) and NO JSON sidecar — the layout an old
+    petastorm version left on disk."""
+    import io
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from petastorm_spark.etl.petastorm_compat import ROW_GROUPS_KEY, UNISCHEMA_KEY
+
+    def np_bytes(arr):
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        return bytearray(buf.getvalue())
+
+    rows = [
+        (i, np_bytes(np.arange(3, dtype=np.float32) + i)) for i in range(20)
+    ]
+    spark.createDataFrame(rows, "id: long, vec: binary").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(url)
+
+    files = sorted(
+        f for f in os.listdir(url) if f.endswith(".parquet") and not f.startswith("_")
+    )
+    meta = {UNISCHEMA_KEY: _legacy_pickled_unischema(pkg)}
+    if with_rowgroup_key:
+        counts = {f: pq.ParquetFile(os.path.join(url, f)).num_row_groups for f in files}
+        meta[ROW_GROUPS_KEY] = json.dumps(counts).encode()
+    arrow_schema = pq.ParquetFile(os.path.join(url, files[0])).schema_arrow
+    pq.write_metadata(
+        arrow_schema.with_metadata(meta), os.path.join(url, "_common_metadata")
+    )
+
+
+@pytest.mark.parametrize(
+    "pkg,with_rowgroup_key",
+    [
+        # the two historical package names (reference etl/legacy.py)
+        ("av.experimental.deepdrive.dataset_toolkit", True),
+        ("av.ml.dataset_toolkit", True),
+        # pre-sidecar current-name layout with no rowgroup-count key:
+        # the reader must fall back to footer reads for splitting
+        ("petastorm", False),
+    ],
+)
+def test_make_reader_reads_legacy_layouts(spark, tmp_path, pkg, with_rowgroup_key):
+    import numpy as np
+
+    url = str(tmp_path / "legacyds")
+    _write_legacy_dataset(spark, url, pkg, with_rowgroup_key)
+    with make_reader(url, spark=spark) as r:
+        rows = sorted(r, key=lambda x: x.id)
+    assert len(rows) == 20
+    # tensor column decoded through the legacy-pickled codec mapping
+    assert isinstance(rows[5].vec, np.ndarray)
+    assert rows[5].vec.dtype == np.float32
+    np.testing.assert_array_equal(rows[5].vec, np.arange(3, dtype=np.float32) + 5)
