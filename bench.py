@@ -63,9 +63,14 @@ N_WARMUP_READS = 500
 N_MEASURED_READS = 3000
 
 
-def measure_reader_throughput(spark) -> float:
+def measure_reader_throughput(spark, image_codec: str = "png") -> float:
     """Rows/sec through make_reader on a hello_world-shaped dataset
-    (reference harness protocol: petastorm/benchmark/throughput.py)."""
+    (reference harness protocol: petastorm/benchmark/throughput.py).
+
+    ``image_codec``: "png" exercises the pure-python PNG codec (real
+    spec-compliant byte streams, the r3+ protocol); "raw0" uses the
+    np.save container the r1/r2 benchmarks measured, kept for
+    cross-round trend continuity."""
     import numpy as np
     from pyspark.sql.types import IntegerType
 
@@ -74,13 +79,15 @@ def measure_reader_throughput(spark) -> float:
     from petastorm_spark.reader import make_reader
     from petastorm_spark.unischema import Unischema, UnischemaField, dict_to_spark_row
 
+    # "raw0": CompressedImageCodec("jpeg") without PIL encodes/decodes
+    # the RAW0 np.save container — byte-identical to what the r1/r2
+    # "png" runs measured before the pure-python PNG codec landed
+    img_codec = CompressedImageCodec("png" if image_codec == "png" else "jpeg")
     schema = Unischema(
         "HelloWorld",
         [
             UnischemaField("id", np.int32, (), ScalarCodec(IntegerType()), False),
-            UnischemaField(
-                "image", np.uint8, (128, 256, 3), CompressedImageCodec("png"), False
-            ),
+            UnischemaField("image", np.uint8, (128, 256, 3), img_codec, False),
         ],
     )
     url = tempfile.mkdtemp(prefix="bench_hello_") + "/ds"
@@ -162,11 +169,12 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         medians[name] = round(sorted(runs)[len(runs) // 2], 3)
 
-    reader_rate = (
-        None
-        if os.environ.get("SPARK_GRAFT_SKIP_READER_BENCH")
-        else round(measure_reader_throughput(spark), 1)
-    )
+    if os.environ.get("SPARK_GRAFT_SKIP_READER_BENCH"):
+        reader_rate = reader_rate_raw0 = None
+    else:
+        reader_rate = round(measure_reader_throughput(spark, "png"), 1)
+        # r1/r2-continuity run: same protocol, RAW0 container payloads
+        reader_rate_raw0 = round(measure_reader_throughput(spark, "raw0"), 1)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -179,7 +187,8 @@ def main() -> None:
                 "queries_median": medians,
                 "sf": sf,
                 "reader_samples_per_sec": reader_rate,
-                "reader_protocol": f"{N_WARMUP_READS} warmup + {N_MEASURED_READS} measured row reads, hello_world-shaped dataset (BASELINE.md protocol, longer measurement window). Since r3 the png payloads are REAL PNG byte streams (pure-python codec) — r1/r2 used a raw np.save container, so their reader rates are not directly comparable",
+                "reader_samples_per_sec_raw0": reader_rate_raw0,
+                "reader_protocol": f"{N_WARMUP_READS} warmup + {N_MEASURED_READS} measured row reads, hello_world-shaped dataset (BASELINE.md protocol, longer measurement window). reader_samples_per_sec decodes REAL PNG byte streams via the pure-python codec (r3+ protocol; the BASELINE.md comparison row); reader_samples_per_sec_raw0 reads the np.save RAW0 container r1/r2 measured, for cross-round trend continuity",
                 "query_protocol": f"one untimed warmup run per query at sf0.001 (JIT/codegen), then {n_runs} timed runs at target sf with spark.catalog.clearCache() before each; 'queries' is min-of-{n_runs} (continuity with r3), 'queries_median' the median. r1/r2 were single-run — cross-round comparison to them overstates speedups",
             }
         )
