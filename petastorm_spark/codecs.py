@@ -179,12 +179,14 @@ class CompressedImageCodec(DataframeColumnCodec):
       - for png without PIL, a pure-python spec-compliant codec
         (:mod:`petastorm_spark.functions.pure_png`) — real ``.png``
         bytes, lossless, interoperable with any external decoder;
-      - for jpeg without PIL, DECODE is real (baseline JFIF via
-        :mod:`petastorm_spark.functions.pure_jpeg` — Huffman +
-        dequant + IDCT on numpy), so externally-written jpeg datasets
-        read fine; ENCODE falls back to a deterministic raw container
-        ``b'RAW0' + np.save`` bytes — self-describing, so such
-        datasets still decode anywhere THIS library runs.
+      - for jpeg without PIL, a pure-python baseline JFIF codec
+        (:mod:`petastorm_spark.functions.pure_jpeg`): decode handles
+        externally-written baseline streams (Huffman + dequant + IDCT
+        on numpy), encode writes real 4:4:4 SOF0 bytes for uint8
+        images. Only uint16 jpeg (no baseline representation) falls
+        back to the deterministic ``b'RAW0' + np.save`` container —
+        self-describing, so such datasets still decode anywhere THIS
+        library runs.
     """
 
     name = "compressed_image"
@@ -223,6 +225,14 @@ class CompressedImageCodec(DataframeColumnCodec):
                 from petastorm_spark.functions.pure_png import png_encode
 
                 return bytearray(png_encode(np.asarray(value)))
+            value = np.asarray(value)
+            if value.dtype == np.uint8:
+                from petastorm_spark.functions.pure_jpeg import jpeg_encode
+
+                return bytearray(jpeg_encode(value, self._quality))
+            # 16-bit jpeg has no baseline representation: keep the
+            # self-describing RAW0 container rather than silently
+            # truncating precision
             buf = io.BytesIO()
             np.save(buf, value)
             return bytearray(self._MAGIC + buf.getvalue())

@@ -1,13 +1,13 @@
-"""Pure-python baseline JPEG decoder (ITU-T T.81 / JFIF) on numpy.
+"""Pure-python baseline JPEG codec (ITU-T T.81 / JFIF) on numpy.
 
-Decode-only fallback backend for :class:`CompressedImageCodec` when no
-image library (PIL/OpenCV) is importable — real ``.jpg`` byte streams
-written by any standard encoder decode to numpy arrays. Parity
-surface: the reference decodes jpeg via OpenCV
-(/root/reference/petastorm/codecs.py:58-130); training feeds only ever
-exercise the read path, so encode stays gated on PIL.
+Fallback backend for :class:`CompressedImageCodec` when no image
+library (PIL/OpenCV) is importable — real ``.jpg`` byte streams
+written by any standard encoder decode to numpy arrays, and
+:func:`jpeg_encode` writes real baseline JFIF bytes any standard
+decoder opens. Parity surface: the reference en/decodes jpeg via
+OpenCV (/root/reference/petastorm/codecs.py:58-130).
 
-Scope (enough for tensor-codec parity, not a general JPEG library):
+Decode scope (enough for tensor-codec parity, not a general library):
 
   - baseline DCT (SOF0) and extended sequential (SOF1), 8-bit;
   - grayscale or 3-component YCbCr, any integer sampling-factor
@@ -17,6 +17,13 @@ Scope (enough for tensor-codec parity, not a general JPEG library):
 
 Progressive (SOF2), hierarchical, arithmetic-coded, and 12-bit frames
 raise NotImplementedError.
+
+Encode scope: baseline SOF0, 8-bit grayscale or RGB (written 4:4:4
+YCbCr), Annex-K quantization tables scaled by the libjpeg quality
+formula, and per-image OPTIMAL Huffman tables (two-pass: symbol
+frequencies -> length-limited canonical code per T.81 Annex K.2) —
+emitting the computed DHT rather than transcribing the fixed Annex-K
+"typical" tables; every conforming decoder reads the DHT either way.
 """
 
 from __future__ import annotations
@@ -325,3 +332,288 @@ def _assemble(frame) -> np.ndarray:
         axis=-1,
     )
     return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+# Annex K.1/K.2 reference quantization tables (luminance / chrominance),
+# listed in natural (row-major) order.
+_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+).reshape(8, 8)
+
+_QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.float64,
+).reshape(8, 8)
+
+
+def _scale_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 1..100 -> scaled Annex-K table."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    return np.clip(np.floor((base * scale + 50) / 100), 1, 255)
+
+
+def _huffman_code_lengths(freqs: dict[int, int]) -> dict[int, int]:
+    """Length-limited (<=16) Huffman code lengths per T.81 Annex K.2:
+    the classic codesize/others chains, a reserved sentinel so no real
+    symbol gets the all-ones code, then Adjust_BITS."""
+    freq = dict(freqs)
+    freq[256] = 1  # sentinel: will absorb the longest (all-ones) code
+    codesize = dict.fromkeys(freq, 0)
+    others = dict.fromkeys(freq, None)
+    while True:
+        active = [(f, s) for s, f in freq.items() if f > 0]
+        if len(active) < 2:
+            break
+        active.sort()
+        (f1, v1), (f2, v2) = active[0], active[1]
+        freq[v1] = f1 + f2
+        freq[v2] = 0
+        while True:
+            codesize[v1] += 1
+            if others[v1] is None:
+                break
+            v1 = others[v1]
+        others[v1] = v2
+        while True:
+            codesize[v2] += 1
+            if others[v2] is None:
+                break
+            v2 = others[v2]
+    bits = [0] * 33
+    for s, size in codesize.items():
+        if size:
+            bits[size] += 1
+    # Adjust_BITS: fold lengths >16 down (Figure K.3)
+    for i in range(32, 16, -1):
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    # drop the sentinel: it holds the longest code (largest codesize)
+    longest = max(i for i in range(17) if bits[i] > 0)
+    bits[longest] -= 1
+    # reassign lengths canonically: symbols sorted by (codesize, value),
+    # sentinel excluded, lengths drawn from the adjusted BITS
+    real = sorted(
+        (s for s in freqs if codesize.get(s, 0) > 0 and s != 256),
+        key=lambda s: (codesize[s], s),
+    )
+    lengths = {}
+    it = iter(real)
+    for ln in range(1, 17):
+        for _ in range(bits[ln]):
+            lengths[next(it)] = ln
+    return lengths
+
+
+def _canonical_codes(lengths: dict[int, int]) -> tuple[list[int], bytes, dict]:
+    """(BITS, HUFFVAL, {symbol: (code, length)}) for a DHT segment."""
+    by_len = sorted(lengths.items(), key=lambda kv: (kv[1], kv[0]))
+    bits = [0] * 16
+    vals = []
+    for s, ln in by_len:
+        bits[ln - 1] += 1
+        vals.append(s)
+    codes = {}
+    code = 0
+    prev_len = by_len[0][1] if by_len else 1
+    for s, ln in by_len:
+        code <<= ln - prev_len
+        prev_len = ln
+        codes[s] = (code, ln)
+        code += 1
+    return bits, bytes(vals), codes
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing."""
+
+    __slots__ = ("out", "val", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.val = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.val = (self.val << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.val >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.val &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _csize(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _block_symbols(q: np.ndarray, pred: int):
+    """Quantized zigzag block -> (dc_symbol, dc_bits, [(ac_sym, bits)],
+    new_pred). bits are (value, length) magnitude codes."""
+    zz = q[_ZIG_ROW, _ZIG_COL].astype(np.int64)
+    dc_diff = int(zz[0]) - pred
+    s = _csize(dc_diff)
+    dc_bits = (dc_diff if dc_diff >= 0 else dc_diff + (1 << s) - 1, s)
+    acs = []
+    run = 0
+    # index of the last nonzero AC coefficient bounds the loop
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            acs.append((0xF0, (0, 0)))  # ZRL
+            run -= 16
+        s = _csize(v)
+        acs.append(((run << 4) | s, (v if v >= 0 else v + (1 << s) - 1, s)))
+        run = 0
+    if last < 63:
+        acs.append((0x00, (0, 0)))  # EOB
+    return zz[0], dc_bits, acs
+
+
+def _plane_blocks(plane: np.ndarray, qtab: np.ndarray):
+    """All quantized 8x8 blocks of a padded plane, raster order, as one
+    vectorized DCT + quantize pass (B, 8, 8)."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    f = _IDCT_M.T @ (blocks - 128.0) @ _IDCT_M  # orthonormal: forward = M.T () M
+    return np.round(f / qtab).astype(np.int64)
+
+
+def jpeg_encode(arr: np.ndarray, quality: int = 80) -> bytes:
+    """Baseline JFIF bytes for an HxW (grayscale) or HxWx3 (RGB) uint8
+    array. 4:4:4 sampling; per-image optimal Huffman tables."""
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        raise ValueError(f"jpeg_encode expects uint8, got {arr.dtype}")
+    if arr.ndim == 2:
+        ncomp = 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ncomp = 3
+    else:
+        raise ValueError(f"jpeg_encode expects HxW or HxWx3, got {arr.shape}")
+    h, w = int(arr.shape[0]), int(arr.shape[1])
+    if ncomp == 3:
+        r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        planes = [arr.astype(np.float64)]
+    qts = [_scale_qtable(_QT_LUMA, quality), _scale_qtable(_QT_CHROMA, quality)]
+    # pad to 8 by edge replication (less ringing than zero padding)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    quantized = []
+    for ci, p in enumerate(planes):
+        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        quantized.append(_plane_blocks(p, qts[1 if ci else 0]))
+
+    # pass 1: symbol statistics (per table class, luma vs chroma)
+    dc_freq = [dict(), dict()]
+    ac_freq = [dict(), dict()]
+    all_syms = []  # [(tbl, dc_sym, dc_bits, acs)] per block in scan order
+    nblocks = quantized[0].shape[0]
+    preds = [0] * len(planes)
+    for bi in range(nblocks):
+        for ci in range(len(planes)):
+            tbl = 1 if ci else 0
+            preds[ci], dc_bits, acs = _block_symbols(quantized[ci][bi], preds[ci])
+            dc_sym = dc_bits[1]
+            dc_freq[tbl][dc_sym] = dc_freq[tbl].get(dc_sym, 0) + 1
+            for sym, _ in acs:
+                ac_freq[tbl][sym] = ac_freq[tbl].get(sym, 0) + 1
+            all_syms.append((tbl, dc_sym, dc_bits, acs))
+
+    ntab = 2 if ncomp == 3 else 1
+    dc_tabs = [_canonical_codes(_huffman_code_lengths(dc_freq[t])) for t in range(ntab)]
+    ac_tabs = [_canonical_codes(_huffman_code_lengths(ac_freq[t])) for t in range(ntab)]
+
+    # pass 2: entropy-coded segment
+    bw = _BitWriter()
+    for tbl, dc_sym, dc_bits, acs in all_syms:
+        code, ln = dc_tabs[tbl][2][dc_sym]
+        bw.write(code, ln)
+        if dc_sym:
+            bw.write(dc_bits[0], dc_bits[1])
+        for sym, (v, s) in acs:
+            code, ln = ac_tabs[tbl][2][sym]
+            bw.write(code, ln)
+            if s:
+                bw.write(v, s)
+    ecs = bw.flush()
+
+    # ---- assemble segments ----
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti in range(ntab):
+        zz = qts[ti][_ZIG_ROW, _ZIG_COL].astype(np.uint8)
+        out += seg(0xDB, bytes([ti]) + zz.tobytes())
+    comp_spec = b"".join(
+        bytes([cid + 1, 0x11, 1 if cid else 0]) for cid in range(ncomp)
+    )
+    out += seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([ncomp]) + comp_spec,
+    )
+    for ti in range(ntab):
+        bits, vals, _ = dc_tabs[ti]
+        out += seg(0xC4, bytes([ti]) + bytes(bits) + vals)
+        bits, vals, _ = ac_tabs[ti]
+        out += seg(0xC4, bytes([0x10 | ti]) + bytes(bits) + vals)
+    scan_spec = b"".join(
+        bytes([cid + 1, 0x11 if cid else 0x00]) for cid in range(ncomp)
+    )
+    out += seg(0xDA, bytes([ncomp]) + scan_spec + b"\x00\x3f\x00")
+    out += ecs
+    out += b"\xff\xd9"
+    return bytes(out)
