@@ -57,6 +57,7 @@ HEADLINE = [
     "dedup_near_pairs",
     "dedup_embedding_pairs",
     "events_ewma",
+    "events_ewma_agg",
 ]
 
 N_WARMUP_READS = 500

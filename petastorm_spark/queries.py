@@ -1616,6 +1616,48 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_ewma_agg",
+    oracle=f"""
+    WITH g AS (SELECT user_id,
+                      list(value ORDER BY ts, value) AS vals,
+                      epoch_us(max(ts)) AS last_ts_us
+               FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           round(list_reduce(vals, (acc, x) -> 0.3*x + {1.0 - 0.3!r}*acc), 4)
+             AS ewma,
+           last_ts_us
+    FROM g
+    """,
+)
+def events_ewma_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA as a pure JVM fold: sort_array(collect_list) +
+    F.aggregate — the zero-Python twin of :func:`events_ewma`. Same
+    left-to-right float64 iteration as DuckDB's list_reduce, so parity
+    is bit-exact, and no Arrow exchange: one key shuffle, then an
+    in-JVM lambda over per-key arrays (bounded by events-per-key).
+    Prefer this when per-key histories fit an array column; the
+    applyInPandas/applyInPandasWithState pair in operators/stateful.py
+    covers unbounded streams and multi-column state."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "value"))).alias("vs"),
+        F.max("ts").alias("last_ts"),
+    )
+    fold = F.aggregate(
+        F.expr("slice(vs, 2, greatest(size(vs) - 1, 0))"),
+        F.element_at("vs", 1)["value"].cast("double"),
+        lambda acc, x: F.lit(0.3) * x["value"] + F.lit(1.0 - 0.3) * acc,
+    )
+    return g.select(
+        "user_id",
+        F.size("vs").cast("bigint").alias("n_events"),
+        F.round(fold, 4).alias("ewma"),
+        F.expr("CAST(last_ts DIV 1000 AS BIGINT)").alias("last_ts_us"),
+    )
+
+
 # LLM-pipeline catalog registers itself on import (dedup / text /
 # similarity queries live in queries_llm.py).
 from petastorm_spark import queries_llm  # noqa: E402,F401  (import side effect)
