@@ -60,7 +60,28 @@ def test_image_codec_roundtrip(h, w, seed, fmt):
     field = UnischemaField("img", np.uint8, (None, None, 3), CompressedImageCodec(fmt), False)
     codec = CompressedImageCodec(fmt)
     out = codec.decode(field, bytes(codec.encode(field, arr)))
-    np.testing.assert_array_equal(out, arr)
+    if fmt == "png":
+        np.testing.assert_array_equal(out, arr)
+    else:
+        # jpeg is genuinely lossy (real DCT codec, quality 80); random
+        # noise is its worst case — bound the reconstruction error
+        # instead of demanding bit equality.
+        assert out.shape == arr.shape and out.dtype == arr.dtype
+        mae = float(np.abs(out.astype(np.int32) - arr.astype(np.int32)).mean())
+        assert mae < 25.0, f"jpeg round-trip MAE {mae:.1f} out of bounds"
+
+
+def test_jpeg_roundtrip_smooth_image_is_near_exact():
+    # On smooth content (JPEG's design target) quality-80 reconstruction
+    # should be within a couple of counts everywhere.
+    y, x = np.mgrid[0:24, 0:24]
+    arr = np.stack([50 + y * 2, 80 + x * 2, 120 + 0 * x], axis=-1).astype(np.uint8)
+    field = UnischemaField(
+        "img", np.uint8, (None, None, 3), CompressedImageCodec("jpeg"), False
+    )
+    codec = CompressedImageCodec("jpeg")
+    out = codec.decode(field, bytes(codec.encode(field, arr)))
+    assert float(np.abs(out.astype(np.int32) - arr.astype(np.int32)).mean()) < 3.0
 
 
 @settings(max_examples=30, deadline=None)
