@@ -494,3 +494,108 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list — the step
+    every production dedup pipeline ends with: near-dup PAIRS become
+    CLUSTERS, and one canonical document per cluster survives.
+
+    Returns ``(doc_id, cluster_id, cluster_size)`` for every node that
+    appears in ``pairs``; ``cluster_id`` is the minimum node id in the
+    component (so the canonical member is ``doc_id == cluster_id``).
+    Singletons (docs in no pair) are by definition their own canonical
+    doc and are not emitted.
+
+    Algorithm: min-label propagation with pointer jumping. Each round
+    is (1) label(x) <- min over neighbours' labels (one join + one
+    partial-aggregated shuffle) then (2) label(x) <- label(label(x))
+    (path halving through the label table itself), so convergence is
+    O(log diameter) rounds, not O(diameter) — 20 rounds covers chains
+    beyond any real corpus. Labels are monotone non-increasing and the
+    unique fixpoint assigns every node its component minimum, so the
+    result is deterministic regardless of execution order. Each round
+    persists the new label table, materializes it via the convergence
+    check, and unpersists the previous one, keeping lineage flat.
+
+    Scale: per round two key-partitioned shuffles over |V| rows; no
+    driver-side state beyond the one-row convergence probe. The
+    alternating-contraction family (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — the reference engine has no
+    clustering step at all.
+    """
+    from pyspark import StorageLevel
+
+    sym = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = sym.unionByName(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    nodes = edges.select("a").distinct()
+    # self-loops make "min over neighbours" include the node itself
+    edges = edges.unionByName(nodes.select("a", F.col("a").alias("b"))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    labels = edges.groupBy("a").agg(F.min("b").alias("label")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nb = (
+            edges.join(
+                labels.select(F.col("a").alias("b"), "label"), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: every label value is itself a node id, so
+        # rewriting through the label table halves remaining chains
+        jumped = (
+            nb.alias("x")
+            .join(
+                nb.select(
+                    F.col("a").alias("_ln"), F.col("label").alias("_l2")
+                ).alias("m"),
+                F.col("x.label") == F.col("_ln"),
+            )
+            .select(F.col("x.a").alias("a"), F.col("_l2").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            jumped.join(
+                labels.select("a", F.col("label").alias("_old")), "a"
+            )
+            .where(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    from pyspark.sql import Window
+
+    size_w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("a").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).withColumn("cluster_size", F.count(F.lit(1)).over(size_w))
+
+
+def canonicalize(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+) -> DataFrame:
+    """Keep one canonical row per dup cluster: drop every row whose id
+    appears in ``clusters`` with ``doc_id != cluster_id``. Rows in no
+    cluster pass through. One left-anti join on the id — the minimal
+    plan for the final drop step of a dedup pipeline."""
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

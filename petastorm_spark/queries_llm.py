@@ -269,6 +269,45 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_oracle() -> str:
+    """Transitive closure over the near-dup pair list via a recursive
+    CTE: fine at oracle scale (clusters are tiny), while the Spark side
+    runs the O(log diameter) label-propagation that survives 100 TB."""
+    nd = _near_dup_oracle(threshold=0.8)
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT id_a, id_b FROM ({nd}) q),
+    nodes AS (SELECT id_a AS n FROM pairs UNION SELECT id_b FROM pairs),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT n AS a, n AS b FROM nodes
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab
+    """
+
+
+@register("dedup_clusters", oracle=_cc_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final step: near-dup pairs -> connected
+    components -> (doc_id, cluster_id=min member, cluster_size); keep
+    ``doc_id == cluster_id`` to canonicalize. Scale: min-label
+    propagation with pointer jumping — O(log diameter) rounds of two
+    key-partitioned shuffles each; no driver state."""
+    from petastorm_spark.operators.dedup import connected_components, near_dup_pairs
+
+    pairs = near_dup_pairs(
+        _docs_with_copies(spark, sf_dir), "text", "doc_id",
+        threshold=0.8, num_hashes=16, bands=4, shingle_n=3,
+    )
+    return connected_components(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

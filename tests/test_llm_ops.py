@@ -487,3 +487,50 @@ def test_multimodal_kernels_consume_real_png(spark):
 
     emb = embed_images(df, "img", dim=16).collect()
     assert all(len(r.embedding) == 16 for r in emb)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random graph + a long chain: labels must equal the min id of
+    each union-find component, sizes included; canonicalize keeps
+    exactly one member per cluster plus all singletons."""
+    import random
+
+    from petastorm_spark.operators.dedup import canonicalize, connected_components
+
+    random.seed(7)
+    edges = [(random.randrange(200), random.randrange(200)) for _ in range(120)]
+    edges += [(i, i + 1) for i in range(300, 340)]  # 41-node chain
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    truth = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            truth[n] = (m, len(members))
+
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == truth
+
+    docs = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    n_losers = sum(1 for n, (m, _) in truth.items() if n != m)
+    kept = canonicalize(docs, "doc_id", connected_components(pairs))
+    assert kept.count() == 400 - n_losers
