@@ -599,3 +599,58 @@ def canonicalize(
         F.col("doc_id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination signal: for every training doc, the
+    number of DISTINCT token shingles it shares with an evaluation
+    corpus. ``(id_col, n_overlap)``, rows only for docs with >= 1
+    shared shingle.
+
+    Scale: the eval corpus is tiny next to 100 TB of training text, so
+    its distinct-shingle set is broadcast by default and the whole
+    operator is a map-side semi-join + one partial-aggregated count per
+    doc — the train side is scanned exactly once and never shuffled on
+    the shingle. Set ``broadcast_eval=False`` when the eval set is too
+    big to broadcast (falls back to a shingle-keyed shuffle join).
+    """
+    ev = (
+        exploded_shingles(eval_df, text_col, id_col, shingle_n)
+        .select("sh")
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = exploded_shingles(train, text_col, id_col, shingle_n)
+    return tr.join(ev, "sh").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    min_overlap: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Drop training docs sharing >= ``min_overlap`` distinct shingles
+    with the eval corpus: contamination signal + one id-keyed
+    left-anti join."""
+    bad = (
+        contamination_overlap(
+            train, eval_df, text_col, id_col, shingle_n, broadcast_eval
+        )
+        .where(F.col("n_overlap") >= min_overlap)
+        .select(id_col)
+    )
+    return train.join(bad, id_col, "left_anti")

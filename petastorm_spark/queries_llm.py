@@ -308,6 +308,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@register(
+    "decontaminate_overlap",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    sets AS (SELECT doc_id,
+                    list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             FROM tok WHERE len(t) >= 3),
+    ev AS (SELECT DISTINCT unnest(s) AS sh FROM sets WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, unnest(s) AS sh FROM sets WHERE doc_id % 97 <> 0)
+    SELECT doc_id, count(*) AS n_overlap
+    FROM tr JOIN ev USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct 3-shingle overlap of every
+    training doc against a held-out eval slice (doc_id % 97 == 0).
+    Scale: the eval shingle set is broadcast, so the train corpus is
+    scanned once, map-side semi-joined, and partially aggregated — no
+    shuffle of train text."""
+    from petastorm_spark.operators.dedup import contamination_overlap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.where(F.col("doc_id") % 97 == 0)
+    tr = d.where(F.col("doc_id") % 97 != 0)
+    return contamination_overlap(tr, ev, "text", "doc_id").select(
+        "doc_id", F.col("n_overlap").cast("bigint").alias("n_overlap")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -534,3 +534,31 @@ def test_connected_components_matches_union_find(spark):
     n_losers = sum(1 for n, (m, _) in truth.items() if n != m)
     kept = canonicalize(docs, "doc_id", connected_components(pairs))
     assert kept.count() == 400 - n_losers
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    """A train doc sharing a 3-shingle with the eval set is dropped;
+    disjoint docs survive; the eval side is broadcast (train text is
+    never shuffled on the shingle)."""
+    from petastorm_spark.operators.dedup import contamination_overlap, decontaminate
+    from petastorm_spark.plans.checks import count_broadcast_joins
+
+    ev = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox yesterday"),  # shares shingle
+            (2, "completely disjoint vocabulary here today"),
+            (3, "quick brown dog sleeps"),  # bigram overlap only, no 3-shingle
+        ],
+        ["doc_id", "text"],
+    )
+    ov = {r.doc_id: r.n_overlap for r in
+          contamination_overlap(tr, ev, "text", "doc_id").collect()}
+    assert ov == {1: 2}  # "the quick brown", "quick brown fox"
+    kept = sorted(
+        r.doc_id for r in decontaminate(tr, ev, "text", "doc_id").collect()
+    )
+    assert kept == [2, 3]
+    assert count_broadcast_joins(contamination_overlap(tr, ev, "text", "doc_id")) >= 1
