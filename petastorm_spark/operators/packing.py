@@ -1,0 +1,85 @@
+"""Context-window sequence packing: assign documents to fixed-length
+token windows, the last preprocessing step before a training feed.
+
+Semantics (deterministic, engine-independent): documents are split
+into ``n_streams`` independent streams by ``id % n_streams``, each
+stream is ordered by id and concatenated, and a document belongs to
+the window its FIRST token lands in: ``bin = (cum_tokens_before) //
+seq_len``. ``seq_id = stream * 2^40 + bin`` is globally unique.
+
+Scale design (100 TB): one shuffle into ``n_streams`` sort groups;
+each stream's running sum is an independent window, so parallelism is
+``n_streams`` — set it to O(cluster cores). No global ordering, no
+driver state, no iterative passes. A single global stream (the naive
+formulation) would serialize the whole corpus through one partition.
+
+The reference engine has no packing step; this is the standard
+fixed-host-bin formulation used by training pipelines so an epoch's
+window boundaries are reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from petastorm_spark.operators.text import token_count
+
+_STREAM_SHIFT = 1 << 40  # bins per stream headroom: 2^40 windows
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seq_len: int = 2048,
+    n_streams: int = 32,
+) -> DataFrame:
+    """Per-window packing summary: ``(seq_id, n_docs, total_tokens)``.
+
+    ``total_tokens`` can exceed ``seq_len``: a document overflowing its
+    window counts in the window its first token lands in (the
+    downstream feed splits it); windows are never left sparse by
+    construction.
+    """
+    stream = (F.col(id_col) % n_streams).alias("_stream")
+    d = df.select(
+        F.col(id_col), token_count(text_col).alias("_n_tokens"), stream
+    )
+    w = Window.partitionBy("_stream").orderBy(id_col)
+    d = d.withColumn("_cum", F.sum("_n_tokens").over(w))
+    seq_bin = F.expr(f"(_cum - _n_tokens) div {int(seq_len)}")
+    d = d.withColumn(
+        "seq_id", F.col("_stream") * _STREAM_SHIFT + seq_bin
+    )
+    return d.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+def pack_assignments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seq_len: int = 2048,
+    n_streams: int = 32,
+) -> DataFrame:
+    """Per-document assignment ``(id_col, seq_id, offset)`` — the
+    materialized map a feed uses to build each training window.
+    ``offset`` is the document's first-token position inside its
+    stream's concatenation (so ``offset % seq_len`` is the in-window
+    start)."""
+    stream = (F.col(id_col) % n_streams).alias("_stream")
+    d = df.select(
+        F.col(id_col), token_count(text_col).alias("_n_tokens"), stream
+    )
+    w = Window.partitionBy("_stream").orderBy(id_col)
+    d = d.withColumn("_cum", F.sum("_n_tokens").over(w))
+    offset = (F.col("_cum") - F.col("_n_tokens")).alias("offset")
+    seq_bin = F.expr(f"(_cum - _n_tokens) div {int(seq_len)}")
+    return d.select(
+        F.col(id_col),
+        (F.col("_stream") * _STREAM_SHIFT + seq_bin).alias("seq_id"),
+        offset.cast("bigint"),
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny deterministic stopword lexicons. Real deployments swap in full
@@ -122,3 +122,62 @@ def fingerprint(text_col) -> Column:
     distinct token set (catches shuffled/bag-of-words duplicates)."""
     t = F.array_sort(F.array_distinct(tokens(text_col)))
     return F.md5(F.concat_ws(" ", t))
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``top_bigram_frac``: occurrences of the most frequent token
+      bigram over total bigrams — boilerplate/template detector;
+    - ``dup_token_frac``: 1 - distinct/total tokens — spam detector.
+
+    Docs with fewer than 2 tokens are dropped (no bigram exists).
+    Scale: explode bigrams -> two partially-aggregated key shuffles
+    ((doc, bigram) count, then per-doc max/sum) + one id-keyed join
+    back to the per-doc token stats. Pure JVM, no Python UDFs.
+    """
+    base = (
+        df.withColumn("_toks", tokens(text_col))
+        .where(F.size("_toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.size("_toks").alias("_n"),
+            F.size(F.array_distinct("_toks")).alias("_nd"),
+            # guarded like shingles_from_tokens: the filter above is
+            # not enough — Catalyst may evaluate the projection's
+            # expression tree on pre-filter rows (sequence(0,-1) is a
+            # DESCENDING 2-element sequence, not empty)
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("_toks", (i + 1).cast("int")),
+                        F.element_at("_toks", (i + 2).cast("int")),
+                    ),
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("_bg"),
+        )
+    )
+    cnt = (
+        base.select(F.col(id_col), F.explode("_bg").alias("_b"))
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    top = cnt.groupBy(id_col).agg(
+        F.max("_c").alias("_top"), F.sum("_c").alias("_total")
+    )
+    return top.join(base.select(id_col, "_n", "_nd"), id_col).select(
+        F.col(id_col),
+        (F.floor(F.col("_top") / F.col("_total") * 10000) / 10000).alias(
+            "top_bigram_frac"
+        ),
+        (
+            F.floor((1 - F.col("_nd") / F.col("_n")) * 10000) / 10000
+        ).alias("dup_token_frac"),
+    )

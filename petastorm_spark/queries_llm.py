@@ -339,6 +339,65 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, len({_TOK}) AS n_tokens,
+                        doc_id % 32 AS stream
+                 FROM documents),
+    c AS (SELECT doc_id, n_tokens, stream,
+                 sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id)
+                   AS cum
+          FROM tok)
+    SELECT stream * {1 << 40} + (cum - n_tokens) // 2048 AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM c
+    GROUP BY seq_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: docs -> 2048-token windows across 32
+    independent id-sharded streams; per-window doc count and token
+    total. Scale: one shuffle into n_streams sort groups, each window
+    an independent running sum — no global ordering, no driver
+    state."""
+    from petastorm_spark.operators.packing import pack_sequences as _pack
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _pack(d, "text", "doc_id", seq_len=2048, n_streams=32)
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    base AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+                    list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1]) AS bg
+             FROM tok WHERE len(t) >= 2),
+    cnt AS (SELECT doc_id, b, count(*) AS c
+            FROM (SELECT doc_id, unnest(bg) AS b FROM base)
+            GROUP BY doc_id, b),
+    top AS (SELECT doc_id, max(c) AS top, sum(c) AS total
+            FROM cnt GROUP BY doc_id)
+    SELECT t.doc_id,
+           floor(top / total * 10000) / 10000 AS top_bigram_frac,
+           floor((1 - nd * 1.0 / n) * 10000) / 10000 AS dup_token_frac
+    FROM top t JOIN base USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: most-frequent-bigram fraction
+    and duplicate-token fraction per doc. Scale: explode + two
+    partial-agg shuffles + one id-keyed join; pure JVM."""
+    from petastorm_spark.operators.text import repetition_signals
+
+    return repetition_signals(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -562,3 +562,51 @@ def test_decontaminate_drops_overlapping_docs(spark):
     )
     assert kept == [2, 3]
     assert count_broadcast_joins(contamination_overlap(tr, ev, "text", "doc_id")) >= 1
+
+
+def test_pack_sequences_hand_computed(spark):
+    """4 docs, 1 stream, seq_len=5: cum starts 0,3,7,9 -> bins 0,0,1,1.
+    Assignments and window summaries must both reflect it."""
+    from petastorm_spark.operators.packing import (
+        _STREAM_SHIFT,
+        pack_assignments,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),        # 3 tokens, offset 0  -> bin 0
+            (1, "d e f g"),      # 4 tokens, offset 3  -> bin 0 (overflows)
+            (2, "h i"),          # 2 tokens, offset 7  -> bin 1
+            (3, "j"),            # 1 token,  offset 9  -> bin 1
+        ],
+        ["doc_id", "text"],
+    )
+    asg = {r.doc_id: (r.seq_id, r.offset)
+           for r in pack_assignments(docs, "text", "doc_id",
+                                     seq_len=5, n_streams=1).collect()}
+    assert asg == {0: (0, 0), 1: (0, 3), 2: (1, 7), 3: (1, 9)}
+    seqs = {r.seq_id: (r.n_docs, r.total_tokens)
+            for r in pack_sequences(docs, "text", "doc_id",
+                                    seq_len=5, n_streams=1).collect()}
+    assert seqs == {0: (2, 7), 1: (2, 3)}
+
+    # multi-stream: every doc assigned exactly once, stream encoded in seq_id
+    asg2 = pack_assignments(docs, "text", "doc_id", seq_len=5, n_streams=2)
+    rows = asg2.collect()
+    assert sorted(r.doc_id for r in rows) == [0, 1, 2, 3]
+    for r in rows:
+        assert r.seq_id // _STREAM_SHIFT == r.doc_id % 2
+
+
+def test_repetition_signals_hand_computed(spark):
+    """'x y x y x' -> bigrams [x y, y x, x y, y x]: top 2/4; distinct
+    2/5 tokens -> dup_token_frac 0.6. Single-token docs are dropped."""
+    from petastorm_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y x"), (2, "a b c d"), (3, "solo")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: (r.top_bigram_frac, r.dup_token_frac)
+           for r in repetition_signals(docs, "text", "doc_id").collect()}
+    assert got == {1: (0.5, 0.6), 2: (0.3333, 0.0)}
