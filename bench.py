@@ -58,6 +58,12 @@ HEADLINE = [
     "dedup_embedding_pairs",
     "events_ewma",
     "events_ewma_agg",
+    "dedup_clusters",
+    "decontaminate_overlap",
+    "pack_sequences",
+    "text_repetition",
+    "bm25_search",
+    "sample_stratified_lang",
 ]
 
 N_WARMUP_READS = 500

@@ -35,5 +35,22 @@ from petastorm_spark.transform import TransformSpec  # noqa: F401
 from petastorm_spark.converter import make_spark_converter  # noqa: F401
 from petastorm_spark.operators.ngram import NGram  # noqa: F401
 from petastorm_spark.operators.sampling import WeightedSamplingReader  # noqa: F401
+from petastorm_spark.operators.dedup import (  # noqa: F401
+    canonicalize,
+    connected_components,
+    contamination_overlap,
+    decontaminate,
+    exact_dedup,
+    near_dup_pairs,
+)
+from petastorm_spark.operators.packing import (  # noqa: F401
+    pack_assignments,
+    pack_sequences,
+)
+from petastorm_spark.operators.sampling_extra import (  # noqa: F401
+    bm25_scores,
+    bm25_top_k,
+    sample_stratified,
+)
 
 __version__ = "0.1.0"

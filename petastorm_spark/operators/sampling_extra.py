@@ -1,0 +1,120 @@
+"""Stratified sampling and BM25 ranked retrieval — corpus-curation
+operators a training-data pipeline needs beyond the reference's
+row-group sharding/weighted-mix surface (petastorm/reader.py:90-150
+exposes only uniform shard/shuffle; no per-stratum rates, no ranking).
+
+Both are pure built-in-function plans: the sampling filter is a
+per-row md5 fraction (key-stable, engine-reproducible — the DuckDB
+oracles recompute it bit-for-bit), and BM25 is two corpus aggregates
+broadcast into a per-doc map — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from petastorm_spark.operators.text import tokens
+from petastorm_spark.predicates import md5_fraction
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its
+    md5 fraction (keyed on ``seed|key``) falls below its stratum's
+    rate — the domain-mixing step of corpus curation (e.g. keep 100%
+    of books, 10% of crawl).
+
+    Key-stable: the same key keeps/drops identically across runs,
+    partitionings, and engines (unlike ``df.sampleBy``, whose
+    per-partition RNG changes with the split layout). Scale: a pure
+    map-side filter — no shuffle, no per-stratum pass; the rate lookup
+    is a literal CASE over the (small) fractions dict.
+    """
+    frac = md5_fraction(F.concat_ws("|", F.lit(str(seed)), F.col(key_col)))
+    rate = F.lit(float(default_fraction))
+    for value, p in fractions.items():
+        rate = F.when(F.col(strata_col) == value, F.lit(float(p))).otherwise(rate)
+    return df.where(frac < rate)
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query
+    terms: ``(id_col, score)`` for docs matching >= 1 term.
+
+    score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)),
+    idf(t) = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Scale: corpus stats (N, avgdl, per-term document frequencies) are
+    ONE partial aggregate collapsed to a single row and broadcast back
+    via crossJoin — the corpus is scanned twice (stats, then scoring),
+    both scans pure map + partial agg, nothing shuffled by term. Term
+    count is bounded by the query, so per-row work is O(|query| * dl).
+    """
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+
+    def _tf(term: str):
+        return F.size(F.filter("_toks", lambda x: x == F.lit(term)))
+
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((_tf(t) > 0).cast("bigint")).alias(f"_df_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    scored = toks.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i, t in enumerate(query_terms):
+        tf = _tf(t).cast("double")
+        idf = F.log(
+            1.0
+            + (F.col("_n") - F.col(f"_df_{i}") + 0.5) / (F.col(f"_df_{i}") + 0.5)
+        )
+        score = score + idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+        )
+    return (
+        scored.withColumn("_score", score)
+        .where(F.col("_score") > 0)
+        .select(
+            F.col(id_col),
+            (F.floor(F.col("_score") * 10000) / 10000).alias("score"),
+        )
+    )
+
+
+def bm25_top_k(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 retrieval: rank all matching docs, keep the best k
+    (ties broken by id for determinism). Scale: partition-local top-k
+    via the same sort-merge pattern as ANN exact top-k — the global
+    sort only ever sees <= k rows per partition."""
+    scored = bm25_scores(df, text_col, id_col, query_terms, k1, b)
+    return (
+        scored.orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

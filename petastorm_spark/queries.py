@@ -40,6 +40,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + fan-out for COMPUTE-heavy consumers (tokenize/shingle/
+    hash/vector math): a small single-row-group parquet file scans as
+    ONE task, serializing all per-row map work before the first
+    shuffle. When the scan yields fewer splits than cores, round-robin
+    repartition first. Self-disabling at scale: a real corpus has
+    >= cores splits, the condition is false, and no exchange is added
+    — so this never costs anything where it could hurt."""
+    df = _t(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:  # planning-only, no job
+        return df.repartition(cores)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Core analytic surface (SURVEY §2.6: aggregations/joins/sorts via Spark
 # built-ins — the engine's DataFrame query surface).

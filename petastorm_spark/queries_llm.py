@@ -18,16 +18,23 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from petastorm_spark.queries import _t, register
+from petastorm_spark.queries import _t, _t_wide, register
 
 _COPY_SHIFT = 100_000
 
 # DuckDB token expression (parity with operators.text.tokens)
 _TOK = "string_split_regex(lower(trim(text)), '\\s+')"
 
+# md5 fraction keyed as sample_stratified(seed=0, key=doc_id) computes
+# it: fraction of md5("0|<doc_id>") (parity with predicates.md5_fraction)
+_FRAC_DOC = (
+    "(('0x'||substr(md5('0|' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT"
+    " / 1152921504606846976.0)"
+)
+
 
 def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
     copy = d.select((F.col("doc_id") + _COPY_SHIFT).alias("doc_id"), "text")
     return d.unionByName(copy)
 
@@ -133,7 +140,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg, no blowup — the 60 vote columns ride one shuffle."""
     from petastorm_spark.operators.dedup import simhash
 
-    return simhash(_t(spark, sf_dir, "documents"), "text", "doc_id", bits=60)
+    return simhash(_t_wide(spark, sf_dir, "documents"), "text", "doc_id", bits=60)
 
 
 def _simhash_pairs_oracle(bits: int = 60, bands: int = 4, max_hamming: int = 3) -> str:
@@ -331,7 +338,7 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of train text."""
     from petastorm_spark.operators.dedup import contamination_overlap
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
     ev = d.where(F.col("doc_id") % 97 == 0)
     tr = d.where(F.col("doc_id") % 97 != 0)
     return contamination_overlap(tr, ev, "text", "doc_id").select(
@@ -364,7 +371,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     state."""
     from petastorm_spark.operators.packing import pack_sequences as _pack
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
     return _pack(d, "text", "doc_id", seq_len=2048, n_streams=32)
 
 
@@ -394,8 +401,78 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petastorm_spark.operators.text import repetition_signals
 
     return repetition_signals(
-        _t(spark, sf_dir, "documents"), "text", "doc_id"
+        _t_wide(spark, sf_dir, "documents"), "text", "doc_id"
     )
+
+
+_BM25_TERMS = ["table", "join", "window"]
+
+
+def _bm25_oracle(k1: float = 1.2, b: float = 0.75) -> str:
+    tfs = ",\n                 ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    # term expressions mirror the Spark operator's float op order
+    # exactly: ((idf*tf)*(k1+1)) / (tf + k1*((1-b) + ((b*dl)/avgdl)))
+    terms = " + ".join(
+        f"(ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * {k1 + 1}"
+        f" / (tf{i} + {k1} * ({1 - b} + ({b} * dl) / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    d AS (SELECT doc_id, len(t) AS dl,
+                 {tfs}
+          FROM tok),
+    s AS (SELECT count(*) AS n, avg(dl) AS avgdl, {dfs} FROM d)
+    SELECT doc_id, floor(({terms}) * 10000) / 10000 AS score
+    FROM d, s
+    WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0
+    """
+
+
+@register("bm25_search", oracle=_bm25_oracle())
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every doc against a 3-term query.
+    Scale: one corpus-stats aggregate broadcast back via crossJoin,
+    then a pure map-side score — nothing shuffled by term, no Python
+    UDFs."""
+    from petastorm_spark.operators.sampling_extra import bm25_scores
+
+    return bm25_scores(
+        _t_wide(spark, sf_dir, "documents"), "text", "doc_id", _BM25_TERMS
+    )
+
+
+@register(
+    "sample_stratified_lang",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_FRAC_DOC} <
+          CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+                    WHEN 'fr' THEN 0.2 ELSE 0.05 END
+    """,
+)
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing downsample: per-language keep rates via a
+    key-stable md5 fraction (same key -> same keep decision across
+    runs, partitionings, engines). Scale: pure map-side filter, no
+    shuffle, rate lookup is a literal CASE."""
+    from petastorm_spark.operators.sampling_extra import sample_stratified
+
+    return sample_stratified(
+        _t_wide(spark, sf_dir, "documents"),
+        "lang",
+        {"en": 0.5, "de": 0.3, "fr": 0.2},
+        key_col="doc_id",
+        seed=0,
+        default_fraction=0.05,
+    ).select("doc_id", "lang")
 
 
 # ---------------------------------------------------------------------------
@@ -420,7 +497,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     token length. Scale: pure map, zero shuffle."""
     from petastorm_spark.operators import text as T
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         T.token_count("text").cast("bigint").alias("n_tokens"),
@@ -459,7 +536,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     a composite score. Scale: pure map."""
     from petastorm_spark.operators import text as T
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
 
     def f4(c):  # floor-scale: round() half-way ties differ across engines
         return F.floor(c * 10000) / 10000
@@ -501,7 +578,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     map against broadcast-literal lexicons."""
     from petastorm_spark.operators.text import detect_language
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -523,7 +600,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     set — catches order-shuffled duplicates that exact dedup misses."""
     from petastorm_spark.operators.text import fingerprint
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint("text").alias("fingerprint"))
 
 
@@ -542,7 +619,7 @@ def pred_in_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petastorm_spark.operators.text import tokens
     from petastorm_spark.predicates import in_intersection
 
-    d = _t(spark, sf_dir, "documents").withColumn("_toks", tokens("text"))
+    d = _t_wide(spark, sf_dir, "documents").withColumn("_toks", tokens("text"))
     pred = in_intersection(["spark", "window"], "_toks")
     return d.where(pred.to_column()).select("doc_id", "source")
 
@@ -561,7 +638,7 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered limit (Spark plans TakeOrdered, no global sort)."""
     from petastorm_spark.operators.text import tokens
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return (
         d.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
@@ -584,7 +661,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (first 8 dims shown): posexplode + grouped
     mean — the building block of k-means/IVF coarse quantizers. Scale:
     explode is a map; one exchange on (label, dim)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     return (
         emb.select("label", F.posexplode("embedding").alias("dim0", "x"))
         .withColumn("dim", (F.col("dim0") + 1).cast("int"))
@@ -632,7 +709,7 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from petastorm_spark.operators.similarity import cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     topk = cosine_topk(emb, queries, k=5)
     labels = emb.select(
@@ -687,7 +764,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole corpus. Scale: broadcast query set; one corpus scan."""
     from petastorm_spark.operators.similarity import cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
@@ -729,7 +806,7 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross join."""
     from petastorm_spark.operators.similarity import cosine_topk_lsh
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(
         emb, emb.where(F.col("vec_id") < 10), dim=64, k=5, n_planes=8, seed=7
     )
@@ -774,7 +851,7 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg argmax pass, candidates via cell equi-join."""
     from petastorm_spark.operators.similarity import cosine_topk_ivf
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     return cosine_topk_ivf(
         emb, emb.where(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=3
     )
@@ -813,7 +890,7 @@ def ann_cosine_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked. Scale: probe explosion is on the tiny query side only."""
     from petastorm_spark.operators.similarity import cosine_topk_multiprobe
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     return cosine_topk_multiprobe(
         emb, emb.where(F.col("vec_id") < 10), dim=64, k=5, n_planes=8, seed=7
     )
@@ -850,7 +927,7 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket exchange); hot buckets split on 12 extra hyperplane bits."""
     from petastorm_spark.operators.similarity import embedding_near_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _t_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     both = emb.unionByName(
         emb.select((F.col("vec_id") + _COPY_SHIFT).alias("vec_id"), "embedding")
     )

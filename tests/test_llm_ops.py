@@ -610,3 +610,45 @@ def test_repetition_signals_hand_computed(spark):
     got = {r.doc_id: (r.top_bigram_frac, r.dup_token_frac)
            for r in repetition_signals(docs, "text", "doc_id").collect()}
     assert got == {1: (0.5, 0.6), 2: (0.3333, 0.0)}
+
+
+def test_sample_stratified_deterministic_and_rate(spark):
+    """Same seed -> identical sample; rates land near targets; zero
+    rate excludes a stratum entirely."""
+    from petastorm_spark.operators.sampling_extra import sample_stratified
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    frac = {"a": 0.5, "b": 0.0}
+    got1 = sorted(r.k for r in sample_stratified(df, "s", frac, "k").collect())
+    got2 = sorted(r.k for r in sample_stratified(df, "s", frac, "k").collect())
+    assert got1 == got2
+    assert all(k % 2 for k in got1)  # stratum b fully excluded
+    assert 400 < len(got1) < 600  # ~50% of the 1000 'a' rows
+    # different seed -> different (but same-rate) sample
+    got3 = sorted(
+        r.k for r in sample_stratified(df, "s", frac, "k", seed=1).collect()
+    )
+    assert got3 != got1 and 400 < len(got3) < 600
+
+
+def test_bm25_ranks_term_density(spark):
+    """A doc saturated with the query term outranks a diluted one;
+    docs without any term are absent; top_k orders and truncates."""
+    from petastorm_spark.operators.sampling_extra import bm25_scores, bm25_top_k
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat cat cat cat"),
+            (2, "cat dog bird fish mouse horse cow hen pig goat"),
+            (3, "dog bird fish"),
+            (4, "cat cat dog dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    scores = {r.doc_id: r.score for r in
+              bm25_scores(df, "text", "doc_id", ["cat"]).collect()}
+    assert set(scores) == {1, 2, 4}
+    assert scores[1] > scores[4] > scores[2]
+    top = [r.doc_id for r in bm25_top_k(df, "text", "doc_id", ["cat"], k=2).collect()]
+    assert top == [1, 4]

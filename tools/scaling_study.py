@@ -46,6 +46,8 @@ STUDY_QUERIES = [
     "ann_cosine_multiprobe",
     "events_ewma",
     "q21_waiting_suppliers",
+    "dedup_near_pairs",
+    "dedup_embedding_pairs",
 ]
 
 
@@ -92,16 +94,24 @@ def main() -> None:
         QUERIES[name](spark, "/root/testdata/sf0.001").count()
 
     results: dict[str, list[float]] = {}
+    counts: dict[str, list[int]] = {}
     for name in STUDY_QUERIES:
-        row = []
+        row: list[float] = []
+        nrow: list[int] = []
         for _, d in dirs:
             best = float("inf")
+            n = 0
             for _rep in range(2):  # min-of-2 suppresses GC/page-cache noise
+                # operators that persist intermediates (near_dup_pairs)
+                # must not hand run 2 a warm cache
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                QUERIES[name](spark, d).count()
+                n = QUERIES[name](spark, d).count()
                 best = min(best, time.perf_counter() - t0)
             row.append(best)
+            nrow.append(n)
         results[name] = row
+        counts[name] = nrow
         print(f"{name}: " + "  ".join(f"{x:.2f}s" for x in row), file=sys.stderr)
 
     lines = [
@@ -112,15 +122,16 @@ def main() -> None:
         "dominate at this size. Plan shapes are identical across scales",
         "(verified by tests/test_plans.py).",
         "",
-        "| query | " + " | ".join(n for n, _ in dirs) + " | sf1/sf0.1 ratio |",
-        "|---|---|---|---|---|",
+        "| query | " + " | ".join(n for n, _ in dirs) + " | sf1/sf0.1 ratio | rows out (sf0.1 -> sf1) |",
+        "|---|---|---|---|---|---|",
     ]
     for name, row in results.items():
         ratio = row[2] / row[1] if row[1] else float("nan")
+        c = counts[name]
         lines.append(
             f"| {name} | "
             + " | ".join(f"{x:.2f}s" for x in row)
-            + f" | {ratio:.1f}x |"
+            + f" | {ratio:.1f}x | {c[1]:,} -> {c[2]:,} |"
         )
     lines.append("")
     lines.append(
@@ -134,11 +145,15 @@ def main() -> None:
         "- Sub-linear growth for 10x data means fixed scheduling/JVM costs",
         "  still dominate at 6M rows; the small marginal per-row cost is",
         "  what carries to 100 TB.",
-        "- dedup_minhash_lsh on the replicated corpus has 20 exact copies",
-        "  of every text (10 replicas x the query's own dup-union), so",
-        "  candidate pairs grow quadratically in the copy count — exactly",
-        "  what an LSH dedup should surface; organic corpora stay",
-        "  near-linear.",
+        "- PAIR-EMITTING dedup ops (minhash_lsh, simhash_pairs,",
+        "  near_pairs, embedding_pairs) are OUTPUT-bound on this fixture:",
+        "  replicating the corpus 10x gives every text 20 exact copies",
+        "  (10 replicas x the query's own dup-union), so the TRUE answer",
+        "  grows quadratically in the copy count — compare the rows-out",
+        "  column, and judge these ops on pairs/sec, not wall ratio.",
+        "  Organic corpora (bounded dup multiplicity) stay near-linear;",
+        "  emitting exactly the demanded quadratic output is correct",
+        "  behavior, not a plan defect.",
         "- Plan shapes are identical across scales (same broadcasts, same",
         "  exchanges — pinned by tests/test_plans.py); only task counts",
         "  change, which is the property that carries to a 1000-executor",
