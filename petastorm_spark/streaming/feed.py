@@ -206,3 +206,39 @@ def running_ewma_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def contamination_stream(
+    train_stream: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.dedup.contamination_overlap`:
+    a live report of incoming training docs sharing >= ``min_overlap``
+    distinct shingles with a STATIC eval corpus — the "is my ingest
+    firehose leaking the benchmark?" monitor.
+
+    Stream-static join: the eval shingle set is broadcast, the stream
+    side explodes its shingles and map-side joins it, and the per-doc
+    count is a streaming aggregation — run the sink in ``update``
+    mode. State is one counter per contaminated doc id (a doc's
+    shingles arrive in one micro-batch, so rows stabilize
+    immediately); the batch ``decontaminate`` remains the drop path,
+    this stream is the alerting path."""
+    from petastorm_spark.operators.dedup import exploded_shingles
+
+    ev = F.broadcast(
+        exploded_shingles(eval_df, text_col, id_col, shingle_n)
+        .select("sh")
+        .distinct()
+    )
+    tr_sh = exploded_shingles(train_stream, text_col, id_col, shingle_n)
+    return (
+        tr_sh.join(ev, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )

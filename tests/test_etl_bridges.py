@@ -297,3 +297,36 @@ def test_throughput_cli(spark, sf_dir, capsys):
         == 0
     )
     assert "samples/sec" in capsys.readouterr().out
+
+
+def test_streaming_contamination_matches_batch_twin(spark, sf_dir, tmp_path_factory):
+    """contamination_stream (stream-static broadcast join + update-mode
+    agg) over a static dir must reproduce batch contamination_overlap
+    exactly."""
+    from petastorm_spark.operators.dedup import contamination_overlap
+    from petastorm_spark.streaming.feed import contamination_stream, stream_dataset
+
+    d = str(tmp_path_factory.mktemp("contam") / "docs")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    ev = docs.where(docs.doc_id % 97 == 0)
+    tr = docs.where(docs.doc_id % 97 != 0)
+    tr.coalesce(1).write.parquet(d)  # one file -> one micro-batch
+
+    q = (
+        contamination_stream(stream_dataset(spark, d), ev, "text", "doc_id")
+        .writeStream.format("memory")
+        .queryName("contam_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        r.doc_id: r.n_overlap
+        for r in spark.sql("SELECT * FROM contam_out").collect()
+    }
+    batch_rows = {
+        r.doc_id: r.n_overlap
+        for r in contamination_overlap(tr, ev, "text", "doc_id").collect()
+    }
+    assert stream_rows == batch_rows and stream_rows

@@ -48,6 +48,10 @@ STUDY_QUERIES = [
     "q21_waiting_suppliers",
     "dedup_near_pairs",
     "dedup_embedding_pairs",
+    "dedup_clusters",
+    "bm25_search",
+    "pack_sequences",
+    "decontaminate_overlap",
 ]
 
 
