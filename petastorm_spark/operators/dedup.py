@@ -237,9 +237,15 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
     return per_doc.select(F.col(id_col), sim.alias("simhash"))
 
 
-def _pair_join(buckets: DataFrame, id_col: str, keys: list[str]) -> DataFrame:
+def _pair_join(
+    buckets: DataFrame,
+    id_col: str,
+    keys: list[str],
+    carry: list[str] | None = None,
+) -> DataFrame:
     """Self-join a bucket table on ``keys``, returning candidate pairs
-    (id_a < id_b) with both fingerprints carried along."""
+    (id_a < id_b) with both fingerprints carried along. ``carry``
+    columns ride through from the join (key-equal or a/b-suffixed)."""
     a = buckets.alias("a")
     b = buckets.alias("b")
     cond = reduce(
@@ -247,12 +253,34 @@ def _pair_join(buckets: DataFrame, id_col: str, keys: list[str]) -> DataFrame:
         keys[1:],
         F.col(f"a.{keys[0]}") == F.col(f"b.{keys[0]}"),
     ) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    return a.join(b, cond).select(
+    cols = [
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
         F.col("a.simhash").alias("sig_a"),
         F.col("b.simhash").alias("sig_b"),
-    )
+    ]
+    for c in carry or []:
+        if c in keys:
+            cols.append(F.col(f"a.{c}").alias(c))
+        else:
+            cols.append(F.col(f"a.{c}").alias(f"{c}_a"))
+            cols.append(F.col(f"b.{c}").alias(f"{c}_b"))
+    return a.join(b, cond).select(*cols)
+
+
+def _min_zero_window(xor_col, windows: list[tuple[int, int]]):
+    """Index of the FIRST all-zero (offset, width) bit window of
+    ``xor_col`` — the per-row test that lets every banded self-join
+    emit a colliding pair exactly once (from its minimal matching
+    band) instead of deduplicating with a shuffle."""
+    expr = F.lit(len(windows) - 1)
+    for j in reversed(range(len(windows) - 1)):
+        off, w = windows[j]
+        zero = (
+            F.shiftright(xor_col, off).bitwiseAND(F.lit((1 << w) - 1)) == 0
+        )
+        expr = F.when(zero, F.lit(j)).otherwise(expr)
+    return expr
 
 
 def simhash_pair_candidates(
@@ -291,6 +319,16 @@ def simhash_pair_candidates(
 
     Scale: the bucket-size count is one partial agg over bands*N rows;
     the hot list is tiny (<= N/hot_threshold entries) and broadcast.
+
+    Dedup-free emission: a pair colliding in several bands/sub-bands is
+    emitted exactly once — by its minimal matching (band[, sub]) window,
+    a per-row bit test on the fingerprint XOR — so there is NO distinct
+    over the pair stream (previously the dominant shuffle: the pair
+    stream is quadratic in dup multiplicity). Guarantee preserved: every
+    pair with hamming <= max_hamming appears exactly once. (A FALSE
+    candidate — hamming > max_hamming — whose minimal matching band is
+    hot may be suppressed rather than surfaced; callers always verify
+    with bit_count, so only noise is dropped, earlier.)
     """
     width = bits // bands
     mask = (1 << width) - 1
@@ -329,7 +367,20 @@ def simhash_pair_candidates(
         "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "val"))
     )
     cold = marked.where(F.col("_n") <= hot_threshold)
-    cold_pairs = _pair_join(cold, id_col, ["band", "val"])
+    # first-match emission instead of a distinct: a pair colliding in
+    # several bands is emitted only by its MINIMAL matching band — a
+    # per-row bit test on the fingerprint XOR — so no global
+    # candidate-dedup shuffle is ever needed (at corpus scale that
+    # shuffle moves ~copies^2 rows; measured 109.6M pairs at the 6M-row
+    # study tier). Hot/cold consistency: both members of a collision
+    # share the (band, val) bucket and therefore its _n, so exactly one
+    # path owns each pair's minimal band.
+    band_windows = [(k * width, width) for k in range(bands)]
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    cold_pairs = _pair_join(cold, id_col, ["band", "val"], carry=["band"])
+    cold_pairs = cold_pairs.where(
+        F.col("band") == _min_zero_window(xor, band_windows)
+    ).drop("band")
 
     # sub-band split of the remaining bits: max_hamming+1 slices, the
     # leftover bits folded into the last slice (still pigeonhole-exact).
@@ -352,25 +403,38 @@ def simhash_pair_candidates(
     hot_rows = (
         marked.where(F.col("_n") > hot_threshold)
         .select(
-            id_col, "simhash", "band", "val",
+            id_col, "simhash", "band", "val", "rest",
             F.explode(F.array(*sub_structs)).alias("sb"),
         )
         .select(
-            id_col, "simhash", "band", "val",
+            id_col, "simhash", "band", "val", "rest",
             F.col("sb.sub").alias("sub"), F.col("sb.subval").alias("subval"),
         )
     )
-    hot_pairs = _pair_join(hot_rows, id_col, ["band", "val", "sub", "subval"])
+    sub_windows = []
+    off = 0
+    for j in range(nsub):
+        w = base if j < nsub - 1 else rest_bits - base * (nsub - 1)
+        sub_windows.append((off, w))
+        off += w
+    hot_pairs = _pair_join(
+        hot_rows, id_col, ["band", "val", "sub", "subval"],
+        carry=["band", "sub", "rest"],
+    )
+    rest_xor = F.col("rest_a").bitwiseXOR(F.col("rest_b"))
+    hot_pairs = hot_pairs.where(
+        (F.col("band") == _min_zero_window(xor, band_windows))
+        & (F.col("sub") == _min_zero_window(rest_xor, sub_windows))
+    ).drop("band", "sub", "rest_a", "rest_b")
     cand = cold_pairs.unionByName(hot_pairs)
     if prefilter_hamming is not None:
-        # verify BEFORE the dedup shuffle: bit_count is a per-row map,
-        # so the distinct then exchanges only true near-dup pairs
-        # instead of every band collision
+        # the hamming verify is a per-row map — apply it before
+        # anything downstream shuffles the pair stream
         cand = cand.where(
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
             <= prefilter_hamming
         )
-    return cand.distinct()
+    return cand
 
 
 def simhash_dup_pairs(

@@ -652,3 +652,38 @@ def test_bm25_ranks_term_density(spark):
     assert scores[1] > scores[4] > scores[2]
     top = [r.doc_id for r in bm25_top_k(df, "text", "doc_id", ["cat"], k=2).collect()]
     assert top == [1, 4]
+
+
+def test_simhash_first_match_emission_exact_no_dups(spark):
+    """First-matching-band emission must equal brute force exactly and
+    emit each pair once — on clustered fingerprints, with the hot-bucket
+    sub-band path both engaged (threshold 3) and idle (threshold 1000)."""
+    import random
+
+    from petastorm_spark.operators.dedup import simhash_pair_candidates
+
+    random.seed(42)
+    rows, vid = [], 0
+    for _ in range(80):
+        base = random.getrandbits(60)
+        for _ in range(random.choice([1, 1, 1, 2, 3, 8])):
+            sig = base
+            for _ in range(random.choice([0, 0, 1, 2, 3, 4, 6])):
+                sig ^= 1 << random.randrange(60)
+            rows.append((vid, sig))
+            vid += 1
+    sig_df = spark.createDataFrame(rows, "id long, simhash long")
+    truth = {
+        (rows[i][0], rows[j][0])
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if bin(rows[i][1] ^ rows[j][1]).count("1") <= 3
+    }
+    for thr in (3, 1000):
+        cand = simhash_pair_candidates(
+            sig_df, "id", bits=60, bands=4, max_hamming=3,
+            hot_threshold=thr, prefilter_hamming=3,
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in cand}
+        assert len(cand) == len(got), f"duplicate emission at thr={thr}"
+        assert got == truth
