@@ -293,8 +293,13 @@ def simhash_pair_candidates(
     prefilter_hamming: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs from a SimHash signature table
-    (columns: id, simhash), EXACT for hamming <= bands-1 and never
-    quadratic in any bucket.
+    (columns: id, simhash): a SUPERSET of the true pairs restricted to
+    hamming <= max_hamming — every such pair appears exactly once;
+    FALSE candidates (hamming > max_hamming) may or may not appear, so
+    callers must verify with bit_count (``simhash_dup_pairs`` does).
+    It is NOT the full band-collision set: a false candidate whose
+    minimal matching band lands in a hot bucket is suppressed by the
+    sub-band refinement. Never quadratic in any bucket.
 
     Level 1 (pigeonhole): any pair within hamming ``< bands`` agrees
     exactly on >= 1 of the ``bands`` bit-bands, so candidates collide on

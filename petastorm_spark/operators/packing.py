@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from petastorm_spark.operators.text import token_count
+from petastorm_spark.operators.text import token_count, tokens
 
 _STREAM_SHIFT = 1 << 40  # bins per stream headroom: 2^40 windows
 
@@ -55,6 +55,48 @@ def pack_sequences(
     return d.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    context-window preprocessing twin of :func:`pack_sequences` for
+    the chunk-per-row (RAG / embedding) layout instead of the
+    packed-stream layout.
+
+    Chunk i covers tokens ``[i*step, i*step + chunk_size)`` with
+    ``step = chunk_size - overlap``; every document emits
+    ``max(1, ceil((n_tokens - overlap) / step))`` chunks, so all
+    tokens are covered and consecutive chunks share ``overlap``
+    tokens. Output: ``(id, chunk_idx, n_tokens, chunk_hash)`` with
+    ``chunk_hash = md5`` of the space-joined chunk (the cheap stand-in
+    for carrying the chunk text — swap the select to emit text).
+
+    Scale: pure map + explode, no shuffle at all; chunk fan-out is
+    bounded by document length over step.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
+    step = chunk_size - overlap
+    d = df.select(F.col(id_col), tokens(text_col).alias("_t")).withColumn(
+        "_n", F.size("_t")
+    )
+    n_chunks = F.greatest(
+        F.lit(1), F.expr(f"(_n - {overlap} + {step - 1}) div {step}")
+    )
+    d = d.withColumn("_ci", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    sl = F.expr(f"slice(_t, _ci * {step} + 1, {chunk_size})")
+    return d.select(
+        F.col(id_col),
+        F.col("_ci").cast("bigint").alias("chunk_idx"),
+        F.size(sl).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", sl)).alias("chunk_hash"),
     )
 
 

@@ -25,6 +25,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (callers compose)
 
 
+def ts_as_int(v) -> int:
+    """Event-time scalar -> int for the bigint ``last_ts`` output:
+    integral values pass through; pandas/numpy datetimes become
+    epoch-microseconds (matching DuckDB's ``epoch_us``)."""
+    if isinstance(v, pd.Timestamp):
+        return v.value // 1000  # pandas stores ns; emit µs
+    if isinstance(v, np.datetime64):
+        return int(v.astype("datetime64[us]").astype(np.int64))
+    return int(v)
+
+
 def ewma_update(
     values: np.ndarray, alpha: float, prev: float | None
 ) -> float | None:
@@ -70,7 +81,7 @@ def ewma_by_key(
                 key_col: [pdf[key_col].iloc[0]],
                 "n_events": [len(pdf)],
                 "ewma": [ewma_update(pdf[value_col].to_numpy(), alpha, None)],
-                "last_ts": [int(pdf[ts_col].iloc[-1])],
+                "last_ts": [ts_as_int(pdf[ts_col].iloc[-1])],
             }
         )
 

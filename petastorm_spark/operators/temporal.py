@@ -1,0 +1,209 @@
+"""Temporal join/rollup operators the reference engine lacks but a
+time-series-heavy user expects (SURVEY §2.6 gap set: as-of join,
+range/interval join, hypertable-style multi-granularity rollup).
+
+All three are expressed so the physical plan survives 100 TB:
+
+  - ``asof_join``: NO join at all — a union of the two sides and one
+    window pass per key.  The naive formulation (theta-join on
+    ``r.ts <= l.ts`` + argmax) is a BroadcastNestedLoopJoin that goes
+    quadratic per key; the union-window form is one hash exchange on
+    the key and a partition-local sort, identical cost to a windowed
+    aggregation.
+  - ``range_join_binned``: point-in-interval joins become equi-joins
+    on a time bin, with intervals exploded to every bin they overlap
+    and a residual exact filter after the match.  Spark otherwise
+    plans an inequality join as a nested-loop; binning makes it
+    shuffle-partitionable on both sides (the standard interval-join
+    strategy in Flink/KDB-style engines).
+  - ``rollup_time_grains``: one scan fanned out to N time
+    granularities via explode — the "continuous aggregate ladder" of
+    a hypertable, computed with map-side partial aggregation instead
+    of N scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_value_cols: list[str],
+    tolerance_us: int | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right.ts <= left.ts`` on the same key (``direction='backward'``;
+    ``'forward'`` takes the earliest right row at-or-after).  Right
+    rows must be unique per (key, ts) — pre-aggregate otherwise.
+
+    Output: every left column, plus each ``right_value_cols`` entry as
+    ``asof_<name>`` and the matched right timestamp ``asof_{ts_col}``
+    (nulls when no right row qualifies / tolerance exceeded).
+
+    Scale: union the two sides, ONE hash exchange on ``key_col``, one
+    partition-local sort, ``last(ignorenulls)`` running window per
+    value column — no join operator, so no nested loop and no
+    candidate blowup.  A pathologically hot key serializes into one
+    partition (same as any keyed window); salt upstream if a single
+    key exceeds an executor.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    lcols = left.columns
+    marked_l = left.withColumn("_is_left", F.lit(1))
+    for c in right_value_cols:
+        marked_l = marked_l.withColumn(f"_rv_{c}", F.lit(None).cast(right.schema[c].dataType))
+    marked_l = marked_l.withColumn("_rts", F.lit(None).cast(right.schema[ts_col].dataType))
+
+    marked_r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"_rv_{c}") for c in right_value_cols],
+        F.col(ts_col).alias("_rts"),
+    )
+    for c in lcols:
+        if c not in (key_col, ts_col):
+            marked_r = marked_r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = marked_l.select(
+        *lcols, "_is_left", *[f"_rv_{c}" for c in right_value_cols], "_rts"
+    ).unionByName(
+        marked_r.select(
+            *lcols, "_is_left", *[f"_rv_{c}" for c in right_value_cols], "_rts"
+        )
+    )
+
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal ts => `<=` semantics
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(F.col(ts_col).desc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+
+    filled = u.withColumn("_m_rts", pick("_rts"))
+    for c in right_value_cols:
+        filled = filled.withColumn(f"_m_{c}", pick(f"_rv_{c}"))
+    out = filled.where(F.col("_is_left") == 1)
+
+    if tolerance_us is not None:
+        gap = (
+            F.col(ts_col) - F.col("_m_rts")
+            if direction == "backward"
+            else F.col("_m_rts") - F.col(ts_col)
+        )
+        keep = F.col("_m_rts").isNotNull() & (gap <= tolerance_us)
+        out = out.withColumn("_keep", keep)
+        for c in right_value_cols:
+            out = out.withColumn(
+                f"_m_{c}", F.when(F.col("_keep"), F.col(f"_m_{c}"))
+            )
+        out = out.withColumn(
+            "_m_rts", F.when(F.col("_keep"), F.col("_m_rts"))
+        ).drop("_keep")
+
+    return out.select(
+        *lcols,
+        F.col("_m_rts").alias(f"asof_{ts_col}"),
+        *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in right_value_cols],
+    )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    interval_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-interval join (``start <= ts < end``) as a
+    bin-bucketed equi-join: intervals explode to every ``bin_width``
+    bucket they overlap, points map to their single bucket, the join
+    is an equi-join on the bucket, and an exact residual filter
+    removes edge overshoot.  Timestamps and bounds are integral
+    (epoch-µs or any monotone int).
+
+    Scale: both sides shuffle-partition on the bin key, so a big-big
+    range join parallelizes instead of falling into Spark's
+    BroadcastNestedLoopJoin; interval explosion is
+    ``ceil(span/bin_width)`` rows per interval — pick ``bin_width`` of
+    the order of the median interval span.  (Catalyst cannot derive
+    this rewrite itself; this operator IS the optimization.)
+    """
+    interval_cols = interval_cols or [
+        c for c in intervals.columns if c not in (start_col, end_col)
+    ]
+    binned_iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / bin_width).cast("bigint"),
+                # end is exclusive: a bound on a bin edge adds no bin
+                ((F.col(end_col) - 1) / bin_width).cast("bigint"),
+            )
+        ),
+    )
+    binned_pt = points.withColumn(
+        "_bin", (F.col(point_ts_col) / bin_width).cast("bigint")
+    )
+    joined = binned_pt.join(binned_iv, "_bin").where(
+        (F.col(point_ts_col) >= F.col(start_col))
+        & (F.col(point_ts_col) < F.col(end_col))
+    )
+    return joined.drop("_bin")
+
+
+def rollup_time_grains(
+    df: DataFrame,
+    ts_us_col: str,
+    grains_us: dict[str, int],
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Hypertable-style rollup ladder: the same aggregation at several
+    time granularities (hour/day/week...) from ONE scan.  Emits
+    ``grain`` (name) and ``bucket_us`` (grain-floored timestamp)
+    alongside ``group_cols`` and the aggregate columns.
+
+    Scale: the fan-out is an explode of len(grains) structs per row —
+    map-side, before partial aggregation — so the shuffle carries only
+    partially-aggregated (grain, bucket, groups) rows; N separate
+    scans of a 100 TB table become one.
+    """
+    grain_structs = [
+        F.struct(
+            F.lit(name).alias("grain"),
+            (F.expr(f"{ts_us_col} div {int(width)}") * int(width))
+            .cast("bigint")
+            .alias("bucket_us"),
+        )
+        for name, width in grains_us.items()
+    ]
+    fanned = df.withColumn("_g", F.explode(F.array(*grain_structs)))
+    return (
+        fanned.select(
+            F.col("_g.grain").alias("grain"),
+            F.col("_g.bucket_us").alias("bucket_us"),
+            *[F.col(c) for c in group_cols],
+            *[F.col(c) for c in df.columns if c not in group_cols],
+        )
+        .groupBy("grain", "bucket_us", *group_cols)
+        .agg(*aggs)
+    )

@@ -124,6 +124,38 @@ def fingerprint(text_col) -> Column:
     return F.md5(F.concat_ws(" ", t))
 
 
+# PII patterns written to the Java-regex / RE2 common subset so the
+# same strings run verbatim in Spark and the DuckDB oracle.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?\d{1,2} ?\d{3}-\d{3}-\d{4}"
+
+PII_PATTERNS: dict[str, str] = {
+    "email": EMAIL_PATTERN,
+    "phone": PHONE_PATTERN,
+}
+
+
+def pii_counts(text_col) -> list[tuple[str, Column]]:
+    """Per-category PII match counts (email, phone) — the audit half
+    of the scrub. Pure JVM regexp, zero shuffle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return [
+        (name, F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))))
+        for name, pat in sorted(PII_PATTERNS.items())
+    ]
+
+
+def scrub_pii(text_col) -> Column:
+    """Redact PII in-place: every category match is replaced by its
+    ``[CATEGORY]`` token (emails first so phone digits inside an
+    address never double-fire). The standard pre-training scrub pass;
+    swap/extend PII_PATTERNS for a deployment's own inventory."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for name, pat in sorted(PII_PATTERNS.items()):
+        c = F.regexp_replace(c, pat, f"[{name.upper()}]")
+    return c
+
+
 def repetition_signals(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:

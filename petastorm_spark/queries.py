@@ -1018,10 +1018,10 @@ def ngram_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     only at t1, type+value at t2). Scale: one hash exchange on user_id
     + partition-local sort — no driver involvement."""
     from petastorm_spark.operators.ngram import NGram
+    from petastorm_spark.session import events_ts_us
 
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", events_ts_us(ev))
     ngram = NGram(
         fields={0: ["ts_us", "event_type"], 1: ["event_type"], 2: ["event_type", "value"]},
         delta_threshold=86_400_000_000,  # 24 h in µs
@@ -1062,9 +1062,10 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one exchange on user_id; sessions never cross partitions."""
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", events_ts_us(ev))
     win = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     g = ev.withColumn(
         "is_new",
@@ -1099,10 +1100,11 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation (batch twin of the
     readStream windowed agg in petastorm_spark.streaming). Scale:
     partial agg map-side, exchange on (type, hour)."""
+    from petastorm_spark.session import events_ts_us
+
     ev = _t(spark, sf_dir, "events")
-    hour = (F.expr("(ts div 1000) div 3600000000") * 3_600_000_000).cast(
-        "bigint"
-    )
+    ev = ev.withColumn("ts_us", events_ts_us(ev))
+    hour = (F.expr("ts_us div 3600000000") * 3_600_000_000).cast("bigint")
     return (
         ev.withColumn("hour_us", hour)
         .groupBy("event_type", "hour_us")
@@ -1618,16 +1620,18 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/feed.py:running_ewma_stream) with the same fold. Scale:
     one key shuffle, Arrow-batched groups."""
     from petastorm_spark.operators.stateful import ewma_by_key
+    from petastorm_spark.session import events_ts_us
 
     ev = _t(spark, sf_dir, "events")
-    out = ewma_by_key(ev, "user_id", "ts", "value", alpha=0.3)
-    # DuckDB timestamps carry microseconds; emit last_ts at us so both
-    # engines hash the same integers (ts is ns-as-long on the Spark side)
+    # normalize event time to epoch-µs up front so the pandas fold and
+    # the emitted last_ts are integer µs whatever the parquet layout
+    ev = ev.withColumn("ts_us", events_ts_us(ev))
+    out = ewma_by_key(ev, "user_id", "ts_us", "value", alpha=0.3)
     return out.select(
         "user_id",
         "n_events",
         F.round("ewma", 4).alias("ewma"),
-        F.expr("CAST(last_ts DIV 1000 AS BIGINT)").alias("last_ts_us"),
+        F.col("last_ts").alias("last_ts_us"),
     )
 
 
@@ -1655,10 +1659,13 @@ def events_ewma_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Prefer this when per-key histories fit an array column; the
     applyInPandas/applyInPandasWithState pair in operators/stateful.py
     covers unbounded streams and multi-column state."""
+    from petastorm_spark.session import events_ts_us
+
     ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", events_ts_us(ev))
     g = ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list(F.struct("ts", "value"))).alias("vs"),
-        F.max("ts").alias("last_ts"),
+        F.sort_array(F.collect_list(F.struct("ts_us", "value"))).alias("vs"),
+        F.max("ts_us").alias("last_ts_us"),
     )
     fold = F.aggregate(
         F.expr("slice(vs, 2, greatest(size(vs) - 1, 0))"),
@@ -1669,7 +1676,145 @@ def events_ewma_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size("vs").cast("bigint").alias("n_events"),
         F.round(fold, 4).alias("ewma"),
-        F.expr("CAST(last_ts DIV 1000 AS BIGINT)").alias("last_ts_us"),
+        "last_ts_us",
+    )
+
+
+@register(
+    "asof_join_clicks",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type, value,
+                      epoch_us(ts) AS ts_us
+               FROM events),
+         clicks AS (SELECT user_id, event_id, ts_us FROM e
+                    WHERE event_type = 'click'),
+         purch AS (SELECT user_id, ts_us, max(value) AS pvalue
+                   FROM e WHERE event_type = 'purchase'
+                   GROUP BY user_id, ts_us)
+    SELECT c.user_id, c.event_id, c.ts_us,
+           p.ts_us AS asof_ts_us,
+           round(p.pvalue, 2) AS asof_pvalue
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND p.ts_us <= c.ts_us
+    """,
+)
+def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click gets the user's most recent purchase
+    value at-or-before it (the canonical trades-vs-quotes shape).
+    Spark has no ASOF JOIN; the operator expresses it as union + one
+    keyed window pass — one exchange, no nested-loop join (see
+    operators/temporal.py). Oracle is DuckDB's native ASOF LEFT JOIN,
+    an independent implementation of the same semantics. Right side is
+    pre-aggregated per (user, ts) so ties are well-defined."""
+    from petastorm_spark.operators.temporal import asof_join
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", events_ts_us(ev))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_us"
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join(clicks, purch, "user_id", "ts_us", ["pvalue"])
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "asof_ts_us",
+        F.round("asof_pvalue", 2).alias("asof_pvalue"),
+    )
+
+
+@register(
+    "range_join_campaigns",
+    oracle="""
+    WITH e AS (SELECT user_id, value, epoch_us(ts) AS ts_us FROM events),
+         iv AS (SELECT DISTINCT (ts_us // 86400000000) * 86400000000 AS start_us,
+                       (ts_us // 86400000000) * 86400000000 + 43200000000 AS end_us
+                FROM e
+                WHERE (ts_us // 86400000000) % 3 = 0)
+    SELECT iv.start_us, count(*) AS n_events,
+           round(avg(e.value), 4) AS avg_value,
+           count(DISTINCT e.user_id) AS n_users
+    FROM e JOIN iv ON e.ts_us >= iv.start_us AND e.ts_us < iv.end_us
+    GROUP BY iv.start_us
+    """,
+)
+def range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (point-in-interval) join: events against 12-hour campaign
+    windows on every third day, aggregated per window. Spark plans a
+    raw inequality join as a nested loop; ``range_join_binned``
+    rewrites it to a bin-bucketed equi-join + residual filter, which
+    hash-partitions on BOTH sides and survives big-big inputs (the
+    interval table here is small, but the plan shape is the general
+    one). Oracle: DuckDB inequality join."""
+    from petastorm_spark.operators.temporal import range_join_binned
+    from petastorm_spark.session import events_ts_us
+
+    DAY = 86_400_000_000
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", events_ts_us(ev)).select(
+        "user_id", "value", "ts_us"
+    )
+    day_start = (F.expr(f"ts_us div {DAY}") * DAY).cast("bigint")
+    iv = (
+        ev.where(F.expr(f"(ts_us div {DAY}) % 3 = 0"))
+        .select(day_start.alias("start_us"))
+        .distinct()
+        .withColumn("end_us", (F.col("start_us") + DAY // 2).cast("bigint"))
+    )
+    joined = range_join_binned(
+        ev, iv, "ts_us", "start_us", "end_us", bin_width=3_600_000_000
+    )
+    return joined.groupBy("start_us").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "rollup_multigrain",
+    oracle="""
+    WITH e AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events)
+    SELECT 'hour' AS grain, (ts_us // 3600000000) * 3600000000 AS bucket_us,
+           event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value
+    FROM e GROUP BY bucket_us, event_type
+    UNION ALL
+    SELECT 'day', (ts_us // 86400000000) * 86400000000,
+           event_type, count(*), round(avg(value), 4)
+    FROM e GROUP BY 2, event_type
+    UNION ALL
+    SELECT 'week', (ts_us // 604800000000) * 604800000000,
+           event_type, count(*), round(avg(value), 4)
+    FROM e GROUP BY 2, event_type
+    """,
+)
+def rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup ladder: hour/day/week aggregates of the
+    events table from ONE scan (explode to (grain, bucket) structs
+    map-side, then partial agg) — three scans of a 100 TB table become
+    one. Oracle: three grouped scans unioned."""
+    from petastorm_spark.operators.temporal import rollup_time_grains
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", events_ts_us(ev)).select(
+        "event_type", "value", "ts_us"
+    )
+    return rollup_time_grains(
+        ev,
+        "ts_us",
+        {"hour": 3_600_000_000, "day": 86_400_000_000, "week": 604_800_000_000},
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        ],
     )
 
 

@@ -356,7 +356,8 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id)
                    AS cum
           FROM tok)
-    SELECT stream * {1 << 40} + (cum - n_tokens) // 2048 AS seq_id,
+    SELECT CAST(stream * {1 << 40} + (cum - n_tokens) // 2048 AS BIGINT)
+             AS seq_id,
            count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM c
@@ -933,4 +934,98 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return embedding_near_dup_pairs(
         both, "vec_id", "embedding", dim=64, threshold=0.995, n_planes=8, seed=7
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunking + PII scrub
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t, len({_TOK}) AS n
+                 FROM documents),
+         c AS (SELECT doc_id, t,
+                      unnest(range(0, greatest(1, (n - 8 + 23) // 24)))
+                        AS ci
+               FROM tok)
+    SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(t, ci * 24 + 1, ci * 24 + 32)) AS BIGINT)
+             AS n_tokens,
+           md5(array_to_string(list_slice(t, ci * 24 + 1, ci * 24 + 32), ' '))
+             AS chunk_hash
+    FROM c
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for RAG/embedding feeds: 32-token windows
+    with 8-token overlap (step 24), full token coverage, md5 per
+    chunk. Scale: pure map + explode, zero shuffle — the chunk
+    fan-out rides the scan."""
+    from petastorm_spark.operators.packing import chunk_documents
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, "text", "doc_id", chunk_size=32, overlap=8)
+
+
+# Injected PII: the corpus is synthetic prose with no organic PII, so
+# every 7th doc gets a deterministic contact line appended — built
+# IDENTICALLY on both engines — making the scrub check non-vacuous.
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or +1 555-123-4567'"
+)
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN doc_id % 7 = 0
+                           THEN text || {_PII_SUFFIX_SQL}
+                           ELSE text END AS text
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\\+?\\d{{1,2}} ?\\d{{3}}-\\d{{3}}-\\d{{4}}')) AS BIGINT)
+             AS n_phone,
+           md5(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+             '\\+?\\d{{1,2}} ?\\d{{3}}-\\d{{3}}-\\d{{4}}', '[PHONE]', 'g'))
+             AS scrub_hash
+    FROM d
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + redaction over the corpus: per-doc email/phone
+    match counts and the md5 of the scrubbed text (categories replaced
+    by [EMAIL]/[PHONE] tokens). Patterns live in the Java-regex / RE2
+    common subset so Spark and the DuckDB oracle run the same strings.
+    Scale: pure JVM regexp map, zero shuffle."""
+    from petastorm_spark.operators.text import pii_counts, scrub_pii
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-123-4567"),
+        ),
+    ).otherwise(F.col("text"))
+    d = d.select("doc_id", injected.alias("text"))
+    counts = pii_counts("text")
+    return d.select(
+        "doc_id",
+        *[
+            cnt.cast("bigint").alias(f"n_{name}")
+            for name, cnt in counts
+        ],
+        F.md5(scrub_pii("text")).alias("scrub_hash"),
     )

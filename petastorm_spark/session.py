@@ -74,6 +74,39 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def events_ts_us(df, col: str = "ts"):
+    """Epoch-microseconds bigint Column for an event-time column,
+    robust to every layout the testdata has shipped:
+
+    - bigint (TIMESTAMP(NANOS) parquet read under ``nanosAsLong``):
+      nanoseconds-since-epoch -> ``div 1000``;
+    - TIMESTAMP_NTZ (timestamp[us] parquet, Spark 4's default
+      ``inferTimestampNTZ``): wall-clock microseconds via a tz-free
+      ``timestampdiff`` against the NTZ epoch — matches DuckDB's
+      ``epoch_us`` on its naive TIMESTAMP exactly, independent of the
+      session time zone;
+    - TIMESTAMP (ltz): instant-based ``unix_micros``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, (LongType, IntegerType)):
+        return F.expr(f"{col} div 1000").cast("bigint")
+    if isinstance(dt, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        ).cast("bigint")
+    if isinstance(dt, TimestampType):
+        return F.unix_micros(F.col(col))
+    raise TypeError(f"unsupported event-time type for {col!r}: {dt}")
+
+
 def ns_to_timestamp(col):
     """bigint nanoseconds-since-epoch -> TimestampType (microsecond
     precision, truncating — matches how DuckDB reads TIMESTAMP(NANOS))."""

@@ -28,6 +28,28 @@ from petastorm_spark.etl.dataset_metadata import load_unischema
 from petastorm_spark.unischema import Unischema
 
 
+def _event_time(df: DataFrame, ts_col: str, ts_is_nanos: bool | None):
+    """TimestampType event-time column, robust to the dataset's ts
+    layout. ``ts_is_nanos=None`` (default) auto-detects: an integral
+    column is nanoseconds-since-epoch (legacy TIMESTAMP(NANOS) parquet
+    read under ``nanosAsLong``); TIMESTAMP_NTZ is cast to TIMESTAMP
+    (watermarks reject NTZ — and the session is pinned to UTC by
+    ``ensure_session_confs``, so the cast is instant-faithful);
+    TIMESTAMP passes through."""
+    from pyspark.sql.types import IntegerType, LongType, TimestampNTZType
+
+    from petastorm_spark.session import ns_to_timestamp
+
+    dt = df.schema[ts_col].dataType
+    if ts_is_nanos is None:
+        ts_is_nanos = isinstance(dt, (LongType, IntegerType))
+    if ts_is_nanos:
+        return ns_to_timestamp(F.col(ts_col))
+    if isinstance(dt, TimestampNTZType):
+        return F.col(ts_col).cast("timestamp")
+    return F.col(ts_col)
+
+
 def stream_dataset(
     spark: SparkSession,
     dataset_url: str,
@@ -59,15 +81,13 @@ def windowed_event_counts(
     key_col: str = "event_type",
     window: str = "1 hour",
     watermark: str = "2 hours",
-    ts_is_nanos: bool = True,
+    ts_is_nanos: bool | None = None,
     value_col: str | None = "value",
 ) -> DataFrame:
     """Tumbling event-time windows with late-data watermark.
     ``value_col``: numeric column to average (skipped when None or
     absent from the frame)."""
-    from petastorm_spark.session import ns_to_timestamp
-
-    ts = ns_to_timestamp(F.col(ts_col)) if ts_is_nanos else F.col(ts_col)
+    ts = _event_time(events, ts_col, ts_is_nanos)
     with_ts = events.withColumn("_event_time", ts).withWatermark(
         "_event_time", watermark
     )
@@ -87,7 +107,7 @@ def dedup_stream(
     text_col: str = "text",
     ts_col: str | None = None,
     watermark: str = "1 hour",
-    ts_is_nanos: bool = True,
+    ts_is_nanos: bool | None = None,
 ) -> DataFrame:
     """Streaming exact dedup: first arrival of each md5(text) digest
     passes, later copies are dropped by ``dropDuplicates`` state.
@@ -99,11 +119,9 @@ def dedup_stream(
     distinct digests — fine for bounded backfills, documented footgun
     for unbounded 100 TB feeds.
     """
-    from petastorm_spark.session import ns_to_timestamp
-
     out = docs.withColumn("_digest", F.md5(F.col(text_col)))
     if ts_col is not None:
-        ts = ns_to_timestamp(F.col(ts_col)) if ts_is_nanos else F.col(ts_col)
+        ts = _event_time(docs, ts_col, ts_is_nanos)
         out = out.withColumn("_event_time", ts).withWatermark(
             "_event_time", watermark
         )
@@ -121,14 +139,12 @@ def sessionize_stream(
     key_col: str = "user_id",
     gap: str = "30 minutes",
     watermark: str = "2 hours",
-    ts_is_nanos: bool = True,
+    ts_is_nanos: bool | None = None,
     value_col: str | None = "value",
 ) -> DataFrame:
     """Gap-based session windows per key (stateful streaming op).
     ``value_col``: numeric column to sum (skipped when None or absent)."""
-    from petastorm_spark.session import ns_to_timestamp
-
-    ts = ns_to_timestamp(F.col(ts_col)) if ts_is_nanos else F.col(ts_col)
+    ts = _event_time(events, ts_col, ts_is_nanos)
     with_ts = events.withColumn("_event_time", ts).withWatermark(
         "_event_time", watermark
     )
@@ -169,7 +185,7 @@ def running_ewma_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from petastorm_spark.operators.stateful import ewma_update
+    from petastorm_spark.operators.stateful import ewma_update, ts_as_int
 
     out_schema = (
         f"{key_col} bigint, n_events bigint, ewma double, last_ts bigint"
@@ -184,7 +200,7 @@ def running_ewma_stream(
             if len(vals):
                 ewma = ewma_update(vals, alpha, ewma)
                 cnt += len(vals)
-                last = int(pdf[ts_col].iloc[-1])
+                last = ts_as_int(pdf[ts_col].iloc[-1])
         state.update((cnt, ewma, last))
         yield pd.DataFrame(
             {

@@ -1,0 +1,196 @@
+"""Temporal operators (as-of join, binned range join, rollup ladder),
+document chunking, PII scrub, and the events_ts_us layout shim."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from petastorm_spark.operators.packing import chunk_documents
+from petastorm_spark.operators.temporal import (
+    asof_join,
+    range_join_binned,
+    rollup_time_grains,
+)
+from petastorm_spark.operators.text import pii_counts, scrub_pii
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (1, 5, "c"), (2, 50, "d"), (1, 20, "e")],
+        ["k", "ts", "tag"],
+    )
+    quotes = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 20, 200.0), (3, 1, 999.0)], ["k", "ts", "v"]
+    )
+    return trades, quotes
+
+
+def test_asof_backward(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, "k", "ts", ["v"])
+    got = {r.tag: (r.asof_ts, r.asof_v) for r in out.collect()}
+    assert got == {
+        "a": (8, 100.0),
+        "b": (20, 200.0),
+        "c": (None, None),  # no quote at-or-before ts=5
+        "d": (None, None),  # key 2 has no quotes at all
+        "e": (20, 200.0),  # equal ts counts (<= semantics)
+    }
+
+
+def test_asof_forward(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, "k", "ts", ["v"], direction="forward")
+    got = {r.tag: (r.asof_ts, r.asof_v) for r in out.collect()}
+    assert got == {
+        "a": (20, 200.0),
+        "b": (None, None),  # nothing at-or-after 25
+        "c": (8, 100.0),
+        "d": (None, None),
+        "e": (20, 200.0),
+    }
+
+
+def test_asof_tolerance(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, "k", "ts", ["v"], tolerance_us=2)
+    got = {r.tag: (r.asof_ts, r.asof_v) for r in out.collect()}
+    # a: gap 2 ok; b: gap 5 > 2 nulled; e: gap 0 ok
+    assert got["a"] == (8, 100.0)
+    assert got["b"] == (None, None)
+    assert got["e"] == (20, 200.0)
+
+
+def test_asof_plan_has_no_join(spark, trades_quotes):
+    """The 100 TB property: the as-of is a union + window, NOT a
+    (nested-loop) join — there must be no join operator in the plan."""
+    trades, quotes = trades_quotes
+    plan = asof_join(trades, quotes, "k", "ts", ["v"])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_binned_matches_naive(spark):
+    pts = spark.createDataFrame(
+        [(i, i * 7 % 100) for i in range(200)], ["pid", "ts"]
+    )
+    iv = spark.createDataFrame(
+        [(0, 10, 30, "w1"), (1, 25, 26, "w2"), (2, 90, 100, "w3"), (3, 40, 41, "w4")],
+        ["iid", "s", "e", "name"],
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join_binned(pts, iv, "ts", "s", "e", bin_width=8).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in pts.crossJoin(iv)
+        .where((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+        .collect()
+    }
+    assert got == naive and got
+
+
+def test_range_join_binned_no_duplicate_matches(spark):
+    """An interval spanning many bins must still match each point once."""
+    pts = spark.createDataFrame([(1, 50)], ["pid", "ts"])
+    iv = spark.createDataFrame([(0, 0, 1000)], ["iid", "s", "e"])
+    rows = range_join_binned(pts, iv, "ts", "s", "e", bin_width=8).collect()
+    assert len(rows) == 1
+
+
+def test_rollup_time_grains_matches_separate_groupbys(spark):
+    df = spark.createDataFrame(
+        [(i, "t%d" % (i % 3), float(i), i * 1_000_000) for i in range(500)],
+        ["i", "etype", "value", "ts_us"],
+    ).select("etype", "value", "ts_us")
+    grains = {"sec": 1_000_000, "minute": 60_000_000}
+    out = rollup_time_grains(
+        df, "ts_us", grains, ["etype"], [F.count(F.lit(1)).alias("n")]
+    )
+    got = {(r.grain, r.bucket_us, r.etype): r.n for r in out.collect()}
+    for name, width in grains.items():
+        sep = (
+            df.withColumn("b", (F.expr(f"ts_us div {width}") * width).cast("bigint"))
+            .groupBy("b", "etype")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        for r in sep.collect():
+            assert got[(name, r.b, r.etype)] == r.n
+    assert len(got) == sum(
+        1
+        for name, width in grains.items()
+        for _ in df.select(
+            (F.expr(f"ts_us div {width}")).alias("b"), "etype"
+        ).distinct().collect()
+    )
+
+
+def test_chunk_documents_covers_all_tokens(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),
+            (2, "single"),
+            (3, " ".join(f"x{i}" for i in range(4))),  # exactly chunk_size
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, "text", "doc_id", chunk_size=4, overlap=1)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.n_tokens) for r in out.collect())
+    )
+    # doc 1: 10 tokens, step 3 -> ceil(9/3)=3 chunks: [0:4],[3:7],[6:10]
+    assert [r for r in rows if r[0] == 1] == [(1, 0, 4), (1, 1, 4), (1, 2, 4)]
+    # coverage: last chunk reaches token 10; overlap tokens shared
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 1)]
+    assert [r for r in rows if r[0] == 3] == [(3, 0, 4)]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "text", "doc_id", chunk_size=4, overlap=4)
+
+
+def test_pii_scrub_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at alice.smith+x@mail.example.org today"),
+            (2, "call +1 555-123-4567 or 12 555-123-4567"),
+            (3, "no pii here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = df.select(
+        "doc_id",
+        *[c.alias(f"n_{n}") for n, c in pii_counts("text")],
+        scrub_pii("text").alias("clean"),
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert (got[1].n_email, got[1].n_phone) == (1, 0)
+    assert got[1].clean == "reach me at [EMAIL] today"
+    assert (got[2].n_email, got[2].n_phone) == (0, 2)
+    assert got[2].clean == "call [PHONE] or [PHONE]"
+    assert (got[3].n_email, got[3].n_phone) == (0, 0)
+    assert got[3].clean == "no pii here"
+
+
+def test_events_ts_us_equivalent_across_layouts(spark):
+    """The three historical events.ts layouts (bigint ns, NTZ, LTZ)
+    all normalize to the same epoch-µs integers."""
+    from petastorm_spark.session import events_ts_us
+
+    base_us = [1_600_000_000_000_000, 1_600_000_123_456_789]
+    ns_df = spark.createDataFrame(
+        [(v * 1000,) for v in base_us], ["ts"]
+    )
+    # session tz is UTC (get_spark), so LTZ->NTZ keeps the wall clock
+    ntz_df = spark.createDataFrame([(v,) for v in base_us], ["us"]).select(
+        F.expr("cast(timestamp_micros(us) as timestamp_ntz)").alias("ts")
+    )
+    ltz_df = spark.createDataFrame([(v,) for v in base_us], ["us"]).select(
+        F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    for df in (ns_df, ntz_df, ltz_df):
+        got = sorted(r[0] for r in df.select(events_ts_us(df)).collect())
+        assert got == sorted(base_us), df.schema

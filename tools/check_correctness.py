@@ -97,12 +97,24 @@ def main() -> None:
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
         else:
-            # dtype drift (int32 vs int64 etc.) may trip the driver's
-            # schema comparison — surface it loudly as a warning
+            # dtype drift: int-vs-float is a hard FAIL — the driver
+            # hashes values, and 5 vs 5.0 hash differently (proven by
+            # pack_sequences in round 4: HUGEINT->float64 on the
+            # oracle side hash-mismatched despite equal values).
+            # Same-kind width drift (int32 vs int64) stays a warning.
             for c in sorted(sdf.columns):
                 st, ot = str(sdf[c].dtype), str(odf[c].dtype)
                 if st != ot:
-                    print(f"  DTYPE {name}.{c}: spark={st} oracle={ot}")
+                    s_int = st.startswith(("int", "uint"))
+                    o_int = ot.startswith(("int", "uint"))
+                    s_f = st.startswith("float")
+                    o_f = ot.startswith("float")
+                    if (s_int and o_f) or (s_f and o_int):
+                        problems.append(
+                            f"dtype kind mismatch {c}: spark={st} oracle={ot}"
+                        )
+                    else:
+                        print(f"  DTYPE {name}.{c}: spark={st} oracle={ot}")
         if len(sdf) != len(odf):
             problems.append(f"rows spark={len(sdf)} oracle={len(odf)}")
         if not problems:
