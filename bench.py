@@ -64,6 +64,11 @@ HEADLINE = [
     "text_repetition",
     "bm25_search",
     "sample_stratified_lang",
+    "asof_join_clicks",
+    "range_join_campaigns",
+    "rollup_multigrain",
+    "chunk_documents",
+    "pii_scrub",
 ]
 
 N_WARMUP_READS = 500
@@ -81,15 +86,21 @@ def measure_reader_throughput(spark, image_codec: str = "png") -> float:
     import numpy as np
     from pyspark.sql.types import IntegerType
 
-    from petastorm_spark.codecs import CompressedImageCodec, ScalarCodec
+    from petastorm_spark.codecs import (
+        CompressedImageCodec,
+        NdarrayCodec,
+        ScalarCodec,
+    )
     from petastorm_spark.etl.dataset_metadata import materialize_dataset
     from petastorm_spark.reader import make_reader
     from petastorm_spark.unischema import Unischema, UnischemaField, dict_to_spark_row
 
-    # "raw0": CompressedImageCodec("jpeg") without PIL encodes/decodes
-    # the RAW0 np.save container — byte-identical to what the r1/r2
-    # "png" runs measured before the pure-python PNG codec landed
-    img_codec = CompressedImageCodec("png" if image_codec == "png" else "jpeg")
+    # "raw0": NdarrayCodec — the same np.save container bytes the r1/r2
+    # "png" runs measured before real image codecs landed. (Until r4 the
+    # jpeg codec fell back to this container; jpeg is now a REAL
+    # pure-python baseline codec, far too slow for a throughput proxy —
+    # routing "raw0" through it would silently change the protocol.)
+    img_codec = CompressedImageCodec("png") if image_codec == "png" else NdarrayCodec()
     schema = Unischema(
         "HelloWorld",
         [

@@ -670,6 +670,46 @@ def canonicalize(
     return df.join(losers, id_col, "left_anti")
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_digests: DataFrame,
+    text_col: str,
+    id_col: str,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Ingest-time exact dedup against a historical digest store: drop
+    every new document whose md5(text) already exists in
+    ``seen_digests`` (one ``digest_col`` column), then exact-dedup the
+    batch against itself keeping the minimum id per digest — the
+    incremental twin of :func:`exact_dedup` for pipelines that append
+    to a 100 TB corpus instead of re-deduping it from scratch.
+
+    Returns the surviving rows of ``new_df`` (original columns).
+    Appending ``md5(text)`` of the survivors to the store completes
+    the cycle.
+
+    Scale: one digest-keyed left-anti join (the store side holds
+    digests only, never text) + one digest shuffle for the intra-batch
+    keep-first — both partition on the same key, and the anti-join's
+    build side is the NEW batch, so cost scales with the ingest
+    increment, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    d = new_df.withColumn("_dg", F.md5(F.col(text_col)))
+    fresh = d.join(
+        seen_digests.select(F.col(digest_col).alias("_dg")),
+        "_dg",
+        "left_anti",
+    )
+    w = Window.partitionBy("_dg")
+    return (
+        fresh.withColumn("_keep", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("_keep"))
+        .drop("_dg", "_keep")
+    )
+
+
 def contamination_overlap(
     train: DataFrame,
     eval_df: DataFrame,

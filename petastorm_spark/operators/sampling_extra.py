@@ -44,6 +44,77 @@ def sample_stratified(
     return df.where(frac < rate)
 
 
+def sample_temperature(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-flattened source mixing: stratum ``s`` with ``n_s``
+    rows is kept at rate ``(n_s / n_min)^(alpha-1)`` (rounded to 6
+    decimals for cross-engine float parity), so sampled sizes are
+    proportional to ``n_s^alpha`` — ``alpha=1`` keeps the natural
+    distribution, ``alpha=0`` flattens to uniform, the multilingual /
+    multi-source re-balancing standard. The smallest stratum is kept
+    in full; membership is the same key-stable md5 fraction as
+    :func:`sample_stratified`.
+
+    Scale: stratum counts are ONE partially-aggregated tiny result,
+    broadcast back onto the corpus — the data itself never shuffles;
+    the keep decision is a map-side filter.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        strata_col,
+        F.round(
+            F.pow(F.col("_n") / F.col("_nmin"), F.lit(alpha - 1.0)), 6
+        ).alias("_rate"),
+    )
+    frac = md5_fraction(F.concat_ws("|", F.lit(str(seed)), F.col(key_col)))
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(frac < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Perplexity-proxy quality score: mean unigram log-likelihood of
+    each document under the corpus's OWN unigram distribution —
+    ``(id, n_tokens, logprob)``, low scores flag gibberish/rare-token
+    spam the way an external LM filter would, with no model file.
+
+    Scale: explode -> partially-aggregated vocab count (combiner
+    collapses repeats map-side), vocab broadcast back onto the token
+    stream (vocabularies are tiny next to the corpus; swap the
+    broadcast for a shuffle join — or truncate to top-K with a
+    smoothing floor — if a deployment's vocab outgrows executors),
+    then one per-doc aggregation. No Python UDFs.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    )
+    vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    total = vocab.agg(F.sum("_c").alias("_total"))
+    vocab = vocab.crossJoin(F.broadcast(total))
+    return (
+        toks.join(F.broadcast(vocab), "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("_c") / F.col("_total"))), 4
+            ).alias("logprob"),
+        )
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     text_col: str,

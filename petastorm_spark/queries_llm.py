@@ -1029,3 +1029,111 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.md5(scrub_pii("text")).alias("scrub_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source mixing, incremental ingest, LM-proxy quality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_temperature_sources",
+    # the testdata's sources are uniform (rate would be 1.0 everywhere
+    # — a vacuous check), so sources are re-binned into a skewed
+    # crawl/curated/books split, identically on both engines
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN doc_id % 10 < 7 THEN 'crawl'
+                           WHEN doc_id % 10 < 9 THEN 'curated'
+                           ELSE 'books' END AS bucket
+               FROM documents),
+         c AS (SELECT bucket, count(*) AS n FROM d GROUP BY bucket),
+         m AS (SELECT min(n) AS nmin FROM c),
+         r AS (SELECT bucket, round(pow(n * 1.0 / nmin, 0.5 - 1.0), 6) AS rate
+               FROM c, m)
+    SELECT d.doc_id, d.bucket
+    FROM d JOIN r USING (bucket)
+    WHERE {_FRAC_DOC} < r.rate
+    """,
+)
+def sample_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing (alpha=0.5): sampled sizes
+    proportional to n_source^0.5, smallest source kept whole — the
+    standard multi-source re-balancing step, over a skewed 70/20/10
+    re-binning of the corpus. Scale: stratum counts are one tiny
+    broadcast; the corpus itself never shuffles (map-side keep filter
+    on a key-stable md5 fraction)."""
+    from petastorm_spark.operators.sampling_extra import sample_temperature
+
+    d = _t_wide(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 7, "crawl")
+        .when(F.col("doc_id") % 10 < 9, "curated")
+        .otherwise("books")
+        .alias("bucket"),
+    )
+    return sample_temperature(
+        d, "bucket", key_col="doc_id", alpha=0.5, seed=0
+    ).select("doc_id", "bucket")
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH hist AS (SELECT DISTINCT md5(text) AS digest FROM documents
+                  WHERE doc_id % 10 < 8),
+         newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+                  UNION ALL
+                  SELECT doc_id + {_COPY_SHIFT}, text FROM documents
+                  WHERE doc_id % 10 < 8 AND doc_id % 3 = 0),
+         d AS (SELECT doc_id, md5(text) AS dg FROM newb),
+         fresh AS (SELECT * FROM d
+                   WHERE dg NOT IN (SELECT digest FROM hist))
+    SELECT doc_id FROM fresh
+    QUALIFY doc_id = min(doc_id) OVER (PARTITION BY dg)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: a new batch (the 20% tail of the corpus plus
+    re-submitted copies of historical docs) is deduped against the
+    historical digest store via a digest-keyed anti-join, then
+    keep-first within the batch. The re-submitted copies make the
+    anti-join non-vacuous: every one of them must be dropped. Scale:
+    cost follows the ingest increment, not the corpus — the store side
+    carries digests only."""
+    from petastorm_spark.operators.dedup import incremental_dedup
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = d.where(F.col("doc_id") % 10 < 8)
+    new_batch = d.where(F.col("doc_id") % 10 >= 8).unionByName(
+        hist.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + _COPY_SHIFT).alias("doc_id"), "text"
+        )
+    )
+    store = hist.select(F.md5("text").alias("digest")).distinct()
+    return incremental_dedup(new_batch, store, "text", "doc_id").select("doc_id")
+
+
+@register(
+    "unigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+         v AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+         t AS (SELECT sum(c) AS total FROM v)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(c * 1.0 / total)), 4) AS logprob
+    FROM tok JOIN v USING (tok), t
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-proxy quality score: mean unigram log-likelihood per doc
+    under the corpus's own unigram distribution — the model-free stand
+    -in for perplexity filtering. Scale: explode -> combined vocab
+    count -> broadcast vocab join -> one per-doc agg; no Python
+    UDFs."""
+    from petastorm_spark.operators.sampling_extra import unigram_logprob
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob(d, "text", "doc_id")

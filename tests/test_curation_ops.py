@@ -1,0 +1,85 @@
+"""Temperature sampling, incremental dedup, unigram log-prob."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from petastorm_spark.operators.dedup import incremental_dedup
+from petastorm_spark.operators.sampling_extra import (
+    sample_temperature,
+    unigram_logprob,
+)
+
+
+def test_sample_temperature_flattens(spark):
+    # 3 sources: 1000 / 250 / 40 rows. alpha=0.5 keeps the smallest
+    # whole and downsamples larger ones toward sqrt proportions.
+    rows = (
+        [(i, "big") for i in range(1000)]
+        + [(10_000 + i, "mid") for i in range(250)]
+        + [(20_000 + i, "small") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = sample_temperature(df, "source", "doc_id", alpha=0.5, seed=0)
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["small"] == 40  # smallest stratum kept in full
+    # expected keep rates: (n/40)^-0.5 -> big 0.2, mid 0.4
+    assert 0.12 <= by_src["big"] / 1000 <= 0.28
+    assert 0.28 <= by_src["mid"] / 250 <= 0.52
+    # key-stable: same result on rerun
+    again = {r["source"]: r["n"] for r in sample_temperature(df, "source", "doc_id", alpha=0.5, seed=0).groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == by_src
+
+
+def test_sample_temperature_alpha_one_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(100)], ["doc_id", "source"]
+    )
+    assert sample_temperature(df, "source", "doc_id", alpha=1.0).count() == 100
+
+
+def test_incremental_dedup_drops_seen_and_batch_dups(spark):
+    store = spark.createDataFrame(
+        [("seen one",), ("seen two",)], ["text"]
+    ).select(F.md5("text").alias("digest"))
+    batch = spark.createDataFrame(
+        [
+            (1, "seen one"),   # already in store -> dropped
+            (2, "fresh a"),
+            (3, "fresh b"),
+            (4, "fresh a"),    # intra-batch dup -> keep min id (2)
+            (5, "seen two"),   # dropped
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        r.doc_id
+        for r in incremental_dedup(batch, store, "text", "doc_id").collect()
+    )
+    assert got == [2, 3]
+
+
+def test_incremental_dedup_empty_store_is_exact_dedup(spark):
+    store = spark.createDataFrame([], "digest string")
+    batch = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], ["doc_id", "text"]
+    )
+    got = sorted(
+        r.doc_id
+        for r in incremental_dedup(batch, store, "text", "doc_id").collect()
+    )
+    assert got == [1, 3]
+
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    # corpus: doc1 = "a a b", doc2 = "b c". counts: a=2 b=2 c=1, total 5
+    df = spark.createDataFrame([(1, "a a b"), (2, "b c")], ["doc_id", "text"])
+    got = {r.doc_id: (r.n_tokens, r.logprob) for r in unigram_logprob(df, "text", "doc_id").collect()}
+    lp = lambda c: math.log(c / 5)  # noqa: E731
+    exp1 = round((2 * lp(2) + lp(2)) / 3, 4)
+    exp2 = round((lp(2) + lp(1)) / 2, 4)
+    assert got[1] == (3, pytest.approx(exp1, abs=1e-4))
+    assert got[2] == (2, pytest.approx(exp2, abs=1e-4))
+    # rarer tokens -> lower score
+    assert got[2][1] < got[1][1]
