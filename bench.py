@@ -75,8 +75,10 @@ N_WARMUP_READS = 500
 N_MEASURED_READS = 3000
 
 
-def measure_reader_throughput(spark, image_codec: str = "png") -> float:
-    """Rows/sec through make_reader on a hello_world-shaped dataset
+def measure_reader_throughput(spark, image_codec: str = "png") -> dict:
+    """Rows/sec (plus process-tree RSS MB and CPU%% over the measured
+    window — the reference benchmark reports both alongside the rate)
+    through make_reader on a hello_world-shaped dataset
     (reference harness protocol: petastorm/benchmark/throughput.py).
 
     ``image_codec``: "png" exercises the pure-python PNG codec (real
@@ -127,15 +129,32 @@ def measure_reader_throughput(spark, image_codec: str = "png") -> float:
                 4
             ).write.mode("overwrite").parquet(url)
 
+        from petastorm_spark.benchmark.procstats import (
+            cpu_percent,
+            process_tree_sample,
+        )
+
         with make_reader(url, spark=spark, num_epochs=None) as reader:
             it = iter(reader)
             for _ in range(N_WARMUP_READS):
                 next(it)
+            before = process_tree_sample()
             t0 = time.perf_counter()
             for _ in range(N_MEASURED_READS):
                 next(it)
             dt = time.perf_counter() - t0
-        return N_MEASURED_READS / dt
+            after = process_tree_sample()
+        return {
+            "samples_per_sec": round(N_MEASURED_READS / dt, 1),
+            "rss_mb": (
+                round(after["rss_bytes"] / 2**20, 1) if after else None
+            ),
+            "cpu_pct": (
+                round(cpu_percent(before, after, dt), 1)
+                if before and after
+                else None
+            ),
+        }
     finally:
         shutil.rmtree(os.path.dirname(url), ignore_errors=True)
 
@@ -188,11 +207,13 @@ def main() -> None:
         medians[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     if os.environ.get("SPARK_GRAFT_SKIP_READER_BENCH"):
-        reader_rate = reader_rate_raw0 = None
+        png_stats = raw0_stats = {}
     else:
-        reader_rate = round(measure_reader_throughput(spark, "png"), 1)
+        png_stats = measure_reader_throughput(spark, "png")
         # r1/r2-continuity run: same protocol, RAW0 container payloads
-        reader_rate_raw0 = round(measure_reader_throughput(spark, "raw0"), 1)
+        raw0_stats = measure_reader_throughput(spark, "raw0")
+    reader_rate = png_stats.get("samples_per_sec")
+    reader_rate_raw0 = raw0_stats.get("samples_per_sec")
 
     total = round(sum(timings.values()), 3)
     print(
@@ -206,7 +227,11 @@ def main() -> None:
                 "sf": sf,
                 "reader_samples_per_sec": reader_rate,
                 "reader_samples_per_sec_raw0": reader_rate_raw0,
-                "reader_protocol": f"{N_WARMUP_READS} warmup + {N_MEASURED_READS} measured row reads, hello_world-shaped dataset (BASELINE.md protocol, longer measurement window). reader_samples_per_sec decodes REAL PNG byte streams via the pure-python codec (r3+ protocol; the BASELINE.md comparison row); reader_samples_per_sec_raw0 reads the np.save RAW0 container r1/r2 measured, for cross-round trend continuity",
+                "reader_rss_mb": png_stats.get("rss_mb"),
+                "reader_cpu_pct": png_stats.get("cpu_pct"),
+                "reader_rss_mb_raw0": raw0_stats.get("rss_mb"),
+                "reader_cpu_pct_raw0": raw0_stats.get("cpu_pct"),
+                "reader_protocol": f"{N_WARMUP_READS} warmup + {N_MEASURED_READS} measured row reads, hello_world-shaped dataset (BASELINE.md protocol, longer measurement window). reader_samples_per_sec decodes REAL PNG byte streams via the pure-python codec (r3+ protocol; the BASELINE.md comparison row); reader_samples_per_sec_raw0 reads the np.save RAW0 container r1/r2 measured, for cross-round trend continuity. reader_rss_mb / reader_cpu_pct: process-tree (python + driver JVM + pool workers) RSS after / CPU%% over the measured window via procfs — the reference benchmark's psutil memory_info/cpu columns (BASELINE.md rows 2-3/5-6)",
                 "query_protocol": f"one untimed warmup run per query at sf0.001 (JIT/codegen), then {n_runs} timed runs at target sf with spark.catalog.clearCache() before each; 'queries' is min-of-{n_runs} (continuity with r3), 'queries_median' the median. r1/r2 were single-run — cross-round comparison to them overstates speedups",
             }
         )

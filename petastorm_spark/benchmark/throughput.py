@@ -2,8 +2,11 @@
 
 Parity surface: /root/reference/petastorm/benchmark/throughput.py
 (reader_throughput: warmup cycles then timed cycles over an open
-reader). Re-expressed: the Reader here is the two-tier Spark engine;
-pool types map to reader_pool_type thread|process|dummy.
+reader; RSS + CPU%% sampled around the measure window, lines 77-90).
+Re-expressed: the Reader here is the two-tier Spark engine; pool types
+map to reader_pool_type thread|process|dummy; RSS/CPU are summed over
+the whole process tree (python + driver JVM + pool workers) via
+procfs, since the engine's scan work lives in child processes.
 """
 
 from __future__ import annotations
@@ -11,6 +14,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
+from petastorm_spark.benchmark.procstats import cpu_percent, process_tree_sample
 from petastorm_spark.reader import make_batch_reader, make_reader
 
 
@@ -20,6 +24,8 @@ class BenchmarkResult:
     warmup_cycles: int
     measure_cycles: int
     batched: bool
+    rss_mb: float | None = None  # process-tree RSS after the window
+    cpu_pct: float | None = None  # process-tree CPU%% over the window
 
 
 def reader_throughput(
@@ -52,13 +58,23 @@ def reader_throughput(
         it = iter(reader)
         for _ in range(warmup_cycles):
             next(it)
+        before = process_tree_sample()
         t0 = time.perf_counter()
         for _ in range(measure_cycles):
             next(it)
         dt = time.perf_counter() - t0
+        after = process_tree_sample()
     return BenchmarkResult(
         samples_per_second=measure_cycles / dt,
         warmup_cycles=warmup_cycles,
         measure_cycles=measure_cycles,
         batched=read_method == "batch",
+        rss_mb=(
+            round(after["rss_bytes"] / 2**20, 1) if after is not None else None
+        ),
+        cpu_pct=(
+            round(cpu_percent(before, after, dt), 1)
+            if before is not None and after is not None
+            else None
+        ),
     )

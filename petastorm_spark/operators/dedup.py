@@ -592,27 +592,55 @@ def connected_components(
     persists the new label table, materializes it via the convergence
     check, and unpersists the previous one, keeping lineage flat.
 
+    Convergence check: labels are per-node monotone non-increasing
+    (the self-loop puts a node's own label in every min, and pointer
+    jumping maps through labels that are themselves <= the node id),
+    so sum(label) over the fixed node set strictly decreases until the
+    fixpoint. The per-round action is therefore ONE aggregate over the
+    just-persisted label table — it both materializes the cache and
+    decides convergence — instead of a separate join-against-old-labels
+    probe job (the r5 finding). decimal(38,0) keeps the sum exact out
+    to ~1e12 nodes x 2^63 ids.
+
     Scale: per round two key-partitioned shuffles over |V| rows; no
-    driver-side state beyond the one-row convergence probe. The
+    driver-side state beyond the one-row convergence sum. The
     alternating-contraction family (Kiveris et al., "Connected
     Components in MapReduce and Beyond") — the reference engine has no
     clustering step at all.
     """
     from pyspark import StorageLevel
 
-    sym = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # Persist the (typically expensive: LSH + verify) upstream pair
+    # pipeline ONCE: edges below reference the pair list four times
+    # (both union branches, plus both again under nodes' distinct) —
+    # without this cache the upstream plan executes four times inside
+    # the edge materialization.
+    sym = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     edges = sym.unionByName(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     nodes = edges.select("a").distinct()
-    # self-loops make "min over neighbours" include the node itself
-    edges = edges.unionByName(nodes.select("a", F.col("a").alias("b"))).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # self-loops make "min over neighbours" include the node itself;
+    # pre-partitioning on the loop's join key (b) lets every round's
+    # edges-side join read the cache partition-aligned instead of
+    # re-shuffling |E| rows per round
+    edges = (
+        edges.unionByName(nodes.select("a", F.col("a").alias("b")))
+        .repartition("b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = edges.groupBy("a").agg(F.min("b").alias("label")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    labels.count()
+    def _label_sum(t: DataFrame):
+        return t.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)  # also materializes the caches
+    sym.unpersist()  # folded into the edge cache by the action above
     for _ in range(max_iter):
         nb = (
             edges.join(
@@ -634,18 +662,12 @@ def connected_components(
             .select(F.col("x.a").alias("a"), F.col("_l2").alias("label"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            jumped.join(
-                labels.select("a", F.col("label").alias("_old")), "a"
-            )
-            .where(F.col("label") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _label_sum(jumped)
         labels.unpersist()
         labels = jumped
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     from pyspark.sql import Window
 

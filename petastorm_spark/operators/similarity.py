@@ -341,15 +341,43 @@ def embedding_near_dup_pairs(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes + extra_planes, dim))
 
-    def sign_pattern(rows) -> Column:
+    # All n_planes+extra_planes projections in ONE expression pass: the
+    # vector is cast to double once, the plane matrix is a single 2-D
+    # constant-folded literal, and one transform() yields the sign-bit
+    # array — instead of 20 independent aggregate(zip_with(cast...))
+    # trees each re-casting the vector (the r5 bench regression).
+    # Per-element math order (x*y summed left-to-right in double) is
+    # unchanged, so bucket bits match hyperplane_buckets / the oracle
+    # bit-for-bit.
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in p]) for p in planes]
+    )
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(F.col("_vd"), p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+
+    def pack(start: int, n: int) -> Column:
         pat = F.lit(0)
-        for i, plane in enumerate(rows):
-            proj = dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in plane]))
-            pat = pat + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n):
+            pat = pat + F.element_at("_bits", start + i + 1) * (1 << i)
         return pat.cast("int")
 
-    b = df.withColumn("bucket", sign_pattern(planes[:n_planes])).withColumn(
-        "_refine", sign_pattern(planes[n_planes:])
+    b = (
+        df.withColumn("_vd", vd)
+        .withColumn("_bits", bits)
+        .withColumn("bucket", pack(0, n_planes))
+        .withColumn("_refine", pack(n_planes, extra_planes))
+        .drop("_vd", "_bits")
     )
 
     from pyspark.sql import Window

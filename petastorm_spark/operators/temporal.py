@@ -47,37 +47,48 @@ def asof_join(
     (nulls when no right row qualifies / tolerance exceeded).
 
     Scale: union the two sides, ONE hash exchange on ``key_col``, one
-    partition-local sort, ``last(ignorenulls)`` running window per
-    value column — no join operator, so no nested loop and no
+    partition-local sort, a single ``last(ignorenulls)`` running window
+    over one packed struct — no join operator, so no nested loop and no
     candidate blowup.  A pathologically hot key serializes into one
     partition (same as any keyed window); salt upstream if a single
     key exceeds an executor.
+
+    Row atomicity: the matched right row travels as ONE
+    ``struct(_rts, *values)`` column through the window, so the output
+    always carries the values of exactly the matched row — a NULL in
+    one right value column stays NULL (DuckDB ASOF JOIN semantics:
+    the row attaches verbatim), never back-filled from an older row.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if "_rts" in right_value_cols:
+        raise ValueError("right_value_cols may not contain the reserved name '_rts'")
+
+    from pyspark.sql import types as T
 
     lcols = left.columns
-    marked_l = left.withColumn("_is_left", F.lit(1))
-    for c in right_value_cols:
-        marked_l = marked_l.withColumn(f"_rv_{c}", F.lit(None).cast(right.schema[c].dataType))
-    marked_l = marked_l.withColumn("_rts", F.lit(None).cast(right.schema[ts_col].dataType))
+    pack_type = T.StructType(
+        [T.StructField("_rts", right.schema[ts_col].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in right_value_cols]
+    )
+    marked_l = left.withColumn("_is_left", F.lit(1)).withColumn(
+        "_rpack", F.lit(None).cast(pack_type)
+    )
 
     marked_r = right.select(
         F.col(key_col),
         F.col(ts_col),
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(f"_rv_{c}") for c in right_value_cols],
-        F.col(ts_col).alias("_rts"),
+        F.struct(
+            F.col(ts_col).alias("_rts"),
+            *[F.col(c).alias(c) for c in right_value_cols],
+        ).alias("_rpack"),
     )
     for c in lcols:
         if c not in (key_col, ts_col):
             marked_r = marked_r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    u = marked_l.select(
-        *lcols, "_is_left", *[f"_rv_{c}" for c in right_value_cols], "_rts"
-    ).unionByName(
-        marked_r.select(
-            *lcols, "_is_left", *[f"_rv_{c}" for c in right_value_cols], "_rts"
-        )
+    u = marked_l.select(*lcols, "_is_left", "_rpack").unionByName(
+        marked_r.select(*lcols, "_is_left", "_rpack")
     )
 
     if direction == "backward":
@@ -87,40 +98,32 @@ def asof_join(
             .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
     else:
         w = (
             Window.partitionBy(key_col)
             .orderBy(F.col(ts_col).desc(), F.col("_is_left").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
 
-    filled = u.withColumn("_m_rts", pick("_rts"))
-    for c in right_value_cols:
-        filled = filled.withColumn(f"_m_{c}", pick(f"_rv_{c}"))
-    out = filled.where(F.col("_is_left") == 1)
+    out = u.withColumn(
+        "_m", F.last("_rpack", ignorenulls=True).over(w)
+    ).where(F.col("_is_left") == 1)
 
     if tolerance_us is not None:
         gap = (
-            F.col(ts_col) - F.col("_m_rts")
+            F.col(ts_col) - F.col("_m._rts")
             if direction == "backward"
-            else F.col("_m_rts") - F.col(ts_col)
+            else F.col("_m._rts") - F.col(ts_col)
         )
-        keep = F.col("_m_rts").isNotNull() & (gap <= tolerance_us)
-        out = out.withColumn("_keep", keep)
-        for c in right_value_cols:
-            out = out.withColumn(
-                f"_m_{c}", F.when(F.col("_keep"), F.col(f"_m_{c}"))
-            )
         out = out.withColumn(
-            "_m_rts", F.when(F.col("_keep"), F.col("_m_rts"))
-        ).drop("_keep")
+            "_m",
+            F.when(F.col("_m").isNotNull() & (gap <= tolerance_us), F.col("_m")),
+        )
 
     return out.select(
         *lcols,
-        F.col("_m_rts").alias(f"asof_{ts_col}"),
-        *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in right_value_cols],
+        F.col("_m._rts").alias(f"asof_{ts_col}"),
+        *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in right_value_cols],
     )
 
 
@@ -150,18 +153,24 @@ def range_join_binned(
     interval_cols = interval_cols or [
         c for c in intervals.columns if c not in (start_col, end_col)
     ]
-    binned_iv = intervals.withColumn(
+    bin_width = int(bin_width)
+    # Integer `div`, not double division + cast: double quotients lose
+    # integer precision past 2^53 (a point could land in a bin the
+    # interval never exploded to, silently dropping a true match).
+    # Inverted intervals (end <= start) are dropped up front — they
+    # match nothing, and a descending sequence() would explode junk.
+    binned_iv = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
         "_bin",
         F.explode(
             F.sequence(
-                (F.col(start_col) / bin_width).cast("bigint"),
+                F.expr(f"`{start_col}` div {bin_width}"),
                 # end is exclusive: a bound on a bin edge adds no bin
-                ((F.col(end_col) - 1) / bin_width).cast("bigint"),
+                F.expr(f"(`{end_col}` - 1) div {bin_width}"),
             )
         ),
     )
     binned_pt = points.withColumn(
-        "_bin", (F.col(point_ts_col) / bin_width).cast("bigint")
+        "_bin", F.expr(f"`{point_ts_col}` div {bin_width}")
     )
     joined = binned_pt.join(binned_iv, "_bin").where(
         (F.col(point_ts_col) >= F.col(start_col))

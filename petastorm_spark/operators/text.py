@@ -127,7 +127,9 @@ def fingerprint(text_col) -> Column:
 # PII patterns written to the Java-regex / RE2 common subset so the
 # same strings run verbatim in Spark and the DuckDB oracle.
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_PATTERN = r"\+?\d{1,2} ?\d{3}-\d{3}-\d{4}"
+# Country code optional: a bare US number like 555-123-4567 must be
+# caught too (it is PII with or without the +1).
+PHONE_PATTERN = r"(\+?\d{1,2} ?)?\d{3}-\d{3}-\d{4}"
 
 PII_PATTERNS: dict[str, str] = {
     "email": EMAIL_PATTERN,
@@ -166,9 +168,20 @@ def repetition_signals(
     - ``dup_token_frac``: 1 - distinct/total tokens — spam detector.
 
     Docs with fewer than 2 tokens are dropped (no bigram exists).
-    Scale: explode bigrams -> two partially-aggregated key shuffles
-    ((doc, bigram) count, then per-doc max/sum) + one id-keyed join
-    back to the per-doc token stats. Pure JVM, no Python UDFs.
+    Scale: ONE corpus scan -> explode bigrams -> two partially-
+    aggregated key shuffles ((doc, bigram) count, then per-doc
+    max/sum). The per-doc token stats (n, nd) ride the aggregations
+    as first()s instead of a join back to a second tokenization pass
+    (the join formulation re-evaluated the tokenize+bigram projection
+    twice). Pure JVM, no Python UDFs.
+
+    The bigram key is ``xxhash64(tok_i, tok_{i+1})``, not the
+    concatenated string: the count aggregation never needs the string
+    back (output is fractions only), so the (doc, bigram) shuffle
+    carries 8 bytes per occurrence instead of the two-token text —
+    at corpus scale the string key is ~2x the corpus in shuffle bytes.
+    Hash collisions inside one doc would merge two bigram counts;
+    at 64 bits that is ~n^2/2^65 per doc — vanishing for any real doc.
     """
     base = (
         df.withColumn("_toks", tokens(text_col))
@@ -185,26 +198,32 @@ def repetition_signals(
                 F.size("_toks") >= 2,
                 F.transform(
                     F.sequence(F.lit(0), F.size("_toks") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
+                    lambda i: F.xxhash64(
                         F.element_at("_toks", (i + 1).cast("int")),
                         F.element_at("_toks", (i + 2).cast("int")),
                     ),
                 ),
             )
-            .otherwise(F.array().cast("array<string>"))
+            .otherwise(F.array().cast("array<bigint>"))
             .alias("_bg"),
         )
     )
     cnt = (
-        base.select(F.col(id_col), F.explode("_bg").alias("_b"))
+        base.select(F.col(id_col), "_n", "_nd", F.explode("_bg").alias("_b"))
         .groupBy(id_col, "_b")
-        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.first("_n").alias("_n"),
+            F.first("_nd").alias("_nd"),
+        )
     )
     top = cnt.groupBy(id_col).agg(
-        F.max("_c").alias("_top"), F.sum("_c").alias("_total")
+        F.max("_c").alias("_top"),
+        F.sum("_c").alias("_total"),
+        F.first("_n").alias("_n"),
+        F.first("_nd").alias("_nd"),
     )
-    return top.join(base.select(id_col, "_n", "_nd"), id_col).select(
+    return top.select(
         F.col(id_col),
         (F.floor(F.col("_top") / F.col("_total") * 10000) / 10000).alias(
             "top_bigram_frac"

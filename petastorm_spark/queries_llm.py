@@ -992,11 +992,11 @@ _PII_SUFFIX_SQL = (
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
              AS n_email,
            CAST(len(regexp_extract_all(text,
-             '\\+?\\d{{1,2}} ?\\d{{3}}-\\d{{3}}-\\d{{4}}')) AS BIGINT)
+             '(\\+?\\d{{1,2}} ?)?\\d{{3}}-\\d{{3}}-\\d{{4}}')) AS BIGINT)
              AS n_phone,
            md5(regexp_replace(regexp_replace(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
-             '\\+?\\d{{1,2}} ?\\d{{3}}-\\d{{3}}-\\d{{4}}', '[PHONE]', 'g'))
+             '(\\+?\\d{{1,2}} ?)?\\d{{3}}-\\d{{3}}-\\d{{4}}', '[PHONE]', 'g'))
              AS scrub_hash
     FROM d
     """,

@@ -181,6 +181,12 @@ def running_ewma_stream(
     (operators/stateful.py), so `availableNow` over a static directory
     reproduces ``ewma_by_key`` exactly. Emits one updated row per key
     per micro-batch (outputMode update).
+
+    Event time is normalized through the same ``_event_time`` shim the
+    other streaming ops use BEFORE the fold, so ``last_ts`` is always
+    epoch-microseconds regardless of the parquet layout (legacy
+    bigint-ns, TIMESTAMP_NTZ, or TIMESTAMP) — matching the batch
+    twin's ``events_ts_us`` pre-normalization.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -212,7 +218,9 @@ def running_ewma_stream(
         )
 
     return (
-        events.select(key_col, ts_col, value_col)
+        events.select(
+            key_col, _event_time(events, ts_col, None).alias(ts_col), value_col
+        )
         .groupBy(key_col)
         .applyInPandasWithState(
             fold,

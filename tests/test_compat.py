@@ -182,3 +182,120 @@ def test_make_reader_reads_legacy_layouts(spark, tmp_path, pkg, with_rowgroup_ke
     assert isinstance(rows[5].vec, np.ndarray)
     assert rows[5].vec.dtype == np.float32
     np.testing.assert_array_equal(rows[5].vec, np.arange(3, dtype=np.float32) + 5)
+
+
+# ---- CompressedNdarrayCodec interop contract (r5 missing item #3) ----------
+
+
+def test_compressed_ndarray_codec_compat_contract(spark, tmp_path):
+    """The documented degradation, pinned: a dataset written with the
+    engine's zlib ``CompressedNdarrayCodec`` has no byte-compatible
+    original-petastorm codec (reference CompressedNdarrayCodec is an
+    np.savez_compressed container, petastorm/codecs.py:174-212), so
+    ``materialize_dataset(petastorm_compat=True)`` must (a) warn, (b)
+    skip the compat ``_common_metadata`` footer — never advertise a
+    schema whose payloads original petastorm would mis-decode — while
+    (c) the JSON sidecar and the engine's own reader stay fully
+    functional."""
+    import os
+    import warnings
+
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    from petastorm_spark.codecs import CompressedNdarrayCodec, ScalarCodec
+    from petastorm_spark.etl.dataset_metadata import materialize_dataset
+    from petastorm_spark.reader import make_reader
+    from petastorm_spark.unischema import (
+        Unischema,
+        UnischemaField,
+        dict_to_spark_row,
+    )
+
+    schema = Unischema(
+        "Z",
+        [
+            UnischemaField("id", np.int64, (), ScalarCodec(LongType()), False),
+            UnischemaField("vec", np.float32, (3,), CompressedNdarrayCodec(), False),
+        ],
+    )
+    url = str(tmp_path / "zlibds")
+    rows = [
+        {"id": i, "vec": np.arange(3, dtype=np.float32) + i} for i in range(10)
+    ]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        with materialize_dataset(spark, url, schema):
+            spark.createDataFrame(
+                [dict_to_spark_row(schema, r) for r in rows],
+                schema.as_spark_schema(),
+            ).coalesce(1).write.mode("overwrite").parquet(url)
+    assert any("petastorm-compat" in str(x.message) for x in w)
+    assert not os.path.exists(os.path.join(url, "_common_metadata"))
+    with make_reader(url, spark=spark) as r:
+        got = sorted((row.id, row.vec.tolist()) for row in r)
+    assert got == [(i, [float(i), float(i + 1), float(i + 2)]) for i in range(10)]
+
+
+def test_npz_codec_is_reference_byte_compatible(spark, tmp_path):
+    """The supported compat path, end-to-end: ``PetastormNpzCodec``
+    payloads are the reference CompressedNdarrayCodec wire format
+    (np.savez_compressed, key 'arr'), so the compat footer IS written
+    (no warning) and a reference-style consumer — np.load on the raw
+    parquet binary, schema from the pickled unischema key — recovers
+    the arrays byte-for-byte."""
+    import io
+    import os
+    import warnings
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType
+
+    from petastorm_spark.codecs import ScalarCodec
+    from petastorm_spark.etl.dataset_metadata import materialize_dataset
+    from petastorm_spark.etl.petastorm_compat import (
+        UNISCHEMA_KEY,
+        PetastormNpzCodec,
+        unischema_from_pickle,
+    )
+    from petastorm_spark.unischema import (
+        Unischema,
+        UnischemaField,
+        dict_to_spark_row,
+    )
+
+    schema = Unischema(
+        "N",
+        [
+            UnischemaField("id", np.int64, (), ScalarCodec(LongType()), False),
+            UnischemaField("vec", np.float32, (3,), PetastormNpzCodec(), False),
+        ],
+    )
+    url = str(tmp_path / "npzds")
+    rows = [
+        {"id": i, "vec": np.arange(3, dtype=np.float32) * i} for i in range(8)
+    ]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        with materialize_dataset(spark, url, schema):
+            spark.createDataFrame(
+                [dict_to_spark_row(schema, r) for r in rows],
+                schema.as_spark_schema(),
+            ).coalesce(1).write.mode("overwrite").parquet(url)
+    assert not any("petastorm-compat" in str(x.message) for x in w)
+    meta_path = os.path.join(url, "_common_metadata")
+    assert os.path.exists(meta_path)
+
+    # reference-style consumption: schema from the pickled key, payload
+    # via plain np.load (exactly what petastorm's decoder runs)
+    kv = pq.read_schema(meta_path).metadata
+    back = unischema_from_pickle(kv[UNISCHEMA_KEY.encode()
+                                    if isinstance(UNISCHEMA_KEY, str)
+                                    else UNISCHEMA_KEY])
+    assert "vec" in back.fields
+    table = pq.read_table(url)
+    ids = table.column("id").to_pylist()
+    for i, payload in zip(ids, table.column("vec").to_pylist()):
+        arr = np.load(io.BytesIO(payload), allow_pickle=False)["arr"]
+        np.testing.assert_array_equal(arr, np.arange(3, dtype=np.float32) * i)

@@ -278,6 +278,11 @@ def test_throughput_cli(spark, sf_dir, capsys):
         spark=spark,
     )
     assert res.samples_per_second > 0
+    # reference parity: RSS + CPU%% reported alongside the rate
+    # (petastorm/benchmark/throughput.py memory_info/cpu columns);
+    # procfs is always present on the Linux CI container
+    assert res.rss_mb is not None and res.rss_mb > 10
+    assert res.cpu_pct is not None and res.cpu_pct >= 0
     r2 = reader_throughput(
         f"{sf_dir}/nation.parquet",
         warmup_cycles=1,
@@ -330,3 +335,47 @@ def test_streaming_contamination_matches_batch_twin(spark, sf_dir, tmp_path_fact
         for r in contamination_overlap(tr, ev, "text", "doc_id").collect()
     }
     assert stream_rows == batch_rows and stream_rows
+
+
+def test_streaming_ewma_ns_layout_emits_micros(spark, tmp_path_factory):
+    """ADVICE r5 low: on the legacy bigint-ns events layout the stream
+    emitted last_ts in NANOseconds while the batch path normalizes to
+    µs. The stream now runs the same _event_time shim before the fold,
+    so last_ts is epoch-µs for every layout."""
+    from petastorm_spark.operators.stateful import ewma_by_key
+    from petastorm_spark.session import events_ts_us
+    from petastorm_spark.streaming.feed import running_ewma_stream, stream_dataset
+
+    d = str(tmp_path_factory.mktemp("ewmans") / "events")
+    base_ns = 1_600_000_000_000_000_000
+    rows = [
+        (1, base_ns + i * 1_000_000_000, float(i)) for i in range(5)
+    ] + [(2, base_ns + 500_000_000, 9.0)]
+    spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, value double"
+    ).coalesce(1).write.parquet(d)
+
+    q = (
+        running_ewma_stream(stream_dataset(spark, d))
+        .writeStream.format("memory")
+        .queryName("ewma_ns_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        r.user_id: (r.n_events, round(r.ewma, 6), r.last_ts)
+        for r in spark.sql("SELECT * FROM ewma_ns_out").collect()
+    }
+    ev = spark.read.parquet(d)
+    batch = ev.select(
+        "user_id", events_ts_us(ev).alias("ts"), "value"
+    )
+    batch_rows = {
+        r.user_id: (r.n_events, round(r.ewma, 6), r.last_ts)
+        for r in ewma_by_key(batch).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
+    # last_ts is µs, not ns
+    assert stream_rows[2][2] == (base_ns + 500_000_000) // 1000

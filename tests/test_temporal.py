@@ -194,3 +194,70 @@ def test_events_ts_us_equivalent_across_layouts(spark):
     for df in (ns_df, ntz_df, ltz_df):
         got = sorted(r[0] for r in df.select(events_ts_us(df)).collect())
         assert got == sorted(base_us), df.schema
+
+
+# ---------------------------------------------------------------------------
+# Round-5 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+
+def test_asof_attaches_matched_row_atomically(spark):
+    """ADVICE r5 medium: per-column last(ignorenulls) windows could mix
+    values from DIFFERENT right rows when the matched row holds a NULL.
+    The matched row must attach verbatim (DuckDB ASOF semantics): its
+    NULLs stay NULL, never back-filled from an older right row."""
+    left = spark.createDataFrame([(1, 30, "t1")], ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, 7.0), (1, 20, None, 8.0)],
+        "k bigint, ts bigint, bid double, ask double",
+    )
+    row = asof_join(left, right, "k", "ts", ["bid", "ask"]).collect()[0]
+    # the ts=20 row matches; its bid is NULL and must STAY NULL (the
+    # old per-column fill leaked bid=100.0 from the ts=10 row)
+    assert (row.asof_ts, row.asof_bid, row.asof_ask) == (20, None, 8.0)
+
+
+def test_asof_rejects_reserved_value_col(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    with pytest.raises(ValueError, match="_rts"):
+        asof_join(trades, quotes.withColumnRenamed("v", "_rts"), "k", "ts", ["_rts"])
+
+
+def test_range_join_binned_drops_inverted_intervals(spark):
+    """ADVICE r5 low: an inverted interval (end <= start) must match
+    nothing — and must not explode a descending junk sequence()."""
+    pts = spark.createDataFrame([(1, 50)], ["pid", "ts"])
+    iv = spark.createDataFrame(
+        [(0, 100, 0), (1, 50, 50), (2, 40, 60)], ["iid", "s", "e"]
+    )
+    got = {r.iid for r in range_join_binned(pts, iv, "ts", "s", "e", 8).collect()}
+    assert got == {2}
+
+
+def test_range_join_binned_exact_near_int64_edge(spark):
+    """ADVICE r5 low: double-division binning loses integer precision
+    past 2^53 and can drop a true match; integer `div` binning is
+    exact at any epoch magnitude."""
+    base = (1 << 60) + 123  # far beyond double's 53-bit integer range
+    pts = spark.createDataFrame([(1, base)], "pid bigint, ts bigint")
+    iv = spark.createDataFrame(
+        [(0, base - 1, base + 1)], "iid bigint, s bigint, e bigint"
+    )
+    rows = range_join_binned(pts, iv, "ts", "s", "e", bin_width=1000).collect()
+    assert [(r.pid, r.iid) for r in rows] == [(1, 0)]
+
+
+def test_phone_pattern_matches_bare_numbers(spark):
+    """ADVICE r5 low: a bare US number (no country code) is PII too."""
+    df = spark.createDataFrame(
+        [(1, "dial 555-123-4567 now"), (2, "+44 555-123-4567 intl")],
+        ["doc_id", "text"],
+    )
+    out = df.select(
+        "doc_id",
+        *[c.alias(f"n_{n}") for n, c in pii_counts("text")],
+        scrub_pii("text").alias("clean"),
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].n_phone == 1 and got[1].clean == "dial [PHONE] now"
+    assert got[2].n_phone == 1 and got[2].clean == "[PHONE] intl"
