@@ -69,6 +69,8 @@ HEADLINE = [
     "rollup_multigrain",
     "chunk_documents",
     "pii_scrub",
+    "ngram_repetition",
+    "token_entropy",
 ]
 
 N_WARMUP_READS = 500

@@ -526,6 +526,49 @@ def near_dup_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by shingle-set CONTAINMENT
+    ``|A∩B| / min(|A|, |B|)`` — the asymmetric measure that catches a
+    short document wholly quoted inside a long one, which Jaccard
+    misses (a 50-shingle doc inside a 5000-shingle doc has J≈0.01 but
+    containment 1.0). Candidates come from the same MinHash-LSH
+    banding as :func:`near_dup_pairs`; note LSH recall follows
+    *Jaccard*, so an extreme length mismatch can escape banding — the
+    standard trade; lower ``bands`` rows or add a length-stratified
+    pass when hunting pure quotations at scale.
+
+    Scale: identical plan shape to near_dup_pairs — shingle sets
+    persisted once, signatures derived from them, verify joined by id
+    over candidate pairs only.
+    """
+    from pyspark import StorageLevel
+
+    sets_df = shingle_sets(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = minhash_from_sets(sets_df, id_col, num_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    a = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sa"))
+    b = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    cont = inter / F.least(F.size("sa"), F.size("sb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_c", cont)
+        .where(F.col("_c") >= threshold)
+        .select("id_a", "id_b", F.round("_c", 4).alias("containment"))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,

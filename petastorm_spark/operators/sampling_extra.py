@@ -189,3 +189,48 @@ def bm25_top_k(
         scored.orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    max_per_group: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``max_per_group`` rows
+    per ``group_col`` value, chosen by md5-fraction order (keyed on
+    ``seed|key``) — the "no source may exceed K documents" mix control
+    of corpus curation. Key-stable like :func:`sample_stratified`:
+    membership never depends on partitioning or execution order.
+
+    Scale: two-phase top-k (the ANN/topk_per_group pattern) — a
+    partition-local rank keyed on (partition, group) first discards
+    everything beyond K within each task, so the single per-group
+    shuffle carries at most ``K * num_partitions`` rows per group
+    instead of the whole group; a hot group (one source dominating the
+    corpus) costs bounded memory in every task. Output is the original
+    rows unchanged.
+    """
+    from pyspark.sql import Window
+
+    if max_per_group < 1:
+        raise ValueError(f"max_per_group must be >= 1, got {max_per_group}")
+    frac = md5_fraction(
+        F.concat_ws("|", F.lit(str(seed)), F.col(key_col))
+    )
+    local = Window.partitionBy("_pid", group_col).orderBy(
+        F.col("_frac").asc(), F.col(key_col).asc()
+    )
+    final = Window.partitionBy(group_col).orderBy(
+        F.col("_frac").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_frac", frac)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(local))
+        .where(F.col("_lr") <= max_per_group)
+        .withColumn("_r", F.row_number().over(final))
+        .where(F.col("_r") <= max_per_group)
+        .drop("_frac", "_pid", "_lr", "_r")
+    )

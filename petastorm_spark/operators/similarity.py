@@ -370,7 +370,11 @@ def embedding_near_dup_pairs(
         pat = F.lit(0)
         for i in range(n):
             pat = pat + F.element_at("_bits", start + i + 1) * (1 << i)
-        return pat.cast("int")
+        # coalesce makes the column provably NON-NULL (it never is in
+        # practice), so the join below generates no IsNotNull(key)
+        # filters — pushed to the scan, those re-evaluate the whole
+        # sign-pattern expression once more per row.
+        return F.coalesce(pat.cast("int"), F.lit(-1))
 
     b = (
         df.withColumn("_vd", vd)
@@ -402,10 +406,55 @@ def embedding_near_dup_pairs(
     c = marked.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket", "_sub"
     )
+    # shuffle_hash pins the join to the exchange-sharing plan: both
+    # sides are already hashpartitioning(bucket) from the count window
+    # (bucket ⊂ join keys satisfies the clustering), so the self-join
+    # rides the SAME exchange (second side a ReusedExchange) and the
+    # corpus is scanned once. Left to the planner, a small corpus
+    # triggers a broadcast join whose build side RE-EXECUTES the whole
+    # scan+window subtree — double scan locally, impossible at 100 TB.
     return (
-        a.join(c, ["bucket", "_sub"])
+        a.join(c.hint("shuffle_hash"), ["bucket", "_sub"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("_c", cosine(F.col("va"), F.col("vb")))
         .where(F.col("_c") >= threshold)
         .select("id_a", "id_b", F.round("_c", 4).alias("cos_sim"))
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization — the 4x storage /
+    bandwidth reduction step before shipping an embedding corpus to an
+    ANN index: ``scale = max|v| / (2^(bits-1) - 1)``, ``q_i = round(v_i
+    / scale)``. Output: (id, scale, q) with ``q`` an ``array<int>``;
+    all-zero vectors quantize to zeros with scale 0.
+
+    Scale: a pure per-row map (zip-free: one transform over the cast
+    vector), no shuffle, no Python. Dequantized recall loss at 8 bits
+    is negligible for cosine (the standard scalar-quantization trade).
+    """
+    qmax = (1 << (bits - 1)) - 1
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(F.col("_vd"), lambda x: F.abs(x)))
+    scale = F.col("_amax") / qmax
+    q = F.when(
+        F.col("_amax") > 0,
+        F.transform(
+            F.col("_vd"), lambda x: F.round(x / F.col("_scale")).cast("int")
+        ),
+    ).otherwise(F.transform(F.col("_vd"), lambda x: F.lit(0)))
+    return (
+        df.withColumn("_vd", vd)
+        .withColumn("_amax", amax)
+        .withColumn("_scale", scale)
+        .select(
+            F.col(id_col),
+            F.round(F.col("_scale"), 8).alias("scale"),
+            q.alias("q"),
+        )
     )

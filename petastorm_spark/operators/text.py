@@ -158,6 +158,101 @@ def scrub_pii(text_col) -> Column:
     return c
 
 
+def ngram_repetition_signals(
+    df: DataFrame, text_col: str, id_col: str, ns: tuple[int, ...] = (2, 3, 4)
+) -> DataFrame:
+    """Gopher-style multi-n repetition signals per document: for each
+    ``n`` in ``ns``, the fraction of token n-grams claimed by the most
+    frequent one (``top_{n}gram_frac``) — the full repetition ladder
+    next to :func:`repetition_signals`'s bigram-only pair.
+
+    Docs with fewer than ``min(ns)`` tokens are dropped; a column is
+    NULL when the doc is shorter than that ``n``.
+
+    Scale: ONE corpus scan fans every (n, ngram-hash) occurrence out of
+    a single explode; two partially-aggregated key shuffles ((doc, n,
+    hash) count then per-(doc, n) max/sum); the per-doc column pivot is
+    a conditional aggregation, not a join. N-grams travel as
+    ``xxhash64`` over the n token columns — 8 bytes per occurrence in
+    the shuffle, never the text (same rationale as
+    :func:`repetition_signals`).
+    """
+    ns = tuple(sorted(set(int(n) for n in ns)))
+    if not ns or ns[0] < 2:
+        raise ValueError(f"ns must all be >= 2, got {ns!r}")
+
+    def grams(n: int) -> Column:
+        # guarded like repetition_signals: Catalyst may evaluate the
+        # projection on pre-filter rows, where sequence(0, -k) is a
+        # descending 2-element sequence rather than empty
+        return F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.xxhash64(
+                        *[
+                            F.element_at("_toks", (i + j + 1).cast("int"))
+                            for j in range(n)
+                        ]
+                    ).alias("h"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,h:bigint>>"))
+
+    base = (
+        df.withColumn("_toks", tokens(text_col))
+        .where(F.size("_toks") >= ns[0])
+        .select(
+            F.col(id_col),
+            F.explode(F.flatten(F.array(*[grams(n) for n in ns]))).alias("_g"),
+        )
+    )
+    per_gram = base.groupBy(id_col, "_g.n", "_g.h").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per_n = per_gram.groupBy(id_col, "n").agg(
+        F.max("_c").alias("_top"), F.sum("_c").alias("_total")
+    )
+    frac = F.floor(F.col("_top") / F.col("_total") * 10000) / 10000
+    return per_n.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("n") == n, frac)).alias(f"top_{n}gram_frac")
+            for n in ns
+        ]
+    )
+
+
+def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the token distribution —
+    near-zero entropy flags degenerate/repeated-token spam that ratio
+    signals miss. Uses the closed form
+    ``H = log2(n) - sum(c_i * log2(c_i)) / n`` so the aggregation is a
+    plain sum, no per-token probability column.
+
+    Output: (id, n_tokens, token_entropy), entropy floor-rounded to
+    1e-4 (cross-engine float determinism). Empty docs are dropped.
+
+    Scale: one scan, one (doc, token-hash) partially-aggregated
+    shuffle, one per-doc shuffle — same shape as repetition_signals;
+    the token travels as xxhash64 (counts never need the string back).
+    """
+    cnt = (
+        df.withColumn("_toks", tokens(text_col))
+        .where(F.size("_toks") >= 1)
+        .select(F.col(id_col), F.explode("_toks").alias("_t"))
+        .groupBy(id_col, F.xxhash64("_t").alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    n = F.sum("_c")
+    h = F.log2(n) - F.sum(F.col("_c") * F.log2("_c")) / n
+    return cnt.groupBy(id_col).agg(
+        n.cast("bigint").alias("n_tokens"),
+        (F.floor(h * 10000) / 10000).alias("token_entropy"),
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
@@ -182,34 +277,37 @@ def repetition_signals(
     at corpus scale the string key is ~2x the corpus in shuffle bytes.
     Hash collisions inside one doc would merge two bigram counts;
     at 64 bits that is ~n^2/2^65 per doc — vanishing for any real doc.
+
+    Plan note: the explode lives IN the projection that builds the
+    bigram array. Exploding a column alias from a *previous* select
+    measures 12-30x slower on this chain (the generator input is
+    re-evaluated, turning the per-doc work quadratic); same rule as
+    ngram_repetition_signals / exploded_shingles.
     """
-    base = (
-        df.withColumn("_toks", tokens(text_col))
-        .where(F.size("_toks") >= 2)
-        .select(
+    base = df.withColumn("_toks", tokens(text_col)).where(
+        F.size("_toks") >= 2
+    )
+    # guarded like shingles_from_tokens: the filter above is not
+    # enough — Catalyst may evaluate the projection's expression tree
+    # on pre-filter rows (sequence(0,-1) is a DESCENDING 2-element
+    # sequence, not empty)
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - 2),
+            lambda i: F.xxhash64(
+                F.element_at("_toks", (i + 1).cast("int")),
+                F.element_at("_toks", (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    cnt = (
+        base.select(
             F.col(id_col),
             F.size("_toks").alias("_n"),
             F.size(F.array_distinct("_toks")).alias("_nd"),
-            # guarded like shingles_from_tokens: the filter above is
-            # not enough — Catalyst may evaluate the projection's
-            # expression tree on pre-filter rows (sequence(0,-1) is a
-            # DESCENDING 2-element sequence, not empty)
-            F.when(
-                F.size("_toks") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_toks") - 2),
-                    lambda i: F.xxhash64(
-                        F.element_at("_toks", (i + 1).cast("int")),
-                        F.element_at("_toks", (i + 2).cast("int")),
-                    ),
-                ),
-            )
-            .otherwise(F.array().cast("array<bigint>"))
-            .alias("_bg"),
+            F.explode(bigrams).alias("_b"),
         )
-    )
-    cnt = (
-        base.select(F.col(id_col), "_n", "_nd", F.explode("_bg").alias("_b"))
         .groupBy(id_col, "_b")
         .agg(
             F.count(F.lit(1)).alias("_c"),

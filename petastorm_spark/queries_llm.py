@@ -220,7 +220,13 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _near_dup_oracle(threshold: float = 0.8, num_hashes: int = 16, bands: int = 4) -> str:
+def _near_dup_oracle(threshold: float = 0.8, num_hashes: int = 16, bands: int = 4,
+                     measure: str = "jaccard") -> str:
+    inter = "len(list_intersect(sa.s, sb.s))"
+    if measure == "jaccard":
+        m = f"{inter} * 1.0 / (len(sa.s) + len(sb.s) - {inter})"
+    else:
+        m = f"{inter} * 1.0 / least(len(sa.s), len(sb.s))"
     from petastorm_spark.operators.dedup import MINHASH_MOD, cw_hash_pair_sql
 
     h1, h2 = cw_hash_pair_sql("sh")
@@ -250,15 +256,29 @@ def _near_dup_oracle(threshold: float = 0.8, num_hashes: int = 16, bands: int = 
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
     SELECT id_a, id_b,
-           round(len(list_intersect(sa.s, sb.s)) * 1.0 /
-                 (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4)
-             AS jaccard
+           round({m}, 4) AS {measure}
     FROM cand
     JOIN sets sa ON sa.doc_id = id_a
     JOIN sets sb ON sb.doc_id = id_b
-    WHERE len(list_intersect(sa.s, sb.s)) * 1.0 /
-          (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= {threshold}
+    WHERE {m} >= {threshold}
     """
+    )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=_near_dup_oracle(threshold=0.9, measure="containment"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle containment |A∩B|/min(|A|,|B|)
+    >= 0.9 over MinHash-LSH candidates — catches a short doc quoted
+    whole inside a long one (Jaccard-invisible). Same persisted-set,
+    id-keyed-verify plan as dedup_near_pairs."""
+    from petastorm_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs_with_copies(spark, sf_dir), "text", "doc_id",
+        threshold=0.9, num_hashes=16, bands=4, shingle_n=3,
     )
 
 
@@ -403,6 +423,141 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return repetition_signals(
         _t_wide(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+@register(
+    "ngram_repetition",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    g AS (SELECT doc_id, n, h, count(*) AS c FROM (
+            SELECT doc_id, 2 AS n,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1])) AS h
+            FROM tok WHERE len(t) >= 2
+            UNION ALL
+            SELECT doc_id, 3 AS n,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS h
+            FROM tok WHERE len(t) >= 3
+            UNION ALL
+            SELECT doc_id, 4 AS n,
+                   unnest(list_transform(range(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                               || ' ' || t[i+3])) AS h
+            FROM tok WHERE len(t) >= 4)
+          GROUP BY doc_id, n, h),
+    s AS (SELECT doc_id, n, max(c) AS top, sum(c) AS total
+          FROM g GROUP BY doc_id, n)
+    SELECT doc_id,
+           max(CASE WHEN n = 2
+               THEN floor(top / total * 10000) / 10000 END)
+             AS top_2gram_frac,
+           max(CASE WHEN n = 3
+               THEN floor(top / total * 10000) / 10000 END)
+             AS top_3gram_frac,
+           max(CASE WHEN n = 4
+               THEN floor(top / total * 10000) / 10000 END)
+             AS top_4gram_frac
+    FROM s GROUP BY doc_id
+    """,
+)
+def ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition ladder: top-2/3/4-gram fraction per doc in
+    ONE scan (single explode of (n, hash) pairs, two partial-agg
+    shuffles, conditional-agg pivot). N-grams shuffle as xxhash64."""
+    from petastorm_spark.operators.text import ngram_repetition_signals
+
+    return ngram_repetition_signals(
+        _t_wide(spark, sf_dir, "documents"), "text", "doc_id", ns=(2, 3, 4)
+    )
+
+
+@register(
+    "token_entropy",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    c AS (SELECT doc_id, tk, count(*) AS c
+          FROM (SELECT doc_id, unnest(t) AS tk FROM tok WHERE len(t) >= 1)
+          GROUP BY doc_id, tk)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           floor((log2(sum(c)) - sum(c * log2(c)) / sum(c)) * 10000)
+             / 10000 AS token_entropy
+    FROM c GROUP BY doc_id
+    """,
+)
+def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution (bits) —
+    catches degenerate spam that ratio signals miss. Closed form
+    log2(n) - sum(c*log2 c)/n; one scan, two keyed shuffles."""
+    from petastorm_spark.operators.text import token_entropy
+
+    return token_entropy(
+        _t_wide(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+@register(
+    "cap_per_source",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, source, {_FRAC_DOC} AS fr FROM documents),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY fr ASC, doc_id ASC) AS rn
+          FROM f)
+    SELECT doc_id, source FROM r WHERE rn <= 10
+    """,
+)
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution cap (keep <= 10 docs per source by
+    key-stable md5 order) — the "no domain dominates the mix" curation
+    control. Scale: two-phase top-k, so a hot source never funnels
+    through one task unbounded."""
+    from petastorm_spark.operators.sampling_extra import cap_per_group
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(d, "source", "doc_id", max_per_group=10)
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS amax
+          FROM e),
+    q AS (SELECT vec_id, amax / 127 AS scale,
+                 CASE WHEN amax > 0
+                      THEN list_transform(v, x -> CAST(round(x / (amax / 127))
+                                                       AS INT))
+                      ELSE list_transform(v, x -> 0) END AS qv
+          FROM a)
+    SELECT vec_id, round(scale, 8) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS sum_q,
+           CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS sum_q2
+    FROM q
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding corpus
+    (per-vector scale = max|v|/127): the storage/bandwidth reduction
+    pass before ANN indexing. Checked via per-vector scale + integer
+    checksums of the quantized values (exact, engine-portable).
+    Scale: pure per-row map, zero shuffle."""
+    from petastorm_spark.operators.similarity import quantize_embeddings
+
+    qd = quantize_embeddings(
+        _t_wide(spark, sf_dir, "embeddings"), "vec_id", "embedding", bits=8
+    )
+    return qd.select(
+        "vec_id",
+        "scale",
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "sum_q"
+        ),
+        F.aggregate(
+            "q", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint") * x
+        ).alias("sum_q2"),
     )
 
 

@@ -42,6 +42,8 @@ def get_spark(app_name: str = "petastorm_spark", cpus: int | None = None) -> Spa
         # nanosecond timestamp type — read as bigint ns-since-epoch and
         # convert with ns_to_timestamp() where needed.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # subset co-partitioning — see ensure_session_confs
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -63,6 +65,15 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     want = {
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.session.timeZone": "UTC",
+        # Subset co-partitioning (the pre-3.3 behavior): a child already
+        # hashpartitioned on a SUBSET of the join keys joins in place.
+        # Several self-join operators are designed around this — e.g.
+        # embedding_near_dup_pairs partitions on `bucket` once (window
+        # + both join sides share the exchange) and joins on (bucket,
+        # refine-subkey); with the default `true`, the planner inserts
+        # a fresh (bucket, _sub) exchange per side and the shared-scan
+        # design degrades to two full corpus evaluations.
+        "spark.sql.requireAllClusterKeysForCoPartition": "false",
     }
     for k, v in want.items():
         try:

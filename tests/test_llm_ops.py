@@ -687,3 +687,131 @@ def test_simhash_first_match_emission_exact_no_dups(spark):
         got = {(r.id_a, r.id_b) for r in cand}
         assert len(cand) == len(got), f"duplicate emission at thr={thr}"
         assert got == truth
+
+
+def test_ngram_repetition_hand_computed(spark):
+    """'x y x y x': 2-grams [xy,yx,xy,yx] top 2/4; 3-grams
+    [xyx,yxy,xyx] top 2/3; 4-grams [xyxy,yxyx] top 1/2. A 3-token doc
+    gets NULL top_4gram_frac; a 1-token doc is dropped."""
+    from petastorm_spark.operators.text import ngram_repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y x"), (2, "a b c"), (3, "solo")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.top_2gram_frac, r.top_3gram_frac, r.top_4gram_frac)
+        for r in ngram_repetition_signals(docs, "text", "doc_id").collect()
+    }
+    assert got == {
+        1: (0.5, 0.6666, 0.5),
+        2: (0.5, 1.0, None),
+    }
+
+
+def test_ngram_repetition_rejects_unigrams(spark):
+    from petastorm_spark.operators.text import ngram_repetition_signals
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ngram_repetition_signals(docs, "text", "doc_id", ns=(1, 2))
+
+
+def test_token_entropy_hand_computed(spark):
+    """'a a a a' -> H=0; 'a b c d' -> H=2 bits; 'a a b b' -> H=1.
+    A whitespace-only doc tokenizes to the single empty token (the
+    split-on-regex parity contract), so it scores H=0, not dropped."""
+    from petastorm_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b"), (4, "  ")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.token_entropy)
+        for r in token_entropy(docs, "text", "doc_id").collect()
+    }
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, 2.0)
+    assert got[3] == (4, 1.0)
+    assert got[4] == (1, 0.0)
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    """Every group capped at K; same seed -> identical selection
+    regardless of partitioning; different seed -> different pick."""
+    from petastorm_spark.operators.sampling_extra import cap_per_group
+
+    rows = [(i, "s%d" % (i % 4)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    got1 = sorted(r.k for r in cap_per_group(df, "g", "k", 7).collect())
+    assert len(got1) == 4 * 7
+    sizes = (
+        cap_per_group(df, "g", "k", 7).groupBy("g").count().collect()
+    )
+    assert all(r["count"] == 7 for r in sizes)
+    # partitioning-independence (key-stable order, not arrival order)
+    got2 = sorted(
+        r.k for r in cap_per_group(df.repartition(13), "g", "k", 7).collect()
+    )
+    assert got1 == got2
+    got3 = sorted(r.k for r in cap_per_group(df, "g", "k", 7, seed=5).collect())
+    assert got3 != got1 and len(got3) == 28
+    # a group smaller than K survives whole
+    small = spark.createDataFrame([(1, "a"), (2, "a")], ["k", "g"])
+    assert cap_per_group(small, "g", "k", 7).count() == 2
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark):
+    """Dequantized vectors stay within scale/2 per component; all-zero
+    vectors quantize to zeros with scale 0; extremes hit +/-127."""
+    from petastorm_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [-2.0, 2.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.vec_id: (r.scale, list(r.q))
+           for r in quantize_embeddings(df, "vec_id", "embedding").collect()}
+    s1, q1 = got[1]
+    # scale is rounded to 8 decimals in the output
+    assert q1[0] == 127 and abs(s1 - 1.0 / 127) < 1e-8
+    # half-way components (e.g. -0.5 -> -63.5) land exactly ON the
+    # s/2 bound; the 8-decimal scale rounding needs the epsilon
+    for orig, q in zip(rows[0][1], q1):
+        assert abs(q * s1 - orig) <= s1 / 2 + 1e-6
+    assert got[2] == (0.0, [0, 0, 0, 0])
+    s3, q3 = got[3]
+    assert q3 == [-127, 127, 64, -64] or q3 == [-127, 127, 63, -63]
+
+
+def test_containment_catches_quoted_subset(spark):
+    """A short doc fully quoted inside a long one: Jaccard small,
+    containment 1.0 — the asymmetric measure must surface the pair."""
+    from petastorm_spark.operators.dedup import containment_pairs, near_dup_pairs
+
+    # lengths chosen so J(1,2) ~ 0.5: high enough for the LSH banding
+    # to surface the candidate (the docstring's own caveat — recall
+    # follows Jaccard), low enough that the Jaccard threshold misses it
+    short = " ".join("a%d" % i for i in range(20))
+    filler = " ".join("w%d" % i for i in range(18))
+    rows = [(1, short), (2, short + " " + filler), (3, filler)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(
+            docs, "text", "doc_id", threshold=0.9, bands=8, num_hashes=16
+        ).collect()
+    }
+    # (1,2): every shingle of doc1 appears in doc2 -> containment 1.0
+    assert cont.get((1, 2)) == 1.0
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_dup_pairs(
+            docs, "text", "doc_id", threshold=0.0, bands=8, num_hashes=16
+        ).collect()
+    }
+    assert jac.get((1, 2), 0.0) < 0.9  # Jaccard alone misses it

@@ -110,3 +110,47 @@ def test_near_dup_verify_keyed_on_candidates(spark, sf_dir):
     # left are the LSH band explode, not a shingle explode feeding a
     # 16-min aggregate
     assert "mh_0" in plan
+
+
+def test_text_repetition_single_scan_no_join(spark, sf_dir):
+    """Round-5 verdict #2 follow-through: repetition_signals reads the
+    corpus ONCE (stats ride the aggregations as first()s, no join back
+    to a second tokenize pass) and the bigram shuffle key is the
+    xxhash64 of the token pair, never the bigram string."""
+    from petastorm_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(QUERIES["text_repetition"](spark, sf_dir))
+    assert plan.count("ReadSchema") == 1, "corpus scanned more than once"
+    assert "Join" not in plan, "join-back formulation resurfaced"
+    assert "xxhash64" in plan
+
+
+def test_cap_per_group_two_phase_topk(spark, sf_dir):
+    """cap_per_source must rank partition-locally before the per-group
+    shuffle (two Window stages, the first keyed on the partition id) so
+    a hot group never funnels unbounded rows through one task."""
+    from petastorm_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(QUERIES["cap_per_source"](spark, sf_dir))
+    assert plan.count("Window (") >= 2 or plan.count("Window") >= 2
+    assert "hashpartitioning(_pid" in plan, plan
+
+
+def test_embedding_pairs_single_exchange_reused(spark, sf_dir):
+    """Round-5 verdict: the bucket-count window and both self-join
+    sides of dedup_embedding_pairs share ONE exchange (second side a
+    runtime ReusedExchange/stage). Requires the shuffle_hash hint (a
+    small corpus otherwise goes broadcast, whose build side re-executes
+    the whole scan+window subtree), subset co-partitioning
+    (requireAllClusterKeysForCoPartition=false), and non-null join keys
+    (else IsNotNull pushes a second full sign-pattern evaluation into
+    the scan). AQE resolves reuse at runtime, so this inspects the
+    EXECUTED plan after an action, not the static one."""
+    df = QUERIES["dedup_embedding_pairs"](spark, sf_dir)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in ep
+    assert "Reused" in ep, "self-join sides no longer share the exchange"
+    assert "BroadcastHashJoin" not in ep
+    # no scan-level IsNotNull(sign-pattern) recomputation
+    assert "Filter isnotnull((((" not in ep

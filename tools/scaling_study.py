@@ -52,6 +52,15 @@ STUDY_QUERIES = [
     "bm25_search",
     "pack_sequences",
     "decontaminate_overlap",
+    "asof_join_clicks",
+    "range_join_campaigns",
+    "rollup_multigrain",
+    "chunk_documents",
+    "text_repetition",
+    "ngram_repetition",
+    "token_entropy",
+    "cap_per_source",
+    "embedding_quantize",
 ]
 
 
