@@ -39,9 +39,13 @@ def salted_join(
     if salt < 2:
         return big.join(small, big[big_key] == small[small_key], how)
     big_s = big.withColumn("_salt", (F.rand() * salt).cast("int"))
+    # explode inline with its array expression (generator-placement
+    # rule, operators/text.py): alias-then-explode re-evaluates the
+    # generator input — harmless for this constant array, but the
+    # pattern should not be copied next to expensive arrays
     small_s = small.withColumn(
-        "_salt_arr", F.sequence(F.lit(0), F.lit(salt - 1))
-    ).withColumn("_salt", F.explode("_salt_arr")).drop("_salt_arr")
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
     out = big_s.join(
         small_s,
         (big_s[big_key] == small_s[small_key]) & (big_s["_salt"] == small_s["_salt"]),

@@ -61,6 +61,7 @@ STUDY_QUERIES = [
     "token_entropy",
     "cap_per_source",
     "embedding_quantize",
+    "dedup_containment_pairs",
 ]
 
 
