@@ -71,6 +71,10 @@ HEADLINE = [
     "pii_scrub",
     "ngram_repetition",
     "token_entropy",
+    "cap_per_source",
+    "embedding_quantize",
+    "dedup_containment_pairs",
+    "curate_corpus_docs",
 ]
 
 N_WARMUP_READS = 500

@@ -1,0 +1,94 @@
+"""End-to-end corpus curation pipeline: the composition a production
+pre-training data run executes as one job — exact dedup, quality
+floor, per-source contribution cap, PII scrub — plus a per-stage
+attrition report. Each step is one of this package's oracle-checked
+operators; the pipeline only chains their (lazy) DataFrames, so
+Catalyst sees a single plan per output and nothing materializes until
+the caller acts.
+
+The reference engine has no curation surface at all (it reads/writes
+tensors); this is the beyond-parity layer SURVEY §7 Phase 6 calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from petastorm_spark.operators.text import quality_score, scrub_pii
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    quality_floor: float = 0.8,
+    strata_col: str | None = None,
+    max_per_stratum: int | None = None,
+    seed: int = 0,
+) -> dict[str, DataFrame]:
+    """Chain the standard curation passes and return every intermediate
+    stage (lazy) keyed by name, in order:
+
+    - ``input``  — as given;
+    - ``dedup``  — exact dedup, lowest id per md5(text) survives;
+    - ``quality`` — composite quality (floored to 1e-4 for
+      cross-engine determinism) >= ``quality_floor``;
+    - ``capped`` — at most ``max_per_stratum`` rows per
+      ``strata_col`` value, key-stable md5 order (stage skipped —
+      aliased to ``quality`` — when either arg is None);
+    - ``output`` — PII scrubbed in place.
+
+    Scale: dedup is one digest-keyed semi-join (the winners aggregate
+    is partial — only (digest, min id) shuffles, never text); quality
+    is a pure map filter; the cap is the two-phase top-k of
+    :func:`~petastorm_spark.operators.sampling_extra.cap_per_group`;
+    the scrub is a pure map. Stages share lineage — persist an
+    intermediate before fanning out if a caller reads several stages.
+    """
+    from petastorm_spark.operators.sampling_extra import cap_per_group
+
+    stages: dict[str, DataFrame] = {"input": df}
+
+    winners = (
+        df.select(F.md5(F.col(text_col)).alias("_dg"), F.col(id_col))
+        .groupBy("_dg")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    stages["dedup"] = df.join(winners, id_col, "left_semi")
+
+    q4 = F.floor(quality_score(text_col) * 10000) / 10000
+    stages["quality"] = stages["dedup"].where(q4 >= quality_floor)
+
+    if strata_col is not None and max_per_stratum is not None:
+        stages["capped"] = cap_per_group(
+            stages["quality"], strata_col, id_col, max_per_stratum, seed
+        )
+    else:
+        stages["capped"] = stages["quality"]
+
+    stages["output"] = stages["capped"].withColumn(
+        text_col, scrub_pii(text_col)
+    )
+    return stages
+
+
+def curation_report(stages: dict[str, DataFrame]) -> DataFrame:
+    """Per-stage attrition: ``(stage_idx, stage, n_rows)`` — what every
+    curation run logs first. One aggregate per stage unioned into a
+    single plan; each count is a partial aggregation, so the report
+    costs one scan per stage (persist upstream stages to pay less)."""
+    parts = []
+    for i, (name, sdf) in enumerate(stages.items()):
+        parts.append(
+            sdf.agg(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

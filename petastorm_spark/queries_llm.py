@@ -561,6 +561,95 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SW_LIST = "['the','a','of','to','and','in','is','it','on','for']"
+
+_CURATE_CTE = f"""
+    WITH d AS (SELECT doc_id, text, source FROM documents
+               UNION ALL
+               SELECT doc_id + {_COPY_SHIFT} AS doc_id, text, source
+               FROM documents),
+    w AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)),
+    dd AS (SELECT d.* FROM d JOIN w USING (doc_id)),
+    m AS (SELECT doc_id,
+                 len(list_filter(t, x -> list_contains({_SW_LIST}, x)))
+                   * 1.0 / len(t) AS sw,
+                 len(list_distinct(t)) * 1.0 / len(t) AS uniq,
+                 length(regexp_replace(low, '[^a-z ]', '', 'g'))
+                   * 1.0 / length(low) AS alpha,
+                 len(t) AS n
+          FROM (SELECT doc_id, lower(trim(text)) AS low, {_TOK} AS t
+                FROM dd)),
+    q AS (SELECT dd.* FROM dd JOIN m USING (doc_id)
+          WHERE floor(((CASE WHEN sw > 0.01 AND sw < 0.6
+                             THEN 1.0 ELSE 0.5 END) * 0.3
+                       + uniq * 0.3 + alpha * 0.2
+                       + (CASE WHEN n >= 10 AND n <= 5000
+                               THEN 1.0 ELSE 0.5 END) * 0.2)
+                      * 10000) / 10000 >= 0.8),
+    r AS (SELECT q.*, row_number() OVER (PARTITION BY source
+                 ORDER BY {_FRAC_DOC} ASC, doc_id ASC) AS rn FROM q),
+    c AS (SELECT doc_id, text, source FROM r WHERE rn <= 15),
+    o AS (SELECT doc_id, source,
+                 md5(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '[EMAIL]', 'g'),
+                   '(\\+?\\d{{1,2}} ?)?\\d{{3}}-\\d{{3}}-\\d{{4}}',
+                   '[PHONE]', 'g')) AS scrub_hash
+          FROM c)
+"""
+
+
+def _curated_stages(spark: SparkSession, sf_dir: str):
+    from petastorm_spark.operators.pipeline import curate_corpus
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    both = d.unionByName(
+        d.select((F.col("doc_id") + _COPY_SHIFT).alias("doc_id"), "text", "source")
+    )
+    return curate_corpus(
+        both, "text", "doc_id",
+        quality_floor=0.8, strata_col="source", max_per_stratum=15,
+    )
+
+
+@register(
+    "curate_corpus_docs",
+    oracle=_CURATE_CTE + "SELECT doc_id, source, scrub_hash FROM o",
+)
+def curate_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE lazy plan: exact dedup (min-id
+    per digest, semi-join), quality floor >= 0.8, per-source cap of 15
+    (key-stable md5 order), PII scrub — the surviving corpus with the
+    scrubbed-text hash. Scale: one digest shuffle + pure map filters +
+    the two-phase cap; nothing driver-side."""
+    out = _curated_stages(spark, sf_dir)["output"]
+    return out.select("doc_id", "source", F.md5("text").alias("scrub_hash"))
+
+
+@register(
+    "curate_corpus_report",
+    oracle=_CURATE_CTE + """
+    SELECT 0 AS stage_idx, 'input' AS stage, (SELECT count(*) FROM d) AS n_rows
+    UNION ALL
+    SELECT 1, 'dedup', (SELECT count(*) FROM dd)
+    UNION ALL
+    SELECT 2, 'quality', (SELECT count(*) FROM q)
+    UNION ALL
+    SELECT 3, 'capped', (SELECT count(*) FROM c)
+    UNION ALL
+    SELECT 4, 'output', (SELECT count(*) FROM o)
+    """,
+)
+def curate_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition of the curation pipeline (what a data run
+    logs first): rows in/out at input -> dedup -> quality -> cap ->
+    scrub. Each count is a partial aggregate; the whole report is one
+    unioned plan."""
+    from petastorm_spark.operators.pipeline import curation_report
+
+    return curation_report(_curated_stages(spark, sf_dir))
+
+
 _BM25_TERMS = ["table", "join", "window"]
 
 
@@ -661,9 +750,6 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(T.avg_token_len("text"), 4).alias("avg_tok_len"),
         "n_chars",
     )
-
-
-_SW_LIST = "['the','a','of','to','and','in','is','it','on','for']"
 
 
 @register(

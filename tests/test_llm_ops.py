@@ -815,3 +815,38 @@ def test_containment_catches_quoted_subset(spark):
         ).collect()
     }
     assert jac.get((1, 2), 0.0) < 0.9  # Jaccard alone misses it
+
+
+def test_curate_corpus_stages_monotone_and_scrubbed(spark):
+    """Stage row counts never increase; dedup keeps exactly one row per
+    distinct text (the min id); the output text is PII-scrubbed; the
+    report rows mirror the stage counts."""
+    from petastorm_spark.operators.pipeline import curate_corpus, curation_report
+
+    good = (
+        "the quick brown fox is on the mat and it jumps over a lazy dog "
+        "for fun in the sun and the rain on it"
+    )
+    rows = [
+        (1, good, "a"),
+        (2, good, "a"),                      # exact dup of 1
+        (3, "zz zz zz", "a"),                # low quality (short, no stopwords)
+        (4, good + " call 555-123-4567", "b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    stages = curate_corpus(
+        df, "text", "doc_id", quality_floor=0.8,
+        strata_col="source", max_per_stratum=5,
+    )
+    counts = {k: v.count() for k, v in stages.items()}
+    assert counts["input"] == 4
+    assert counts["dedup"] == 3              # 2 collapses into 1
+    assert counts["quality"] == 2            # doc 3 dropped
+    assert counts["capped"] == 2 and counts["output"] == 2
+    out = {r.doc_id: r.text for r in stages["output"].collect()}
+    assert set(out) == {1, 4}
+    assert "[PHONE]" in out[4] and "555" not in out[4]
+    rep = {r.stage: (r.stage_idx, r.n_rows)
+           for r in curation_report(stages).collect()}
+    assert rep["input"] == (0, 4) and rep["dedup"] == (1, 3)
+    assert rep["quality"] == (2, 2) and rep["output"] == (4, 2)
