@@ -125,3 +125,69 @@ def test_shuffle_row_drop_partitions_complete(spark, sf_dir):
     with make_reader(url, spark=spark, shuffle_row_drop_partitions=3) as r:
         keys = sorted(row.n_nationkey for row in r)
     assert keys == list(range(25))  # every row exactly once across slices
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    data=st.data(),
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.sampled_from([None, 3, 10]),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, data, direction, tolerance):
+    """Differential test: asof_join (union + window, no join node) must
+    agree with pandas.merge_asof on random keyed, deduped frames —
+    including NULL right values attaching verbatim (row atomicity)."""
+    import pandas as pd
+
+    from petastorm_spark.operators.temporal import asof_join
+
+    keys = st.integers(0, 2)
+    ts = st.integers(0, 40)
+    left_rows = data.draw(
+        st.lists(st.tuples(keys, ts), min_size=1, max_size=12, unique=True)
+    )
+    right_rows = data.draw(
+        st.lists(
+            st.tuples(keys, ts, st.one_of(st.none(), st.integers(0, 99))),
+            min_size=0,
+            max_size=12,
+            unique_by=lambda r: (r[0], r[1]),
+        )
+    )
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        "k bigint, ts bigint, lid bigint",
+    )
+    right = spark.createDataFrame(right_rows, "k bigint, ts bigint, v bigint")
+    got = {
+        r.lid: (r.asof_ts, r.asof_v)
+        for r in asof_join(
+            left, right, "k", "ts", ["v"],
+            tolerance_us=tolerance, direction=direction,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "ts"]).assign(
+        lid=range(len(left_rows))
+    ).sort_values("ts", kind="stable")
+    rp = (
+        pd.DataFrame(right_rows, columns=["k", "ts", "v"])
+        .astype({"k": "int64", "ts": "int64", "v": "float64"})
+        .assign(rts=lambda d: d.ts)
+        .sort_values("ts", kind="stable")
+    )
+    merged = pd.merge_asof(
+        lp,
+        rp,
+        on="ts",
+        by="k",
+        direction=direction,
+        tolerance=tolerance,
+        suffixes=("", "_r"),
+    )
+    for _, row in merged.iterrows():
+        want_ts = None if pd.isna(row["rts"]) else int(row["rts"])
+        want_v = None if pd.isna(row["v"]) else int(row["v"])
+        assert got[int(row["lid"])] == (want_ts, want_v), (
+            left_rows, right_rows, direction, tolerance,
+        )
