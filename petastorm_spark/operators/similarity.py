@@ -174,59 +174,15 @@ def cosine_topk_ivf(
     centroids in via ``centroids=``. Scale: centroid table is tiny and
     broadcast everywhere; the corpus is scanned once for assignment
     (one partial-agg argmax, no window) and the candidate join is a
-    cell equi-join; top-k via partition-local windows + merge."""
-    if centroids is not None:
-        cent = centroids.select(
-            F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
-        )
-    else:
-        cent = (
-            corpus.orderBy(id_col)
-            .limit(n_cells)
-            .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
-        )
+    cell equi-join; top-k via partition-local windows + merge.
 
-    def assign(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        scored = (
-            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
-            .crossJoin(F.broadcast(cent))
-            .withColumn("_cos", cosine(F.col(out_vec), F.col("cent_vec")))
-        )
-        return (
-            scored.groupBy(out_id, out_vec)
-            .agg(
-                F.max(
-                    F.struct(F.col("_cos"), (-F.col("cell")).alias("_nc"))
-                ).alias("_b")
-            )
-            .withColumn("cell", (-F.col("_b").getField("_nc")).cast("int"))
-            .drop("_b")
-        )
-
-    corpus_cells = assign(corpus, "neighbor_id", "c_vec")
-
-    # per-query probe list: top n_probe cells by centroid cosine (query
-    # side is small; the window is over n_cells rows per query)
-    from pyspark.sql import Window
-
-    qs = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .crossJoin(F.broadcast(cent))
-        .withColumn("_cos", cosine(F.col("q_vec"), F.col("cent_vec")))
+    This is :func:`ivf_build` + :func:`ivf_query` fused for one-shot
+    use; persist the index with :func:`ivf_write` when many query
+    batches will hit the same corpus."""
+    cent, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids)
+    return ivf_query(
+        cent, assigned, queries, id_col, vec_col, k, n_probe, prune_cells=False
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("cell"))
-    query_probes = (
-        qs.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= n_probe)
-        .select("query_id", "q_vec", "cell")
-    )
-
-    scored = (
-        corpus_cells.join(query_probes, "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
-    )
-    return topk_per_query(scored, k)
 
 
 def cosine_topk_multiprobe(
@@ -458,3 +414,123 @@ def quantize_embeddings(
             q.alias("q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index: build once, write partitioned by cell, query many
+# times. The production split of cosine_topk_ivf — at corpus scale the
+# index amortizes across every query batch, and a parquet layout
+# partitioned by cell means a probe reads ONLY its cells' files
+# (partition pruning), not the corpus.
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    centroids: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index: returns ``(centroids, assignments)`` —
+    centroids as (cell, cent_vec); assignments as (id, vec, cell) with
+    every corpus vector assigned to its nearest-centroid cell.
+
+    Same deterministic default quantizer as :func:`cosine_topk_ivf`
+    (the ``n_cells`` lowest-id corpus vectors); feed k-means centroids
+    via ``centroids=`` in production. Scale: one corpus scan, centroid
+    table broadcast, partial-agg argmax — no window, no shuffle beyond
+    the aggregation."""
+    if centroids is not None:
+        cent = centroids.select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
+        )
+    else:
+        cent = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
+        )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_cos", cosine(F.col(vec_col), F.col("cent_vec")))
+    )
+    assigned = (
+        scored.groupBy(id_col, vec_col)
+        .agg(
+            F.max(F.struct(F.col("_cos"), (-F.col("cell")).alias("_nc"))).alias("_b")
+        )
+        .withColumn("cell", (-F.col("_b").getField("_nc")).cast("int"))
+        .drop("_b")
+    )
+    return cent, assigned
+
+
+def ivf_write(
+    index_url: str, centroids: DataFrame, assignments: DataFrame, cell_col: str = "cell"
+) -> None:
+    """Persist the index: assignments parquet PARTITIONED BY cell (so a
+    probe's scan prunes to its cells' directories), centroids as a tiny
+    side table."""
+    assignments.write.mode("overwrite").partitionBy(cell_col).parquet(
+        index_url.rstrip("/") + "/cells"
+    )
+    centroids.write.mode("overwrite").parquet(index_url.rstrip("/") + "/centroids")
+
+
+def ivf_read(spark, index_url: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted index: ``(centroids, assignments)``."""
+    root = index_url.rstrip("/")
+    return (
+        spark.read.parquet(root + "/centroids"),
+        spark.read.parquet(root + "/cells"),
+    )
+
+
+def ivf_query(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 3,
+    prune_cells: bool = True,
+) -> DataFrame:
+    """Top-k cosine against a prebuilt IVF index. Each query probes its
+    ``n_probe`` nearest cells; candidates come from the cell equi-join.
+
+    With ``prune_cells`` (default) the distinct probed cells of this
+    query batch are collected (n_probe * |queries| ints — the query
+    batch is the small side by construction) and pushed into the
+    assignments scan as an ``isin`` filter, so a parquet-backed,
+    cell-partitioned index reads ONLY the probed cells' files. That is
+    the IVF payoff at 100 TB: probe cost scales with cells touched,
+    not corpus size."""
+    from pyspark.sql import Window
+
+    cent = centroids.select("cell", "cent_vec")
+    qs = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_cos", cosine(F.col("q_vec"), F.col("cent_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("cell"))
+    probes = (
+        qs.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    cand = assignments.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell"
+    )
+    if prune_cells:
+        cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+        cand = cand.where(F.col("cell").isin(cells))
+    scored = (
+        cand.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    return topk_per_query(scored, k)

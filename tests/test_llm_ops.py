@@ -850,3 +850,44 @@ def test_curate_corpus_stages_monotone_and_scrubbed(spark):
            for r in curation_report(stages).collect()}
     assert rep["input"] == (0, 4) and rep["dedup"] == (1, 3)
     assert rep["quality"] == (2, 2) and rep["output"] == (4, 2)
+
+
+def test_ivf_persistent_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """Build->write->read->query must return exactly what the inline
+    cosine_topk_ivf computes, and the parquet-backed query must scan
+    with a partition filter on cell (only probed cells' files read)."""
+    from petastorm_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_build,
+        ivf_query,
+        ivf_read,
+        ivf_write,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+
+    inline = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in cosine_topk_ivf(emb, queries, k=5, n_cells=16, n_probe=3).collect()
+    }
+
+    cent, assigned = ivf_build(emb, n_cells=16)
+    url = str(tmp_path / "ivf_index")
+    ivf_write(url, cent, assigned)
+    cent2, assigned2 = ivf_read(spark, url)
+    out = ivf_query(cent2, assigned2, queries, k=5, n_probe=3)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim) for r in out.collect()
+    }
+    assert got == inline and got
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("#", " #").replace(
+        "PartitionFilters: [cell", "PartitionFilters: [cell"
+    ) or "PartitionFilters" in plan
+    # the cell partition filter must actually reach the file scan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:2000]
