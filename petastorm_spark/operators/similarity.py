@@ -534,3 +534,37 @@ def ivf_query(
         .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
     )
     return topk_per_query(scored, k)
+
+
+def train_kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train a k-means coarse quantizer for the IVF index (the
+    production replacement for the deterministic lowest-id quantizer):
+    returns (cell, cent_vec) ready for :func:`ivf_build`'s
+    ``centroids=`` — cent_vec typed like the corpus vectors.
+
+    Uses Spark ML's distributed KMeans (import-gated like the other ML
+    touchpoints; raises ImportError where pyspark.ml is unavailable).
+    Scale: KMeans|| init + Lloyd iterations are all map-side +
+    tree-aggregated; nothing corpus-sized ever sits on the driver."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    spark = corpus.sparkSession
+    elem_type = corpus.schema[vec_col].dataType.elementType.simpleString()
+    rows = [
+        (i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, f"cell int, cent_vec array<{elem_type}>")

@@ -379,3 +379,33 @@ def test_streaming_ewma_ns_layout_emits_micros(spark, tmp_path_factory):
     assert stream_rows == batch_rows and stream_rows
     # last_ts is µs, not ns
     assert stream_rows[2][2] == (base_ns + 500_000_000) // 1000
+
+
+def test_compact_dataset_merges_small_files(spark, tmp_path):
+    """16 tiny files compact into the size-targeted count; rows
+    survive byte-identically; the output is a fully-described engine
+    dataset (sidecar present, make_reader works) even though the input
+    was bare parquet."""
+    from petastorm_spark.etl.compact import compact_dataset, dataset_size_bytes
+    from petastorm_spark.etl.dataset_metadata import load_unischema
+    from petastorm_spark.reader import make_reader
+
+    src = str(tmp_path / "small")
+    spark.range(2000).selectExpr(
+        "id", "id * 2 AS v"
+    ).repartition(16).write.parquet(src)
+    assert dataset_size_bytes(src) > 0
+
+    dst = str(tmp_path / "compacted")
+    n = compact_dataset(spark, src, dst, target_mb=128)
+    assert n == 1  # tiny dataset -> one file
+    import os
+
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(files) == 1
+    got = spark.read.parquet(dst)
+    assert got.count() == 2000
+    assert sorted(r.v for r in got.collect()) == [i * 2 for i in range(2000)]
+    assert load_unischema(spark, dst) is not None  # upgraded to engine dataset
+    with make_reader(dst, spark=spark) as r:
+        assert len({row.id for row in r}) == 2000

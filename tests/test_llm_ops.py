@@ -891,3 +891,43 @@ def test_ivf_persistent_index_matches_inline_and_prunes(spark, sf_dir, tmp_path)
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), plan[:2000]
+
+
+def test_ivf_with_kmeans_centroids_recall_not_worse(spark, sf_dir):
+    """k-means centroids plug into ivf_build/ivf_query and, on the
+    clustered fixture, recall@5 vs exact top-k is at least as good as
+    the deterministic lowest-id quantizer's."""
+    pytest.importorskip("pyspark.ml")
+    from petastorm_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_query,
+        train_kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16))
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, [float(x) for x in c + 0.05 * rng.standard_normal(16)]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = emb.where(F.col("vec_id") < 8)
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = pairs(cosine_topk(emb, queries, k=5))
+
+    det_c, det_a = ivf_build(emb, n_cells=8)
+    det = pairs(ivf_query(det_c, det_a, queries, k=5, n_probe=2))
+
+    km = train_kmeans_centroids(emb, n_cells=8, seed=3)
+    km_c, km_a = ivf_build(emb, n_cells=8, centroids=km.select(
+        F.col("cell").alias("vec_id"), F.col("cent_vec").alias("embedding")))
+    kmp = pairs(ivf_query(km_c, km_a, queries, k=5, n_probe=2))
+
+    r_det = len(det & exact) / len(exact)
+    r_km = len(kmp & exact) / len(exact)
+    assert r_km >= r_det
+    assert r_km > 0.9  # true clusters -> k-means probes find the mass
