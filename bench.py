@@ -75,6 +75,7 @@ HEADLINE = [
     "embedding_quantize",
     "dedup_containment_pairs",
     "curate_corpus_docs",
+    "boilerplate_ngrams",
 ]
 
 N_WARMUP_READS = 500

@@ -568,3 +568,30 @@ def train_kmeans_centroids(
         (i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())
     ]
     return spark.createDataFrame(rows, f"cell int, cent_vec array<{elem_type}>")
+
+
+def normalize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """L2-normalize an embedding column (unit vectors make cosine a
+    plain dot product — the standard pre-indexing transform). All-zero
+    vectors pass through unchanged. Pure per-row map, zero shuffle."""
+    out_col = out_col or vec_col
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(F.col("_vd"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    unit = F.when(
+        F.col("_nrm") > 0,
+        F.transform(F.col("_vd"), lambda x: x / F.col("_nrm")),
+    ).otherwise(F.col("_vd"))
+    keep = [c for c in df.columns if c != vec_col or out_col != vec_col]
+    return (
+        df.withColumn("_vd", vd)
+        .withColumn("_nrm", nrm)
+        .withColumn(out_col, unit)
+        .drop("_vd", "_nrm")
+    )

@@ -330,3 +330,88 @@ def repetition_signals(
             F.floor((1 - F.col("_nd") / F.col("_n")) * 10000) / 10000
         ).alias("dup_token_frac"),
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-wide frequent token n-grams — the boilerplate/template
+    miner (headers, disclaimers, navigation chrome surface here
+    first). Output: (ngram, n_docs, n_occurrences) for every n-gram
+    with at least ``min_count`` occurrences. Threshold semantics, not
+    top-k: no tie ambiguity, and "drop text matching boilerplate above
+    threshold" is the real downstream curation step.
+
+    Scale: TWO phases so the corpus-wide shuffle never carries text.
+    Phase 1 counts by xxhash64(n-gram) — 8 bytes per occurrence — and
+    collects the qualifying hashes (bounded by how much true
+    boilerplate exists; raise ``min_count`` if a pathological corpus
+    overflows it). Phase 2 rescans, keeps only occurrences of those
+    hashes (map-side isin filter), and aggregates by the actual string
+    to recover the n-gram text. Two scans beat one string-keyed
+    shuffle at corpus scale; the second shuffle is boilerplate-sized.
+    """
+    if n < 1 or min_count < 1:
+        raise ValueError(f"n and min_count must be >= 1, got {n=} {min_count=}")
+
+    def grams_hashed():
+        # hash the JOINED string (not the n token columns) so phase 2's
+        # xxhash64(ngram) recomputes the identical value; the string is
+        # built and hashed map-side, it never reaches the shuffle
+        return F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at("_toks", (i + j + 1).cast("int"))
+                            for j in range(n)
+                        ],
+                    )
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    def grams_text():
+        return F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at("_toks", (i + j + 1).cast("int"))
+                        for j in range(n)
+                    ],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = df.withColumn("_toks", tokens(text_col)).where(F.size("_toks") >= n)
+    counts = (
+        base.select(F.explode(grams_hashed()).alias("_h"))
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+    )
+    top_hashes = [r._h for r in counts.collect()]
+
+    hits = base.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(grams_text()).alias("ngram"),
+    ).where(F.xxhash64("ngram").isin(top_hashes))
+    return (
+        hits.groupBy("ngram")
+        .agg(
+            F.countDistinct("_doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+    )

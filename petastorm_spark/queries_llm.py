@@ -650,6 +650,33 @@ def curate_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_report(_curated_stages(spark, sf_dir))
 
 
+@register(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ngram
+          FROM tok WHERE len(t) >= 3)
+    SELECT ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occurrences
+    FROM g GROUP BY ngram HAVING count(*) >= 5
+    """,
+)
+def boilerplate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate miner: every corpus-wide 3-gram with >= 5
+    occurrences (threshold semantics — no top-k tie ambiguity). Scale:
+    hash-count phase (8-byte shuffle keys) collects qualifying hashes,
+    then a string aggregation only over those occurrences — text never
+    rides the corpus-wide shuffle."""
+    from petastorm_spark.operators.text import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        _t_wide(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, min_count=5,
+    )
+
+
 _BM25_TERMS = ["table", "join", "window"]
 
 

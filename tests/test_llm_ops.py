@@ -931,3 +931,34 @@ def test_ivf_with_kmeans_centroids_recall_not_worse(spark, sf_dir):
     r_km = len(kmp & exact) / len(exact)
     assert r_km >= r_det
     assert r_km > 0.9  # true clusters -> k-means probes find the mass
+
+
+def test_boilerplate_ngrams_threshold_and_counts(spark):
+    """The planted template (repeated across docs) qualifies; unique
+    text does not; n_docs counts distinct docs, n_occurrences total."""
+    from petastorm_spark.operators.text import boilerplate_ngrams
+
+    tpl = "click here to subscribe"
+    rows = [(i, f"{tpl} article body {i} w{i} x{i}") for i in range(6)]
+    rows.append((99, f"{tpl} {tpl} trailing"))  # 2 occurrences in one doc
+    rows.append((100, "entirely unique text once only"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.ngram: (r.n_docs, r.n_occurrences)
+        for r in boilerplate_ngrams(docs, "text", "doc_id", n=3, min_count=5).collect()
+    }
+    assert got["click here to"] == (7, 8)
+    assert got["here to subscribe"] == (7, 8)
+    assert all(c >= 5 for _, c in got.values())
+    assert not any("unique" in g for g in got)
+
+
+def test_normalize_embeddings_unit_norm(spark):
+    from petastorm_spark.operators.similarity import normalize_embeddings
+
+    rows = [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {r.vec_id: r.embedding for r in normalize_embeddings(df).collect()}
+    assert got[1] == [0.6, 0.8]
+    assert got[2] == [0.0, 0.0]  # zero vector passes through
+    assert got[3] == [-1.0, 0.0]
