@@ -62,6 +62,8 @@ STUDY_QUERIES = [
     "cap_per_source",
     "embedding_quantize",
     "dedup_containment_pairs",
+    "curate_corpus_docs",
+    "boilerplate_ngrams",
 ]
 
 
