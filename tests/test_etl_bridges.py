@@ -409,3 +409,40 @@ def test_compact_dataset_merges_small_files(spark, tmp_path):
     assert load_unischema(spark, dst) is not None  # upgraded to engine dataset
     with make_reader(dst, spark=spark) as r:
         assert len({row.id for row in r}) == 2000
+
+
+def test_streaming_quality_scrub_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The curation map stages (quality floor + PII scrub) compose
+    directly onto a readStream feed: availableNow over a static dir
+    must keep/scrub exactly the rows the batch pipeline does."""
+    from pyspark.sql import functions as F
+
+    from petastorm_spark.operators.text import quality_score, scrub_pii
+    from petastorm_spark.streaming.feed import stream_dataset
+
+    d = str(tmp_path_factory.mktemp("curstream") / "docs")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).write.parquet(d)
+
+    q4 = F.floor(quality_score("text") * 10000) / 10000
+
+    def curate(df):
+        return df.where(q4 >= 0.8).select(
+            "doc_id", F.md5(scrub_pii("text")).alias("h")
+        )
+
+    qy = (
+        curate(stream_dataset(spark, d))
+        .writeStream.format("memory")
+        .queryName("cur_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(120)
+    got = {
+        (r.doc_id, r.h) for r in spark.sql("SELECT * FROM cur_stream").collect()
+    }
+    want = {(r.doc_id, r.h) for r in curate(spark.read.parquet(d)).collect()}
+    assert got == want and got
