@@ -26,18 +26,29 @@ def curate_corpus(
     strata_col: str | None = None,
     max_per_stratum: int | None = None,
     seed: int = 0,
+    near_dedup: bool = False,
+    near_dup_threshold: float = 0.8,
 ) -> dict[str, DataFrame]:
     """Chain the standard curation passes and return every intermediate
     stage (lazy) keyed by name, in order:
 
     - ``input``  — as given;
     - ``dedup``  — exact dedup, lowest id per md5(text) survives;
+    - ``near_dedup`` (opt-in) — MinHash-LSH near-dup pairs >=
+      ``near_dup_threshold`` Jaccard clustered via connected
+      components; only each cluster's minimum id survives (stage key
+      absent when ``near_dedup=False``, keeping the default report
+      shape);
     - ``quality`` — composite quality (floored to 1e-4 for
       cross-engine determinism) >= ``quality_floor``;
     - ``capped`` — at most ``max_per_stratum`` rows per
       ``strata_col`` value, key-stable md5 order (stage skipped —
       aliased to ``quality`` — when either arg is None);
     - ``output`` — PII scrubbed in place.
+
+    The near-dedup stage EXECUTES when built (connected components is
+    an iterative algorithm — it cannot stay a single lazy plan); the
+    other stages stay lazy.
 
     Scale: dedup is one digest-keyed semi-join (the winners aggregate
     is partial — only (digest, min id) shuffles, never text); quality
@@ -58,8 +69,24 @@ def curate_corpus(
     )
     stages["dedup"] = df.join(winners, id_col, "left_semi")
 
+    deduped = stages["dedup"]
+    if near_dedup:
+        from petastorm_spark.operators.dedup import (
+            canonicalize,
+            connected_components,
+            near_dup_pairs,
+        )
+
+        pairs = near_dup_pairs(
+            deduped, text_col, id_col, threshold=near_dup_threshold
+        )
+        clusters = connected_components(pairs)
+        # stage key present only when enabled, so curation_report's
+        # (stage_idx, stage) contract is unchanged for the default path
+        deduped = stages["near_dedup"] = canonicalize(deduped, id_col, clusters)
+
     q4 = F.floor(quality_score(text_col) * 10000) / 10000
-    stages["quality"] = stages["dedup"].where(q4 >= quality_floor)
+    stages["quality"] = deduped.where(q4 >= quality_floor)
 
     if strata_col is not None and max_per_stratum is not None:
         stages["capped"] = cap_per_group(

@@ -962,3 +962,30 @@ def test_normalize_embeddings_unit_norm(spark):
     assert got[1] == [0.6, 0.8]
     assert got[2] == [0.0, 0.0]  # zero vector passes through
     assert got[3] == [-1.0, 0.0]
+
+
+def test_curate_corpus_near_dedup_stage(spark):
+    """With near_dedup=True, near-duplicate (not just identical) docs
+    collapse to the cluster minimum before the quality gate; the
+    default path's stage dict (and report shape) is unchanged."""
+    from petastorm_spark.operators.pipeline import curate_corpus
+
+    good = (
+        "the quick brown fox is on the mat and it jumps over a lazy dog "
+        "for fun in the sun and the rain on it again and again today"
+    )
+    near = good.replace("today", "tomorrow")  # near-dup of `good`
+    rows = [(1, good, "a"), (2, near, "a"), (3, good + " extra words here", "b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    plain = curate_corpus(df, "text", "doc_id", quality_floor=0.0)
+    assert "near_dedup" not in plain
+    assert plain["output"].count() == 3  # no exact dups
+
+    strict = curate_corpus(
+        df, "text", "doc_id", quality_floor=0.0,
+        near_dedup=True, near_dup_threshold=0.5,
+    )
+    kept = sorted(r.doc_id for r in strict["output"].collect())
+    assert 1 in kept and len(kept) < 3  # a near-dup collapsed into doc 1
+    assert sorted(r.doc_id for r in strict["near_dedup"].collect()) == kept
