@@ -608,6 +608,62 @@ def jaccard_pairs(
     )
 
 
+def substring_dup_signals(
+    df: DataFrame, text_col: str, id_col: str, k: int = 4
+) -> DataFrame:
+    """Exact substring-duplication signal (the window-hash half of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022): for every document, the fraction of its k-token sliding
+    windows whose exact window text occurs more than once in the whole
+    corpus (any document, self-repeats included). High fractions flag
+    boilerplate-heavy or copy-paste documents that whole-document
+    near-dup (MinHash/SimHash) misses, because the duplication lives in
+    *spans*, not the document as a unit.
+
+    Output: (id, n_windows bigint, dup_window_frac) with the fraction
+    floor-scaled to 1e-4 (cross-engine float determinism). Docs shorter
+    than k tokens are dropped (no window exists).
+
+    Scale (100 TB): the window text never shuffles — each window
+    travels as a 60-bit md5-prefix integer (:func:`hash60`, the engine-
+    portable hash contract), so all three exchanges carry 8-byte keys:
+    (doc, hash) partial-aggregated counts, a hash-partitioned window
+    for the corpus total, then the per-doc rollup. The explode lives
+    inline with the projection that builds the window array (the
+    generator-placement rule pinned in tests/test_plans.py); the
+    per-hash window function is skew-bounded because a single window
+    text's postings collapse to one row per containing doc before the
+    hash exchange.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    base = df.withColumn("_toks", tokens(text_col)).where(F.size("_toks") >= k)
+    # guarded like shingles_from_tokens: Catalyst may evaluate the
+    # projection on pre-filter rows where sequence(0, n-k) descends
+    wins = F.when(
+        F.size("_toks") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - k),
+            lambda i: hash60(
+                F.concat_ws(" ", F.slice("_toks", i + 1, k))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    cnt = (
+        base.select(F.col(id_col), F.explode(wins).alias("_h"))
+        .groupBy(id_col, "_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    tot = cnt.withColumn("_total", F.sum("_c").over(Window.partitionBy("_h")))
+    dup = F.sum(F.when(F.col("_total") > 1, F.col("_c")).otherwise(F.lit(0)))
+    return tot.groupBy(id_col).agg(
+        F.sum("_c").cast("bigint").alias("n_windows"),
+        (F.floor(dup / F.sum("_c") * 10000) / 10000).alias("dup_window_frac"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

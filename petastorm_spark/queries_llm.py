@@ -220,6 +220,38 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_substring_windows",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    occ AS (SELECT doc_id,
+                   (('0x'||substr(md5(array_to_string(t[i : i+3], ' ')),1,15))::BIGINT) AS h
+            FROM tok, unnest(range(1, len(t) - 2)) AS u(i)
+            WHERE len(t) >= 4),
+    cnt AS (SELECT doc_id, h, count(*) AS c FROM occ GROUP BY 1, 2),
+    tot AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY h) AS total FROM cnt)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_windows,
+           floor(sum(CASE WHEN total > 1 THEN c ELSE 0 END) * 1.0 / sum(c) * 10000)
+             / 10000 AS dup_window_frac
+    FROM tot GROUP BY doc_id
+    """,
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication signal (Lee et al. 2022): per doc,
+    the fraction of 4-token windows whose exact text occurs more than
+    once anywhere in the corpus — span-level duplication that document-
+    level MinHash/SimHash misses. Runs on the RAW documents table (the
+    organic 4-gram collisions are the signal; synthetic copies would
+    saturate every doc at 1.0). Scale: windows shuffle as 60-bit
+    md5-prefix ints, never text — see operators/dedup.py."""
+    from petastorm_spark.operators.dedup import substring_dup_signals
+
+    return substring_dup_signals(
+        _t_wide(spark, sf_dir, "documents"), "text", "doc_id", k=4
+    )
+
+
 def _near_dup_oracle(threshold: float = 0.8, num_hashes: int = 16, bands: int = 4,
                      measure: str = "jaccard") -> str:
     inter = "len(list_intersect(sa.s, sb.s))"

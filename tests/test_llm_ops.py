@@ -989,3 +989,35 @@ def test_curate_corpus_near_dedup_stage(spark):
     kept = sorted(r.doc_id for r in strict["output"].collect())
     assert 1 in kept and len(kept) < 3  # a near-dup collapsed into doc 1
     assert sorted(r.doc_id for r in strict["near_dedup"].collect()) == kept
+
+
+def test_substring_dup_signals_hand_computed(spark):
+    from petastorm_spark.operators.dedup import substring_dup_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),       # windows: "a b c d", "b c d e"
+            (2, "a b c d x"),       # windows: "a b c d", "b c d x"
+            (3, "z z z z z z"),     # 3x "z z z z" (self-repeat counts)
+            (4, "too short"),       # < k tokens: dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_dup_signals(df, "text", "doc_id", k=4).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # docs 1/2 share exactly the "a b c d" window -> 1 of 2 duplicated
+    assert out[1]["n_windows"] == 2 and out[1]["dup_window_frac"] == 0.5
+    assert out[2]["n_windows"] == 2 and out[2]["dup_window_frac"] == 0.5
+    # doc 3's single window text occurs 3 times (within one doc)
+    assert out[3]["n_windows"] == 3 and out[3]["dup_window_frac"] == 1.0
+
+
+def test_substring_dup_signals_rejects_k1(spark):
+    from petastorm_spark.operators.dedup import substring_dup_signals
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        substring_dup_signals(df, "text", "doc_id", k=1)
