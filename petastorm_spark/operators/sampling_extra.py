@@ -234,3 +234,46 @@ def cap_per_group(
         .where(F.col("_r") <= max_per_group)
         .drop("_frac", "_pid", "_lr", "_r")
     )
+
+
+def keep_top_frac(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    tie_col: str,
+    frac: float,
+) -> DataFrame:
+    """Per-group rank floor: keep the top ``ceil(frac * n)`` rows of
+    each group ordered by (``score_col`` desc, ``tie_col`` asc) — the
+    "drop the worst q% of every source by quality score" curation
+    step, with the threshold adapting to each source's own score
+    distribution instead of one global cutoff.
+
+    Rank-based deliberately, not percentile-threshold: an interpolated
+    percentile (Spark ``percentile`` / DuckDB ``quantile_cont``) can
+    disagree across engines in the last ulp and flip boundary rows; a
+    rank cut over a deterministic (score, tie) order never does. For
+    cross-engine stability the caller should pass an engine-exact
+    score (e.g. floor-scaled to 1e-4 like text.quality_score queries).
+
+    Scale: ONE shuffle on ``group_col`` — the ranked row_number and
+    the group count share the same partitioning (one exchange, two
+    window nodes). Unlike :func:`cap_per_group` there is no two-phase
+    local prune (the cut depends on the full group size), so a single
+    pathological group bounds one task; pre-split such groups upstream
+    if one source is >~1 partition of the corpus.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(tie_col).asc()
+    )
+    w_all = Window.partitionBy(group_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .where(F.col("_rn") <= F.ceil(F.lit(float(frac)) * F.col("_n")))
+        .drop("_rn", "_n")
+    )

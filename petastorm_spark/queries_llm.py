@@ -252,13 +252,9 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _near_dup_oracle(threshold: float = 0.8, num_hashes: int = 16, bands: int = 4,
-                     measure: str = "jaccard") -> str:
-    inter = "len(list_intersect(sa.s, sb.s))"
-    if measure == "jaccard":
-        m = f"{inter} * 1.0 / (len(sa.s) + len(sb.s) - {inter})"
-    else:
-        m = f"{inter} * 1.0 / least(len(sa.s), len(sb.s))"
+def _lsh_cand_ctes(num_hashes: int = 16, bands: int = 4) -> str:
+    """The shared MinHash+LSH candidate-pair CTE chain (tok -> sets ->
+    sh -> sig -> bands -> cand) over a docs CTE named ``d``."""
     from petastorm_spark.operators.dedup import MINHASH_MOD, cw_hash_pair_sql
 
     h1, h2 = cw_hash_pair_sql("sh")
@@ -273,9 +269,7 @@ def _near_dup_oracle(threshold: float = 0.8, num_hashes: int = 16, bands: int = 
         + ") AS bh FROM sig"
         for b in range(bands)
     )
-    return (
-        _DOCS_CTE
-        + f""",
+    return f""",
     tok AS (SELECT doc_id, {_TOK} AS t FROM d),
     sets AS (SELECT doc_id,
                     list_distinct(list_transform(range(1, len(t) - 1),
@@ -286,7 +280,20 @@ def _near_dup_oracle(threshold: float = 0.8, num_hashes: int = 16, bands: int = 
     bands AS ({band_rows}),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b
-               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
+
+
+def _near_dup_oracle(threshold: float = 0.8, num_hashes: int = 16, bands: int = 4,
+                     measure: str = "jaccard") -> str:
+    inter = "len(list_intersect(sa.s, sb.s))"
+    if measure == "jaccard":
+        m = f"{inter} * 1.0 / (len(sa.s) + len(sb.s) - {inter})"
+    else:
+        m = f"{inter} * 1.0 / least(len(sa.s), len(sb.s))"
+    return (
+        _DOCS_CTE
+        + _lsh_cand_ctes(num_hashes, bands)
+        + f"""
     SELECT id_a, id_b,
            round({m}, 4) AS {measure}
     FROM cand
@@ -295,6 +302,54 @@ def _near_dup_oracle(threshold: float = 0.8, num_hashes: int = 16, bands: int = 
     WHERE {m} >= {threshold}
     """
     )
+
+
+# Copies with the FIRST TOKEN replaced: exact-dup-invisible,
+# edit-distance-visible mutations for the character-level near-dup
+# query (regexp_replace is first-match in DuckDB and ^ anchors once,
+# so both engines rewrite exactly one token).
+_MUT_DOCS_CTE = f"""
+    WITH d AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + {_COPY_SHIFT} AS doc_id,
+                      regexp_replace(text, '^\\S+', 'zzz') AS text
+               FROM documents)
+"""
+
+
+def _docs_with_mutated_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = d.select(
+        (F.col("doc_id") + _COPY_SHIFT).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "zzz").alias("text"),
+    )
+    return d.unionByName(copy)
+
+
+@register(
+    "dedup_edit_pairs",
+    oracle=_MUT_DOCS_CTE
+    + _lsh_cand_ctes()
+    + """
+    SELECT id_a, id_b, levenshtein(ta.text, tb.text) AS edit_dist
+    FROM cand
+    JOIN d ta ON ta.doc_id = id_a
+    JOIN d tb ON tb.doc_id = id_b
+    WHERE levenshtein(ta.text, tb.text) <= 10
+    """,
+)
+def dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup: LSH candidates verified by bounded
+    Levenshtein <= 10 — catches the mutated-first-token copies (edit
+    distance 1-6) that exact dedup misses and whose shingle overlap
+    stays LSH-visible. Scale: the quadratic distance only runs on
+    candidate pairs via Spark's early-exit threshold variant."""
+    from petastorm_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _docs_with_mutated_copies(spark, sf_dir), "text", "doc_id",
+        max_dist=10, num_hashes=16, bands=4, shingle_n=3,
+    ).withColumn("edit_dist", F.col("edit_dist").cast("bigint"))
 
 
 @register(
@@ -854,7 +909,51 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_oracle() -> str:
+@register(
+    "quality_floor_source",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, lower(trim(text)) AS low, {_TOK} AS t
+                 FROM documents),
+    m AS (SELECT doc_id, source,
+                 len(list_filter(t, x -> list_contains({_SW_LIST}, x))) * 1.0 / len(t) AS sw,
+                 len(list_distinct(t)) * 1.0 / len(t) AS uniq,
+                 length(regexp_replace(low, '[^a-z ]', '', 'g')) * 1.0 / length(low) AS alpha,
+                 len(t) AS n
+          FROM tok),
+    q AS (SELECT doc_id, source,
+                 floor(((CASE WHEN sw > 0.01 AND sw < 0.6 THEN 1.0 ELSE 0.5 END) * 0.3
+                       + uniq * 0.3 + alpha * 0.2
+                       + (CASE WHEN n >= 10 AND n <= 5000 THEN 1.0 ELSE 0.5 END) * 0.2)
+                       * 10000) / 10000 AS quality
+          FROM m)
+    SELECT doc_id, source, quality
+    FROM q
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id)
+            <= ceil(0.8 * count(*) OVER (PARTITION BY source))
+    """,
+)
+def quality_floor_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality floor: keep the top 80% of each source by
+    composite quality score — the per-source curation cut (a single
+    global threshold would empty a low-scoring-but-wanted source).
+    Rank-based (no percentile interpolation) over the floor-scaled
+    score so the kept set is engine-exact; one shuffle on source
+    (see operators/sampling_extra.keep_top_frac)."""
+    from petastorm_spark.operators import text as T
+    from petastorm_spark.operators.sampling_extra import keep_top_frac
+
+    d = _t_wide(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        (F.floor(T.quality_score("text") * 10000) / 10000).alias("quality"),
+    )
+    return keep_top_frac(scored, "source", "quality", "doc_id", 0.8)
+
+
+def _langid_case_sql() -> tuple[str, str]:
+    """(score column list, argmax CASE) for the lexicon language ID —
+    shared by the per-doc and per-source-audit oracles."""
     from petastorm_spark.operators.text import LANG_LEXICONS
 
     score_cols = []
@@ -868,11 +967,57 @@ def _langid_oracle() -> str:
     case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
         f"WHEN s_{l} = {best} THEN '{l}'" for l in langs
     ) + " END"
+    return ", ".join(score_cols), case
+
+
+def _langid_oracle() -> str:
+    scores, case = _langid_case_sql()
     return f"""
     WITH tok AS (SELECT doc_id, lang, {_TOK} AS t FROM documents),
-    s AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM tok)
+    s AS (SELECT doc_id, lang, {scores} FROM tok)
     SELECT doc_id, lang AS labeled_lang, {case} AS detected_lang FROM s
     """
+
+
+def _langid_mismatch_oracle() -> str:
+    scores, case = _langid_case_sql()
+    return f"""
+    WITH tok AS (SELECT doc_id, source, lang, {_TOK} AS t FROM documents),
+    s AS (SELECT source, lang, {scores} FROM tok),
+    det AS (SELECT source, lang, {case} AS detected FROM s)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN detected <> lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatch,
+           floor(sum(CASE WHEN detected <> lang THEN 1 ELSE 0 END) * 1.0
+                 / count(*) * 10000) / 10000 AS mismatch_frac
+    FROM det GROUP BY source
+    """
+
+
+@register("langid_mismatch_source", oracle=_langid_mismatch_oracle())
+def langid_mismatch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-audit aggregate: per source, the fraction of documents
+    whose lexicon-detected language disagrees with the declared
+    ``lang`` column — the standard metadata-trust check before using
+    labels for mixing/filtering decisions. Scale: pure map (the
+    detector is a literal-lexicon argmax) + one partial-aggregated
+    shuffle on source."""
+    from petastorm_spark.operators.text import detect_language
+
+    d = _t_wide(spark, sf_dir, "documents")
+    mm = (detect_language("text") != F.col("lang")).cast("int")
+    return (
+        d.select("source", mm.alias("_mm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_mm").cast("bigint").alias("n_mismatch"),
+            (F.floor(F.sum("_mm") / F.count(F.lit(1)) * 10000) / 10000).alias(
+                "mismatch_frac"
+            ),
+        )
+    )
 
 
 @register("text_langid", oracle=_langid_oracle())

@@ -83,3 +83,41 @@ def test_unigram_logprob_matches_hand_computation(spark):
     assert got[2] == (2, pytest.approx(exp2, abs=1e-4))
     # rarer tokens -> lower score
     assert got[2][1] < got[1][1]
+
+
+def test_keep_top_frac_rank_cut_and_ties(spark):
+    from petastorm_spark.operators.sampling_extra import keep_top_frac
+
+    rows = [
+        ("a", 1, 0.9), ("a", 2, 0.7), ("a", 3, 0.5), ("a", 4, 0.3), ("a", 5, 0.1),
+        ("b", 6, 0.4), ("b", 7, 0.4),  # tie: lower id ranks first
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "q"])
+    kept = keep_top_frac(df, "source", "q", "doc_id", 0.5)
+    got = {(r["source"], r["doc_id"]) for r in kept.collect()}
+    # group a: ceil(0.5*5)=3 -> top three scores; group b: ceil(0.5*2)=1
+    assert got == {("a", 1), ("a", 2), ("a", 3), ("b", 6)}
+    # full columns preserved, helper columns dropped
+    assert set(kept.columns) == {"source", "doc_id", "q"}
+    with pytest.raises(ValueError):
+        keep_top_frac(df, "source", "q", "doc_id", 0.0)
+
+
+def test_edit_distance_pairs_lsh_then_verify(spark):
+    from petastorm_spark.operators.dedup import edit_distance_pairs
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango "
+            "uniform victor whiskey xray yankee zulu one two three four")
+    mutated = base.replace("papa", "pafa")  # 1-char edit mid-document
+    other = ("red orange yellow green blue indigo violet cyan magenta black "
+             "white gray pink brown maroon olive navy teal lime aqua "
+             "silver gold bronze copper iron zinc lead tin mercury nickel")
+    df = spark.createDataFrame(
+        [(1, base), (2, mutated), (3, other)], ["doc_id", "text"]
+    )
+    out = edit_distance_pairs(
+        df, "text", "doc_id", max_dist=5, num_hashes=16, bands=8
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["edit_dist"] for r in out}
+    assert pairs == {(1, 2): 1}
