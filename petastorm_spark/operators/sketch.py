@@ -1,0 +1,140 @@
+"""Mergeable sketch operators — the cardinality path that replaces
+exact ``countDistinct`` at corpus scale.
+
+An exact distinct count shuffles every distinct value; a HyperLogLog
+register table shuffles at most ``m = 2^p`` 1-byte registers per
+group, merges with ``max``, and re-aggregates incrementally (new data
+=> union register tables => ``max`` again). That is the difference
+between "count distinct users per segment over 100 TB" being an
+occurrence-scale exchange and a constant-size one.
+
+Unlike the engines' built-in approx sketches (Spark HLL++ vs DuckDB
+approx_count_distinct — different algorithms, different answers), this
+implementation is *engine-portable by construction*: the hash is the
+same 60-bit md5 prefix contract as the dedup family (dedup.hash60 /
+hash60_sql), the register update is a plain ``max``, and the estimator
+is closed-form arithmetic on exact powers of two — so a DuckDB oracle
+reproduces the estimate bit-for-bit and the correctness gate applies
+to an *approximate* operator. Flajolet et al. 2007 HLL with the
+standard small-range (linear counting) correction; no large-range
+correction is needed at a 60-bit hash width.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from petastorm_spark.operators.dedup import hash60, hash60_sql
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    if m == 64:
+        return 0.709
+    if m == 32:
+        return 0.697
+    return 0.673
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, key_col: str, p: int = 10
+) -> DataFrame:
+    """The mergeable half: (group, bucket, M) register rows where
+    ``M = max(rho)`` over keys landing in the bucket. Union two
+    register tables and re-aggregate ``max(M)`` to merge sketches —
+    the incremental/distributed update path. Scale: one partially-
+    aggregated shuffle keyed on (group, bucket); at most ``2^p`` rows
+    per group survive regardless of input size.
+    """
+    if not 4 <= p <= 20:
+        raise ValueError(f"p must be in [4, 20], got {p}")
+    m = 1 << p
+    hdf = df.select(F.col(group_col), hash60(F.col(key_col)).alias("_h"))
+    # integer `div`, not `/`: double division truncates past 2^53
+    w = F.expr(f"_h div {m}")
+    rho = (
+        F.when(w > 0, F.lit(60 - p) - F.floor(F.log2(w)))
+        .otherwise(F.lit(60 - p + 1))
+        .cast("int")
+    )
+    return (
+        hdf.select(
+            F.col(group_col),
+            (F.col("_h") % m).alias("bucket"),
+            rho.alias("_rho"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("_rho").alias("M"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_col: str, p: int = 10
+) -> DataFrame:
+    """Collapse a register table to per-group cardinality estimates.
+    Output: (group, hll_distinct) with the estimate floor-scaled to
+    1e-4. Closed-form and engine-exact: ``2^-M`` terms are exact
+    doubles, absent registers contribute ``2^0 = 1`` each.
+    """
+    m = 1 << p
+    alpha = _alpha(m)
+    n_present = F.count(F.lit(1))
+    sum_pow = F.sum(F.pow(F.lit(2.0), -F.col("M"))) + (m - n_present)
+    raw = F.lit(alpha * m * m) / sum_pow
+    v = m - n_present  # registers never observed (rho >= 1 when seen)
+    corrected = F.when(
+        (raw <= 2.5 * m) & (v > 0), m * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return registers.groupBy(group_col).agg(
+        (F.floor(corrected * 10000) / 10000).alias("hll_distinct")
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, key_col: str, p: int = 10
+) -> DataFrame:
+    """Per-group approximate distinct count, one call: registers then
+    estimate. Standard error ~= 1.04 / sqrt(2^p) (p=10 -> ~3.3%)."""
+    return hll_estimate(hll_registers(df, group_col, key_col, p), group_col, p)
+
+
+def hll_oracle_sql(
+    table_expr: str, group_col: str, key_col: str, p: int = 10
+) -> str:
+    """DuckDB SQL computing the identical estimate (the correctness
+    twin of :func:`hll_distinct`)."""
+    m = 1 << p
+    alpha = _alpha(m)
+    h = hash60_sql(key_col)
+    return f"""
+    WITH occ AS (SELECT {group_col} AS grp,
+                        ({h}) % {m} AS bucket,
+                        ({h}) // {m} AS w
+                 FROM {table_expr}),
+    regs AS (SELECT grp, bucket,
+                    max(CASE WHEN w > 0
+                             THEN {60 - p} - floor(log2(w))
+                             ELSE {60 - p + 1} END) AS M
+             FROM occ GROUP BY grp, bucket),
+    est AS (SELECT grp,
+                   count(*) AS n_present,
+                   sum(power(2.0, -M)) + ({m} - count(*)) AS sum_pow
+            FROM regs GROUP BY grp)
+    SELECT grp AS {group_col},
+           floor((CASE WHEN ({alpha * m * m} / sum_pow) <= {2.5 * m}
+                        AND ({m} - n_present) > 0
+                       THEN {m} * ln({float(m)} / ({m} - n_present))
+                       ELSE {alpha * m * m} / sum_pow END) * 10000) / 10000
+             AS hll_distinct
+    FROM est
+    """
+
+
+def _self_check() -> None:  # pragma: no cover - documentation aid
+    """The two halves agree by construction; see tests/test_misc_ops.py
+    for the executable accuracy + merge properties."""
+    assert math.isclose(_alpha(1 << 10), 0.7213 / (1.0 + 1.079 / 1024))

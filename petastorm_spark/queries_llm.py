@@ -1585,3 +1585,32 @@ def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
     return unigram_logprob(d, "text", "doc_id")
+
+
+def _hll_oracle() -> str:
+    from petastorm_spark.operators.sketch import hll_oracle_sql
+
+    return hll_oracle_sql(
+        "(SELECT event_type, CAST(user_id AS VARCHAR) AS uid FROM events)",
+        "event_type",
+        "uid",
+        p=10,
+    )
+
+
+@register("hll_distinct_users", oracle=_hll_oracle())
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch cardinality: approximate distinct users per
+    event type via an engine-portable HyperLogLog (md5-prefix hash,
+    max-merged registers, closed-form estimator — the DuckDB oracle
+    reproduces the ESTIMATE bit-for-bit, so even the approximate path
+    is hash-gated). Scale: the register table is <= 2^10 rows per
+    group no matter how many events — the countDistinct replacement
+    at 100 TB; registers from new partitions union + max-merge
+    incrementally. See operators/sketch.py."""
+    from petastorm_spark.operators.sketch import hll_distinct
+
+    ev = _t_wide(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    return hll_distinct(ev, "event_type", "uid", p=10)

@@ -90,3 +90,40 @@ def test_reader_on_hive_partitioned_dataset(spark, tmp_path):
         rows = list(r)
     assert sorted(x.id for x in rows) == [i for i in range(60) if i % 3 == 1]
     assert all(x.pk == 1 for x in rows)
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from petastorm_spark.operators.sketch import (
+        hll_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+
+    # 2000 distinct keys in one group, standard error at p=10 ~ 3.3%
+    df = spark.range(2000).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("k")
+    )
+    est = hll_distinct(df, "grp", "k", p=10).collect()[0]["hll_distinct"]
+    assert abs(est - 2000) / 2000 < 0.10
+
+    # mergeability: registers(A) ++ registers(B), max-merged, must give
+    # the same estimate as registers over the union
+    a = df.where(F.col("k").cast("long") < 1200)
+    b = df.where(F.col("k").cast("long") >= 800)  # overlapping halves
+    ra = hll_registers(a, "grp", "k", p=10)
+    rb = hll_registers(b, "grp", "k", p=10)
+    merged = (
+        ra.unionByName(rb)
+        .groupBy("grp", "bucket")
+        .agg(F.max("M").alias("M"))
+    )
+    e_merged = hll_estimate(merged, "grp", p=10).collect()[0]["hll_distinct"]
+    e_union = hll_distinct(df, "grp", "k", p=10).collect()[0]["hll_distinct"]
+    assert e_merged == e_union
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hll_registers(df, "grp", "k", p=2)
