@@ -64,6 +64,11 @@ STUDY_QUERIES = [
     "dedup_containment_pairs",
     "curate_corpus_docs",
     "boilerplate_ngrams",
+    "dedup_substring_windows",
+    "dedup_edit_pairs",
+    "quality_floor_source",
+    "langid_mismatch_source",
+    "hll_distinct_users",
 ]
 
 
