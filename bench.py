@@ -81,6 +81,7 @@ HEADLINE = [
     "quality_floor_source",
     "langid_mismatch_source",
     "hll_distinct_users",
+    "funnel_signup_purchase",
 ]
 
 N_WARMUP_READS = 500

@@ -216,3 +216,74 @@ def rollup_time_grains(
         .groupBy("grain", "bucket_us", *group_cols)
         .agg(*aggs)
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, how far through the event
+    sequence ``steps`` they progressed, advancing a step only on an
+    event of the right type STRICTLY AFTER the previous step's match
+    (the standard product-analytics funnel; each step binds to its
+    earliest eligible event). Output: (user, funnel_depth,
+    t_step1..t_stepN epoch-values of the matched events, NULL past
+    the reached depth). Every user in the input appears, depth 0 if
+    they never fired step 1.
+
+    Scale: ONE shuffle on the user key. Non-funnel event types are
+    dropped map-side — the filter lives INSIDE ``collect_list`` (a
+    ``when`` producing NULL, which collect_list skips), so partial
+    aggregation ships only funnel-step events per user. The sequence
+    scan itself is an in-JVM ``F.aggregate`` fold over the sorted
+    per-user array (same zero-Python technique as the EWMA fold in
+    queries.events_ewma_agg); per-user state is one small struct, so
+    memory is bounded by funnel-events-per-user, not total events.
+    A sequential scan is inherent to funnel semantics — the
+    equivalent N-way min-join formulation costs N shuffles and N
+    scans; this is one of each.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    n = len(steps)
+    ev = F.when(
+        F.col(type_col).isin(list(steps)),
+        F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")),
+    )
+    seq = df.groupBy(user_col).agg(
+        F.array_sort(F.collect_list(ev)).alias("_seq")
+    )
+    init = F.struct(
+        F.lit(0).alias("d"),
+        *[F.lit(None).cast("bigint").alias(f"t{i}") for i in range(1, n + 1)],
+    )
+
+    def fold(acc, x):
+        advance = F.lit(False)
+        for i in range(n):
+            prev = (
+                F.lit(-1).cast("bigint")
+                if i == 0
+                else F.coalesce(acc[f"t{i}"], F.lit(-1))
+            )
+            advance = advance | (
+                (acc["d"] == i) & (x["y"] == steps[i]) & (x["t"] > prev)
+            )
+        fields = [F.when(advance, acc["d"] + 1).otherwise(acc["d"]).alias("d")]
+        for j in range(1, n + 1):
+            fields.append(
+                F.when(advance & (acc["d"] == j - 1), x["t"])
+                .otherwise(acc[f"t{j}"])
+                .alias(f"t{j}")
+            )
+        return F.struct(*fields)
+
+    st = F.aggregate("_seq", init, fold)
+    return seq.select(
+        F.col(user_col),
+        st["d"].cast("bigint").alias("funnel_depth"),
+        *[st[f"t{i}"].alias(f"t_step{i}") for i in range(1, n + 1)],
+    )

@@ -1614,3 +1614,43 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("user_id").cast("string").alias("uid")
     )
     return hll_distinct(ev, "event_type", "uid", p=10)
+
+
+@register(
+    "funnel_signup_purchase",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+    s1 AS (SELECT user_id, min(t) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'view' AND t > t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND t > t2 GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_depth,
+           t1 AS t_step1, t2 AS t_step2, t3 AS t_step3
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup -> view -> purchase per user: depth
+    reached plus the epoch-us timestamp of each step's earliest
+    eligible event (each step strictly after the previous one). The
+    oracle is the N-way min-join formulation; the Spark plan is ONE
+    user-key shuffle with an in-JVM fold over the sorted per-user
+    event array — see operators/temporal.py:funnel_steps."""
+    from petastorm_spark.operators.temporal import funnel_steps
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t_wide(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", events_ts_us(ev))
+    return funnel_steps(
+        ev, "user_id", "ts_us", "event_type",
+        steps=["signup", "view", "purchase"],
+    )

@@ -261,3 +261,39 @@ def test_phone_pattern_matches_bare_numbers(spark):
     got = {r.doc_id: r for r in out.collect()}
     assert got[1].n_phone == 1 and got[1].clean == "dial [PHONE] now"
     assert got[2].n_phone == 1 and got[2].clean == "[PHONE] intl"
+
+
+def test_funnel_steps_hand_computed(spark):
+    from petastorm_spark.operators.temporal import funnel_steps
+
+    rows = [
+        # u1: full funnel, with noise + out-of-order input
+        (1, 50, "view"), (1, 10, "signup"), (1, 30, "view"),
+        (1, 20, "error"), (1, 40, "purchase"),
+        # wait: purchase at 40 comes after view at 30 -> depth 3
+        # u2: purchase BEFORE view -> stalls at depth 2
+        (2, 10, "signup"), (2, 20, "purchase"), (2, 30, "view"),
+        # u3: never signs up -> depth 0 even with later steps
+        (3, 10, "view"), (3, 20, "purchase"),
+        # u4: same-ts tie is NOT strictly after -> signup only
+        (4, 10, "signup"), (4, 10, "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r["user_id"]: r
+        for r in funnel_steps(
+            df, "user_id", "ts", "event_type",
+            steps=["signup", "view", "purchase"],
+        ).collect()
+    }
+    assert out[1]["funnel_depth"] == 3
+    assert (out[1]["t_step1"], out[1]["t_step2"], out[1]["t_step3"]) == (10, 30, 40)
+    assert out[2]["funnel_depth"] == 2
+    assert out[2]["t_step3"] is None
+    assert out[3]["funnel_depth"] == 0 and out[3]["t_step1"] is None
+    assert out[4]["funnel_depth"] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        funnel_steps(df, "user_id", "ts", "event_type", steps=[])

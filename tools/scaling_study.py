@@ -69,6 +69,7 @@ STUDY_QUERIES = [
     "quality_floor_source",
     "langid_mismatch_source",
     "hll_distinct_users",
+    "funnel_signup_purchase",
 ]
 
 
