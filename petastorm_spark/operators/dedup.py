@@ -633,8 +633,15 @@ def edit_distance_pairs(
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
-    sets_df = shingle_sets(df, text_col, id_col, shingle_n)
-    sigs = minhash_from_sets(sets_df, id_col, num_hashes)
+    from pyspark import StorageLevel
+
+    # persist the signature input: lsh_candidate_pairs self-joins the
+    # band table, and without a materialization point Spark evaluates
+    # the whole tokenize->shingle->minhash subtree once PER JOIN SIDE
+    # (same double-scan near_dup_pairs was flagged for in round 3)
+    sigs = minhash_from_sets(
+        shingle_sets(df, text_col, id_col, shingle_n), id_col, num_hashes
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     txt = df.select(F.col(id_col), F.col(text_col).alias("_txt"))
     a = txt.select(F.col(id_col).alias("id_a"), F.col("_txt").alias("_ta"))
