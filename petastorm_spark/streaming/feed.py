@@ -266,3 +266,23 @@ def contamination_stream(
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .where(F.col("n_overlap") >= min_overlap)
     )
+
+
+def hll_registers_stream(
+    events: DataFrame, group_col: str, key_col: str, p: int = 10
+) -> DataFrame:
+    """Streaming cardinality sketch: maintain per-group HyperLogLog
+    registers over a continuous feed. Spark (rightly) refuses
+    ``countDistinct`` on a stream — exact distinct state grows without
+    bound — but the register table is a plain ``max`` aggregate whose
+    state is CAPPED at ``2^p`` rows per group by construction, so it
+    needs no watermark and never grows: the streaming-native
+    distinct-count. Emit in update/complete mode; snapshot the sink
+    and collapse with :func:`operators.sketch.hll_estimate` (batch)
+    whenever an estimate is needed — the availableNow run reproduces
+    the batch register table exactly (same md5-prefix hashing), so
+    stream and batch estimates are identical, not merely close.
+    """
+    from petastorm_spark.operators.sketch import hll_registers
+
+    return hll_registers(events, group_col, key_col, p)

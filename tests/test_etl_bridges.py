@@ -446,3 +446,39 @@ def test_streaming_quality_scrub_matches_batch(spark, sf_dir, tmp_path_factory):
     }
     want = {(r.doc_id, r.h) for r in curate(spark.read.parquet(d)).collect()}
     assert got == want and got
+
+
+def test_streaming_hll_registers_match_batch(spark, sf_dir, events_dir):
+    """The streaming register table (availableNow) must equal the batch
+    one row-for-row, so stream and batch estimates are identical."""
+    from pyspark.sql import functions as F
+
+    from petastorm_spark.operators.sketch import hll_distinct, hll_estimate
+    from petastorm_spark.streaming.feed import hll_registers_stream, stream_dataset
+
+    stream = stream_dataset(spark, events_dir).select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    regs = hll_registers_stream(stream, "event_type", "uid", p=10)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_est = {
+        r["event_type"]: r["hll_distinct"]
+        for r in hll_estimate(
+            spark.table("hll_regs"), "event_type", p=10
+        ).collect()
+    }
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    batch_est = {
+        r["event_type"]: r["hll_distinct"]
+        for r in hll_distinct(batch, "event_type", "uid", p=10).collect()
+    }
+    assert stream_est == batch_est and len(stream_est) == 5
