@@ -82,6 +82,7 @@ HEADLINE = [
     "langid_mismatch_source",
     "hll_distinct_users",
     "funnel_signup_purchase",
+    "excise_dup_spans",
 ]
 
 N_WARMUP_READS = 500

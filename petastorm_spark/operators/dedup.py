@@ -939,3 +939,64 @@ def decontaminate(
         .select(id_col)
     )
     return train.join(bad, id_col, "left_anti")
+
+
+def excise_dup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 4,
+    min_count: int = 3,
+) -> DataFrame:
+    """The cleaning half of exact substring dedup (Lee et al. 2022):
+    rewrite each document with every token excised that is covered by
+    a k-token window occurring >= ``min_count`` times in the corpus —
+    boilerplate spans (headers, disclaimers, license blocks) vanish
+    from every document while unique prose survives. Output:
+    (id, cleaned text, n_tokens_removed).
+
+    Scale: window occurrences shuffle once on the 60-bit window hash
+    (8 bytes, partially aggregated) to find qualifying hashes — a
+    table bounded by how much true boilerplate exists (raise
+    ``min_count`` on pathological corpora), BROADCAST back against
+    the occurrence stream (same two-phase shape as
+    text.boilerplate_ngrams). Covered positions then aggregate
+    per-doc (a doc-keyed shuffle of covered occurrences only — dup
+    density, not corpus size) and the rewrite is a map-side indexed
+    ``F.filter`` over the token array; the text itself never
+    shuffles.
+    """
+    if k < 2 or min_count < 2:
+        raise ValueError(f"k >= 2 and min_count >= 2 required, got {k=} {min_count=}")
+    base = df.withColumn("_toks", tokens(text_col))
+    wins = F.when(
+        F.size("_toks") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - k),
+            lambda i: hash60(F.concat_ws(" ", F.slice("_toks", i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    occ = base.select(F.col(id_col), F.posexplode(wins).alias("_i", "_h"))
+    qualifying = (
+        occ.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    covered = (
+        occ.join(F.broadcast(qualifying), "_h")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("_i"), F.col("_i") + (k - 1))).alias("_p"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("_p")).alias("_cov"))
+    )
+    joined = base.join(covered, id_col, "left")
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter("_toks", lambda x, i: ~F.array_contains(cov, i.cast("int")))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+        (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
+    )

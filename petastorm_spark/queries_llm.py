@@ -1654,3 +1654,40 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts_us", "event_type",
         steps=["signup", "view", "purchase"],
     )
+
+
+@register(
+    "excise_dup_spans",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    occ AS (SELECT doc_id, i,
+                   (('0x'||substr(md5(array_to_string(t[i : i+3], ' ')),1,15))::BIGINT) AS h
+            FROM tok, unnest(range(1, len(t) - 2)) AS u(i)
+            WHERE len(t) >= 4),
+    q AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 3),
+    cov AS (SELECT o.doc_id, p
+            FROM occ o JOIN q USING (h), unnest(range(o.i, o.i + 4)) AS v(p)),
+    covset AS (SELECT doc_id, list(DISTINCT p) AS cov FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(array_to_string(
+             list_filter(t.t, (x, i) -> c.cov IS NULL OR NOT list_contains(c.cov, i)),
+             ' '), '') AS cleaned_text,
+           CAST(len(t.t) - len(list_filter(t.t,
+             (x, i) -> c.cov IS NULL OR NOT list_contains(c.cov, i))) AS BIGINT)
+             AS n_tokens_removed
+    FROM tok t LEFT JOIN covset c USING (doc_id)
+    """,
+)
+def excise_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning half of exact substring dedup: every token covered
+    by a 4-token window occurring >= 3 times in the corpus is excised
+    from every document (boilerplate spans vanish, unique prose
+    stays). Two-phase hash-first shape — the corpus-wide shuffle
+    carries 8-byte window hashes, the rewrite is a map-side indexed
+    array filter; text never shuffles. See
+    operators/dedup.py:excise_dup_spans."""
+    from petastorm_spark.operators.dedup import excise_dup_spans
+
+    return excise_dup_spans(
+        _t_wide(spark, sf_dir, "documents"), "text", "doc_id", k=4, min_count=3
+    )

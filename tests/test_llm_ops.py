@@ -1021,3 +1021,31 @@ def test_substring_dup_signals_rejects_k1(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         substring_dup_signals(df, "text", "doc_id", k=1)
+
+
+def test_excise_dup_spans_removes_boilerplate(spark):
+    from petastorm_spark.operators.dedup import excise_dup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "legal header text one unique alpha"),
+            (2, "legal header text one unique bravo"),
+            (3, "legal header text one unique charlie"),
+            (4, "completely different words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in excise_dup_spans(df, "text", "doc_id", k=4, min_count=3).collect()
+    }
+    # "legal header text one" (x3) and shifted windows containing
+    # "unique" (only x3 for the 4-gram "header text one unique") are
+    # corpus-frequent; each doc keeps only its distinct tail token
+    assert out[1]["cleaned_text"] == "alpha"
+    assert out[2]["cleaned_text"] == "bravo"
+    assert out[1]["n_tokens_removed"] == 5
+    assert out[4]["cleaned_text"] == "completely different words here now"
+    assert out[4]["n_tokens_removed"] == 0
+    with pytest.raises(ValueError):
+        excise_dup_spans(df, "text", "doc_id", k=1)

@@ -70,6 +70,7 @@ STUDY_QUERIES = [
     "langid_mismatch_source",
     "hll_distinct_users",
     "funnel_signup_purchase",
+    "excise_dup_spans",
 ]
 
 
