@@ -1049,3 +1049,48 @@ def test_excise_dup_spans_removes_boilerplate(spark):
     assert out[4]["n_tokens_removed"] == 0
     with pytest.raises(ValueError):
         excise_dup_spans(df, "text", "doc_id", k=1)
+
+
+def test_audio_wav_roundtrip_and_meta(spark):
+    import numpy as np
+
+    from petastorm_spark.operators.audio import (
+        audio_energy_features,
+        decode_wav,
+        encode_wav,
+        resample_audio,
+        with_audio_meta,
+    )
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    tone = (np.sin(2 * np.pi * 440 * t / rate) * 20000).astype(np.int16)
+    stereo = np.stack([tone, tone // 2], axis=1)
+    blob = encode_wav(stereo, rate)
+
+    arr, r = decode_wav(blob)
+    assert r == rate and arr.shape == (rate, 2)
+    assert abs(arr[:, 0].max() - 20000 / 32768) < 1e-3
+
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"not audio at all"))],
+        ["id", "audio"],
+    )
+    meta = {r["id"]: r["audio_meta"] for r in with_audio_meta(df, "audio").collect()}
+    assert meta[1]["sample_rate"] == rate and meta[1]["channels"] == 2
+    assert abs(meta[1]["duration_s"] - 1.0) < 1e-9
+    assert meta[2]["format"] == "opaque" and meta[2]["n_frames"] is None
+
+    res = {r["id"]: r["resampled"] for r in
+           resample_audio(df, "audio", "resampled", target_rate=4000).collect()}
+    arr2, r2 = decode_wav(bytes(res[1]))
+    assert r2 == 4000 and abs(arr2.shape[0] - 4000) <= 1
+    assert res[2] is None
+
+    en = {r["id"]: r["energy"] for r in
+          audio_energy_features(df, "audio", frame_ms=25).collect()}
+    assert len(en[1]) == 40  # 1s / 25ms
+    # a pure tone's RMS is amplitude/sqrt(2); channel-avg of 1x and 0.5x
+    expect = (20000 / 32768) * 0.75 / np.sqrt(2)
+    assert abs(en[1][5] - expect) < 0.02
+    assert en[2] is None
