@@ -83,6 +83,7 @@ HEADLINE = [
     "hll_distinct_users",
     "funnel_signup_purchase",
     "excise_dup_spans",
+    "events_anomaly",
 ]
 
 N_WARMUP_READS = 500

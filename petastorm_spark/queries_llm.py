@@ -1691,3 +1691,57 @@ def excise_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return excise_dup_spans(
         _t_wide(spark, sf_dir, "documents"), "text", "doc_id", k=4, min_count=3
     )
+
+
+@register(
+    "events_anomaly",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, value,
+                      avg(value) OVER w AS mu,
+                      stddev(value) OVER w AS sd
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                            ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id, value,
+           floor((value - mu) / sd * 10000) / 10000 AS zscore
+    FROM s
+    WHERE sd > 0 AND abs((value - mu) / sd) > 3
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per user: each event scored
+    against the mean/stddev of its previous 10 events (event-time
+    order, event_id tie-break for determinism), |z| > 3 flagged — the
+    streaming-monitor batch twin every event pipeline needs.
+    Zero-variance frames (identical history) score NULL, not a
+    division error (ANSI mode) nor +-inf (DuckDB). Scale: one
+    user-key shuffle + partition-local sort; the frame is row-bounded
+    so window state is O(10) per user."""
+    from pyspark.sql import Window
+
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t_wide(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", events_ts_us(ev))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    sd = F.stddev("value").over(w)
+    z = F.when(sd > 0, (F.col("value") - F.avg("value").over(w)) / sd)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            z.alias("_z"),
+        )
+        .where(F.abs(F.col("_z")) > 3)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.floor(F.col("_z") * 10000) / 10000).alias("zscore"),
+        )
+    )

@@ -71,6 +71,7 @@ STUDY_QUERIES = [
     "hll_distinct_users",
     "funnel_signup_purchase",
     "excise_dup_spans",
+    "events_anomaly",
 ]
 
 
