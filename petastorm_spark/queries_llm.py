@@ -1716,12 +1716,14 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero-variance frames (identical history) score NULL, not a
     division error (ANSI mode) nor +-inf (DuckDB). Scale: one
     user-key shuffle + partition-local sort; the frame is row-bounded
-    so window state is O(10) per user."""
+    so window state is O(10) per user. Plain scan, no _t_wide
+    fan-out: the window exchange already redistributes, and the extra
+    round-robin repartition measured 2.3x slower at sf0.1."""
     from pyspark.sql import Window
 
     from petastorm_spark.session import events_ts_us
 
-    ev = _t_wide(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
     ev = ev.withColumn("ts_us", events_ts_us(ev))
     w = (
         Window.partitionBy("user_id")
