@@ -28,6 +28,10 @@ def curate_corpus(
     seed: int = 0,
     near_dedup: bool = False,
     near_dup_threshold: float = 0.8,
+    quality_frac: float | None = None,
+    excise_spans: bool = False,
+    excise_k: int = 4,
+    excise_min_count: int = 5,
 ) -> dict[str, DataFrame]:
     """Chain the standard curation passes and return every intermediate
     stage (lazy) keyed by name, in order:
@@ -39,8 +43,17 @@ def curate_corpus(
       components; only each cluster's minimum id survives (stage key
       absent when ``near_dedup=False``, keeping the default report
       shape);
+    - ``excised`` (opt-in) — corpus-frequent ``excise_k``-gram spans
+      (>= ``excise_min_count`` occurrences) removed from every
+      surviving text (:func:`~petastorm_spark.operators.dedup.
+      excise_dup_spans`); runs after dedup so exact copies don't
+      inflate span counts (key absent when ``excise_spans=False``);
     - ``quality`` — composite quality (floored to 1e-4 for
-      cross-engine determinism) >= ``quality_floor``;
+      cross-engine determinism) >= ``quality_floor``; OR, when
+      ``quality_frac`` is set and ``strata_col`` given, the adaptive
+      per-source rank floor (:func:`~petastorm_spark.operators.
+      sampling_extra.keep_top_frac`) keeping the top fraction of each
+      source instead of one global threshold;
     - ``capped`` — at most ``max_per_stratum`` rows per
       ``strata_col`` value, key-stable md5 order (stage skipped —
       aliased to ``quality`` — when either arg is None);
@@ -85,8 +98,32 @@ def curate_corpus(
         # (stage_idx, stage) contract is unchanged for the default path
         deduped = stages["near_dedup"] = canonicalize(deduped, id_col, clusters)
 
+    if excise_spans:
+        from petastorm_spark.operators.dedup import excise_dup_spans
+
+        cleaned = excise_dup_spans(
+            deduped, text_col, id_col, k=excise_k, min_count=excise_min_count
+        )
+        keep = [c for c in deduped.columns if c != text_col]
+        deduped = stages["excised"] = (
+            deduped.select(*keep)
+            .join(
+                cleaned.select(
+                    F.col(id_col), F.col("cleaned_text").alias(text_col)
+                ),
+                id_col,
+            )
+        )
+
     q4 = F.floor(quality_score(text_col) * 10000) / 10000
-    stages["quality"] = deduped.where(q4 >= quality_floor)
+    if quality_frac is not None and strata_col is not None:
+        from petastorm_spark.operators.sampling_extra import keep_top_frac
+
+        stages["quality"] = keep_top_frac(
+            deduped.withColumn("_q4", q4), strata_col, "_q4", id_col, quality_frac
+        ).drop("_q4")
+    else:
+        stages["quality"] = deduped.where(q4 >= quality_floor)
 
     if strata_col is not None and max_per_stratum is not None:
         stages["capped"] = cap_per_group(

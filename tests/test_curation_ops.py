@@ -121,3 +121,39 @@ def test_edit_distance_pairs_lsh_then_verify(spark):
     ).collect()
     pairs = {(r["id_a"], r["id_b"]): r["edit_dist"] for r in out}
     assert pairs == {(1, 2): 1}
+
+
+def test_curate_corpus_excise_and_rank_floor_stages(spark):
+    from petastorm_spark.operators.pipeline import curate_corpus, curation_report
+
+    rows = []
+    # boilerplate-bearing docs across two sources
+    for i in range(6):
+        rows.append((i, f"legal header boilerplate block unique tail {i} "
+                        "the a of to and in is it on for", "web"))
+    for i in range(6, 10):
+        rows.append((i, f"clean document {i} with the a of to and in is it "
+                        f"plainly unique words number {i}", "books"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    stages = curate_corpus(
+        df, "text", "doc_id",
+        strata_col="source",
+        quality_frac=0.5,
+        excise_spans=True,
+        excise_min_count=4,
+    )
+    assert list(stages) == ["input", "dedup", "excised", "quality", "capped", "output"]
+    exc = {r["doc_id"]: r["text"] for r in stages["excised"].collect()}
+    # every corpus-frequent span is gone (the shared header AND the
+    # shared stopword run); only each doc's unique number survives
+    assert all("legal header boilerplate" not in t for t in exc.values())
+    assert exc[0] == "0" and exc[7] == "clean document 7 7"
+    # rank floor keeps ceil(0.5*n) per source
+    q = stages["quality"].groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in q}
+    assert got == {"web": 3, "books": 2}
+    rep = curation_report(stages).collect()
+    assert [r["stage"] for r in sorted(rep, key=lambda r: r["stage_idx"])] == [
+        "input", "dedup", "excised", "quality", "capped", "output"
+    ]
