@@ -84,6 +84,7 @@ HEADLINE = [
     "funnel_signup_purchase",
     "excise_dup_spans",
     "events_anomaly",
+    "sample_weighted_docs",
 ]
 
 N_WARMUP_READS = 500

@@ -277,3 +277,49 @@ def keep_top_frac(
         .where(F.col("_rn") <= F.ceil(F.lit(float(frac)) * F.col("_n")))
         .drop("_rn", "_n")
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    group_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES): each row draws u = md5-fraction(seed|key) and ranks by
+    u^(1/w); the top ``k`` (per ``group_col`` when given, else
+    global) are an exact weighted sample — "sample 10k docs per
+    source, proportional to quality weight" with deterministic,
+    key-stable membership (reruns, repartitions, and engines agree;
+    ``df.sample`` can't do weights, RAND() can't do stability).
+    Rows with non-positive weight are dropped.
+
+    Scale: the same two-phase top-k as :func:`cap_per_group` — a
+    partition-local rank discards beyond-k rows map-side, so the
+    (single) group shuffle carries at most k * num_partitions rows
+    per group; hot groups cost bounded memory per task.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = md5_fraction(F.concat_ws("|", F.lit(str(seed)), F.col(key_col)))
+    rank_key = F.pow(u, 1.0 / F.col(weight_col))
+    grp = [group_col] if group_col is not None else []
+    local = Window.partitionBy("_pid", *grp).orderBy(
+        F.col("_rk").desc(), F.col(key_col).asc()
+    )
+    final = Window.partitionBy(*grp) if grp else Window.partitionBy()
+    final = final.orderBy(F.col("_rk").desc(), F.col(key_col).asc())
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_rk", rank_key)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(local))
+        .where(F.col("_lr") <= k)
+        .withColumn("_r", F.row_number().over(final))
+        .where(F.col("_r") <= k)
+        .drop("_rk", "_pid", "_lr", "_r")
+    )

@@ -1747,3 +1747,29 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("_z") * 10000) / 10000).alias("zscore"),
         )
     )
+
+
+@register(
+    "sample_weighted_docs",
+    oracle=f"""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY source
+        ORDER BY power({_FRAC_DOC}, 1.0 / n_chars) DESC, doc_id
+    ) <= 20
+    """,
+)
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis):
+    20 docs per source with selection probability proportional to
+    n_chars — key-stable and engine-exact (md5-fraction draw, the
+    DuckDB oracle reproduces the sample membership bit-for-bit, which
+    RAND()-based sampling never can). See
+    operators/sampling_extra.sample_weighted."""
+    from petastorm_spark.operators.sampling_extra import sample_weighted
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return sample_weighted(
+        d, "n_chars", "doc_id", k=20, group_col="source", seed=0
+    )

@@ -157,3 +157,24 @@ def test_curate_corpus_excise_and_rank_floor_stages(spark):
     assert [r["stage"] for r in sorted(rep, key=lambda r: r["stage_idx"])] == [
         "input", "dedup", "excised", "quality", "capped", "output"
     ]
+
+
+def test_sample_weighted_biases_and_is_stable(spark):
+    from petastorm_spark.operators.sampling_extra import sample_weighted
+
+    # two weight classes: heavy rows (w=100) vastly outdraw light (w=1)
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    kept = sample_weighted(df, "w", "doc_id", k=50)
+    assert kept.count() == 50
+    heavy = kept.where("doc_id < 50").count()
+    assert heavy >= 35  # heavy class dominates the sample
+    # deterministic: identical membership on rerun
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(r.doc_id for r in sample_weighted(df, "w", "doc_id", k=50).collect())
+    assert a == b
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], ["doc_id", "w"])
+    assert [r.doc_id for r in sample_weighted(df2, "w", "doc_id", k=3).collect()] == [3]
+    with pytest.raises(ValueError):
+        sample_weighted(df, "w", "doc_id", k=0)

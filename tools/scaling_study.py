@@ -72,6 +72,7 @@ STUDY_QUERIES = [
     "funnel_signup_purchase",
     "excise_dup_spans",
     "events_anomaly",
+    "sample_weighted_docs",
 ]
 
 
