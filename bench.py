@@ -85,6 +85,7 @@ HEADLINE = [
     "excise_dup_spans",
     "events_anomaly",
     "sample_weighted_docs",
+    "cm_user_event_counts",
 ]
 
 N_WARMUP_READS = 500

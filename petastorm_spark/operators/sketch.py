@@ -138,3 +138,86 @@ def _self_check() -> None:  # pragma: no cover - documentation aid
     """The two halves agree by construction; see tests/test_misc_ops.py
     for the executable accuracy + merge properties."""
     assert math.isclose(_alpha(1 << 10), 0.7213 / (1.0 + 1.079 / 1024))
+
+
+def cm_sketch(
+    df: DataFrame, key_col: str, w: int = 1024, d: int = 4
+) -> DataFrame:
+    """Count-min sketch registers: (r, bucket, c) rows, ``d`` hash
+    rows of ``w`` buckets — frequency estimation in ``d*w`` cells no
+    matter how many distinct keys (the heavy-hitter companion to the
+    HLL cardinality sketch; same engine-portable md5-prefix hashing,
+    so estimates are bit-identical across engines). Merge sketches by
+    unioning register tables and summing per (r, bucket) — the
+    incremental/distributed path.
+
+    Scale: one partially-aggregated shuffle keyed on (r, bucket); at
+    most ``d * w`` rows survive. The input fans out d-fold map-side
+    (one seeded hash per row per sketch row) — for d=4 that is the
+    cost of four cheap md5s, far below shuffling the keys themselves.
+    """
+    if w < 2 or d < 1:
+        raise ValueError(f"w >= 2 and d >= 1 required, got {w=} {d=}")
+    rows = [
+        df.select(
+            F.lit(r).alias("r"),
+            (hash60(F.col(key_col), seed=r) % w).alias("bucket"),
+        )
+        for r in range(d)
+    ]
+    out = rows[0]
+    for part in rows[1:]:
+        out = out.unionByName(part)
+    return out.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cm_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, w: int = 1024, d: int = 4
+) -> DataFrame:
+    """Point-query a count-min sketch for every row of ``keys``:
+    estimate = min over the d rows of that key's bucket count (an
+    upper bound on the true frequency; error <= N*e/w with prob
+    1-e^-d). The sketch is tiny (d*w rows) — BROADCAST into the probe
+    join, so estimation is a pure map over the key set."""
+    probes = [
+        keys.select(
+            F.col(key_col),
+            F.lit(r).alias("r"),
+            (hash60(F.col(key_col), seed=r) % w).alias("bucket"),
+        )
+        for r in range(d)
+    ]
+    out = probes[0]
+    for p in probes[1:]:
+        out = out.unionByName(p)
+    return (
+        out.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias("cm_count"))
+    )
+
+
+def cm_oracle_sql(
+    table_expr: str, key_col: str, w: int = 1024, d: int = 4
+) -> str:
+    """DuckDB SQL computing identical count-min estimates for every
+    distinct key of ``table_expr`` (the correctness twin)."""
+    def h(seed: int) -> str:
+        return f"(({hash60_sql(key_col, seed=seed)}) % {w})"
+
+    occ = "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, {h(r)} AS bucket FROM {table_expr}" for r in range(d)
+    )
+    probe = "\nUNION ALL\n".join(
+        f"SELECT {key_col}, {r} AS r, {h(r)} AS bucket"
+        f" FROM (SELECT DISTINCT {key_col} FROM {table_expr})"
+        for r in range(d)
+    )
+    return f"""
+    WITH occ AS ({occ}),
+    sk AS (SELECT r, bucket, count(*) AS c FROM occ GROUP BY r, bucket),
+    probe AS ({probe})
+    SELECT p.{key_col}, min(sk.c) AS cm_count
+    FROM probe p JOIN sk USING (r, bucket)
+    GROUP BY p.{key_col}
+    """

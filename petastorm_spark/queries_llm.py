@@ -1773,3 +1773,30 @@ def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_weighted(
         d, "n_chars", "doc_id", k=20, group_col="source", seed=0
     )
+
+
+def _cm_oracle() -> str:
+    from petastorm_spark.operators.sketch import cm_oracle_sql
+
+    return cm_oracle_sql(
+        "(SELECT CAST(user_id AS VARCHAR) AS uid FROM events)",
+        "uid", w=256, d=4,
+    )
+
+
+@register("cm_user_event_counts", oracle=_cm_oracle())
+def cm_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimation: per-user event counts read out
+    of a 4x256-cell sketch instead of a per-key aggregate — the
+    heavy-hitter path whose state is constant-size at any corpus
+    scale, with deliberate bucket collisions (w=256 < corpus keys at
+    sf>=0.1) so the min-over-rows estimator is actually exercised.
+    Engine-portable hashing makes even the approximate counts
+    oracle-hash-exact. See operators/sketch.py."""
+    from petastorm_spark.operators.sketch import cm_estimate, cm_sketch
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    sk = cm_sketch(ev, "uid", w=256, d=4)
+    return cm_estimate(sk, ev.distinct(), "uid", w=256, d=4)

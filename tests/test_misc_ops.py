@@ -127,3 +127,37 @@ def test_hll_estimate_accuracy_and_merge(spark):
 
     with pytest.raises(ValueError):
         hll_registers(df, "grp", "k", p=2)
+
+
+def test_cm_sketch_upper_bound_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from petastorm_spark.operators.sketch import cm_estimate, cm_sketch
+
+    # skewed stream: key "hot" x500, 200 singletons
+    rows = [("hot",)] * 500 + [(f"k{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k"])
+    sk = cm_sketch(df, "k", w=64, d=4)
+    assert sk.count() <= 64 * 4
+    keys = df.distinct()
+    est = {r["k"]: r["cm_count"] for r in cm_estimate(sk, keys, "k", w=64, d=4).collect()}
+    true = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # count-min never underestimates, and the hot key stays separable
+    assert all(est[k] >= true[k] for k in true)
+    assert est["hot"] >= 500 and est["hot"] < 560
+    # merge = union + sum, identical to sketching the union
+    a = spark.createDataFrame(rows[:300], ["k"])
+    b = spark.createDataFrame(rows[300:], ["k"])
+    merged = (
+        cm_sketch(a, "k", w=64, d=4)
+        .unionByName(cm_sketch(b, "k", w=64, d=4))
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    em = {r["k"]: r["cm_count"] for r in cm_estimate(merged, keys, "k", w=64, d=4).collect()}
+    assert em == est
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cm_sketch(df, "k", w=1)

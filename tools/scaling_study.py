@@ -73,6 +73,7 @@ STUDY_QUERIES = [
     "excise_dup_spans",
     "events_anomaly",
     "sample_weighted_docs",
+    "cm_user_event_counts",
 ]
 
 
