@@ -154,3 +154,58 @@ def test_embedding_pairs_single_exchange_reused(spark, sf_dir):
     assert "BroadcastHashJoin" not in ep
     # no scan-level IsNotNull(sign-pattern) recomputation
     assert "Filter isnotnull((((" not in ep
+
+
+def test_substring_windows_one_occurrence_exchange(spark, sf_dir):
+    """dedup_substring_windows: the explicit repartition(_h) must be
+    the ONLY occurrence-scale exchange — the (doc, hash) grouping and
+    the per-hash corpus-total window both ride it (subset clustering),
+    leaving just the small per-doc rollup behind it."""
+    from petastorm_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(QUERIES["dedup_substring_windows"](spark, sf_dir))
+    assert plan.count("hashpartitioning(_h") == 1, plan
+    assert plan.count("ReadSchema") == 1, "corpus scanned more than once"
+    assert "Join" not in plan
+
+
+def test_funnel_single_user_shuffle_no_join(spark, sf_dir):
+    """funnel_signup_purchase: one user-key exchange, zero joins — the
+    fold formulation, not the N-way min-join the oracle uses."""
+    from petastorm_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(QUERIES["funnel_signup_purchase"](spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan
+    assert plan.count("ReadSchema") == 1
+
+
+def test_quality_floor_windows_share_one_exchange(spark, sf_dir):
+    """quality_floor_source: the ranked row_number and the group count
+    are two Window nodes over ONE source-keyed exchange."""
+    from petastorm_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(QUERIES["quality_floor_source"](spark, sf_dir))
+    assert plan.count("hashpartitioning(source") == 1, plan
+    assert plan.count("Window") >= 2
+
+
+def test_hll_registers_partial_aggregation(spark, sf_dir):
+    """hll_distinct_users: the register aggregation must be partial
+    (map-side combine) so the (group, bucket) shuffle carries at most
+    2^p rows per group per task, never raw events."""
+    from petastorm_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(QUERIES["hll_distinct_users"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 aggs
+    assert "Join" not in plan
+
+
+def test_excise_broadcasts_qualifying_hashes(spark, sf_dir):
+    """excise_dup_spans: the qualifying-hash set joins back via a
+    BROADCAST (two-phase hash-first shape); the rewrite side never
+    shuffles text on the window hash."""
+    from petastorm_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(QUERIES["excise_dup_spans"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
