@@ -86,6 +86,7 @@ HEADLINE = [
     "events_anomaly",
     "sample_weighted_docs",
     "cm_user_event_counts",
+    "decontaminate_bloom",
 ]
 
 N_WARMUP_READS = 500

@@ -941,6 +941,68 @@ def decontaminate(
     return train.join(bad, id_col, "left_anti")
 
 
+def contamination_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    m: int = 1 << 20,
+    d: int = 3,
+) -> DataFrame:
+    """Bloom-filter contamination signal: per training doc, the count
+    of distinct shingles whose ``d`` seeded hash positions are ALL set
+    in an ``m``-bit filter built from the eval corpus — a SUPERSET of
+    the exact overlap (:func:`contamination_overlap`): no contaminated
+    shingle is ever missed, a clean one false-positives with
+    probability ~``(1 - e^(-d*n/m))^d``. Output: (id, n_suspect).
+
+    Why it exists: the exact operator broadcasts the eval corpus's
+    distinct SHINGLE STRINGS — fine for one benchmark, unbounded for a
+    large eval suite. The bloom form broadcasts at most ``m`` distinct
+    bit POSITIONS (integers) no matter how much eval text there is —
+    the fixed-size-state version of decontamination, same shape the
+    sketch family gives counting (operators/sketch.py). Engine-exact
+    like everything else (seeded md5-prefix positions), so even the
+    false positives reproduce bit-for-bit in the DuckDB oracle.
+
+    Scale: train side is scanned once; each distinct (doc, shingle)
+    fans out d position probes map-side into a broadcast-hash join;
+    only MATCHED probes reach the (doc, shingle-hash) count shuffle,
+    so shuffle volume tracks contamination + false positives, not the
+    corpus. The shingle never travels as text — its 60-bit hash is the
+    group key.
+    """
+    if m < 2 or d < 1:
+        raise ValueError(f"m >= 2 and d >= 1 required, got {m=} {d=}")
+    ev_sh = exploded_shingles(eval_df, text_col, id_col, shingle_n)
+    pos_parts = [
+        ev_sh.select((hash60(F.col("sh"), seed=r) % m).alias("pos"))
+        for r in range(d)
+    ]
+    positions = pos_parts[0]
+    for p in pos_parts[1:]:
+        positions = positions.unionByName(p)
+    positions = positions.distinct()
+
+    tr = exploded_shingles(train, text_col, id_col, shingle_n).select(
+        F.col(id_col),
+        hash60(F.col("sh")).alias("_shid"),
+        F.explode(
+            F.array(*[(hash60(F.col("sh"), seed=r) % m) for r in range(d)])
+        ).alias("pos"),
+    )
+    matched = tr.join(F.broadcast(positions), "pos")
+    suspects = (
+        matched.groupBy(id_col, "_shid")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .where(F.col("_hits") == d)
+    )
+    return suspects.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_suspect")
+    )
+
+
 def excise_dup_spans(
     df: DataFrame,
     text_col: str,

@@ -1800,3 +1800,51 @@ def cm_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = cm_sketch(ev, "uid", w=256, d=4)
     return cm_estimate(sk, ev.distinct(), "uid", w=256, d=4)
+
+
+def _bloom_oracle(m: int = 65536, d: int = 3) -> str:
+    from petastorm_spark.operators.dedup import hash60_sql
+
+    ev_pos = "\nUNION\n".join(
+        f"SELECT DISTINCT ({hash60_sql('sh', seed=r)}) % {m} AS pos FROM evsh"
+        for r in range(d)
+    )
+    probes = "\nUNION ALL\n".join(
+        f"SELECT doc_id, ({hash60_sql('sh', seed=None)}) AS shid,"
+        f" ({hash60_sql('sh', seed=r)}) % {m} AS pos FROM trsh"
+        for r in range(d)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    sets AS (SELECT doc_id,
+                    list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             FROM tok WHERE len(t) >= 3),
+    evsh AS (SELECT doc_id, unnest(s) AS sh FROM sets WHERE doc_id % 97 = 0),
+    trsh AS (SELECT doc_id, unnest(s) AS sh FROM sets WHERE doc_id % 97 <> 0),
+    pos AS ({ev_pos}),
+    probe AS ({probes}),
+    hit AS (SELECT p.doc_id, p.shid, count(*) AS hits
+            FROM probe p JOIN pos USING (pos)
+            GROUP BY p.doc_id, p.shid
+            HAVING count(*) = {d})
+    SELECT doc_id, count(*) AS n_suspect FROM hit GROUP BY doc_id
+    """
+
+
+@register("decontaminate_bloom", oracle=_bloom_oracle())
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination signal against the held-out eval
+    slice (doc_id % 97 == 0): a strict superset of
+    decontaminate_overlap's exact counts, but the broadcast is bounded
+    at m bit POSITIONS however large the eval suite grows. The
+    engine-portable seeded hashing makes even the false-positive set
+    oracle-hash-exact. See operators/dedup.py:contamination_bloom."""
+    from petastorm_spark.operators.dedup import contamination_bloom
+
+    docs = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination_bloom(
+        tr, ev, "text", "doc_id", shingle_n=3, m=65536, d=3
+    )

@@ -1094,3 +1094,37 @@ def test_audio_wav_roundtrip_and_meta(spark):
     expect = (20000 / 32768) * 0.75 / np.sqrt(2)
     assert abs(en[1][5] - expect) < 0.02
     assert en[2] is None
+
+
+def test_contamination_bloom_superset_of_exact(spark):
+    from petastorm_spark.operators.dedup import (
+        contamination_bloom,
+        contamination_overlap,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "the quick brown fox runs fast today"),  # shares shingles
+            (2, "completely unrelated training text here now"),
+            (3, "jumps over the lazy dog again and again"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {r["doc_id"]: r["n_overlap"]
+             for r in contamination_overlap(tr, ev, "text", "doc_id").collect()}
+    bloom = {r["doc_id"]: r["n_suspect"]
+             for r in contamination_bloom(tr, ev, "text", "doc_id",
+                                          m=1 << 20, d=3).collect()}
+    # never misses: every exact overlap is counted at least as high
+    for k, v in exact.items():
+        assert bloom.get(k, 0) >= v
+    # at a large m the false-positive rate is ~0: counts coincide
+    assert bloom == exact
+    import pytest
+
+    with pytest.raises(ValueError):
+        contamination_bloom(tr, ev, "text", "doc_id", m=1)

@@ -74,6 +74,7 @@ STUDY_QUERIES = [
     "events_anomaly",
     "sample_weighted_docs",
     "cm_user_event_counts",
+    "decontaminate_bloom",
 ]
 
 
