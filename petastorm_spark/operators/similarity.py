@@ -595,3 +595,48 @@ def normalize_embeddings(
         .withColumn(out_col, unit)
         .drop("_vd", "_nrm")
     )
+
+
+def ivf_append(
+    spark,
+    index_url: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally add vectors to a persisted IVF index: assign the
+    new batch against the INDEX'S OWN centroids (never re-quantize —
+    existing assignments stay valid, queries see a consistent cell
+    space) and append the rows into the cell-partitioned parquet
+    layout. Returns the number of vectors appended.
+
+    The index-maintenance path every production vector store needs:
+    ingest cost scales with the BATCH (one broadcast-centroid scan +
+    one partitioned append), not the index size; dynamic partition
+    append only touches the cells the batch lands in. Cells drift as
+    the data distribution moves — rebuild centroids (train_kmeans_
+    centroids + ivf_build) when recall degrades, exactly like any IVF
+    deployment. Compact small appended files periodically with
+    etl.compact.compact_dataset.
+    """
+    root = index_url.rstrip("/")
+    centroids = spark.read.parquet(root + "/centroids")
+    cent = centroids.select("cell", "cent_vec")
+    scored = (
+        new_vectors.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_cos", cosine(F.col(vec_col), F.col("cent_vec")))
+    )
+    assigned = (
+        scored.groupBy(id_col, vec_col)
+        .agg(
+            F.max(
+                F.struct(F.col("_cos"), (-F.col("cell")).alias("_nc"))
+            ).alias("_b")
+        )
+        .withColumn("cell", (-F.col("_b").getField("_nc")).cast("int"))
+        .drop("_b")
+    )
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(root + "/cells")
+    return n

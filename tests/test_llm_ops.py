@@ -1128,3 +1128,40 @@ def test_contamination_bloom_superset_of_exact(spark):
 
     with pytest.raises(ValueError):
         contamination_bloom(tr, ev, "text", "doc_id", m=1)
+
+
+def test_ivf_append_visible_to_queries_and_pruned(spark, sf_dir, tmp_path):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from petastorm_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_query,
+        ivf_read,
+        ivf_write,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 400)
+    extra = emb.where(F.col("vec_id") >= 400)
+    url = str(tmp_path / "ivf_idx")
+    cent, assigned = ivf_build(base, n_cells=8)
+    ivf_write(url, cent, assigned)
+
+    n = ivf_append(spark, url, extra)
+    assert n == extra.count() and n > 0
+
+    cent2, assigned2 = ivf_read(spark, url)
+    # appended rows landed in the partitioned layout
+    assert assigned2.count() == base.count() + n
+    # an appended vector queried against the updated index finds
+    # itself-adjacent vectors; exact self match excluded by the op
+    probe = extra.limit(1)
+    res = ivf_query(cent2, assigned2, probe, k=3, n_probe=8)
+    rows = res.collect()
+    assert len(rows) == 3
+    # cells are consistent: every appended id is findable as neighbor
+    # of its own vector at n_probe = all cells
+    pid = probe.collect()[0]["vec_id"]
+    assert all(r["query_id"] == pid for r in rows)
