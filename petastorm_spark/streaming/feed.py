@@ -286,3 +286,86 @@ def hll_registers_stream(
     from petastorm_spark.operators.sketch import hll_registers
 
     return hll_registers(events, group_col, key_col, p)
+
+
+def rolling_zscore_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 10,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of the ``events_anomaly`` batch query: per-key
+    rolling z-score over the previous ``window`` values in
+    (event-time, id) order, emitting rows whose |z| > ``threshold`` —
+    the live anomaly monitor. State per key is the last ``window``
+    values only (a bounded array in the state store), so state size is
+    O(window) per key forever; an availableNow run over a static
+    directory flags the same events as the batch window query.
+
+    The per-event update is a short python loop over each micro-batch's
+    rows (the rolling statistics are incremental against state — the
+    vectorized window form can't see across the batch boundary); with
+    window=10 that is ~30 flops per event inside an Arrow-batched
+    group, far below the scan cost.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from petastorm_spark.operators.stateful import ts_as_int
+
+    out_schema = (
+        f"{key_col} bigint, {id_col} bigint, {value_col} double, zscore double"
+    )
+    state_schema = "hist array<double>"
+
+    def fold(key, pdfs, state: GroupState):
+        (hist,) = state.get if state.exists else ([],)
+        hist = list(hist)
+        out_ids, out_vals, out_z = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.assign(_tsi=pdf[ts_col].map(ts_as_int)).sort_values(
+                ["_tsi", id_col]
+            )
+            for eid, val in zip(pdf[id_col], pdf[value_col]):
+                if len(hist) >= 2:
+                    arr = np.asarray(hist, dtype=np.float64)
+                    sd = arr.std(ddof=1)
+                    if sd > 0:
+                        z = (float(val) - arr.mean()) / sd
+                        if abs(z) > threshold:
+                            out_ids.append(int(eid))
+                            out_vals.append(float(val))
+                            out_z.append(np.floor(z * 10000) / 10000)
+                hist.append(float(val))
+                if len(hist) > window:
+                    hist.pop(0)
+        state.update((hist,))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(out_ids),
+                id_col: out_ids,
+                value_col: out_vals,
+                "zscore": out_z,
+            }
+        )
+
+    return (
+        events.select(
+            key_col,
+            _event_time(events, ts_col, None).alias(ts_col),
+            id_col,
+            value_col,
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

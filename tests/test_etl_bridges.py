@@ -482,3 +482,32 @@ def test_streaming_hll_registers_match_batch(spark, sf_dir, events_dir):
         for r in hll_distinct(batch, "event_type", "uid", p=10).collect()
     }
     assert stream_est == batch_est and len(stream_est) == 5
+
+
+def test_streaming_rolling_zscore_matches_batch_anomalies(spark, sf_dir, events_dir):
+    """availableNow rolling z-score flags the same events as the
+    events_anomaly batch window query, with matching scores."""
+    from petastorm_spark.queries import QUERIES
+    from petastorm_spark.streaming.feed import rolling_zscore_stream, stream_dataset
+
+    stream = stream_dataset(spark, events_dir)
+    q = (
+        rolling_zscore_stream(stream)
+        .writeStream.format("memory")
+        .queryName("zs_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_id"]): r["zscore"]
+        for r in spark.table("zs_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): r["zscore"]
+        for r in QUERIES["events_anomaly"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) <= 2e-4 for k in want)
+    assert len(want) > 0
