@@ -194,3 +194,83 @@ def FloatTypeCompat():
     from pyspark.sql.types import FloatType
 
     return FloatType()
+
+
+DHASH_W, DHASH_H = 11, 6  # (11-1)*6 = 60 bits, matching the simhash
+# banding machinery's 60-bit fingerprint contract
+
+
+def dhash60(arr: np.ndarray) -> int:
+    """60-bit difference hash of one image array: grayscale ->
+    nearest-neighbor resize to 11x6 -> each bit is left<right for
+    horizontally adjacent cells. Brightness/contrast-shift invariant
+    (comparisons are relative), robust to small pixel noise — the
+    standard perceptual near-dup fingerprint."""
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    ys = (np.arange(DHASH_H) * h) // DHASH_H
+    xs = (np.arange(DHASH_W) * w) // DHASH_W
+    g = a[np.ix_(ys, xs)]
+    bits = (g[:, :-1] < g[:, 1:]).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def image_dhash(
+    df: DataFrame, binary_col: str, out_col: str = "dhash"
+) -> DataFrame:
+    """Attach the 60-bit perceptual dHash of every decodable image
+    blob (NULL for opaque bytes). mapInPandas pure map — no shuffle."""
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, LongType(), True)]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = []
+            for raw in pdf[binary_col]:
+                try:
+                    arr, _ = decode_image_bytes(bytes(raw))
+                    hs.append(dhash60(arr))
+                except (NotImplementedError, ValueError):
+                    hs.append(None)
+            pdf[out_col] = pd.array(hs, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def image_dup_pairs(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    hot_threshold: int = 1000,
+) -> DataFrame:
+    """Image near-dup pairs: perceptual dHash + the SAME two-level
+    pigeonhole banded self-join the text SimHash path uses
+    (dedup.simhash_pair_candidates — exact for hamming <= max_hamming,
+    never quadratic in a hot bucket). Multimodal dedup composes from
+    the text machinery because both reduce to 60-bit fingerprints.
+    Output: (id_a, id_b, hamming)."""
+    from pyspark.sql import functions as F2
+
+    from petastorm_spark.operators.dedup import simhash_pair_candidates
+
+    sig = (
+        image_dhash(df, binary_col, "simhash")
+        .where(F2.col("simhash").isNotNull())
+        .select(F2.col(id_col), F2.col("simhash"))
+    )
+    cand = simhash_pair_candidates(
+        sig, id_col, bits=60, bands=bands,
+        max_hamming=max_hamming, hot_threshold=hot_threshold,
+        prefilter_hamming=max_hamming,
+    )
+    hamming = F2.bit_count(F2.col("sig_a").bitwiseXOR(F2.col("sig_b")))
+    return cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))

@@ -1165,3 +1165,41 @@ def test_ivf_append_visible_to_queries_and_pruned(spark, sf_dir, tmp_path):
     # of its own vector at n_probe = all cells
     pid = probe.collect()[0]["vec_id"]
     assert all(r["query_id"] == pid for r in rows)
+
+
+def test_image_dup_pairs_perceptual(spark):
+    import numpy as np
+
+    from petastorm_spark.operators.multimodal import (
+        dhash60,
+        encode_fake_image,
+        image_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    # strong-structure image: gradient + random texture, so adjacent-
+    # cell comparisons are decisive and survive small perturbations
+    base = (
+        np.linspace(0, 200, 64)[None, :] * np.ones((48, 1))
+        + rng.integers(0, 40, (48, 64))
+    ).astype(np.uint8)
+    brighter = np.clip(base.astype(int) + 12, 0, 255).astype(np.uint8)  # global shift
+    other = rng.integers(0, 255, (48, 64)).astype(np.uint8)
+
+    assert dhash60(base) == dhash60(brighter)  # brightness invariant
+    assert bin(dhash60(base) ^ dhash60(other)).count("1") > 10
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_fake_image(base))),
+            (2, bytearray(encode_fake_image(brighter))),
+            (3, bytearray(encode_fake_image(other))),
+            (4, bytearray(b"opaque junk")),
+        ],
+        ["img_id", "img"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_dup_pairs(df, "img", "img_id", max_hamming=3).collect()
+    }
+    assert pairs == {(1, 2): 0}
