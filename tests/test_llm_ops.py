@@ -1203,3 +1203,40 @@ def test_image_dup_pairs_perceptual(spark):
         for r in image_dup_pairs(df, "img", "img_id", max_hamming=3).collect()
     }
     assert pairs == {(1, 2): 0}
+
+
+def test_audio_dup_pairs_volume_invariant(spark):
+    import numpy as np
+
+    from petastorm_spark.operators.audio import (
+        audio_fingerprint60,
+        audio_dup_pairs,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    rate = 8000
+    t = np.arange(rate * 2)
+    # amplitude-modulated tone: strong, distinctive energy envelope
+    envelope = 0.2 + 0.8 * np.abs(np.sin(2 * np.pi * t / rate * 1.7))
+    base = (np.sin(2 * np.pi * 440 * t / rate) * envelope * 15000).astype(np.int16)
+    quieter = (base * 0.5).astype(np.int16)       # volume-scaled copy
+    other = (rng.normal(0, 8000, len(t))).astype(np.int16)
+
+    assert audio_fingerprint60(base.astype(float)) == audio_fingerprint60(
+        quieter.astype(float)
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(base, rate))),
+            (2, bytearray(encode_wav(quieter, rate))),
+            (3, bytearray(encode_wav(other, rate))),
+            (4, bytearray(b"not audio")),
+        ],
+        ["clip_id", "audio"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_dup_pairs(df, "audio", "clip_id", max_hamming=3).collect()
+    }
+    assert pairs == {(1, 2): 0}
