@@ -191,3 +191,39 @@ def test_asof_join_matches_pandas_merge_asof(spark, data, direction, tolerance):
         assert got[int(row["lid"])] == (want_ts, want_v), (
             left_rows, right_rows, direction, tolerance,
         )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_frames=st.integers(min_value=1, max_value=2000),
+    n_ch=st.integers(min_value=1, max_value=4),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_any_shape(n_frames, n_ch, rate, seed):
+    """encode_wav -> decode_wav is exact for any int16 payload: same
+    shape, same rate, samples scaled by 1/32768."""
+    from petastorm_spark.operators.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32767, (n_frames, n_ch)).astype(np.int16)
+    arr, got_rate = decode_wav(encode_wav(samples, rate))
+    assert got_rate == rate and arr.shape == (n_frames, n_ch)
+    np.testing.assert_allclose(arr, samples / 32768.0, atol=0)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    brightness=st.integers(min_value=-40, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_dhash_brightness_invariant(brightness, seed):
+    """dhash60 is exactly invariant under any global brightness shift
+    that does not clip (comparisons are relative)."""
+    from petastorm_spark.operators.multimodal import dhash60
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(60, 190, (32, 48)).astype(np.int64)  # clip-safe band
+    assert dhash60(base.astype(np.uint8)) == dhash60(
+        (base + brightness).astype(np.uint8)
+    )
