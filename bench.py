@@ -87,6 +87,7 @@ HEADLINE = [
     "sample_weighted_docs",
     "cm_user_event_counts",
     "decontaminate_bloom",
+    "token_psi_sources",
 ]
 
 N_WARMUP_READS = 500

@@ -417,3 +417,52 @@ def boilerplate_ngrams(
         .where(F.col("n_occurrences") >= min_count)
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
     )
+
+
+def token_psi(
+    df_a: DataFrame, df_b: DataFrame, text_col: str
+) -> DataFrame:
+    """Corpus drift detection: per-token Population Stability Index
+    terms between two corpus snapshots — THE monitoring signal for
+    "did this ingest batch shift the distribution" (total PSI < 0.1
+    stable, > 0.25 action). Output: (token, p_a, p_b, psi_term), PSI
+    probabilities additively smoothed (+0.5) over the union
+    vocabulary so a token absent from one side contributes a finite
+    term; sum(psi_term) is the corpus PSI.
+
+    Scale: each side is one explode + one partially-aggregated count
+    shuffle (vocabulary-sized output); the two count tables full-outer
+    join on the token (vocab-scale, not corpus-scale) and the totals
+    arrive as a broadcast 1-row cross join — no window over the
+    vocabulary, no driver collect.
+    """
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.withColumn("_toks", tokens(text_col))
+            .select(F.explode("_toks").alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ca = counts(df_a, "_ca")
+    cb = counts(df_b, "_cb")
+    joined = ca.join(cb, "token", "full_outer").select(
+        "token",
+        F.coalesce("_ca", F.lit(0)).alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).alias("_cb"),
+    )
+    totals = joined.agg(
+        F.sum("_ca").alias("_na"),
+        F.sum("_cb").alias("_nb"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    p_a = (F.col("_ca") + 0.5) / (F.col("_na") + 0.5 * F.col("_v"))
+    p_b = (F.col("_cb") + 0.5) / (F.col("_nb") + 0.5 * F.col("_v"))
+    psi = (p_a - p_b) * F.log(p_a / p_b)
+    f6 = lambda c: F.floor(c * 1000000) / 1000000  # noqa: E731
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "token",
+        f6(p_a).alias("p_a"),
+        f6(p_b).alias("p_b"),
+        f6(psi).alias("psi_term"),
+    )

@@ -1848,3 +1848,39 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_bloom(
         tr, ev, "text", "doc_id", shingle_n=3, m=65536, d=3
     )
+
+
+@register(
+    "token_psi_sources",
+    oracle=f"""
+    WITH ta AS (SELECT unnest({_TOK}) AS token FROM documents WHERE source = 'web'),
+    tb AS (SELECT unnest({_TOK}) AS token FROM documents WHERE source <> 'web'),
+    ca AS (SELECT token, count(*) AS ca FROM ta GROUP BY token),
+    cb AS (SELECT token, count(*) AS cb FROM tb GROUP BY token),
+    j AS (SELECT COALESCE(ca.token, cb.token) AS token,
+                 COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+          FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM j)
+    SELECT token,
+           floor((ca + 0.5) / (na + 0.5 * v) * 1000000) / 1000000 AS p_a,
+           floor((cb + 0.5) / (nb + 0.5 * v) * 1000000) / 1000000 AS p_b,
+           floor(((ca + 0.5) / (na + 0.5 * v) - (cb + 0.5) / (nb + 0.5 * v))
+                 * ln(((ca + 0.5) / (na + 0.5 * v)) / ((cb + 0.5) / (nb + 0.5 * v)))
+                 * 1000000) / 1000000 AS psi_term
+    FROM j, tot
+    """,
+)
+def token_psi_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: per-token PSI terms between the 'web'
+    slice and the rest of the corpus — sum(psi_term) is the standard
+    stability index (> 0.25 = distribution shifted, act). Scale:
+    vocab-sized join, corpus never shuffles; see
+    operators/text.py:token_psi."""
+    from petastorm_spark.operators.text import token_psi
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return token_psi(
+        d.where(F.col("source") == "web"),
+        d.where(F.col("source") != "web"),
+        "text",
+    )

@@ -178,3 +178,28 @@ def test_sample_weighted_biases_and_is_stable(spark):
     assert [r.doc_id for r in sample_weighted(df2, "w", "doc_id", k=3).collect()] == [3]
     with pytest.raises(ValueError):
         sample_weighted(df, "w", "doc_id", k=0)
+
+
+def test_token_psi_detects_shift_and_is_zero_for_identical(spark):
+    from pyspark.sql import functions as F
+
+    from petastorm_spark.operators.text import token_psi
+
+    a = spark.createDataFrame(
+        [(1, "alpha alpha alpha beta"), (2, "alpha beta beta gamma")],
+        ["doc_id", "text"],
+    )
+    # identical corpora -> every psi term (floored at 1e-6) is ~0
+    same = token_psi(a, a, "text").agg(F.sum("psi_term").alias("s")).collect()[0]["s"]
+    assert abs(same) < 1e-4
+    # shifted corpus: 'delta' floods side b
+    b = spark.createDataFrame(
+        [(1, "delta delta delta delta delta delta"), (2, "alpha beta")],
+        ["doc_id", "text"],
+    )
+    shifted = token_psi(a, b, "text").agg(F.sum("psi_term").alias("s")).collect()[0]["s"]
+    assert shifted > 0.25  # action threshold
+    # every term is non-negative by construction
+    assert all(
+        r["psi_term"] >= -1e-6 for r in token_psi(a, b, "text").collect()
+    )

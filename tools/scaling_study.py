@@ -75,6 +75,7 @@ STUDY_QUERIES = [
     "sample_weighted_docs",
     "cm_user_event_counts",
     "decontaminate_bloom",
+    "token_psi_sources",
 ]
 
 
