@@ -88,6 +88,7 @@ HEADLINE = [
     "cm_user_event_counts",
     "decontaminate_bloom",
     "token_psi_sources",
+    "bigram_logprob",
 ]
 
 N_WARMUP_READS = 500

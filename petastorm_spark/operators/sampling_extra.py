@@ -323,3 +323,58 @@ def sample_weighted(
         .where(F.col("_r") <= k)
         .drop("_rk", "_pid", "_lr", "_r")
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Second-order perplexity proxy: mean Laplace-smoothed bigram
+    transition log-likelihood per document,
+    ``ln((c(w1,w2) + 1) / (c(w1) + V))`` averaged over the doc's
+    transitions — catches scrambled/word-salad text whose unigram
+    distribution looks normal (every token common, every TRANSITION
+    rare). Output: (id, n_bigrams, logprob), docs with < 2 tokens
+    dropped.
+
+    Scale: one corpus pass counts unigrams (vocab-sized) and one
+    counts bigrams (bigram-vocab-sized, partially aggregated); both
+    tables broadcast back onto the doc's transition stream (swap the
+    bigram broadcast for a shuffle join when a deployment's bigram
+    table outgrows executors), then one per-doc aggregation. The
+    explode lives inline with the projection that builds the bigram
+    array (generator-placement rule).
+    """
+    base = df.withColumn("_toks", tokens(text_col)).where(F.size("_toks") >= 2)
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - 2),
+            lambda i: F.struct(
+                F.element_at("_toks", (i + 1).cast("int")).alias("w1"),
+                F.element_at("_toks", (i + 2).cast("int")).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    occ = base.select(F.col(id_col), F.explode(bigrams).alias("_b")).select(
+        F.col(id_col), F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2")
+    )
+    uni = (
+        base.select(F.explode("_toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_cu"))
+    )
+    v = uni.agg(F.count(F.lit(1)).alias("_v"))
+    uni = uni.crossJoin(F.broadcast(v))
+    bi = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
+    lp = F.log((F.col("_cb") + 1) / (F.col("_cu") + F.col("_v")))
+    return (
+        occ.join(F.broadcast(bi), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (F.floor(F.avg(lp) * 10000) / 10000).alias("logprob"),
+        )
+    )

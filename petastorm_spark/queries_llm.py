@@ -1884,3 +1884,33 @@ def token_psi_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("source") != "web"),
         "text",
     )
+
+
+@register(
+    "bigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    docs2 AS (SELECT doc_id, t FROM tok WHERE len(t) >= 2),
+    occ AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+            FROM docs2, unnest(range(1, len(t))) AS u(i)),
+    uni AS (SELECT w1, count(*) AS cu FROM (SELECT unnest(t) AS w1 FROM docs2)
+            GROUP BY w1),
+    v AS (SELECT count(*) AS v FROM uni),
+    bi AS (SELECT w1, w2, count(*) AS cb FROM occ GROUP BY w1, w2)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(avg(ln((cb + 1.0) / (cu + v))) * 10000) / 10000 AS logprob
+    FROM occ JOIN bi USING (w1, w2) JOIN uni USING (w1), v
+    GROUP BY doc_id
+    """,
+)
+def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order LM-proxy quality: mean Laplace-smoothed bigram
+    transition log-likelihood per doc — flags word-salad text whose
+    unigram profile looks normal. Scale: two corpus-vocab aggregates
+    broadcast onto the transition stream; see
+    operators/sampling_extra.bigram_logprob."""
+    from petastorm_spark.operators.sampling_extra import bigram_logprob
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob(d, "text", "doc_id")

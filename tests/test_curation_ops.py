@@ -203,3 +203,28 @@ def test_token_psi_detects_shift_and_is_zero_for_identical(spark):
     assert all(
         r["psi_term"] >= -1e-6 for r in token_psi(a, b, "text").collect()
     )
+
+
+def test_bigram_logprob_flags_word_salad(spark):
+    import math
+
+    from petastorm_spark.operators.sampling_extra import bigram_logprob
+
+    # natural docs repeat transitions; the salad doc uses the same
+    # tokens in transitions never seen elsewhere
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "the cat sat on the mat"),
+        (4, "mat the on sat cat the"),  # scrambled: same unigrams
+        (5, "x"),                        # < 2 tokens: dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_logprob(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_bigrams"] == 5
+    # scrambled doc scores strictly worse than every natural doc
+    assert out[4]["logprob"] < min(out[i]["logprob"] for i in (1, 2, 3)) - 0.3
+    # hand-check one transition: c('the cat')=3, c('the')=6... all docs
+    # with >=2 tokens count; spot value is finite and negative
+    assert math.isfinite(out[1]["logprob"]) and out[1]["logprob"] < 0

@@ -76,6 +76,7 @@ STUDY_QUERIES = [
     "cm_user_event_counts",
     "decontaminate_bloom",
     "token_psi_sources",
+    "bigram_logprob",
 ]
 
 
