@@ -89,6 +89,7 @@ HEADLINE = [
     "decontaminate_bloom",
     "token_psi_sources",
     "bigram_logprob",
+    "retention_cohorts",
 ]
 
 N_WARMUP_READS = 500

@@ -1914,3 +1914,42 @@ def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
     return bigram_logprob(d, "text", "doc_id")
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+               FROM events),
+    cohort AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY user_id),
+    act AS (SELECT DISTINCT e.user_id, cwk, wk - cwk AS offset_wk
+            FROM e JOIN cohort USING (user_id))
+    SELECT cwk AS cohort_week,
+           offset_wk,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act GROUP BY cohort_week, offset_wk
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted for every later week they return — THE product-analytics
+    rollup. Scale: one user-keyed aggregate for cohorts, one user-key
+    join back (both sides shuffle on user once; the cohort table is
+    |users|-sized), distinct + count partially aggregated. Weeks via
+    integer `div` on epoch-us (exact, layout-robust)."""
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    wk = F.expr(f"ts_us div {7 * 86400 * 1000000}")
+    e = ev.withColumn("ts_us", events_ts_us(ev)).select(
+        "user_id", wk.alias("wk")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("wk").alias("cwk"))
+    act = (
+        e.join(cohort, "user_id")
+        .select("user_id", "cwk", (F.col("wk") - F.col("cwk")).alias("offset_wk"))
+        .distinct()
+    )
+    return act.groupBy(
+        F.col("cwk").alias("cohort_week"), "offset_wk"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))

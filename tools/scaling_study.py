@@ -77,6 +77,7 @@ STUDY_QUERIES = [
     "decontaminate_bloom",
     "token_psi_sources",
     "bigram_logprob",
+    "retention_cohorts",
 ]
 
 
