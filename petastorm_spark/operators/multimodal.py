@@ -274,3 +274,74 @@ def image_dup_pairs(
     )
     hamming = F2.bit_count(F2.col("sig_a").bitwiseXOR(F2.col("sig_b")))
     return cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+
+
+def video_fingerprint60(arr: np.ndarray) -> int:
+    """60-bit temporal fingerprint of a (T,H,W[,C]) video array: the
+    per-frame mean-brightness sequence, block-resampled to 61 points,
+    bit i = level[i] < level[i+1] — the time-axis twin of the image
+    dHash (brightness-shift invariant; re-encoding and spatial noise
+    barely move frame means). Trims/speed changes alter it — by
+    design: those are different videos."""
+    a = np.asarray(arr, dtype=np.float64)
+    frames = a.reshape(a.shape[0], -1).mean(axis=1)
+    n = len(frames)
+    n_pts = 61
+    if n < n_pts:
+        frames = np.pad(frames, (0, n_pts - n), mode="edge")
+        n = n_pts
+    edges = (np.arange(n_pts + 1) * n) // n_pts
+    lvl = np.array([frames[edges[i]:edges[i + 1]].mean() for i in range(n_pts)])
+    bits = lvl[:-1] < lvl[1:]
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def video_dup_pairs(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    hot_threshold: int = 1000,
+) -> DataFrame:
+    """Video near-dup pairs: temporal fingerprint + the same two-level
+    pigeonhole banded self-join as text/image/audio — all four
+    modalities reduce to 60-bit fingerprints and share the machinery.
+    Output: (id_a, id_b, hamming)."""
+    from pyspark.sql import functions as F2
+
+    from petastorm_spark.operators.dedup import simhash_pair_candidates
+
+    out_schema = StructType(
+        df.schema.fields + [StructField("simhash", LongType(), True)]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = []
+            for raw in pdf[binary_col]:
+                try:
+                    arr, _ = decode_image_bytes(bytes(raw))
+                    hs.append(
+                        video_fingerprint60(arr) if arr.ndim >= 3 else None
+                    )
+                except (NotImplementedError, ValueError):
+                    hs.append(None)
+            pdf["simhash"] = pd.array(hs, dtype="Int64")
+            yield pdf
+
+    sig = (
+        df.mapInPandas(kernel, schema=out_schema)
+        .where(F2.col("simhash").isNotNull())
+        .select(F2.col(id_col), F2.col("simhash"))
+    )
+    cand = simhash_pair_candidates(
+        sig, id_col, bits=60, bands=bands,
+        max_hamming=max_hamming, hot_threshold=hot_threshold,
+        prefilter_hamming=max_hamming,
+    )
+    hamming = F2.bit_count(F2.col("sig_a").bitwiseXOR(F2.col("sig_b")))
+    return cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))

@@ -1240,3 +1240,40 @@ def test_audio_dup_pairs_volume_invariant(spark):
         for r in audio_dup_pairs(df, "audio", "clip_id", max_hamming=3).collect()
     }
     assert pairs == {(1, 2): 0}
+
+
+def test_video_dup_pairs_temporal_fingerprint(spark):
+    import numpy as np
+
+    from petastorm_spark.operators.multimodal import (
+        encode_fake_image,
+        video_dup_pairs,
+        video_fingerprint60,
+    )
+
+    rng = np.random.default_rng(3)
+    t = np.arange(120)
+    # brightness ramps up and down over time: distinctive envelope
+    levels = 120 + 80 * np.sin(2 * np.pi * t / 60)
+    base = (
+        levels[:, None, None] + rng.integers(-10, 10, (120, 16, 16))
+    ).clip(0, 255).astype(np.uint8)
+    noisy = np.clip(
+        base.astype(int) + rng.integers(-4, 4, base.shape) + 9, 0, 255
+    ).astype(np.uint8)  # re-encode-ish noise + brightness shift
+    other = rng.integers(0, 255, (120, 16, 16)).astype(np.uint8)
+
+    assert video_fingerprint60(base) == video_fingerprint60(noisy)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_fake_image(base))),
+            (2, bytearray(encode_fake_image(noisy))),
+            (3, bytearray(encode_fake_image(other))),
+        ],
+        ["vid_id", "video"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in video_dup_pairs(df, "video", "vid_id", max_hamming=3).collect()
+    }
+    assert pairs == {(1, 2): 0}
