@@ -369,3 +369,66 @@ def rolling_zscore_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def contamination_bloom_stream(
+    train_stream: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    m: int = 1 << 20,
+    d: int = 3,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.dedup.contamination_bloom`:
+    the bounded-state leak monitor over an ingest feed. Here the
+    filter ships as an ACTUAL m-bit bitmap (a numpy bool broadcast
+    variable — the batch op's positions table, materialized once from
+    the static eval corpus), and membership is an Arrow-batched pandas
+    UDF, so the stream side has exactly ONE stateful operation (the
+    per-doc suspect count) — the batch op's two chained aggregations
+    would trip Spark's multi-stateful-operator correctness check.
+    Same seeded md5-prefix positions as the batch twin, so availableNow
+    reproduces contamination_bloom exactly, false positives included."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from petastorm_spark.operators.dedup import exploded_shingles, hash60
+
+    pos_df = exploded_shingles(eval_df, text_col, id_col, shingle_n)
+    positions = None
+    for r in range(d):
+        p = pos_df.select((hash60(F.col("sh"), seed=r) % m).alias("pos"))
+        positions = p if positions is None else positions.unionByName(p)
+    bitmap = np.zeros(m, dtype=bool)
+    bitmap[[row["pos"] for row in positions.distinct().collect()]] = True
+    bc = train_stream.sparkSession.sparkContext.broadcast(bitmap)
+
+    # NB: no type hints on the UDF body — the module's
+    # `from __future__ import annotations` stringifies them, which
+    # pandas_udf's hint inference rejects; the eval type is pinned by
+    # passing the plain function instead
+    def _is_suspect(sh):
+        bm = bc.value
+
+        def test(s):
+            for r in range(d):
+                h = int(
+                    hashlib.md5(f"{r}|{s}".encode()).hexdigest()[:15], 16
+                ) % m
+                if not bm[h]:
+                    return False
+            return True
+
+        return sh.map(test)
+
+    is_suspect = F.pandas_udf(_is_suspect, "boolean")
+
+    tr_sh = exploded_shingles(train_stream, text_col, id_col, shingle_n)
+    return (
+        tr_sh.where(is_suspect(F.col("sh")))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_suspect"))
+    )

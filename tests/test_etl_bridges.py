@@ -511,3 +511,39 @@ def test_streaming_rolling_zscore_matches_batch_anomalies(spark, sf_dir, events_
     assert set(got) == set(want)
     assert all(abs(got[k] - want[k]) <= 2e-4 for k in want)
     assert len(want) > 0
+
+
+def test_streaming_bloom_contamination_matches_batch(spark, sf_dir, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from petastorm_spark.operators.dedup import contamination_bloom
+    from petastorm_spark.streaming.feed import (
+        contamination_bloom_stream,
+        stream_dataset,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    d = str(tmp_path_factory.mktemp("bloomstream") / "train")
+    tr.write.parquet(d)
+
+    stream = stream_dataset(spark, d)
+    q = (
+        contamination_bloom_stream(stream, ev, "text", "doc_id", m=65536, d=3)
+        .writeStream.format("memory")
+        .queryName("bloom_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["n_suspect"])
+        for r in spark.table("bloom_stream").collect()
+    }
+    want = {
+        (r["doc_id"], r["n_suspect"])
+        for r in contamination_bloom(tr, ev, "text", "doc_id", m=65536, d=3).collect()
+    }
+    assert got == want and len(want) > 0
