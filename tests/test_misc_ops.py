@@ -161,3 +161,45 @@ def test_cm_sketch_upper_bound_and_merge(spark):
 
     with pytest.raises(ValueError):
         cm_sketch(df, "k", w=1)
+
+
+def test_sql_functions_match_column_factories(spark, sf_dir):
+    """The ps_* SQL functions give bit-identical results to the
+    Column-factory implementations they mirror."""
+    from pyspark.sql import functions as F
+
+    from petastorm_spark.operators import text as T
+    from petastorm_spark.predicates import md5_fraction
+    from petastorm_spark.sql import register_sql_functions, register_tables
+
+    names = register_sql_functions(spark)
+    assert "ps_quality" in names
+    register_tables(spark, sf_dir, ["documents"])
+
+    via_sql = spark.sql("""
+        SELECT doc_id, ps_token_count(text) AS n, ps_quality(text) AS q,
+               ps_detect_language(text) AS lang, ps_fingerprint(text) AS fp,
+               ps_scrub_pii(text) AS scrubbed,
+               ps_md5_fraction(cast(doc_id AS STRING)) AS frac
+        FROM documents
+    """).collect()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    via_col = d.select(
+        "doc_id",
+        T.token_count("text").alias("n"),
+        T.quality_score("text").alias("q"),
+        T.detect_language("text").alias("lang"),
+        T.fingerprint("text").alias("fp"),
+        T.scrub_pii("text").alias("scrubbed"),
+        md5_fraction(F.col("doc_id")).alias("frac"),
+    ).collect()
+    a = {r["doc_id"]: r for r in via_sql}
+    b = {r["doc_id"]: r for r in via_col}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["n"] == b[k]["n"]
+        assert a[k]["q"] == b[k]["q"]  # bit-identical doubles
+        assert a[k]["lang"] == b[k]["lang"]
+        assert a[k]["fp"] == b[k]["fp"]
+        assert a[k]["scrubbed"] == b[k]["scrubbed"]
+        assert a[k]["frac"] == b[k]["frac"]
