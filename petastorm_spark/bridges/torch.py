@@ -165,3 +165,80 @@ class InMemBatchedDataLoader:
                 yield {
                     k: _to_tensor(_sanitize(v[idx])) for k, v in self._data.items()
                 }
+
+
+class LengthBucketedLoader:
+    """Padding-efficient batching for variable-length fields: rows from
+    a row-Reader are routed into length buckets (``boundaries`` give
+    the bucket upper edges, like tf's bucket_by_sequence_length) and a
+    batch is emitted whenever any bucket reaches ``batch_size`` — so
+    each emitted batch holds similar-length rows and the padded-token
+    waste of mixed-length batches disappears. Remainder batches flush
+    in bucket order at exhaustion; every row is emitted exactly once
+    (completeness tested).
+
+    The variable-length field is padded to the batch max with
+    ``pad_value`` and an ``<field>_len`` vector carries the true
+    lengths. Works on plain numpy (torch optional, like the rest of
+    this bridge). Memory is bounded by
+    ``len(boundaries)+1 * batch_size`` buffered rows.
+    """
+
+    def __init__(
+        self,
+        reader,
+        length_field: str,
+        boundaries: list[int],
+        batch_size: int = 32,
+        pad_value=0,
+    ):
+        if sorted(boundaries) != list(boundaries) or not boundaries:
+            raise ValueError(f"boundaries must be ascending, got {boundaries}")
+        self.reader = reader
+        self.length_field = length_field
+        self.boundaries = list(boundaries)
+        self.batch_size = batch_size
+        self.pad_value = pad_value
+
+    def _bucket(self, n: int) -> int:
+        for i, b in enumerate(self.boundaries):
+            if n <= b:
+                return i
+        return len(self.boundaries)
+
+    def _emit(self, rows: list[dict]):
+        keys = list(rows[0])
+        out = {}
+        f = self.length_field
+        lens = np.array([len(np.atleast_1d(r[f])) for r in rows], dtype=np.int64)
+        m = int(lens.max())
+        padded = np.full((len(rows), m), self.pad_value)
+        for i, r in enumerate(rows):
+            v = np.atleast_1d(r[f])
+            padded[i, : len(v)] = v
+        out[f] = _to_tensor(_sanitize(padded))
+        out[f + "_len"] = _to_tensor(lens)
+        for k in keys:
+            if k == f:
+                continue
+            out[k] = _to_tensor(_sanitize(np.asarray([r[k] for r in rows])))
+        return out
+
+    def __iter__(self):
+        buckets: list[list[dict]] = [[] for _ in range(len(self.boundaries) + 1)]
+        for row in self.reader:
+            d = row._asdict() if hasattr(row, "_asdict") else dict(row)
+            b = self._bucket(len(np.atleast_1d(d[self.length_field])))
+            buckets[b].append(d)
+            if len(buckets[b]) >= self.batch_size:
+                yield self._emit(buckets[b])
+                buckets[b] = []
+        for rows in buckets:
+            if rows:
+                yield self._emit(rows)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.reader.close()

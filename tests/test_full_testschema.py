@@ -172,3 +172,45 @@ def test_shuffling_buffer_uniform_and_complete():
     assert all(v < 50 + i + 1 for i, v in enumerate(out[:100]))
     # the buffer actually fills to capacity before the first yield
     assert max(out[:10]) > 10  # a min-window-only buffer could not reach here
+
+
+def test_length_bucketed_loader_groups_and_is_complete():
+    from collections import namedtuple
+
+    import numpy as np
+
+    from petastorm_spark.bridges.torch import LengthBucketedLoader
+
+    Row = namedtuple("Row", ["rid", "toks"])
+    rng = np.random.default_rng(5)
+    rows = [
+        Row(i, np.arange(int(n)) + 1)
+        for i, n in enumerate(rng.integers(1, 40, 200))
+    ]
+
+    class FakeReader:
+        def __iter__(self):
+            return iter(rows)
+
+        def close(self):
+            pass
+
+    with LengthBucketedLoader(
+        FakeReader(), "toks", boundaries=[8, 16, 24], batch_size=16, pad_value=0
+    ) as loader:
+        seen = []
+        for batch in loader:
+            lens = batch["toks_len"]
+            seen.extend(batch["rid"].tolist())
+            # all rows in a full batch share a bucket: spread <= bucket width
+            assert batch["toks"].shape[1] == lens.max()
+            # padding correct: zeros beyond each row's length
+            for i, n in enumerate(lens):
+                assert (batch["toks"][i, int(n):] == 0).all()
+                assert (batch["toks"][i, : int(n)] > 0).all()
+        assert sorted(seen) == list(range(200))  # complete, exactly once
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        LengthBucketedLoader(FakeReader(), "toks", boundaries=[16, 8])
