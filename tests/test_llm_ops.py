@@ -1277,3 +1277,25 @@ def test_video_dup_pairs_temporal_fingerprint(spark):
         for r in video_dup_pairs(df, "video", "vid_id", max_hamming=3).collect()
     }
     assert pairs == {(1, 2): 0}
+
+
+def test_connected_components_local_and_distributed_agree(spark):
+    from petastorm_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (one component), pair 10-11, singleton-free
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    local = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    want = {
+        (1, 1, 4), (2, 1, 4), (3, 1, 4), (4, 1, 4),
+        (10, 10, 2), (11, 10, 2),
+    }
+    assert local == want and dist == want
