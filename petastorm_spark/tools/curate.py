@@ -1,0 +1,107 @@
+"""Corpus-curation CLI: run the full curate_corpus pipeline (exact
+dedup -> optional near-dedup -> optional span excision -> quality
+floor -> per-source cap -> PII scrub) over a parquet corpus and write
+the curated output plus a per-stage attrition report.
+
+    python -m petastorm_spark.tools.curate SRC DST \\
+        --text-col text --id-col doc_id \\
+        --quality-floor 0.8 --strata-col source --max-per-stratum 10000 \\
+        --near-dedup --excise-spans --report DST_report
+
+The curated output is written with ``materialize_dataset`` so it is a
+first-class engine dataset (sidecar + petastorm-compatible metadata)
+readable by ``make_reader`` / ``make_batch_reader`` for training.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+from petastorm_spark.etl.dataset_metadata import materialize_dataset
+from petastorm_spark.operators.pipeline import curate_corpus, curation_report
+from petastorm_spark.unischema import Unischema
+
+
+def curate(
+    spark: SparkSession,
+    source_url: str,
+    target_url: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_floor: float = 0.8,
+    quality_frac: float | None = None,
+    strata_col: str | None = None,
+    max_per_stratum: int | None = None,
+    near_dedup: bool = False,
+    excise_spans: bool = False,
+    report_url: str | None = None,
+    row_group_size_mb: int | None = None,
+) -> dict[str, int]:
+    """Run the pipeline and write DST (+ optional report parquet).
+    Returns the attrition counts per stage."""
+    df = spark.read.parquet(source_url)
+    stages = curate_corpus(
+        df,
+        text_col,
+        id_col,
+        quality_floor=quality_floor,
+        quality_frac=quality_frac,
+        strata_col=strata_col,
+        max_per_stratum=max_per_stratum,
+        near_dedup=near_dedup,
+        excise_spans=excise_spans,
+    )
+    out = stages["output"]
+    schema = Unischema.from_spark_schema(out.schema)
+    with materialize_dataset(spark, target_url, schema, row_group_size_mb):
+        out.write.mode("errorifexists").parquet(target_url)
+    report = curation_report(stages)
+    if report_url:
+        report.write.mode("errorifexists").parquet(report_url)
+    return {
+        r["stage"]: r["n_rows"]
+        for r in report.orderBy("stage_idx").collect()
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("source_url")
+    p.add_argument("target_url")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--quality-floor", type=float, default=0.8)
+    p.add_argument("--quality-frac", type=float, default=None)
+    p.add_argument("--strata-col", default=None)
+    p.add_argument("--max-per-stratum", type=int, default=None)
+    p.add_argument("--near-dedup", action="store_true")
+    p.add_argument("--excise-spans", action="store_true")
+    p.add_argument("--report", dest="report_url", default=None)
+    p.add_argument("--row-group-size-mb", type=int, default=None)
+    a = p.parse_args()
+    from petastorm_spark.session import get_spark
+
+    spark = get_spark("curate_cli")
+    counts = curate(
+        spark,
+        a.source_url,
+        a.target_url,
+        text_col=a.text_col,
+        id_col=a.id_col,
+        quality_floor=a.quality_floor,
+        quality_frac=a.quality_frac,
+        strata_col=a.strata_col,
+        max_per_stratum=a.max_per_stratum,
+        near_dedup=a.near_dedup,
+        excise_spans=a.excise_spans,
+        report_url=a.report_url,
+        row_group_size_mb=a.row_group_size_mb,
+    )
+    for stage, n in counts.items():
+        print(f"{stage}: {n}")
+
+
+if __name__ == "__main__":
+    main()

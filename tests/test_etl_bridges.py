@@ -547,3 +547,28 @@ def test_streaming_bloom_contamination_matches_batch(spark, sf_dir, tmp_path_fac
         for r in contamination_bloom(tr, ev, "text", "doc_id", m=65536, d=3).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_curate_cli_writes_dataset_and_report(spark, sf_dir, tmp_path):
+    from petastorm_spark.reader import make_batch_reader
+    from petastorm_spark.tools.curate import curate
+
+    src = f"{sf_dir}/documents.parquet"
+    dst = str(tmp_path / "curated")
+    rep = str(tmp_path / "report")
+    counts = curate(
+        spark, src, dst,
+        quality_floor=0.0,  # keep quality non-destructive on tiny corpus
+        strata_col="source",
+        max_per_stratum=20,
+        report_url=rep,
+    )
+    assert counts["input"] == 500
+    assert counts["output"] == counts["capped"] <= 20 * 20
+    assert counts["dedup"] <= counts["input"]
+    # curated output is a first-class engine dataset: readable by the
+    # iteration tier
+    with make_batch_reader(f"file://{dst}") as r:
+        n = sum(len(b.doc_id) for b in r)
+    assert n == counts["output"]
+    assert spark.read.parquet(rep).count() == len(counts)
