@@ -90,6 +90,7 @@ HEADLINE = [
     "token_psi_sources",
     "bigram_logprob",
     "retention_cohorts",
+    "overlap_campaign_maintenance",
 ]
 
 N_WARMUP_READS = 500

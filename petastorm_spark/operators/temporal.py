@@ -287,3 +287,60 @@ def funnel_steps(
         st["d"].cast("bigint").alias("funnel_depth"),
         *[st[f"t{i}"].alias(f"t_step{i}") for i in range(1, n + 1)],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval x interval OVERLAP join (half-open [start, end)) as a
+    bin-bucketed equi-join — the two-sided sibling of
+    :func:`range_join_binned`. Spark plans the raw theta join
+    (``ls < re AND rs < le``) as a nested loop; here each side
+    explodes its interval into the time bins it covers and pairs meet
+    on an equi bin key, hash-partitionable on BOTH sides.
+
+    Each overlapping pair is emitted EXACTLY ONCE with no distinct
+    pass: a pair is accepted only in the overlap's first bin,
+    ``floor(max(l_start, r_start) / bin_width)`` — a bin both sides
+    necessarily cover (same first-match idea as the simhash minimal
+    band). Inverted intervals (end <= start) are dropped before the
+    explode; binning uses exact integer ``div``. Output: all left
+    columns + all right columns (names must be disjoint).
+
+    Scale: exchanges are on the 8-byte bin key; per-bin pair work is
+    quadratic only within a bin, so pick ``bin_width`` near the median
+    interval length (the standard interval-join granularity trade).
+    """
+    overlap_cols = set(left.columns) & set(right.columns)
+    if overlap_cols:
+        raise ValueError(f"column names must be disjoint, shared: {overlap_cols}")
+
+    def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        b0 = F.expr(f"{s} div {bin_width}")
+        b1 = F.expr(f"({e} - 1) div {bin_width}")
+        return (
+            df.where(F.col(e) > F.col(s))
+            .withColumn("_bin", F.explode(F.sequence(b0, b1)))
+        )
+
+    a = binned(left, l_start, l_end)
+    b = binned(right, r_start, r_end).withColumnRenamed("_bin", "_binr")
+    first_bin = F.expr(
+        f"greatest({l_start}, {r_start}) div {bin_width}"
+    )
+    out = (
+        a.join(b, a["_bin"] == b["_binr"])
+        .where(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+            & (F.col("_bin") == first_bin)
+        )
+        .drop("_bin", "_binr")
+    )
+    return out

@@ -1953,3 +1953,61 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy(
         F.col("cwk").alias("cohort_week"), "offset_wk"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+@register(
+    "overlap_campaign_maintenance",
+    oracle="""
+    WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),
+    a AS (SELECT DISTINCT (ts_us // 86400000000) * 86400000000 AS a_start,
+                 (ts_us // 86400000000) * 86400000000 + 43200000000 AS a_end
+          FROM e WHERE (ts_us // 86400000000) % 3 = 0),
+    b AS (SELECT DISTINCT (ts_us // 86400000000) * 86400000000 + 7200000000 AS b_start,
+                 (ts_us // 86400000000) * 86400000000 + 36000000000 AS b_end
+          FROM e WHERE (ts_us // 86400000000) % 2 = 0)
+    SELECT a_start, b_start,
+           CAST(least(a_end, b_end) - greatest(a_start, b_start) AS BIGINT)
+             AS overlap_us
+    FROM a JOIN b ON a_start < b_end AND b_start < a_end
+    """,
+)
+def overlap_campaign_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join: 12-hour campaign windows
+    (every 3rd day) against 2am-10am maintenance windows (every 2nd
+    day), with the overlap duration — planned as a bin-bucketed
+    equi-join emitting each pair exactly once from the overlap's first
+    bin (never Spark's nested-loop theta join). Oracle: DuckDB theta
+    join. See operators/temporal.py:interval_overlap_join."""
+    from petastorm_spark.operators.temporal import interval_overlap_join
+    from petastorm_spark.session import events_ts_us
+
+    DAY = 86_400_000_000
+    H = 3_600_000_000
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", events_ts_us(ev)).select("ts_us")
+    day = (F.expr(f"ts_us div {DAY}") * DAY).cast("bigint")
+    a = (
+        ev.where(F.expr(f"(ts_us div {DAY}) % 3 = 0"))
+        .select(day.alias("a_start"))
+        .distinct()
+        .withColumn("a_end", (F.col("a_start") + 12 * H).cast("bigint"))
+    )
+    b = (
+        ev.where(F.expr(f"(ts_us div {DAY}) % 2 = 0"))
+        .select(day.alias("b_start"))
+        .distinct()
+        .select(
+            (F.col("b_start") + 2 * H).cast("bigint").alias("b_start"),
+            (F.col("b_start") + 10 * H).cast("bigint").alias("b_end"),
+        )
+    )
+    joined = interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", bin_width=6 * H
+    )
+    return joined.select(
+        "a_start",
+        "b_start",
+        (
+            F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+        ).cast("bigint").alias("overlap_us"),
+    )

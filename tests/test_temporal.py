@@ -297,3 +297,33 @@ def test_funnel_steps_hand_computed(spark):
 
     with pytest.raises(ValueError):
         funnel_steps(df, "user_id", "ts", "event_type", steps=[])
+
+
+def test_interval_overlap_join_exact_once_and_no_nested_loop(spark):
+    from petastorm_spark.operators.temporal import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 100), (2, 200, 300), (3, 400, 390)],  # 3rd inverted: dropped
+        ["aid", "a_s", "a_e"],
+    )
+    b = spark.createDataFrame(
+        [(10, 50, 250),   # overlaps 1 and 2
+         (11, 95, 105),   # overlaps 1 only (crosses a bin edge)
+         (12, 300, 310),  # touches 2's end: half-open -> NO overlap
+         (13, 1000, 1100)],
+        ["bid", "b_s", "b_e"],
+    )
+    out = interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", bin_width=10)
+    pairs = sorted((r["aid"], r["bid"]) for r in out.collect())
+    assert pairs == [(1, 10), (1, 11), (2, 10)]  # each exactly once
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        interval_overlap_join(
+            a.withColumnRenamed("aid", "x"),
+            b.withColumnRenamed("bid", "x"),
+            "a_s", "a_e", "b_s", "b_e", 10,
+        )

@@ -78,6 +78,7 @@ STUDY_QUERIES = [
     "token_psi_sources",
     "bigram_logprob",
     "retention_cohorts",
+    "overlap_campaign_maintenance",
 ]
 
 
