@@ -91,6 +91,7 @@ HEADLINE = [
     "bigram_logprob",
     "retention_cohorts",
     "overlap_campaign_maintenance",
+    "skew_report_sources",
 ]
 
 N_WARMUP_READS = 500

@@ -1,0 +1,89 @@
+"""Scale-engineering diagnostics: the measurements you run BEFORE a
+100 TB job, not after it dies.
+
+``key_skew_report`` answers the question every shuffle plan hangs on —
+"is this join/aggregation key skewed, and by how much?" — cheaply
+enough to run as a pre-flight: one partially-aggregated count shuffle,
+key-cardinality-sized state, driver sees only the top-N rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top_n: int = 20
+) -> DataFrame:
+    """Per-key skew profile of a prospective shuffle key: the ``top_n``
+    heaviest keys with their row share and cumulative share, plus the
+    key-distribution entropy ratio (1.0 = perfectly uniform; near 0 =
+    one key owns the data) and total key count stamped on every row.
+
+    Read it like a pre-flight check: ``max frac`` >> 1/shuffle-
+    partitions means the heaviest key bottlenecks one task (salt it or
+    rely on AQE skew-join); a low ``entropy_ratio`` says the whole key
+    choice is wrong, not just one value.
+
+    Output (one row per top key, heaviest first):
+      (rank, key, n_rows, frac, cum_frac, n_keys, entropy_ratio)
+    floor-scaled to 1e-4. Deterministic: ties break on the key string.
+
+    Scale: ONE partially-aggregated count shuffle (state = distinct
+    keys); the entropy and totals are a second aggregate over that
+    key-sized table; ranking happens on the key-sized table too, so
+    nothing row-scale ever reaches a single task or the driver.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    from pyspark.sql import Window
+
+    cnt = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    tot = cnt.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        # H = log(total) - sum(n*log n)/total, in nats
+        (
+            F.log(F.sum("n_rows"))
+            - F.sum(F.col("n_rows") * F.log("n_rows")) / F.sum("n_rows")
+        ).alias("_h"),
+    )
+    # two-phase top-N (cap_per_group's pattern): a partition-local rank
+    # discards beyond-N keys map-side, so the single-task global sort
+    # sees at most top_n * num_partitions rows even when the key space
+    # is web-scale (urls, user ids)
+    local = Window.partitionBy("_pid").orderBy(
+        F.col("n_rows").desc(), F.col("key").asc()
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    ranked = (
+        cnt.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(local))
+        .where(F.col("_lr") <= top_n)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .drop("_pid", "_lr")
+        .crossJoin(F.broadcast(tot))
+    )
+    frac = F.col("n_rows") / F.col("_total")
+    cum = F.sum("n_rows").over(
+        Window.orderBy(F.col("rank")).rowsBetween(Window.unboundedPreceding, 0)
+    ) / F.col("_total")
+    f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    ent_ratio = F.when(
+        F.col("n_keys") > 1, F.col("_h") / F.log(F.col("n_keys"))
+    ).otherwise(F.lit(0.0))
+    return ranked.select(
+        "rank",
+        "key",
+        "n_rows",
+        f4(frac).alias("frac"),
+        f4(cum).alias("cum_frac"),
+        "n_keys",
+        f4(ent_ratio).alias("entropy_ratio"),
+    )

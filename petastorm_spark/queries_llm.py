@@ -2011,3 +2011,36 @@ def overlap_campaign_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
         ).cast("bigint").alias("overlap_us"),
     )
+
+
+@register(
+    "skew_report_sources",
+    oracle="""
+    WITH cnt AS (SELECT source AS key, count(*) AS n_rows
+                 FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_rows) AS total, count(*) AS n_keys,
+                   ln(sum(n_rows)) - sum(n_rows * ln(n_rows)) / sum(n_rows) AS h
+            FROM cnt),
+    ranked AS (SELECT key, n_rows,
+                      row_number() OVER (ORDER BY n_rows DESC, key) AS rank
+               FROM cnt QUALIFY rank <= 10)
+    SELECT rank, key, n_rows,
+           floor(n_rows * 1.0 / total * 10000) / 10000 AS frac,
+           floor(sum(n_rows) OVER (ORDER BY rank) * 1.0 / total * 10000) / 10000
+             AS cum_frac,
+           n_keys,
+           floor(CASE WHEN n_keys > 1 THEN h / ln(n_keys) ELSE 0.0 END
+                 * 10000) / 10000 AS entropy_ratio
+    FROM ranked, tot
+    """,
+)
+def skew_report_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight shuffle-key skew profile of documents.source: top-10
+    heaviest keys with shares + the key-distribution entropy ratio —
+    the measurement that decides salting / AQE-skew handling BEFORE a
+    100 TB join. See operators/diagnostics.py:key_skew_report."""
+    from petastorm_spark.operators.diagnostics import key_skew_report
+
+    return key_skew_report(
+        _t(spark, sf_dir, "documents"), "source", top_n=10
+    )

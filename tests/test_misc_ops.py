@@ -203,3 +203,30 @@ def test_sql_functions_match_column_factories(spark, sf_dir):
         assert a[k]["fp"] == b[k]["fp"]
         assert a[k]["scrubbed"] == b[k]["scrubbed"]
         assert a[k]["frac"] == b[k]["frac"]
+
+
+def test_key_skew_report_detects_hot_key(spark):
+    from petastorm_spark.operators.diagnostics import key_skew_report
+
+    rows = [("hot",)] * 900 + [(f"k{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, ["k"])
+    rep = key_skew_report(df, "k", top_n=5).collect()
+    assert len(rep) == 5
+    top = rep[0]
+    assert top["rank"] == 1 and top["key"] == "hot"
+    assert top["frac"] == 0.9 and top["n_keys"] == 101
+    # heavily skewed -> entropy ratio well below 1
+    assert top["entropy_ratio"] < 0.3
+    # cumulative share is monotone
+    cums = [r["cum_frac"] for r in rep]
+    assert cums == sorted(cums)
+
+    # uniform key -> entropy ratio ~1
+    uni = spark.createDataFrame([(f"k{i % 50}",) for i in range(1000)], ["k"])
+    r2 = key_skew_report(uni, "k", top_n=3).collect()[0]
+    assert r2["entropy_ratio"] > 0.99
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        key_skew_report(df, "k", top_n=0)

@@ -79,6 +79,7 @@ STUDY_QUERIES = [
     "bigram_logprob",
     "retention_cohorts",
     "overlap_campaign_maintenance",
+    "skew_report_sources",
 ]
 
 
