@@ -92,6 +92,7 @@ HEADLINE = [
     "retention_cohorts",
     "overlap_campaign_maintenance",
     "skew_report_sources",
+    "token_cost_bpe",
 ]
 
 N_WARMUP_READS = 500

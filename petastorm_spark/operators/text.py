@@ -466,3 +466,20 @@ def token_psi(
         f6(p_b).alias("p_b"),
         f6(psi).alias("psi_term"),
     )
+
+
+# BPE-style pre-tokenizer regex, written to the Java-regex / RE2
+# common subset (no lookahead — RE2 rejects GPT-2's (?!\S); ASCII
+# classes so both engines agree byte-for-byte). Splits words,
+# numbers, punctuation runs, and whitespace the way byte-pair
+# tokenizers pre-segment — counts land within a few % of a real BPE
+# vocab's, close enough for cost estimation and length bucketing.
+BPE_SPLIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_count_bpe(text_col) -> Column:
+    """BPE-style token count: matches of :data:`BPE_SPLIT_PATTERN` —
+    the training-cost estimator (whitespace counts undercount code /
+    punctuation-heavy text badly). Pure JVM regexp, zero shuffle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))

@@ -2044,3 +2044,37 @@ def skew_report_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(
         _t(spark, sf_dir, "documents"), "source", top_n=10
     )
+
+
+@register(
+    "token_cost_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+             AS BIGINT) AS n_bpe_tokens,
+           floor(length(text) * 1.0
+                 / len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+                 * 10000) / 10000 AS chars_per_token
+    FROM documents
+    """,
+)
+def token_cost_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-cost estimation: whitespace vs BPE-style token counts
+    per doc plus chars-per-token (tokenizer fertility) — the numbers a
+    data budget is planned in. The split regex lives in the
+    Java-regex/RE2 common subset so both engines count identically.
+    Pure map, zero shuffle."""
+    from petastorm_spark.operators.text import token_count, token_count_bpe
+
+    d = _t_wide(spark, sf_dir, "documents")
+    bpe = token_count_bpe("text")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_ws_tokens"),
+        bpe.cast("bigint").alias("n_bpe_tokens"),
+        (F.floor(F.length("text") / bpe * 10000) / 10000).alias(
+            "chars_per_token"
+        ),
+    )

@@ -228,3 +228,26 @@ def test_bigram_logprob_flags_word_salad(spark):
     # hand-check one transition: c('the cat')=3, c('the')=6... all docs
     # with >=2 tokens count; spot value is finite and negative
     assert math.isfinite(out[1]["logprob"]) and out[1]["logprob"] < 0
+
+
+def test_token_count_bpe_counts_punctuation_runs(spark):
+    from petastorm_spark.operators.text import token_count, token_count_bpe
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain words here"),                 # ws 3 / bpe 3
+            (2, "def f(x): return x+1  # comment"),  # code: bpe >> ws
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["ws"], r["bpe"])
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("ws"),
+            token_count_bpe("text").alias("bpe"),
+        ).collect()
+    }
+    assert out[1] == (3, 3)
+    ws2, bpe2 = out[2]
+    assert ws2 == 6 and bpe2 > ws2  # punctuation splits inflate BPE count

@@ -80,6 +80,7 @@ STUDY_QUERIES = [
     "retention_cohorts",
     "overlap_campaign_maintenance",
     "skew_report_sources",
+    "token_cost_bpe",
 ]
 
 
