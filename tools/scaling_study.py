@@ -178,8 +178,9 @@ def main() -> None:
         "- Sub-linear growth for 10x data means fixed scheduling/JVM costs",
         "  still dominate at 6M rows; the small marginal per-row cost is",
         "  what carries to 100 TB.",
-        "- PAIR-EMITTING dedup ops (minhash_lsh, simhash_pairs,",
-        "  near_pairs, embedding_pairs) are OUTPUT-bound on this fixture:",
+        "- PAIR-EMITTING dedup ops (minhash_lsh, simhash_pairs, near_pairs,",
+        "  embedding_pairs, containment_pairs, edit_pairs) are",
+        "  OUTPUT-bound on this fixture:",
         "  replicating the corpus 10x gives every text 20 exact copies",
         "  (10 replicas x the query's own dup-union), so the TRUE answer",
         "  grows quadratically in the copy count — compare the rows-out",
