@@ -93,6 +93,7 @@ HEADLINE = [
     "overlap_campaign_maintenance",
     "skew_report_sources",
     "token_cost_bpe",
+    "value_psi_weekly",
 ]
 
 N_WARMUP_READS = 500

@@ -483,3 +483,59 @@ def token_count_bpe(text_col) -> Column:
     punctuation-heavy text badly). Pure JVM regexp, zero shuffle."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+
+
+def numeric_psi(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Numeric drift: per-bin PSI terms of a numeric column between
+    two snapshots over FIXED bins ([lo, hi) split into ``n_bins``
+    equal widths, plus underflow bin -1 and overflow bin ``n_bins``) —
+    fixed edges deliberately: quantile-derived edges move with the
+    data and hide exactly the drift being measured. Same +0.5
+    smoothing and sum(psi_term) semantics as :func:`token_psi`.
+    Output: (bin, p_a, p_b, psi_term), floor-scaled 1e-6.
+
+    Scale: two map-side bin assignments + two (n_bins+2)-row counts,
+    one tiny outer join — nothing row-scale shuffles.
+    """
+    if not hi > lo or n_bins < 1:
+        raise ValueError(f"need hi > lo and n_bins >= 1, got {lo=} {hi=} {n_bins=}")
+    width = (hi - lo) / n_bins
+
+    def bins(df: DataFrame, name: str) -> DataFrame:
+        c = F.col(value_col) if isinstance(value_col, str) else value_col
+        b = (
+            F.when(c < lo, F.lit(-1))
+            .when(c >= hi, F.lit(n_bins))
+            .otherwise(F.floor((c - lo) / width).cast("int"))
+        )
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    a = bins(df_a, "_ca")
+    b = bins(df_b, "_cb")
+    joined = a.join(b, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("_ca", F.lit(0)).alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).alias("_cb"),
+    )
+    totals = joined.agg(
+        F.sum("_ca").alias("_na"),
+        F.sum("_cb").alias("_nb"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    p_a = (F.col("_ca") + 0.5) / (F.col("_na") + 0.5 * F.col("_v"))
+    p_b = (F.col("_cb") + 0.5) / (F.col("_nb") + 0.5 * F.col("_v"))
+    psi = (p_a - p_b) * F.log(p_a / p_b)
+    f6 = lambda c: F.floor(c * 1000000) / 1000000  # noqa: E731
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bin", f6(p_a).alias("p_a"), f6(p_b).alias("p_b"),
+        f6(psi).alias("psi_term"),
+    )

@@ -2078,3 +2078,51 @@ def token_cost_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+@register(
+    "value_psi_weekly",
+    oracle="""
+    WITH e AS (SELECT value, epoch_us(ts) // 604800000000 AS wk FROM events),
+    w0 AS (SELECT min(wk) AS w FROM e),
+    binner AS (SELECT value,
+                      CASE WHEN value < 0 THEN -1
+                           WHEN value >= 100 THEN 10
+                           ELSE CAST(floor(value / 10) AS INT) END AS bin,
+                      wk FROM e),
+    ca AS (SELECT bin, count(*) AS ca FROM binner, w0 WHERE wk = w GROUP BY bin),
+    cb AS (SELECT bin, count(*) AS cb FROM binner, w0 WHERE wk > w GROUP BY bin),
+    j AS (SELECT COALESCE(ca.bin, cb.bin) AS bin,
+                 COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+          FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM j)
+    SELECT bin,
+           floor((ca + 0.5) / (na + 0.5 * v) * 1000000) / 1000000 AS p_a,
+           floor((cb + 0.5) / (nb + 0.5 * v) * 1000000) / 1000000 AS p_b,
+           floor(((ca + 0.5) / (na + 0.5 * v) - (cb + 0.5) / (nb + 0.5 * v))
+                 * ln(((ca + 0.5) / (na + 0.5 * v)) / ((cb + 0.5) / (nb + 0.5 * v)))
+                 * 1000000) / 1000000 AS psi_term
+    FROM j, tot
+    """,
+)
+def value_psi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric drift monitor: PSI of the events value distribution,
+    first week vs the rest, over fixed [0,100) deciles — the
+    "did this metric's distribution move" pre-flight for any ingest.
+    See operators/text.py:numeric_psi."""
+    from petastorm_spark.operators.text import numeric_psi
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", events_ts_us(ev)).withColumn(
+        "wk", F.expr("ts_us div 604800000000")
+    )
+    w0 = ev.agg(F.min("wk").alias("w")).collect()[0]["w"]
+    return numeric_psi(
+        ev.where(F.col("wk") == w0),
+        ev.where(F.col("wk") > w0),
+        "value",
+        lo=0.0,
+        hi=100.0,
+        n_bins=10,
+    )

@@ -432,3 +432,72 @@ def contamination_bloom_stream(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_suspect"))
     )
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of :func:`operators.temporal.funnel_steps`: live
+    per-user funnel progression with the SAME strictly-after fold,
+    state = one (depth, t_step1..N) struct per user in the state
+    store. Emits each user's current row per micro-batch (update
+    mode); an availableNow run over a static directory reproduces the
+    batch operator exactly. Steps bind to their earliest eligible
+    event; events arriving across micro-batches fold in arrival-batch
+    order (the streaming trade — a late event cannot retroactively
+    rebind an earlier step)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from petastorm_spark.operators.stateful import ts_as_int
+
+    n = len(steps)
+    if n == 0:
+        raise ValueError("steps must be non-empty")
+    out_schema = (
+        f"{key_col} bigint, funnel_depth bigint, "
+        + ", ".join(f"t_step{i} bigint" for i in range(1, n + 1))
+    )
+    state_schema = "d int, " + ", ".join(
+        f"t{i} bigint" for i in range(1, n + 1)
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        st = list(state.get) if state.exists else [0] + [None] * n
+        for pdf in pdfs:
+            pdf = pdf.assign(_tsi=pdf[ts_col].map(ts_as_int)).sort_values(
+                ["_tsi", type_col]
+            )
+            for tsi, ev in zip(pdf["_tsi"], pdf[type_col]):
+                d = st[0]
+                if d >= n or ev != steps[d]:
+                    continue
+                prev = -1 if d == 0 else (st[d] if st[d] is not None else -1)
+                if tsi > prev:
+                    st[0] = d + 1
+                    st[d + 1] = int(tsi)
+        state.update(tuple(st))
+        row = {key_col: [key[0]], "funnel_depth": [st[0]]}
+        for i in range(1, n + 1):
+            row[f"t_step{i}"] = [st[i]]
+        yield pd.DataFrame(row)
+
+    return (
+        events.select(
+            key_col,
+            _event_time(events, ts_col, None).alias(ts_col),
+            type_col,
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

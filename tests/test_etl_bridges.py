@@ -572,3 +572,28 @@ def test_curate_cli_writes_dataset_and_report(spark, sf_dir, tmp_path):
         n = sum(len(b.doc_id) for b in r)
     assert n == counts["output"]
     assert spark.read.parquet(rep).count() == len(counts)
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, events_dir):
+    from petastorm_spark.queries import QUERIES
+    from petastorm_spark.streaming.feed import funnel_stream, stream_dataset
+
+    stream = stream_dataset(spark, events_dir)
+    q = (
+        funnel_stream(stream, ["signup", "view", "purchase"])
+        .writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["funnel_depth"], r["t_step1"], r["t_step2"], r["t_step3"])
+        for r in spark.table("funnel_stream").collect()
+    }
+    want = {
+        r["user_id"]: (r["funnel_depth"], r["t_step1"], r["t_step2"], r["t_step3"])
+        for r in QUERIES["funnel_signup_purchase"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0

@@ -81,6 +81,7 @@ STUDY_QUERIES = [
     "overlap_campaign_maintenance",
     "skew_report_sources",
     "token_cost_bpe",
+    "value_psi_weekly",
 ]
 
 
