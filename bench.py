@@ -94,6 +94,7 @@ HEADLINE = [
     "skew_report_sources",
     "token_cost_bpe",
     "value_psi_weekly",
+    "negative_pairs_docs",
 ]
 
 N_WARMUP_READS = 500

@@ -378,3 +378,73 @@ def bigram_logprob(
             (F.floor(F.avg(lp) * 10000) / 10000).alias("logprob"),
         )
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+    seed: int = 0,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    row gets up to ``k`` pseudo-random partners, drawn by hashing the
+    id into one of ``n_buckets`` buckets per draw (seeded md5, so the
+    pairing is key-stable across runs/partitionings/engines — the
+    random-negative baseline that hard-negative mining is measured
+    against). Partner = the bucket's minimum other id (maximum when
+    this row IS the minimum); singleton buckets yield no pair for
+    that draw. Output: (id_a, draw, id_b).
+
+    ``n_buckets`` defaults to ~|corpus|/2 (one count job) so buckets
+    average two members and most draws pair. Scale: ONE shuffle on
+    the (draw, bucket) key — the k draws explode map-side inline with
+    the projection; the min/max resolve in a single window pass over
+    bucket-sized groups.
+    """
+    from pyspark.sql import Window
+
+    from petastorm_spark.operators.dedup import hash60
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_buckets is None:
+        n_buckets = max(1, df.count() // 2)
+    draws = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("draw"),
+                    (
+                        hash60(
+                            F.concat_ws(
+                                "|",
+                                F.lit(str(seed)),
+                                F.lit(str(j)),
+                                F.col(id_col).cast("string"),
+                            )
+                        )
+                        % n_buckets
+                    ).alias("bucket"),
+                )
+                for j in range(k)
+            ]
+        )
+    ).alias("_d")
+    occ = df.select(F.col(id_col).alias("id_a"), draws).select(
+        "id_a", F.col("_d.draw").alias("draw"), F.col("_d.bucket").alias("bucket")
+    )
+    w = Window.partitionBy("draw", "bucket")
+    out = (
+        occ.withColumn("_mn", F.min("id_a").over(w))
+        .withColumn("_mx", F.max("id_a").over(w))
+        .withColumn(
+            "id_b",
+            F.when(F.col("_mn") != F.col("id_a"), F.col("_mn")).otherwise(
+                F.col("_mx")
+            ),
+        )
+        .where(F.col("id_b") != F.col("id_a"))
+        .select("id_a", "draw", "id_b")
+    )
+    return out

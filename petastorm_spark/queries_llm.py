@@ -2126,3 +2126,37 @@ def value_psi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi=100.0,
         n_bins=10,
     )
+
+
+@register(
+    "negative_pairs_docs",
+    oracle=f"""
+    WITH n AS (SELECT count(*) // 2 AS b FROM documents),
+    occ AS (
+        SELECT doc_id AS id_a, j.draw,
+               (('0x'||substr(md5('0|' || j.draw || '|' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT)
+                 % (SELECT b FROM n) AS bucket
+        FROM documents, (SELECT unnest(['0','1']) AS draw) j
+    ),
+    resolved AS (
+        SELECT id_a, draw,
+               min(id_a) OVER (PARTITION BY draw, bucket) AS mn,
+               max(id_a) OVER (PARTITION BY draw, bucket) AS mx
+        FROM occ
+    )
+    SELECT id_a, CAST(draw AS INT) AS draw,
+           CASE WHEN mn <> id_a THEN mn ELSE mx END AS id_b
+    FROM resolved
+    WHERE (CASE WHEN mn <> id_a THEN mn ELSE mx END) <> id_a
+    """,
+)
+def negative_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: 2 key-stable
+    pseudo-random partners per document via seeded hash buckets — the
+    random-negative baseline, reproducible bit-for-bit across engines
+    (RAND()-based pairing never is). See
+    operators/sampling_extra.negative_pairs."""
+    from petastorm_spark.operators.sampling_extra import negative_pairs
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
+    return negative_pairs(d, "doc_id", k=2, seed=0)

@@ -251,3 +251,26 @@ def test_token_count_bpe_counts_punctuation_runs(spark):
     assert out[1] == (3, 3)
     ws2, bpe2 = out[2]
     assert ws2 == 6 and bpe2 > ws2  # punctuation splits inflate BPE count
+
+
+def test_negative_pairs_deterministic_and_never_self(spark):
+    from petastorm_spark.operators.sampling_extra import negative_pairs
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    out = negative_pairs(df, "doc_id", k=3, seed=0).collect()
+    assert all(r["id_a"] != r["id_b"] for r in out)
+    # at most one partner per (id, draw)
+    keys = [(r["id_a"], r["draw"]) for r in out]
+    assert len(keys) == len(set(keys))
+    # most draws pair (buckets average 2 members)
+    assert len(out) > 200 * 3 * 0.5
+    # key-stable across runs
+    again = negative_pairs(df, "doc_id", k=3, seed=0).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a different seed gives a different pairing
+    other = negative_pairs(df, "doc_id", k=3, seed=1).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+    import pytest
+
+    with pytest.raises(ValueError):
+        negative_pairs(df, "doc_id", k=0)

@@ -82,6 +82,7 @@ STUDY_QUERIES = [
     "skew_report_sources",
     "token_cost_bpe",
     "value_psi_weekly",
+    "negative_pairs_docs",
 ]
 
 
