@@ -95,6 +95,7 @@ HEADLINE = [
     "token_cost_bpe",
     "value_psi_weekly",
     "negative_pairs_docs",
+    "approx_quantiles_chars",
 ]
 
 N_WARMUP_READS = 500

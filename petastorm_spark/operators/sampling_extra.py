@@ -448,3 +448,40 @@ def negative_pairs(
         .select("id_a", "draw", "id_b")
     )
     return out
+
+
+def approx_quantiles_sampled(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    probs: list[float],
+    k: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """Approximate per-group quantiles via a DETERMINISTIC sample:
+    md5-order reservoir of ``k`` rows per group (:func:`cap_per_group`
+    — key-stable membership), then exact interpolated quantiles of the
+    sample. The engine-portable answer to "exact percentiles sort the
+    whole group, t-digest answers differ per engine": error follows
+    sampling theory (~1/sqrt(k) quantile deviation), while the VALUE
+    is bit-reproducible across runs, partitionings, and engines — so
+    even this approximate operator passes a hash-exact oracle.
+    Mergeable in the reservoir sense: union two groups' samples and
+    re-cap to k for a combined estimate.
+
+    Output: (group, p_<prob> ... ) floor-scaled to 1e-4. Scale: the
+    two-phase cap bounds every task at k rows per group; the quantile
+    sort is over k rows, never the group.
+    """
+    samp = cap_per_group(df, group_col, key_col, k, seed)
+    aggs = [
+        (
+            F.floor(
+                F.percentile(F.col(value_col), F.lit(float(p))) * 10000
+            )
+            / 10000
+        ).alias(f"p_{str(p).replace('.', '_')}")
+        for p in probs
+    ]
+    return samp.groupBy(group_col).agg(*aggs)

@@ -2160,3 +2160,36 @@ def negative_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
     return negative_pairs(d, "doc_id", k=2, seed=0)
+
+
+@register(
+    "approx_quantiles_chars",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_FRAC_DOC} ASC, doc_id ASC
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           floor(quantile_cont(n_chars, 0.5) * 10000) / 10000 AS p_0_5,
+           floor(quantile_cont(n_chars, 0.9) * 10000) / 10000 AS p_0_9
+    FROM ranked WHERE rn <= 16 GROUP BY source
+    """,
+)
+def approx_quantiles_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-sample quantiles: per-source p50/p90 of document
+    length from a key-stable 16-doc md5-order sample — approximate by
+    sampling theory yet bit-reproducible across engines (t-digest
+    implementations are not). See
+    operators/sampling_extra.approx_quantiles_sampled."""
+    from petastorm_spark.operators.sampling_extra import (
+        approx_quantiles_sampled,
+    )
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return approx_quantiles_sampled(
+        d, "source", "n_chars", "doc_id", probs=[0.5, 0.9], k=16, seed=0
+    )

@@ -274,3 +274,21 @@ def test_negative_pairs_deterministic_and_never_self(spark):
 
     with pytest.raises(ValueError):
         negative_pairs(df, "doc_id", k=0)
+
+
+def test_approx_quantiles_sampled_accuracy_and_stability(spark):
+    from petastorm_spark.operators.sampling_extra import approx_quantiles_sampled
+
+    # uniform 0..9999 in one group: true p50 = ~5000
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(10000)], ["id", "grp", "v"]
+    )
+    est = approx_quantiles_sampled(
+        df, "grp", "v", "id", probs=[0.5], k=256
+    ).collect()[0]["p_0_5"]
+    assert abs(est - 5000) / 5000 < 0.15  # ~1/sqrt(256) deviation
+    # deterministic
+    again = approx_quantiles_sampled(
+        df, "grp", "v", "id", probs=[0.5], k=256
+    ).collect()[0]["p_0_5"]
+    assert est == again

@@ -83,6 +83,7 @@ STUDY_QUERIES = [
     "token_cost_bpe",
     "value_psi_weekly",
     "negative_pairs_docs",
+    "approx_quantiles_chars",
 ]
 
 
