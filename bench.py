@@ -96,6 +96,7 @@ HEADLINE = [
     "value_psi_weekly",
     "negative_pairs_docs",
     "approx_quantiles_chars",
+    "cusum_drift_users",
 ]
 
 N_WARMUP_READS = 500

@@ -88,3 +88,48 @@ def ewma_by_key(
     return df.select(key_col, ts_col, value_col).groupBy(key_col).applyInPandas(
         fold, out_schema
     )
+
+
+def cusum_scores(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    target,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Per-key CUSUM change-point scores via the prefix identity —
+    ``s_i = max(0, s_{i-1} + (x_i - target))`` equals
+    ``prefix_i - min(prefix_0..i)`` where ``prefix`` is the running
+    sum of ``(x - target)`` — so the classic sequential drift monitor
+    becomes TWO window aggregates (cumulative sum + running min), no
+    fold, no UDF, engine-reproducible. Emits every event's upward
+    CUSUM score; filter/max downstream for alarms.
+
+    Output: input rows + ``cusum`` (same type as the running sum).
+    Feed INTEGER deviations (e.g. micro-units) when cross-engine
+    exactness matters: integer prefix sums are exact, while double
+    windowed sums differ in the last ulp between engines (DuckDB's
+    segment-tree summation order). Scale: one key shuffle +
+    partition-local sort, both windows share the exchange.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dev = F.col(value_col) - target
+    prefix = F.sum(dev).over(w)
+    run_min = F.min(prefix)  # min over the same frame of the prefix expr
+    # Spark cannot nest window functions: materialize prefix first
+    out = df.withColumn("_prefix", prefix)
+    w2 = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cusum = F.col("_prefix") - F.least(
+        F.min("_prefix").over(w2), F.lit(0).cast("bigint")
+        if dict(df.dtypes)[value_col] in ("bigint", "int")
+        else F.lit(0.0)
+    )
+    return out.withColumn("cusum", cusum).drop("_prefix")

@@ -2193,3 +2193,58 @@ def approx_quantiles_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_quantiles_sampled(
         d, "source", "n_chars", "doc_id", probs=[0.5, 0.9], k=16, seed=0
     )
+
+
+@register(
+    "cusum_drift_users",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id,
+                      CAST(floor((value - 50.0) * 1000000) AS BIGINT) AS dev,
+                      epoch_us(ts) AS ts_us
+               FROM events),
+    p AS (SELECT user_id, event_id,
+                 sum(dev) OVER w AS prefix
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING)),
+    c AS (SELECT user_id, event_id,
+                 prefix - least(min(prefix) OVER (PARTITION BY user_id
+                       ORDER BY event_id ROWS UNBOUNDED PRECEDING),
+                       CAST(0 AS BIGINT)) AS cusum
+          FROM p)
+    SELECT user_id,
+           CAST(max(cusum) AS BIGINT) AS max_cusum_micro,
+           CAST(count(CASE WHEN cusum > 500000000 THEN 1 END) AS BIGINT)
+             AS n_alarms
+    FROM c GROUP BY user_id
+    """,
+)
+def cusum_drift_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential change-point monitor: per-user upward CUSUM of event
+    values against the corpus mean, via the prefix - running-min
+    identity (two shared-exchange window passes, no fold). Output:
+    max score + alarm count (threshold 500). NB the oracle orders the
+    running-min by event_id — valid because the prefix rows are
+    already in (ts, event_id) order and event_id is unique per user
+    here; the Spark side orders by (ts, event_id) directly."""
+    from petastorm_spark.operators.stateful import cusum_scores
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    # micro-unit integer deviations against the in-control level 50.0:
+    # integer running sums are EXACT, so the oracle matches bit-for-bit
+    # (double prefix sums differ in the last ulp across engines -
+    # DuckDB's windowed sum uses segment-tree summation order)
+    ev = ev.withColumn("ts_us", events_ts_us(ev)).withColumn(
+        "dev_micro",
+        F.floor((F.col("value") - 50.0) * 1000000).cast("bigint"),
+    )
+    scored = cusum_scores(
+        ev, "user_id", "ts_us", "dev_micro", F.lit(0), tie_col="event_id"
+    )
+    return scored.groupBy("user_id").agg(
+        F.max("cusum").cast("bigint").alias("max_cusum_micro"),
+        F.count(F.when(F.col("cusum") > 500_000_000, 1)).cast("bigint").alias(
+            "n_alarms"
+        ),
+    )

@@ -327,3 +327,18 @@ def test_interval_overlap_join_exact_once_and_no_nested_loop(spark):
             b.withColumnRenamed("bid", "x"),
             "a_s", "a_e", "b_s", "b_e", 10,
         )
+
+
+def test_cusum_scores_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from petastorm_spark.operators.stateful import cusum_scores
+
+    # deviations: +2 +3 -10 +4 -> prefix 2,5,-5,-1; runmin(le 0): 0,0,-5,-5
+    # cusum: 2,5,0,4
+    df = spark.createDataFrame(
+        [(1, 10, 2), (1, 20, 3), (1, 30, -10), (1, 40, 4)],
+        ["k", "ts", "dev"],
+    )
+    out = cusum_scores(df, "k", "ts", "dev", F.lit(0)).orderBy("ts").collect()
+    assert [r["cusum"] for r in out] == [2, 5, 0, 4]

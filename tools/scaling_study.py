@@ -84,6 +84,7 @@ STUDY_QUERIES = [
     "value_psi_weekly",
     "negative_pairs_docs",
     "approx_quantiles_chars",
+    "cusum_drift_users",
 ]
 
 
