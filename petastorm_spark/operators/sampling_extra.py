@@ -450,6 +450,116 @@ def negative_pairs(
     return out
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    strata_col: str,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank
+    every document within its stratum (usually language) by LM-proxy
+    quality (:func:`unigram_logprob` — higher = more natural) and cut
+    each stratum into equal thirds: ``head`` (best), ``middle``,
+    ``tail`` (worst). Downstream mixes sample per bucket (keep all of
+    head, some of middle, little of tail) instead of one hard floor.
+
+    Rank-based deliberately (same argument as ``keep_top_frac``): a
+    percentile THRESHOLD can disagree across engines in the last ulp;
+    a row_number cut over (logprob desc, id asc) never does — so even
+    the bucket labels are engine-exact. Output:
+    ``(id, stratum, logprob, bucket)``.
+
+    Scale: the logprob is the unigram_logprob plan (explode + vocab
+    broadcast + per-doc agg); the bucketing is ONE shuffle on the
+    stratum key — rank and stratum count share the same window
+    partitioning (one exchange, two window nodes). Strata are
+    languages: tens of groups, each huge — fine for a window; there is
+    no per-group driver loop.
+    """
+    from pyspark.sql import Window
+
+    lp = unigram_logprob(df, text_col, id_col)
+    joined = df.select(F.col(id_col), F.col(strata_col)).join(lp, id_col)
+    w_rank = Window.partitionBy(strata_col).orderBy(
+        F.col("logprob").desc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy(strata_col)
+    rn = F.row_number().over(w_rank)
+    n = F.count(F.lit(1)).over(w_all)
+    bucket = (
+        F.when(rn <= F.ceil(n / 3.0), F.lit("head"))
+        .when(rn <= F.ceil(2 * n / 3.0), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.select(
+        F.col(id_col), F.col(strata_col), F.col("logprob"), bucket.alias("bucket")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target,
+    n_buckets: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    hashed-ngram flavor): score every document by how much more likely
+    its tokens are under a TARGET slice's distribution than under the
+    raw corpus's, with token identity coarsened to ``hash(token) %
+    n_buckets`` feature buckets — the model-free "does this crawl doc
+    look like my curated set" importance weight. ``is_target`` is a
+    boolean Column selecting the target slice (e.g. curated sources).
+
+    weight(doc) = mean over token occurrences of
+    ``ln(p_target(b) / p_raw(b))`` with +0.5 additive smoothing over
+    the bucket table, rounded to 1e-4 (cross-engine float parity, same
+    convention as :func:`unigram_logprob`). Positive = target-like.
+
+    Scale: ONE token explode feeds both bucket tables (raw counts and
+    conditional target counts in the same partially-aggregated pass);
+    the <= ``n_buckets``-row ratio table broadcasts back onto the
+    token stream, then one per-doc aggregation. The shuffle key is the
+    integer bucket, never the token string. No Python UDFs.
+    """
+    from petastorm_spark.operators.dedup import hash60
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    occ = df.select(
+        F.col(id_col),
+        is_target.alias("_tgt"),
+        F.explode(tokens(text_col)).alias("_tok"),
+    ).select(
+        F.col(id_col),
+        "_tgt",
+        (hash60("_tok", seed=seed) % n_buckets).alias("_b"),
+    )
+    counts = occ.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cr"),
+        F.sum(F.col("_tgt").cast("bigint")).alias("_ct"),
+    )
+    totals = counts.agg(
+        F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt")
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        F.log(
+            ((F.col("_ct") + 0.5) / (F.col("_nt") + 0.5 * n_buckets))
+            / ((F.col("_cr") + 0.5) / (F.col("_nr") + 0.5 * n_buckets))
+        ).alias("_lr"),
+    )
+    return (
+        occ.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg("_lr"), 4).alias("dsir_logweight"),
+        )
+    )
+
+
 def approx_quantiles_sampled(
     df: DataFrame,
     group_col: str,

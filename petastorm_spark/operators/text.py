@@ -468,6 +468,68 @@ def token_psi(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document top-``k`` characteristic terms by TF-IDF — the
+    keyword/topic-surfacing primitive (doc routing, cluster labeling,
+    index-time keyword extraction). Smoothed sklearn-style idf
+    ``ln((1+N)/(1+df)) + 1`` so corpus-universal terms still rank
+    (weighted by tf) instead of zeroing out.
+
+    Output: ``(id, term, tfidf, rank)``, tfidf floor-scaled to 1e-4;
+    ranking orders by the FLOOR-SCALED value (desc) then term (asc) so
+    rank boundaries are engine-exact — ranking on the raw double
+    invites last-ulp rank flips between engines (ln is not correctly
+    rounded in either).
+
+    Scale: one explode -> partially-aggregated (doc, term) tf counts;
+    document frequencies reduce off the same aggregate (term-keyed,
+    vocab-scale) and broadcast back; the per-doc top-k is a window
+    over the (doc, term) table partitioned by doc — the shuffle
+    carries one row per DISTINCT (doc, term), not per occurrence.
+    The term string must travel (it IS the output), so this op
+    deliberately trades the hash-key trick of repetition_signals for
+    a distinct-pairs-sized exchange.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tf = (
+        df.withColumn("_toks", tokens(text_col))
+        .where(F.size("_toks") >= 1)
+        .select(F.col(id_col), F.explode("_toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    n_docs = df.where(
+        F.size(tokens(text_col)) >= 1
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            (F.log((1 + F.col("_n")) / (1 + F.col("_df"))) + 1).alias("_idf"),
+        )
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        F.col(id_col),
+        "term",
+        (F.floor(F.col("_tf") * F.col("_idf") * 10000) / 10000).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col(id_col), "term", "tfidf", "rank")
+    )
+
+
 # BPE-style pre-tokenizer regex, written to the Java-regex / RE2
 # common subset (no lookahead — RE2 rejects GPT-2's (?!\S); ASCII
 # classes so both engines agree byte-for-byte). Splits words,

@@ -2248,3 +2248,236 @@ def cusum_drift_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_alarms"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: CCNet perplexity buckets, DSIR importance weights,
+# TF-IDF keywords, cross-source duplication matrix, Z-order layout.
+# ---------------------------------------------------------------------------
+
+_LP_CTES = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+         v AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+         t AS (SELECT sum(c) AS total FROM v),
+         lp AS (SELECT doc_id, round(avg(ln(c * 1.0 / total)), 4) AS logprob
+                FROM tok JOIN v USING (tok), t GROUP BY doc_id)
+"""
+
+
+@register(
+    "perplexity_buckets_lang",
+    oracle=_LP_CTES
+    + """
+    , j AS (SELECT d.doc_id, d.lang, lp.logprob,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY logprob DESC, d.doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents d JOIN lp ON lp.doc_id = d.doc_id)
+    SELECT doc_id, lang, logprob,
+           CASE WHEN rn <= ceil(n / 3.0) THEN 'head'
+                WHEN rn <= ceil(2 * n / 3.0) THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM j
+    """,
+)
+def perplexity_buckets_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): each
+    language's documents cut into head/middle/tail thirds by LM-proxy
+    quality rank — the standard precursor to per-bucket sampling
+    rates. Rank-cut, not percentile-threshold, so the labels are
+    engine-exact. Scale: unigram-logprob plan + ONE lang-keyed window
+    exchange (rank and count share it)."""
+    from petastorm_spark.operators.sampling_extra import perplexity_buckets
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return perplexity_buckets(d, "text", "doc_id", "lang")
+
+
+def _dsir_oracle(n_buckets: int = 1024, seed: int = 0) -> str:
+    from petastorm_spark.operators.dedup import hash60_sql
+
+    h = hash60_sql("tok", seed=seed)
+    return f"""
+    WITH occ AS (SELECT doc_id,
+                        (source IN ('src0', 'src1', 'src2')) AS tgt,
+                        {h} % {n_buckets} AS b
+                 FROM (SELECT doc_id, source, unnest({_TOK}) AS tok
+                       FROM documents)),
+         c AS (SELECT b, count(*) AS cr,
+                      sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+               FROM occ GROUP BY b),
+         t AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM c),
+         r AS (SELECT b, ln(((ct + 0.5) / (nt + 0.5 * {n_buckets}))
+                           / ((cr + 0.5) / (nr + 0.5 * {n_buckets}))) AS lr
+               FROM c, t)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lr), 4) AS dsir_logweight
+    FROM occ JOIN r USING (b)
+    GROUP BY doc_id
+    """
+
+
+@register("dsir_importance_weights", oracle=_dsir_oracle())
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every document scored
+    by ln-likelihood-ratio of its hashed unigram features under a
+    curated TARGET slice (sources src0-src2) vs the raw corpus — the
+    "select crawl data that looks like my curated set" signal.
+    Positive = target-like. Scale: one explode feeds both bucket
+    counts in one partial-agg pass; the 1024-row ratio table
+    broadcasts back; shuffle keys are integer buckets, never token
+    strings."""
+    from petastorm_spark.operators.sampling_extra import dsir_weights
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return dsir_weights(
+        d, "text", "doc_id", F.col("source").isin("src0", "src1", "src2")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+                FROM (SELECT doc_id, unnest({_TOK}) AS tok FROM documents)
+                GROUP BY doc_id, term),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+         idf AS (SELECT term, ln((1 + n) * 1.0 / (1 + count(*))) + 1 AS idf
+                 FROM tf, n GROUP BY term, n),
+         s AS (SELECT doc_id, term,
+                      floor(tf * idf * 10000) / 10000 AS tfidf
+               FROM tf JOIN idf USING (term)),
+         r AS (SELECT doc_id, term, tfidf,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term) AS rank
+               FROM s)
+    SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by smoothed TF-IDF —
+    keyword extraction / cluster labeling. Ranking orders by the
+    floor-scaled score so rank boundaries are engine-exact. Scale: the
+    per-doc top-k window sees one row per DISTINCT (doc, term); the
+    idf table broadcasts."""
+    from petastorm_spark.operators.text import tfidf_top_terms
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(d, "text", "doc_id", k=3)
+
+
+def _source_matrix_oracle() -> str:
+    inter = "len(list_intersect(sa.s, sb.s))"
+    jac = f"{inter} * 1.0 / (len(sa.s) + len(sb.s) - {inter})"
+    return (
+        _DOCS_CTE
+        + _lsh_cand_ctes()
+        + f"""
+    , src AS (SELECT doc_id, source FROM documents
+              UNION ALL
+              SELECT doc_id + {_COPY_SHIFT} AS doc_id, 'recrawl' AS source
+              FROM documents)
+    SELECT least(s1.source, s2.source) AS source_a,
+           greatest(s1.source, s2.source) AS source_b,
+           count(*) AS n_pairs
+    FROM cand
+    JOIN sets sa ON sa.doc_id = id_a
+    JOIN sets sb ON sb.doc_id = id_b
+    JOIN src s1 ON s1.doc_id = id_a
+    JOIN src s2 ON s2.doc_id = id_b
+    WHERE {jac} >= 0.8
+    GROUP BY source_a, source_b
+    """
+    )
+
+
+@register("dedup_source_matrix", oracle=_source_matrix_oracle())
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs rolled up by
+    UNORDERED source pair — "which ingest feeds copy each other", the
+    first diagnostic a curation run prints before deciding what to
+    drop. The synthetic copies are labeled as a 'recrawl' snapshot, so
+    every original source shows its duplication edge against the
+    recrawl. Scale: the near_dup_pairs plan (persisted shingle sets,
+    banded LSH, id-keyed verify) plus two broadcast-sized source
+    lookups and a tiny (source x source) aggregate."""
+    from petastorm_spark.operators.dedup import near_dup_pairs
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    base = d.select("doc_id", "text")
+    copies = base.select(
+        (F.col("doc_id") + _COPY_SHIFT).alias("doc_id"), "text"
+    )
+    pairs = near_dup_pairs(
+        base.unionByName(copies), "text", "doc_id", threshold=0.8
+    )
+    src = d.select("doc_id", "source").unionByName(
+        d.select(
+            (F.col("doc_id") + _COPY_SHIFT).alias("doc_id"),
+            F.lit("recrawl").alias("source"),
+        )
+    )
+    sa = src.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "source", "_sa"
+    )
+    sb = src.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "source", "_sb"
+    )
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _zorder_oracle(bits: int = 10, tile: int = 1024) -> str:
+    from petastorm_spark.operators.layout import zorder_value_sql
+
+    z = zorder_value_sql(["ub", "dy"], bits=bits)
+    return f"""
+    WITH e AS (SELECT user_id // 8 AS ub,
+                      epoch_us(ts) // 86400000000 AS dy
+               FROM events),
+         zv AS (SELECT ub, dy, {z} AS z FROM e)
+    SELECT z // {tile} AS z_tile,
+           count(*) AS n_events,
+           min(ub) AS min_user_bucket, max(ub) AS max_user_bucket,
+           min(dy) AS min_day, max(dy) AS max_day
+    FROM zv GROUP BY z_tile
+    """
+
+
+@register("zorder_event_tiles", oracle=_zorder_oracle())
+def zorder_event_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout math over events: interleave the bits
+    of (user bucket, day) and aggregate per curve tile — each tile's
+    tight min/max box on BOTH dimensions is exactly the file-level
+    parquet statistic a z-ordered write produces, i.e. why scans prune
+    on either column after ``layout.zorder_repartition``. All integer
+    shift/mask arithmetic, engine-exact, zero shuffle before the tiny
+    tile aggregate."""
+    from petastorm_spark.operators.layout import int_bucket, zorder_value
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.withColumn("_ts_us", events_ts_us(ev)).select(
+        F.expr("user_id div 8").alias("ub"),
+        F.expr("_ts_us div 86400000000").alias("dy"),
+    )
+    z = zorder_value(["ub", "dy"], bits=10)
+    return (
+        e.withColumn("_z", z)
+        .groupBy(F.expr("_z div 1024").alias("z_tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ub").alias("min_user_bucket"),
+            F.max("ub").alias("max_user_bucket"),
+            F.min("dy").alias("min_day"),
+            F.max("dy").alias("max_day"),
+        )
+    )

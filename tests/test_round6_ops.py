@@ -1,0 +1,206 @@
+"""Tests for the round-6 additions: CCNet perplexity buckets, DSIR
+importance weights, TF-IDF keywords, Z-order layout."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets
+# ---------------------------------------------------------------------------
+
+
+def test_perplexity_buckets_thirds_and_order(spark):
+    from petastorm_spark.operators.sampling_extra import perplexity_buckets
+
+    # 9 docs in one stratum: natural text ranks above repeated-rare-token
+    # strings under the corpus's own unigram LM
+    rows = [Row(doc_id=i, text="the cat sat on the mat " * 3, lang="en") for i in range(6)]
+    rows += [Row(doc_id=6 + i, text=f"zzz{i} qqq{i} vvv{i} www{i}", lang="en") for i in range(3)]
+    df = spark.createDataFrame(rows)
+    out = perplexity_buckets(df, "text", "doc_id", "lang").collect()
+    assert len(out) == 9
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    # ceil(9/3)=3 per bucket exactly
+    assert {k: len(v) for k, v in by_bucket.items()} == {
+        "head": 3, "middle": 3, "tail": 3
+    }
+    # every head logprob >= every tail logprob
+    assert min(r.logprob for r in by_bucket["head"]) >= max(
+        r.logprob for r in by_bucket["tail"]
+    )
+    # the rare-token docs land in the tail
+    assert {r.doc_id for r in by_bucket["tail"]} == {6, 7, 8}
+
+
+def test_perplexity_buckets_strata_independent(spark):
+    from petastorm_spark.operators.sampling_extra import perplexity_buckets
+
+    rows = [Row(doc_id=i, text="a b c d e", lang="en") for i in range(4)]
+    rows += [Row(doc_id=10 + i, text="x y z w v", lang="fr") for i in range(2)]
+    df = spark.createDataFrame(rows)
+    out = perplexity_buckets(df, "text", "doc_id", "lang").collect()
+    fr = [r for r in out if r.lang == "fr"]
+    # 2-doc stratum: ceil(2/3)=1 head, ceil(4/3)=2 -> 1 middle, 0 tail
+    assert sorted(r.bucket for r in fr) == ["head", "middle"]
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_separates_target_like_docs(spark):
+    from petastorm_spark.operators.sampling_extra import dsir_weights
+
+    # target slice speaks "alpha beta", the rest speaks "gamma delta";
+    # held-out docs resembling the target must score higher
+    rows = [Row(doc_id=i, text="alpha beta alpha beta", grp="target") for i in range(5)]
+    rows += [Row(doc_id=10 + i, text="gamma delta gamma delta", grp="raw") for i in range(5)]
+    rows += [Row(doc_id=20, text="alpha beta", grp="probe_t")]
+    rows += [Row(doc_id=21, text="gamma delta", grp="probe_r")]
+    df = spark.createDataFrame(rows)
+    # n_buckets small relative to the toy corpus so the +0.5 smoothing
+    # mass doesn't drown the real counts (at corpus scale the default
+    # 1024 buckets are each heavily loaded and this is a non-issue)
+    out = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_weights(
+            df, "text", "doc_id", F.col("grp") == "target", n_buckets=64
+        ).collect()
+    }
+    assert out[20] > 0 > out[21]
+    assert out[20] > out[21]
+
+
+def test_dsir_weights_hand_computed_single_bucket(spark):
+    from petastorm_spark.operators.sampling_extra import dsir_weights
+
+    # n_buckets=1 collapses every token into one feature: the ratio is
+    # (nt+0.5)/(nt+0.5) / ((nr+0.5)/(nr+0.5)) = 1 -> ln = 0 for all docs
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a b c", t=True), Row(doc_id=1, text="d e", t=False)]
+    )
+    out = dsir_weights(df, "text", "doc_id", F.col("t"), n_buckets=1).collect()
+    assert all(abs(r.dsir_logweight) < 1e-9 for r in out)
+    assert {r.doc_id: r.n_tokens for r in out} == {0: 3, 1: 2}
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_ranks_rare_terms_above_universal(spark):
+    from petastorm_spark.operators.text import tfidf_top_terms
+
+    # 'common' appears in every doc (idf floor = 1); each doc's unique
+    # term, at the same tf, outranks it on idf
+    rows = [Row(doc_id=i, text=f"common uniq{i} uniq{i}") for i in range(4)]
+    df = spark.createDataFrame(rows)
+    out = tfidf_top_terms(df, "text", "doc_id", k=1).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.term == f"uniq{r.doc_id}"
+        assert r.rank == 1
+    # hand-check the score: tf=2, idf = ln(5/2)+1
+    expect = math.floor(2 * (math.log(5 / 2) + 1) * 10000) / 10000
+    assert all(abs(r.tfidf - expect) < 1e-9 for r in out)
+
+
+def test_tfidf_k_and_tie_break(spark):
+    from petastorm_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame([Row(doc_id=0, text="b a b a c")])
+    out = tfidf_top_terms(df, "text", "doc_id", k=2).collect()
+    # single doc: every term has identical idf; tf(a)=tf(b)=2 > tf(c);
+    # tie between a and b breaks alphabetically
+    assert [(r.term, r.rank) for r in sorted(out, key=lambda r: r.rank)] == [
+        ("a", 1), ("b", 2)
+    ]
+    with pytest.raises(ValueError):
+        tfidf_top_terms(df, "text", "doc_id", k=0)
+
+
+# ---------------------------------------------------------------------------
+# zorder layout
+# ---------------------------------------------------------------------------
+
+
+def _morton_ref(vals, bits):
+    z = 0
+    for j, v in enumerate(vals):
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * len(vals) + j)
+    return z
+
+
+def test_zorder_value_matches_reference_interleave(spark):
+    from petastorm_spark.operators.layout import zorder_value
+
+    rows = [Row(x=x, y=y) for x in [0, 1, 5, 1023] for y in [0, 2, 7, 1023]]
+    df = spark.createDataFrame(rows)
+    out = df.withColumn("z", zorder_value(["x", "y"], bits=10)).collect()
+    for r in out:
+        assert r.z == _morton_ref([r.x, r.y], 10), (r.x, r.y)
+
+
+def test_zorder_value_sql_parity(spark):
+    import duckdb
+
+    from petastorm_spark.operators.layout import zorder_value_sql
+
+    con = duckdb.connect()
+    expr = zorder_value_sql(["x", "y"], bits=10)
+    got = con.sql(
+        f"SELECT {expr} AS z FROM (SELECT 5 AS x, 7 AS y)"
+    ).fetchone()[0]
+    assert got == _morton_ref([5, 7], 10)
+
+
+def test_zorder_value_validates_args(spark):
+    from petastorm_spark.operators.layout import zorder_value
+
+    with pytest.raises(ValueError):
+        zorder_value(["x"], bits=10)
+    with pytest.raises(ValueError):
+        zorder_value(["x", "y"], bits=32)  # 64 bits > signed range
+
+
+def test_zorder_repartition_tightens_file_boxes(spark, tmp_path):
+    """The point of z-ordering: after a z-ordered write, each file's
+    (min,max) box on EVERY interleaved dimension is small, so parquet
+    stats prune scans on either column. Compare total box width
+    against a round-robin layout of the same data."""
+    from petastorm_spark.operators.layout import zorder_value, zorder_repartition
+
+    n, bits, parts = 4096, 6, 8
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        F.expr("id div 64").alias("y"),
+    )
+    z = zorder_value(["x", "y"], bits=bits)
+
+    def boxes(sdf, path):
+        sdf.write.mode("overwrite").parquet(str(path))
+        stats = (
+            spark.read.parquet(str(path))
+            .groupBy(F.input_file_name())
+            .agg(
+                (F.max("x") - F.min("x")).alias("wx"),
+                (F.max("y") - F.min("y")).alias("wy"),
+            )
+            .collect()
+        )
+        return sum(r.wx + r.wy for r in stats) / len(stats)
+
+    zw = boxes(zorder_repartition(df, z, parts), tmp_path / "zorder")
+    rw = boxes(df.repartition(parts), tmp_path / "roundrobin")
+    # round-robin files each span ~the full 63+63 range; z-ordered
+    # files cover a fraction of it
+    assert zw < rw / 2, (zw, rw)
