@@ -1120,3 +1120,59 @@ def excise_dup_spans(
         F.concat_ws(" ", kept).alias("cleaned_text"),
         (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Train/val/test split that never separates near-duplicates: the
+    split key is the document's near-dup CLUSTER (minimum member id
+    via :func:`connected_components`; singletons key on themselves),
+    so a benchmark answer can't leak from train into eval through a
+    near-copy — the step naive per-doc splits get wrong.
+
+    ``weights`` maps split name -> probability mass (must sum to ~1);
+    assignment is the key-stable md5 fraction over ``seed|cluster_id``
+    (same engine-exact scheme as ``in_pseudorandom_split``), cut at
+    cumulative boundaries in sorted-name-insertion order of the dict.
+
+    Output: the input rows plus ``cluster_id`` and ``split``. Scale:
+    the CC labels (nodes appearing in any pair — dup-cluster-sized,
+    far smaller than the corpus) broadcast onto one corpus map; no
+    extra corpus shuffle beyond what CC itself does.
+    """
+    from petastorm_spark.predicates import md5_fraction
+
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"weights must sum to ~1, got {total}")
+    labels = connected_components(pairs).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    joined = df.join(F.broadcast(labels), id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    frac = md5_fraction(
+        F.concat_ws("|", F.lit(str(seed)), F.col("cluster_id").cast("string"))
+    )
+    split = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = frac < F.lit(acc)
+        split = (
+            F.when(cond, F.lit(name))
+            if split is None
+            else split.when(cond, F.lit(name))
+        )
+    split = (
+        F.lit(names[-1])
+        if split is None
+        else split.otherwise(F.lit(names[-1]))
+    )
+    return joined.withColumn("split", split)

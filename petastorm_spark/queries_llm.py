@@ -2481,3 +2481,78 @@ def zorder_event_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dy").alias("max_day"),
         )
     )
+
+
+@register(
+    "histogram_order_prices",
+    oracle="""
+    WITH r AS (SELECT o_totalprice AS v,
+                      row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                        AS rn
+               FROM orders),
+         n AS (SELECT count(*) AS n FROM orders)
+    SELECT ((rn - 1) * 16) // n AS bin,
+           count(*) AS n_rows,
+           round(min(v), 2) AS lo, round(max(v), 2) AS hi
+    FROM r, n GROUP BY bin
+    """,
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram of order prices (16 bins of equal
+    row count ±1) — optimizer-grade column statistics with zero
+    sampling error. The oracle uses a single global window; the Spark
+    side uses operators.rank.global_rank: range repartition +
+    partition-local ordinals + a broadcast offset table — NO
+    single-task sort anywhere, the shape that survives 100 TB."""
+    from petastorm_spark.operators.rank import histogram_equidepth
+
+    o = _t(spark, sf_dir, "orders")
+    h = histogram_equidepth(o, "o_totalprice", ["o_orderkey"], n_bins=16)
+    return h.select(
+        "bin", "n_rows",
+        F.round("lo", 2).alias("lo"), F.round("hi", 2).alias("hi"),
+    )
+
+
+def _leakage_split_oracle() -> str:
+    cc = _cc_oracle()
+    frac = (
+        "(('0x'||substr(md5('7|' || CAST(cluster_id AS VARCHAR)),1,15))"
+        "::BIGINT / 1152921504606846976.0)"
+    )
+    return f"""
+    WITH labels AS ({cc}),
+         d AS (SELECT doc_id FROM documents
+               UNION ALL
+               SELECT doc_id + {_COPY_SHIFT} AS doc_id FROM documents),
+         j AS (SELECT d.doc_id,
+                      coalesce(labels.cluster_id, d.doc_id) AS cluster_id
+               FROM d LEFT JOIN labels ON labels.doc_id = d.doc_id)
+    SELECT doc_id, cluster_id,
+           CASE WHEN {frac} < 0.8 THEN 'train'
+                WHEN {frac} < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM j
+    """
+
+
+@register("split_leakage_safe", oracle=_leakage_split_oracle())
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split key is the
+    near-dup CLUSTER id, not the document id, so near-copies can never
+    straddle train and eval — the contamination mode naive splits
+    miss. On this fixture every doc and its synthetic copy must land
+    in the same split. Scale: CC labels (dup-cluster-sized) broadcast
+    onto one corpus map; assignment is a key-stable md5 fraction."""
+    from petastorm_spark.operators.dedup import (
+        leakage_safe_split,
+        near_dup_pairs,
+    )
+
+    docs = _docs_with_copies(spark, sf_dir)
+    pairs = near_dup_pairs(docs, "text", "doc_id", threshold=0.8)
+    out = leakage_safe_split(
+        docs, pairs, "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7,
+    )
+    return out.select("doc_id", "cluster_id", "split")

@@ -204,3 +204,95 @@ def test_zorder_repartition_tightens_file_boxes(spark, tmp_path):
     # round-robin files each span ~the full 63+63 range; z-ordered
     # files cover a fraction of it
     assert zw < rw / 2, (zw, rw)
+
+
+# ---------------------------------------------------------------------------
+# global rank / equi-depth histogram / ntile
+# ---------------------------------------------------------------------------
+
+
+def test_global_rank_matches_single_window(spark):
+    from pyspark.sql import Window
+
+    from petastorm_spark.operators.rank import global_rank
+
+    df = spark.range(1000).select(
+        ((F.col("id") * 2654435761) % 997).alias("v"), F.col("id")
+    ).repartition(7)
+    got = global_rank(df, ["v", "id"], rank_col="r")
+    want = df.withColumn(
+        "r_ref", F.row_number().over(Window.orderBy("v", "id"))
+    )
+    diff = got.join(want, ["v", "id"]).where(F.col("r") != F.col("r_ref"))
+    assert diff.count() == 0
+    assert got.count() == 1000
+
+
+def test_histogram_equidepth_balanced_and_ordered(spark):
+    from petastorm_spark.operators.rank import histogram_equidepth
+
+    df = spark.range(1003).select(F.col("id").alias("v"), F.col("id"))
+    h = sorted(
+        histogram_equidepth(df, "v", ["id"], n_bins=8).collect(),
+        key=lambda r: r.bin,
+    )
+    assert [r.bin for r in h] == list(range(8))
+    # equal depth +-1
+    assert max(r.n_rows for r in h) - min(r.n_rows for r in h) <= 1
+    assert sum(r.n_rows for r in h) == 1003
+    # bins tile the value range in order without overlap
+    for a, b in zip(h, h[1:]):
+        assert a.hi < b.lo
+
+
+def test_global_ntile_matches_sql_ntile(spark):
+    from pyspark.sql import Window
+
+    from petastorm_spark.operators.rank import global_ntile
+
+    df = spark.range(103).select(
+        ((F.col("id") * 48271) % 1009).alias("v"), F.col("id")
+    ).repartition(5)
+    got = global_ntile(df, ["v", "id"], n=7, tile_col="t")
+    want = df.withColumn("t_ref", F.ntile(7).over(Window.orderBy("v", "id")))
+    diff = got.join(want, ["v", "id"]).where(F.col("t") != F.col("t_ref"))
+    assert diff.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from petastorm_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(200)]
+    )
+    # chain pairs: (0,1), (2,3), ... 50 two-doc clusters
+    pairs = spark.createDataFrame(
+        [Row(id_a=2 * i, id_b=2 * i + 1) for i in range(50)]
+    )
+    out = leakage_safe_split(
+        docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    split_of = {r.doc_id: r.split for r in out}
+    for i in range(50):
+        assert split_of[2 * i] == split_of[2 * i + 1], i
+    # singletons keyed on themselves, all three splits materialize
+    assert {r.split for r in out} == {"train", "val", "test"}
+    # rough mass check on 200 docs
+    n_train = sum(1 for s in split_of.values() if s == "train")
+    assert 120 <= n_train <= 190
+
+
+def test_leakage_safe_split_validates_weights(spark):
+    import pytest as _pytest
+
+    from petastorm_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame([Row(doc_id=0, text="x")])
+    pairs = spark.createDataFrame([Row(id_a=0, id_b=0)])
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, "doc_id", {"train": 0.5, "val": 0.1})

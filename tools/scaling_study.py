@@ -85,6 +85,11 @@ STUDY_QUERIES = [
     "negative_pairs_docs",
     "approx_quantiles_chars",
     "cusum_drift_users",
+    "perplexity_buckets_lang",
+    "dsir_importance_weights",
+    "tfidf_top_terms",
+    "dedup_source_matrix",
+    "zorder_event_tiles",
 ]
 
 
