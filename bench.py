@@ -102,6 +102,9 @@ HEADLINE = [
     "tfidf_top_terms",
     "dedup_source_matrix",
     "zorder_event_tiles",
+    "histogram_order_prices",
+    "split_leakage_safe",
+    "corr_lineitem_matrix",
 ]
 
 N_WARMUP_READS = 500

@@ -87,3 +87,71 @@ def key_skew_report(
         "n_keys",
         f4(ent_ratio).alias("entropy_ratio"),
     )
+
+
+def corr_matrix_exact(
+    df: DataFrame,
+    cols: dict[str, int],
+    group_col: str | None = None,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Pearson correlation for every column pair, ENGINE-EXACT: each
+    column is scaled to integers (``cols`` maps column -> decimal
+    places, e.g. ``{"l_discount": 2}`` for cents-precision data) and
+    the five sufficient statistics per pair (n, Sx, Sy, Sxy, Sxx, Syy)
+    accumulate as DECIMAL(38,0) — INTEGER sums, immune to the
+    float-summation-order differences that make naive ``corr()``
+    disagree across engines in the last ulp. The final combination
+    ``(n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))`` runs
+    in double over identical inputs using only correctly-rounded IEEE
+    ops (*, -, /, sqrt), so even the doubles are bit-reproducible.
+
+    Output: one row per ``group_col`` value (or a single global row)
+    with ``corr_<a>_<b>`` columns for each pair in sorted-name order,
+    floor-scaled to ``out_decimals``. NULL when either side is
+    constant. Headroom: DECIMAL(38,0) holds n*Sxy up to ~1e38 — at
+    100 TB (n ~ 1e12, cent-scaled prices) the product peaks ~1e37.
+
+    Scale: ONE partially-aggregated pass (map-side combine does almost
+    all the work); the result is group-cardinality-sized.
+    """
+    names = sorted(cols)
+    if len(names) < 2:
+        raise ValueError(f"need >= 2 columns, got {names}")
+
+    def iv(name: str):
+        return F.round(F.col(name) * (10 ** cols[name]), 0).cast(
+            "decimal(38,0)"
+        )
+
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("_n")]
+    for a in names:
+        aggs.append(F.sum(iv(a)).cast("decimal(38,0)").alias(f"_s_{a}"))
+        aggs.append(
+            F.sum(iv(a) * iv(a)).cast("decimal(38,0)").alias(f"_ss_{a}")
+        )
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(
+                F.sum(iv(a) * iv(b)).cast("decimal(38,0)").alias(f"_sp_{a}_{b}")
+            )
+    grouped = df.groupBy(group_col) if group_col else df.groupBy()
+    stats = grouped.agg(*aggs)
+
+    def dbl(c: str):
+        return F.col(c).cast("double")
+
+    out_cols = [F.col(group_col)] if group_col else []
+    scale = 10**out_decimals
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            n = dbl("_n")
+            num = n * dbl(f"_sp_{a}_{b}") - dbl(f"_s_{a}") * dbl(f"_s_{b}")
+            va = n * dbl(f"_ss_{a}") - dbl(f"_s_{a}") * dbl(f"_s_{a}")
+            vb = n * dbl(f"_ss_{b}") - dbl(f"_s_{b}") * dbl(f"_s_{b}")
+            corr = F.when(
+                (va > 0) & (vb > 0),
+                F.floor(num / F.sqrt(va * vb) * scale) / scale,
+            )
+            out_cols.append(corr.alias(f"corr_{a}_{b}"))
+    return stats.select(*out_cols)

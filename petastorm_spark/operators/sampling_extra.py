@@ -523,33 +523,8 @@ def dsir_weights(
     token stream, then one per-doc aggregation. The shuffle key is the
     integer bucket, never the token string. No Python UDFs.
     """
-    from petastorm_spark.operators.dedup import hash60
-
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    occ = df.select(
-        F.col(id_col),
-        is_target.alias("_tgt"),
-        F.explode(tokens(text_col)).alias("_tok"),
-    ).select(
-        F.col(id_col),
-        "_tgt",
-        (hash60("_tok", seed=seed) % n_buckets).alias("_b"),
-    )
-    counts = occ.groupBy("_b").agg(
-        F.count(F.lit(1)).alias("_cr"),
-        F.sum(F.col("_tgt").cast("bigint")).alias("_ct"),
-    )
-    totals = counts.agg(
-        F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt")
-    )
-    ratio = counts.crossJoin(F.broadcast(totals)).select(
-        "_b",
-        F.log(
-            ((F.col("_ct") + 0.5) / (F.col("_nt") + 0.5 * n_buckets))
-            / ((F.col("_cr") + 0.5) / (F.col("_nr") + 0.5 * n_buckets))
-        ).alias("_lr"),
-    )
+    ratio = dsir_bucket_ratios(df, text_col, is_target, n_buckets, seed)
+    occ = _dsir_occurrences(df, text_col, id_col, n_buckets, seed)
     return (
         occ.join(F.broadcast(ratio), "_b")
         .groupBy(id_col)
@@ -557,6 +532,54 @@ def dsir_weights(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             F.round(F.avg("_lr"), 4).alias("dsir_logweight"),
         )
+    )
+
+
+def _dsir_occurrences(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int, seed: int
+) -> DataFrame:
+    from petastorm_spark.operators.dedup import hash60
+
+    return df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    ).select(
+        F.col(id_col), (hash60("_tok", seed=seed) % n_buckets).alias("_b")
+    )
+
+
+def dsir_bucket_ratios(
+    df: DataFrame,
+    text_col: str,
+    is_target,
+    n_buckets: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """The reusable half of :func:`dsir_weights`: the per-bucket
+    smoothed log-likelihood-ratio table ``(_b, _lr)`` (<= ``n_buckets``
+    rows). Build it ONCE offline from the corpus + target slice, then
+    broadcast it wherever docs need scoring — the batch scorer here
+    and the streaming scorer (``streaming.feed.dsir_score_stream``)
+    share it."""
+    from petastorm_spark.operators.dedup import hash60
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    occ = df.select(
+        is_target.alias("_tgt"), F.explode(tokens(text_col)).alias("_tok")
+    ).select("_tgt", (hash60("_tok", seed=seed) % n_buckets).alias("_b"))
+    counts = occ.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cr"),
+        F.sum(F.col("_tgt").cast("bigint")).alias("_ct"),
+    )
+    totals = counts.agg(
+        F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        F.log(
+            ((F.col("_ct") + 0.5) / (F.col("_nt") + 0.5 * n_buckets))
+            / ((F.col("_cr") + 0.5) / (F.col("_nr") + 0.5 * n_buckets))
+        ).alias("_lr"),
     )
 
 

@@ -2556,3 +2556,70 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7,
     )
     return out.select("doc_id", "cluster_id", "split")
+
+
+def _corr_oracle() -> str:
+    # HUGEINT (int128) sums are exact like Spark's DECIMAL(38,0); the
+    # double combination mirrors the operator's expression tree exactly
+    # (only correctly-rounded IEEE ops, so the doubles agree bit-level)
+    def h(expr: str) -> str:
+        return f"CAST(sum(CAST(round({expr}, 0) AS HUGEINT)) AS DOUBLE)"
+
+    pairs = [
+        ("l_discount", "l_extendedprice"),
+        ("l_discount", "l_quantity"),
+        ("l_extendedprice", "l_quantity"),
+    ]
+    sel = []
+    for a, b in pairs:
+        num = f"(n * sp_{a}_{b} - s_{a} * s_{b})"
+        va = f"(n * ss_{a} - s_{a} * s_{a})"
+        vb = f"(n * ss_{b} - s_{b} * s_{b})"
+        sel.append(
+            f"CASE WHEN {va} > 0 AND {vb} > 0 THEN "
+            f"floor({num} / sqrt({va} * {vb}) * 1000000) / 1000000 "
+            f"END AS corr_{a}_{b}"
+        )
+    scaled = {
+        "l_discount": "l_discount * 100",
+        "l_extendedprice": "l_extendedprice * 100",
+        "l_quantity": "l_quantity * 1",
+    }
+    aggs = ["CAST(count(*) AS DOUBLE) AS n"]
+    for c, e in scaled.items():
+        aggs.append(f"{h(e)} AS s_{c}")
+        aggs.append(
+            f"CAST(sum(CAST(round({e}, 0) AS HUGEINT)"
+            f" * CAST(round({e}, 0) AS HUGEINT)) AS DOUBLE) AS ss_{c}"
+        )
+    for a, b in pairs:
+        aggs.append(
+            f"CAST(sum(CAST(round({scaled[a]}, 0) AS HUGEINT)"
+            f" * CAST(round({scaled[b]}, 0) AS HUGEINT)) AS DOUBLE)"
+            f" AS sp_{a}_{b}"
+        )
+    return f"""
+    WITH s AS (SELECT l_returnflag, {', '.join(aggs)}
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, {', '.join(sel)}
+    FROM s
+    """
+
+
+@register("corr_lineitem_matrix", oracle=_corr_oracle())
+def corr_lineitem_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact Pearson correlation matrix of (discount, price,
+    quantity) per return flag: sufficient statistics accumulate as
+    scaled-integer DECIMAL(38,0)/HUGEINT sums (no float summation-
+    order drift), the combination uses only correctly-rounded IEEE
+    double ops — so even this floating-point statistic hash-matches
+    across engines. Scale: ONE partially-aggregated pass, output is
+    group-cardinality-sized."""
+    from petastorm_spark.operators.diagnostics import corr_matrix_exact
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix_exact(
+        li,
+        {"l_discount": 2, "l_extendedprice": 2, "l_quantity": 0},
+        group_col="l_returnflag",
+    )

@@ -501,3 +501,38 @@ def funnel_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dsir_score_stream(
+    doc_stream: DataFrame,
+    ratio_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """Streaming twin of ``operators.sampling_extra.dsir_weights``:
+    score an ingest firehose's documents against a PRE-BUILT DSIR
+    bucket-ratio table (``dsir_bucket_ratios`` — built offline from
+    the corpus + curated target slice) — the online "does this crawl
+    doc look like my curated set" gate, applied at ingest time instead
+    of in a nightly batch.
+
+    Stream-static join: the <= ``n_buckets``-row ratio table is
+    broadcast; the stream side explodes tokens, maps them to hashed
+    buckets, joins map-side, and the per-doc mean is an update-mode
+    streaming aggregation (a doc's tokens arrive in one micro-batch,
+    so its row stabilizes immediately). State is one row per scored
+    doc. availableNow over a static dir reproduces the batch scorer
+    exactly (pinned by test)."""
+    from petastorm_spark.operators.sampling_extra import _dsir_occurrences
+
+    occ = _dsir_occurrences(doc_stream, text_col, id_col, n_buckets, seed)
+    return (
+        occ.join(F.broadcast(ratio_df), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg("_lr"), 4).alias("dsir_logweight"),
+        )
+    )

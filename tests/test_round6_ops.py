@@ -296,3 +296,78 @@ def test_leakage_safe_split_validates_weights(spark):
     pairs = spark.createDataFrame([Row(id_a=0, id_b=0)])
     with _pytest.raises(ValueError):
         leakage_safe_split(docs, pairs, "doc_id", {"train": 0.5, "val": 0.1})
+
+
+# ---------------------------------------------------------------------------
+# corr_matrix_exact
+# ---------------------------------------------------------------------------
+
+
+def test_corr_matrix_exact_hand_values(spark):
+    import numpy as np
+
+    from petastorm_spark.operators.diagnostics import corr_matrix_exact
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [2.0, 4.0, 6.0, 8.0, 10.0]      # perfectly correlated
+    zs = [5.0, 3.0, 4.0, 1.0, 2.0]       # anything else
+    df = spark.createDataFrame(
+        [Row(a=x, b=y, c=z) for x, y, z in zip(xs, ys, zs)]
+    )
+    out = corr_matrix_exact(df, {"a": 0, "b": 0, "c": 0}).collect()[0]
+    assert abs(out["corr_a_b"] - 1.0) < 1e-9
+    ref = float(np.corrcoef(xs, zs)[0, 1])
+    assert abs(out["corr_a_c"] - (math.floor(ref * 1e6) / 1e6)) < 1e-6
+
+
+def test_corr_matrix_exact_constant_column_is_null(spark):
+    from petastorm_spark.operators.diagnostics import corr_matrix_exact
+
+    df = spark.createDataFrame([Row(a=1.0, b=float(i)) for i in range(5)])
+    out = corr_matrix_exact(df, {"a": 0, "b": 0}).collect()[0]
+    assert out["corr_a_b"] is None
+
+
+# ---------------------------------------------------------------------------
+# dsir_score_stream
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_stream_matches_batch_twin(spark, sf_dir, tmp_path_factory):
+    """dsir_score_stream (broadcast ratio table + update-mode agg) over
+    a static dir must reproduce dsir_weights exactly."""
+    from petastorm_spark.operators.sampling_extra import (
+        dsir_bucket_ratios,
+        dsir_weights,
+    )
+    from petastorm_spark.streaming.feed import dsir_score_stream, stream_dataset
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    is_target = F.col("source").isin("src0", "src1")
+    d = str(tmp_path_factory.mktemp("dsir") / "docs")
+    docs.coalesce(1).write.parquet(d)
+
+    ratio = dsir_bucket_ratios(docs, "text", is_target)
+    q = (
+        dsir_score_stream(
+            stream_dataset(spark, d).select("doc_id", "text"),
+            ratio, "text", "doc_id",
+        )
+        .writeStream.format("memory")
+        .queryName("dsir_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        r.doc_id: (r.n_tokens, r.dsir_logweight)
+        for r in spark.sql("SELECT * FROM dsir_out").collect()
+    }
+    batch_rows = {
+        r.doc_id: (r.n_tokens, r.dsir_logweight)
+        for r in dsir_weights(docs, "text", "doc_id", is_target).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows

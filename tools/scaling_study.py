@@ -90,6 +90,9 @@ STUDY_QUERIES = [
     "tfidf_top_terms",
     "dedup_source_matrix",
     "zorder_event_tiles",
+    "histogram_order_prices",
+    "split_leakage_safe",
+    "corr_lineitem_matrix",
 ]
 
 
