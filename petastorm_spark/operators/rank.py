@@ -40,8 +40,13 @@ def global_rank(
     (partition_id << 33 | consecutive offset), valid per-partition for
     up to 8.5 B rows each.
     """
+    from pyspark import StorageLevel
+
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # persisted: both the offset aggregate and the output derive from
+    # it — without the persist the range exchange (and everything
+    # upstream) runs twice (same rationale as dedup.near_dup_pairs)
     ranged = (
         df.repartitionByRange(parts, *cols)
         .sortWithinPartitions(*cols)
@@ -51,6 +56,7 @@ def global_rank(
             "_local",
             F.col("_mid") - F.shiftleft(F.col("_pid"), 33),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     offsets = (
         ranged.groupBy("_pid")
@@ -133,3 +139,66 @@ def global_ntile(
         ).cast("int"),
     )
     return out.drop("_r", "_n")
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    rank_col: str = "rank",
+    count_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based row_number PER GROUP over ``order_cols`` — without
+    ``Window.partitionBy(group)``, whose parallelism is capped at the
+    number of groups (5 languages = 5 tasks, a real 100 TB ceiling for
+    low-cardinality strata). Optionally appends each group's total row
+    count as ``count_col`` (rank cuts need it, and it rides the same
+    tiny table for free).
+
+    Plan: range-repartition on (group, order) so each task owns a
+    contiguous slice — a GROUP larger than one partition spans several
+    tasks, which is the whole point; partition-local ordinals come
+    from ``monotonically_increasing_id`` (pure projection); one tiny
+    aggregate per (partition, group) — bounded by partitions + groups
+    rows, NOT data-scale — yields both the within-partition group
+    starts and, cumulated per group in partition order, the
+    cross-partition offsets. That table broadcasts back. Total: ONE
+    data-scale exchange, zero windows over the data.
+    """
+    from pyspark import StorageLevel
+
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # persisted for the same two-consumer reason as global_rank
+    ranged = (
+        df.repartitionByRange(parts, *group_cols, *ocols)
+        .sortWithinPartitions(*group_cols, *ocols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", 33).cast("bigint"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pg = ranged.groupBy("_pid", *group_cols).agg(
+        F.min("_mid").alias("_start"), F.count(F.lit(1)).alias("_n")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_grp = Window.partitionBy(*group_cols)
+    pg = pg.withColumn(
+        "_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).withColumn("_gn", F.sum("_n").over(w_grp))
+    out = (
+        ranged.join(F.broadcast(pg.drop("_n")), ["_pid", *group_cols])
+        .withColumn(
+            rank_col, F.col("_offset") + (F.col("_mid") - F.col("_start")) + 1
+        )
+        .drop("_mid", "_pid", "_start", "_offset")
+    )
+    if count_col is not None:
+        out = out.withColumnRenamed("_gn", count_col)
+    else:
+        out = out.drop("_gn")
+    return out

@@ -470,28 +470,32 @@ def perplexity_buckets(
     ``(id, stratum, logprob, bucket)``.
 
     Scale: the logprob is the unigram_logprob plan (explode + vocab
-    broadcast + per-doc agg); the bucketing is ONE shuffle on the
-    stratum key — rank and stratum count share the same window
-    partitioning (one exchange, two window nodes). Strata are
-    languages: tens of groups, each huge — fine for a window; there is
-    no per-group driver loop.
+    broadcast + per-doc agg); the per-stratum rank comes from
+    ``rank.grouped_rank`` — a ``Window.partitionBy(lang)`` would cap
+    parallelism at the number of LANGUAGES (~5 tasks for a whole
+    corpus, measured 4.8x degradation at the 6M-doc tier); the
+    grouped-rank plan range-partitions on (lang, logprob, id) so one
+    language spreads over many tasks, with the per-(partition, lang)
+    offset table (tiny) broadcast back.
     """
-    from pyspark.sql import Window
+    from petastorm_spark.operators.rank import grouped_rank
 
     lp = unigram_logprob(df, text_col, id_col)
     joined = df.select(F.col(id_col), F.col(strata_col)).join(lp, id_col)
-    w_rank = Window.partitionBy(strata_col).orderBy(
-        F.col("logprob").desc(), F.col(id_col).asc()
+    ranked = grouped_rank(
+        joined,
+        [strata_col],
+        [F.col("logprob").desc(), F.col(id_col).asc()],
+        rank_col="_rn",
+        count_col="_gn",
     )
-    w_all = Window.partitionBy(strata_col)
-    rn = F.row_number().over(w_rank)
-    n = F.count(F.lit(1)).over(w_all)
+    rn, n = F.col("_rn"), F.col("_gn")
     bucket = (
         F.when(rn <= F.ceil(n / 3.0), F.lit("head"))
         .when(rn <= F.ceil(2 * n / 3.0), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return joined.select(
+    return ranked.select(
         F.col(id_col), F.col(strata_col), F.col("logprob"), bucket.alias("bucket")
     )
 

@@ -209,3 +209,68 @@ def test_excise_broadcasts_qualifying_hashes(spark, sf_dir):
 
     plan = formatted_plan(QUERIES["excise_dup_spans"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_global_rank_has_no_single_task_window(spark, sf_dir):
+    """histogram_order_prices: the whole point of global_rank is that
+    NO corpus-scale single-partition window exists — the only Window
+    node runs over the tiny per-partition offset table, and the data
+    path is range exchange + local sort + broadcast join."""
+    from petastorm_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(QUERIES["histogram_order_prices"](spark, sf_dir))
+    assert "rangepartitioning" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the offsets cumsum is the ONLY SinglePartition exchange and it
+    # feeds a Window over partition-count-sized input, not the data
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
+def test_dsir_broadcasts_ratio_table(spark, sf_dir):
+    """dsir_importance_weights: the <=1024-row ratio table must join
+    back as a BROADCAST; the per-doc aggregation is partial (map-side
+    combine) keyed on the doc id, never on token strings."""
+    from petastorm_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(QUERIES["dsir_importance_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_broadcasts_idf_and_single_topk_exchange(spark, sf_dir):
+    """tfidf_top_terms: document frequencies broadcast back onto the
+    (doc, term) table; the only data-scale hash exchanges are the
+    (doc, term) tf aggregation and the per-doc top-k window."""
+    from petastorm_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(QUERIES["tfidf_top_terms"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_tiles_no_shuffle_before_tile_agg(spark, sf_dir):
+    """zorder_event_tiles: the Morton math is a pure projection — one
+    scan, one partially-aggregated exchange on the tile key, no joins,
+    no windows."""
+    from petastorm_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(QUERIES["zorder_event_tiles"](spark, sf_dir))
+    assert plan.count("ReadSchema") == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_perplexity_buckets_no_lang_window(spark, sf_dir):
+    """perplexity_buckets_lang: the per-stratum rank must NOT be a
+    Window.partitionBy(lang) — that caps parallelism at the number of
+    languages. The grouped_rank plan shows a range exchange on (lang,
+    logprob, id) and a broadcast of the tiny offset table instead."""
+    from petastorm_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(QUERIES["perplexity_buckets_lang"](spark, sf_dir))
+    assert "rangepartitioning(lang" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    # the only lang-keyed hash exchange + windows ride the TINY
+    # per-(partition, lang) offset aggregate, never the doc stream
+    assert "hashpartitioning(_pid" in plan, plan
+    assert plan.count("hashpartitioning(lang") <= 1, plan

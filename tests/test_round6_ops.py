@@ -371,3 +371,25 @@ def test_dsir_stream_matches_batch_twin(spark, sf_dir, tmp_path_factory):
         for r in dsir_weights(docs, "text", "doc_id", is_target).collect()
     }
     assert stream_rows == batch_rows and stream_rows
+
+
+def test_grouped_rank_matches_grouped_window(spark):
+    from pyspark.sql import Window
+
+    from petastorm_spark.operators.rank import grouped_rank
+
+    df = spark.range(900).select(
+        (F.col("id") % 4).alias("g"),
+        ((F.col("id") * 2654435761) % 997).alias("v"),
+        F.col("id"),
+    ).repartition(7)
+    got = grouped_rank(df, ["g"], ["v", "id"], rank_col="r", count_col="n")
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = df.withColumn("r_ref", F.row_number().over(w)).withColumn(
+        "n_ref", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    diff = got.join(want, ["g", "v", "id"]).where(
+        (F.col("r") != F.col("r_ref")) | (F.col("n") != F.col("n_ref"))
+    )
+    assert diff.count() == 0
+    assert got.count() == 900
