@@ -256,27 +256,27 @@ def keep_top_frac(
     cross-engine stability the caller should pass an engine-exact
     score (e.g. floor-scaled to 1e-4 like text.quality_score queries).
 
-    Scale: ONE shuffle on ``group_col`` — the ranked row_number and
-    the group count share the same partitioning (one exchange, two
-    window nodes). Unlike :func:`cap_per_group` there is no two-phase
-    local prune (the cut depends on the full group size), so a single
-    pathological group bounds one task; pre-split such groups upstream
-    if one source is >~1 partition of the corpus.
+    Scale: ``rank.grouped_rank`` — range-partitioned on (group, score,
+    tie) so a pathological group (one source dominating the corpus)
+    spreads across MANY tasks instead of bounding one; rank and group
+    count ride the same tiny per-(partition, group) offset broadcast.
+    (Until round 6 this was a Window.partitionBy(group) — correct, but
+    one task per group.)
     """
-    from pyspark.sql import Window
+    from petastorm_spark.operators.rank import grouped_rank
 
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"frac must be in (0, 1], got {frac}")
-    w_rank = Window.partitionBy(group_col).orderBy(
-        F.col(score_col).desc(), F.col(tie_col).asc()
+    ranked = grouped_rank(
+        df,
+        [group_col],
+        [F.col(score_col).desc(), F.col(tie_col).asc()],
+        rank_col="_rn",
+        count_col="_n",
     )
-    w_all = Window.partitionBy(group_col)
-    return (
-        df.withColumn("_rn", F.row_number().over(w_rank))
-        .withColumn("_n", F.count(F.lit(1)).over(w_all))
-        .where(F.col("_rn") <= F.ceil(F.lit(float(frac)) * F.col("_n")))
-        .drop("_rn", "_n")
-    )
+    return ranked.where(
+        F.col("_rn") <= F.ceil(F.lit(float(frac)) * F.col("_n"))
+    ).drop("_rn", "_n")
 
 
 def sample_weighted(

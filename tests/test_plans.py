@@ -180,14 +180,17 @@ def test_funnel_single_user_shuffle_no_join(spark, sf_dir):
     assert plan.count("ReadSchema") == 1
 
 
-def test_quality_floor_windows_share_one_exchange(spark, sf_dir):
-    """quality_floor_source: the ranked row_number and the group count
-    are two Window nodes over ONE source-keyed exchange."""
+def test_quality_floor_no_per_source_window(spark, sf_dir):
+    """quality_floor_source: the per-source rank cut must not be a
+    Window.partitionBy(source) (one task per source) — the
+    grouped_rank plan range-partitions on (source, score, tie) and
+    broadcasts the tiny offset table (round-6 migration)."""
     from petastorm_spark.plans.checks import formatted_plan
 
     plan = formatted_plan(QUERIES["quality_floor_source"](spark, sf_dir))
-    assert plan.count("hashpartitioning(source") == 1, plan
-    assert plan.count("Window") >= 2
+    assert "rangepartitioning(source" in plan, plan
+    assert "hashpartitioning(_pid" in plan, plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_hll_registers_partial_aggregation(spark, sf_dir):
