@@ -105,6 +105,9 @@ HEADLINE = [
     "histogram_order_prices",
     "split_leakage_safe",
     "corr_lineitem_matrix",
+    "hard_negatives_labeled",
+    "ann_recall_lsh",
+    "dedup_exact_normalized",
 ]
 
 N_WARMUP_READS = 500

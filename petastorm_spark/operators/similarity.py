@@ -640,3 +640,76 @@ def ivf_append(
     n = assigned.count()
     assigned.write.mode("append").partitionBy("cell").parquet(root + "/cells")
     return n
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` MOST similar corpus vectors with a DIFFERENT
+    label — the negatives that actually move an embedding model
+    (random negatives are trivially separable; these sit on the
+    decision boundary). Output: query_id, neighbor_id, rank, cos_sim.
+
+    Scale: identical to :func:`cosine_topk` (broadcast query set, one
+    corpus scan, partition-local top-k) — the label filter rides the
+    same scored stream. Swap the exact scorer for the LSH/IVF variants
+    when the query set outgrows a broadcast.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("c_label") != F.col("q_label"))
+        )
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    return topk_per_query(scored, k)
+
+
+def ann_recall_report(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Index-quality report: per-query recall@k of an approximate ANN
+    result against the exact ground truth (both in the
+    ``(query_id, neighbor_id, rank, ...)`` shape the top-k operators
+    emit) — the number an ANN deployment watches when it tunes
+    n_planes / n_probe / n_cells. Output: (query_id, n_hits, recall),
+    one row per exact-side query (0 recall when the index missed
+    everything).
+
+    Scale: both inputs are top-k results — k rows per query, tiny next
+    to the corpus — so the join is result-sized; never rescores
+    vectors.
+    """
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select(
+        F.col("query_id"), F.col("neighbor_id"), F.lit(1).alias("_hit")
+    )
+    return (
+        e.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"))
+        .select(
+            "query_id",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.col("n_hits") / F.lit(float(k))).alias("recall"),
+        )
+    )

@@ -601,3 +601,16 @@ def numeric_psi(
         "bin", f6(p_a).alias("p_a"), f6(p_b).alias("p_b"),
         f6(psi).alias("psi_term"),
     )
+
+
+def normalize_text(text_col) -> Column:
+    """Canonical text for robust dedup/fingerprinting: lowercase,
+    every non-alphanumeric run collapsed to one space, trimmed — so
+    case changes, punctuation noise, and whitespace tricks don't
+    defeat exact-hash dedup (the standard pre-hash normalization;
+    NFKC/accent folding slots in upstream where the deployment's
+    unicode tables live). Pure JVM regexp, zero shuffle; the pattern
+    is in the Java/RE2 common subset so oracles reproduce it
+    verbatim."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))

@@ -2623,3 +2623,128 @@ def corr_lineitem_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"l_discount": 2, "l_extendedprice": 2, "l_quantity": 0},
         group_col="l_returnflag",
     )
+
+
+@register(
+    "hard_negatives_labeled",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS ql
+          FROM e WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, label AS cl FROM e),
+    s AS (SELECT query_id, neighbor_id, {_COS} AS cos
+          FROM q, c WHERE neighbor_id != query_id AND cl != ql),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cos, 4) AS cos_sim
+    FROM r WHERE rank <= 3
+    """,
+)
+def hard_negatives_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: each query vector's 3 most similar
+    OTHER-label corpus vectors — the decision-boundary negatives
+    contrastive training wants. Scale: the exact-top-k plan with the
+    label filter riding the scored stream."""
+    from petastorm_spark.operators.similarity import hard_negative_mining
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    return hard_negative_mining(
+        emb, emb.where(F.col("vec_id") < 10), k=3
+    )
+
+
+def _recall_oracle(k: int = 5) -> str:
+    return f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({_lsh_planes_sql()} AS INT) AS bucket FROM e0),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+    cb AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+    sl AS (SELECT query_id, neighbor_id, {_COS} AS cos
+           FROM q JOIN cb USING (bucket) WHERE neighbor_id != query_id),
+    rl AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+           FROM sl),
+    approx AS (SELECT query_id, neighbor_id FROM rl WHERE rank <= {k}),
+    qe AS (SELECT vec_id AS query_id, v AS qv FROM e0 WHERE vec_id < 10),
+    ce AS (SELECT vec_id AS neighbor_id, v AS cv FROM e0),
+    se AS (SELECT query_id, neighbor_id, {_COS} AS cos
+           FROM qe, ce WHERE neighbor_id != query_id),
+    re AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+           FROM se),
+    exact AS (SELECT query_id, neighbor_id FROM re WHERE rank <= {k})
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           count(a.neighbor_id) / {float(k)} AS recall
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@register("ann_recall_lsh", oracle=_recall_oracle())
+def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality report: per-query recall@5 of the 8-plane LSH
+    index against exact brute force — the tuning number an ANN
+    deployment watches. Scale: both sides are top-k RESULTS (k rows
+    per query); the comparison join never touches vectors."""
+    from petastorm_spark.operators.similarity import (
+        ann_recall_report,
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=5)
+    approx = cosine_topk_lsh(emb, q, k=5)
+    return ann_recall_report(exact, approx, k=5)
+
+
+# Copies disguised by case + punctuation noise: invisible to raw exact
+# dedup, collapsed by normalize_text. regexp parity: both engines strip
+# non-alphanumeric runs to one space after lowercasing.
+_NOISY_DOCS_CTE = f"""
+    WITH d AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + {_COPY_SHIFT} AS doc_id,
+                      upper(text) || '!!!' AS text
+               FROM documents)
+"""
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle=_NOISY_DOCS_CTE
+    + """
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS digest,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM d GROUP BY digest
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over NORMALIZED text: copies disguised by case
+    flips and punctuation noise (invisible to raw md5 dedup) collapse
+    once the digest is taken over ``normalize_text`` output — every
+    group on this fixture must have exactly 2 copies. Scale: identical
+    to dedup_exact (one digest shuffle); normalization is a map-side
+    expression."""
+    from petastorm_spark.operators.dedup import exact_dedup
+    from petastorm_spark.operators.text import normalize_text
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = d.unionByName(
+        d.select(
+            (F.col("doc_id") + _COPY_SHIFT).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit("!!!")).alias("text"),
+        )
+    )
+    canon = noisy.withColumn("text", normalize_text("text"))
+    return exact_dedup(canon, "text", "doc_id")

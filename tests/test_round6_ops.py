@@ -393,3 +393,59 @@ def test_grouped_rank_matches_grouped_window(spark):
     )
     assert diff.count() == 0
     assert got.count() == 900
+
+
+# ---------------------------------------------------------------------------
+# normalize_text / hard negatives / recall report
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_collapses_disguised_copies(spark):
+    from petastorm_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            Row(id=0, text="Hello,  World!"),
+            Row(id=1, text="hello world"),
+            Row(id=2, text="HELLO--WORLD?!"),
+            Row(id=3, text="goodbye world"),
+        ]
+    )
+    out = df.select("id", normalize_text("text").alias("t")).collect()
+    t = {r.id: r.t for r in out}
+    assert t[0] == t[1] == t[2] == "hello world"
+    assert t[3] == "goodbye world"
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from petastorm_spark.operators.similarity import hard_negative_mining
+
+    rows = [
+        Row(vec_id=i, embedding=[1.0, float(i) * 0.01], label=i % 2)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    out = hard_negative_mining(
+        df, df.where(F.col("vec_id") < 2), k=3
+    ).collect()
+    labels = {r.vec_id: r.label for r in rows}
+    for r in out:
+        assert labels[r.neighbor_id] != labels[r.query_id]
+        assert r.neighbor_id != r.query_id
+    assert {r.query_id for r in out} == {0, 1}
+
+
+def test_ann_recall_report_counts_hits(spark):
+    from petastorm_spark.operators.similarity import ann_recall_report
+
+    exact = spark.createDataFrame(
+        [Row(query_id=0, neighbor_id=n, rank=i + 1) for i, n in enumerate([10, 11, 12])]
+        + [Row(query_id=1, neighbor_id=n, rank=i + 1) for i, n in enumerate([20, 21, 22])]
+    )
+    approx = spark.createDataFrame(
+        [Row(query_id=0, neighbor_id=n, rank=i + 1) for i, n in enumerate([10, 12, 99])]
+        + [Row(query_id=1, neighbor_id=n, rank=i + 1) for i, n in enumerate([7, 8, 9])]
+    )
+    out = {r.query_id: (r.n_hits, r.recall) for r in ann_recall_report(exact, approx, k=3).collect()}
+    assert out[0] == (2, 2 / 3)
+    assert out[1] == (0, 0.0)

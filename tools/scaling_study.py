@@ -93,6 +93,9 @@ STUDY_QUERIES = [
     "histogram_order_prices",
     "split_leakage_safe",
     "corr_lineitem_matrix",
+    "hard_negatives_labeled",
+    "ann_recall_lsh",
+    "dedup_exact_normalized",
 ]
 
 
