@@ -165,6 +165,13 @@ def grouped_rank(
     starts and, cumulated per group in partition order, the
     cross-partition offsets. That table broadcasts back. Total: ONE
     data-scale exchange, zero windows over the data.
+
+    Scope: LOW-cardinality strata (languages, sources, buckets) — the
+    offset table has at most ``partitions + n_groups`` rows (groups
+    are contiguous under the range partitioning). For HIGH-cardinality
+    groups (per-user, per-doc) the plain ``Window.partitionBy(group)``
+    is already fully parallel and is the right tool; this operator
+    exists for the opposite regime, where group count < task count.
     """
     from pyspark import StorageLevel
 

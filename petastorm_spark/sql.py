@@ -32,6 +32,16 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
     return spark.sql(query)
 
 
+def _zorder2_sql(bits: int = 10) -> str:
+    """SQL body for the 2-column Morton interleave (``ps_zorder2``) —
+    delegated to the canonical generator in operators/layout.py so the
+    SQL surface, the Column factory, and the DuckDB oracles share one
+    bit layout."""
+    from petastorm_spark.operators.layout import zorder_value_sql
+
+    return zorder_value_sql(["x", "y"], bits=bits)
+
+
 def register_sql_functions(spark: SparkSession) -> list[str]:
     """Expose the engine's scalar curation primitives as SQL-language
     functions (``CREATE TEMPORARY FUNCTION ... RETURN <expr>``) — the
@@ -105,6 +115,13 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
             "(s STRING) RETURNS DOUBLE RETURN "
             "cast(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
             f" / {1 << 60} as double)"
+        ),
+        "ps_normalize_text": (
+            "(t STRING) RETURNS STRING RETURN "
+            "trim(regexp_replace(lower(t), '[^a-z0-9]+', ' '))"
+        ),
+        "ps_zorder2": (
+            "(x BIGINT, y BIGINT) RETURNS BIGINT RETURN " + _zorder2_sql()
         ),
     }
     for name, body in defs.items():

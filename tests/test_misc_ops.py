@@ -180,9 +180,13 @@ def test_sql_functions_match_column_factories(spark, sf_dir):
         SELECT doc_id, ps_token_count(text) AS n, ps_quality(text) AS q,
                ps_detect_language(text) AS lang, ps_fingerprint(text) AS fp,
                ps_scrub_pii(text) AS scrubbed,
-               ps_md5_fraction(cast(doc_id AS STRING)) AS frac
+               ps_md5_fraction(cast(doc_id AS STRING)) AS frac,
+               ps_normalize_text(upper(text) || '!!') AS norm,
+               ps_zorder2(doc_id % 1024, n_chars % 1024) AS z
         FROM documents
     """).collect()
+    from petastorm_spark.operators.layout import zorder_value
+
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     via_col = d.select(
         "doc_id",
@@ -192,6 +196,12 @@ def test_sql_functions_match_column_factories(spark, sf_dir):
         T.fingerprint("text").alias("fp"),
         T.scrub_pii("text").alias("scrubbed"),
         md5_fraction(F.col("doc_id")).alias("frac"),
+        T.normalize_text(
+            F.concat(F.upper("text"), F.lit("!!"))
+        ).alias("norm"),
+        zorder_value(
+            [F.col("doc_id") % 1024, F.col("n_chars") % 1024], bits=10
+        ).alias("z"),
     ).collect()
     a = {r["doc_id"]: r for r in via_sql}
     b = {r["doc_id"]: r for r in via_col}
@@ -203,6 +213,8 @@ def test_sql_functions_match_column_factories(spark, sf_dir):
         assert a[k]["fp"] == b[k]["fp"]
         assert a[k]["scrubbed"] == b[k]["scrubbed"]
         assert a[k]["frac"] == b[k]["frac"]
+        assert a[k]["norm"] == b[k]["norm"]
+        assert a[k]["z"] == b[k]["z"]
 
 
 def test_key_skew_report_detects_hot_key(spark):
