@@ -151,24 +151,37 @@ def cm_sketch(
     unioning register tables and summing per (r, bucket) — the
     incremental/distributed path.
 
-    Scale: one partially-aggregated shuffle keyed on (r, bucket); at
-    most ``d * w`` rows survive. The input fans out d-fold map-side
-    (one seeded hash per row per sketch row) — for d=4 that is the
-    cost of four cheap md5s, far below shuffling the keys themselves.
+    Scale: ONE scan — the d (row, bucket) pairs explode map-side
+    inline with the projection (until round 6 this was a d-way
+    self-union, i.e. d scans of the source); one partially-aggregated
+    shuffle keyed on (r, bucket); at most ``d * w`` rows survive.
+    The same expression runs unchanged over a readStream
+    (:func:`petastorm_spark.streaming.feed.cm_sketch_stream`) because
+    the state is the register table itself.
     """
     if w < 2 or d < 1:
         raise ValueError(f"w >= 2 and d >= 1 required, got {w=} {d=}")
-    rows = [
-        df.select(
-            F.lit(r).alias("r"),
-            (hash60(F.col(key_col), seed=r) % w).alias("bucket"),
-        )
-        for r in range(d)
-    ]
-    out = rows[0]
-    for part in rows[1:]:
-        out = out.unionByName(part)
-    return out.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        df.select(F.explode(_cm_pairs(key_col, w, d)).alias("_p"))
+        .select(F.col("_p.r").alias("r"), F.col("_p.bucket").alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _cm_pairs(key_col: str, w: int, d: int):
+    """The d (r, bucket) probe pairs for one key, as an array column
+    (shared by the batch sketch, the stream sketch, and cm_estimate's
+    probe side)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (hash60(F.col(key_col), seed=r) % w).alias("bucket"),
+            )
+            for r in range(d)
+        ]
+    )
 
 
 def cm_estimate(

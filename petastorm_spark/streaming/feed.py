@@ -536,3 +536,26 @@ def dsir_score_stream(
             F.round(F.avg("_lr"), 4).alias("dsir_logweight"),
         )
     )
+
+
+def cm_sketch_stream(
+    events: DataFrame, key_col: str, w: int = 1024, d: int = 4
+) -> DataFrame:
+    """Streaming count-min sketch: maintain the (r, bucket, c)
+    frequency registers over a continuous feed — the heavy-hitter
+    monitor whose state is CAPPED at ``d*w`` cells no matter how many
+    distinct keys arrive (exact per-key streaming counts grow without
+    bound; this never does). Emit update/complete mode; point-query a
+    snapshot with ``operators.sketch.cm_estimate``; merge snapshots by
+    summing per (r, bucket). availableNow over a static dir reproduces
+    the batch ``cm_sketch`` exactly (pinned by test)."""
+    from petastorm_spark.operators.sketch import _cm_pairs
+
+    if w < 2 or d < 1:
+        raise ValueError(f"w >= 2 and d >= 1 required, got {w=} {d=}")
+    return (
+        events.select(F.explode(_cm_pairs(key_col, w, d)).alias("_p"))
+        .select(F.col("_p.r").alias("r"), F.col("_p.bucket").alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

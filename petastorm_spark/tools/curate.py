@@ -38,9 +38,18 @@ def curate(
     excise_spans: bool = False,
     report_url: str | None = None,
     row_group_size_mb: int | None = None,
+    zorder_cols: list[str] | None = None,
+    zorder_bits: int = 10,
+    zorder_partitions: int | None = None,
 ) -> dict[str, int]:
     """Run the pipeline and write DST (+ optional report parquet).
-    Returns the attrition counts per stage."""
+    Returns the attrition counts per stage.
+
+    ``zorder_cols`` (>= 2 integer bucket columns, e.g. pre-computed
+    ``doc_id % 1024`` / day buckets) clusters the WRITE on the Morton
+    curve, so file/row-group min-max stats prune scans on any of those
+    columns — the layout knob that matters once the curated corpus is
+    re-read selectively at scale."""
     df = spark.read.parquet(source_url)
     stages = curate_corpus(
         df,
@@ -54,6 +63,19 @@ def curate(
         excise_spans=excise_spans,
     )
     out = stages["output"]
+    if zorder_cols:
+        from petastorm_spark.operators.layout import (
+            zorder_repartition,
+            zorder_value,
+        )
+
+        parts = (
+            zorder_partitions
+            or spark.sparkContext.defaultParallelism
+        )
+        out = zorder_repartition(
+            out, zorder_value(list(zorder_cols), bits=zorder_bits), parts
+        )
     schema = Unischema.from_spark_schema(out.schema)
     with materialize_dataset(spark, target_url, schema, row_group_size_mb):
         out.write.mode("errorifexists").parquet(target_url)
@@ -80,6 +102,14 @@ def main() -> None:
     p.add_argument("--excise-spans", action="store_true")
     p.add_argument("--report", dest="report_url", default=None)
     p.add_argument("--row-group-size-mb", type=int, default=None)
+    p.add_argument(
+        "--zorder",
+        default=None,
+        help="comma-separated integer bucket columns to Z-order the "
+        "write on (>= 2), e.g. --zorder id_bucket,day_bucket",
+    )
+    p.add_argument("--zorder-bits", type=int, default=10)
+    p.add_argument("--zorder-partitions", type=int, default=None)
     a = p.parse_args()
     from petastorm_spark.session import get_spark
 
@@ -98,6 +128,9 @@ def main() -> None:
         excise_spans=a.excise_spans,
         report_url=a.report_url,
         row_group_size_mb=a.row_group_size_mb,
+        zorder_cols=a.zorder.split(",") if a.zorder else None,
+        zorder_bits=a.zorder_bits,
+        zorder_partitions=a.zorder_partitions,
     )
     for stage, n in counts.items():
         print(f"{stage}: {n}")

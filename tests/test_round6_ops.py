@@ -449,3 +449,62 @@ def test_ann_recall_report_counts_hits(spark):
     out = {r.query_id: (r.n_hits, r.recall) for r in ann_recall_report(exact, approx, k=3).collect()}
     assert out[0] == (2, 2 / 3)
     assert out[1] == (0, 0.0)
+
+
+def test_curate_cli_zorder_write_clusters_files(spark, sf_dir, tmp_path):
+    """--zorder on the curate CLI: output files each cover a compact
+    box on BOTH interleaved columns, and the dataset stays readable."""
+    from petastorm_spark.tools.curate import curate
+
+    src = f"{sf_dir}/documents.parquet"
+    dst = str(tmp_path / "curated_z")
+    counts = curate(
+        spark, src, dst,
+        quality_floor=0.0,
+        zorder_cols=["doc_id", "n_chars"],
+        zorder_bits=8,
+        zorder_partitions=6,
+    )
+    out = spark.read.parquet(dst)
+    assert out.count() == counts["output"] > 0
+    stats = (
+        out.groupBy(F.input_file_name())
+        .agg(
+            (F.max(F.col("doc_id") % 256) - F.min(F.col("doc_id") % 256)).alias("wid"),
+        )
+        .collect()
+    )
+    # a random layout would give every file ~the full 0-255 id-bucket
+    # span; the z-ordered write must average well under it
+    assert len(stats) >= 4
+    assert sum(r.wid for r in stats) / len(stats) < 200
+
+
+def test_cm_sketch_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """cm_sketch_stream (bounded d*w-cell state) over a static dir must
+    reproduce the batch sketch register-for-register."""
+    from petastorm_spark.operators.sketch import cm_sketch
+    from petastorm_spark.streaming.feed import cm_sketch_stream, stream_dataset
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    d = str(tmp_path_factory.mktemp("cms") / "docs")
+    docs.coalesce(1).write.parquet(d)
+    q = (
+        cm_sketch_stream(stream_dataset(spark, d), "source", w=64, d=3)
+        .writeStream.format("memory")
+        .queryName("cms_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.r, r.bucket): r.c for r in spark.table("cms_out").collect()
+    }
+    want = {
+        (r.r, r.bucket): r.c
+        for r in cm_sketch(docs, "source", w=64, d=3).collect()
+    }
+    assert got == want and len(want) > 0
