@@ -108,6 +108,7 @@ HEADLINE = [
     "hard_negatives_labeled",
     "ann_recall_lsh",
     "dedup_exact_normalized",
+    "dedup_semantic",
 ]
 
 N_WARMUP_READS = 500

@@ -713,3 +713,57 @@ def ann_recall_report(
             (F.col("n_hits") / F.lit(float(k))).alias("recall"),
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster-scoped semantic dedup (the SemDeDup recipe, Abbas et
+    al. 2023): bucket the corpus by nearest coarse centroid, score
+    cosine only WITHIN a cell, and drop every vector that has a
+    lower-id neighbor at cosine >= ``threshold`` in its cell. Output:
+    (removed_id, witness_id, n_witnesses, max_cos) — one row per
+    dropped vector, witness_id = its lowest-id over-threshold
+    neighbor.
+
+    The cell scoping is what makes semantic dedup tractable: the
+    quadratic pair join runs per cell, so with ``n_cells`` grown
+    proportionally to the corpus (cell size held ~constant) total work
+    stays linear — never an all-pairs cross join. The default
+    quantizer is deterministic (lowest-id vectors, shared with
+    :func:`ivf_build`) so an external oracle can rebuild the identical
+    index; feed :func:`train_kmeans_centroids` output via
+    ``centroids=`` in production, where cluster quality decides which
+    semantic neighbors are even visible.
+
+    Scale: one corpus scan for assignment (broadcast centroids,
+    partial-agg argmax), then a cell equi-join whose two sides are the
+    SAME assignment plan — Spark reuses the exchange rather than
+    recomputing it. Only (id, vec, cell) shuffles.
+    """
+    _, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids)
+    a = assigned.select(
+        F.col(id_col).alias("_ka"), F.col(vec_col).alias("_va"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_kb"), F.col(vec_col).alias("_vb"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("_ka") < F.col("_kb"))
+        .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
+        .where(F.col("_cos") >= threshold)
+    )
+    return (
+        pairs.groupBy(F.col("_kb").alias("removed_id"))
+        .agg(
+            F.min("_ka").alias("witness_id"),
+            F.count(F.lit(1)).alias("n_witnesses"),
+            F.round(F.max("_cos"), 4).alias("max_cos"),
+        )
+    )

@@ -2748,3 +2748,47 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     canon = noisy.withColumn("text", normalize_text("text"))
     return exact_dedup(canon, "text", "doc_id")
+
+
+def _semantic_dedup_oracle(n_cells: int = 16, tau: float = 0.95) -> str:
+    cos = lambda a, b: (  # noqa: E731
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               UNION ALL
+               SELECT vec_id + {_COPY_SHIFT}, embedding::DOUBLE[] FROM embeddings),
+    cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {n_cells}),
+    ca AS (SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM e, cent c) WHERE rn = 1),
+    p AS (SELECT a.vec_id AS ka, b.vec_id AS kb, {cos('a.v', 'b.v')} AS cos
+          FROM ca a JOIN ca b USING (cell) WHERE a.vec_id < b.vec_id)
+    SELECT kb AS removed_id, min(ka) AS witness_id,
+           CAST(count(*) AS BIGINT) AS n_witnesses, round(max(cos), 4) AS max_cos
+    FROM p WHERE cos >= {tau}
+    GROUP BY kb
+    """
+
+
+@register("dedup_semantic", oracle=_semantic_dedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-scoped semantic dedup — corpus bucketed by
+    nearest coarse centroid (the deterministic lowest-id quantizer the
+    oracle rebuilds), cosine scored only within a cell, every vector
+    with a lower-id neighbor >= 0.95 dropped. The synthetic identical
+    copies land in their originals' cells (cos 1.0 with the same
+    centroid) so each must surface exactly once. Scale: quadratic work
+    confined per cell — grow n_cells with the corpus and total cost
+    stays linear; assignment is one broadcast-centroid scan and the
+    pair join reuses one exchange for both sides."""
+    from petastorm_spark.operators.similarity import semantic_dedup
+
+    emb = _t_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    both = emb.unionByName(
+        emb.select((F.col("vec_id") + _COPY_SHIFT).alias("vec_id"), "embedding")
+    )
+    return semantic_dedup(both, "vec_id", "embedding", n_cells=16, threshold=0.95)
