@@ -109,6 +109,7 @@ HEADLINE = [
     "ann_recall_lsh",
     "dedup_exact_normalized",
     "dedup_semantic",
+    "quality_classifier",
 ]
 
 N_WARMUP_READS = 500

@@ -614,3 +614,82 @@ def normalize_text(text_col) -> Column:
     verbatim."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def linear_classifier_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_features: int = 1024,
+    weights: dict[int, float] | None = None,
+    seed: int = 0,
+    scale: float = 8.0,
+) -> DataFrame:
+    """Apply a linear bag-of-words classifier (the fastText-style
+    quality-classifier shape used to score pretraining corpora, e.g.
+    GPT-3/LLaMA's "pages that look like references" filters) with the
+    hashing trick: each token hashes to one of ``n_features`` buckets,
+    the document's score is ``sigmoid(scale * mean(w[bucket(tok)]))``.
+    Output: (id, n_tokens, score, label).
+
+    ``weights``: a trained model's weight vector as {bucket: weight}
+    (missing buckets = 0.0), broadcast as a map literal — inference is
+    then a pure JVM map + one per-doc aggregate, no Python anywhere.
+    Default (None) derives a deterministic pseudo-weight per bucket
+    from md5 (w_j = 2*frac(md5("w<seed>|j")) - 1), so external SQL
+    oracles can reproduce scoring bit-for-bit without shipping a
+    model.
+
+    Scale: explode -> per-token expressions -> one groupBy(id). The
+    shuffle carries only (id, weight-sum partials) thanks to partial
+    aggregation; the weight map is O(n_features) on each executor.
+    """
+    from petastorm_spark.operators.dedup import hash60
+    from petastorm_spark.predicates import HASH_SPACE
+
+    t = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    ).withColumn(
+        "_bucket",
+        hash60(F.col("_tok"), seed=f"qc{seed}") % F.lit(int(n_features)),
+    )
+    if weights is not None:
+        wmap = F.create_map(
+            *[F.lit(v) for kv in weights.items() for v in kv]
+        )
+        w = F.coalesce(
+            F.element_at(wmap, F.col("_bucket").cast("int")), F.lit(0.0)
+        )
+    else:
+        frac = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"w{seed}|"), F.col("_bucket").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(HASH_SPACE)
+        ).cast("double")
+        w = F.lit(2.0) * frac - F.lit(1.0)
+    agg = (
+        t.withColumn("_w", w)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("_w").alias("_mean_w"),
+        )
+    )
+    raw = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(float(scale)) * F.col("_mean_w")))
+    return agg.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(raw, 4).alias("score"),
+        (raw >= 0.5).alias("label"),
+    )

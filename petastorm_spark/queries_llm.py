@@ -2792,3 +2792,39 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select((F.col("vec_id") + _COPY_SHIFT).alias("vec_id"), "embedding")
     )
     return semantic_dedup(both, "vec_id", "embedding", n_cells=16, threshold=0.95)
+
+
+_QC_BUCKET = "((('0x'||substr(md5('qc0|'||tok),1,15))::BIGINT) % 1024)"
+_QC_W = (
+    "(2*((('0x'||substr(md5('w0|'||CAST(j AS VARCHAR)),1,15))::BIGINT)"
+    "/1152921504606846976.0) - 1)"
+)
+
+
+@register(
+    "quality_classifier",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+    b AS (SELECT doc_id, {_QC_BUCKET} AS j FROM tok),
+    w AS (SELECT doc_id, {_QC_W} AS w FROM b),
+    a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, avg(w) AS mw
+          FROM w GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           round(1/(1+exp(-8*mw)), 4) AS score,
+           (1/(1+exp(-8*mw))) >= 0.5 AS label
+    FROM a
+    """,
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear bag-of-words classifier inference at corpus scale — the
+    fastText-style quality-filter pass every pretraining pipeline runs.
+    Hashing-trick features (md5 -> 1024 buckets), per-doc score =
+    sigmoid(8 * mean bucket weight); the deterministic pseudo-weights
+    stand in for a trained model (feed one via ``weights=`` in
+    production — the plan is identical). Scale: explode + pure JVM
+    expressions + ONE partial-aggregated groupBy(doc); the shuffle
+    carries per-doc partials only, never tokens."""
+    from petastorm_spark.operators.text import linear_classifier_score
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    return linear_classifier_score(d, "text", "doc_id", n_features=1024, seed=0)

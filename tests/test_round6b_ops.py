@@ -69,3 +69,50 @@ def test_semantic_dedup_custom_centroids(spark):
     ).collect()
     got = {r.removed_id for r in out}
     assert 7 in got
+
+
+# ---------------------------------------------------------------------------
+# linear_classifier_score
+# ---------------------------------------------------------------------------
+
+
+def _qc_bucket(tok: str, n_features: int = 1024, seed: int = 0) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"qc{seed}|{tok}".encode()).hexdigest()
+    return int(h[:15], 16) % n_features
+
+
+def test_linear_classifier_trained_weights(spark):
+    from petastorm_spark.operators.text import linear_classifier_score
+
+    weights = {_qc_bucket("good"): 1.0, _qc_bucket("bad"): -1.0}
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="good good good"),
+            Row(doc_id=2, text="bad bad"),
+            Row(doc_id=3, text="neutral words here"),
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in linear_classifier_score(
+            df, "text", "doc_id", weights=weights
+        ).collect()
+    }
+    assert out[1].label and out[1].score > 0.99  # sigmoid(8*1.0)
+    assert not out[2].label and out[2].score < 0.01
+    # unseen buckets carry weight 0 -> sigmoid(0) = 0.5, label True (>=)
+    assert out[3].score == pytest.approx(0.5)
+    assert out[3].n_tokens == 3
+
+
+def test_linear_classifier_derived_weights_deterministic(spark):
+    from petastorm_spark.operators.text import linear_classifier_score
+
+    df = spark.createDataFrame([Row(doc_id=1, text="alpha beta gamma")])
+    a = linear_classifier_score(df, "text", "doc_id").collect()[0]
+    b = linear_classifier_score(df, "text", "doc_id").collect()[0]
+    assert a.score == b.score
+    c = linear_classifier_score(df, "text", "doc_id", seed=1).collect()[0]
+    assert a.score != c.score  # different seed, different weight table
