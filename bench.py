@@ -110,6 +110,7 @@ HEADLINE = [
     "dedup_exact_normalized",
     "dedup_semantic",
     "quality_classifier",
+    "bpe_merges",
 ]
 
 N_WARMUP_READS = 500

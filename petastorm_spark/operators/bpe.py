@@ -1,0 +1,168 @@
+"""Distributed byte-pair-encoding (BPE) merge learning and
+application — the tokenizer-training step of an LLM data pipeline,
+expressed Spark-first.
+
+Classic BPE (Sennrich et al. 2016) operates on the WORD-FREQUENCY
+table, not the raw corpus: the corpus collapses to (word, count) once,
+so each merge round scans |vocab| rows — bounded by the heavy-tailed
+distinct-word count, orders of magnitude below corpus size at 100 TB.
+Each round is:
+
+  1. count adjacent symbol pairs weighted by word frequency
+     (explode + one partial-aggregated groupBy);
+  2. take the globally most frequent pair (deterministic tie-break:
+     count DESC, then lexicographic) — ONE row to the driver;
+  3. merge that pair inside every word's symbol array with a pure-JVM
+     ``aggregate`` fold (greedy left-to-right, matching the reference
+     algorithm) — no Python UDFs anywhere.
+
+Driver state is O(num_merges); per-round lineage is cut by
+persist/unpersist so the plan never deepens past one fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from petastorm_spark.operators.text import tokens
+
+
+def merge_pair_expr(syms, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) into ``a+b``
+    inside a symbol array, as a single fold: ("a","a","a") under
+    (a,a) -> ("aa","a"), the reference BPE behavior. ``F.get`` returns
+    NULL (not an ANSI error) on the empty accumulator, so the first
+    element always appends."""
+    c = F.col(syms) if isinstance(syms, str) else syms
+    return F.aggregate(
+        c,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def adjacent_pairs(syms) -> Column:
+    """All adjacent symbol pairs of an array as array<struct<a,b>>
+    (empty for arrays shorter than 2 — guarded so ``sequence`` never
+    sees stop < start)."""
+    c = F.col(syms) if isinstance(syms, str) else syms
+    return F.when(
+        F.size(c) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(c) - 2),
+            lambda i: F.struct(
+                F.element_at(c, i + 1).alias("a"),
+                F.element_at(c, i + 2).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """Collapse a corpus to its word-frequency table:
+    (word, count, syms) with syms = the word split to characters."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn("syms", F.split(F.col("word"), ""))
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 8,
+    min_freq: int = 2,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``num_merges`` BPE merges from a corpus. Returns
+    ``(merges, vocab)`` — merges as [(left, right, pair_freq)] in
+    learned order; vocab as the final (word, count, syms) table.
+
+    Stops early when the best remaining pair's frequency falls below
+    ``min_freq``. Genuinely iterative (each round's argmax depends on
+    the previous merge), so this is test-pinned against a pure-Python
+    reference rather than a SQL oracle.
+    """
+    from pyspark import StorageLevel
+
+    vocab = word_vocab(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    vocab.count()  # materialize the collapsed word table once
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(num_merges):
+            top = (
+                vocab.select(
+                    F.explode(adjacent_pairs("syms")).alias("p"), "count"
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("count").alias("freq"))
+                .orderBy(F.col("freq").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["freq"] < min_freq:
+                break
+            a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["freq"])
+            merges.append((a, b, freq))
+            new_vocab = vocab.withColumn(
+                "syms", merge_pair_expr("syms", a, b)
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            new_vocab.count()  # cut lineage before dropping the old cache
+            vocab.unpersist()
+            vocab = new_vocab
+        return merges, vocab
+    except Exception:
+        vocab.unpersist()
+        raise
+
+
+def segment_expr(word_col, merges: list[tuple[str, str, int]]) -> Column:
+    """Symbol array of a word under a learned merge list: chars, then
+    each merge applied in learned order (the standard greedy encoder).
+    Expression depth grows with len(merges) — fine for the tens of
+    merges these pipelines inspect; at vocabulary scale, encode against
+    the materialized vocab table instead (see bpe_token_count)."""
+    c = F.col(word_col) if isinstance(word_col, str) else word_col
+    syms = F.split(c, "")
+    for a, b, _ in merges:
+        syms = merge_pair_expr(syms, a, b)
+    return syms
+
+
+def bpe_token_count(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str, int]],
+) -> DataFrame:
+    """Per-document BPE token count under a learned merge list —
+    the training-cost estimator. Output: (id, n_words, n_bpe_tokens).
+
+    Scale: words are segmented ONCE per distinct word (the corpus
+    collapses to its vocabulary before any merge expression runs),
+    then lengths join back to the exploded (doc, word) stream on an
+    equi-key — repeated words never re-segment."""
+    words = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("word")
+    ).where(F.length("word") > 0)
+    seg_len = (
+        words.select("word")
+        .distinct()
+        .withColumn("n_syms", F.size(segment_expr("word", merges)))
+    )
+    return (
+        words.join(seg_len, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

@@ -2828,3 +2828,26 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
     return linear_classifier_score(d, "text", "doc_id", n_features=1024, seed=0)
+
+
+@register("bpe_merges")  # iterative (each argmax depends on the prior
+# merge) -> genuinely non-SQL-expressible; rows-only driver check,
+# value-pinned by the pure-Python differential in tests/test_round6b_ops.py
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training on the corpus: learn 8 BPE merges over the
+    documents table and return the merge table (rank, left, right,
+    freq) — deterministic (tie-break count DESC then lexicographic).
+    Scale: the corpus collapses to its word-frequency table before any
+    merge round; each round is one explode + partial-agg groupBy over
+    |vocab| rows and ONE row to the driver. See operators/bpe.py."""
+    from petastorm_spark.operators.bpe import bpe_learn
+
+    d = _t_wide(spark, sf_dir, "documents").select("text")
+    merges, vocab = bpe_learn(d, "text", num_merges=8)
+    vocab.unpersist()
+    rows = [
+        (i + 1, a, b, f) for i, (a, b, f) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, freq bigint"
+    )

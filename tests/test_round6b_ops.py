@@ -116,3 +116,81 @@ def test_linear_classifier_derived_weights_deterministic(spark):
     assert a.score == b.score
     c = linear_classifier_score(df, "text", "doc_id", seed=1).collect()[0]
     assert a.score != c.score  # different seed, different weight table
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (differential vs a pure-Python reference)
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(texts, num_merges, min_freq=2):
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            if w:
+                vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        if not pairs:
+            break
+        (a, b), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq < min_freq:
+            break
+        merges.append((a, b, freq))
+        for w, syms in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            words[w] = out
+    return merges, words
+
+
+def test_bpe_learn_matches_reference_small(spark):
+    from petastorm_spark.operators.bpe import bpe_learn
+
+    texts = ["low low low lower lowest", "new newer newest low", "wider wide"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges, vocab = bpe_learn(df, "text", num_merges=6, min_freq=2)
+    ref_merges, ref_words = _ref_bpe(texts, 6)
+    assert merges == ref_merges
+    got = {r["word"]: r["syms"] for r in vocab.collect()}
+    assert got == ref_words
+    vocab.unpersist()
+
+
+def test_bpe_learn_differential_sf0001(spark, sf_dir):
+    from petastorm_spark.operators.bpe import bpe_learn
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = [r.text for r in df.select("text").collect()]
+    merges, vocab = bpe_learn(df, "text", num_merges=5)
+    ref_merges, _ = _ref_bpe(texts, 5)
+    assert merges == ref_merges
+    vocab.unpersist()
+
+
+def test_bpe_token_count(spark):
+    from petastorm_spark.operators.bpe import bpe_learn, bpe_token_count
+
+    texts = ["low low lower", "lowest newest"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    merges, vocab = bpe_learn(df, "text", num_merges=4, min_freq=1)
+    _, ref_words = _ref_bpe(texts, 4, min_freq=1)
+    out = {r.doc_id: r for r in bpe_token_count(df, "text", "doc_id", merges).collect()}
+    for i, t in enumerate(texts):
+        ws = t.split()
+        assert out[i].n_words == len(ws)
+        assert out[i].n_bpe_tokens == sum(len(ref_words[w]) for w in ws)
+    vocab.unpersist()
