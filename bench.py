@@ -111,6 +111,7 @@ HEADLINE = [
     "dedup_semantic",
     "quality_classifier",
     "bpe_merges",
+    "dataset_diff_docs",
 ]
 
 N_WARMUP_READS = 500

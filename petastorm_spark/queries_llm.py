@@ -2851,3 +2851,50 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, left string, right string, freq bigint"
     )
+
+
+@register(
+    "dataset_diff_docs",
+    oracle="""
+    WITH o AS (SELECT doc_id,
+                      md5(concat_ws(chr(31), coalesce(text, chr(0)),
+                                             coalesce(lang, chr(0)))) AS old_digest
+               FROM documents WHERE doc_id % 5 != 0),
+    n AS (SELECT doc_id,
+                 md5(concat_ws(chr(31),
+                     coalesce(CASE WHEN doc_id % 11 = 0 THEN upper(text)
+                                   ELSE text END, chr(0)),
+                     coalesce(lang, chr(0)))) AS new_digest
+          FROM documents WHERE doc_id % 7 != 3)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           old_digest, new_digest
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR old_digest != new_digest
+    """,
+)
+def dataset_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two dataset versions: rows dropped from
+    the new snapshot, rows added, and rows whose (text, lang) content
+    digest changed — the audit step between pipeline runs. The fixture
+    carves old/new from documents with disjoint modular filters plus
+    an uppercase edit, so all three statuses are non-empty. Scale:
+    digests map-side, the full-outer join shuffles (key, digest) only,
+    output is difference-sized."""
+    from petastorm_spark.operators.diagnostics import dataset_diff
+
+    d = _t_wide(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 5 != 0).select("doc_id", "text", "lang")
+    new = (
+        d.where(F.col("doc_id") % 7 != 3)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 11 == 0, F.upper("text"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+        )
+    )
+    return dataset_diff(old, new, "doc_id", ["text", "lang"])

@@ -194,3 +194,31 @@ def test_bpe_token_count(spark):
         assert out[i].n_words == len(ws)
         assert out[i].n_bpe_tokens == sum(len(ref_words[w]) for w in ws)
     vocab.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# dataset_diff
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_diff_statuses(spark):
+    from petastorm_spark.operators.diagnostics import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d")], "k int, v string"
+    )
+    out = {r.k: r.status for r in dataset_diff(old, new, "k", ["v"]).collect()}
+    # 2 is unchanged -> absent; 1 removed, 3 changed, 4 added
+    assert out == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_dataset_diff_null_vs_empty(spark):
+    from petastorm_spark.operators.diagnostics import dataset_diff
+
+    old = spark.createDataFrame([(1, None)], "k int, v string")
+    new = spark.createDataFrame([(1, "")], "k int, v string")
+    out = dataset_diff(old, new, "k", ["v"]).collect()
+    assert [r.status for r in out] == ["changed"]
