@@ -112,6 +112,7 @@ HEADLINE = [
     "quality_classifier",
     "bpe_merges",
     "dataset_diff_docs",
+    "pagerank_purchases",
 ]
 
 N_WARMUP_READS = 500

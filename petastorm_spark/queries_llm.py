@@ -2898,3 +2898,61 @@ def dataset_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dataset_diff(old, new, "doc_id", ["text", "lang"])
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    base = f"{1.0 - damping}/nn.n"
+    ctes = [
+        """p AS (SELECT DISTINCT 'c'||CAST(o_custkey AS VARCHAR) AS c,
+                                 's'||CAST(l_suppkey AS VARCHAR) AS s
+                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT c AS src, s AS dst FROM p UNION SELECT s, c FROM p),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0/nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+      SELECT no.node, {base} + {damping} * coalesce(c.s, 0) AS rank
+      FROM nodes no CROSS JOIN nn
+      LEFT JOIN (SELECT e.dst, sum(r{k-1}.rank / deg.deg) AS s
+                 FROM e JOIN deg USING (src)
+                 JOIN r{k-1} ON r{k-1}.node = e.src
+                 GROUP BY e.dst) c ON c.dst = no.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+@register("pagerank_purchases", oracle=_pagerank_oracle())
+def pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the symmetrized customer-supplier
+    purchase graph (who trades with whom, via orders x lineitem) — the
+    link-graph feature web-corpus quality filters compute at host
+    level. 5 power iterations, damping 0.85; the oracle unrolls the
+    identical ladder as 5 CTEs. Scale: per iteration ONE rank-keyed
+    equi-join + one partial-agg groupBy(dst); ranks re-persisted per
+    round, lineage flat, driver holds only counts. See
+    operators/graph.py."""
+    from petastorm_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iters=5, damping=0.85)

@@ -222,3 +222,59 @@ def test_dataset_diff_null_vs_empty(spark):
     new = spark.createDataFrame([(1, "")], "k int, v string")
     out = dataset_diff(old, new, "k", ["v"]).collect()
     assert [r.status for r in out] == ["changed"]
+
+
+# ---------------------------------------------------------------------------
+# pagerank (differential vs a numpy power iteration)
+# ---------------------------------------------------------------------------
+
+
+def _ref_pagerank(edges, iters=4, d=0.85):
+    from collections import defaultdict
+
+    edges = sorted(set(edges))
+    nodes = sorted({u for e in edges for u in e})
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        inc = defaultdict(float)
+        for s, t in edges:
+            inc[t] += r[s] / deg[s]
+        r = {v: (1 - d) / n + d * inc[v] for v in nodes}
+    return {v: round(r[v], 6) for v in nodes}
+
+
+def _run_pagerank(spark, edges, iters):
+    from petastorm_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r.rank for r in pagerank(e, iters=iters).collect()}
+
+
+def test_pagerank_symmetric_pair_is_uniform(spark):
+    out = _run_pagerank(spark, [("a", "b"), ("b", "a")], iters=3)
+    assert out == {"a": 0.5, "b": 0.5}
+
+
+def test_pagerank_star_matches_reference(spark):
+    edges = [("h", f"l{i}") for i in range(4)] + [
+        (f"l{i}", "h") for i in range(4)
+    ]
+    out = _run_pagerank(spark, edges, iters=4)
+    ref = _ref_pagerank(edges, iters=4)
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-4)  # no dangling mass
+    assert all(out["h"] > out[f"l{i}"] for i in range(4))
+    for v, r in ref.items():
+        assert out[v] == pytest.approx(r, abs=2e-6)
+
+
+def test_pagerank_dangling_node_matches_reference(spark):
+    edges = [("a", "b")]  # b is dangling: its mass leaks, a bottoms out
+    out = _run_pagerank(spark, edges, iters=4)
+    ref = _ref_pagerank(edges, iters=4)
+    for v, r in ref.items():
+        assert out[v] == pytest.approx(r, abs=2e-6)
+    assert out["a"] == pytest.approx(0.15 / 2, abs=1e-6)
