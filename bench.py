@@ -113,6 +113,8 @@ HEADLINE = [
     "bpe_merges",
     "dataset_diff_docs",
     "pagerank_purchases",
+    "inverted_index_terms",
+    "pmi_collocations",
 ]
 
 N_WARMUP_READS = 500

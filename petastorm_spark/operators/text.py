@@ -693,3 +693,114 @@ def linear_classifier_score(
         F.round(raw, 4).alias("score"),
         (raw >= 0.5).alias("label"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 2,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Build a term -> posting-list search index (the offline half of
+    BM25 serving): (term, df, postings) with postings the sorted doc
+    ids containing the term, truncated to ``max_postings`` (df stays
+    exact). Output rows are parquet-ready — partition by a term-hash
+    prefix at write time so lookups prune to one directory.
+
+    Scale: one distinct-terms explode + one groupBy(term). Stop-word
+    terms would otherwise produce corpus-sized rows — the cap bounds
+    every posting list while keeping the exact document frequency for
+    scoring; production indexes shard those hot terms' full lists by
+    ``doc_id % k`` side tables."""
+    t = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term")
+    ).where(F.length("term") > 0)
+    return (
+        t.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(
+                F.sort_array(F.collect_list(id_col)), 1, max_postings
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    text_col: str,
+    window: int = 2,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of co-occurring token pairs within
+    a +/-``window`` skip-gram window — the word2vec/GloVe
+    preprocessing statistic and a collocation miner. Pairs are
+    unordered (canonicalized least/greatest); PMI uses natural log:
+    ln( (C(a,b)/T_p) / ((C(a)/T_u) * (C(b)/T_u)) ). Output:
+    (a, b, pair_count, pmi), pairs with count >= ``min_pair_count``.
+
+    Scale: pair generation is a per-row explode (never a positional
+    self-join); pair and unigram counts partial-aggregate before their
+    shuffles; the two count joins are on the (skew-bounded by
+    min_pair_count) pair table; corpus totals ride in via a 1-row
+    cross join."""
+    toks = df.select(tokens(text_col).alias("t"))
+
+    # single-parameter lambda per offset: a two-parameter lambda would
+    # be treated by F.transform as (element, index) and shadow `off`
+    def _pair_fn(off: int):
+        return lambda i: F.struct(
+            F.least(
+                F.element_at(F.col("t"), i),
+                F.element_at(F.col("t"), i + off),
+            ).alias("a"),
+            F.greatest(
+                F.element_at(F.col("t"), i),
+                F.element_at(F.col("t"), i + off),
+            ).alias("b"),
+        )
+
+    pair_arrays = []
+    for off in range(1, window + 1):
+        pair_arrays.append(
+            F.when(
+                F.size("t") > off,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - off), _pair_fn(off)
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<a:string,b:string>>")
+            )
+        )
+    pairs = toks.select(
+        F.explode(F.concat(*pair_arrays)).alias("p")
+    ).select("p.a", "p.b")
+    pc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("pair_count"))
+    pc = pc.where(F.col("pair_count") >= min_pair_count)
+    uni = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = pairs.groupBy().agg(F.count(F.lit(1)).alias("tp")).crossJoin(
+        uni.groupBy().agg(F.sum("c").alias("tu"))
+    )
+    ca = uni.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    cb = uni.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    pmi = F.log(
+        (F.col("pair_count") / F.col("tp"))
+        / ((F.col("ca") / F.col("tu")) * (F.col("cb") / F.col("tu")))
+    )
+    return (
+        pc.join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            F.col("pair_count").cast("bigint").alias("pair_count"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+    )

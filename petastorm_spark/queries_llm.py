@@ -2956,3 +2956,62 @@ def pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return pagerank(edges, iters=5, damping=0.85)
+
+
+@register(
+    "inverted_index_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOK})) AS term
+                 FROM documents),
+    g AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                 list_sort(list(doc_id)) AS postings
+          FROM tok WHERE term != '' GROUP BY term)
+    SELECT term, df, postings[1:1000] AS postings FROM g WHERE df >= 2
+    """,
+)
+def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline search-index build: term -> (document frequency, sorted
+    posting list, capped at 1000) over the corpus — what BM25 serving
+    reads. Scale: distinct-terms explode + ONE groupBy(term); the cap
+    bounds stop-word rows while df stays exact."""
+    from petastorm_spark.operators.text import inverted_index
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    return inverted_index(d, "text", "doc_id", min_df=2, max_postings=1000)
+
+
+@register(
+    "pmi_collocations",
+    oracle=f"""
+    WITH tok AS (SELECT {_TOK} AS t FROM documents),
+    pr AS (SELECT unnest(flatten([
+               list_transform(range(1, len(t)), i ->
+                   [least(t[i], t[i+1]), greatest(t[i], t[i+1])]),
+               list_transform(range(1, len(t) - 1), i ->
+                   [least(t[i], t[i+2]), greatest(t[i], t[i+2])])
+           ])) AS p FROM tok),
+    pairs AS (SELECT p[1] AS a, p[2] AS b FROM pr),
+    pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS pair_count
+           FROM pairs GROUP BY a, b HAVING count(*) >= 5),
+    uni AS (SELECT unnest({_TOK}) AS tok FROM documents),
+    uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    tot AS (SELECT (SELECT count(*) FROM pairs) AS tp,
+                   (SELECT count(*) FROM uni) AS tu)
+    SELECT pc.a, pc.b, pair_count,
+           round(ln((pair_count * 1.0 / tp) /
+                    ((ca.c * 1.0 / tu) * (cb.c * 1.0 / tu))), 4) AS pmi
+    FROM pc JOIN uc ca ON ca.tok = pc.a
+            JOIN uc cb ON cb.tok = pc.b, tot
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: PMI of token pairs co-occurring within a
+    +/-2 skip-gram window (the word2vec-era association statistic,
+    still the fastest corpus-level phrase detector). Scale: pairs are
+    per-row explodes — no positional self-join — and both count
+    tables partial-aggregate before shuffling; corpus totals ride a
+    1-row broadcast."""
+    from petastorm_spark.operators.text import pmi_cooccurrence
+
+    d = _t_wide(spark, sf_dir, "documents").select("text")
+    return pmi_cooccurrence(d, "text", window=2, min_pair_count=5)

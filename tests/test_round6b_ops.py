@@ -278,3 +278,53 @@ def test_pagerank_dangling_node_matches_reference(spark):
     for v, r in ref.items():
         assert out[v] == pytest.approx(r, abs=2e-6)
     assert out["a"] == pytest.approx(0.15 / 2, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# inverted_index / pmi_cooccurrence
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_postings_and_cap(spark):
+    from petastorm_spark.operators.text import inverted_index
+
+    df = spark.createDataFrame(
+        [
+            (3, "apple banana"),
+            (1, "apple cherry apple"),  # repeated token counts once
+            (2, "banana apple"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.term: r
+        for r in inverted_index(
+            df, "text", "doc_id", min_df=2, max_postings=2
+        ).collect()
+    }
+    assert set(out) == {"apple", "banana"}  # cherry has df=1
+    assert out["apple"].df == 3  # exact df survives the cap
+    assert out["apple"].postings == [1, 2]  # sorted, capped at 2
+    assert out["banana"].postings == [2, 3]
+
+
+def test_pmi_cooccurrence_known_counts(spark):
+    import math
+
+    from petastorm_spark.operators.text import pmi_cooccurrence
+
+    # "x y" always adjacent, z independent filler
+    df = spark.createDataFrame(
+        [("x y z",), ("x y",), ("z x y",)], "text string"
+    )
+    out = {
+        (r.a, r.b): r
+        for r in pmi_cooccurrence(df, "text", window=2, min_pair_count=3).collect()
+    }
+    r = out[("x", "y")]
+    assert r.pair_count == 3
+    # totals: pairs = (2+1)+(1)+(2+1)=... count directly below
+    tp = 3 + 1 + 3  # per doc: len-1 + len-2 adjacent/skip pairs
+    tu = 8
+    expected = math.log((3 / tp) / ((3 / tu) * (3 / tu)))
+    assert r.pmi == pytest.approx(round(expected, 4), abs=1e-4)
