@@ -115,6 +115,8 @@ HEADLINE = [
     "pagerank_purchases",
     "inverted_index_terms",
     "pmi_collocations",
+    "dedup_threshold_curve",
+    "token_budget_mix",
 ]
 
 N_WARMUP_READS = 500

@@ -622,3 +622,46 @@ def approx_quantiles_sampled(
         for p in probs
     ]
     return samp.groupBy(group_col).agg(*aggs)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    budget_tokens: int,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Plan a training mixture against a token budget: per source,
+    measured token count, temperature-weighted target share
+    (w_s ∝ C_s^alpha — alpha<1 upweights small sources, the
+    multilingual-sampling standard), the target token allocation, and
+    the keep fraction / epoch count that realizes it (epochs > 1 means
+    the source repeats). Output: (source, n_tokens, weight,
+    target_tokens, keep_frac, epochs).
+
+    Scale: ONE partial-aggregated groupBy(source) over the corpus;
+    everything after is arithmetic on the source-count table (sources
+    number in the thousands at worst) with the normalizing constant a
+    1-row broadcast. Feed keep_frac into sample_stratified /
+    sample_temperature to execute the plan map-side."""
+    from petastorm_spark.operators.text import token_count
+
+    counts = (
+        df.select(F.col(source_col).alias("source"), token_count(text_col).alias("_n"))
+        .groupBy("source")
+        .agg(F.sum("_n").cast("bigint").alias("n_tokens"))
+    )
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("_z")
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("_z")
+    target = w * F.lit(float(budget_tokens))
+    epochs = target / F.col("n_tokens")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(w, 6).alias("weight"),
+        F.round(target, 2).alias("target_tokens"),
+        F.round(F.least(F.lit(1.0), epochs), 6).alias("keep_frac"),
+        F.round(epochs, 6).alias("epochs"),
+    )

@@ -3015,3 +3015,68 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t_wide(spark, sf_dir, "documents").select("text")
     return pmi_cooccurrence(d, "text", window=2, min_pair_count=5)
+
+
+@register(
+    "dedup_threshold_curve",
+    oracle=f"""
+    WITH nd AS ({_near_dup_oracle(threshold=0.0)})
+    SELECT thr, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT id_b) AS BIGINT) AS n_docs_removed
+    FROM nd, (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) t(thr)
+    WHERE jaccard >= thr
+    GROUP BY thr
+    """,
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tune the dedup knob in ONE pass: the attrition curve over
+    Jaccard thresholds 0.5-0.9 — per threshold, surviving candidate
+    pairs and docs that would be removed (keep-lowest policy) — from a
+    single LSH-candidates + exact-verify run, thresholds applied by a
+    5-way explode of the (tiny) verified pair table. What you consult
+    before committing a threshold to a 100 TB sweep; no re-scan per
+    setting."""
+    from petastorm_spark.operators.dedup import near_dup_pairs
+
+    pairs = near_dup_pairs(
+        _docs_with_copies(spark, sf_dir), "text", "doc_id",
+        threshold=0.0, num_hashes=16, bands=4, shingle_n=3,
+    )
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
+    ).alias("thr")
+    return (
+        pairs.select("id_b", "jaccard", thr)
+        .where(F.col("jaccard") >= F.col("thr"))
+        .groupBy("thr")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("id_b").alias("n_docs_removed"),
+        )
+    )
+
+
+@register(
+    "token_budget_mix",
+    oracle=f"""
+    WITH c AS (SELECT source, CAST(sum(len({_TOK})) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+    z AS (SELECT sum(power(n_tokens, 0.7)) AS z FROM c)
+    SELECT source, n_tokens,
+           round(power(n_tokens, 0.7) / z, 6) AS weight,
+           round(power(n_tokens, 0.7) / z * 1000000, 2) AS target_tokens,
+           round(least(1.0, power(n_tokens, 0.7) / z * 1000000 / n_tokens), 6)
+               AS keep_frac,
+           round(power(n_tokens, 0.7) / z * 1000000 / n_tokens, 6) AS epochs
+    FROM c, z
+    """,
+)
+def token_budget_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning against a 1M-token budget with temperature
+    alpha=0.7: per-source token counts -> target shares -> keep
+    fraction / epochs. One groupBy(source) + broadcast arithmetic —
+    the planning half that sample_temperature_sources executes."""
+    from petastorm_spark.operators.sampling_extra import token_budget_mix
+
+    d = _t_wide(spark, sf_dir, "documents").select("source", "text")
+    return token_budget_mix(d, "text", "source", budget_tokens=1_000_000, alpha=0.7)

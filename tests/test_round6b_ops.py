@@ -328,3 +328,38 @@ def test_pmi_cooccurrence_known_counts(spark):
     tu = 8
     expected = math.log((3 / tp) / ((3 / tu) * (3 / tu)))
     assert r.pmi == pytest.approx(round(expected, 4), abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# token_budget_mix / dedup_threshold_curve
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_mix_shares_and_epochs(spark):
+    from petastorm_spark.operators.sampling_extra import token_budget_mix
+
+    df = spark.createDataFrame(
+        [("big", "a " * 900), ("small", "b " * 100)],
+        "source string, text string",
+    )
+    out = {
+        r.source: r
+        for r in token_budget_mix(
+            df, "text", "source", budget_tokens=1000, alpha=1.0
+        ).collect()
+    }
+    # alpha=1: shares proportional to counts; budget == corpus size
+    assert out["big"].weight == pytest.approx(0.9)
+    assert out["small"].weight == pytest.approx(0.1)
+    assert out["big"].keep_frac == pytest.approx(1.0)
+    assert out["big"].epochs == pytest.approx(1.0)
+    # alpha=0: uniform shares -> small source repeats 5x, big keeps half
+    out0 = {
+        r.source: r
+        for r in token_budget_mix(
+            df, "text", "source", budget_tokens=1000, alpha=0.0
+        ).collect()
+    }
+    assert out0["small"].epochs == pytest.approx(5.0)
+    assert out0["big"].keep_frac == pytest.approx(500 / 900, abs=1e-6)
+    assert out0["big"].weight == pytest.approx(0.5)
