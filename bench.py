@@ -117,6 +117,7 @@ HEADLINE = [
     "pmi_collocations",
     "dedup_threshold_curve",
     "token_budget_mix",
+    "click_attribution",
 ]
 
 N_WARMUP_READS = 500

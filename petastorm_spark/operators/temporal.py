@@ -344,3 +344,37 @@ def interval_overlap_join(
         .drop("_bin", "_binr")
     )
     return out
+
+
+def interval_attribution(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts_us: str,
+    right_ts_us: str,
+    window_us: int,
+) -> DataFrame:
+    """Attribution join: every right event is paired with the key's
+    left events it follows within ``window_us`` (right.ts in
+    (left.ts, left.ts + window]) — the click -> conversion credit
+    assignment. Input timestamps are epoch-µs bigints (normalize with
+    session.events_ts_us). Output: both rows' columns plus nothing
+    else; callers aggregate credit as needed.
+
+    Scale: ONE equi-join on the entity key with the time bound as a
+    post-join residual — per-key event counts are bounded in real
+    logs, so the join never degenerates; AQE's skew-join splits any
+    hot key. The streaming twin (streaming/feed.attribution_stream)
+    runs the same predicate as a watermarked stream-stream join whose
+    state expires by the same window.
+    """
+    l = left.select(
+        F.col(key_col), *[F.col(c).alias(c) for c in left.columns if c != key_col]
+    )
+    r = right.select(
+        F.col(key_col), *[F.col(c).alias(c) for c in right.columns if c != key_col]
+    )
+    return l.join(r, key_col).where(
+        (F.col(right_ts_us) > F.col(left_ts_us))
+        & (F.col(right_ts_us) <= F.col(left_ts_us) + F.lit(int(window_us)))
+    )

@@ -3080,3 +3080,45 @@ def token_budget_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t_wide(spark, sf_dir, "documents").select("source", "text")
     return token_budget_mix(d, "text", "source", budget_tokens=1_000_000, alpha=0.7)
+
+
+@register(
+    "click_attribution",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type
+               FROM events),
+    c AS (SELECT event_id AS click_id, user_id, t AS click_ts_us
+          FROM e WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, t AS purchase_ts_us
+          FROM e WHERE event_type = 'purchase')
+    SELECT c.user_id, click_id, purchase_id, click_ts_us, purchase_ts_us
+    FROM c JOIN p ON c.user_id = p.user_id
+    WHERE purchase_ts_us > click_ts_us
+      AND purchase_ts_us <= click_ts_us + 1800000000
+    """,
+)
+def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution: every purchase credited to the same user's clicks
+    in the preceding 30 minutes — one entity-keyed equi-join with the
+    time bound as a residual (per-user event counts are log-bounded;
+    AQE splits hot keys). The streaming twin runs the identical
+    predicate as a watermarked stream-stream join with bounded state
+    (streaming/feed.attribution_stream). See
+    operators/temporal.interval_attribution."""
+    from petastorm_spark.operators.temporal import interval_attribution
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", events_ts_us(ev))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("click_ts_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("purchase_ts_us"),
+    )
+    return interval_attribution(
+        clicks, purchases, "user_id", "click_ts_us", "purchase_ts_us",
+        window_us=30 * 60 * 1_000_000,
+    )

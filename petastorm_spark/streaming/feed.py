@@ -559,3 +559,59 @@ def cm_sketch_stream(
         .groupBy("r", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def attribution_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_is_nanos: bool | None = None,
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the Structured
+    Streaming feature the rest of the feed module doesn't exercise:
+    each right-stream event (e.g. purchase) joins the same key's
+    left-stream events (e.g. clicks) it follows within ``window``.
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides, so the state store provably expires rows
+    older than watermark + window — state is bounded at any corpus
+    rate. Output: (key, left_id, right_id, left_ts_us, right_ts_us).
+
+    Batch twin: operators/temporal.interval_attribution — the
+    availableNow run over a static directory reproduces it exactly
+    (tested)."""
+    lt = _event_time(left, ts_col, ts_is_nanos)
+    rt = _event_time(right, ts_col, ts_is_nanos)
+    l = (
+        left.withColumn("_lt", lt)
+        .withWatermark("_lt", watermark)
+        .select(
+            F.col(key_col),
+            F.col("event_id").alias("left_id"),
+            F.col("_lt"),
+        )
+    )
+    r = (
+        right.withColumn("_rt", rt)
+        .withWatermark("_rt", watermark)
+        .select(
+            F.col(key_col).alias("_rkey"),
+            F.col("event_id").alias("right_id"),
+            F.col("_rt"),
+        )
+    )
+    joined = l.join(
+        r,
+        (F.col(key_col) == F.col("_rkey"))
+        & (F.col("_rt") > F.col("_lt"))
+        & (F.col("_rt") <= F.col("_lt") + F.expr(f"interval {window}")),
+    )
+    return joined.select(
+        F.col(key_col),
+        "left_id",
+        "right_id",
+        F.unix_micros(F.col("_lt")).alias("left_ts_us"),
+        F.unix_micros(F.col("_rt")).alias("right_ts_us"),
+    )

@@ -363,3 +363,56 @@ def test_token_budget_mix_shares_and_epochs(spark):
     assert out0["small"].epochs == pytest.approx(5.0)
     assert out0["big"].keep_frac == pytest.approx(500 / 900, abs=1e-6)
     assert out0["big"].weight == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# stream-stream attribution join (twin of interval_attribution)
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    from petastorm_spark.operators.temporal import interval_attribution
+    from petastorm_spark.session import events_ts_us
+    from petastorm_spark.streaming.feed import attribution_stream, stream_dataset
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = str(tmp_path_factory.mktemp("attr") / "events")
+    ev.coalesce(1).write.parquet(d)
+
+    s = stream_dataset(spark, d)
+    q = (
+        attribution_stream(
+            s.where(F.col("event_type") == "click"),
+            s.where(F.col("event_type") == "purchase"),
+            window="30 minutes",
+            watermark="2 hours",
+        )
+        .writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r.user_id, r.left_id, r.right_id, r.left_ts_us, r.right_ts_us)
+        for r in spark.sql("SELECT * FROM attr_out").collect()
+    }
+
+    evb = ev.withColumn("ts_us", events_ts_us(ev))
+    clicks = evb.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("left_id"),
+        F.col("ts_us").alias("left_ts_us"),
+    )
+    purchases = evb.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("right_id"),
+        F.col("ts_us").alias("right_ts_us"),
+    )
+    batch_rows = {
+        (r.user_id, r.left_id, r.right_id, r.left_ts_us, r.right_ts_us)
+        for r in interval_attribution(
+            clicks, purchases, "user_id", "left_ts_us", "right_ts_us",
+            window_us=30 * 60 * 1_000_000,
+        ).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
