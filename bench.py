@@ -118,6 +118,7 @@ HEADLINE = [
     "dedup_threshold_curve",
     "token_budget_mix",
     "click_attribution",
+    "kmv_source_overlap",
 ]
 
 N_WARMUP_READS = 500

@@ -234,3 +234,100 @@ def cm_oracle_sql(
     FROM probe p JOIN sk USING (r, bucket)
     GROUP BY p.{key_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct/overlap sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    elem_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct 60-bit md5
+    hashes of the group's elements, as one sorted array row per group
+    — the third mergeable-sketch family next to HLL (cardinality) and
+    count-min (frequency), and the one that supports SET OPERATIONS:
+    union/intersection/Jaccard between groups are computable from
+    sketches alone (Beyer et al., "On synopses for distinct-value
+    estimation under multiset operations").
+
+    Deterministic (md5, no RNG), so estimates are bit-reproducible
+    across engines and a SQL oracle can rebuild them. Scale: one
+    distinct shuffle on (group, hash), then an EXACT k-min per group
+    via grouped_rank — range-partitioned, never a one-task-per-group
+    window — and a k-bounded collect per group. Merge sketches by
+    array_union + re-sort + cap, so shards/ingest batches combine
+    without rescanning."""
+    from petastorm_spark.operators.dedup import hash60
+    from petastorm_spark.operators.rank import grouped_rank
+
+    h = (
+        df.select(F.col(group_col).alias("g"), hash60(F.col(elem_col)).alias("h"))
+        .distinct()
+    )
+    topk = grouped_rank(h, ["g"], ["h"], rank_col="_r").where(F.col("_r") <= k)
+    return (
+        topk.groupBy("g")
+        .agg(F.array_sort(F.collect_list("h")).alias("sketch"))
+        .select(F.col("g").alias(group_col), "sketch")
+    )
+
+
+def kmv_distinct_estimate(sketch, k: int):
+    """Distinct-count estimate from a KMV sketch column: exact |sketch|
+    when the group had fewer than k distinct elements, else
+    (k-1) / frac(h_k) with frac the k-th smallest hash normalized to
+    [0,1)."""
+    from petastorm_spark.predicates import HASH_SPACE
+
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    return F.when(F.size(s) < k, F.size(s).cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.element_at(s, k).cast("double") / F.lit(HASH_SPACE))
+    )
+
+
+def kmv_overlap(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise Jaccard estimates between groups from their KMV
+    sketches ONLY (no second corpus pass): for each pair, the union's
+    k-min values are the merged-sketch cap, and the estimate is the
+    fraction of those present in both sketches. Output:
+    (group_a, group_b, est_jaccard, est_distinct_a, est_distinct_b)
+    for group_a < group_b.
+
+    Scale: the input is one row per group — the pair join is
+    sketch-table-sized (tiny) regardless of corpus size; that is the
+    entire point of sketching the corpus down first."""
+    a = sketches.select(
+        F.col(group_col).alias("group_a"), F.col("sketch").alias("_sa")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("group_b"), F.col("sketch").alias("_sb")
+    )
+    union_k = F.slice(
+        F.array_sort(F.array_union(F.col("_sa"), F.col("_sb"))), 1, k
+    )
+    inter = F.array_intersect(
+        F.array_intersect(F.col("_sa"), F.col("_sb")), F.col("_uk")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("group_a") < F.col("group_b"))
+        .withColumn("_uk", union_k)
+        .select(
+            "group_a",
+            "group_b",
+            F.round(
+                F.size(inter) / F.least(F.lit(k), F.size(F.col("_uk"))), 4
+            ).alias("est_jaccard"),
+            F.round(kmv_distinct_estimate("_sa", k), 2).alias("est_distinct_a"),
+            F.round(kmv_distinct_estimate("_sb", k), 2).alias("est_distinct_b"),
+        )
+    )

@@ -3122,3 +3122,50 @@ def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, "user_id", "click_ts_us", "purchase_ts_us",
         window_us=30 * 60 * 1_000_000,
     )
+
+
+def _kmv_oracle(k: int = 256) -> str:
+    est = lambda s: (  # noqa: E731
+        f"CASE WHEN len({s}) < {k} THEN len({s}) * 1.0 "
+        f"ELSE {k - 1}.0 / ({s}[{k}] / 1152921504606846976.0) END"
+    )
+    return f"""
+    WITH tok AS (SELECT source, unnest(list_distinct({_TOK})) AS tok
+                 FROM documents),
+    h AS (SELECT DISTINCT source,
+                 (('0x'||substr(md5(tok),1,15))::BIGINT) AS h FROM tok),
+    sk AS (SELECT source, (list_sort(list(DISTINCT h)))[1:{k}] AS s
+           FROM h GROUP BY source),
+    p AS (SELECT a.source AS group_a, b.source AS group_b,
+                 a.s AS sa, b.s AS sb
+          FROM sk a, sk b WHERE a.source < b.source),
+    u AS (SELECT *, (list_sort(list_distinct(flatten([sa, sb]))))[1:{k}] AS uk
+          FROM p)
+    SELECT group_a, group_b,
+           round(len(list_intersect(list_intersect(sa, sb), uk)) * 1.0
+                 / least({k}, len(uk)), 4) AS est_jaccard,
+           round({est('sa')}, 2) AS est_distinct_a,
+           round({est('sb')}, 2) AS est_distinct_b
+    FROM u
+    """
+
+
+@register("kmv_source_overlap", oracle=_kmv_oracle())
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between every source pair WITHOUT a second
+    corpus pass: per-source KMV sketches (k=256 smallest md5 hashes of
+    the token vocab) support union/intersection/Jaccard estimates from
+    the sketch rows alone — the set-operation sketch next to HLL and
+    count-min, and deterministic, so even the estimates are hash-gated
+    by the oracle. Scale: corpus -> one distinct shuffle + exact k-min
+    per source (grouped_rank, never a per-group window); the pair join
+    touches only the 1-row-per-source sketch table. See
+    operators/sketch.py."""
+    from petastorm_spark.operators.sketch import kmv_overlap, kmv_sketch
+    from petastorm_spark.operators.text import tokens
+
+    d = _t_wide(spark, sf_dir, "documents").select(
+        "source", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    sk = kmv_sketch(d, "source", "tok", k=256)
+    return kmv_overlap(sk, "source", k=256)

@@ -416,3 +416,61 @@ def test_attribution_stream_matches_batch(spark, sf_dir, tmp_path_factory):
         ).collect()
     }
     assert stream_rows == batch_rows and stream_rows
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    from petastorm_spark.operators.sketch import kmv_overlap, kmv_sketch
+
+    # 30 distinct elements each, 10 shared; k=64 > n -> sketches ARE
+    # the full hash sets and the "estimate" is exact
+    rows = [("a", f"s{i}") for i in range(30)] + [
+        ("b", f"s{i}") for i in range(20, 50)
+    ]
+    df = spark.createDataFrame(rows, "g string, e string")
+    sk = kmv_sketch(df, "g", "e", k=64)
+    out = kmv_overlap(sk, "g", k=64).collect()[0]
+    assert out.group_a == "a" and out.group_b == "b"
+    assert out.est_distinct_a == 30.0 and out.est_distinct_b == 30.0
+    assert out.est_jaccard == pytest.approx(10 / 50)
+
+
+def test_kmv_estimate_accuracy_at_scale(spark):
+    from petastorm_spark.operators.sketch import kmv_overlap, kmv_sketch
+
+    # 4000 distinct per group, 2000 shared -> true J = 1/3; k=256
+    rows = [("a", f"x{i}") for i in range(4000)] + [
+        ("b", f"x{i}") for i in range(2000, 6000)
+    ]
+    df = spark.createDataFrame(rows, "g string, e string")
+    sk = kmv_sketch(df, "g", "e", k=256)
+    out = kmv_overlap(sk, "g", k=256).collect()[0]
+    assert out.est_jaccard == pytest.approx(1 / 3, rel=0.25)
+    assert out.est_distinct_a == pytest.approx(4000, rel=0.2)
+    assert out.est_distinct_b == pytest.approx(4000, rel=0.2)
+
+
+def test_kmv_sketch_mergeable(spark):
+    from pyspark.sql import functions as FF
+
+    from petastorm_spark.operators.sketch import kmv_sketch
+
+    # sketch(A ∪ B) == cap(sort(union(sketch(A), sketch(B))))
+    rows_a = [("g", f"m{i}") for i in range(500)]
+    rows_b = [("g", f"m{i}") for i in range(300, 800)]
+    k = 64
+    both = kmv_sketch(
+        spark.createDataFrame(rows_a + rows_b, "g string, e string"), "g", "e", k=k
+    ).collect()[0].sketch
+    sa = kmv_sketch(
+        spark.createDataFrame(rows_a, "g string, e string"), "g", "e", k=k
+    ).collect()[0].sketch
+    sb = kmv_sketch(
+        spark.createDataFrame(rows_b, "g string, e string"), "g", "e", k=k
+    ).collect()[0].sketch
+    merged = sorted(set(sa) | set(sb))[:k]
+    assert merged == list(both)
