@@ -119,6 +119,7 @@ HEADLINE = [
     "token_budget_mix",
     "click_attribution",
     "kmv_source_overlap",
+    "cdc_chunk_spans",
 ]
 
 N_WARMUP_READS = 500

@@ -125,3 +125,63 @@ def pack_assignments(
         (F.col("_stream") * _STREAM_SHIFT + seq_bin).alias("seq_id"),
         offset.cast("bigint"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    boundary_mod: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the Rabin-fingerprint recipe at token
+    granularity): a token STARTS a new chunk when its 60-bit md5 hash
+    is ≡ 0 mod ``boundary_mod`` — so boundaries are decided by
+    CONTENT, not position, and an insertion near the head of a
+    document shifts every fixed-window chunk but leaves all
+    content-defined chunks after the next boundary byte-identical.
+    That stability is why storage/transfer dedup uses CDC instead of
+    fixed windows; expected chunk length = ``boundary_mod`` tokens.
+    Output: (id, chunk_idx, n_tokens, digest, chunk_text).
+
+    Scale: explode with positions -> one per-document running sum
+    (window keyed by the id: parallelism = documents, state = one
+    counter) -> one groupBy(id, chunk). All JVM expressions; chunk
+    reassembly sorts each chunk's (pos, token) pairs, never the
+    document."""
+    from pyspark.sql import Window
+
+    from petastorm_spark.operators.dedup import hash60
+    from petastorm_spark.operators.text import tokens
+
+    t = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    ).withColumn(
+        "_b", (hash60(F.col("tok")) % boundary_mod == 0).cast("int")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = t.withColumn("chunk_idx", F.sum("_b").over(w))
+    return (
+        chunked.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "tok"))
+            ).alias("_toks"),
+        )
+        .withColumn(
+            "chunk_text",
+            F.concat_ws(" ", F.transform(F.col("_toks"), lambda x: x["tok"])),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "n_tokens",
+            F.md5("chunk_text").alias("digest"),
+            "chunk_text",
+        )
+    )

@@ -3169,3 +3169,37 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = kmv_sketch(d, "source", "tok", k=256)
     return kmv_overlap(sk, "source", k=256)
+
+
+@register(
+    "cdc_chunk_spans",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    pe AS (SELECT doc_id, unnest(t) AS tok,
+                  unnest(range(1, len(t) + 1)) AS pos FROM tok),
+    b AS (SELECT doc_id, tok, pos,
+                 CASE WHEN (('0x'||substr(md5(tok),1,15))::BIGINT) % 16 = 0
+                      THEN 1 ELSE 0 END AS f FROM pe),
+    c AS (SELECT doc_id, tok, pos,
+                 sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS chunk_idx
+          FROM b),
+    g AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+          FROM c GROUP BY doc_id, chunk_idx)
+    SELECT doc_id, chunk_idx, n_tokens, md5(chunk_text) AS digest, chunk_text
+    FROM g
+    """,
+)
+def cdc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over the corpus: md5-gated token
+    boundaries (expected length 16) make chunk identities stable
+    under edits — the storage-dedup primitive fixed windows can't
+    give. Per-chunk digests feed cross-doc chunk-level dedup. Scale:
+    explode + one per-doc running sum + one groupBy(doc, chunk). See
+    operators/packing.cdc_chunks."""
+    from petastorm_spark.operators.packing import cdc_chunks
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    return cdc_chunks(d, "text", "doc_id", boundary_mod=16)

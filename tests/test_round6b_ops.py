@@ -474,3 +474,40 @@ def test_kmv_sketch_mergeable(spark):
     ).collect()[0].sketch
     merged = sorted(set(sa) | set(sb))[:k]
     assert merged == list(both)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_stable_under_head_insertion(spark):
+    from petastorm_spark.operators.packing import cdc_chunks
+
+    base = " ".join(f"w{i}" for i in range(80))  # 80 distinct tokens
+    edited = "INSERTED " + base  # one token prepended
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id int, text string"
+    )
+    out = cdc_chunks(df, "text", "doc_id", boundary_mod=4).collect()
+    d1 = {r.digest for r in out if r.doc_id == 1}
+    d2 = {r.digest for r in out if r.doc_id == 2}
+    # content-defined boundaries: every chunk after the first boundary
+    # is unchanged by the insertion -> all but at most one of doc 1's
+    # chunks reappear verbatim in doc 2
+    assert len(d1 - d2) <= 1 and len(d1) > 3
+
+
+def test_cdc_chunks_cover_document(spark):
+    from petastorm_spark.operators.packing import cdc_chunks
+
+    text = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame([(7, text)], "doc_id int, text string")
+    out = sorted(
+        cdc_chunks(df, "text", "doc_id", boundary_mod=4).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # chunks partition the token stream: counts sum to len, text
+    # reassembles in order
+    assert sum(r.n_tokens for r in out) == 10
+    assert " ".join(r.chunk_text for r in out) == text.lower()
