@@ -96,6 +96,18 @@ STUDY_QUERIES = [
     "hard_negatives_labeled",
     "ann_recall_lsh",
     "dedup_exact_normalized",
+    "dedup_semantic",
+    "quality_classifier",
+    "bpe_merges",
+    "dataset_diff_docs",
+    "pagerank_purchases",
+    "inverted_index_terms",
+    "pmi_collocations",
+    "dedup_threshold_curve",
+    "token_budget_mix",
+    "click_attribution",
+    "kmv_source_overlap",
+    "cdc_chunk_spans",
 ]
 
 
