@@ -277,3 +277,38 @@ def test_perplexity_buckets_no_lang_window(spark, sf_dir):
     # per-(partition, lang) offset aggregate, never the doc stream
     assert "hashpartitioning(_pid" in plan, plan
     assert plan.count("hashpartitioning(lang") <= 1, plan
+
+
+def test_semantic_dedup_reuses_assignment_exchange(spark, sf_dir):
+    """dedup_semantic: both sides of the within-cell pair join derive
+    from the SAME centroid-assignment plan — the executed plan must
+    show a runtime-reused exchange/stage, not a second assignment
+    pass, and no Python anywhere."""
+    df = QUERIES["dedup_semantic"](spark, sf_dir)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in ep
+    assert "Reused" in ep, "pair-join sides recompute the assignment"
+    assert "EvalPython" not in ep
+
+
+def test_quality_classifier_pure_jvm_single_agg(spark, sf_dir):
+    """quality_classifier: inference is JVM expressions + ONE
+    partial-aggregated groupBy(doc) — no Python eval, no join in the
+    default (derived-weights) path."""
+    df = QUERIES["quality_classifier"](spark, sf_dir)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in ep
+    assert "Join" not in ep
+    assert "partial" in ep and "HashAggregate" in ep
+
+
+def test_cdc_chunks_no_join_no_python(spark, sf_dir):
+    """cdc_chunk_spans: explode -> per-doc running sum -> group; the
+    plan must stay join-free and Python-free."""
+    df = QUERIES["cdc_chunk_spans"](spark, sf_dir)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in ep
+    assert "Join" not in ep
