@@ -32,6 +32,9 @@ def curate_corpus(
     excise_spans: bool = False,
     excise_k: int = 4,
     excise_min_count: int = 5,
+    classifier_floor: float | None = None,
+    classifier_features: int = 1024,
+    classifier_weights: dict[int, float] | None = None,
 ) -> dict[str, DataFrame]:
     """Chain the standard curation passes and return every intermediate
     stage (lazy) keyed by name, in order:
@@ -54,9 +57,15 @@ def curate_corpus(
       per-source rank floor (:func:`~petastorm_spark.operators.
       sampling_extra.keep_top_frac`) keeping the top fraction of each
       source instead of one global threshold;
+    - ``classified`` (opt-in) — model-based quality gate: hash-feature
+      linear classifier score (:func:`~petastorm_spark.operators.text.
+      linear_classifier_score`, trained weights via
+      ``classifier_weights``) >= ``classifier_floor``; a left-semi
+      join on the scored ids so the text column is never widened (key
+      absent when ``classifier_floor`` is None);
     - ``capped`` — at most ``max_per_stratum`` rows per
       ``strata_col`` value, key-stable md5 order (stage skipped —
-      aliased to ``quality`` — when either arg is None);
+      aliased to the previous stage — when either arg is None);
     - ``output`` — PII scrubbed in place.
 
     The near-dedup stage EXECUTES when built (connected components is
@@ -125,12 +134,29 @@ def curate_corpus(
     else:
         stages["quality"] = deduped.where(q4 >= quality_floor)
 
+    if classifier_floor is not None:
+        from petastorm_spark.operators.text import linear_classifier_score
+
+        scored = linear_classifier_score(
+            stages["quality"],
+            text_col,
+            id_col,
+            n_features=classifier_features,
+            weights=classifier_weights,
+            seed=seed,
+        )
+        keep_ids = scored.where(F.col("score") >= classifier_floor).select(id_col)
+        stages["classified"] = stages["quality"].join(keep_ids, id_col, "left_semi")
+        pre_cap = stages["classified"]
+    else:
+        pre_cap = stages["quality"]
+
     if strata_col is not None and max_per_stratum is not None:
         stages["capped"] = cap_per_group(
-            stages["quality"], strata_col, id_col, max_per_stratum, seed
+            pre_cap, strata_col, id_col, max_per_stratum, seed
         )
     else:
-        stages["capped"] = stages["quality"]
+        stages["capped"] = pre_cap
 
     stages["output"] = stages["capped"].withColumn(
         text_col, scrub_pii(text_col)

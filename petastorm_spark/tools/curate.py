@@ -6,7 +6,7 @@ the curated output plus a per-stage attrition report.
     python -m petastorm_spark.tools.curate SRC DST \\
         --text-col text --id-col doc_id \\
         --quality-floor 0.8 --strata-col source --max-per-stratum 10000 \\
-        --near-dedup --excise-spans --report DST_report
+        --near-dedup --excise-spans --classifier-floor 0.5 --report DST_report
 
 The curated output is written with ``materialize_dataset`` so it is a
 first-class engine dataset (sidecar + petastorm-compatible metadata)
@@ -36,6 +36,7 @@ def curate(
     max_per_stratum: int | None = None,
     near_dedup: bool = False,
     excise_spans: bool = False,
+    classifier_floor: float | None = None,
     report_url: str | None = None,
     row_group_size_mb: int | None = None,
     zorder_cols: list[str] | None = None,
@@ -61,6 +62,7 @@ def curate(
         max_per_stratum=max_per_stratum,
         near_dedup=near_dedup,
         excise_spans=excise_spans,
+        classifier_floor=classifier_floor,
     )
     out = stages["output"]
     if zorder_cols:
@@ -100,6 +102,7 @@ def main() -> None:
     p.add_argument("--max-per-stratum", type=int, default=None)
     p.add_argument("--near-dedup", action="store_true")
     p.add_argument("--excise-spans", action="store_true")
+    p.add_argument("--classifier-floor", type=float, default=None)
     p.add_argument("--report", dest="report_url", default=None)
     p.add_argument("--row-group-size-mb", type=int, default=None)
     p.add_argument(
@@ -126,6 +129,7 @@ def main() -> None:
         max_per_stratum=a.max_per_stratum,
         near_dedup=a.near_dedup,
         excise_spans=a.excise_spans,
+        classifier_floor=a.classifier_floor,
         report_url=a.report_url,
         row_group_size_mb=a.row_group_size_mb,
         zorder_cols=a.zorder.split(",") if a.zorder else None,

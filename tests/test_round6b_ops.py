@@ -511,3 +511,34 @@ def test_cdc_chunks_cover_document(spark):
     # reassembles in order
     assert sum(r.n_tokens for r in out) == 10
     assert " ".join(r.chunk_text for r in out) == text.lower()
+
+
+# ---------------------------------------------------------------------------
+# curation pipeline classifier stage
+# ---------------------------------------------------------------------------
+
+
+def test_curate_classifier_stage(spark):
+    from petastorm_spark.operators.pipeline import curate_corpus
+
+    weights = {_qc_bucket("spammy"): -2.0}
+    rows = [
+        Row(doc_id=i, text=f"clean document number {i} with plain words")
+        for i in range(6)
+    ] + [Row(doc_id=10 + i, text="spammy spammy spammy") for i in range(3)]
+    stages = curate_corpus(
+        spark.createDataFrame(rows),
+        "text",
+        "doc_id",
+        quality_floor=0.0,
+        classifier_floor=0.4,
+        classifier_weights=weights,
+    )
+    assert "classified" in stages
+    kept = {r.doc_id for r in stages["classified"].collect()}
+    assert kept == set(range(6))  # spam scored ~sigmoid(-16) -> dropped
+    # stage absent (and report shape unchanged) when not requested
+    stages2 = curate_corpus(
+        spark.createDataFrame(rows), "text", "doc_id", quality_floor=0.0
+    )
+    assert "classified" not in stages2
