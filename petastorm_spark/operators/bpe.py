@@ -76,11 +76,45 @@ def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _bpe_local(
+    words: dict[str, int], num_merges: int, min_freq: int
+) -> tuple[list[tuple[str, str, int]], dict[str, list[str]]]:
+    """Driver-side merge loop over an already-collapsed word-frequency
+    table — bit-identical semantics to the distributed rounds (same
+    count-DESC-then-lexicographic tie-break, same greedy fold)."""
+    from collections import Counter
+
+    syms = {w: list(w) for w in words}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for w, s in syms.items():
+            c = words[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq < min_freq:
+            break
+        merges.append((a, b, int(freq)))
+        for w, s in syms.items():
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges, syms
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str,
     num_merges: int = 8,
     min_freq: int = 2,
+    local_threshold: int = 200_000,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``num_merges`` BPE merges from a corpus. Returns
     ``(merges, vocab)`` — merges as [(left, right, pair_freq)] in
@@ -90,11 +124,34 @@ def bpe_learn(
     ``min_freq``. Genuinely iterative (each round's argmax depends on
     the previous merge), so this is test-pinned against a pure-Python
     reference rather than a SQL oracle.
+
+    Scale-adaptive like connected_components: the corpus ALWAYS
+    collapses to its word-frequency table distributed (that is the
+    heavy pass); when the resulting vocabulary is at or below
+    ``local_threshold`` rows the merge loop runs on the driver over
+    one Arrow transfer — replacing ~3 sequential Spark jobs per merge
+    whose latency dominates small vocabularies — with bit-identical
+    tie-breaks (tested both paths). Production tokenizer training
+    splits the work exactly this way (distributed count, local
+    merges); the distributed rounds below remain the path for
+    vocabularies that do not fit a driver. Set ``local_threshold=0``
+    to force distributed rounds.
     """
     from pyspark import StorageLevel
 
     vocab = word_vocab(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    vocab.count()  # materialize the collapsed word table once
+    n_vocab = vocab.count()  # materialize the collapsed word table once
+    if n_vocab <= local_threshold:
+        pdf = vocab.select("word", "count").toPandas()
+        vocab.unpersist()
+        words = dict(zip(pdf["word"].tolist(), (int(c) for c in pdf["count"])))
+        merges, syms = _bpe_local(words, num_merges, min_freq)
+        spark = df.sparkSession
+        out = spark.createDataFrame(
+            [(w, words[w], s) for w, s in syms.items()],
+            "word string, count bigint, syms array<string>",
+        )
+        return merges, out
     merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(num_merges):

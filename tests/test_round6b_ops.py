@@ -156,16 +156,21 @@ def _ref_bpe(texts, num_merges, min_freq=2):
 
 
 def test_bpe_learn_matches_reference_small(spark):
+    # exercise BOTH paths: distributed rounds (local_threshold=0) and
+    # the driver fast path must produce identical merges and vocab
     from petastorm_spark.operators.bpe import bpe_learn
 
     texts = ["low low low lower lowest", "new newer newest low", "wider wide"]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
-    merges, vocab = bpe_learn(df, "text", num_merges=6, min_freq=2)
     ref_merges, ref_words = _ref_bpe(texts, 6)
-    assert merges == ref_merges
-    got = {r["word"]: r["syms"] for r in vocab.collect()}
-    assert got == ref_words
-    vocab.unpersist()
+    for thr in (0, 200_000):
+        merges, vocab = bpe_learn(
+            df, "text", num_merges=6, min_freq=2, local_threshold=thr
+        )
+        assert merges == ref_merges
+        got = {r["word"]: r["syms"] for r in vocab.collect()}
+        assert got == ref_words
+        vocab.unpersist()
 
 
 def test_bpe_learn_differential_sf0001(spark, sf_dir):
