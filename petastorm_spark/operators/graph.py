@@ -38,6 +38,11 @@ def pagerank(
     node should both give and receive (then no mass dangles).
 
     r_{k+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} r_k(u) / outdeg(u)
+
+    The returned ranks are node-sized and stay cached (they were
+    materialized to cut iteration lineage); unpersist via
+    ``spark.catalog.clearCache()`` — or collect and move on — when the
+    result has been consumed.
     """
     from pyspark import StorageLevel
 

@@ -368,6 +368,11 @@ def interval_attribution(
     runs the same predicate as a watermarked stream-stream join whose
     state expires by the same window.
     """
+    clash = (set(left.columns) & set(right.columns)) - {key_col}
+    if clash:
+        raise ValueError(
+            f"interval_attribution: rename colliding non-key columns {sorted(clash)}"
+        )
     l = left.select(
         F.col(key_col), *[F.col(c).alias(c) for c in left.columns if c != key_col]
     )
