@@ -633,8 +633,10 @@ def linear_classifier_score(
     Output: (id, n_tokens, score, label).
 
     ``weights``: a trained model's weight vector as {bucket: weight}
-    (missing buckets = 0.0), broadcast as a map literal — inference is
-    then a pure JVM map + one per-doc aggregate, no Python anywhere.
+    (missing buckets = 0.0) — shipped as a map literal when small, or
+    automatically as a broadcast-joined weight table past 10k buckets
+    (a plan-embedded literal that wide would bloat compilation);
+    either way inference is pure JVM, no Python anywhere.
     Default (None) derives a deterministic pseudo-weight per bucket
     from md5 (w_j = 2*frac(md5("w<seed>|j")) - 1), so external SQL
     oracles can reproduce scoring bit-for-bit without shipping a
@@ -653,7 +655,16 @@ def linear_classifier_score(
         "_bucket",
         hash60(F.col("_tok"), seed=f"qc{seed}") % F.lit(int(n_features)),
     )
-    if weights is not None:
+    if weights is not None and len(weights) > 10_000:
+        # a map LITERAL this wide would bloat the plan itself; ship the
+        # weight vector as a broadcast table and join on the bucket
+        wdf = df.sparkSession.createDataFrame(
+            [(int(k), float(v)) for k, v in weights.items()],
+            "_bucket bigint, _wj double",
+        )
+        t = t.join(F.broadcast(wdf), "_bucket", "left")
+        w = F.coalesce(F.col("_wj"), F.lit(0.0))
+    elif weights is not None:
         wmap = F.create_map(
             *[F.lit(v) for kv in weights.items() for v in kv]
         )

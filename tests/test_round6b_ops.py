@@ -547,3 +547,21 @@ def test_curate_classifier_stage(spark):
         spark.createDataFrame(rows), "text", "doc_id", quality_floor=0.0
     )
     assert "classified" not in stages2
+
+
+def test_linear_classifier_broadcast_weight_table(spark):
+    # past 10k buckets the weights ship as a broadcast table; scoring
+    # must be identical to the map-literal path
+    from petastorm_spark.operators.text import linear_classifier_score
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="good good"), Row(doc_id=2, text="bad mixed")]
+    )
+    small = {_qc_bucket("good"): 1.5, _qc_bucket("bad"): -1.5}
+    big = {i: 0.0 for i in range(10_050) if i not in small}
+    big.update(small)
+    a = {r.doc_id: r.score for r in linear_classifier_score(
+        df, "text", "doc_id", weights=small).collect()}
+    b = {r.doc_id: r.score for r in linear_classifier_score(
+        df, "text", "doc_id", weights=big).collect()}
+    assert a == b
