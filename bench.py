@@ -120,6 +120,7 @@ HEADLINE = [
     "click_attribution",
     "kmv_source_overlap",
     "cdc_chunk_spans",
+    "gbdt_quality_score",
 ]
 
 N_WARMUP_READS = 500

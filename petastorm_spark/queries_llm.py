@@ -3203,3 +3203,54 @@ def cdc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
     return cdc_chunks(d, "text", "doc_id", boundary_mod=16)
+
+
+_GBDT_TREES = [
+    {"feature": "uniq", "threshold": 0.5, "left": -1.0,
+     "right": {"feature": "n", "threshold": 20.0, "left": 0.2, "right": 1.0}},
+    {"feature": "alpha", "threshold": 0.7, "left": -0.8, "right": 0.5},
+    {"feature": "n", "threshold": 10.0, "left": -0.5,
+     "right": {"feature": "uniq", "threshold": 0.8, "left": 0.3, "right": 0.6}},
+]
+
+
+def _gbdt_oracle() -> str:
+    from petastorm_spark.operators.ml import ensemble_sql
+
+    feats = {
+        "n": "(len(t) * 1.0)",
+        "uniq": "(len(list_distinct(t)) * 1.0 / len(t))",
+        "alpha": "(length(regexp_replace(low, '[^a-z ]', '', 'g')) * 1.0"
+                 " / length(low))",
+    }
+    score = ensemble_sql(_GBDT_TREES, feats)
+    return f"""
+    WITH tok AS (SELECT doc_id, lower(trim(text)) AS low, {_TOK} AS t
+                 FROM documents)
+    SELECT doc_id, round({score}, 4) AS score, {score} >= 0.5 AS label
+    FROM tok
+    """
+
+
+@register("gbdt_quality_score", oracle=_gbdt_oracle())
+def gbdt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree-ensemble (GBDT-shape) quality scoring compiled to nested
+    CASE expressions — the frozen-model filter burned into the plan,
+    running at scan speed with zero Python; the oracle compiles the
+    SAME tree dicts through the SQL backend, so both engines score
+    identically branch by branch (NULL features fall right on both).
+    Scale: a single projection, no shuffle. See operators/ml.py."""
+    from petastorm_spark.operators.ml import tree_ensemble_score
+    from petastorm_spark.operators.text import (
+        alpha_ratio,
+        token_count,
+        uniqueness_ratio,
+    )
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = {
+        "n": token_count("text").cast("double"),
+        "uniq": uniqueness_ratio("text"),
+        "alpha": alpha_ratio("text"),
+    }
+    return tree_ensemble_score(d, "doc_id", feats, _GBDT_TREES)

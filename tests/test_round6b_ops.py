@@ -565,3 +565,59 @@ def test_linear_classifier_broadcast_weight_table(spark):
     b = {r.doc_id: r.score for r in linear_classifier_score(
         df, "text", "doc_id", weights=big).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# tree ensemble inference
+# ---------------------------------------------------------------------------
+
+
+def test_tree_ensemble_score_branches_and_nulls(spark):
+    import math
+
+    from petastorm_spark.operators.ml import tree_ensemble_score
+
+    tree = {
+        "feature": "x", "threshold": 1.0,
+        "left": -2.0,
+        "right": {"feature": "y", "threshold": 0.0, "left": 0.0, "right": 2.0},
+    }
+    df = spark.createDataFrame(
+        [(1, 0.5, 99.0), (2, 3.0, 1.0), (3, None, -5.0)],
+        "id int, x double, y double",
+    )
+    out = {
+        r.id: r
+        for r in tree_ensemble_score(
+            df, "id", {"x": F.col("x"), "y": F.col("y")}, [tree]
+        ).collect()
+    }
+    sig = lambda v: 1.0 / (1.0 + math.exp(-v))  # noqa: E731
+    assert out[1].score == pytest.approx(round(sig(-2.0), 4))  # left leaf
+    assert out[2].score == pytest.approx(round(sig(2.0), 4))  # right-right
+    # NULL feature falls RIGHT (GBDT default direction): x NULL -> right
+    # subtree, then y=-5 < 0 -> 0.0 -> sigmoid 0.5, label True
+    assert out[3].score == pytest.approx(0.5) and out[3].label
+
+
+def test_tree_sql_matches_column_compilation(spark):
+    from petastorm_spark.operators.ml import ensemble_sql, tree_ensemble_score
+
+    trees = [
+        {"feature": "x", "threshold": 2.5, "left": -1.0, "right": 1.5},
+        {"feature": "x", "threshold": 0.5, "left": 0.25, "right": -0.75},
+    ]
+    df = spark.createDataFrame([(i, float(i)) for i in range(5)], "id int, x double")
+    a = {
+        r.id: r.score
+        for r in tree_ensemble_score(df, "id", {"x": F.col("x")}, trees).collect()
+    }
+    df.createOrReplaceTempView("tsql")
+    sql = ensemble_sql(trees, {"x": "x"})
+    b = {
+        r.id: r.score
+        for r in spark.sql(
+            f"SELECT id, round({sql}, 4) AS score FROM tsql"
+        ).collect()
+    }
+    assert a == b
