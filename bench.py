@@ -245,9 +245,20 @@ def main() -> None:
     # otherwise hand runs 2..N a warm cache and min-of-N would report
     # the zero-scan rerun, not the operator's real single-pass cost.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # With ~95 queries in ONE JVM session, garbage from earlier queries
+    # (broadcast blocks, codegen classes, shuffle state) piles up and
+    # its collection lands INSIDE later measurements — the same query
+    # measured 0.97s in a fresh session and 7.6s late in a full bench
+    # run. A forced JVM GC between queries moves that cost out of the
+    # timed window (it also lets Spark's ContextCleaner actually
+    # release dropped broadcasts, which is GC-triggered). Disable with
+    # SPARK_GRAFT_BENCH_GC=0 to measure the accumulation itself.
+    gc_between = os.environ.get("SPARK_GRAFT_BENCH_GC", "1") != "0"
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in names:
+        if gc_between:
+            spark.sparkContext._jvm.System.gc()
         runs = []
         for _ in range(n_runs):
             spark.catalog.clearCache()

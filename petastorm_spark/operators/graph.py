@@ -10,9 +10,13 @@ Common Crawl host-level ranking).
 Design for scale: edges are the only large state. Each power
 iteration is one equi-join (edges x current ranks, shuffled on the
 rank key) plus one partial-aggregated groupBy(dst); ranks are
-node-sized, re-persisted per round with the previous round's cache
-dropped, so lineage stays flat and no driver state exceeds one count.
-A fixed iteration count (the common production choice) makes results
+node-sized. With a FIXED iteration count the rank chain is linear
+(each table read exactly once), so no per-round materialization is
+needed — the whole ladder compiles into ONE lazy plan and ONE job,
+with edges and the node table cached because every round re-reads
+them. Past ``checkpoint_interval`` rounds the chain is persisted and
+cut so plan depth stays bounded for deep iteration counts. A fixed
+count (the common production choice) also makes results
 deterministic and lets an external SQL oracle unroll the exact same
 ladder.
 """
@@ -29,6 +33,7 @@ def pagerank(
     dst_col: str = "dst",
     iters: int = 5,
     damping: float = 0.85,
+    checkpoint_interval: int = 10,
 ) -> DataFrame:
     """PageRank over a directed edge list, ``iters`` power iterations
     from the uniform vector. Output: (node, rank) with rank rounded to
@@ -39,10 +44,9 @@ def pagerank(
 
     r_{k+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} r_k(u) / outdeg(u)
 
-    The returned ranks are node-sized and stay cached (they were
-    materialized to cut iteration lineage); unpersist via
-    ``spark.catalog.clearCache()`` — or collect and move on — when the
-    result has been consumed.
+    Edge/node caches are dropped on error; after a normal return they
+    back the (lazy) result — unpersist via
+    ``spark.catalog.clearCache()`` once the result is consumed.
     """
     from pyspark import StorageLevel
 
@@ -58,20 +62,17 @@ def pagerank(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n = nodes.count()
-    base = (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    ranks.count()
     try:
-        for _ in range(iters):
+        n = nodes.count()  # the only driver-side action before the result
+        base = (1.0 - damping) / n
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        for i in range(iters):
             contrib = (
                 ed.join(ranks, ed.src == ranks.node)
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") / F.col("deg")).alias("_in"))
             )
-            new_ranks = (
+            ranks = (
                 nodes.join(contrib, nodes.node == contrib.dst, "left")
                 .select(
                     "node",
@@ -80,12 +81,14 @@ def pagerank(
                         + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
                     ).alias("rank"),
                 )
-                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            new_ranks.count()  # materialize before dropping the old cache
-            ranks.unpersist()
-            ranks = new_ranks
+            # the chain is linear (each round read once), so rounds need
+            # no cache — only cut plan DEPTH for deep iteration counts
+            if (i + 1) % checkpoint_interval == 0 and (i + 1) < iters:
+                ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+                ranks.count()
         return ranks.select("node", F.round("rank", 6).alias("rank"))
-    finally:
+    except Exception:
         ed.unpersist()
         nodes.unpersist()
+        raise

@@ -108,6 +108,7 @@ STUDY_QUERIES = [
     "click_attribution",
     "kmv_source_overlap",
     "cdc_chunk_spans",
+    "gbdt_quality_score",
 ]
 
 
