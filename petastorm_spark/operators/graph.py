@@ -64,6 +64,8 @@ def pagerank(
     )
     try:
         n = nodes.count()  # the only driver-side action before the result
+        if n == 0:
+            raise ValueError("pagerank: empty edge list (no nodes)")
         base = (1.0 - damping) / n
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
         for i in range(iters):
