@@ -266,7 +266,10 @@ def kmv_sketch(
     from petastorm_spark.operators.rank import grouped_rank
 
     h = (
-        df.select(F.col(group_col).alias("g"), hash60(F.col(elem_col)).alias("h"))
+        df.select(
+            F.col(group_col).alias("g"),
+            hash60(F.col(elem_col).cast("string")).alias("h"),
+        )
         .distinct()
     )
     topk = grouped_rank(h, ["g"], ["h"], rank_col="_r").where(F.col("_r") <= k)

@@ -615,3 +615,49 @@ def attribution_stream(
         F.unix_micros(F.col("_lt")).alias("left_ts_us"),
         F.unix_micros(F.col("_rt")).alias("right_ts_us"),
     )
+
+
+def kmv_sketch_stream(
+    events: DataFrame,
+    group_col: str,
+    elem_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.sketch.kmv_sketch`: maintain
+    the k-minimum-values sketch per group over a continuous feed.
+    Min-k is mergeable (min-k of a union = min-k of the merged min-k
+    sets), so state is a sorted array CAPPED at ``k`` hashes per group
+    — the bounded-state form of streaming set-operation estimates, the
+    way the register table is for HLL. Hashing (60-bit md5) runs
+    JVM-side before the stateful op; the Python update only merges and
+    truncates. Emit in update mode; the final snapshot equals the
+    batch sketch exactly (same hashes, same k-min — tested), so
+    :func:`operators.sketch.kmv_overlap` works unchanged on it.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from petastorm_spark.operators.dedup import hash60
+
+    gtype = events.schema[group_col].dataType.simpleString()
+    out_schema = f"{group_col} {gtype}, sketch array<bigint>"
+    state_schema = "sk array<bigint>"
+
+    def update(key, pdfs, state):
+        merged = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            merged.update(int(h) for h in pdf["_h"])
+        sk = sorted(merged)[:k]
+        state.update((sk,))
+        yield pd.DataFrame({group_col: [key[0]], "sketch": [sk]})
+
+    hashed = events.select(
+        F.col(group_col), hash60(F.col(elem_col).cast("string")).alias("_h")
+    )
+    return hashed.groupBy(group_col).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -621,3 +621,40 @@ def test_tree_sql_matches_column_compilation(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_kmv_sketch_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming KMV over a static dir must reproduce the batch sketch
+    value-for-value (min-k is mergeable, hashing identical)."""
+    from petastorm_spark.operators.sketch import kmv_sketch
+    from petastorm_spark.streaming.feed import kmv_sketch_stream, stream_dataset
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    d = str(tmp_path_factory.mktemp("kmvs") / "docs")
+    docs.coalesce(2).write.parquet(d)
+    q = (
+        kmv_sketch_stream(
+            stream_dataset(spark, d, max_files_per_trigger=1),
+            "source",
+            "doc_id",
+            k=16,
+        )
+        .writeStream.format("memory")
+        .queryName("kmv_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: last emitted row per group is the final sketch
+    snap = spark.sql(
+        "SELECT source, sketch FROM kmv_out"
+    ).toPandas().groupby("source").last()
+    stream_sk = {s: list(r["sketch"]) for s, r in snap.iterrows()}
+    batch_sk = {
+        r.source: list(r.sketch)
+        for r in kmv_sketch(docs, "source", "doc_id", k=16).collect()
+    }
+    assert stream_sk == batch_sk and stream_sk
