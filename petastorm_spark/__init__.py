@@ -51,6 +51,16 @@ from petastorm_spark.operators.sampling_extra import (  # noqa: F401
     bm25_scores,
     bm25_top_k,
     sample_stratified,
+    token_budget_mix,
+)
+from petastorm_spark.operators.bpe import bpe_learn, bpe_token_count  # noqa: F401
+from petastorm_spark.operators.graph import pagerank  # noqa: F401
+from petastorm_spark.operators.ml import tree_ensemble_score  # noqa: F401
+from petastorm_spark.operators.similarity import semantic_dedup  # noqa: F401
+from petastorm_spark.operators.text import (  # noqa: F401
+    inverted_index,
+    linear_classifier_score,
+    pmi_cooccurrence,
 )
 
 __version__ = "0.1.0"
