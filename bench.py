@@ -121,6 +121,7 @@ HEADLINE = [
     "kmv_source_overlap",
     "cdc_chunk_spans",
     "gbdt_quality_score",
+    "dedup_semantic_probe2",
 ]
 
 N_WARMUP_READS = 500

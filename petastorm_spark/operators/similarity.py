@@ -722,6 +722,7 @@ def semantic_dedup(
     n_cells: int = 16,
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Cluster-scoped semantic dedup (the SemDeDup recipe, Abbas et
     al. 2023): bucket the corpus by nearest coarse centroid, score
@@ -749,8 +750,41 @@ def semantic_dedup(
     candidate pair costs one dot product instead of dot + two norms
     (3x fewer aggregate-expression trees where the work is O(cell^2);
     equal to cosine up to last-bit float rounding).
+
+    ``n_probe`` > 1 assigns each vector to its top-``n_probe`` cells —
+    the multi-probe answer to single-assignment's boundary blindness
+    (a near-dup pair split across a cell boundary is invisible at
+    n_probe=1; at 2 the pair meets in whichever of the two cells they
+    share). Candidate pairs are deduplicated on ids before scoring so
+    a pair sharing several cells costs one dot; work scales by
+    ~n_probe^2 per pair budget — the recall/cost knob.
     """
-    _, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids)
+    if n_probe > 1:
+        if centroids is not None:
+            cent = centroids.select(
+                F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
+            )
+        else:
+            cent = (
+                corpus.orderBy(id_col)
+                .limit(n_cells)
+                .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_ccos").desc(), F.col("cell")
+        )
+        assigned = (
+            corpus.select(id_col, vec_col)
+            .crossJoin(F.broadcast(cent))
+            .withColumn("_ccos", cosine(F.col(vec_col), F.col("cent_vec")))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n_probe)
+            .select(id_col, vec_col, F.col("cell").cast("int").alias("cell"))
+        )
+    else:
+        _, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids)
     unit = (
         assigned.withColumn("_nrm", norm(F.col(vec_col)))
         .withColumn(
@@ -766,11 +800,12 @@ def semantic_dedup(
     )
     a = unit.select(F.col(id_col).alias("_ka"), F.col("_u").alias("_va"), "cell")
     b = unit.select(F.col(id_col).alias("_kb"), F.col("_u").alias("_vb"), "cell")
-    pairs = (
-        a.join(b, "cell")
-        .where(F.col("_ka") < F.col("_kb"))
-        .withColumn("_cos", dot(F.col("_va"), F.col("_vb")))
-        .where(F.col("_cos") >= threshold)
+    cand = a.join(b, "cell").where(F.col("_ka") < F.col("_kb"))
+    if n_probe > 1:
+        # a pair sharing several probed cells must score exactly once
+        cand = cand.dropDuplicates(["_ka", "_kb"])
+    pairs = cand.withColumn("_cos", dot(F.col("_va"), F.col("_vb"))).where(
+        F.col("_cos") >= threshold
     )
     return (
         pairs.groupBy(F.col("_kb").alias("removed_id"))

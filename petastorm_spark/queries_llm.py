@@ -3254,3 +3254,50 @@ def gbdt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alpha": alpha_ratio("text"),
     }
     return tree_ensemble_score(d, "doc_id", feats, _GBDT_TREES)
+
+
+def _semantic_probe_oracle(n_cells: int = 16, tau: float = 0.95,
+                           n_probe: int = 2) -> str:
+    cos = lambda a, b: (  # noqa: E731
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               UNION ALL
+               SELECT vec_id + {_COPY_SHIFT}, embedding::DOUBLE[] FROM embeddings),
+    cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {n_cells}),
+    ca AS (SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM e, cent c) WHERE rn <= {n_probe}),
+    p0 AS (SELECT DISTINCT a.vec_id AS ka, b.vec_id AS kb
+           FROM ca a JOIN ca b USING (cell) WHERE a.vec_id < b.vec_id),
+    p AS (SELECT ka, kb, {cos('ea.v', 'eb.v')} AS cos
+          FROM p0 JOIN e ea ON ea.vec_id = ka JOIN e eb ON eb.vec_id = kb)
+    SELECT kb AS removed_id, min(ka) AS witness_id,
+           CAST(count(*) AS BIGINT) AS n_witnesses, round(max(cos), 4) AS max_cos
+    FROM p WHERE cos >= {tau}
+    GROUP BY kb
+    """
+
+
+@register("dedup_semantic_probe2", oracle=_semantic_probe_oracle())
+def dedup_semantic_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SemDeDup: every vector assigned to its TOP-2 cells,
+    so a near-dup pair split across a cell boundary (invisible to
+    single-assignment semantic dedup) meets in whichever cell they
+    share — the recall knob on the cluster-scoped trade. Candidate
+    pairs dedupe on ids before the one-dot-per-pair verify. Scale:
+    ~4x the pair budget of n_probe=1 at the same cell count; the
+    explode stays corpus-linear."""
+    from petastorm_spark.operators.similarity import semantic_dedup
+
+    emb = _t_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    both = emb.unionByName(
+        emb.select((F.col("vec_id") + _COPY_SHIFT).alias("vec_id"), "embedding")
+    )
+    return semantic_dedup(
+        both, "vec_id", "embedding", n_cells=16, threshold=0.95, n_probe=2
+    )

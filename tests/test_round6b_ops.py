@@ -658,3 +658,17 @@ def test_kmv_sketch_stream_matches_batch(spark, sf_dir, tmp_path_factory):
         for r in kmv_sketch(docs, "source", "doc_id", k=16).collect()
     }
     assert stream_sk == batch_sk and stream_sk
+
+
+def test_semantic_dedup_probe2_recovers_boundary_pair(spark):
+    # at n_probe=2 the 6/7 pair (cos 0.995, split across the cell
+    # boundary) becomes visible: both probe the other's cell
+    from petastorm_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        _emb_fixture(spark), "vec_id", "embedding",
+        n_cells=2, threshold=0.95, n_probe=2,
+    ).collect()
+    got = {r.removed_id: r.witness_id for r in out}
+    assert got[7] == 6  # the boundary pair, recovered
+    assert 2 in got and 3 in got and 5 in got  # n_probe=1 removals kept

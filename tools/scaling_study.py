@@ -109,6 +109,7 @@ STUDY_QUERIES = [
     "kmv_source_overlap",
     "cdc_chunk_spans",
     "gbdt_quality_score",
+    "dedup_semantic_probe2",
 ]
 
 
