@@ -719,24 +719,34 @@ def inverted_index(
     exact). Output rows are parquet-ready — partition by a term-hash
     prefix at write time so lookups prune to one directory.
 
-    Scale: one distinct-terms explode + one groupBy(term). Stop-word
-    terms would otherwise produce corpus-sized rows — the cap bounds
-    every posting list while keeping the exact document frequency for
-    scoring; production indexes shard those hot terms' full lists by
-    ``doc_id % k`` side tables."""
-    t = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term")
-    ).where(F.length("term") > 0)
-    return (
-        t.groupBy("term")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.slice(
-                F.sort_array(F.collect_list(id_col)), 1, max_postings
-            ).alias("postings"),
+    Scale: one distinct-terms explode, then the exact document
+    frequency as a partial-aggregated count and the posting list from
+    a grouped_rank PRE-CAP: only each term's ``max_postings`` lowest
+    doc ids ever reach a collect_list buffer, so no aggregation state
+    is corpus-sized even for stop-word terms (a slice AFTER collect
+    would bound the output but not the buffer). Production indexes
+    shard hot terms' full lists by ``doc_id % k`` side tables."""
+    from petastorm_spark.operators.rank import grouped_rank
+
+    t = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(text_col))).alias("term"),
         )
+        .where(F.length("term") > 0)
+    )
+    counts = (
+        t.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= min_df)
     )
+    capped = grouped_rank(t, ["term"], [id_col], rank_col="_r").where(
+        F.col("_r") <= max_postings
+    )
+    postings = capped.groupBy("term").agg(
+        F.sort_array(F.collect_list(id_col)).alias("postings")
+    )
+    return counts.join(postings, "term").select("term", "df", "postings")
 
 
 def pmi_cooccurrence(
