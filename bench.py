@@ -122,6 +122,7 @@ HEADLINE = [
     "cdc_chunk_spans",
     "gbdt_quality_score",
     "dedup_semantic_probe2",
+    "doc_signals_bundle",
 ]
 
 N_WARMUP_READS = 500

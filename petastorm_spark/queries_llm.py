@@ -3301,3 +3301,58 @@ def dedup_semantic_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         both, "vec_id", "embedding", n_cells=16, threshold=0.95, n_probe=2
     )
+
+
+def _signals_bundle_oracle() -> str:
+    scores, lang_case = _langid_case_sql()
+    return f"""
+    WITH tok AS (SELECT doc_id, lower(trim(text)) AS low, {_TOK} AS t
+                 FROM documents),
+    s AS (SELECT doc_id, low, t, {scores} FROM tok)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           round(len(list_distinct(t)) * 1.0 / len(t), 4) AS uniq_ratio,
+           round(len(list_filter(t, x -> list_contains({_SW_LIST}, x)))
+                 * 1.0 / len(t), 4) AS stopword_ratio,
+           round(length(regexp_replace(low, '[^a-z ]', '', 'g')) * 1.0
+                 / length(low), 4) AS alpha_ratio,
+           {lang_case} AS detected_lang,
+           md5(list_aggregate(list_sort(list_distinct(t)), 'string_agg', ' '))
+               AS fingerprint,
+           CAST(len(regexp_extract_all(low,
+                '[a-za-z0-9._%+-]+@[a-za-z0-9.-]+\\.[a-za-z]{{2,}}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(low,
+                '(\\+?\\d{{1,2}} ?)?\\d{{3}}-\\d{{3}}-\\d{{4}}')) AS BIGINT)
+               AS n_phones
+    FROM s
+    """
+
+
+@register("doc_signals_bundle", oracle=_signals_bundle_oracle())
+def doc_signals_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused signals pass every modern curation stack runs FIRST
+    (Dolma/RedPajama "attributes"): all map-only quality signals —
+    token stats, uniqueness, stopword and alpha ratios, detected
+    language, bag-of-words fingerprint, PII counts — computed in ONE
+    scan as a single wide projection, stored once, consumed by every
+    later filtering decision without re-reading text. Scale: zero
+    shuffle; Catalyst fuses the whole bundle into one codegen stage."""
+    from petastorm_spark.operators import text as T
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    low = F.lower(F.trim(F.col("text")))
+    pii = dict(T.pii_counts(low))
+    return d.select(
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        T.distinct_token_count("text").cast("bigint").alias("n_distinct"),
+        F.round(T.uniqueness_ratio("text"), 4).alias("uniq_ratio"),
+        F.round(T.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(T.alpha_ratio("text"), 4).alias("alpha_ratio"),
+        T.detect_language("text").alias("detected_lang"),
+        T.fingerprint("text").alias("fingerprint"),
+        pii["email"].cast("bigint").alias("n_emails"),
+        pii["phone"].cast("bigint").alias("n_phones"),
+    )

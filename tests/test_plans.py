@@ -312,3 +312,15 @@ def test_cdc_chunks_no_join_no_python(spark, sf_dir):
     ep = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in ep
     assert "Join" not in ep
+
+
+def test_signals_bundle_single_pass_no_shuffle(spark, sf_dir):
+    """doc_signals_bundle: ten signals, ONE scan — the plan must be a
+    pure projection (no exchange besides the fan-out repartition, no
+    join, no Python)."""
+    df = QUERIES["doc_signals_bundle"](spark, sf_dir)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in ep
+    assert "Join" not in ep
+    assert "HashAggregate" not in ep
