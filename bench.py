@@ -123,6 +123,7 @@ HEADLINE = [
     "gbdt_quality_score",
     "dedup_semantic_probe2",
     "doc_signals_bundle",
+    "next_event_examples",
 ]
 
 N_WARMUP_READS = 500

@@ -185,3 +185,59 @@ def cdc_chunks(
             "chunk_text",
         )
     )
+
+
+def next_event_examples(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    context_len: int = 5,
+) -> DataFrame:
+    """Supervised examples from behavior sequences: every length-
+    ``context_len`` sliding window of a user's event-type sequence
+    (ordered by (ts, id) — a total order, so deterministic) becomes a
+    training row (context array, label = the next event) — the
+    sequence-dataset prep for next-event / session-recommendation
+    models. Output: (user, window_idx, context, label).
+
+    Scale: ONE user-keyed shuffle; each user's sequence is assembled
+    with sort_array(collect_list(struct)) — per-user event counts are
+    log-bounded, the same justification as the funnel fold — and the
+    window fan-out is a map-side transform + explode, never a
+    self-join on position."""
+    seq = (
+        events.select(
+            F.col(user_col),
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(id_col).alias("i"),
+                F.col(type_col).alias("e"),
+            ).alias("_s"),
+        )
+        .groupBy(user_col)
+        .agg(F.array_sort(F.collect_list("_s")).alias("_seq"))
+        .withColumn("_types", F.transform(F.col("_seq"), lambda s: s["e"]))
+    )
+    n_windows = F.size("_types") - context_len
+    windows = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda w: F.struct(
+                w.alias("window_idx"),
+                F.slice(F.col("_types"), w + 1, context_len).alias("context"),
+                F.element_at(F.col("_types"), w + context_len + 1).alias(
+                    "label"
+                ),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<window_idx:int,context:array<string>,label:string>>"
+        )
+    )
+    return seq.select(user_col, F.explode(windows).alias("_w")).select(
+        user_col, "_w.window_idx", "_w.context", "_w.label"
+    )

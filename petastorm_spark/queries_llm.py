@@ -3356,3 +3356,39 @@ def doc_signals_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii["email"].cast("bigint").alias("n_emails"),
         pii["phone"].cast("bigint").alias("n_phones"),
     )
+
+
+@register(
+    "next_event_examples",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+               FROM events),
+    seq AS (SELECT user_id, list(event_type ORDER BY t, event_id) AS types
+            FROM e GROUP BY user_id),
+    w AS (SELECT user_id,
+                 unnest(list_transform(
+                     range(0, greatest(len(types) - 5, 0)),
+                     w -> {'window_idx': w,
+                           'context': types[w+1:w+5],
+                           'label': types[w+6]})) AS s
+          FROM seq)
+    SELECT user_id, CAST(s.window_idx AS INT) AS window_idx,
+           s.context AS context, s.label AS label
+    FROM w
+    """,
+)
+def next_event_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-sequence dataset prep: every 5-event sliding window of
+    a user's (ts, id)-ordered event-type sequence becomes a training
+    example (context, next-event label) — the next-event-prediction /
+    session-recommendation data layout. Scale: one user-keyed shuffle,
+    log-bounded per-user sequences, map-side window fan-out (no
+    positional self-join). See operators/packing.next_event_examples."""
+    from petastorm_spark.operators.packing import next_event_examples
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", events_ts_us(ev))
+    return next_event_examples(
+        ev, "user_id", "ts_us", "event_id", "event_type", context_len=5
+    )

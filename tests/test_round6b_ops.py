@@ -672,3 +672,37 @@ def test_semantic_dedup_probe2_recovers_boundary_pair(spark):
     got = {r.removed_id: r.witness_id for r in out}
     assert got[7] == 6  # the boundary pair, recovered
     assert 2 in got and 3 in got and 5 in got  # n_probe=1 removals kept
+
+
+# ---------------------------------------------------------------------------
+# next_event_examples
+# ---------------------------------------------------------------------------
+
+
+def test_next_event_examples_windows(spark):
+    from petastorm_spark.operators.packing import next_event_examples
+
+    rows = [(1, i, 100 + i, f"e{i}") for i in range(7)]  # 7 events
+    rows += [(2, 0, 200, "x"), (2, 1, 201, "y")]  # too short -> no rows
+    df = spark.createDataFrame(rows, "u int, t bigint, i bigint, e string")
+    out = sorted(
+        next_event_examples(df, "u", "t", "i", "e", context_len=5).collect(),
+        key=lambda r: (r.u, r.window_idx),
+    )
+    assert [r.u for r in out] == [1, 1]  # 7 events -> 2 windows
+    assert out[0].context == ["e0", "e1", "e2", "e3", "e4"]
+    assert out[0].label == "e5"
+    assert out[1].context == ["e1", "e2", "e3", "e4", "e5"]
+    assert out[1].label == "e6"
+
+
+def test_next_event_examples_order_is_event_time(spark):
+    from petastorm_spark.operators.packing import next_event_examples
+
+    # rows arrive shuffled; windows must follow (ts, id) order
+    rows = [(1, 5, 1, "late"), (1, 1, 2, "a"), (1, 2, 3, "b"),
+            (1, 3, 4, "c"), (1, 4, 5, "d")]
+    df = spark.createDataFrame(rows, "u int, t bigint, i bigint, e string")
+    out = next_event_examples(df, "u", "t", "i", "e", context_len=4).collect()
+    assert len(out) == 1
+    assert out[0].context == ["a", "b", "c", "d"] and out[0].label == "late"
