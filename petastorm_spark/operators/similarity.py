@@ -775,13 +775,26 @@ def semantic_dedup(
         w = Window.partitionBy(id_col).orderBy(
             F.col("_ccos").desc(), F.col("cell")
         )
+        # one row per id, probed cells as a sorted array — the pair
+        # join explodes the array but keeps it alongside, so a pair
+        # sharing several cells can be emitted from its MINIMAL shared
+        # cell only (first-match emission, as in simhash pairs): no
+        # candidate-dedup shuffle exists at all
+        w_id = Window.partitionBy(id_col)
         assigned = (
             corpus.select(id_col, vec_col)
             .crossJoin(F.broadcast(cent))
             .withColumn("_ccos", cosine(F.col(vec_col), F.col("cent_vec")))
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= n_probe)
-            .select(id_col, vec_col, F.col("cell").cast("int").alias("cell"))
+            .withColumn(
+                "_cells",
+                F.sort_array(
+                    F.collect_list(F.col("cell").cast("int")).over(w_id)
+                ),
+            )
+            .where(F.col("_rn") == 1)  # one row per id, cells + vec aboard
+            .select(id_col, vec_col, "_cells")
         )
     else:
         _, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids)
@@ -796,14 +809,39 @@ def semantic_dedup(
                 ),
             ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
         )
-        .select(F.col(id_col), "cell", "_u")
+        .select(F.col(id_col), "_cells" if n_probe > 1 else "cell", "_u")
     )
-    a = unit.select(F.col(id_col).alias("_ka"), F.col("_u").alias("_va"), "cell")
-    b = unit.select(F.col(id_col).alias("_kb"), F.col("_u").alias("_vb"), "cell")
-    cand = a.join(b, "cell").where(F.col("_ka") < F.col("_kb"))
     if n_probe > 1:
-        # a pair sharing several probed cells must score exactly once
-        cand = cand.dropDuplicates(["_ka", "_kb"])
+        ue = unit.withColumn("cell", F.explode("_cells"))
+        a = ue.select(
+            F.col(id_col).alias("_ka"),
+            F.col("_u").alias("_va"),
+            F.col("_cells").alias("_ca"),
+            "cell",
+        )
+        b = ue.select(
+            F.col(id_col).alias("_kb"),
+            F.col("_u").alias("_vb"),
+            F.col("_cells").alias("_cb"),
+            "cell",
+        )
+        cand = (
+            a.join(b, "cell")
+            .where(F.col("_ka") < F.col("_kb"))
+            # first-match emission: only the minimal shared cell emits
+            .where(
+                F.col("cell")
+                == F.array_min(F.array_intersect(F.col("_ca"), F.col("_cb")))
+            )
+        )
+    else:
+        a = unit.select(
+            F.col(id_col).alias("_ka"), F.col("_u").alias("_va"), "cell"
+        )
+        b = unit.select(
+            F.col(id_col).alias("_kb"), F.col("_u").alias("_vb"), "cell"
+        )
+        cand = a.join(b, "cell").where(F.col("_ka") < F.col("_kb"))
     pairs = cand.withColumn("_cos", dot(F.col("_va"), F.col("_vb"))).where(
         F.col("_cos") >= threshold
     )
