@@ -124,6 +124,7 @@ HEADLINE = [
     "dedup_semantic_probe2",
     "doc_signals_bundle",
     "next_event_examples",
+    "cdc_repeated_chunks",
 ]
 
 N_WARMUP_READS = 500

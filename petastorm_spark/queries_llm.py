@@ -3392,3 +3392,48 @@ def next_event_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return next_event_examples(
         ev, "user_id", "ts_us", "event_id", "event_type", context_len=5
     )
+
+
+@register(
+    "cdc_repeated_chunks",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    pe AS (SELECT doc_id, unnest(t) AS tok,
+                  unnest(range(1, len(t) + 1)) AS pos FROM tok),
+    b AS (SELECT doc_id, tok, pos,
+                 CASE WHEN (('0x'||substr(md5(tok),1,15))::BIGINT) % 16 = 0
+                      THEN 1 ELSE 0 END AS f FROM pe),
+    c AS (SELECT doc_id, tok, pos,
+                 sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS chunk_idx
+          FROM b),
+    g AS (SELECT doc_id, chunk_idx,
+                 string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+          FROM c GROUP BY doc_id, chunk_idx)
+    SELECT md5(chunk_text) AS digest,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM g GROUP BY digest HAVING count(*) >= 2
+    """,
+)
+def cdc_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff of content-defined chunking: chunks repeated across
+    the corpus (boilerplate, quoted spans, templates) surface as one
+    digest groupBy over the chunk table — occurrence and document
+    counts per repeated chunk, keep-first pointer included. Scale: the
+    chunk table is corpus-linear; this adds ONE digest-keyed
+    partial-aggregated shuffle on top of cdc_chunk_spans."""
+    from petastorm_spark.operators.packing import cdc_chunks
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = cdc_chunks(d, "text", "doc_id", boundary_mod=16)
+    return (
+        chunks.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+    )
