@@ -125,6 +125,7 @@ HEADLINE = [
     "doc_signals_bundle",
     "next_event_examples",
     "cdc_repeated_chunks",
+    "ann_cosine_sq8",
 ]
 
 N_WARMUP_READS = 500

@@ -853,3 +853,51 @@ def semantic_dedup(
             F.round(F.max("_cos"), 4).alias("max_cos"),
         )
     )
+
+
+def cosine_topk_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rescore_factor: int = 4,
+    bits: int = 8,
+) -> DataFrame:
+    """Scalar-quantized ANN (the SQ8 production pattern): score the
+    int-quantized corpus first — for symmetric per-vector quantization
+    the scale cancels out of cosine, so the approximate score is just
+    cosine(query, int-array) — shortlist ``k * rescore_factor``
+    candidates per query, then rescore ONLY the shortlist against the
+    full-precision vectors. The corpus ships at 1/4 the bytes (the
+    point at 100 TB: the hot scan reads int8-sized data; full vectors
+    are touched for k*factor rows per query). Output like
+    :func:`cosine_topk`: (query_id, neighbor_id, rank, cos_sim) with
+    the EXACT cosine.
+
+    Scale: quantization is a pure map; the approximate pass is the
+    same broadcast-queries scan as brute force but over quarter-width
+    data; the rescore joins the (tiny) shortlist back to vectors by
+    id."""
+    qz = quantize_embeddings(corpus, id_col, vec_col, bits)
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    approx = (
+        qz.select(F.col(id_col).alias("neighbor_id"), F.col("q").alias("_qi"))
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("_qi")))
+    )
+    shortlist = topk_per_query(approx, k * rescore_factor).select(
+        "query_id", "neighbor_id"
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    rescored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qs), "query_id")
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("_cv")))
+    )
+    return topk_per_query(rescored, k)

@@ -3437,3 +3437,55 @@ def cdc_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_occurrences") >= 2)
     )
+
+
+def _sq8_oracle(k: int = 5, factor: int = 4) -> str:
+    cos = lambda a, b: (  # noqa: E731
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+    qz AS (SELECT vec_id,
+                  CASE WHEN amax > 0
+                       THEN list_transform(v, x ->
+                            CAST(round(x / (amax / 127)) AS DOUBLE))
+                       ELSE list_transform(v, x -> 0.0) END AS qi
+           FROM a),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    s1 AS (SELECT query_id, qz.vec_id AS neighbor_id,
+                  {cos('q.qv', 'qz.qi')} AS approx
+           FROM q, qz WHERE qz.vec_id != query_id),
+    r1 AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx DESC, neighbor_id) AS rn
+        FROM s1) WHERE rn <= {k * factor}),
+    x AS (SELECT query_id, neighbor_id, {cos('q.qv', 'e.v')} AS cos
+          FROM r1 JOIN e ON e.vec_id = neighbor_id JOIN q USING (query_id)),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM x)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cos, 4) AS cos_sim
+    FROM r WHERE rank <= {k}
+    """
+
+
+@register("ann_cosine_sq8", oracle=_sq8_oracle())
+def ann_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN top-5: the int8 corpus is scored first
+    (the per-vector scale cancels out of cosine, so the approximate
+    score is cosine against the raw int arrays), a 4x-k shortlist is
+    rescored against full-precision vectors — the SQ8 recipe that
+    reads quarter-width data on the hot path at 100 TB. The oracle
+    rebuilds the identical quantizer, shortlist, and rescore."""
+    from petastorm_spark.operators.similarity import cosine_topk_sq8
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    return cosine_topk_sq8(
+        emb, emb.where(F.col("vec_id") < 10), k=5, rescore_factor=4
+    )

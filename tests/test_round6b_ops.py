@@ -706,3 +706,32 @@ def test_next_event_examples_order_is_event_time(spark):
     out = next_event_examples(df, "u", "t", "i", "e", context_len=4).collect()
     assert len(out) == 1
     assert out[0].context == ["a", "b", "c", "d"] and out[0].label == "late"
+
+
+# ---------------------------------------------------------------------------
+# SQ8 ANN
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_matches_exact_topk_at_8_bits(spark, sf_dir):
+    # 8-bit quantization + 4x rescore recovers the exact top-5 on the
+    # real embedding fixture (the standard SQ8 recall claim)
+    from petastorm_spark.operators.similarity import cosine_topk, cosine_topk_sq8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    sq8 = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_sq8(emb, q, k=5, rescore_factor=4).collect()
+    }
+    hits = sum(1 for key, n in exact.items() if sq8.get(key) == n)
+    assert hits / len(exact) >= 0.9  # near-perfect agreement at 8 bits
+    # and the reported cos_sim is the EXACT score (full-precision rescore)
+    r0 = cosine_topk_sq8(emb, q, k=1).collect()[0]
+    e0 = [r for r in cosine_topk(emb, q, k=1).collect()
+          if r.query_id == r0.query_id][0]
+    assert r0.cos_sim == e0.cos_sim
