@@ -3283,15 +3283,17 @@ def _semantic_probe_oracle(n_cells: int = 16, tau: float = 0.95,
     """
 
 
-@register("dedup_semantic_probe2", oracle=_semantic_probe_oracle())
+@register("dedup_semantic_probe2", oracle=_semantic_probe_oracle(n_cells=64))
 def dedup_semantic_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe SemDeDup: every vector assigned to its TOP-2 cells,
     so a near-dup pair split across a cell boundary (invisible to
     single-assignment semantic dedup) meets in whichever cell they
-    share — the recall knob on the cluster-scoped trade. Candidate
-    pairs dedupe on ids before the one-dot-per-pair verify. Scale:
-    ~4x the pair budget of n_probe=1 at the same cell count; the
-    explode stays corpus-linear."""
+    share — the recall knob on the cluster-scoped trade; each pair is
+    emitted once from its minimal shared cell (no dedup shuffle).
+    Runs at 64 cells (4x dedup_semantic's 16): multi-probe is how you
+    AFFORD a finer quantizer — per-cell quadratic work drops 16x while
+    boundary pairs stay visible. The oracle rebuilds the same 64-cell
+    index."""
     from petastorm_spark.operators.similarity import semantic_dedup
 
     emb = _t_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -3299,7 +3301,7 @@ def dedup_semantic_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select((F.col("vec_id") + _COPY_SHIFT).alias("vec_id"), "embedding")
     )
     return semantic_dedup(
-        both, "vec_id", "embedding", n_cells=16, threshold=0.95, n_probe=2
+        both, "vec_id", "embedding", n_cells=64, threshold=0.95, n_probe=2
     )
 
 
