@@ -126,6 +126,7 @@ HEADLINE = [
     "next_event_examples",
     "cdc_repeated_chunks",
     "ann_cosine_sq8",
+    "corpus_datacard",
 ]
 
 N_WARMUP_READS = 500

@@ -3491,3 +3491,64 @@ def ann_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_sq8(
         emb, emb.where(F.col("vec_id") < 10), k=5, rescore_factor=4
     )
+
+
+@register(
+    "corpus_datacard",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, lang, text, {_TOK} AS t
+                 FROM documents),
+    base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(len(t)) AS BIGINT) AS n_tokens,
+                    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                    round(avg(len(t)), 4) AS avg_doc_tokens,
+                    round(avg(length(text)), 4) AS avg_doc_chars
+             FROM tok),
+    vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab
+              FROM (SELECT unnest(t) AS tok FROM tok)),
+    dup AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_dup_docs
+            FROM (SELECT count(*) AS c FROM documents
+                  GROUP BY md5(text) HAVING count(*) > 1)),
+    pii AS (SELECT CAST(sum(CASE WHEN regexp_matches(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs
+            FROM documents)
+    SELECT * FROM base, vocab, dup, pii
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus data card every dataset release publishes:
+    document/token/vocabulary counts, source and language coverage,
+    mean lengths, exact-duplicate document count, PII-bearing document
+    count — computed in one pass over the corpus plus two aggregate
+    subplans (vocab distinct, digest dup groups). Scale: every piece
+    is a partial-aggregated corpus scan; nothing row-sized leaves the
+    executors."""
+    from petastorm_spark.operators.text import EMAIL_PATTERN, token_count, tokens
+
+    d = _t_wide(spark, sf_dir, "documents")
+    base = d.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg(token_count("text")), 4).alias("avg_doc_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_doc_chars"),
+    )
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("n_vocab"))
+    )
+    dup = (
+        d.groupBy(F.md5("text"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_dup_docs"))
+    )
+    pii = d.agg(
+        F.sum(
+            F.when(F.col("text").rlike(EMAIL_PATTERN), 1).otherwise(0)
+        ).cast("bigint").alias("n_email_docs")
+    )
+    return base.crossJoin(vocab).crossJoin(dup).crossJoin(pii)
