@@ -110,6 +110,11 @@ STUDY_QUERIES = [
     "cdc_chunk_spans",
     "gbdt_quality_score",
     "dedup_semantic_probe2",
+    "doc_signals_bundle",
+    "next_event_examples",
+    "cdc_repeated_chunks",
+    "ann_cosine_sq8",
+    "corpus_datacard",
 ]
 
 
