@@ -127,6 +127,7 @@ HEADLINE = [
     "cdc_repeated_chunks",
     "ann_cosine_sq8",
     "corpus_datacard",
+    "vocab_coverage",
 ]
 
 N_WARMUP_READS = 500

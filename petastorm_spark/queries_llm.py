@@ -3552,3 +3552,55 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_email_docs")
     )
     return base.crossJoin(vocab).crossJoin(dup).crossJoin(pii)
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+    freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    vocab AS (SELECT tok FROM freq
+              ORDER BY c DESC, tok LIMIT 1000),
+    j AS (SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+          FROM tok t LEFT JOIN vocab v ON v.tok = t.tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(sum(oov) * 1.0 / count(*), 4) AS oov_rate
+    FROM j GROUP BY doc_id
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget planning: fix the vocabulary at the corpus's
+    top-1000 tokens (count DESC, lexicographic tie-break) and measure
+    each document's out-of-vocabulary rate — what you consult before
+    committing a vocab size. Scale: one corpus count shuffle, the
+    top-V cut as a TakeOrdered (never a global sort), the vocabulary
+    BROADCAST back onto the token stream, one per-doc aggregate."""
+    from petastorm_spark.operators.text import tokens
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(1000)
+        .select("tok", F.lit(1).alias("_in"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+    )
