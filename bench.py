@@ -128,6 +128,7 @@ HEADLINE = [
     "ann_cosine_sq8",
     "corpus_datacard",
     "vocab_coverage",
+    "fuzzy_match_ids",
 ]
 
 N_WARMUP_READS = 500

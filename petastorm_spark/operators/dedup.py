@@ -1176,3 +1176,47 @@ def leakage_safe_split(
         else split.otherwise(F.lit(names[-1]))
     )
     return joined.withColumn("split", split)
+
+
+def blocked_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_text: str,
+    right_text: str,
+    max_dist: int = 2,
+    block_prefix: int = 8,
+) -> DataFrame:
+    """Two-table entity resolution (record linkage): candidate pairs
+    from a BLOCKING equi-join — here the classic prefix block: rows
+    whose normalized text shares its first ``block_prefix`` characters
+    — verified by Levenshtein edit distance <= ``max_dist``. The
+    two-table sibling of :func:`edit_distance_pairs` (self-dedup), for
+    matching a dirty feed against a master table. Output:
+    (left key, right key, edit_dist).
+
+    A one-character corruption INSIDE the prefix escapes a single
+    block (the standard blocking trade); run a second pass blocked on
+    a suffix or sorted-neighborhood key to close it. Scale: the
+    quadratic distance only runs within blocks; the join is a plain
+    equi-shuffle on the block key, skew-handled by AQE.
+    """
+    lb = left.select(
+        F.col(left_key).alias("_lk"),
+        F.lower(F.trim(F.col(left_text))).alias("_lt"),
+    ).withColumn("_blk", F.substring(F.col("_lt"), 1, block_prefix))
+    rb = right.select(
+        F.col(right_key).alias("_rk"),
+        F.lower(F.trim(F.col(right_text))).alias("_rt"),
+    ).withColumn("_blk", F.substring(F.col("_rt"), 1, block_prefix))
+    return (
+        lb.join(rb, "_blk")
+        .withColumn("edit_dist", F.levenshtein(F.col("_lt"), F.col("_rt")))
+        .where(F.col("edit_dist") <= max_dist)
+        .select(
+            F.col("_lk").alias(left_key),
+            F.col("_rk").alias(right_key),
+            "edit_dist",
+        )
+    )

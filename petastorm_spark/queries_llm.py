@@ -3604,3 +3604,49 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "fuzzy_match_ids",
+    oracle="""
+    WITH m AS (SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS ident
+               FROM customer),
+    l AS (SELECT c_custkey AS lk, ident AS lt FROM m),
+    r AS (SELECT c_custkey + 1000000 AS rk,
+                 CASE WHEN c_custkey % 3 = 0
+                      THEN substr(ident, 1, 31) || 'x'
+                      ELSE ident END AS rt
+          FROM m),
+    j AS (SELECT lk, rk, levenshtein(lt, rt) AS edit_dist
+          FROM l JOIN r ON substr(lt, 1, 8) = substr(rt, 1, 8))
+    SELECT lk AS c_custkey, rk AS dirty_key, edit_dist
+    FROM j WHERE edit_dist <= 2
+    """,
+)
+def fuzzy_match_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table entity resolution (record linkage): a dirty feed —
+    every third record's 32-char identifier corrupted in its last
+    character — is matched back to the master table. Candidates come
+    from a blocking equi-join on the identifier's 8-char prefix (the
+    standard blocking recipe), verified by Levenshtein <= 2; the
+    quadratic distance only ever runs within tiny blocks. Identifiers
+    are md5-derived so both engines build the identical fixture. See
+    operators/dedup.blocked_fuzzy_join."""
+    from petastorm_spark.operators.dedup import blocked_fuzzy_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.md5(F.col("c_custkey").cast("string")).alias("ident")
+    )
+    dirty = cust.select(
+        (F.col("c_custkey") + 1_000_000).alias("dirty_key"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.substring("ident", 1, 31), F.lit("x")),
+        )
+        .otherwise(F.col("ident"))
+        .alias("ident2"),
+    )
+    return blocked_fuzzy_join(
+        cust, dirty, "c_custkey", "dirty_key", "ident", "ident2",
+        max_dist=2, block_prefix=8,
+    )

@@ -735,3 +735,26 @@ def test_sq8_matches_exact_topk_at_8_bits(spark, sf_dir):
     e0 = [r for r in cosine_topk(emb, q, k=1).collect()
           if r.query_id == r0.query_id][0]
     assert r0.cos_sim == e0.cos_sim
+
+
+# ---------------------------------------------------------------------------
+# blocked_fuzzy_join
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_fuzzy_join_matches_within_block(spark):
+    from petastorm_spark.operators.dedup import blocked_fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "abcdef-12345"), (2, "zzzzzz-99999")], "k int, t string"
+    )
+    right = spark.createDataFrame(
+        [(10, "abcdef-12395"),   # 1 edit, same block -> match
+         (11, "Xbcdef-12345"),   # 1 edit INSIDE the prefix -> blocked away
+         (12, "zzzzzz-00000")],  # 5 edits -> fails verify
+        "k int, t string",
+    )
+    out = blocked_fuzzy_join(
+        left, right, "k", "k", "t", "t", max_dist=2, block_prefix=6
+    ).collect()
+    assert [(r[0], r[1], r.edit_dist) for r in out] == [(1, 10, 1)]
