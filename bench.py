@@ -129,6 +129,7 @@ HEADLINE = [
     "corpus_datacard",
     "vocab_coverage",
     "fuzzy_match_ids",
+    "padding_waste_report",
 ]
 
 N_WARMUP_READS = 500

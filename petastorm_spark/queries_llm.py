@@ -3650,3 +3650,82 @@ def fuzzy_match_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, dirty, "c_custkey", "dirty_key", "ident", "ident2",
         max_dist=2, block_prefix=8,
     )
+
+
+def _padding_oracle(batch: int = 32) -> str:
+    def strat(name: str, order: str) -> str:
+        return f"""
+    {name}_r AS (SELECT n, row_number() OVER (ORDER BY {order}) AS rn FROM pd),
+    {name}_b AS (SELECT (rn - 1) // {batch} AS b, max(n) AS mx,
+                        sum(n) AS s, count(*) AS c
+                 FROM {name}_r GROUP BY b),
+    {name}_a AS (SELECT '{name}' AS strategy,
+                        CAST(count(*) AS BIGINT) AS n_batches,
+                        CAST(sum(s) AS BIGINT) AS real_tokens,
+                        CAST(sum(mx * c) AS BIGINT) AS padded_tokens
+                 FROM {name}_b)"""
+
+    return f"""
+    WITH pd AS (SELECT doc_id, len({_TOK}) AS n, {_FRAC_DOC} AS frac
+                FROM documents),{strat("arrival", "frac, doc_id")},{strat("length_sorted", "n, doc_id")}
+    SELECT strategy, n_batches, real_tokens, padded_tokens,
+           round(1 - real_tokens * 1.0 / padded_tokens, 4) AS waste_frac
+    FROM (SELECT * FROM arrival_a UNION ALL SELECT * FROM length_sorted_a)
+    """
+
+
+@register("padding_waste_report", oracle=_padding_oracle())
+def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY length-bucketed batching exists, measured: tokens of padding
+    per strategy when fixed-size-32 batches pad to their longest
+    member — key-stable arrival order vs length-sorted order. One row
+    per strategy (batches, real tokens, padded tokens, waste
+    fraction). Scale: each strategy is a distributed exact global rank
+    (range exchange + broadcast offsets, never a one-task window) and
+    a per-batch aggregate."""
+    from petastorm_spark.operators.dedup import hash60
+    from petastorm_spark.operators.rank import global_rank
+    from petastorm_spark.operators.text import token_count
+    from petastorm_spark.predicates import HASH_SPACE
+
+    d = _t_wide(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").alias("n"),
+        (hash60(F.col("doc_id").cast("string"), seed=0) / F.lit(HASH_SPACE))
+        .cast("double")
+        .alias("frac"),
+    )
+    out = []
+    for name, order in (
+        ("arrival", ["frac", "doc_id"]),
+        ("length_sorted", ["n", "doc_id"]),
+    ):
+        ranked = global_rank(d, order, rank_col="_rn")
+        agg = (
+            ranked.withColumn("_b", F.expr("(_rn - 1) div 32"))
+            .groupBy("_b")
+            .agg(
+                F.max("n").alias("_mx"),
+                F.sum("n").alias("_s"),
+                F.count(F.lit(1)).alias("_c"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+                F.sum("_s").cast("bigint").alias("real_tokens"),
+                F.sum(F.col("_mx") * F.col("_c")).cast("bigint").alias(
+                    "padded_tokens"
+                ),
+            )
+            .select(F.lit(name).alias("strategy"), "*")
+        )
+        out.append(agg)
+    res = out[0].unionByName(out[1])
+    return res.select(
+        "strategy",
+        "n_batches",
+        "real_tokens",
+        "padded_tokens",
+        F.round(
+            F.lit(1) - F.col("real_tokens") / F.col("padded_tokens"), 4
+        ).alias("waste_frac"),
+    )
