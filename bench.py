@@ -130,6 +130,7 @@ HEADLINE = [
     "vocab_coverage",
     "fuzzy_match_ids",
     "padding_waste_report",
+    "dedup_keep_best",
 ]
 
 N_WARMUP_READS = 500

@@ -1220,3 +1220,45 @@ def blocked_fuzzy_join(
             "edit_dist",
         )
     )
+
+
+def canonicalize_by(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    score_col,
+    keep: str = "max",
+) -> DataFrame:
+    """Survivorship policy for dup clusters: instead of keep-lowest-id
+    (:func:`canonicalize`), keep each cluster's best row by
+    ``score_col`` — keep-longest, keep-highest-quality, keep-most-
+    recent are all this with a different score (ties break to the
+    lower id, so the choice is deterministic). Rows in no cluster pass
+    through untouched.
+
+    Scale: the policy runs on the (dup-cluster-sized) id table, never
+    the full rows — scores join onto cluster members by id, one
+    per-cluster argmax partial aggregate picks winners, and the corpus
+    sees a single left-anti join against the loser ids.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    scored = clusters.select("doc_id", "cluster_id").join(
+        df.select(F.col(id_col).alias("doc_id"), s.alias("_score")), "doc_id"
+    )
+    ordered = F.struct(
+        (F.col("_score") if keep == "max" else -F.col("_score")).alias("_s"),
+        (-F.col("doc_id")).alias("_nid"),
+    )
+    winners = (
+        scored.groupBy("cluster_id")
+        .agg(F.max(ordered).alias("_w"))
+        .select(
+            "cluster_id", (-F.col("_w").getField("_nid")).alias("_winner")
+        )
+    )
+    losers = (
+        clusters.join(winners, "cluster_id")
+        .where(F.col("doc_id") != F.col("_winner"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -3729,3 +3729,81 @@ def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1) - F.col("real_tokens") / F.col("padded_tokens"), 4
         ).alias("waste_frac"),
     )
+
+
+_TAIL = " extra appended tail tokens"
+
+_TAIL_DOCS_CTE = f"""
+    WITH d AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + {_COPY_SHIFT} AS doc_id,
+                      text || '{_TAIL}' AS text FROM documents)
+"""
+
+
+def _keep_best_oracle(threshold: float = 0.8) -> str:
+    inter = "len(list_intersect(sa.s, sb.s))"
+    m = f"{inter} * 1.0 / (len(sa.s) + len(sb.s) - {inter})"
+    return (
+        _TAIL_DOCS_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+        + _lsh_cand_ctes()
+        + f""",
+    nd AS (SELECT id_a, id_b FROM cand
+           JOIN sets sa ON sa.doc_id = id_a
+           JOIN sets sb ON sb.doc_id = id_b
+           WHERE {m} >= {threshold}),
+    nodes AS (SELECT id_a AS node FROM nd UNION SELECT id_b FROM nd),
+    edges AS (SELECT id_a AS a, id_b AS b FROM nd
+              UNION SELECT id_b, id_a FROM nd),
+    reach(a, b) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    sc AS (SELECT lab.doc_id, cluster_id, len({_TOK}) AS n
+           FROM lab JOIN d ON d.doc_id = lab.doc_id),
+    win AS (SELECT cluster_id, doc_id AS winner FROM (
+                SELECT cluster_id, doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY n DESC, doc_id) AS rn
+                FROM sc) WHERE rn = 1),
+    losers AS (SELECT sc.doc_id FROM sc JOIN win USING (cluster_id)
+               WHERE sc.doc_id != winner)
+    SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens
+    FROM d WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+    )
+
+
+@register("dedup_keep_best", oracle=_keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship POLICY dedup: near-dup clusters canonicalized by
+    keep-LONGEST (max token count, ties to the lower id) instead of
+    keep-lowest-id — on this fixture every copy carries an appended
+    tail, so the policy must keep the HIGHER id of each pair, the
+    opposite of canonicalize()'s default. Scale: policy argmax runs on
+    the cluster-sized id table; the corpus sees one left-anti join.
+    See operators/dedup.canonicalize_by."""
+    from petastorm_spark.operators.dedup import (
+        canonicalize_by,
+        connected_components,
+        near_dup_pairs,
+    )
+    from petastorm_spark.operators.text import token_count
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = d.unionByName(
+        d.select(
+            (F.col("doc_id") + _COPY_SHIFT).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_TAIL)).alias("text"),
+        )
+    )
+    pairs = near_dup_pairs(noisy, "text", "doc_id", threshold=0.8)
+    clusters = connected_components(pairs)
+    survivors = canonicalize_by(
+        noisy, "doc_id", clusters, token_count("text"), keep="max"
+    )
+    return survivors.select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )

@@ -758,3 +758,27 @@ def test_blocked_fuzzy_join_matches_within_block(spark):
         left, right, "k", "k", "t", "t", max_dist=2, block_prefix=6
     ).collect()
     assert [(r[0], r[1], r.edit_dist) for r in out] == [(1, 10, 1)]
+
+
+def test_canonicalize_by_keeps_best_not_lowest(spark):
+    from petastorm_spark.operators.dedup import canonicalize_by
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (9, 5.0)],  # 9 unclustered
+        "doc_id int, score double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id int, cluster_id int"
+    )
+    kept = {
+        r.doc_id
+        for r in canonicalize_by(df, "doc_id", clusters, "score").collect()
+    }
+    assert kept == {2, 9}  # highest score wins, not lowest id; 9 untouched
+    kept_min = {
+        r.doc_id
+        for r in canonicalize_by(
+            df, "doc_id", clusters, "score", keep="min"
+        ).collect()
+    }
+    assert kept_min == {9, 1}  # keep-min flips to the lowest score
