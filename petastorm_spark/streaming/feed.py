@@ -661,3 +661,61 @@ def kmv_sketch_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def next_event_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    context_len: int = 5,
+) -> DataFrame:
+    """Streaming twin of operators/packing.next_event_examples: emit a
+    (context, label) training example the moment a user's next event
+    arrives — online dataset generation for next-event models, with
+    state = the user's last ``context_len`` events only (bounded
+    forever). Events fold in (event-time, id) order within each
+    micro-batch; the contract assumes an in-order feed (a late event
+    older than the buffer is folded at arrival position — the batch
+    twin over the same static directory reproduces it exactly when
+    the feed is one availableNow batch, tested).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from petastorm_spark.operators.stateful import ts_as_int
+
+    out_schema = (
+        f"{user_col} bigint, window_idx int, "
+        "context array<string>, label string"
+    )
+    state_schema = "n int, buf array<string>"
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, buf = state.get
+            buf = list(buf)
+        else:
+            n, buf = 0, []
+        rows = {"window_idx": [], "context": [], "label": []}
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, id_col])
+        for e in batch[type_col]:
+            if len(buf) == context_len:
+                rows["window_idx"].append(n - context_len)
+                rows["context"].append(list(buf))
+                rows["label"].append(e)
+            buf.append(e)
+            if len(buf) > context_len:
+                buf.pop(0)
+            n += 1
+        state.update((n, buf))
+        out = pd.DataFrame(rows)
+        out[user_col] = key[0]
+        yield out[[user_col, "window_idx", "context", "label"]]
+
+    ordered = events.select(user_col, ts_col, id_col, type_col)
+    return ordered.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

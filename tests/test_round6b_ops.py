@@ -782,3 +782,40 @@ def test_canonicalize_by_keeps_best_not_lowest(spark):
         ).collect()
     }
     assert kept_min == {9, 1}  # keep-min flips to the lowest score
+
+
+def test_next_event_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    from petastorm_spark.operators.packing import next_event_examples
+    from petastorm_spark.session import events_ts_us
+    from petastorm_spark.streaming.feed import next_event_stream, stream_dataset
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    evb = ev.withColumn("ts_us", events_ts_us(ev))
+    d = str(tmp_path_factory.mktemp("nes") / "events")
+    evb.select("user_id", "ts_us", "event_id", "event_type").coalesce(
+        1
+    ).write.parquet(d)
+
+    q = (
+        next_event_stream(
+            stream_dataset(spark, d), "user_id", "ts_us", "event_id",
+            "event_type", context_len=5,
+        )
+        .writeStream.format("memory")
+        .queryName("nes_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r.user_id, r.window_idx, tuple(r.context), r.label)
+        for r in spark.sql("SELECT * FROM nes_out").collect()
+    }
+    batch_rows = {
+        (r.user_id, r.window_idx, tuple(r.context), r.label)
+        for r in next_event_examples(
+            evb, "user_id", "ts_us", "event_id", "event_type", context_len=5
+        ).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
