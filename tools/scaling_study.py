@@ -115,6 +115,10 @@ STUDY_QUERIES = [
     "cdc_repeated_chunks",
     "ann_cosine_sq8",
     "corpus_datacard",
+    "vocab_coverage",
+    "fuzzy_match_ids",
+    "padding_waste_report",
+    "dedup_keep_best",
 ]
 
 
@@ -163,6 +167,10 @@ def main() -> None:
     results: dict[str, list[float]] = {}
     counts: dict[str, list[int]] = {}
     for name in STUDY_QUERIES:
+        # same rationale as bench.py: collect earlier queries' garbage
+        # OUTSIDE the timed window (and let ContextCleaner release
+        # dropped broadcasts), or late queries absorb it
+        spark.sparkContext._jvm.System.gc()
         row: list[float] = []
         nrow: list[int] = []
         for _, d in dirs:
