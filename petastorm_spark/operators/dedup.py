@@ -1202,14 +1202,22 @@ def blocked_fuzzy_join(
     quadratic distance only runs within blocks; the join is a plain
     equi-shuffle on the block key, skew-handled by AQE.
     """
-    lb = left.select(
-        F.col(left_key).alias("_lk"),
-        F.lower(F.trim(F.col(left_text))).alias("_lt"),
-    ).withColumn("_blk", F.substring(F.col("_lt"), 1, block_prefix))
-    rb = right.select(
-        F.col(right_key).alias("_rk"),
-        F.lower(F.trim(F.col(right_text))).alias("_rt"),
-    ).withColumn("_blk", F.substring(F.col("_rt"), 1, block_prefix))
+    lb = (
+        left.select(
+            F.col(left_key).alias("_lk"),
+            F.lower(F.trim(F.col(left_text))).alias("_lt"),
+        )
+        .where(F.length("_lt") > 0)  # empty texts would share one
+        .withColumn("_blk", F.substring(F.col("_lt"), 1, block_prefix))
+    )  # cross-product block of vacuous distance-0 "matches"
+    rb = (
+        right.select(
+            F.col(right_key).alias("_rk"),
+            F.lower(F.trim(F.col(right_text))).alias("_rt"),
+        )
+        .where(F.length("_rt") > 0)
+        .withColumn("_blk", F.substring(F.col("_rt"), 1, block_prefix))
+    )
     return (
         lb.join(rb, "_blk")
         .withColumn("edit_dist", F.levenshtein(F.col("_lt"), F.col("_rt")))
@@ -1241,20 +1249,23 @@ def canonicalize_by(
     per-cluster argmax partial aggregate picks winners, and the corpus
     sees a single left-anti join against the loser ids.
     """
+    if keep not in ("max", "min"):
+        raise ValueError(f"keep must be 'max' or 'min', got {keep!r}")
     s = F.col(score_col) if isinstance(score_col, str) else score_col
     scored = clusters.select("doc_id", "cluster_id").join(
         df.select(F.col(id_col).alias("doc_id"), s.alias("_score")), "doc_id"
     )
-    ordered = F.struct(
-        (F.col("_score") if keep == "max" else -F.col("_score")).alias("_s"),
-        (-F.col("doc_id")).alias("_nid"),
+    # two-phase, type-agnostic argmax (ids and scores can be strings /
+    # timestamps — no numeric negation trick): best score per cluster,
+    # then the lowest id among rows achieving it
+    best = scored.groupBy("cluster_id").agg(
+        (F.max("_score") if keep == "max" else F.min("_score")).alias("_best")
     )
     winners = (
-        scored.groupBy("cluster_id")
-        .agg(F.max(ordered).alias("_w"))
-        .select(
-            "cluster_id", (-F.col("_w").getField("_nid")).alias("_winner")
-        )
+        scored.join(best, "cluster_id")
+        .where(F.col("_score").eqNullSafe(F.col("_best")))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("_winner"))
     )
     losers = (
         clusters.join(winners, "cluster_id")

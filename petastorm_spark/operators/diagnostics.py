@@ -177,15 +177,15 @@ def dataset_diff(
     and the join is co-located with zero shuffle.
     """
 
-    def dig(df: DataFrame) -> Column:
+    def dig() -> Column:
         parts = [
             F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
             for c in compare_cols
         ]
         return F.md5(F.concat_ws("\x1f", *parts))
 
-    o = old.select(F.col(key_col), dig(old).alias("old_digest"))
-    n = new.select(F.col(key_col), dig(new).alias("new_digest"))
+    o = old.select(F.col(key_col), dig().alias("old_digest"))
+    n = new.select(F.col(key_col), dig().alias("new_digest"))
     j = o.join(n, key_col, "full_outer")
     status = (
         F.when(F.col("old_digest").isNull(), F.lit("added"))

@@ -62,6 +62,7 @@ def pagerank(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    interim: list[DataFrame] = []
     try:
         n = nodes.count()  # the only driver-side action before the result
         if n == 0:
@@ -88,9 +89,12 @@ def pagerank(
             # no cache — only cut plan DEPTH for deep iteration counts
             if (i + 1) % checkpoint_interval == 0 and (i + 1) < iters:
                 ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+                interim.append(ranks)
                 ranks.count()
         return ranks.select("node", F.round("rank", 6).alias("rank"))
     except Exception:
         ed.unpersist()
         nodes.unpersist()
+        for t in interim:
+            t.unpersist()
         raise

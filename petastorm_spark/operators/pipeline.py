@@ -35,6 +35,7 @@ def curate_corpus(
     classifier_floor: float | None = None,
     classifier_features: int = 1024,
     classifier_weights: dict[int, float] | None = None,
+    classifier_seed: int = 0,
 ) -> dict[str, DataFrame]:
     """Chain the standard curation passes and return every intermediate
     stage (lazy) keyed by name, in order:
@@ -137,13 +138,17 @@ def curate_corpus(
     if classifier_floor is not None:
         from petastorm_spark.operators.text import linear_classifier_score
 
+        # NOT the pipeline sampling seed: the classifier seed is part
+        # of the MODEL identity (it picks the feature-hash space a
+        # trained weight vector was fit against) and must not drift
+        # when a caller reshuffles sampling
         scored = linear_classifier_score(
             stages["quality"],
             text_col,
             id_col,
             n_features=classifier_features,
             weights=classifier_weights,
-            seed=seed,
+            seed=classifier_seed,
         )
         keep_ids = scored.where(F.col("score") >= classifier_floor).select(id_col)
         stages["classified"] = stages["quality"].join(keep_ids, id_col, "left_semi")

@@ -373,13 +373,7 @@ def interval_attribution(
         raise ValueError(
             f"interval_attribution: rename colliding non-key columns {sorted(clash)}"
         )
-    l = left.select(
-        F.col(key_col), *[F.col(c).alias(c) for c in left.columns if c != key_col]
-    )
-    r = right.select(
-        F.col(key_col), *[F.col(c).alias(c) for c in right.columns if c != key_col]
-    )
-    return l.join(r, key_col).where(
+    return left.join(right, key_col).where(
         (F.col(right_ts_us) > F.col(left_ts_us))
         & (F.col(right_ts_us) <= F.col(left_ts_us) + F.lit(int(window_us)))
     )

@@ -720,13 +720,18 @@ def inverted_index(
     prefix at write time so lookups prune to one directory.
 
     Scale: one distinct-terms explode, then the exact document
-    frequency as a partial-aggregated count and the posting list from
-    a grouped_rank PRE-CAP: only each term's ``max_postings`` lowest
-    doc ids ever reach a collect_list buffer, so no aggregation state
-    is corpus-sized even for stop-word terms (a slice AFTER collect
-    would bound the output but not the buffer). Production indexes
-    shard hot terms' full lists by ``doc_id % k`` side tables."""
-    from petastorm_spark.operators.rank import grouped_rank
+    frequency as a partial-aggregated count; below-``min_df`` terms
+    (the long tail, typically most of the vocabulary) are dropped via
+    a semi-join BEFORE any ranking work. The posting cap is a
+    ``row_number`` window partitioned by term — the vocabulary is
+    HIGH-cardinality, so per-term windows parallelize across the
+    whole cluster and never broadcast vocabulary-sized state (the
+    low-cardinality pathology grouped_rank exists for does not apply
+    here) — and only each term's ``max_postings`` lowest doc ids ever
+    reach a collect_list buffer (a slice AFTER collect would bound
+    the output but not the buffer). Production indexes shard hot
+    terms' full lists by ``doc_id % k`` side tables."""
+    from pyspark.sql import Window
 
     t = (
         df.select(
@@ -740,7 +745,9 @@ def inverted_index(
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= min_df)
     )
-    capped = grouped_rank(t, ["term"], [id_col], rank_col="_r").where(
+    qualified = t.join(counts.select("term"), "term", "left_semi")
+    w = Window.partitionBy("term").orderBy(id_col)
+    capped = qualified.withColumn("_r", F.row_number().over(w)).where(
         F.col("_r") <= max_postings
     )
     postings = capped.groupBy("term").agg(

@@ -686,8 +686,9 @@ def next_event_stream(
 
     from petastorm_spark.operators.stateful import ts_as_int
 
+    utype = events.schema[user_col].dataType.simpleString()
     out_schema = (
-        f"{user_col} bigint, window_idx int, "
+        f"{user_col} {utype}, window_idx int, "
         "context array<string>, label string"
     )
     state_schema = "n int, buf array<string>"
