@@ -819,3 +819,55 @@ def test_next_event_stream_matches_batch(spark, sf_dir, tmp_path_factory):
         ).collect()
     }
     assert stream_rows == batch_rows and stream_rows
+
+
+def test_canonicalize_by_string_ids_and_scores(spark):
+    # review fix: ids/scores need no numeric negation — strings work
+    from petastorm_spark.operators.dedup import canonicalize_by
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01"), ("b", "2024-06-01"), ("c", "2024-03-01")],
+        "doc_id string, updated string",
+    )
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a")], "doc_id string, cluster_id string"
+    )
+    kept = {
+        r.doc_id
+        for r in canonicalize_by(df, "doc_id", clusters, "updated").collect()
+    }
+    assert kept == {"b"}  # keep-most-recent via string-ordered dates
+    with pytest.raises(ValueError):
+        canonicalize_by(df, "doc_id", clusters, "updated", keep="Max")
+
+
+def test_curate_classifier_seed_independent_of_sampling_seed(spark):
+    # review fix: varying the pipeline sampling seed must not rehash
+    # trained classifier weights into a different feature space
+    from petastorm_spark.operators.pipeline import curate_corpus
+
+    weights = {_qc_bucket("spammy"): -2.0}
+    rows = [
+        Row(doc_id=i, text=f"clean document number {i} with plain words")
+        for i in range(4)
+    ] + [Row(doc_id=10, text="spammy spammy spammy")]
+    df = spark.createDataFrame(rows)
+    for pipeline_seed in (0, 7):
+        stages = curate_corpus(
+            df, "text", "doc_id",
+            quality_floor=0.0, seed=pipeline_seed,
+            classifier_floor=0.4, classifier_weights=weights,
+        )
+        assert {r.doc_id for r in stages["classified"].collect()} == {0, 1, 2, 3}
+
+
+def test_blocked_fuzzy_join_ignores_empty_texts(spark):
+    from petastorm_spark.operators.dedup import blocked_fuzzy_join
+
+    left = spark.createDataFrame([(1, ""), (2, "  "), (3, "abcdef")],
+                                 "k int, t string")
+    right = spark.createDataFrame([(10, ""), (11, "abcdef")],
+                                  "k int, t string")
+    out = blocked_fuzzy_join(left, right, "k", "k", "t", "t",
+                             max_dist=2, block_prefix=3).collect()
+    assert [(r[0], r[1]) for r in out] == [(3, 11)]  # no empty-block cross matches
