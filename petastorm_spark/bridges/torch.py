@@ -212,7 +212,13 @@ class LengthBucketedLoader:
         f = self.length_field
         lens = np.array([len(np.atleast_1d(r[f])) for r in rows], dtype=np.int64)
         m = int(lens.max())
-        padded = np.full((len(rows), m), self.pad_value)
+        # dtype from the DATA (joined with pad_value's) — np.full alone
+        # would infer int64 from pad_value=0 and silently truncate
+        # float payloads to integers
+        dt = np.result_type(
+            *(np.atleast_1d(r[f]).dtype for r in rows), type(self.pad_value)
+        )
+        padded = np.full((len(rows), m), self.pad_value, dtype=dt)
         for i, r in enumerate(rows):
             v = np.atleast_1d(r[f])
             padded[i, : len(v)] = v

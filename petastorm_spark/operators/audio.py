@@ -130,7 +130,7 @@ def with_audio_meta(
                             "format": "wav_pcm",
                         }
                     )
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, struct.error):
                     metas.append(
                         {
                             "byte_len": len(raw),
@@ -174,7 +174,7 @@ def resample_audio(
                     )
                     pcm = np.clip(res * 32767.0, -32768, 32767).astype(np.int16)
                     outs.append(encode_wav(pcm, target_rate))
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, struct.error):
                     outs.append(None)
             pdf[out_col] = outs
             yield pdf
@@ -211,7 +211,7 @@ def audio_energy_features(
                     frames = mono[: n_win * win].reshape(n_win, win)
                     rms = np.sqrt((frames**2).mean(axis=1))
                     outs.append([float(x) for x in rms])
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, struct.error):
                     outs.append(None)
             pdf[out_col] = outs
             yield pdf
@@ -264,7 +264,7 @@ def audio_fingerprints(
                 try:
                     arr, _ = decode_wav(bytes(raw))
                     hs.append(audio_fingerprint60(arr))
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, struct.error):
                     hs.append(None)
             pdf[out_col] = pd.array(hs, dtype="Int64")
             yield pdf

@@ -719,7 +719,7 @@ def substring_dup_signals(
     )
 
 
-def _cc_local(spark, rows, id_a: str, id_b: str) -> DataFrame:
+def _cc_local(spark, rows, id_a: str, id_b: str, id_type: str = "bigint") -> DataFrame:
     """Driver-side union-find for graphs far below executor memory —
     identical output contract to the distributed path (cluster_id =
     component minimum, sizes included)."""
@@ -746,7 +746,7 @@ def _cc_local(spark, rows, id_a: str, id_b: str) -> DataFrame:
         sizes[lbl] = sizes.get(lbl, 0) + 1
     out = [(n, lbl, sizes[lbl]) for n, lbl in label.items()]
     return spark.createDataFrame(
-        out, "doc_id bigint, cluster_id bigint, cluster_size bigint"
+        out, f"doc_id {id_type}, cluster_id {id_type}, cluster_size bigint"
     )
 
 
@@ -827,6 +827,7 @@ def connected_components(
                 list(zip(pdf["a"].tolist(), pdf["b"].tolist())),
                 0,
                 1,
+                id_type=sym.schema["a"].dataType.simpleString(),
             )
             sym.unpersist()
             return out
@@ -846,12 +847,27 @@ def connected_components(
     labels = edges.groupBy("a").agg(F.min("b").alias("label")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(
+        labels.schema["label"].dataType, NumericType
+    )
+
     def _label_sum(t: DataFrame):
+        # numeric ids: exact decimal sum — monotone labels make sum
+        # equality <=> fixpoint (the r5 one-aggregate probe). Other id
+        # types (string/uuid keys) cast to NULL and would fake instant
+        # convergence, so they take a join-based changed probe instead
+        # (one extra job per round — the type-compatibility path).
         return t.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
-    prev_sum = _label_sum(labels)  # also materializes the caches
+    if numeric_ids:
+        prev_sum = _label_sum(labels)  # also materializes the caches
+    else:
+        labels.count()
+        prev_sum = None
     sym.unpersist()  # folded into the edge cache by the action above
     for _ in range(max_iter):
         nb = (
@@ -874,12 +890,23 @@ def connected_components(
             .select(F.col("x.a").alias("a"), F.col("_l2").alias("label"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        cur_sum = _label_sum(jumped)
+        if numeric_ids:
+            cur_sum = _label_sum(jumped)
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            changed = (
+                jumped.alias("nw")
+                .join(labels.alias("od"), "a")
+                .where(F.col("nw.label") != F.col("od.label"))
+                .limit(1)
+                .count()
+            )
+            converged = changed == 0
         labels.unpersist()
         labels = jumped
-        if cur_sum == prev_sum:
+        if converged:
             break
-        prev_sum = cur_sum
     edges.unpersist()
     from pyspark.sql import Window
 
@@ -1115,9 +1142,17 @@ def excise_dup_spans(
     joined = base.join(covered, id_col, "left")
     cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
     kept = F.filter("_toks", lambda x, i: ~F.array_contains(cov, i.cast("int")))
+    # untouched documents keep their ORIGINAL text verbatim — the
+    # token-join rewrite (lowercased, whitespace-collapsed) is the
+    # price of excision and must not be paid by docs with nothing to
+    # excise (review finding: casing/formatting was being destroyed
+    # corpus-wide)
+    cleaned = F.when(
+        F.size(kept) == F.size("_toks"), F.col(text_col)
+    ).otherwise(F.concat_ws(" ", kept))
     return joined.select(
         F.col(id_col),
-        F.concat_ws(" ", kept).alias("cleaned_text"),
+        cleaned.alias("cleaned_text"),
         (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
     )
 

@@ -197,12 +197,22 @@ def grouped_rank(
     pg = pg.withColumn(
         "_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
     ).withColumn("_gn", F.sum("_n").over(w_grp))
+    # NULL-safe join on the group columns: a NULL stratum is a real
+    # group (Window.partitionBy semantics) and a plain equi-join would
+    # silently drop every one of its rows
+    pgj = pg.drop("_n").withColumnRenamed("_pid", "_pid2")
+    aliases = {c: f"_g{i}" for i, c in enumerate(group_cols)}
+    for c, a in aliases.items():
+        pgj = pgj.withColumnRenamed(c, a)
+    cond = F.col("_pid") == F.col("_pid2")
+    for c, a in aliases.items():
+        cond = cond & F.col(c).eqNullSafe(F.col(a))
     out = (
-        ranged.join(F.broadcast(pg.drop("_n")), ["_pid", *group_cols])
+        ranged.join(F.broadcast(pgj), cond)
         .withColumn(
             rank_col, F.col("_offset") + (F.col("_mid") - F.col("_start")) + 1
         )
-        .drop("_mid", "_pid", "_start", "_offset")
+        .drop("_mid", "_pid", "_pid2", "_start", "_offset", *aliases.values())
     )
     if count_col is not None:
         out = out.withColumnRenamed("_gn", count_col)

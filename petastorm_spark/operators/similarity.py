@@ -588,7 +588,6 @@ def normalize_embeddings(
         F.col("_nrm") > 0,
         F.transform(F.col("_vd"), lambda x: x / F.col("_nrm")),
     ).otherwise(F.col("_vd"))
-    keep = [c for c in df.columns if c != vec_col or out_col != vec_col]
     return (
         df.withColumn("_vd", vd)
         .withColumn("_nrm", nrm)
@@ -637,8 +636,19 @@ def ivf_append(
         .withColumn("cell", (-F.col("_b").getField("_nc")).cast("int"))
         .drop("_b")
     )
-    n = assigned.count()
-    assigned.write.mode("append").partitionBy("cell").parquet(root + "/cells")
+    # persist across the two actions: count + write would otherwise
+    # each execute the full assignment (scan + broadcast cross join +
+    # argmax) — doubled cost on the ingest hot path
+    from pyspark import StorageLevel
+
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = assigned.count()
+        assigned.write.mode("append").partitionBy("cell").parquet(
+            root + "/cells"
+        )
+    finally:
+        assigned.unpersist()
     return n
 
 

@@ -203,10 +203,19 @@ def cm_estimate(
     out = probes[0]
     for p in probes[1:]:
         out = out.unionByName(p)
+    # LEFT join: a probe landing in a cell NO corpus key touched has
+    # count 0 — an inner join would drop that row and report the min
+    # of the remaining (collision-inflated) cells, turning the
+    # guaranteed-0 answer for absent keys into a positive estimate
+    # (or dropping the key from the output entirely)
     return (
-        out.join(F.broadcast(sketch), ["r", "bucket"])
+        out.join(F.broadcast(sketch), ["r", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("c").alias("cm_count"))
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("cm_count")
+        )
     )
 
 

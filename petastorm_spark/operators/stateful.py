@@ -121,7 +121,6 @@ def cusum_scores(
     )
     dev = F.col(value_col) - target
     prefix = F.sum(dev).over(w)
-    run_min = F.min(prefix)  # min over the same frame of the prefix expr
     # Spark cannot nest window functions: materialize prefix first
     out = df.withColumn("_prefix", prefix)
     w2 = Window.partitionBy(key_col).orderBy(*order).rowsBetween(

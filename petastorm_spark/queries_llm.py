@@ -1659,7 +1659,7 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "excise_dup_spans",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    WITH tok AS (SELECT doc_id, text, {_TOK} AS t FROM documents),
     occ AS (SELECT doc_id, i,
                    (('0x'||substr(md5(array_to_string(t[i : i+3], ' ')),1,15))::BIGINT) AS h
             FROM tok, unnest(range(1, len(t) - 2)) AS u(i)
@@ -1669,9 +1669,12 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM occ o JOIN q USING (h), unnest(range(o.i, o.i + 4)) AS v(p)),
     covset AS (SELECT doc_id, list(DISTINCT p) AS cov FROM cov GROUP BY doc_id)
     SELECT t.doc_id,
-           COALESCE(array_to_string(
-             list_filter(t.t, (x, i) -> c.cov IS NULL OR NOT list_contains(c.cov, i)),
-             ' '), '') AS cleaned_text,
+           CASE WHEN len(t.t) = len(list_filter(t.t,
+                  (x, i) -> c.cov IS NULL OR NOT list_contains(c.cov, i)))
+                THEN t.text
+                ELSE COALESCE(array_to_string(
+                  list_filter(t.t, (x, i) -> c.cov IS NULL OR NOT list_contains(c.cov, i)),
+                  ' '), '') END AS cleaned_text,
            CAST(len(t.t) - len(list_filter(t.t,
              (x, i) -> c.cov IS NULL OR NOT list_contains(c.cov, i))) AS BIGINT)
              AS n_tokens_removed

@@ -326,11 +326,15 @@ def rolling_zscore_stream(
         (hist,) = state.get if state.exists else ([],)
         hist = list(hist)
         out_ids, out_vals, out_z = [], [], []
-        for pdf in pdfs:
-            pdf = pdf.assign(_tsi=pdf[ts_col].map(ts_as_int)).sort_values(
-                ["_tsi", id_col]
-            )
-            for eid, val in zip(pdf[id_col], pdf[value_col]):
+        # concatenate BEFORE sorting: a group larger than one Arrow
+        # chunk arrives as several pdfs, and per-chunk sorts would fold
+        # later-chunk events with earlier timestamps out of order
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.assign(
+                _tsi=batch[ts_col].map(ts_as_int)
+            ).sort_values(["_tsi", id_col])
+            for eid, val in zip(batch[id_col], batch[value_col]):
                 if len(hist) >= 2:
                     arr = np.asarray(hist, dtype=np.float64)
                     sd = arr.std(ddof=1)
@@ -468,11 +472,14 @@ def funnel_stream(
 
     def fold(key, pdfs, state: GroupState):
         st = list(state.get) if state.exists else [0] + [None] * n
-        for pdf in pdfs:
-            pdf = pdf.assign(_tsi=pdf[ts_col].map(ts_as_int)).sort_values(
-                ["_tsi", type_col]
-            )
-            for tsi, ev in zip(pdf["_tsi"], pdf[type_col]):
+        # one sort over the whole micro-batch — per-chunk sorting folds
+        # multi-chunk groups out of event-time order
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.assign(
+                _tsi=batch[ts_col].map(ts_as_int)
+            ).sort_values(["_tsi", type_col])
+            for tsi, ev in zip(batch["_tsi"], batch[type_col]):
                 d = st[0]
                 if d >= n or ev != steps[d]:
                     continue

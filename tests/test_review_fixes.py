@@ -140,3 +140,81 @@ def test_weighted_sampling_zero_probability_drains(spark, sf_dir):
     with WeightedSamplingReader([r0, r1], [1.0, 0.0], seed=2) as mixed:
         rows = list(mixed)
     assert len(rows) == 10  # both drained, no ValueError
+
+
+# ---------------------------------------------------------------------------
+# round-6 second review pass (prior-session operator range)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_string_ids_both_paths(spark):
+    from petastorm_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u2", "u3"), ("u5", "u6")], "id_a string, id_b string"
+    )
+    want = {"u1": ("u1", 3), "u2": ("u1", 3), "u3": ("u1", 3),
+            "u5": ("u5", 2), "u6": ("u5", 2)}
+    local = {r.doc_id: (r.cluster_id, r.cluster_size)
+             for r in connected_components(pairs).collect()}
+    dist = {r.doc_id: (r.cluster_id, r.cluster_size)
+            for r in connected_components(pairs, local_threshold=0).collect()}
+    assert local == dist == want
+
+
+def test_grouped_rank_keeps_null_groups(spark):
+    from pyspark.sql import functions as F
+
+    from petastorm_spark.operators.rank import grouped_rank
+
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), (None, 3), ("a", 4)], "g string, v int"
+    )
+    out = grouped_rank(df, ["g"], ["v"], rank_col="r", count_col="n").collect()
+    assert len(out) == 4  # NULL-group rows must survive the offset join
+    nulls = sorted((r.v, r.r) for r in out if r.g is None)
+    assert nulls == [(2, 1), (3, 2)]
+
+
+def test_cm_estimate_absent_key_is_zero(spark):
+    from petastorm_spark.operators.sketch import cm_estimate, cm_sketch
+
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "k string")
+    sk = cm_sketch(df, "k", w=64, d=3)
+    keys = spark.createDataFrame([("a",), ("never_seen_xyz",)], "k string")
+    out = {r.k: r.cm_count for r in cm_estimate(sk, keys, "k", w=64, d=3).collect()}
+    assert out["a"] >= 5
+    assert out["never_seen_xyz"] == 0  # guaranteed-0, not collision noise
+
+
+def test_excise_preserves_untouched_documents(spark):
+    from petastorm_spark.operators.dedup import excise_dup_spans
+
+    boiler = "click here to subscribe now"
+    rows = [(i, f"w{i}a  w{i}b\tMixedCASE{i} w{i}c w{i}d") for i in range(3)]
+    rows += [(10 + i, f"{boiler} body text {i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in excise_dup_spans(
+        df, "text", "doc_id", k=4, min_count=3).collect()}
+    for i in range(3):
+        assert out[i].n_tokens_removed == 0
+        # untouched docs keep original casing and whitespace verbatim
+        assert out[i].cleaned_text == f"w{i}a  w{i}b\tMixedCASE{i} w{i}c w{i}d"
+    assert out[10].n_tokens_removed >= 4  # the boilerplate span went
+
+
+def test_length_bucketed_loader_keeps_float_dtype():
+    import numpy as np
+
+    from petastorm_spark.bridges.torch import LengthBucketedLoader
+
+    rows = [
+        {"feat": np.array([0.12, 0.87, 0.5], dtype=np.float32)},
+        {"feat": np.array([0.99], dtype=np.float32)},
+    ]
+    loader = LengthBucketedLoader(iter(rows), length_field="feat",
+                                  batch_size=2, boundaries=[4])
+    batch = next(iter(loader))
+    feat = np.asarray(batch["feat"])
+    assert feat.dtype.kind == "f"
+    assert abs(float(feat[0][1]) - 0.87) < 1e-6  # not truncated to 0
