@@ -2969,18 +2969,32 @@ def pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
                  list_sort(list(doc_id)) AS postings
           FROM tok WHERE term != '' GROUP BY term)
-    SELECT term, df, postings[1:1000] AS postings FROM g WHERE df >= 2
+    SELECT term, df,
+           array_to_string(list_transform(postings[1:1000],
+                                          x -> CAST(x AS VARCHAR)), ',')
+               AS postings_csv
+    FROM g WHERE df >= 2
     """,
 )
 def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offline search-index build: term -> (document frequency, sorted
     posting list, capped at 1000) over the corpus — what BM25 serving
     reads. Scale: distinct-terms explode + ONE groupBy(term); the cap
-    bounds stop-word rows while df stays exact."""
+    bounds stop-word rows while df stays exact. The registered query
+    flattens the posting list to a CSV string (``postings_csv``) so
+    the result is driver-hashable; the operator API keeps the real
+    ``array<bigint>`` column."""
     from petastorm_spark.operators.text import inverted_index
 
     d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
-    return inverted_index(d, "text", "doc_id", min_df=2, max_postings=1000)
+    idx = inverted_index(d, "text", "doc_id", min_df=2, max_postings=1000)
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(
+            F.transform("postings", lambda c: c.cast("string")), ","
+        ).alias("postings_csv"),
+    )
 
 
 @register(
@@ -3378,7 +3392,7 @@ def doc_signals_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
                            'label': types[w+6]})) AS s
           FROM seq)
     SELECT user_id, CAST(s.window_idx AS INT) AS window_idx,
-           s.context AS context, s.label AS label
+           array_to_string(s.context, '|') AS context_psv, s.label AS label
     FROM w
     """,
 )
@@ -3388,14 +3402,23 @@ def next_event_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     example (context, next-event label) — the next-event-prediction /
     session-recommendation data layout. Scale: one user-keyed shuffle,
     log-bounded per-user sequences, map-side window fan-out (no
-    positional self-join). See operators/packing.next_event_examples."""
+    positional self-join). See operators/packing.next_event_examples.
+    The registered query flattens the context window to a '|'-joined
+    string (``context_psv``) so the result is driver-hashable; the
+    operator API keeps the real ``array<string>`` column."""
     from petastorm_spark.operators.packing import next_event_examples
     from petastorm_spark.session import events_ts_us
 
     ev = _t(spark, sf_dir, "events")
     ev = ev.withColumn("ts_us", events_ts_us(ev))
-    return next_event_examples(
+    ex = next_event_examples(
         ev, "user_id", "ts_us", "event_id", "event_type", context_len=5
+    )
+    return ex.select(
+        "user_id",
+        "window_idx",
+        F.array_join("context", "|").alias("context_psv"),
+        "label",
     )
 
 
