@@ -1237,6 +1237,16 @@ def blocked_fuzzy_join(
     quadratic distance only runs within blocks; the join is a plain
     equi-shuffle on the block key, skew-handled by AQE.
     """
+    if left_key == right_key:
+        # the output aliases back to the caller's key names; identical
+        # names would yield two same-named columns and make every
+        # downstream select ambiguous (mirrors interval_attribution's
+        # collision guard)
+        raise ValueError(
+            f"left_key and right_key must differ (both {left_key!r}); "
+            "alias one side first, e.g. "
+            "right.withColumnRenamed(key, key + '_r')"
+        )
     lb = (
         left.select(
             F.col(left_key).alias("_lk"),

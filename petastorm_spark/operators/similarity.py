@@ -425,6 +425,27 @@ def quantize_embeddings(
 # ---------------------------------------------------------------------------
 
 
+def _as_centroids(centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Normalize a user-supplied centroid table to (cell, cent_vec).
+
+    Accepts either the (cell, cent_vec) shape that
+    :func:`train_kmeans_centroids` / :func:`ivf_read` emit, or a
+    corpus-shaped (``id_col``, ``vec_col``) frame — both are documented
+    ``centroids=`` entry points, so every consumer must take both
+    (round-6 advice flagged the contract drift between them)."""
+    cols = set(centroids.columns)
+    if {"cell", "cent_vec"} <= cols:
+        return centroids.select("cell", "cent_vec")
+    if {id_col, vec_col} <= cols:
+        return centroids.select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
+        )
+    raise ValueError(
+        "centroids must have columns (cell, cent_vec) or "
+        f"({id_col!r}, {vec_col!r}); got {sorted(cols)}"
+    )
+
+
 def ivf_build(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -438,13 +459,13 @@ def ivf_build(
 
     Same deterministic default quantizer as :func:`cosine_topk_ivf`
     (the ``n_cells`` lowest-id corpus vectors); feed k-means centroids
-    via ``centroids=`` in production. Scale: one corpus scan, centroid
+    via ``centroids=`` in production — either the (cell, cent_vec)
+    shape :func:`train_kmeans_centroids` returns or a corpus-shaped
+    (id, vec) frame is accepted. Scale: one corpus scan, centroid
     table broadcast, partial-agg argmax — no window, no shuffle beyond
     the aggregation."""
     if centroids is not None:
-        cent = centroids.select(
-            F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
-        )
+        cent = _as_centroids(centroids, id_col, vec_col)
     else:
         cent = (
             corpus.orderBy(id_col)
@@ -461,7 +482,9 @@ def ivf_build(
         .agg(
             F.max(F.struct(F.col("_cos"), (-F.col("cell")).alias("_nc"))).alias("_b")
         )
-        .withColumn("cell", (-F.col("_b").getField("_nc")).cast("int"))
+        # un-negate without a narrowing cast: int centroid ids stay int,
+        # 60-bit hash-derived bigint ids stay bigint (no silent wrap)
+        .withColumn("cell", -F.col("_b").getField("_nc"))
         .drop("_b")
     )
     return cent, assigned
@@ -633,7 +656,9 @@ def ivf_append(
                 F.struct(F.col("_cos"), (-F.col("cell")).alias("_nc"))
             ).alias("_b")
         )
-        .withColumn("cell", (-F.col("_b").getField("_nc")).cast("int"))
+        # un-negate without a narrowing cast: int centroid ids stay int,
+        # 60-bit hash-derived bigint ids stay bigint (no silent wrap)
+        .withColumn("cell", -F.col("_b").getField("_nc"))
         .drop("_b")
     )
     # persist across the two actions: count + write would otherwise
@@ -771,9 +796,7 @@ def semantic_dedup(
     """
     if n_probe > 1:
         if centroids is not None:
-            cent = centroids.select(
-                F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
-            )
+            cent = _as_centroids(centroids, id_col, vec_col)
         else:
             cent = (
                 corpus.orderBy(id_col)
@@ -797,11 +820,12 @@ def semantic_dedup(
             .withColumn("_ccos", cosine(F.col(vec_col), F.col("cent_vec")))
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= n_probe)
+            # cell keeps its native type — a narrowing int cast here
+            # silently wraps 60-bit hash-derived centroid ids, colliding
+            # distinct cells and corrupting first-match emission
             .withColumn(
                 "_cells",
-                F.sort_array(
-                    F.collect_list(F.col("cell").cast("int")).over(w_id)
-                ),
+                F.sort_array(F.collect_list(F.col("cell")).over(w_id)),
             )
             .where(F.col("_rn") == 1)  # one row per id, cells + vec aboard
             .select(id_col, vec_col, "_cells")

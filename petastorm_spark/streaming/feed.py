@@ -328,8 +328,12 @@ def rolling_zscore_stream(
         out_ids, out_vals, out_z = [], [], []
         # concatenate BEFORE sorting: a group larger than one Arrow
         # chunk arrives as several pdfs, and per-chunk sorts would fold
-        # later-chunk events with earlier timestamps out of order
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        # later-chunk events with earlier timestamps out of order.
+        # pd.concat raises on an empty iterator (timeout-only call).
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        )
         if len(batch):
             batch = batch.assign(
                 _tsi=batch[ts_col].map(ts_as_int)
@@ -473,8 +477,12 @@ def funnel_stream(
     def fold(key, pdfs, state: GroupState):
         st = list(state.get) if state.exists else [0] + [None] * n
         # one sort over the whole micro-batch — per-chunk sorting folds
-        # multi-chunk groups out of event-time order
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        # multi-chunk groups out of event-time order. pd.concat raises
+        # on an empty iterator (timeout-only call).
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        )
         if len(batch):
             batch = batch.assign(
                 _tsi=batch[ts_col].map(ts_as_int)
@@ -576,6 +584,8 @@ def attribution_stream(
     window: str = "30 minutes",
     watermark: str = "2 hours",
     ts_is_nanos: bool | None = None,
+    left_id_col: str = "event_id",
+    right_id_col: str = "event_id",
 ) -> DataFrame:
     """Watermarked STREAM-STREAM interval join — the Structured
     Streaming feature the rest of the feed module doesn't exercise:
@@ -588,7 +598,9 @@ def attribution_stream(
 
     Batch twin: operators/temporal.interval_attribution — the
     availableNow run over a static directory reproduces it exactly
-    (tested)."""
+    (tested). ``left_id_col`` / ``right_id_col`` name each side's id
+    column (default ``event_id``), matching the batch twin's
+    configurability."""
     lt = _event_time(left, ts_col, ts_is_nanos)
     rt = _event_time(right, ts_col, ts_is_nanos)
     l = (
@@ -596,7 +608,7 @@ def attribution_stream(
         .withWatermark("_lt", watermark)
         .select(
             F.col(key_col),
-            F.col("event_id").alias("left_id"),
+            F.col(left_id_col).alias("left_id"),
             F.col("_lt"),
         )
     )
@@ -605,7 +617,7 @@ def attribution_stream(
         .withWatermark("_rt", watermark)
         .select(
             F.col(key_col).alias("_rkey"),
-            F.col("event_id").alias("right_id"),
+            F.col(right_id_col).alias("right_id"),
             F.col("_rt"),
         )
     )
@@ -707,7 +719,15 @@ def next_event_stream(
         else:
             n, buf = 0, []
         rows = {"window_idx": [], "context": [], "label": []}
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        # pd.concat raises on an empty iterator; a timeout-only
+        # invocation delivers zero chunks and must no-op, not kill the
+        # streaming query
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame(columns=[user_col, ts_col, id_col, type_col])
+        )
         batch = batch.sort_values([ts_col, id_col])
         for e in batch[type_col]:
             if len(buf) == context_len:

@@ -54,6 +54,55 @@ def test_semantic_dedup_is_cell_scoped(spark):
     assert 7 not in {r.removed_id for r in out}
 
 
+def test_semantic_dedup_accepts_kmeans_centroid_shape(spark):
+    # train_kmeans_centroids returns (cell, cent_vec); the documented
+    # production path feeds that straight into semantic_dedup /
+    # ivf_build, so both namings of centroids= must resolve (round-6
+    # advice: the contract was inconsistent across the API).
+    from petastorm_spark.operators.similarity import ivf_build, semantic_dedup
+
+    km_shape = spark.createDataFrame(
+        [Row(cell=0, cent_vec=[1.0, 0.0]), Row(cell=1, cent_vec=[0.0, 1.0])]
+    )
+    corpus_shape = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 0.0]), Row(vec_id=1, embedding=[0.0, 1.0])]
+    )
+    emb = _emb_fixture(spark)
+    got_km = {
+        r.removed_id
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.95, centroids=km_shape
+        ).collect()
+    }
+    got_corpus = {
+        r.removed_id
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.95, centroids=corpus_shape
+        ).collect()
+    }
+    assert got_km == got_corpus == {2, 3, 5}
+
+    # multi-probe path takes the same contract
+    got_probe = {
+        r.removed_id
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.95,
+            centroids=km_shape, n_probe=2,
+        ).collect()
+    }
+    assert {2, 3, 5} <= got_probe
+
+    # ivf_build with both namings assigns identically
+    _, a1 = ivf_build(emb, centroids=km_shape)
+    _, a2 = ivf_build(emb, centroids=corpus_shape)
+    assert {(r.vec_id, r.cell) for r in a1.collect()} == {
+        (r.vec_id, r.cell) for r in a2.collect()
+    }
+
+    with pytest.raises(ValueError, match="centroids must have columns"):
+        ivf_build(emb, centroids=spark.createDataFrame([Row(x=1)]))
+
+
 def test_semantic_dedup_custom_centroids(spark):
     # With ONE cell everything is comparable: 7 joins the removed set
     # (witness 6), and boundary-blindness disappears.
@@ -752,12 +801,21 @@ def test_blocked_fuzzy_join_matches_within_block(spark):
         [(10, "abcdef-12395"),   # 1 edit, same block -> match
          (11, "Xbcdef-12345"),   # 1 edit INSIDE the prefix -> blocked away
          (12, "zzzzzz-00000")],  # 5 edits -> fails verify
-        "k int, t string",
+        "rk int, t string",
     )
     out = blocked_fuzzy_join(
-        left, right, "k", "k", "t", "t", max_dist=2, block_prefix=6
+        left, right, "k", "rk", "t", "t", max_dist=2, block_prefix=6
     ).collect()
     assert [(r[0], r[1], r.edit_dist) for r in out] == [(1, 10, 1)]
+
+
+def test_blocked_fuzzy_join_rejects_identical_key_names(spark):
+    # identical output key names would be ambiguous downstream
+    from petastorm_spark.operators.dedup import blocked_fuzzy_join
+
+    df = spark.createDataFrame([(1, "abc")], "k int, t string")
+    with pytest.raises(ValueError, match="left_key and right_key"):
+        blocked_fuzzy_join(df, df, "k", "k", "t", "t")
 
 
 def test_canonicalize_by_keeps_best_not_lowest(spark):
@@ -867,7 +925,7 @@ def test_blocked_fuzzy_join_ignores_empty_texts(spark):
     left = spark.createDataFrame([(1, ""), (2, "  "), (3, "abcdef")],
                                  "k int, t string")
     right = spark.createDataFrame([(10, ""), (11, "abcdef")],
-                                  "k int, t string")
-    out = blocked_fuzzy_join(left, right, "k", "k", "t", "t",
+                                  "rk int, t string")
+    out = blocked_fuzzy_join(left, right, "k", "rk", "t", "t",
                              max_dist=2, block_prefix=3).collect()
     assert [(r[0], r[1]) for r in out] == [(3, 11)]  # no empty-block cross matches
