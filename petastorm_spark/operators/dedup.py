@@ -175,7 +175,18 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature (``bands`` bands of ``num_hashes/bands``
     rows), hash each band, and self-join per (band, band_hash) bucket.
-    Returns distinct candidate pairs (id_a < id_b)."""
+    Returns candidate pairs (id_a < id_b), each exactly once.
+
+    First-match emission (the trick :func:`simhash_pair_candidates`
+    pioneered here): every bucket row carries the doc's FULL band-hash
+    array, and a colliding pair is emitted only from its minimal
+    matching band — a pair sharing all ``bands`` bands costs one output
+    row instead of ``bands`` rows plus a global ``distinct`` shuffle of
+    the candidate set. On dup-heavy corpora (multiplicity m dup groups
+    make m^2/2 candidate pairs per matching band) this cuts the
+    pair-stage shuffle ~``bands``-fold and removes the distinct
+    exchange entirely; the emitted SET is identical, so downstream
+    verify / oracle parity is unchanged."""
     if num_hashes % bands:
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes}); trailing "
@@ -186,16 +197,23 @@ def lsh_candidate_pairs(
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[p.cast("string") for p in parts])).alias("bh"),
-            )
+            F.md5(F.concat_ws(",", *[p.cast("string") for p in parts]))
         )
+    # posexplode_outer, not posexplode: the non-outer generate invites
+    # InferFiltersFromGenerate to push a size()>0 filter into the
+    # projection that builds the array, re-inlining the band-hash md5s
+    # (same trap documented on minhash_from_sets); the array is always
+    # length ``bands`` and non-null, so outer is semantically identical
     buckets = sig_df.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+        F.col(id_col), F.array(*band_cols).alias("bhs")
+    ).select(id_col, "bhs", F.posexplode_outer("bhs").alias("band", "bh"))
     a = buckets.alias("a")
     b = buckets.alias("b")
+    first_match = F.lit(bands - 1)
+    for j in reversed(range(bands - 1)):
+        first_match = F.when(
+            F.col("a.bhs")[j] == F.col("b.bhs")[j], F.lit(j)
+        ).otherwise(first_match)
     return (
         a.join(
             b,
@@ -203,10 +221,10 @@ def lsh_candidate_pairs(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .where(F.col("a.band") == first_match)
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .distinct()
     )
 
 

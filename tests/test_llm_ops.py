@@ -53,6 +53,21 @@ def test_minhash_lsh_finds_dups(docs):
     assert all(a < b for a, b in pairs)
 
 
+def test_lsh_first_match_emits_each_pair_once_without_distinct(spark):
+    # Two identical signatures collide in EVERY band; first-match
+    # emission must emit the pair exactly once (count, not set) and the
+    # plan must contain no Aggregate — the old global distinct is gone.
+    sig = spark.createDataFrame(
+        [tuple([i] + [7] * 16) for i in (1, 2, 3)],
+        ["doc_id"] + [f"mh_{k}" for k in range(16)],
+    )
+    out = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    rows = [(r.id_a, r.id_b) for r in out.collect()]
+    assert sorted(rows) == [(1, 2), (1, 3), (2, 3)]  # exactly once each
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan
+
+
 def test_jaccard_exact_pair_is_one(docs):
     out = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
     assert out[(1, 2)] == 1.0
