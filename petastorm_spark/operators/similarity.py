@@ -16,6 +16,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def const_vector(values) -> Column:
+    """A double-array literal built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(float(v)) ...])`` costs a Py4J round trip per
+    element — ~1.1s of pure plan-construction time for a 20x64 plane
+    matrix (the round-6 dedup_embedding_pairs residue was this, not
+    execution). ``repr(float)`` is the shortest exact round-trip form
+    and Spark's ``D`` suffix parses it back to the identical double,
+    so values are bit-equal to the per-element lit build."""
+    return F.expr(
+        "array(" + ",".join(repr(float(v)) + "D" for v in values) + ")"
+    )
+
+
+def const_matrix(rows) -> Column:
+    """A 2-D double-array literal (array<array<double>>) as ONE parsed
+    SQL expression; see :func:`const_vector` for why."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(v)) + "D" for v in r) + ")"
+            for r in rows
+        )
+        + ")"
+    )
+
+
 def dot(a, b) -> Column:
     """Element-wise dot product of two array columns, computed in
     double (float32 inputs are widened first — keeps engines' sums
@@ -117,7 +144,7 @@ def hyperplane_buckets(
     planes = rng.standard_normal((n_planes, dim))
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
-        proj = dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in plane]))
+        proj = dot(F.col(vec_col), const_vector(plane))
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return df.withColumn("bucket", bucket.cast("int"))
 
@@ -305,9 +332,7 @@ def embedding_near_dup_pairs(
     # Per-element math order (x*y summed left-to-right in double) is
     # unchanged, so bucket bits match hyperplane_buckets / the oracle
     # bit-for-bit.
-    planes_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in p]) for p in planes]
-    )
+    planes_lit = const_matrix(planes)
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bits = F.transform(
         planes_lit,
