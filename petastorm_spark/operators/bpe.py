@@ -10,14 +10,19 @@ Each round is:
 
   1. count adjacent symbol pairs weighted by word frequency
      (explode + one partial-aggregated groupBy);
-  2. take the globally most frequent pair (deterministic tie-break:
-     count DESC, then lexicographic) — ONE row to the driver;
-  3. merge that pair inside every word's symbol array with a pure-JVM
-     ``aggregate`` fold (greedy left-to-right, matching the reference
-     algorithm) — no Python UDFs anywhere.
+  2. take the top pairs (deterministic tie-break: count DESC, then
+     lexicographic) — one BOUNDED collect to the driver — and accept
+     up to ``merges_per_round`` of them whose symbols are pairwise
+     disjoint (symbol-disjoint merges commute, so applying them as a
+     batch equals applying them sequentially; see ``bpe_learn``);
+  3. merge the accepted pairs inside every word's symbol array with
+     composed pure-JVM ``aggregate`` folds (greedy left-to-right,
+     matching the reference algorithm) — no Python UDFs anywhere.
 
-Driver state is O(num_merges); per-round lineage is cut by
-persist/unpersist so the plan never deepens past one fold.
+Learning M merges therefore costs O(M / merges_per_round) Spark job
+rounds, not M sequential driver round-trips (the round-6 scale
+ceiling). Driver state is O(num_merges); per-round lineage is cut by
+persist/unpersist so the plan never deepens past one round's folds.
 """
 
 from __future__ import annotations
@@ -109,12 +114,41 @@ def _bpe_local(
     return merges, syms
 
 
+def _select_disjoint_batch(
+    rows, remaining: int, min_freq: int, merges_per_round: int
+) -> list[tuple[str, str, int]]:
+    """Greedy scan of frequency-ordered candidate pairs, accepting up
+    to ``min(remaining, merges_per_round)`` whose symbols (and merged
+    products) are pairwise disjoint. A pair sharing a symbol with an
+    accepted merge has a stale count after that merge applies, so it
+    is deferred to the next round (where it is recounted fresh); the
+    product string is reserved too so two different merges can never
+    mint the same new symbol in one round. The first candidate always
+    qualifies, so a non-empty batch is guaranteed whenever the best
+    pair clears ``min_freq``."""
+    cap = min(remaining, merges_per_round)
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for r in rows:
+        if len(batch) >= cap:
+            break
+        a, b, freq = r["a"], r["b"], int(r["freq"])
+        if freq < min_freq:
+            break
+        if a in used or b in used or (a + b) in used:
+            continue
+        batch.append((a, b, freq))
+        used.update((a, b, a + b))
+    return batch
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str,
     num_merges: int = 8,
     min_freq: int = 2,
     local_threshold: int = 200_000,
+    merges_per_round: int = 16,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``num_merges`` BPE merges from a corpus. Returns
     ``(merges, vocab)`` — merges as [(left, right, pair_freq)] in
@@ -136,6 +170,22 @@ def bpe_learn(
     merges); the distributed rounds below remain the path for
     vocabularies that do not fit a driver. Set ``local_threshold=0``
     to force distributed rounds.
+
+    Distributed rounds learn in BATCHES: each round collects the top
+    candidate pairs once (bounded rows) and accepts up to
+    ``merges_per_round`` whose symbols are pairwise disjoint —
+    symbol-disjoint merges commute, so the batch applies as composed
+    folds in one pass with results identical to applying those same
+    merges sequentially. The batch's 2nd..kth SELECTIONS use counts
+    from the start of the round (the standard parallel-BPE
+    batched-greedy semantics; a conflicting pair is deferred and
+    recounted next round), so against classic one-merge-per-round BPE
+    the learned ORDER can differ while each recorded freq is the true
+    pre-round count. ``merges_per_round=1`` reproduces classic BPE
+    exactly (pinned by test); the default batch turns learning M
+    merges into O(M/16) job rounds instead of M sequential
+    driver round-trips — the difference between 100k merges being
+    3 days of job latency and an afternoon.
     """
     from pyspark import StorageLevel
 
@@ -152,9 +202,16 @@ def bpe_learn(
             "word string, count bigint, syms array<string>",
         )
         return merges, out
+    if merges_per_round < 1:
+        raise ValueError(f"merges_per_round must be >= 1, got {merges_per_round}")
     merges: list[tuple[str, str, int]] = []
+    # over-collect so skipped (conflicting) candidates don't starve a
+    # round: 4x the batch is plenty — a round accepts at most
+    # merges_per_round pairs and each acceptance blocks at most a
+    # handful of later candidates
+    top_n = max(64, 4 * merges_per_round)
     try:
-        for _ in range(num_merges):
+        while len(merges) < num_merges:
             top = (
                 vocab.select(
                     F.explode(adjacent_pairs("syms")).alias("p"), "count"
@@ -162,16 +219,21 @@ def bpe_learn(
                 .groupBy("p.a", "p.b")
                 .agg(F.sum("count").alias("freq"))
                 .orderBy(F.col("freq").desc(), "a", "b")
-                .limit(1)
+                .limit(top_n)
                 .collect()
             )
-            if not top or top[0]["freq"] < min_freq:
+            batch = _select_disjoint_batch(
+                top, num_merges - len(merges), min_freq, merges_per_round
+            )
+            if not batch:
                 break
-            a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["freq"])
-            merges.append((a, b, freq))
-            new_vocab = vocab.withColumn(
-                "syms", merge_pair_expr("syms", a, b)
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            merges.extend(batch)
+            syms_col: Column = F.col("syms")
+            for a, b, _ in batch:
+                syms_col = merge_pair_expr(syms_col, a, b)
+            new_vocab = vocab.withColumn("syms", syms_col).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
             new_vocab.count()  # cut lineage before dropping the old cache
             vocab.unpersist()
             vocab = new_vocab

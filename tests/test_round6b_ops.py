@@ -205,21 +205,100 @@ def _ref_bpe(texts, num_merges, min_freq=2):
 
 
 def test_bpe_learn_matches_reference_small(spark):
-    # exercise BOTH paths: distributed rounds (local_threshold=0) and
-    # the driver fast path must produce identical merges and vocab
+    # exercise BOTH paths: distributed rounds (local_threshold=0, at
+    # merges_per_round=1 = classic BPE exactly) and the driver fast
+    # path must produce identical merges and vocab
     from petastorm_spark.operators.bpe import bpe_learn
 
     texts = ["low low low lower lowest", "new newer newest low", "wider wide"]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     ref_merges, ref_words = _ref_bpe(texts, 6)
-    for thr in (0, 200_000):
+    for thr, kwargs in ((0, {"merges_per_round": 1}), (200_000, {})):
         merges, vocab = bpe_learn(
-            df, "text", num_merges=6, min_freq=2, local_threshold=thr
+            df, "text", num_merges=6, min_freq=2, local_threshold=thr, **kwargs
         )
         assert merges == ref_merges
         got = {r["word"]: r["syms"] for r in vocab.collect()}
         assert got == ref_words
         vocab.unpersist()
+
+
+def _ref_bpe_batched(texts, num_merges, min_freq=2, k=16):
+    # batched-greedy model: per round, rank pairs by pre-round counts
+    # and accept up to k symbol-disjoint merges (products reserved
+    # too), applying them sequentially - mirrors bpe_learn's
+    # distributed rounds
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            if w:
+                vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+    merges = []
+    while len(merges) < num_merges:
+        pairs = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        batch, used = [], set()
+        for (a, b), freq in ranked:
+            if len(batch) >= min(k, num_merges - len(merges)):
+                break
+            if freq < min_freq:
+                break
+            if a in used or b in used or (a + b) in used:
+                continue
+            batch.append((a, b, freq))
+            used.update((a, b, a + b))
+        if not batch:
+            break
+        merges.extend(batch)
+        for a, b, _ in batch:
+            for w, syms in words.items():
+                out = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                words[w] = out
+    return merges, words
+
+
+def test_bpe_learn_batched_rounds_match_batched_model(spark, monkeypatch):
+    # default distributed path: batched-greedy semantics, one
+    # pair-count round per <= merges_per_round accepted merges
+    from petastorm_spark.operators import bpe as bpe_mod
+
+    texts = ["low low low lower lowest", "new newer newest low", "wider wide"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for k in (2, 16):
+        ref_merges, ref_words = _ref_bpe_batched(texts, 6, k=k)
+        rounds = []
+        orig = bpe_mod._select_disjoint_batch
+
+        def spy(rows, remaining, min_freq, mpr):
+            out = orig(rows, remaining, min_freq, mpr)
+            rounds.append(len(out))
+            return out
+
+        monkeypatch.setattr(bpe_mod, "_select_disjoint_batch", spy)
+        merges, vocab = bpe_mod.bpe_learn(
+            df, "text", num_merges=6, min_freq=2,
+            local_threshold=0, merges_per_round=k,
+        )
+        monkeypatch.undo()
+        assert merges == ref_merges
+        got = {r["word"]: r["syms"] for r in vocab.collect()}
+        assert got == ref_words
+        vocab.unpersist()
+        # job-round economics: 6 merges in ceil(6/k)-ish rounds, never
+        # one round per merge
+        assert len([r for r in rounds if r]) <= -(-6 // k) + 1
+        assert all(r <= k for r in rounds)
 
 
 def test_bpe_learn_differential_sf0001(spark, sf_dir):
