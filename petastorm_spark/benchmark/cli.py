@@ -57,6 +57,12 @@ def main(argv=None) -> int:
     )
     unit = "batches" if result.batched else "samples"
     print(f"{result.samples_per_second:.2f} {unit}/sec")
+    if result.rss_mb is not None:
+        print(
+            f"rss: {result.rss_mb:.1f} MB tree "
+            f"({result.rss_iter_mb:.1f} iter + {result.rss_jvm_mb:.1f} jvm), "
+            f"cpu: {result.cpu_pct:.1f}%"
+        )
     return 0
 
 

@@ -56,14 +56,29 @@ def _descendants(root: int) -> list[int]:
     return out
 
 
+def _comm(pid: int) -> str:
+    try:
+        with open(f"/proc/{pid}/comm", "rb") as f:
+            return f.read().decode("ascii", "replace").strip()
+    except OSError:
+        return ""
+
+
 def process_tree_sample(root: int | None = None) -> dict | None:
-    """One sample: ``{"rss_bytes": int, "cpu_seconds": float}`` summed
-    over the process tree rooted at ``root`` (default: this process).
-    ``None`` when procfs is unavailable (non-Linux)."""
+    """One sample: ``{"rss_bytes": int, "cpu_seconds": float,
+    "jvm_rss_bytes": int}`` summed over the process tree rooted at
+    ``root`` (default: this process). ``jvm_rss_bytes`` is the subset
+    contributed by ``java`` processes (the Spark driver JVM), so
+    callers can report the iteration tier (python + pool workers) as
+    ``rss_bytes - jvm_rss_bytes`` — the like-for-like column against
+    the reference benchmark's single-process psutil RSS, where the
+    whole-tree number also swallows the local[32] JVM heap. ``None``
+    when procfs is unavailable (non-Linux)."""
     root = root if root is not None else os.getpid()
     if not os.path.isdir("/proc"):
         return None
     rss_pages = 0
+    jvm_rss_pages = 0
     cpu_ticks = 0
     for pid in _descendants(root):
         fields = _stat_fields(pid)
@@ -72,11 +87,15 @@ def process_tree_sample(root: int | None = None) -> dict | None:
         try:
             cpu_ticks += int(fields[13]) + int(fields[14])  # utime+stime
             with open(f"/proc/{pid}/statm", "rb") as f:
-                rss_pages += int(f.read().split()[1])
+                pages = int(f.read().split()[1])
         except (OSError, IndexError, ValueError):
             continue
+        rss_pages += pages
+        if _comm(pid) == "java":
+            jvm_rss_pages += pages
     return {
         "rss_bytes": rss_pages * _PAGE,
+        "jvm_rss_bytes": jvm_rss_pages * _PAGE,
         "cpu_seconds": cpu_ticks / _CLK_TCK,
     }
 

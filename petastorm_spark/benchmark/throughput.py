@@ -26,6 +26,11 @@ class BenchmarkResult:
     batched: bool
     rss_mb: float | None = None  # process-tree RSS after the window
     cpu_pct: float | None = None  # process-tree CPU%% over the window
+    # split of rss_mb: iteration tier (python + pool workers) vs the
+    # driver JVM — the iter column is the one comparable to the
+    # reference's single-process psutil RSS
+    rss_iter_mb: float | None = None
+    rss_jvm_mb: float | None = None
 
 
 def reader_throughput(
@@ -75,6 +80,16 @@ def reader_throughput(
         cpu_pct=(
             round(cpu_percent(before, after, dt), 1)
             if before is not None and after is not None
+            else None
+        ),
+        rss_iter_mb=(
+            round((after["rss_bytes"] - after["jvm_rss_bytes"]) / 2**20, 1)
+            if after is not None
+            else None
+        ),
+        rss_jvm_mb=(
+            round(after["jvm_rss_bytes"] / 2**20, 1)
+            if after is not None
             else None
         ),
     )
