@@ -131,6 +131,7 @@ HEADLINE = [
     "fuzzy_match_ids",
     "padding_waste_report",
     "dedup_keep_best",
+    "triangle_census_parts",
 ]
 
 N_WARMUP_READS = 500

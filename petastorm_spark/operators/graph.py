@@ -98,3 +98,94 @@ def pagerank(
         for t in interim:
             t.unpersist()
         raise
+
+
+def triangle_census(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle census of an undirected graph: ONE row
+    ``(n_triangles, n_wedges, clustering_coeff)`` — triangle count,
+    open+closed two-paths (wedges), and the global clustering
+    coefficient 3*triangles/wedges (0.0 when the graph has no wedge).
+    The triad statistics web-corpus link-graph features and
+    community-quality checks read.
+
+    Edges are canonicalized (undirected, self-loops dropped,
+    deduplicated) first, so multigraph input is safe.
+
+    Scale (100 TB of edges): the classic degree-ordered orientation —
+    every edge points from its lower-(degree, id) endpoint to the
+    higher one, so each node's out-degree is bounded by ~sqrt(m) and
+    wedge generation (the quadratic step) is sum(out_deg^2), the
+    provably minimal orientation, instead of sum(deg^2) which
+    explodes on hubs. Each triangle is counted exactly once (its
+    lowest-ranked vertex emits the wedge; orientation makes the
+    closing edge unique). Three shuffles total: degree count, wedge
+    self-join on the pivot, closure equi-join on (v1, v2) — no
+    nested loops anywhere. The rank tie-break on node id makes the
+    orientation (and the count) deterministic for any id type."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    from pyspark import StorageLevel
+
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # wedges (open two-paths, closed or not) need only the degree
+    # table; sum the (even) product in bigint and halve with integer
+    # division — double division would round above 2^53 wedges
+    wedges = deg.agg(
+        F.expr(
+            "CAST((coalesce(sum(deg * (deg - 1)), 0) div 2) AS BIGINT)"
+        ).alias(
+            "n_wedges"
+        )
+    )
+    # orient by (deg, id): u -> v iff rank(u) < rank(v)
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
+    ranked = e.join(da, "a").join(db, "b")
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("_db")).otherwise(F.col("_da")).alias("_rv"),
+    )
+    o1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("_rv").alias("_r1")
+    )
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("_rv").alias("_r2")
+    )
+    wedge_pairs = o1.join(o2, "u").where(
+        (F.col("_r1") < F.col("_r2"))
+        | ((F.col("_r1") == F.col("_r2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedge_pairs.join(closing, ["v1", "v2"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return tri.crossJoin(wedges).select(
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        "n_wedges",
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering_coeff"),
+    )

@@ -2933,6 +2933,61 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     )
 
 
+@register(
+    "triangle_census_parts",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey % 2 = 0),
+    e AS (SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                          greatest(x.l_partkey, y.l_partkey) AS b
+          FROM li x JOIN li y
+            ON x.l_orderkey = y.l_orderkey
+          WHERE x.l_partkey <> y.l_partkey),
+    deg AS (SELECT node, count(*) AS d
+            FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY node),
+    w AS (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+    SELECT n_triangles, n_wedges,
+           round(CASE WHEN n_wedges > 0
+                      THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END,
+                 6) AS clustering_coeff
+    FROM t, w
+    """,
+)
+def triangle_census_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts sharing an
+    order are linked): global triangle count, wedge count, and
+    clustering coefficient — the triad statistics link-graph quality
+    features read. The oracle counts triangles by plain id-ordering
+    (a<b<c three-way join); the operator's degree-ordered orientation
+    emits the identical set, each triangle exactly once. The fixture
+    decimates to even part keys — the full co-purchase graph at sf0.1
+    has 148M wedges, a stress run, not a regression bench. Scale: the
+    edge build explodes per order (order sizes are bounded), and
+    triangle_census's wedge stage is sum(out_deg^2) under the minimal
+    degree orientation — hub-proof; see operators/graph.py."""
+    from petastorm_spark.operators.graph import triangle_census
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_partkey") % 2 == 0)
+    )
+    x = li.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("src")
+    )
+    y = li.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("dst")
+    )
+    edges = x.join(y, "_o").where(F.col("src") < F.col("dst")).select(
+        "src", "dst"
+    )
+    return triangle_census(edges)
+
+
 @register("pagerank_purchases", oracle=_pagerank_oracle())
 def pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the symmetrized customer-supplier

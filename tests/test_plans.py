@@ -106,10 +106,12 @@ def test_near_dup_verify_keyed_on_candidates(spark, sf_dir):
     # (formatted explain re-prints the cached subtree under each scan,
     # so split() textual counts overcount; cache scans are the pin.)
     assert plan.count("InMemoryTableScan") >= 2, "shingle sets not read from cache"
-    # no explode-based signature path: the only generate/explode stages
-    # left are the LSH band explode, not a shingle explode feeding a
-    # 16-min aggregate
-    assert "mh_0" in plan
+    # the minhash signature aggregate is present (since the first-match
+    # banding rewrite the mh_N aliases collapse into the band-hash
+    # projection, so pin the min((h1 + s*h2) % MOD) aggregate shape and
+    # the banded posexplode instead of the alias names)
+    assert re.search(r"min\(\(\(h1#\d+", plan), "minhash aggregate missing"
+    assert "posexplode(bhs" in plan, "banded first-match explode missing"
 
 
 def test_text_repetition_single_scan_no_join(spark, sf_dir):
