@@ -132,6 +132,7 @@ HEADLINE = [
     "padding_waste_report",
     "dedup_keep_best",
     "triangle_census_parts",
+    "kcore_purchase_graph",
 ]
 
 N_WARMUP_READS = 500

@@ -189,3 +189,72 @@ def triangle_census(
             6,
         ).alias("clustering_coeff"),
     )
+
+
+def kcore_decompose(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core membership by iterative peeling: repeatedly drop nodes
+    with degree < ``k`` (each removal lowers neighbors' degrees) until
+    a fixed point or ``max_rounds``. Returns the surviving node set
+    with its in-core degree: (node, deg) — the dense-subgraph spam /
+    community-strength signal link-graph curation reads (a node in a
+    high k-core sits in a tightly-knit cluster; isolated or chain-y
+    pages peel away).
+
+    A FIXED round count keeps the plan deterministic and lets an
+    external SQL oracle unroll the identical ladder (the pagerank
+    convention); real graphs converge in a handful of rounds because
+    each peel removes entire fringes at once. Convergence inside
+    ``max_rounds`` is not detected — callers wanting certainty compare
+    round R-1 and R counts.
+
+    Scale: each round is one degree count (explode + partial-agg
+    groupBy) and one semi-join of the edge list against surviving
+    nodes — edge-scale exchanges, no windows, no driver state beyond
+    the loop counter. Each round's edge table is cut with an EAGER
+    ``localCheckpoint`` — persist+count alone leaves the logical plan
+    nesting round-over-round and re-analysis cost compounds (measured:
+    round 5 took 6x round 2 under persist; flat under checkpoint).
+    Intermediate checkpoint blocks are MEMORY_AND_DISK and shrink
+    monotonically (peeling only removes edges); they are evicted LRU
+    under pressure, the standard iterative-graph trade for flat
+    lineage."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    prev = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = (
+            prev.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        prev = (
+            prev.join(
+                keep.select(F.col("node").alias("a")), "a", "left_semi"
+            )
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    # degrees over the surviving edge set, NO final >= k filter: that
+    # would be an extra half-peel beyond max_rounds, breaking the
+    # "exactly max_rounds rounds" contract the unrolled oracle mirrors
+    return (
+        prev.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )

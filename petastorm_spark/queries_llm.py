@@ -2933,6 +2933,65 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     )
 
 
+def _kcore_oracle(k: int = 3, rounds: int = 6) -> str:
+    # every CTE is MATERIALIZED: each round references the previous one
+    # three times (degree scan + two membership filters), so inlining
+    # would expand the ladder 3^rounds-fold and exhaust file handles on
+    # the base scan
+    ctes = [
+        """e0 AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS b
+        FROM orders o JOIN lineitem l
+          ON o.o_orderkey = l.l_orderkey)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (SELECT node, count(*) AS d
+                 FROM (SELECT a AS node FROM e{p}
+                       UNION ALL SELECT b FROM e{p})
+                 GROUP BY node),
+    s{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE d >= {k}),
+    e{r} AS MATERIALIZED (SELECT a, b FROM e{p}
+             WHERE a IN (SELECT node FROM s{r})
+               AND b IN (SELECT node FROM s{r}))"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+    GROUP BY node"""
+    )
+
+
+@register("kcore_purchase_graph", oracle=_kcore_oracle(k=3, rounds=6))
+def kcore_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the customer-supplier purchase graph (same bipartite
+    fixture as pagerank_purchases): iteratively peel nodes with fewer
+    than 3 distinct trading partners until stable (6 fixed rounds; the
+    oracle unrolls the identical ladder) — the dense-subgraph signal
+    that separates engaged entities from one-off fringes in link-graph
+    curation. Output: surviving (node, in-core degree). Scale: each
+    round is one partial-agg degree count + two semi-joins, edge-scale
+    exchanges only, round-deep lineage; see
+    operators/graph.kcore_decompose."""
+    from petastorm_spark.operators.graph import kcore_decompose
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    return kcore_decompose(edges, k=3, max_rounds=6)
+
+
 @register(
     "triangle_census_parts",
     oracle="""

@@ -59,3 +59,48 @@ def test_triangle_census_empty_graph(spark):
     e = spark.createDataFrame([], "src bigint, dst bigint")
     r = triangle_census(e).collect()[0]
     assert (r.n_triangles, r.n_wedges, r.clustering_coeff) == (0, 0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# kcore_decompose
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_keeps_k4_peels_chain(spark):
+    from petastorm_spark.operators.graph import kcore_decompose
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    e = spark.createDataFrame(k4 + chain, "src bigint, dst bigint")
+    out = {r.node: r.deg for r in kcore_decompose(e, k=3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_peeling_cascades_across_rounds(spark):
+    # path a-b-c-d under k=2: endpoints peel first, then the middle
+    # unravels - requires MULTIPLE rounds, not one degree filter
+    from petastorm_spark.operators.graph import kcore_decompose
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src bigint, dst bigint"
+    )
+    assert kcore_decompose(e, k=2, max_rounds=5).collect() == []
+
+
+def test_kcore_respects_max_rounds(spark):
+    # one round of the same path only removes the endpoints' edges
+    from petastorm_spark.operators.graph import kcore_decompose
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src bigint, dst bigint"
+    )
+    one = {r.node for r in kcore_decompose(e, k=2, max_rounds=1).collect()}
+    assert one == {2, 3}
+
+
+def test_kcore_rejects_bad_k(spark):
+    from petastorm_spark.operators.graph import kcore_decompose
+
+    e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="k must be"):
+        kcore_decompose(e, k=0)
