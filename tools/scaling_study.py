@@ -119,6 +119,8 @@ STUDY_QUERIES = [
     "fuzzy_match_ids",
     "padding_waste_report",
     "dedup_keep_best",
+    "triangle_census_parts",
+    "kcore_purchase_graph",
 ]
 
 
