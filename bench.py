@@ -133,6 +133,8 @@ HEADLINE = [
     "dedup_keep_best",
     "triangle_census_parts",
     "kcore_purchase_graph",
+    "embedding_jl_projection",
+    "embedding_label_drift",
 ]
 
 N_WARMUP_READS = 500

@@ -960,3 +960,86 @@ def cosine_topk_sq8(
         .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("_cv")))
     )
     return topk_per_query(rescored, k)
+
+
+def project_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: map ``dim``-d vectors
+    to ``out_dim`` dims through a fixed Gaussian matrix scaled by
+    1/sqrt(out_dim) (the JL scaling that preserves norms and pairwise
+    distances in expectation) — the standard pre-ANN / pre-clustering
+    shrink when 100 TB of float32 embeddings won't fit the index tier.
+
+    Deterministic for a given seed (same generator stream as
+    :func:`hyperplane_buckets`), so an external oracle can rebuild the
+    identical matrix. Scale: a pure per-row map — the matrix rides
+    the plan as ONE 2-D literal (:func:`const_matrix`; per-element
+    lits cost a Py4J round trip each), each projection is a
+    left-to-right double fold, no shuffle, no Python."""
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
+    m = const_matrix(mat)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    proj = F.transform(
+        m,
+        lambda row: F.aggregate(
+            F.zip_with(F.col("_vd"), row, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (
+        df.withColumn("_vd", vd)
+        .withColumn(out_col, proj)
+        .drop("_vd")
+    )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group centroid (dimension-wise mean) of an embedding
+    column: (group, n_vecs, centroid array<double>) — the mean-pooled
+    representation drift monitors, per-source probes, and cheap
+    cluster summaries read.
+
+    Scale: one posexplode (dim x N rows of 8-byte doubles) into a
+    partially-aggregated (group, dim) mean — sums combine map-side, so
+    the exchange carries one row per (group, dim), never per vector;
+    re-packing sorts each group's ``dim`` rows, a per-group constant.
+    """
+    exploded = df.select(
+        F.col(group_col),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_pos", "_val"),
+    )
+    per_dim = exploded.groupBy(group_col, "_pos").agg(
+        F.sum("_val").alias("_sum"), F.count(F.lit(1)).alias("_n")
+    )
+    packed = per_dim.groupBy(group_col).agg(
+        (F.max("_n")).alias("n_vecs"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_sum")))
+            ),
+            lambda s: s.getField("_sum"),
+        ).alias("_sums"),
+    )
+    return packed.select(
+        F.col(group_col),
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.transform(
+            F.col("_sums"), lambda s: s / F.col("n_vecs")
+        ).alias("centroid"),
+    )

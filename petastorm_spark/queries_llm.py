@@ -606,6 +606,98 @@ def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(d, "source", "doc_id", max_per_group=10)
 
 
+def _jl_oracle(out_dim: int = 8, dim: int = 64, seed: int = 7) -> str:
+    import numpy as _np
+
+    rng = _np.random.default_rng(seed)
+    mat = rng.standard_normal((out_dim, dim)) / _np.sqrt(out_dim)
+    cols = ",\n           ".join(
+        "round(list_inner_product(v, ["
+        + ",".join(repr(float(x)) for x in row)
+        + f"]), 4) AS p{i}"
+        for i, row in enumerate(mat)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           {cols}
+    FROM e
+    """
+
+
+@register("embedding_jl_projection", oracle=_jl_oracle())
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64d -> 8d (Gaussian
+    matrix / sqrt(8), seed-deterministic so the oracle rebuilds the
+    identical matrix) — the pre-ANN shrink for index tiers that can't
+    hold full-width vectors. Registered output flattens the projected
+    vector to one rounded column per dimension (driver-hashable).
+    Scale: pure per-row map, matrix rides the plan as one 2-D literal,
+    zero shuffle; see operators/similarity.project_embeddings."""
+    from petastorm_spark.operators.similarity import project_embeddings
+
+    emb = _t_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    p = project_embeddings(emb, "vec_id", "embedding", out_dim=8, dim=64, seed=7)
+    return p.select(
+        "vec_id",
+        *[
+            F.round(F.col("projected")[i], 4).alias(f"p{i}")
+            for i in range(8)
+        ],
+    )
+
+
+@register(
+    "embedding_label_drift",
+    oracle="""
+    WITH x AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    pe AS (SELECT label, unnest(v) AS val,
+                  unnest(range(1, len(v) + 1)) AS pos FROM x),
+    pl AS (SELECT label, pos, sum(val) AS s, count(*) AS n
+           FROM pe GROUP BY label, pos),
+    lc AS (SELECT label, max(n) AS n_vecs,
+                  list(s / n ORDER BY pos) AS c
+           FROM pl GROUP BY label),
+    gp AS (SELECT pos, sum(val) AS sg, count(*) AS ng
+           FROM pe GROUP BY pos),
+    gc AS (SELECT list(sg / ng ORDER BY pos) AS g FROM gp)
+    SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+           round(list_inner_product(c, g) /
+                 (sqrt(list_inner_product(c, c)) *
+                  sqrt(list_inner_product(g, g))), 4) AS cos_to_global
+    FROM lc, gc
+    """,
+)
+def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representation-drift probe: per-label mean-pooled centroid vs
+    the global centroid, reported as cosine — the one-glance check
+    that a subpopulation's embedding mass hasn't wandered (training
+    feed QA; run per source or per time slice in production). Scale:
+    centroids partial-aggregate per (group, dim) — the exchange
+    carries dim rows per group, never vectors; the global centroid is
+    a 1-row broadcast. See operators/similarity.embedding_centroids."""
+    from petastorm_spark.operators.similarity import (
+        cosine,
+        embedding_centroids,
+    )
+
+    emb = _t_wide(spark, sf_dir, "embeddings").select("label", "embedding")
+    per_label = embedding_centroids(emb, "label", vec_col="embedding")
+    g = (
+        embedding_centroids(
+            emb.withColumn("_g", F.lit(0)), "_g", vec_col="embedding"
+        )
+        .select(F.col("centroid").alias("_gcent"))
+    )
+    return per_label.crossJoin(F.broadcast(g)).select(
+        "label",
+        "n_vecs",
+        F.round(cosine(F.col("centroid"), F.col("_gcent")), 4).alias(
+            "cos_to_global"
+        ),
+    )
+
+
 @register(
     "embedding_quantize",
     oracle="""

@@ -104,3 +104,47 @@ def test_kcore_rejects_bad_k(spark):
     e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
     with pytest.raises(ValueError, match="k must be"):
         kcore_decompose(e, k=0)
+
+
+# ---------------------------------------------------------------------------
+# project_embeddings / embedding_centroids
+# ---------------------------------------------------------------------------
+
+
+def test_project_embeddings_deterministic_and_jl_shaped(spark):
+    import numpy as np
+    from petastorm_spark.operators.similarity import project_embeddings
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = project_embeddings(df, out_dim=8, dim=64, seed=7)
+    a = {r.vec_id: r.projected for r in out.collect()}
+    b = {r.vec_id: r.projected for r in
+         project_embeddings(df, out_dim=8, dim=64, seed=7).collect()}
+    assert a == b  # same seed -> bit-identical
+    # JL: norms preserved in expectation (loose band, 200 vectors)
+    ratios = []
+    for i, vec in rows:
+        ratios.append(
+            float(np.linalg.norm(a[i])) / float(np.linalg.norm(vec))
+        )
+    m = sum(ratios) / len(ratios)
+    assert 0.8 < m < 1.2
+    # different seed -> different projection
+    c = {r.vec_id: r.projected for r in
+         project_embeddings(df, out_dim=8, dim=64, seed=8).collect()}
+    assert a != c
+
+
+def test_embedding_centroids_exact_small(spark):
+    from petastorm_spark.operators.similarity import embedding_centroids
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 4.0]), ("b", [10.0, 0.0])],
+        "src string, embedding array<double>",
+    )
+    out = {r.src: (r.n_vecs, r.centroid)
+           for r in embedding_centroids(df, "src").collect()}
+    assert out["a"] == (2, [2.0, 3.0])
+    assert out["b"] == (1, [10.0, 0.0])

@@ -121,6 +121,8 @@ STUDY_QUERIES = [
     "dedup_keep_best",
     "triangle_census_parts",
     "kcore_purchase_graph",
+    "embedding_jl_projection",
+    "embedding_label_drift",
 ]
 
 
