@@ -54,9 +54,17 @@ from petastorm_spark.operators.sampling_extra import (  # noqa: F401
     token_budget_mix,
 )
 from petastorm_spark.operators.bpe import bpe_learn, bpe_token_count  # noqa: F401
-from petastorm_spark.operators.graph import pagerank  # noqa: F401
+from petastorm_spark.operators.graph import (  # noqa: F401
+    kcore_decompose,
+    pagerank,
+    triangle_census,
+)
 from petastorm_spark.operators.ml import tree_ensemble_score  # noqa: F401
-from petastorm_spark.operators.similarity import semantic_dedup  # noqa: F401
+from petastorm_spark.operators.similarity import (  # noqa: F401
+    embedding_centroids,
+    project_embeddings,
+    semantic_dedup,
+)
 from petastorm_spark.operators.text import (  # noqa: F401
     inverted_index,
     linear_classifier_score,
