@@ -135,6 +135,7 @@ HEADLINE = [
     "kcore_purchase_graph",
     "embedding_jl_projection",
     "embedding_label_drift",
+    "ann_recall_ivf",
 ]
 
 N_WARMUP_READS = 500

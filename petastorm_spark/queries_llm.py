@@ -2783,6 +2783,69 @@ def _recall_oracle(k: int = 5) -> str:
     """
 
 
+def _recall_ivf_oracle(n_cells: int = 16, n_probe: int = 3, k: int = 5) -> str:
+    cos = lambda a, b: (  # noqa: E731
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {n_cells}),
+    ca AS (SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM e, cent c) WHERE rn = 1),
+    qp AS (SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM e, cent c WHERE e.vec_id < 10) WHERE rn <= {n_probe}),
+    s AS (SELECT query_id, ca.vec_id AS neighbor_id, {cos('qp.qv', 'ca.v')} AS cos
+          FROM qp JOIN ca USING (cell) WHERE ca.vec_id != query_id),
+    approx AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM s) WHERE rank <= {k}),
+    qe AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    se AS (SELECT query_id, ce.vec_id AS neighbor_id, {cos('qe.qv', 'ce.v')} AS cos
+           FROM qe, e ce WHERE ce.vec_id != query_id),
+    exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM se) WHERE rank <= {k})
+    SELECT x.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           count(a.neighbor_id) / {float(k)} AS recall
+    FROM exact x LEFT JOIN approx a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """
+
+
+@register("ann_recall_ivf", oracle=_recall_ivf_oracle())
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality report for the IVF index: per-query recall@5 of
+    3-probe IVF against exact brute force — the number that decides
+    whether n_probe/n_cells need retuning, completing the recall
+    tooling across both index families (LSH twin: ann_recall_lsh).
+    Scale: both inputs are top-k RESULTS (k rows per query); the
+    comparison join never touches vectors."""
+    from petastorm_spark.operators.similarity import (
+        ann_recall_report,
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=5)
+    approx = cosine_topk_ivf(emb, q, k=5, n_cells=16, n_probe=3)
+    return ann_recall_report(exact, approx, k=5)
+
+
 @register("ann_recall_lsh", oracle=_recall_oracle())
 def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality report: per-query recall@5 of the 8-plane LSH

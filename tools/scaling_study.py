@@ -123,6 +123,7 @@ STUDY_QUERIES = [
     "kcore_purchase_graph",
     "embedding_jl_projection",
     "embedding_label_drift",
+    "ann_recall_ivf",
 ]
 
 
