@@ -224,6 +224,9 @@ def measure_reader_throughput(spark, image_codec: str = "png") -> dict:
             "rss_jvm_mb": (
                 round(after["jvm_rss_bytes"] / 2**20, 1) if after else None
             ),
+            "rss_main_mb": (
+                round(after["root_rss_bytes"] / 2**20, 1) if after else None
+            ),
             "cpu_pct": (
                 round(cpu_percent(before, after, dt), 1)
                 if before and after
@@ -315,13 +318,15 @@ def main() -> None:
                 "reader_samples_per_sec_raw0": reader_rate_raw0,
                 "reader_rss_mb": png_stats.get("rss_mb"),
                 "reader_rss_iter_mb": png_stats.get("rss_iter_mb"),
+                "reader_rss_main_mb": png_stats.get("rss_main_mb"),
                 "reader_rss_jvm_mb": png_stats.get("rss_jvm_mb"),
                 "reader_cpu_pct": png_stats.get("cpu_pct"),
                 "reader_rss_mb_raw0": raw0_stats.get("rss_mb"),
                 "reader_rss_iter_mb_raw0": raw0_stats.get("rss_iter_mb"),
+                "reader_rss_main_mb_raw0": raw0_stats.get("rss_main_mb"),
                 "reader_rss_jvm_mb_raw0": raw0_stats.get("rss_jvm_mb"),
                 "reader_cpu_pct_raw0": raw0_stats.get("cpu_pct"),
-                "reader_protocol": f"{N_WARMUP_READS} warmup + {N_MEASURED_READS} measured row reads, hello_world-shaped dataset (BASELINE.md protocol, longer measurement window). reader_samples_per_sec decodes REAL PNG byte streams via the pure-python codec (r3+ protocol; the BASELINE.md comparison row); reader_samples_per_sec_raw0 reads the np.save RAW0 container r1/r2 measured, for cross-round trend continuity. reader_rss_mb / reader_cpu_pct: process-tree (python + driver JVM + pool workers) RSS after / CPU%% over the measured window via procfs — the reference benchmark's psutil memory_info/cpu columns (BASELINE.md rows 2-3/5-6). reader_rss_iter_mb is the iteration tier alone (tree minus java processes) — the like-for-like column against the reference's 217 MB single-process figure; reader_rss_jvm_mb is the resident local[32] driver JVM, a fixed cost of the test harness, not of the reader tier",
+                "reader_protocol": f"{N_WARMUP_READS} warmup + {N_MEASURED_READS} measured row reads, hello_world-shaped dataset (BASELINE.md protocol, longer measurement window). reader_samples_per_sec decodes REAL PNG byte streams via the pure-python codec (r3+ protocol; the BASELINE.md comparison row); reader_samples_per_sec_raw0 reads the np.save RAW0 container r1/r2 measured, for cross-round trend continuity. reader_rss_mb / reader_cpu_pct: process-tree (python + driver JVM + pool workers) RSS after / CPU%% over the measured window via procfs — the reference benchmark's psutil memory_info/cpu columns (BASELINE.md rows 2-3/5-6). reader_rss_main_mb is the benchmark process alone — the like-for-like column against the reference's 217 MB single-process psutil figure; reader_rss_iter_mb additionally includes Spark's resident pyspark.daemon workers (tree minus java), and reader_rss_jvm_mb is the local[32] driver JVM, a fixed harness cost",
                 "query_protocol": f"one untimed warmup run per query at sf0.001 (JIT/codegen), then {n_runs} timed runs at target sf with spark.catalog.clearCache() before each; 'queries' is min-of-{n_runs} (continuity with r3), 'queries_median' the median. r1/r2 were single-run — cross-round comparison to them overstates speedups",
             }
         )

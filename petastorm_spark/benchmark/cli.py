@@ -60,7 +60,7 @@ def main(argv=None) -> int:
     if result.rss_mb is not None:
         print(
             f"rss: {result.rss_mb:.1f} MB tree "
-            f"({result.rss_iter_mb:.1f} iter + {result.rss_jvm_mb:.1f} jvm), "
+            f"({result.rss_main_mb:.1f} main / {result.rss_iter_mb:.1f} iter + {result.rss_jvm_mb:.1f} jvm), "
             f"cpu: {result.cpu_pct:.1f}%"
         )
     return 0

@@ -79,6 +79,7 @@ def process_tree_sample(root: int | None = None) -> dict | None:
         return None
     rss_pages = 0
     jvm_rss_pages = 0
+    root_rss_pages = 0
     cpu_ticks = 0
     for pid in _descendants(root):
         fields = _stat_fields(pid)
@@ -91,11 +92,18 @@ def process_tree_sample(root: int | None = None) -> dict | None:
         except (OSError, IndexError, ValueError):
             continue
         rss_pages += pages
+        if pid == root:
+            root_rss_pages = pages
         if _comm(pid) == "java":
             jvm_rss_pages += pages
     return {
         "rss_bytes": rss_pages * _PAGE,
         "jvm_rss_bytes": jvm_rss_pages * _PAGE,
+        # the root (benchmark) process alone — the closest analog of
+        # the reference's single-process psutil RSS; the tree-minus-jvm
+        # number additionally includes Spark's pyspark.daemon workers
+        # left resident from earlier Arrow/UDF stages
+        "root_rss_bytes": root_rss_pages * _PAGE,
         "cpu_seconds": cpu_ticks / _CLK_TCK,
     }
 

@@ -26,11 +26,13 @@ class BenchmarkResult:
     batched: bool
     rss_mb: float | None = None  # process-tree RSS after the window
     cpu_pct: float | None = None  # process-tree CPU%% over the window
-    # split of rss_mb: iteration tier (python + pool workers) vs the
-    # driver JVM — the iter column is the one comparable to the
-    # reference's single-process psutil RSS
+    # split of rss_mb: rss_main_mb (the benchmark process alone) is
+    # the column comparable to the reference's single-process psutil
+    # RSS; rss_iter_mb = tree minus java additionally includes Spark's
+    # resident pyspark.daemon workers; rss_jvm_mb is the driver JVM
     rss_iter_mb: float | None = None
     rss_jvm_mb: float | None = None
+    rss_main_mb: float | None = None
 
 
 def reader_throughput(
@@ -89,6 +91,11 @@ def reader_throughput(
         ),
         rss_jvm_mb=(
             round(after["jvm_rss_bytes"] / 2**20, 1)
+            if after is not None
+            else None
+        ),
+        rss_main_mb=(
+            round(after["root_rss_bytes"] / 2**20, 1)
             if after is not None
             else None
         ),
