@@ -3122,11 +3122,12 @@ def _kcore_oracle(k: int = 3, rounds: int = 6) -> str:
     )
 
 
-@register("kcore_purchase_graph", oracle=_kcore_oracle(k=3, rounds=6))
+@register("kcore_purchase_graph", oracle=_kcore_oracle(k=3, rounds=3))
 def kcore_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the customer-supplier purchase graph (same bipartite
     fixture as pagerank_purchases): iteratively peel nodes with fewer
-    than 3 distinct trading partners until stable (6 fixed rounds; the
+    than 3 distinct trading partners until stable (3 fixed rounds — the
+    fixture converges by round 2; the
     oracle unrolls the identical ladder) — the dense-subgraph signal
     that separates engaged entities from one-off fringes in link-graph
     curation. Output: surviving (node, in-core degree). Scale: each
@@ -3144,7 +3145,7 @@ def kcore_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
     )
-    return kcore_decompose(edges, k=3, max_rounds=6)
+    return kcore_decompose(edges, k=3, max_rounds=3)
 
 
 @register(
