@@ -136,6 +136,8 @@ HEADLINE = [
     "embedding_jl_projection",
     "embedding_label_drift",
     "ann_recall_ivf",
+    "zipf_corpus_fit",
+    "assortativity_parts",
 ]
 
 N_WARMUP_READS = 500

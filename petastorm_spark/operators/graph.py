@@ -258,3 +258,65 @@ def kcore_decompose(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity of an undirected graph: the Pearson
+    correlation of endpoint degrees over the edge list (each
+    canonical edge contributes both orientations, the standard
+    convention) — positive means hubs attach to hubs (social-ish),
+    negative means hubs attach to leaves (web/infrastructure-ish).
+    The one-number topology fingerprint next to
+    :func:`triangle_census`'s clustering coefficient. Output: one row
+    (n_edges, assortativity); assortativity NULL for degree-regular
+    graphs (zero variance).
+
+    Scale: canonicalize + one degree aggregate + two id-keyed joins
+    to attach endpoint degrees, then five scalar sums — no windows,
+    no quadratic stage; exact, not sampled."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
+    both = e.join(da, "a").join(db, "b")
+    # both orientations: (da, db) and (db, da) — Pearson over the
+    # symmetrized pair list, all moments exact bigint sums
+    pairs = both.select(
+        F.col("_da").alias("x"), F.col("_db").alias("y")
+    ).unionAll(both.select(F.col("_db").alias("x"), F.col("_da").alias("y")))
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return agg.select(
+        (n / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            F.when(
+                (var_x > 0) & (var_y > 0),
+                cov / F.sqrt(var_x.cast("double") * var_y.cast("double")),
+            ),
+            4,
+        ).alias("assortativity"),
+    )

@@ -832,3 +832,66 @@ def pmi_cooccurrence(
             F.round(pmi, 4).alias("pmi"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str, top_n: int = 1000
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequency distribution:
+    least-squares slope of ln(freq) against ln(rank) for the top
+    ``top_n`` tokens, plus the fit's r^2 and the token count covered.
+    Natural corpora sit near slope -1; a flat slope flags synthetic /
+    boilerplate-heavy text and a cliff flags truncated vocabularies —
+    the one-glance distribution-health number next to token_entropy's
+    per-document signal. Output: one row
+    (n_tokens_fit, zipf_slope, r2).
+
+    Scale: ONE token-count aggregate (partial-agg, vocabulary-sized
+    exchange); the rank window runs over the top-``top_n`` slice only
+    (TakeOrdered, never a full sort); the regression is five scalar
+    sums over ``top_n`` rows. Ranking ties break on the token string
+    so ranks are engine-exact; the ln() sums are rounded to 4 before
+    comparison."""
+    from pyspark.sql import Window
+
+    if top_n < 2:
+        raise ValueError(f"top_n must be >= 2, got {top_n}")
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .where(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.col("freq").desc(), F.col("tok").asc()).limit(top_n)
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    # guards: varx > 0 always holds for n >= 2 (ranks are distinct) but
+    # keep it explicit; vary == 0 (all frequencies equal) makes r2
+    # undefined -> NULL, and slope is exactly 0 there (ANSI mode turns
+    # the bare division into a hard error otherwise)
+    return agg.select(
+        n.cast("bigint").alias("n_tokens_fit"),
+        F.round(
+            F.when(varx > 0, cov / varx).otherwise(F.lit(0.0)), 4
+        ).alias("zipf_slope"),
+        F.round(
+            F.when((varx > 0) & (vary > 0), (cov * cov) / (varx * vary)),
+            4,
+        ).alias("r2"),
+    )

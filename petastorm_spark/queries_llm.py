@@ -3088,6 +3088,106 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     )
 
 
+@register(
+    "zipf_corpus_fit",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOK}) AS tok FROM documents),
+    c AS (SELECT tok, count(*) AS freq FROM tok WHERE tok != ''
+          GROUP BY tok),
+    top AS (SELECT freq, tok FROM c ORDER BY freq DESC, tok LIMIT 500),
+    r AS (SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok)
+                         AS DOUBLE)) AS x,
+                 ln(CAST(freq AS DOUBLE)) AS y
+          FROM top),
+    a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+           round(CASE WHEN (n*sxx - sx*sx) > 0
+                      THEN (n*sxy - sx*sy) / (n*sxx - sx*sx)
+                      ELSE 0.0 END, 4) AS zipf_slope,
+           round(CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                      THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
+                           ((n*sxx - sx*sx) * (n*syy - sy*sy))
+                 END, 4) AS r2
+    FROM a
+    """,
+)
+def zipf_corpus_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency distribution (top-500
+    tokens): least-squares slope of ln(freq) vs ln(rank) + r^2 — the
+    distribution-health number that flags synthetic or boilerplate-
+    heavy corpora (natural text sits near slope -1). Scale: one
+    vocabulary-sized aggregate, TakeOrdered top slice, five scalar
+    sums; see operators/text.zipf_fit."""
+    from petastorm_spark.operators.text import zipf_fit
+
+    d = _t_wide(spark, sf_dir, "documents").select("text")
+    return zipf_fit(d, "text", top_n=500)
+
+
+@register(
+    "assortativity_parts",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey % 2 = 0),
+    e AS (SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                          greatest(x.l_partkey, y.l_partkey) AS b
+          FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+          WHERE x.l_partkey <> y.l_partkey),
+    deg AS (SELECT node, count(*) AS d
+            FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY node),
+    p AS (SELECT da.d AS x, db.d AS y
+          FROM e JOIN deg da ON da.node = e.a
+                 JOIN deg db ON db.node = e.b
+          UNION ALL
+          SELECT db.d, da.d
+          FROM e JOIN deg da ON da.node = e.a
+                 JOIN deg db ON db.node = e.b),
+    a AS (SELECT count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x*y) AS BIGINT) AS sxy,
+                 CAST(sum(x*x) AS BIGINT) AS sxx,
+                 CAST(sum(y*y) AS BIGINT) AS syy
+          FROM p)
+    SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+           round(CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                      THEN (n*sxy - sx*sy) /
+                           sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+                                CAST(n*syy - sy*sy AS DOUBLE))
+                 END, 4) AS assortativity
+    FROM a
+    """,
+)
+def assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (even part
+    keys, the triangle-census fixture): Pearson correlation of
+    endpoint degrees over the symmetrized edge list — the topology
+    fingerprint that separates hub-to-hub graphs from hub-to-leaf
+    ones. All moments are exact bigint sums, so the only floats are
+    one division and one sqrt (engine-identical). Scale: degree
+    aggregate + two id-keyed joins + five scalar sums; see
+    operators/graph.degree_assortativity."""
+    from petastorm_spark.operators.graph import degree_assortativity
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_partkey") % 2 == 0)
+    )
+    x = li.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("src")
+    )
+    y = li.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("dst")
+    )
+    edges = x.join(y, "_o").where(F.col("src") < F.col("dst")).select(
+        "src", "dst"
+    )
+    return degree_assortativity(edges)
+
+
 def _kcore_oracle(k: int = 3, rounds: int = 6) -> str:
     # every CTE is MATERIALIZED: each round references the previous one
     # three times (degree scan + two membership filters), so inlining

@@ -148,3 +148,56 @@ def test_embedding_centroids_exact_small(spark):
            for r in embedding_centroids(df, "src").collect()}
     assert out["a"] == (2, [2.0, 3.0])
     assert out["b"] == (1, [10.0, 0.0])
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit / degree_assortativity
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_recovers_power_law_slope(spark):
+    from petastorm_spark.operators.text import zipf_fit
+
+    # freq(rank r) = 1000 // r is Zipf s=1; build a corpus realizing it
+    words = []
+    for r in range(1, 21):
+        words.extend([f"w{r:02d}"] * (1000 // r))
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    row = zipf_fit(df, "text", top_n=20).collect()[0]
+    assert row.n_tokens_fit == 20
+    assert -1.1 < row.zipf_slope < -0.9
+    assert row.r2 > 0.99
+
+
+def test_zipf_fit_flat_corpus_slope_zero(spark):
+    from petastorm_spark.operators.text import zipf_fit
+
+    df = spark.createDataFrame(
+        [(" ".join(f"t{i}" for i in range(50)),)], "text string"
+    )
+    row = zipf_fit(df, "text", top_n=50).collect()[0]
+    assert row.zipf_slope == 0.0  # every freq == 1
+    assert row.r2 is None  # zero frequency variance -> fit undefined
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from petastorm_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src bigint, dst bigint"
+    )
+    row = degree_assortativity(star).collect()[0]
+    assert row.n_edges == 3
+    assert row.assortativity == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    from petastorm_spark.operators.graph import degree_assortativity
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src bigint, dst bigint",
+    )
+    row = degree_assortativity(k4).collect()[0]
+    assert row.n_edges == 6
+    assert row.assortativity is None  # zero degree variance

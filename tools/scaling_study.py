@@ -124,6 +124,8 @@ STUDY_QUERIES = [
     "embedding_jl_projection",
     "embedding_label_drift",
     "ann_recall_ivf",
+    "zipf_corpus_fit",
+    "assortativity_parts",
 ]
 
 
