@@ -55,6 +55,7 @@ from petastorm_spark.operators.sampling_extra import (  # noqa: F401
 )
 from petastorm_spark.operators.bpe import bpe_learn, bpe_token_count  # noqa: F401
 from petastorm_spark.operators.graph import (  # noqa: F401
+    degree_assortativity,
     kcore_decompose,
     pagerank,
     triangle_census,
@@ -69,6 +70,7 @@ from petastorm_spark.operators.text import (  # noqa: F401
     inverted_index,
     linear_classifier_score,
     pmi_cooccurrence,
+    zipf_fit,
 )
 
 __version__ = "0.1.0"
