@@ -138,6 +138,7 @@ HEADLINE = [
     "ann_recall_ivf",
     "zipf_corpus_fit",
     "assortativity_parts",
+    "pagerank_personalized",
 ]
 
 N_WARMUP_READS = 500

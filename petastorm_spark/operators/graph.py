@@ -34,6 +34,7 @@ def pagerank(
     iters: int = 5,
     damping: float = 0.85,
     checkpoint_interval: int = 10,
+    seeds: list | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list, ``iters`` power iterations
     from the uniform vector. Output: (node, rank) with rank rounded to
@@ -42,7 +43,15 @@ def pagerank(
     nothing — feed an undirected (symmetrized) edge list when every
     node should both give and receive (then no mass dangles).
 
-    r_{k+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} r_k(u) / outdeg(u)
+    r_{k+1}(v) = (1-d)*s(v) + d * Σ_{(u,v)∈E} r_k(u) / outdeg(u)
+
+    ``seeds=None`` is classic PageRank: s(v) = 1/N everywhere. A seed
+    list makes it PERSONALIZED PageRank — the restart vector
+    concentrates on the seeds (s(v) = 1/|seeds| for seed nodes, else
+    0) and ranks become relevance TO that seed set (seeded
+    recommendation / topic-scoped quality, the random-walk-with-
+    restart primitive). Seeds ride the plan as an ``isin`` literal, so
+    keep the set broadcast-small (thousands, not millions).
 
     Edge/node caches are dropped on error; after a normal return they
     back the (lazy) result — unpersist via
@@ -56,19 +65,29 @@ def pagerank(
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = (
+    nodes_cached = (
         ed.select(F.col("src").alias("node"))
         .unionByName(ed.select(F.col("dst").alias("node")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    nodes = nodes_cached
     interim: list[DataFrame] = []
     try:
         n = nodes.count()  # the only driver-side action before the result
         if n == 0:
             raise ValueError("pagerank: empty edge list (no nodes)")
-        base = (1.0 - damping) / n
-        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        if seeds is not None:
+            seed_set = sorted(set(seeds))
+            if not seed_set:
+                raise ValueError("pagerank: seeds must be non-empty when given")
+            s_col = F.when(
+                F.col("node").isin(seed_set), F.lit(1.0 / len(seed_set))
+            ).otherwise(F.lit(0.0))
+        else:
+            s_col = F.lit(1.0 / n)
+        nodes = nodes.withColumn("_s", s_col)
+        ranks = nodes.select("node", F.col("_s").alias("rank"))
         for i in range(iters):
             contrib = (
                 ed.join(ranks, ed.src == ranks.node)
@@ -80,7 +99,7 @@ def pagerank(
                 .select(
                     "node",
                     (
-                        F.lit(base)
+                        F.lit(1.0 - damping) * F.col("_s")
                         + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
                     ).alias("rank"),
                 )
@@ -94,7 +113,7 @@ def pagerank(
         return ranks.select("node", F.round("rank", 6).alias("rank"))
     except Exception:
         ed.unpersist()
-        nodes.unpersist()
+        nodes_cached.unpersist()
         for t in interim:
             t.unpersist()
         raise

@@ -3303,6 +3303,75 @@ def triangle_census_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_census(edges)
 
 
+def _ppr_oracle(
+    iters: int = 5, damping: float = 0.85, n_seeds: int = 5
+) -> str:
+    seed_list = ", ".join(f"'c{i}'" for i in range(1, n_seeds + 1))
+    s = (
+        f"CASE WHEN no.node IN ({seed_list}) "
+        f"THEN {1.0 / n_seeds} ELSE 0.0 END"
+    )
+    ctes = [
+        f"""p AS (SELECT DISTINCT 'c'||CAST(o_custkey AS VARCHAR) AS c,
+                                 's'||CAST(l_suppkey AS VARCHAR) AS s
+                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT c AS src, s AS dst FROM p UNION SELECT s, c FROM p),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    r0 AS (SELECT no.node, {s} AS rank FROM nodes no)"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+      SELECT no.node, {1.0 - damping} * ({s}) + {damping} * coalesce(c.s, 0) AS rank
+      FROM nodes no
+      LEFT JOIN (SELECT e.dst, sum(r{k-1}.rank / deg.deg) AS s
+                 FROM e JOIN deg USING (src)
+                 JOIN r{k-1} ON r{k-1}.node = e.src
+                 GROUP BY e.dst) c ON c.dst = no.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, round(rank, 6) AS rank FROM r{iters}
+    WHERE round(rank, 6) > 0"""
+    )
+
+
+@register("pagerank_personalized", oracle=_ppr_oracle())
+def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: random-walk-with-restart relevance of
+    every node in the customer-supplier purchase graph TO the seed set
+    {c1..c5} (5 iterations, damping 0.85) — the seeded-recommendation
+    / topic-scoped-quality primitive next to global
+    pagerank_purchases. Zero-rank nodes (unreachable within 5 hops)
+    are dropped so the output is neighborhood-sized. Scale: identical
+    ladder to pagerank (one rank-keyed equi-join + partial-agg
+    groupBy per round); the restart vector is an isin literal over 5
+    seeds. See operators/graph.pagerank(seeds=...)."""
+    from petastorm_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank(
+        edges, iters=5, damping=0.85, seeds=[f"c{i}" for i in range(1, 6)]
+    )
+    return ranks.where(F.col("rank") > 0)
+
+
 @register("pagerank_purchases", oracle=_pagerank_oracle())
 def pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the symmetrized customer-supplier

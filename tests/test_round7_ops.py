@@ -201,3 +201,44 @@ def test_assortativity_regular_graph_is_null(spark):
     row = degree_assortativity(k4).collect()[0]
     assert row.n_edges == 6
     assert row.assortativity is None  # zero degree variance
+
+
+# ---------------------------------------------------------------------------
+# personalized pagerank
+# ---------------------------------------------------------------------------
+
+
+def test_personalized_pagerank_mass_stays_near_seeds(spark):
+    from petastorm_spark.operators.graph import pagerank
+
+    # two disconnected triangles; seeding in one leaves the other at 0
+    tri1 = [(1, 2), (2, 3), (3, 1)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    e = spark.createDataFrame(
+        tri1 + tri2 + [(b, a) for a, b in tri1 + tri2],
+        "src bigint, dst bigint",
+    )
+    ranks = {r.node: r.rank for r in pagerank(e, seeds=[1]).collect()}
+    assert ranks[10] == ranks[11] == ranks[12] == 0.0
+    assert ranks[1] > ranks[2] > 0  # seed holds the most mass
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4  # mass conserved
+
+
+def test_personalized_pagerank_uniform_seeds_equals_classic(spark):
+    from petastorm_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)],
+        "src bigint, dst bigint",
+    )
+    classic = {r.node: r.rank for r in pagerank(e).collect()}
+    seeded = {r.node: r.rank for r in pagerank(e, seeds=[1, 2, 3]).collect()}
+    assert classic == seeded  # all-nodes seed set IS the uniform restart
+
+
+def test_personalized_pagerank_rejects_empty_seed_list(spark):
+    from petastorm_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="seeds must be non-empty"):
+        pagerank(e, seeds=[])

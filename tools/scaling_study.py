@@ -126,6 +126,7 @@ STUDY_QUERIES = [
     "ann_recall_ivf",
     "zipf_corpus_fit",
     "assortativity_parts",
+    "pagerank_personalized",
 ]
 
 
