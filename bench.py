@@ -139,6 +139,7 @@ HEADLINE = [
     "zipf_corpus_fit",
     "assortativity_parts",
     "pagerank_personalized",
+    "label_propagation_parts",
 ]
 
 N_WARMUP_READS = 500

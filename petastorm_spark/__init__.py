@@ -57,6 +57,7 @@ from petastorm_spark.operators.bpe import bpe_learn, bpe_token_count  # noqa: F4
 from petastorm_spark.operators.graph import (  # noqa: F401
     degree_assortativity,
     kcore_decompose,
+    label_propagation,
     pagerank,
     triangle_census,
 )

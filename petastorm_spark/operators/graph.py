@@ -339,3 +339,68 @@ def degree_assortativity(
             4,
         ).alias("assortativity"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation: every
+    node starts with its own id as label; each round it adopts the
+    most frequent label among its neighbors (ties -> the smallest
+    label, so the algorithm is fully deterministic and an external
+    SQL oracle can unroll the identical ladder). Output after
+    ``rounds`` rounds: (node, label) — nodes sharing a label form a
+    community. The density-based sibling of connected components
+    (which only finds REACHABILITY); LPA splits a connected graph
+    into internally-dense groups, the host/topic clustering signal
+    for corpus curation.
+
+    Synchronous fixed-round LPA (vs the asynchronous original) is
+    the standard distributed formulation — deterministic, oracle-
+    checkable, and every round is pure bulk dataframe work. Classic
+    LPA caveat applies: labels can oscillate on bipartite-ish
+    structure; fixed rounds simply report that round's state.
+
+    Scale: per round ONE label-keyed equi-join (edges x labels) +
+    one partial-agg (node, label) count + one per-node argmax (max
+    on a (count, -label-rank) struct — no window), all edge-scale
+    exchanges. Rounds are cut with eager localCheckpoint (the
+    kcore_decompose lesson: persist alone lets re-analysis compound
+    round-over-round)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        neigh = sym.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        counts = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        # two-phase, type-agnostic argmax (labels may be strings):
+        # best count per node, then the smallest label achieving it
+        best = counts.groupBy("node").agg(F.max("_c").alias("_bc"))
+        labels = (
+            counts.join(best, "node")
+            .where(F.col("_c") == F.col("_bc"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -3248,6 +3248,67 @@ def kcore_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_decompose(edges, k=3, max_rounds=3)
 
 
+def _lpa_oracle(rounds: int = 3) -> str:
+    ctes = [
+        """li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey % 2 = 0),
+    e AS MATERIALIZED (SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                              greatest(x.l_partkey, y.l_partkey) AS b
+          FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+          WHERE x.l_partkey <> y.l_partkey),
+    sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+    l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM sym)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""ct{r} AS MATERIALIZED (
+        SELECT s.a AS node, l{p}.label, count(*) AS c
+        FROM sym s JOIN l{p} ON l{p}.node = s.b
+        GROUP BY s.a, l{p}.label),
+    l{r} AS MATERIALIZED (
+        SELECT ct{r}.node, min(ct{r}.label) AS label
+        FROM ct{r} JOIN (SELECT node, max(c) AS mc FROM ct{r}
+                         GROUP BY node) m
+          ON m.node = ct{r}.node AND ct{r}.c = m.mc
+        GROUP BY ct{r}.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, label FROM l{rounds}"
+    )
+
+
+@register("label_propagation_parts", oracle=_lpa_oracle())
+def label_propagation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph: 3 rounds of
+    synchronous label propagation (most-frequent neighbor label,
+    smallest-label tie-break — fully deterministic, so the oracle
+    unrolls the identical ladder). The density-based clustering next
+    to reachability-based dedup_clusters. Scale: per round one
+    label-keyed join + partial-agg count + two-phase argmax, all
+    edge-scale; rounds cut with eager localCheckpoint. See
+    operators/graph.label_propagation."""
+    from petastorm_spark.operators.graph import label_propagation
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_partkey") % 2 == 0)
+    )
+    x = li.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("src")
+    )
+    y = li.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("dst")
+    )
+    edges = x.join(y, "_o").where(F.col("src") < F.col("dst")).select(
+        "src", "dst"
+    )
+    return label_propagation(edges, rounds=3)
+
+
 @register(
     "triangle_census_parts",
     oracle="""

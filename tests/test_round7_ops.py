@@ -242,3 +242,43 @@ def test_personalized_pagerank_rejects_empty_seed_list(spark):
     e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
     with pytest.raises(ValueError, match="seeds must be non-empty"):
         pagerank(e, seeds=[])
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_splits_two_cliques(spark):
+    from petastorm_spark.operators.graph import label_propagation
+
+    # two K4 cliques joined by ONE bridge edge: LPA keeps them as two
+    # communities (CC would merge them into one component)
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(3, 10)]
+    e = spark.createDataFrame(c1 + c2 + bridge, "src bigint, dst bigint")
+    out = {r.node: r.label for r in label_propagation(e, rounds=3).collect()}
+    left = {out[n] for n in range(4)}
+    right = {out[n] for n in range(10, 14)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    from petastorm_spark.operators.graph import label_propagation
+
+    # single edge: after round 1 both nodes hold the SMALLEST label
+    e = spark.createDataFrame([(2, 1)], "src bigint, dst bigint")
+    out = {r.node: r.label for r in label_propagation(e, rounds=1).collect()}
+    assert out == {1: 2, 2: 1}  # each adopts its only neighbor's label
+    out2 = {r.node: r.label for r in label_propagation(e, rounds=2).collect()}
+    assert out2 == {1: 1, 2: 2}  # labels swap back (sync oscillation)
+
+
+def test_label_propagation_rejects_bad_rounds(spark):
+    from petastorm_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="rounds must be"):
+        label_propagation(e, rounds=0)

@@ -127,6 +127,7 @@ STUDY_QUERIES = [
     "zipf_corpus_fit",
     "assortativity_parts",
     "pagerank_personalized",
+    "label_propagation_parts",
 ]
 
 
