@@ -140,6 +140,7 @@ HEADLINE = [
     "assortativity_parts",
     "pagerank_personalized",
     "label_propagation_parts",
+    "quantile_sketch_chars",
 ]
 
 N_WARMUP_READS = 500

@@ -343,3 +343,93 @@ def kmv_overlap(
             F.round(kmv_distinct_estimate("_sb", k), 2).alias("est_distinct_b"),
         )
     )
+
+
+def log2_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    sub_bits: int = 3,
+) -> DataFrame:
+    """Deterministic mergeable quantile sketch: bucket positive
+    integers into log2 octaves refined by ``sub_bits`` mantissa bits
+    (an HDR-histogram-style layout) — at sub_bits=3 every bucket spans
+    <= 12.5% relative width, so a quantile read from bucket lower
+    bounds carries <= 12.5% relative error. State is CAPPED at
+    ~64 * 2^sub_bits buckets per group no matter how many values
+    arrive, and two sketches merge by summing bucket counts — the
+    quantile member of the sketch family (HLL = distinct,
+    count-min = frequency, KMV = set ops).
+
+    The binning is PURE INTEGER (msb position via length(bin(v)),
+    shift, mask) — no log() float whose last-ulp could flip a bucket
+    between engines — so an external SQL oracle reproduces the sketch
+    bit-exactly. Output: (group..., p, m, cnt, lower) where [lower,
+    next-bucket-lower) is the bucket's value range. Non-positive
+    values are dropped (log scale; shift negatives into range
+    upstream).
+
+    Scale: one partial-aggregated groupBy — the exchange carries at
+    most #groups * #buckets rows, never values."""
+    if sub_bits < 0:
+        raise ValueError(f"sub_bits must be >= 0, got {sub_bits}")
+    g = list(group_cols or [])
+    v = F.col(value_col).cast("bigint")
+    p = (F.length(F.bin(v)) - 1).alias("p")
+    shift = F.greatest(F.col("p") - sub_bits, F.lit(0))
+    binned = (
+        df.where(v > 0)
+        .select(*g, v.alias("_v"), p)
+        .withColumn("_sh", shift)
+        # pyspark's shiftright/shiftleft only take a literal bit count;
+        # the SQL functions accept a column-valued shift
+        .withColumn("m", F.expr("shiftright(_v, _sh)"))
+    )
+    return (
+        binned.groupBy(*g, "p", "m", "_sh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("lower", F.expr("shiftleft(m, _sh)"))
+        .drop("_sh")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    group_cols: list[str] | None = None,
+    probs_pct: list[int] = (50, 90, 99),
+) -> DataFrame:
+    """Quantile estimates from a :func:`log2_histogram`: for each
+    integer percentile in ``probs_pct``, the lower bound of the first
+    bucket whose cumulative count reaches that fraction of the group
+    total. The crossing test is ``cum * 100 >= pct * N`` — all-integer
+    arithmetic, so estimates are engine-exact, never a float epsilon
+    away from flipping a bucket.
+
+    Scale: the window runs over the SKETCH (<= ~512 rows per group),
+    not the data; output is one row per group."""
+    from pyspark.sql import Window
+
+    g = list(group_cols or [])
+    w = (
+        Window.partitionBy(*g).orderBy("p", "m")
+        if g
+        else Window.partitionBy(F.lit(1)).orderBy("p", "m")
+    )
+    wt = (
+        Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
+    )
+    c = hist.withColumn("_cum", F.sum("cnt").over(w)).withColumn(
+        "_n", F.sum("cnt").over(wt)
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_cum") * 100 >= F.lit(int(pct)) * F.col("_n"),
+                F.col("lower"),
+            )
+        ).alias(f"p{int(pct)}")
+        for pct in probs_pct
+    ]
+    return c.groupBy(*g).agg(
+        F.max("_n").cast("bigint").alias("n_values"), *aggs
+    )

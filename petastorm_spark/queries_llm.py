@@ -3188,6 +3188,46 @@ def assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges)
 
 
+@register(
+    "quantile_sketch_chars",
+    oracle="""
+    WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+               WHERE n_chars > 0),
+    b AS (SELECT source, v, length(bin(v)) - 1 AS p FROM v),
+    s AS (SELECT source, p, v >> greatest(p - 3, 0) AS m FROM b),
+    h AS (SELECT source, p, m, count(*) AS cnt,
+                 m << greatest(p - 3, 0) AS lower
+          FROM s GROUP BY source, p, m),
+    c AS (SELECT source, p, m, cnt, lower,
+                 sum(cnt) OVER (PARTITION BY source ORDER BY p, m) AS cum,
+                 sum(cnt) OVER (PARTITION BY source) AS n
+          FROM h)
+    SELECT source, CAST(max(n) AS BIGINT) AS n_values,
+           min(CASE WHEN cum * 100 >= 50 * n THEN lower END) AS p50,
+           min(CASE WHEN cum * 100 >= 90 * n THEN lower END) AS p90,
+           min(CASE WHEN cum * 100 >= 99 * n THEN lower END) AS p99
+    FROM c GROUP BY source
+    """,
+)
+def quantile_sketch_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p50/p90/p99 of document length from the log2
+    histogram quantile sketch — bounded-state (<=512 buckets/group),
+    mergeable, <= 12.5% relative error, and PURE-INTEGER binning so
+    the sketch is bit-exact across engines (t-digest/KLL are not).
+    The quantile member of the sketch family next to HLL / count-min /
+    KMV. Scale: one partial-agg groupBy carries buckets, never values;
+    the quantile window runs over the sketch. See
+    operators/sketch.log2_histogram / histogram_quantiles."""
+    from petastorm_spark.operators.sketch import (
+        histogram_quantiles,
+        log2_histogram,
+    )
+
+    d = _t_wide(spark, sf_dir, "documents").select("source", "n_chars")
+    h = log2_histogram(d, "n_chars", ["source"], sub_bits=3)
+    return histogram_quantiles(h, ["source"], probs_pct=[50, 90, 99])
+
+
 def _kcore_oracle(k: int = 3, rounds: int = 6) -> str:
     # every CTE is MATERIALIZED: each round references the previous one
     # three times (degree scan + two membership filters), so inlining

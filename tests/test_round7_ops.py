@@ -282,3 +282,63 @@ def test_label_propagation_rejects_bad_rounds(spark):
     e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
     with pytest.raises(ValueError, match="rounds must be"):
         label_propagation(e, rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# log2_histogram / histogram_quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_log2_histogram_buckets_and_bounds(spark):
+    from petastorm_spark.operators.sketch import log2_histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [1, 2, 3, 7, 8, 12, 100, 1000, 0, -5]], "v bigint"
+    )
+    h = {(r.p, r.m): (r.cnt, r.lower) for r in
+         log2_histogram(df, "v").collect()}
+    # values < sub-bit range get exact buckets; 0 and -5 are dropped
+    assert h[(0, 1)] == (1, 1)
+    assert h[(1, 2)] == (1, 2)
+    assert h[(1, 3)] == (1, 3)
+    assert h[(2, 7)] == (1, 7)
+    assert h[(3, 8)] == (1, 8)
+    assert h[(3, 12)] == (1, 12)
+    # 100 = 0b1100100: p=6, m = 100 >> 3 = 12, lower = 96 <= 100
+    assert h[(6, 12)] == (1, 96)
+    assert sum(c for c, _ in h.values()) == 8
+
+
+def test_histogram_quantiles_bounded_relative_error(spark):
+    from petastorm_spark.operators.sketch import (
+        histogram_quantiles,
+        log2_histogram,
+    )
+
+    vals = list(range(1, 2001))
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    h = log2_histogram(df, "v")
+    row = histogram_quantiles(h, probs_pct=[50, 90, 99]).collect()[0]
+    assert row.n_values == 2000
+    for pct, got in ((50, row.p50), (90, row.p90), (99, row.p99)):
+        true = vals[int(len(vals) * pct / 100) - 1]
+        assert got <= true  # lower-bound estimator never overshoots
+        assert got >= true * 0.875 * 0.99  # <= 12.5% relative width
+
+
+def test_log2_histogram_merges_by_count_sum(spark):
+    from pyspark.sql import functions as F
+    from petastorm_spark.operators.sketch import log2_histogram
+
+    a = spark.createDataFrame([(v,) for v in range(1, 101)], "v bigint")
+    b = spark.createDataFrame([(v,) for v in range(50, 201)], "v bigint")
+    ha, hb = log2_histogram(a, "v"), log2_histogram(b, "v")
+    merged = (
+        ha.unionByName(hb)
+        .groupBy("p", "m", "lower")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = log2_histogram(a.unionByName(b), "v")
+    assert {(r.p, r.m, r.cnt, r.lower) for r in merged.collect()} == {
+        (r.p, r.m, r.cnt, r.lower) for r in direct.collect()
+    }

@@ -128,6 +128,7 @@ STUDY_QUERIES = [
     "assortativity_parts",
     "pagerank_personalized",
     "label_propagation_parts",
+    "quantile_sketch_chars",
 ]
 
 
