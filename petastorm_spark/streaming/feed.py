@@ -747,3 +747,25 @@ def next_event_stream(
     return ordered.groupBy(user_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def log2_histogram_stream(
+    events: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    sub_bits: int = 3,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.sketch.log2_histogram`:
+    maintain the octave+mantissa quantile-sketch buckets over a
+    continuous feed — per-group state CAPPED at ~64 * 2^sub_bits
+    cells no matter how many values arrive (exact streaming quantiles
+    grow without bound; this never does), completing the
+    streaming-twin set for the sketch family (HLL / count-min / KMV
+    twins above). Emit update/complete mode; read quantiles off a
+    snapshot with ``operators.sketch.histogram_quantiles``; merge
+    snapshots by summing per bucket. The binning is the same pure-
+    integer expression as the batch sketch, so availableNow over a
+    static dir reproduces it bucket-for-bucket (pinned by test)."""
+    from petastorm_spark.operators.sketch import log2_histogram
+
+    return log2_histogram(events, value_col, group_cols, sub_bits)

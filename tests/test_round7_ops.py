@@ -342,3 +342,35 @@ def test_log2_histogram_merges_by_count_sum(spark):
     assert {(r.p, r.m, r.cnt, r.lower) for r in merged.collect()} == {
         (r.p, r.m, r.cnt, r.lower) for r in direct.collect()
     }
+
+
+def test_log2_histogram_stream_matches_batch(spark, tmp_path_factory):
+    from petastorm_spark.operators.sketch import log2_histogram
+    from petastorm_spark.streaming.feed import (
+        log2_histogram_stream,
+        stream_dataset,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "n_chars")
+    d = str(tmp_path_factory.mktemp("l2h") / "docs")
+    docs.coalesce(1).write.parquet(d)
+    q = (
+        log2_histogram_stream(stream_dataset(spark, d), "n_chars", ["source"])
+        .writeStream.format("memory")
+        .queryName("l2h_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.source, r.p, r.m): (r.cnt, r.lower)
+        for r in spark.table("l2h_out").collect()
+    }
+    want = {
+        (r.source, r.p, r.m): (r.cnt, r.lower)
+        for r in log2_histogram(docs, "n_chars", ["source"]).collect()
+    }
+    assert got == want and len(want) > 0
