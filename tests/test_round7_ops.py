@@ -374,3 +374,38 @@ def test_log2_histogram_stream_matches_batch(spark, tmp_path_factory):
         for r in log2_histogram(docs, "n_chars", ["source"]).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_attribution_stream_custom_id_columns(spark, tmp_path_factory):
+    # round-6 advice: streams whose id column isn't named event_id must
+    # work via left_id_col / right_id_col
+    from pyspark.sql import functions as F
+    from petastorm_spark.streaming.feed import (
+        attribution_stream,
+        stream_dataset,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    renamed = ev.withColumnRenamed("event_id", "evt")
+    d = str(tmp_path_factory.mktemp("attr7") / "events")
+    renamed.coalesce(1).write.parquet(d)
+    s = stream_dataset(spark, d)
+    q = (
+        attribution_stream(
+            s.where(F.col("event_type") == "click"),
+            s.where(F.col("event_type") == "purchase"),
+            window="30 minutes",
+            watermark="2 hours",
+            left_id_col="evt",
+            right_id_col="evt",
+        )
+        .writeStream.format("memory")
+        .queryName("attr7_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("attr7_out").collect()
+    assert len(rows) > 0
+    assert {"left_id", "right_id"} <= set(spark.table("attr7_out").columns)
