@@ -807,8 +807,10 @@ def connected_components(
     beyond any real corpus. Labels are monotone non-increasing and the
     unique fixpoint assigns every node its component minimum, so the
     result is deterministic regardless of execution order. Each round
-    persists the new label table, materializes it via the convergence
-    check, and unpersists the previous one, keeping lineage flat.
+    cuts the new label table with an eager ``localCheckpoint`` (the
+    pointer-jump references its input twice, so anything short of a
+    plan cut grows the logical plan 2^rounds-fold) and the convergence
+    check reads the checkpointed table.
 
     Convergence check: labels are per-node monotone non-increasing
     (the self-loop puts a node's own label in every min, and pointer
@@ -896,7 +898,16 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         # pointer jumping: every label value is itself a node id, so
-        # rewriting through the label table halves remaining chains
+        # rewriting through the label table halves remaining chains.
+        # The round is cut with an EAGER localCheckpoint, not persist:
+        # jumped references nb TWICE, so with persist the LOGICAL plan
+        # doubles per round (2^rounds nodes) and every downstream
+        # reference — including canonicalize_by's two reads of the
+        # returned cluster table — pays exponential re-analysis even
+        # though execution hits the cache (measured: the survivors
+        # plan of dedup_keep_best at sf1 carried 22,902
+        # InMemoryTableScans and took 74s of pure planning; with the
+        # checkpoint cut it is flat). Same lesson as graph.py:239.
         jumped = (
             nb.alias("x")
             .join(
@@ -906,7 +917,7 @@ def connected_components(
                 F.col("x.label") == F.col("_ln"),
             )
             .select(F.col("x.a").alias("a"), F.col("_l2").alias("label"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         if numeric_ids:
             cur_sum = _label_sum(jumped)
