@@ -148,7 +148,7 @@ def bpe_learn(
     num_merges: int = 8,
     min_freq: int = 2,
     local_threshold: int = 200_000,
-    merges_per_round: int = 16,
+    merges_per_round: int = 1,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``num_merges`` BPE merges from a corpus. Returns
     ``(merges, vocab)`` — merges as [(left, right, pair_freq)] in
@@ -181,11 +181,14 @@ def bpe_learn(
     batched-greedy semantics; a conflicting pair is deferred and
     recounted next round), so against classic one-merge-per-round BPE
     the learned ORDER can differ while each recorded freq is the true
-    pre-round count. ``merges_per_round=1`` reproduces classic BPE
-    exactly (pinned by test); the default batch turns learning M
-    merges into O(M/16) job rounds instead of M sequential
-    driver round-trips — the difference between 100k merges being
-    3 days of job latency and an afternoon.
+    pre-round count. The DEFAULT is ``merges_per_round=1`` — classic
+    sequential BPE, bit-identical to the driver fast path, so the
+    auto-selected path never changes the learned merges when the
+    vocabulary size crosses ``local_threshold``. Batching is opt-in:
+    ``merges_per_round=16`` turns learning M merges into O(M/16) job
+    rounds instead of M sequential driver round-trips — the
+    difference between 100k merges being 3 days of job latency and an
+    afternoon — at the cost of the batched-greedy order above.
     """
     from pyspark import StorageLevel
 

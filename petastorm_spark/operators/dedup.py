@@ -193,12 +193,17 @@ def lsh_candidate_pairs(
             "signature rows would otherwise be silently dropped from banding"
         )
     rows_per_band = num_hashes // bands
+    # 8-byte xxhash64 band hashes, not md5 hex: the full band-hash
+    # array rides EVERY exploded bucket row through the self-join for
+    # first-match emission, so a 32-char hex string per band would
+    # grow the bucket-stage shuffle payload ~bands x 32 bytes per row;
+    # the emitted pair set is identical to any other injective band
+    # hash (the DuckDB oracles use md5 over the same minhash concat —
+    # equality of either hash <=> equality of the band's values)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.md5(F.concat_ws(",", *[p.cast("string") for p in parts]))
-        )
+        band_cols.append(F.xxhash64(*parts))
     # posexplode_outer, not posexplode: the non-outer generate invites
     # InferFiltersFromGenerate to push a size()>0 filter into the
     # projection that builds the array, re-inlining the band-hash md5s

@@ -81,6 +81,17 @@ def pagerank(
             seed_set = sorted(set(seeds))
             if not seed_set:
                 raise ValueError("pagerank: seeds must be non-empty when given")
+            # a seed absent from the graph would silently contribute
+            # nothing — restart mass would sum to < 1 and ranks would
+            # no longer form a probability distribution; fail loudly
+            # instead (one filtered count over the cached node table)
+            n_present = nodes.where(F.col("node").isin(seed_set)).count()
+            if n_present < len(seed_set):
+                raise ValueError(
+                    f"pagerank: {len(seed_set) - n_present} of "
+                    f"{len(seed_set)} seeds are not nodes of the edge "
+                    "list; drop them or fix the seed ids"
+                )
             s_col = F.when(
                 F.col("node").isin(seed_set), F.lit(1.0 / len(seed_set))
             ).otherwise(F.lit(0.0))

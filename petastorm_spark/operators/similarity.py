@@ -1017,6 +1017,12 @@ def embedding_centroids(
     partially-aggregated (group, dim) mean — sums combine map-side, so
     the exchange carries one row per (group, dim), never per vector;
     re-packing sorts each group's ``dim`` rows, a per-group constant.
+
+    Each dimension's sum divides by that DIMENSION's own value count,
+    so vectors with null elements or ragged lengths yield the mean of
+    the values actually present per dimension instead of silently
+    skewing every dimension by a shared divisor; ``n_vecs`` reports
+    the max per-dim count (= the vector count on well-formed input).
     """
     exploded = df.select(
         F.col(group_col),
@@ -1025,21 +1031,25 @@ def embedding_centroids(
         ).alias("_pos", "_val"),
     )
     per_dim = exploded.groupBy(group_col, "_pos").agg(
-        F.sum("_val").alias("_sum"), F.count(F.lit(1)).alias("_n")
+        F.sum("_val").alias("_sum"), F.count("_val").alias("_n")
     )
     packed = per_dim.groupBy(group_col).agg(
         (F.max("_n")).alias("n_vecs"),
         F.transform(
             F.array_sort(
-                F.collect_list(F.struct(F.col("_pos"), F.col("_sum")))
+                F.collect_list(
+                    F.struct(F.col("_pos"), F.col("_sum"), F.col("_n"))
+                )
             ),
-            lambda s: s.getField("_sum"),
-        ).alias("_sums"),
+            lambda s: F.struct(
+                s.getField("_sum").alias("s"), s.getField("_n").alias("n")
+            ),
+        ).alias("_dims"),
     )
     return packed.select(
         F.col(group_col),
         F.col("n_vecs").cast("bigint").alias("n_vecs"),
         F.transform(
-            F.col("_sums"), lambda s: s / F.col("n_vecs")
+            F.col("_dims"), lambda s: s.getField("s") / s.getField("n")
         ).alias("centroid"),
     )
