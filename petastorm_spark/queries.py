@@ -21,13 +21,29 @@ from pyspark.sql import functions as F
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
+ROWS_ONLY: set[str] = set()
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, rows_only: bool = False):
+    """Register a query. Every query MUST either carry a DuckDB
+    ``oracle`` SQL string (the value-level correctness gate) or
+    explicitly declare ``rows_only=True`` (reserved for genuinely
+    non-SQL-expressible ops — iterative algorithms with data-dependent
+    round counts — which the driver then checks rows-only). Enforced
+    here and by tests/test_registry_contract.py, so a query can never
+    silently skip the oracle gate."""
+    if (oracle is None) == (not rows_only):
+        raise ValueError(
+            f"query {name!r} must have exactly one of an oracle or an "
+            "explicit rows_only=True declaration"
+        )
+
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
+        else:
+            ROWS_ONLY.add(name)
         return fn
 
     return deco

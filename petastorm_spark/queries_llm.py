@@ -2988,7 +2988,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_classifier_score(d, "text", "doc_id", n_features=1024, seed=0)
 
 
-@register("bpe_merges")  # iterative (each argmax depends on the prior
+@register("bpe_merges", rows_only=True)  # iterative (each argmax depends on the prior
 # merge) -> genuinely non-SQL-expressible; rows-only driver check,
 # value-pinned by the pure-Python differential in tests/test_round6b_ops.py
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

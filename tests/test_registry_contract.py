@@ -1,0 +1,69 @@
+"""Structural contract over the whole query registry.
+
+The driver's correctness harness canonicalizes results in pandas by
+sorting every column and hashing cell values; array / map / struct
+cells are unhashable there and red-row a query even when its values
+are hash-exact against the oracle (the round-6 ``inverted_index_terms``
+lesson). And a query registered without an oracle silently downgrades
+to a rows-only check. Both traps are structural, so this test makes
+them impossible to reintroduce:
+
+1. every registered query's OUTPUT schema is scalar-only (built at
+   sf0.001 — analysis only, nothing executed for lazy queries);
+2. every query either has a DuckDB oracle or an explicit
+   ``rows_only=True`` declaration (also enforced at registration);
+3. the declared rows-only set stays the known, reviewed list.
+
+tools/audit_schemas.py is the standalone-CLI twin of check (1).
+"""
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from petastorm_spark.queries import ORACLE, QUERIES, ROWS_ONLY
+
+NON_SCALAR = (T.ArrayType, T.MapType, T.StructType)
+
+# genuinely non-SQL-expressible ops, each value-pinned by a
+# differential test instead (see the registration-site comments)
+KNOWN_ROWS_ONLY = {"bpe_merges"}
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_every_query_schema_is_driver_hashable(spark):
+    bad: dict[str, list[str]] = {}
+    errs: dict[str, str] = {}
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, SF_DIR)
+        except Exception as e:  # noqa: BLE001 - collect, don't stop
+            errs[name] = f"{type(e).__name__}: {e}"
+            continue
+        cols = [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, NON_SCALAR)
+        ]
+        if cols:
+            bad[name] = cols
+    assert not errs, f"queries failed to build: {errs}"
+    assert not bad, (
+        "non-scalar output columns would red-row these queries in the "
+        f"driver harness (flatten via array_join / one column per dim): {bad}"
+    )
+
+
+def test_every_query_has_oracle_or_explicit_rows_only():
+    missing = set(QUERIES) - set(ORACLE) - ROWS_ONLY
+    assert not missing, (
+        f"queries with neither an oracle nor rows_only=True: {sorted(missing)}"
+    )
+    # rows-only must be a deliberate, reviewed choice
+    assert ROWS_ONLY == KNOWN_ROWS_ONLY, (
+        "rows-only set changed; if the new op is genuinely "
+        "non-SQL-expressible, add a differential test and update "
+        f"KNOWN_ROWS_ONLY: {sorted(ROWS_ONLY ^ KNOWN_ROWS_ONLY)}"
+    )
+    # an oracle for an unregistered query is dead weight
+    assert set(ORACLE) <= set(QUERIES)
