@@ -167,7 +167,7 @@ def measure_reader_throughput(spark, image_codec: str = "png") -> dict:
     )
     from petastorm_spark.etl.dataset_metadata import materialize_dataset
     from petastorm_spark.reader import make_reader
-    from petastorm_spark.unischema import Unischema, UnischemaField, dict_to_spark_row
+    from petastorm_spark.unischema import Unischema, UnischemaField
 
     # "raw0": NdarrayCodec — the same np.save container bytes the r1/r2
     # "png" runs measured before real image codecs landed. (Until r4 the
@@ -185,21 +185,36 @@ def measure_reader_throughput(spark, image_codec: str = "png") -> dict:
     url = tempfile.mkdtemp(prefix="bench_hello_") + "/ds"
     rng = np.random.default_rng(0)
     n_rows = 300  # reader loops epochs; 300 rows x 98 KB keeps setup fast
-    rows = [
-        dict_to_spark_row(
-            schema,
-            {
-                "id": i,
-                "image": rng.integers(0, 255, (128, 256, 3), dtype=np.uint8),
-            },
-        )
-        for i in range(n_rows)
-    ]
+    # Encode driver-side and ship via the Arrow createDataFrame path: a
+    # plain Row-list createDataFrame parallelizes through pyspark.daemon
+    # — at local[32] that forks 32 workers (~58 MB each once warm) that
+    # stay resident for the session and were billed to the reader's
+    # rss_iter column (measured: 2.42 GB "iteration tier" of which
+    # 1.9 GB was these write-side workers). The pandas->Arrow path does
+    # the conversion in this process and ships record batches straight
+    # to the JVM: zero python workers, so the RSS sample below measures
+    # the reader, not dataset-setup residue.
+    import pandas as pd
+
+    img_field = schema.fields["image"]
+    pdf = pd.DataFrame(
+        {
+            "id": pd.array(range(n_rows), dtype="int32"),
+            "image": [
+                img_codec.encode(
+                    img_field,
+                    rng.integers(0, 255, (128, 256, 3), dtype=np.uint8),
+                )
+                for i in range(n_rows)
+            ],
+        }
+    )
     try:
         with materialize_dataset(spark, url, schema, row_group_size_mb=8):
-            spark.createDataFrame(rows, schema.as_spark_schema()).repartition(
+            spark.createDataFrame(pdf, schema.as_spark_schema()).repartition(
                 4
             ).write.mode("overwrite").parquet(url)
+        del pdf
 
         from petastorm_spark.benchmark.procstats import (
             cpu_percent,
@@ -251,6 +266,24 @@ def main() -> None:
     extra = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n]
     names += [n for n in extra if n in QUERIES and n not in names]
 
+    # The reader bench runs FIRST — before even the query warmup: its
+    # RSS columns are meant to measure the READER (the BASELINE.md
+    # comparison), and every Arrow/Python-UDF stage the ~95 queries
+    # run (warmup included) leaves resident pyspark.daemon workers in
+    # the process tree — measured, they inflated reader_rss_iter_mb to
+    # 2.45 GB for a reader whose own iteration tier is a few hundred
+    # MB. Throughput is unaffected by the order (the reader tier is
+    # its own pyarrow/thread-pool path, JIT-independent of query
+    # codegen, with its own warmup reads).
+    if os.environ.get("SPARK_GRAFT_SKIP_READER_BENCH"):
+        png_stats = raw0_stats = {}
+    else:
+        png_stats = measure_reader_throughput(spark, "png")
+        # r1/r2-continuity run: same protocol, RAW0 container payloads
+        raw0_stats = measure_reader_throughput(spark, "raw0")
+    reader_rate = png_stats.get("samples_per_sec")
+    reader_rate_raw0 = raw0_stats.get("samples_per_sec")
+
     # Warmup: run every headline query once at the smallest SF so JVM
     # JIT / codegen compilation is excluded from the timed runs (same
     # spirit as the reference harness's warmup reads). Timed runs below
@@ -299,15 +332,6 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
         medians[name] = round(sorted(runs)[len(runs) // 2], 3)
-
-    if os.environ.get("SPARK_GRAFT_SKIP_READER_BENCH"):
-        png_stats = raw0_stats = {}
-    else:
-        png_stats = measure_reader_throughput(spark, "png")
-        # r1/r2-continuity run: same protocol, RAW0 container payloads
-        raw0_stats = measure_reader_throughput(spark, "raw0")
-    reader_rate = png_stats.get("samples_per_sec")
-    reader_rate_raw0 = raw0_stats.get("samples_per_sec")
 
     total = round(sum(timings.values()), 3)
     print(

@@ -45,6 +45,21 @@ def get_spark(app_name: str = "petastorm_spark", cpus: int | None = None) -> Spa
         # subset co-partitioning — see ensure_session_confs
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
+    # Long sessions accumulate resident pyspark.daemon workers: with
+    # worker reuse every Arrow/Python-UDF stage can leave up to
+    # `cpus` idle forked workers (~50-80 MB each once pandas is
+    # loaded) pooled for the session's lifetime — ~2 GB at local[32]
+    # after a full bench sweep. Spark 4's idleWorkerMaxPoolSize caps
+    # that pool. Opt-in (env) rather than default: a cap makes every
+    # later UDF stage re-fork + re-import pandas for the workers it
+    # evicted, a wall-cost-per-stage vs resident-memory trade the
+    # user should choose (on a real cluster it's per-executor, where
+    # ~5 cores means ~5 workers and the default is fine).
+    idle_pool = os.environ.get("SPARK_GRAFT_PY_IDLE_POOL")
+    if idle_pool:
+        builder = builder.config(
+            "spark.python.factory.idleWorkerMaxPoolSize", idle_pool
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
