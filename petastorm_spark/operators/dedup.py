@@ -13,9 +13,10 @@ Scale design notes (100 TB):
   - simhash: pure map + one small agg; near-dup PAIRS via banded
     self-join on fingerprint bit-bands (simhash_dup_pairs) — pigeonhole
     makes the bucket join exact for hamming <= bands-1;
-  - jaccard pairs: inverted-index self-join on shingles — quadratic in
-    per-shingle posting length; always run it AFTER LSH/banding has cut
-    candidates (the exposed query keeps a selective shingle set).
+  - jaccard pairs: EXACT similarity join via prefix-filtered inverted
+    indexing (PPJoin family): only each doc's rarest-first prefix is
+    indexed, so hub shingles never drive the join; candidates verified
+    on the full sets.
 """
 
 from __future__ import annotations
@@ -598,36 +599,126 @@ def jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    postings_budget_per_core: int = 50_000_000,
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard >= threshold, via an
-    inverted-index self-join (only pairs sharing >= 1 shingle are ever
-    materialized)."""
-    sh = exploded_shingles(df, text_col, id_col, shingle_n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+    """EXACT all-pairs shingle-set Jaccard >= ``threshold``,
+    scale-adaptive between two lossless plans.
+
+    The decision statistic is sum(df^2) over the shingle document
+    frequencies — the EXACT row count of a postings self-join — read
+    with one vocab-sized aggregate over a map-only shingle pass:
+
+    - ``sum(df^2) <= postings_budget_per_core * defaultParallelism``:
+      postings-count join (inverted index joined on the shingle,
+      intersection = codegen'd count per pair, sizes broadcast onto
+      the aggregated pair table). Highest throughput per joined row
+      (~0.1 us measured: 1.1e9-row join in 89s on 32 cores), but the
+      volume is quadratic in df — ONE boilerplate shingle in 1M docs
+      is 10^12 rows on its own, which is what the budget guards at
+      100 TB. The default budget ~= 5 s/core of pure join work.
+    - over budget: prefix-filtered index + set verify (the PPJoin
+      family — Xiao et al., "Efficient Similarity Joins for Near
+      Duplicate Detection", WWW'08). Shingles get a single global
+      canonical order (ascending df, ties by value) and each doc
+      indexes only its first ``n - ceil(t*n) + 1`` shingles in that
+      order: a pair with J >= t must share a prefix shingle (sharing
+      none of either prefix caps overlap at ``ceil(t*n) - 1 < t*n <=
+      t*|union|``), so the prefix join is lossless. Rare-first
+      ordering keeps hub shingles out of prefixes — join volume drops
+      from sum(df^2) to sum(df_prefix^2) over the rare ones — and
+      candidates verify on the full sets. At ~8 us per candidate
+      (array_intersect of string arrays) this only pays where
+      prefixes genuinely prune, i.e. Zipfian vocabularies whose tail
+      is rare — which is exactly the hub regime the budget detects.
+      On the bounded fixtures the postings plan wins outright
+      (13s vs 57s at sf1-organic), so the prefix path is the safety
+      valve, not the default. Prefix length uses exact decimal
+      arithmetic: float ceil(0.8 * 5) = ceil(4.000000000000001)
+      would shorten the prefix and silently DROP true pairs.
+
+    Set ``postings_budget_per_core=0`` to force the prefix plan."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    out_cols = ["id_a", "id_b", F.round("_j", 4).alias("jaccard")]
+    budget = postings_budget_per_core * df.sparkSession.sparkContext.defaultParallelism
+    if budget > 0:
+        sh0 = exploded_shingles(df, text_col, id_col, shingle_n)
+        join_rows = sh0.groupBy("sh").agg(
+            F.count(F.lit(1)).alias("_df")
+        ).agg(F.sum(F.col("_df") * F.col("_df"))).collect()[0][0]
+        if join_rows is not None and join_rows <= budget:
+            sizes = sh0.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+            a = sh0.alias("a")
+            b = sh0.alias("b")
+            inter = (
+                a.join(
+                    b,
+                    (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                )
+                .groupBy(
+                    F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                )
+                .agg(F.count(F.lit(1)).alias("_i"))
+            )
+            # no broadcast HINT: the sizes table is doc-count-sized and a
+            # forced broadcast would OOM at 1e9 docs — AQE broadcasts it
+            # when it is actually small
+            sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("_na"))
+            sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("_nb"))
+            return (
+                inter.join(sa, "id_a")
+                .join(sb, "id_b")
+                .withColumn(
+                    "_j", F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i"))
+                )
+                .where(F.col("_j") >= threshold)
+                .select(*out_cols)
+            )
+    sets_df = shingle_sets(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+    sh = sets_df.select(
+        F.col(id_col),
+        F.size("sh_set").alias("_n"),
+        F.explode("sh_set").alias("sh"),
+    )
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    p_len = (
+        F.col("_n")
+        - F.ceil(F.lit(threshold).cast("decimal(12,8)") * F.col("_n"))
+        + 1
+    )
+    prefix = (
+        sh.join(dfreq, "sh")
         .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("_df", "sh")
+            ),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .where(F.col("_rn") <= p_len)
+        .select(F.col(id_col), "sh")
+    )
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "sh")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "sh"), "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sa"))
+    sb = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_j", jac)
+        .where(F.col("_j") >= threshold)
+        .select(*out_cols)
     )
 
 

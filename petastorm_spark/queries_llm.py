@@ -209,10 +209,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-shingle Jaccard >= 0.8 near-dup pairs via inverted-index
-    self-join. The 500 copy pairs score exactly 1.0. Scale: postings
-    join — run after LSH banding in a real pipeline (see SURVEY §7
-    phase 6 notes in dedup.py)."""
+    """3-shingle Jaccard >= 0.8 near-dup pairs, EXACT, via
+    prefix-filtered inverted indexing (PPJoin) — only each doc's
+    rarest ~(1-t)n+1 shingles are indexed, so hub shingles never
+    drive the self-join; candidates verify on the full sets. The 500
+    copy pairs score exactly 1.0. See operators/dedup.jaccard_pairs."""
     from petastorm_spark.operators.dedup import jaccard_pairs
 
     return jaccard_pairs(

@@ -74,6 +74,52 @@ def test_jaccard_exact_pair_is_one(docs):
     assert (1, 4) not in out
 
 
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+@pytest.mark.parametrize("budget", [0, 10_000_000])
+def test_jaccard_both_plans_are_lossless(spark, threshold, budget):
+    # Both adaptive plans — postings-count join (budget high) and the
+    # PPJoin prefix index (budget=0 forces it) — must emit EXACTLY the
+    # brute-force answer at every threshold. A too-short prefix
+    # silently drops true pairs, which is the failure mode of float
+    # ceil(t*n). Randomized corpus with heavy shingle overlap to
+    # stress the filter.
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(20)]
+    corpus = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(40)
+    ]
+
+    def sh_set(text, n=3):
+        t = text.split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    expected = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(corpus, 2):
+        a, b = sh_set(ta), sh_set(tb)
+        if not a or not b:
+            continue
+        j = len(a & b) / len(a | b)
+        if j >= threshold:
+            expected[(ia, ib)] = round(j, 4)
+
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            df,
+            "text",
+            "doc_id",
+            threshold=threshold,
+            postings_budget_per_core=budget,
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_simhash_near_dup_close(docs):
     sh = {r.doc_id: r.simhash for r in simhash(docs, "text", "doc_id").collect()}
     def ham(a, b):

@@ -62,6 +62,7 @@ STUDY_QUERIES = [
     "cap_per_source",
     "embedding_quantize",
     "dedup_containment_pairs",
+    "dedup_jaccard_pairs",
     "curate_corpus_docs",
     "boilerplate_ngrams",
     "dedup_substring_windows",
@@ -166,6 +167,7 @@ ORGANIC_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_near_pairs",
     "dedup_containment_pairs",
+    "dedup_jaccard_pairs",
     "dedup_edit_pairs",
     "dedup_simhash_pairs",
     "dedup_clusters",
@@ -227,6 +229,9 @@ def patch(
     with open(out_md) as f:
         text = f.read()
     lines = text.split("\n")
+    # the organic section repeats query names — main-table row search
+    # must stop before it
+    main_end = lines.index(ORGANIC_BEGIN) if ORGANIC_BEGIN in lines else len(lines)
     for name, row in results.items():
         ratio = row[2] / row[1] if row[1] else float("nan")
         c = counts[name]
@@ -235,14 +240,44 @@ def patch(
             + " | ".join(f"{x:.2f}s" for x in row)
             + f" | {ratio:.1f}x | {c[1]:,} -> {c[2]:,} |"
         )
-        hits = [i for i, ln in enumerate(lines) if ln.startswith(f"| {name} | ")]
-        if len(hits) != 1:
-            sys.exit(f"patch: expected exactly one row for {name}, got {len(hits)}")
-        lines[hits[0]] = new
+        hits = [
+            i
+            for i, ln in enumerate(lines[:main_end])
+            if ln.startswith(f"| {name} | ")
+        ]
+        if len(hits) > 1:
+            sys.exit(f"patch: expected at most one row for {name}, got {len(hits)}")
+        if hits:
+            lines[hits[0]] = new
+        else:  # newly added study query: append to the main table
+            hdr = next(
+                i for i, ln in enumerate(lines) if ln.startswith("| query | sf0.01")
+            )
+            end = next(i for i in range(hdr, len(lines)) if lines[i] == "")
+            lines.insert(end, new)
+            main_end += 1
     if organic_lines:
         if ORGANIC_BEGIN in lines:
+            # merge row-by-row: a partial --only run must not drop the
+            # organic rows it did not re-measure
             b, e = lines.index(ORGANIC_BEGIN), lines.index(ORGANIC_END)
-            lines[b : e + 1] = organic_lines
+            for new in organic_lines:
+                if not new.startswith("| ") or new.startswith("| query |"):
+                    continue
+                name = new.split("|")[1].strip()
+                hits = [
+                    i
+                    for i in range(b, e)
+                    if lines[i].startswith(f"| {name} | ")
+                ]
+                if hits:
+                    lines[hits[0]] = new
+                else:
+                    tbl_end = max(
+                        i for i in range(b, e) if lines[i].startswith("| ")
+                    )
+                    lines.insert(tbl_end + 1, new)
+                    e += 1
         else:
             # append before the trailing "Interpretation" block
             anchor = lines.index("Interpretation:")
