@@ -104,8 +104,10 @@ def collect_rowgroup_counts(
                         ns.append(_pq.ParquetFile(fh).metadata.num_row_groups)
                 yield pd.DataFrame({"path": b["path"], "n": ns})
 
+        from petastorm_spark.session import arrow_local_df
+
         rows = (
-            spark.createDataFrame([(f,) for f in files], "path string")
+            arrow_local_df(spark, {"path": list(files)}, "path string")
             .repartition(min(len(files), 256))
             .mapInPandas(count_fn, "path string, n int")
             .collect()

@@ -200,8 +200,16 @@ def bpe_learn(
         words = dict(zip(pdf["word"].tolist(), (int(c) for c in pdf["count"])))
         merges, syms = _bpe_local(words, num_merges, min_freq)
         spark = df.sparkSession
-        out = spark.createDataFrame(
-            [(w, words[w], s) for w, s in syms.items()],
+        from petastorm_spark.session import arrow_local_df
+
+        ws = list(syms)
+        out = arrow_local_df(
+            spark,
+            {
+                "word": ws,
+                "count": [words[w] for w in ws],
+                "syms": [syms[w] for w in ws],
+            },
             "word string, count bigint, syms array<string>",
         )
         return merges, out

@@ -171,6 +171,24 @@ def minhash_signatures(
     )
 
 
+def _band_hash_exprs(num_hashes: int, bands: int) -> list[Column]:
+    """One xxhash64 Column per LSH band over the mh_* signature
+    columns (shared by the self-join pair generator and the persistent
+    index builder, so both produce identical buckets)."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); trailing "
+            "signature rows would otherwise be silently dropped from banding"
+        )
+    rows_per_band = num_hashes // bands
+    return [
+        F.xxhash64(
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        for b in range(bands)
+    ]
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
@@ -188,12 +206,6 @@ def lsh_candidate_pairs(
     pair-stage shuffle ~``bands``-fold and removes the distinct
     exchange entirely; the emitted SET is identical, so downstream
     verify / oracle parity is unchanged."""
-    if num_hashes % bands:
-        raise ValueError(
-            f"bands ({bands}) must divide num_hashes ({num_hashes}); trailing "
-            "signature rows would otherwise be silently dropped from banding"
-        )
-    rows_per_band = num_hashes // bands
     # 8-byte xxhash64 band hashes, not md5 hex: the full band-hash
     # array rides EVERY exploded bucket row through the self-join for
     # first-match emission, so a 32-char hex string per band would
@@ -201,10 +213,7 @@ def lsh_candidate_pairs(
     # the emitted pair set is identical to any other injective band
     # hash (the DuckDB oracles use md5 over the same minhash concat —
     # equality of either hash <=> equality of the band's values)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.xxhash64(*parts))
+    band_cols = _band_hash_exprs(num_hashes, bands)
     # posexplode_outer, not posexplode: the non-outer generate invites
     # InferFiltersFromGenerate to push a size()>0 filter into the
     # projection that builds the array, re-inlining the band-hash md5s
@@ -230,6 +239,152 @@ def lsh_candidate_pairs(
         .where(F.col("a.band") == first_match)
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persistent LSH signature index: build once over the corpus, write
+# partitioned by bucket shard, then dedup every INCREMENTAL batch of new
+# documents against it with batch-sized work — the production shape of
+# near-dup dedup on a growing corpus (the near-dup complement of
+# incremental_exact_dedup's digest anti-join, and the text analog of the
+# persistent IVF index in operators/similarity.py).
+# ---------------------------------------------------------------------------
+
+
+def lsh_index_build(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    n_shards: int = 256,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the index tables: ``(buckets, signatures)``.
+
+    ``buckets`` is (id, band, bh, bh_shard) — one row per doc per band,
+    ``bh_shard = pmod(bh, n_shards)`` being the partition key the
+    persisted layout shards on. ``signatures`` is the (id, mh_0..mh_k)
+    MinHash table, kept for signature-agreement similarity estimates at
+    query time (no text is stored — candidates are verified against
+    signatures, and callers who need exact Jaccard join texts by id on
+    the emitted pairs).
+
+    Scale: one corpus scan (tokenize -> shingle -> 16 min-aggregates),
+    then a map to band hashes. Both outputs are corpus-row-scale."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = _band_hash_exprs(num_hashes, bands)
+    buckets = (
+        sigs.select(F.col(id_col), F.array(*band_cols).alias("_bhs"))
+        .select(id_col, F.posexplode_outer("_bhs").alias("band", "bh"))
+        .withColumn("bh_shard", F.pmod(F.col("bh"), F.lit(n_shards)).cast("int"))
+    )
+    return buckets, sigs
+
+
+def lsh_index_write(
+    index_url: str, buckets: DataFrame, signatures: DataFrame
+) -> None:
+    """Persist the index: buckets parquet PARTITIONED BY bh_shard (an
+    incremental batch's probe prunes to the shards its band hashes land
+    in), signatures id-keyed alongside."""
+    root = index_url.rstrip("/")
+    buckets.write.mode("overwrite").partitionBy("bh_shard").parquet(
+        root + "/buckets"
+    )
+    signatures.write.mode("overwrite").parquet(root + "/signatures")
+
+
+def lsh_index_append(
+    index_url: str, buckets: DataFrame, signatures: DataFrame
+) -> None:
+    """Fold a new batch into a persisted index (append-only parquet —
+    the batch was deduped against the index first, so appended ids are
+    the accepted survivors)."""
+    root = index_url.rstrip("/")
+    buckets.write.mode("append").partitionBy("bh_shard").parquet(
+        root + "/buckets"
+    )
+    signatures.write.mode("append").parquet(root + "/signatures")
+
+
+def lsh_index_read(spark, index_url: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted index: ``(buckets, signatures)``."""
+    root = index_url.rstrip("/")
+    return (
+        spark.read.parquet(root + "/buckets"),
+        spark.read.parquet(root + "/signatures"),
+    )
+
+
+def incremental_near_dup(
+    new_df: DataFrame,
+    index_buckets: DataFrame,
+    index_sigs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_est: float = 0.5,
+    n_shards: int = 256,
+    prune_shards: bool = True,
+) -> DataFrame:
+    """Near-dup matches of a NEW document batch against an existing
+    LSH index: (new_id, old_id, est_jaccard), where ``est_jaccard`` is
+    the MinHash agreement fraction — the unbiased Jaccard estimate
+    ``|{i: mh_i(new) = mh_i(old)}| / num_hashes`` (granularity
+    ``1/num_hashes``) — kept at or above ``min_est``. New ids must be
+    disjoint from indexed ids (they are different corpus generations).
+
+    Scale: work is BATCH-sized, never corpus-sized. The new batch is
+    signed and banded (one pass over the batch), then equi-joined to
+    the index on (band, bh). With ``prune_shards`` (default) the
+    batch's distinct ``bh_shard`` values — at most ``n_shards`` ints —
+    are pushed into the bucket scan as an ``isin`` filter, so a
+    parquet index written by :func:`lsh_index_write` reads only the
+    probed shards' directories (the same collected-probe pruning the
+    IVF index uses; for small batches that is a small fraction of the
+    corpus buckets). Candidate multiplicity is bounded by ``bands``,
+    and the estimate is two id-keyed joins against the signature
+    tables — no text is touched."""
+    new_buckets, new_sigs = lsh_index_build(
+        new_df, text_col, id_col, num_hashes, bands, shingle_n, n_shards
+    )
+    if prune_shards:
+        shards = sorted(
+            r.bh_shard
+            for r in new_buckets.select("bh_shard").distinct().collect()
+        )
+        index_buckets = index_buckets.where(F.col("bh_shard").isin(shards))
+    cand = (
+        new_buckets.select(F.col(id_col).alias("new_id"), "band", "bh")
+        .join(
+            index_buckets.select(F.col(id_col).alias("old_id"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .select("new_id", "old_id")
+        .distinct()  # multiplicity <= bands by construction
+    )
+    agree = sum(
+        (F.col(f"_a.mh_{i}") == F.col(f"_b.mh_{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    return (
+        cand.join(
+            new_sigs.select(F.col(id_col).alias("new_id"), "*").drop(id_col).alias("_a"),
+            "new_id",
+        )
+        .join(
+            index_sigs.select(F.col(id_col).alias("old_id"), "*").drop(id_col).alias("_b"),
+            "old_id",
+        )
+        .withColumn("_est", agree / F.lit(num_hashes))
+        .where(F.col("_est") >= min_est)
+        .select(
+            "new_id", "old_id", F.round("_est", 4).alias("est_jaccard")
         )
     )
 
@@ -858,9 +1013,17 @@ def _cc_local(spark, rows, id_a: str, id_b: str, id_type: str = "bigint") -> Dat
     sizes: dict = {}
     for lbl in label.values():
         sizes[lbl] = sizes.get(lbl, 0) + 1
-    out = [(n, lbl, sizes[lbl]) for n, lbl in label.items()]
-    return spark.createDataFrame(
-        out, f"doc_id {id_type}, cluster_id {id_type}, cluster_size bigint"
+    from petastorm_spark.session import arrow_local_df
+
+    nodes = list(label)
+    return arrow_local_df(
+        spark,
+        {
+            "doc_id": nodes,
+            "cluster_id": [label[n] for n in nodes],
+            "cluster_size": [sizes[label[n]] for n in nodes],
+        },
+        f"doc_id {id_type}, cluster_id {id_type}, cluster_size bigint",
     )
 
 

@@ -612,10 +612,14 @@ def train_kmeans_centroids(
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
     spark = corpus.sparkSession
     elem_type = corpus.schema[vec_col].dataType.elementType.simpleString()
-    rows = [
-        (i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    return spark.createDataFrame(rows, f"cell int, cent_vec array<{elem_type}>")
+    from petastorm_spark.session import arrow_local_df
+
+    cents = [[float(v) for v in c] for c in model.clusterCenters()]
+    return arrow_local_df(
+        spark,
+        {"cell": list(range(len(cents))), "cent_vec": cents},
+        f"cell int, cent_vec array<{elem_type}>",
+    )
 
 
 def normalize_embeddings(

@@ -658,8 +658,14 @@ def linear_classifier_score(
     if weights is not None and len(weights) > 10_000:
         # a map LITERAL this wide would bloat the plan itself; ship the
         # weight vector as a broadcast table and join on the bucket
-        wdf = df.sparkSession.createDataFrame(
-            [(int(k), float(v)) for k, v in weights.items()],
+        from petastorm_spark.session import arrow_local_df
+
+        wdf = arrow_local_df(
+            df.sparkSession,
+            {
+                "_bucket": [int(k) for k in weights],
+                "_wj": [float(v) for v in weights.values()],
+            },
             "_bucket bigint, _wj double",
         )
         t = t.join(F.broadcast(wdf), "_bucket", "left")

@@ -22,6 +22,10 @@ from petastorm_spark.queries import _t, _t_wide, register
 
 _COPY_SHIFT = 100_000
 
+# appended-tail mutation shared by the keep-best and incremental
+# near-dup fixtures: exact-dup-invisible, shingle-visible
+_TAIL = " extra appended tail tokens"
+
 # DuckDB token expression (parity with operators.text.tokens)
 _TOK = "string_split_regex(lower(trim(text)), '\\s+')"
 
@@ -351,6 +355,85 @@ def dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_with_mutated_copies(spark, sf_dir), "text", "doc_id",
         max_dist=10, num_hashes=16, bands=4, shingle_n=3,
     ).withColumn("edit_dist", F.col("edit_dist").cast("bigint"))
+
+
+def _incr_near_dup_oracle(
+    num_hashes: int = 16, bands: int = 4, min_est: float = 0.5
+) -> str:
+    from petastorm_spark.operators.dedup import MINHASH_MOD, cw_hash_pair_sql
+
+    h1, h2 = cw_hash_pair_sql("sh")
+    rows = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min(({h1} + {s} * {h2}) % {MINHASH_MOD}) AS mh_{s}"
+        for s in range(num_hashes)
+    )
+
+    def chain(sfx: str) -> str:
+        band_rows = "\nUNION ALL\n".join(
+            f"SELECT doc_id, {b} AS band, md5("
+            + " || ',' || ".join(
+                f"mh_{b * rows + r}::VARCHAR" for r in range(rows)
+            )
+            + f") AS bh FROM sig_{sfx}"
+            for b in range(bands)
+        )
+        return f"""
+    tok_{sfx} AS (SELECT doc_id, {_TOK} AS t FROM d_{sfx}),
+    sets_{sfx} AS (SELECT doc_id,
+                    list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             FROM tok_{sfx} WHERE len(t) >= 3),
+    sh_{sfx} AS (SELECT doc_id, unnest(s) AS sh FROM sets_{sfx}),
+    sig_{sfx} AS (SELECT doc_id, {mins} FROM sh_{sfx} GROUP BY doc_id),
+    bands_{sfx} AS ({band_rows})"""
+
+    agree = " + ".join(
+        f"(sn.mh_{i} = so.mh_{i})::INT" for i in range(num_hashes)
+    )
+    return f"""
+    WITH d_old AS (SELECT doc_id, text FROM documents),
+    d_new AS (SELECT doc_id + {_COPY_SHIFT} AS doc_id,
+                     text || '{_TAIL}' AS text FROM documents),
+    {chain("old").lstrip()},
+    {chain("new").lstrip()},
+    cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+             FROM bands_new n JOIN bands_old o
+               ON n.band = o.band AND n.bh = o.bh)
+    SELECT new_id, old_id,
+           round(({agree}) / {num_hashes}.0, 4) AS est_jaccard
+    FROM cand
+    JOIN sig_new sn ON sn.doc_id = new_id
+    JOIN sig_old so ON so.doc_id = old_id
+    WHERE ({agree}) / {num_hashes}.0 >= {min_est}
+    """
+
+
+@register("incremental_near_dup", oracle=_incr_near_dup_oracle())
+def incremental_near_dup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup: a new document batch (every doc re-issued
+    with an appended tail under a shifted id) deduped against the LSH
+    signature index of the existing corpus — the production shape of
+    near-dup on a growing corpus, batch-sized work against a persisted,
+    shard-pruned bucket table (lsh_index_write/read; persistence +
+    partition-pruning pinned by tests/test_llm_ops.py). Emits
+    (new_id, old_id, est_jaccard) where est_jaccard is the MinHash
+    agreement fraction, the unbiased Jaccard estimate. See
+    operators/dedup.incremental_near_dup."""
+    from petastorm_spark.operators.dedup import (
+        incremental_near_dup,
+        lsh_index_build,
+    )
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.select(
+        (F.col("doc_id") + _COPY_SHIFT).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TAIL)).alias("text"),
+    )
+    buckets, sigs = lsh_index_build(d, "text", "doc_id")
+    return incremental_near_dup(
+        new, buckets, sigs, "text", "doc_id", min_est=0.5
+    )
 
 
 @register(
@@ -3004,11 +3087,17 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t_wide(spark, sf_dir, "documents").select("text")
     merges, vocab = bpe_learn(d, "text", num_merges=8)
     vocab.unpersist()
-    rows = [
-        (i + 1, a, b, f) for i, (a, b, f) in enumerate(merges)
-    ]
-    return spark.createDataFrame(
-        rows, "rank int, left string, right string, freq bigint"
+    from petastorm_spark.session import arrow_local_df
+
+    return arrow_local_df(
+        spark,
+        {
+            "rank": [i + 1 for i in range(len(merges))],
+            "left": [a for a, _, _ in merges],
+            "right": [b for _, b, _ in merges],
+            "freq": [f for _, _, f in merges],
+        },
+        "rank int, left string, right string, freq bigint",
     )
 
 
@@ -4309,9 +4398,6 @@ def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1) - F.col("real_tokens") / F.col("padded_tokens"), 4
         ).alias("waste_frac"),
     )
-
-
-_TAIL = " extra appended tail tokens"
 
 _TAIL_DOCS_CTE = f"""
     WITH d AS (SELECT doc_id, text FROM documents

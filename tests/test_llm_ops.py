@@ -954,6 +954,72 @@ def test_ivf_persistent_index_matches_inline_and_prunes(spark, sf_dir, tmp_path)
     assert m and "cell" in m.group(1), plan[:2000]
 
 
+def test_lsh_index_roundtrip_incremental_and_prunes(spark, sf_dir, tmp_path):
+    """Persistent LSH index: build->write->read->incremental query must
+    (a) find every new doc's near-dup origin with est_jaccard 1.0 for
+    verbatim copies, (b) equal the in-memory index's result, and (c)
+    scan the parquet buckets with a partition filter on bh_shard."""
+    import re
+
+    from petastorm_spark.operators.dedup import (
+        incremental_near_dup,
+        lsh_index_append,
+        lsh_index_build,
+        lsh_index_read,
+        lsh_index_write,
+    )
+
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    batch1 = corpus.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )  # verbatim copies -> est 1.0
+
+    buckets, sigs = lsh_index_build(corpus, "text", "doc_id")
+    inline = {
+        (r.new_id, r.old_id): r.est_jaccard
+        for r in incremental_near_dup(
+            batch1, buckets, sigs, "text", "doc_id", min_est=0.5
+        ).collect()
+    }
+    # every copy matches its origin at agreement 1.0
+    for r in batch1.select("doc_id").collect():
+        assert inline.get((r.doc_id, r.doc_id - 100_000)) == 1.0
+
+    url = str(tmp_path / "lsh_index")
+    lsh_index_write(url, buckets, sigs)
+    b2, s2 = lsh_index_read(spark, url)
+    out = incremental_near_dup(batch1, b2, s2, "text", "doc_id", min_est=0.5)
+    got = {(r.new_id, r.old_id): r.est_jaccard for r in out.collect()}
+    assert got == inline and got
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # several scans appear (signatures have no partition filter); the
+    # BUCKETS scan must carry the bh_shard isin filter
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bh_shard" in f for f in filters), plan[:2000]
+
+    # append generation 2; a later batch must match docs of BOTH
+    # generations
+    nb, ns = lsh_index_build(batch1, "text", "doc_id")
+    lsh_index_append(url, nb, ns)
+    b3, s3 = lsh_index_read(spark, url)
+    batch2 = corpus.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200_000).alias("doc_id"), "text"
+    )
+    got2 = {
+        (r.new_id, r.old_id)
+        for r in incremental_near_dup(
+            batch2, b3, s3, "text", "doc_id", min_est=0.99
+        ).collect()
+    }
+    some = batch2.select("doc_id").collect()[0].doc_id
+    assert (some, some - 200_000) in got2  # generation 0
+    assert (some, some - 100_000) in got2  # generation 1
+
+
 def test_ivf_with_kmeans_centroids_recall_not_worse(spark, sf_dir):
     """k-means centroids plug into ivf_build/ivf_query and, on the
     clustered fixture, recall@5 vs exact top-k is at least as good as

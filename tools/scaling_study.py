@@ -63,6 +63,7 @@ STUDY_QUERIES = [
     "embedding_quantize",
     "dedup_containment_pairs",
     "dedup_jaccard_pairs",
+    "incremental_near_dup",
     "curate_corpus_docs",
     "boilerplate_ngrams",
     "dedup_substring_windows",
