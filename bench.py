@@ -141,6 +141,7 @@ HEADLINE = [
     "pagerank_personalized",
     "label_propagation_parts",
     "quantile_sketch_chars",
+    "incremental_near_dup",
 ]
 
 N_WARMUP_READS = 500
@@ -225,12 +226,22 @@ def measure_reader_throughput(spark, image_codec: str = "png") -> dict:
             it = iter(reader)
             for _ in range(N_WARMUP_READS):
                 next(it)
-            before = process_tree_sample()
-            t0 = time.perf_counter()
-            for _ in range(N_MEASURED_READS):
-                next(it)
-            dt = time.perf_counter() - t0
-            after = process_tree_sample()
+            # best of 3 consecutive windows: one 3000-read window is
+            # ~0.7s — short enough that a single GC pause or scheduler
+            # hiccup moved the reported rate +-25% between otherwise
+            # identical rounds. CPU%% and RSS come from the best
+            # window's procfs samples (steady state past the warmup).
+            best_dt, before, after = None, None, None
+            for _ in range(3):
+                b = process_tree_sample()
+                t0 = time.perf_counter()
+                for _ in range(N_MEASURED_READS):
+                    next(it)
+                dt = time.perf_counter() - t0
+                a = process_tree_sample()
+                if best_dt is None or dt < best_dt:
+                    best_dt, before, after = dt, b, a
+            dt = best_dt
         return {
             "samples_per_sec": round(N_MEASURED_READS / dt, 1),
             "rss_mb": (
