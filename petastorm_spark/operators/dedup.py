@@ -350,10 +350,15 @@ def incremental_near_dup(
     corpus buckets). Candidate multiplicity is bounded by ``bands``,
     and the estimate is two id-keyed joins against the signature
     tables — no text is touched."""
+    from pyspark import StorageLevel
+
     new_buckets, new_sigs = lsh_index_build(
         new_df, text_col, id_col, num_hashes, bands, shingle_n, n_shards
     )
     if prune_shards:
+        # the shard collect below materializes this batch-sized cache,
+        # so the candidate join does not re-sign the batch
+        new_buckets = new_buckets.persist(StorageLevel.MEMORY_AND_DISK)
         shards = sorted(
             r.bh_shard
             for r in new_buckets.select("bh_shard").distinct().collect()
