@@ -769,3 +769,74 @@ def log2_histogram_stream(
     from petastorm_spark.operators.sketch import log2_histogram
 
     return log2_histogram(events, value_col, group_cols, sub_bits)
+
+
+def incremental_near_dup_stream(
+    new_stream: DataFrame,
+    index_buckets: DataFrame,
+    index_sigs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.dedup.incremental_near_dup`:
+    an ingest firehose of NEW documents deduped online against the
+    persisted LSH index of the existing corpus — the accept/reject
+    gate in front of a growing training corpus, where the batch op is
+    the nightly compaction path.
+
+    Emits (new_id, old_id, est_jaccard): every incoming doc's
+    near-dup matches in the index at MinHash-agreement >= ``min_est``.
+
+    Shape: signing is a stateless MAP — the per-row
+    ``array_min(transform(...))`` signature formulation
+    (:func:`operators.dedup.minhash_row_exprs`, bit-identical to the
+    batch explode+groupBy signatures) — so the stream needs no
+    aggregation to build signatures; band rows then stream-static join
+    the index buckets on (band, bh), the index signatures join by
+    old_id for the agreement estimate, and the single streaming
+    aggregation collapses the <= ``bands``-fold candidate multiplicity
+    to one row per (new_id, old_id). State is one row per EMITTED
+    match (a doc's bands arrive in one micro-batch, so rows stabilize
+    immediately); run the sink in update mode. availableNow over a
+    static batch reproduces the batch op exactly (pinned by test)."""
+    from petastorm_spark.operators.dedup import (
+        _band_hash_exprs,
+        minhash_row_exprs,
+        shingle_sets,
+    )
+
+    sig = shingle_sets(new_stream, text_col, id_col, shingle_n).select(
+        F.col(id_col).alias("new_id"), *minhash_row_exprs("sh_set", num_hashes)
+    )
+    banded = sig.select(
+        "new_id",
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("_sig"),
+        F.posexplode_outer(
+            F.array(*_band_hash_exprs(num_hashes, bands))
+        ).alias("band", "bh"),
+    )
+    old = index_sigs.select(
+        F.col(id_col).alias("old_id"),
+        *[F.col(f"mh_{i}").alias(f"_o{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        (F.col("_sig")[i] == F.col(f"_o{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    return (
+        banded.join(
+            index_buckets.select(
+                F.col(id_col).alias("old_id"), "band", "bh"
+            ),
+            ["band", "bh"],
+        )
+        .join(old, "old_id")
+        .withColumn("_est", agree / F.lit(num_hashes))
+        .where(F.col("_est") >= min_est)
+        .groupBy("new_id", "old_id")
+        .agg(F.round(F.max("_est"), 4).alias("est_jaccard"))
+    )

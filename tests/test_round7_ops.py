@@ -409,3 +409,55 @@ def test_attribution_stream_custom_id_columns(spark, tmp_path_factory):
     rows = spark.table("attr7_out").collect()
     assert len(rows) > 0
     assert {"left_id", "right_id"} <= set(spark.table("attr7_out").columns)
+
+
+def test_incremental_near_dup_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The streaming gate (per-row map signatures + stream-static
+    bucket join) must reproduce the batch incremental_near_dup pair
+    set AND estimates exactly — the per-row array_min(transform(...))
+    signature formulation has to be bit-identical to the batch
+    explode+groupBy signatures for this to hold."""
+    from petastorm_spark.operators.dedup import (
+        incremental_near_dup,
+        lsh_index_build,
+    )
+    from petastorm_spark.streaming.feed import (
+        incremental_near_dup_stream,
+        stream_dataset,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = corpus.select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat("text", F.lit(" tail drift tokens")).alias("text"),
+    )
+    buckets, sigs = lsh_index_build(corpus, "text", "doc_id")
+
+    expected = {
+        (r.new_id, r.old_id): r.est_jaccard
+        for r in incremental_near_dup(
+            batch, buckets, sigs, "text", "doc_id", min_est=0.5
+        ).collect()
+    }
+
+    d = str(tmp_path_factory.mktemp("incr") / "docs")
+    batch.coalesce(1).write.parquet(d)
+    q = (
+        incremental_near_dup_stream(
+            stream_dataset(spark, d).select("doc_id", "text"),
+            buckets, sigs, "text", "doc_id", min_est=0.5,
+        )
+        .writeStream.format("memory")
+        .queryName("incr_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.new_id, r.old_id): r.est_jaccard
+        for r in spark.sql("SELECT * FROM incr_out").collect()
+    }
+    assert got == expected and got
