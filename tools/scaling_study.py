@@ -176,6 +176,7 @@ ORGANIC_QUERIES = [
     "split_leakage_safe",
     "dedup_substring_windows",
     "excise_dup_spans",
+    "incremental_near_dup",
 ]
 
 
