@@ -142,6 +142,7 @@ HEADLINE = [
     "label_propagation_parts",
     "quantile_sketch_chars",
     "incremental_near_dup",
+    "doc_ngram_novelty",
 ]
 
 N_WARMUP_READS = 500

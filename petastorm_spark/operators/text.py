@@ -419,6 +419,43 @@ def boilerplate_ngrams(
     )
 
 
+def ngram_novelty(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Per-doc CROSS-corpus n-gram novelty: the fraction of a doc's
+    distinct ``shingle_n``-gram shingles that appear in NO other
+    document — the originality signal next to the intra-doc
+    ``repetition_signals`` family. Boilerplate-heavy and templated
+    docs score near 0, genuinely novel text near 1; curation pipelines
+    use it both as a quality feature and as a memorization-risk flag
+    (a doc whose shingles are all df=1 is uniquely attributable).
+    Output: (id, n_shingles, novelty), docs shorter than ``shingle_n``
+    tokens dropped.
+
+    Scale: shingles shuffle as 60-bit md5-prefix ints (text never
+    shuffles), document frequency is one partial-agg count per
+    distinct shingle, and the verdict joins back on the hash — two
+    hash exchanges at occurrence scale, no windows. A shingle's df
+    counts documents (per-doc shingles are distinct by construction),
+    so df = 1 means "this doc only"."""
+    from petastorm_spark.operators.dedup import exploded_shingles, hash60
+
+    sh = exploded_shingles(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), hash60("sh").alias("_h")
+    )
+    dfreq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        sh.join(dfreq, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum((F.col("_df") == 1).cast("int")) / F.count(F.lit(1)), 4
+            ).alias("novelty"),
+        )
+    )
+
+
 def token_psi(
     df_a: DataFrame, df_b: DataFrame, text_col: str
 ) -> DataFrame:

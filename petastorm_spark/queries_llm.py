@@ -597,6 +597,40 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_H60_SH = "(('0x'||substr(md5(u),1,15))::BIGINT)"
+
+
+@register(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    sets AS (SELECT doc_id,
+                    list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             FROM tok WHERE len(t) >= 3),
+    sh AS (SELECT doc_id, {_H60_SH} AS h FROM sets, unnest(s) AS un(u)),
+    dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           round(sum((c = 1)::INT) * 1.0 / count(*), 4) AS novelty
+    FROM sh JOIN dfc USING (h) GROUP BY doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus originality per doc: the fraction of its distinct
+    3-gram shingles that NO other document contains (df = 1) — near 0
+    for boilerplate/templated docs, near 1 for genuinely novel text;
+    also the memorization-risk flag (all-unique docs are uniquely
+    attributable). The cross-doc complement of the intra-doc
+    text_repetition signals. Scale: shingles shuffle as 60-bit hash
+    ints, two partial-agg exchanges at occurrence scale. See
+    operators/text.ngram_novelty."""
+    from petastorm_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(
+        _t_wide(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
 @register(
     "ngram_repetition",
     oracle=f"""

@@ -1426,3 +1426,20 @@ def test_connected_components_local_and_distributed_agree(spark):
         (10, 10, 2), (11, 10, 2),
     }
     assert local == want and dist == want
+
+
+def test_ngram_novelty_semantics(spark):
+    from petastorm_spark.operators.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),            # shares "a b c","b c d","c d e" w/ 2
+            (2, "a b c d e"),            # exact dup of 1 -> novelty 0
+            (3, "x y z w"),              # fully unique -> novelty 1
+            (4, "a b"),                  # too short: dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.n_shingles, r.novelty) for r in
+           ngram_novelty(docs, "text", "doc_id").collect()}
+    assert out == {1: (3, 0.0), 2: (3, 0.0), 3: (2, 1.0)}

@@ -64,6 +64,7 @@ STUDY_QUERIES = [
     "dedup_containment_pairs",
     "dedup_jaccard_pairs",
     "incremental_near_dup",
+    "doc_ngram_novelty",
     "curate_corpus_docs",
     "boilerplate_ngrams",
     "dedup_substring_windows",
