@@ -143,6 +143,7 @@ HEADLINE = [
     "quantile_sketch_chars",
     "incremental_near_dup",
     "doc_ngram_novelty",
+    "shard_plan_docs",
 ]
 
 N_WARMUP_READS = 500

@@ -90,3 +90,78 @@ def zorder_repartition(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def shard_plan(
+    df: DataFrame,
+    weight_col: str,
+    order_cols: list[Column | str],
+    budget: int,
+    shard_col: str = "shard_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Write-side shard planning: assign each row to a contiguous
+    output shard of ~``budget`` total ``weight_col`` (token counts,
+    byte sizes) in the total order given by ``order_cols`` (include a
+    unique tie-break column). A row's shard is its EXCLUSIVE global
+    prefix sum ``div budget`` — shards are contiguous runs in the
+    order, deterministic, and each shard's weight stays under
+    ``budget`` plus its last row's weight (the standard one-straddler
+    overflow of greedy packing). This is the planner in front of a
+    partitioned training-shard write: balanced shards mean no
+    stragglers among downstream readers.
+
+    Scale (the :func:`operators.rank.global_rank` two-phase pattern,
+    applied to SUMS): one range exchange + partition-local sort, a
+    per-partition weight total (one row per partition) broadcast as
+    prefix offsets, and one partition-aligned running sum. Call it on
+    a NARROW projection (keys + weight) — the payload never moves;
+    join the plan back by id for the write. Weights must be
+    non-negative (a negative weight breaks prefix-sum monotonicity
+    and the contiguity guarantee; enforce upstream)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", 33).cast("bigint"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(weight_col).alias("_w"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_w").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .select("_pid", "_offset")
+    )
+    local_ex = F.coalesce(
+        F.sum(weight_col).over(
+            Window.partitionBy("_pid")
+            .orderBy("_mid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn("_cum", F.col("_offset") + local_ex)
+        .withColumn(
+            shard_col, F.expr(f"CAST(_cum div {int(budget)} AS BIGINT)")
+        )
+        .drop("_mid", "_pid", "_cum")
+    )

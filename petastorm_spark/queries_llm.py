@@ -4377,6 +4377,42 @@ def _padding_oracle(batch: int = 32) -> str:
     """
 
 
+@register(
+    "shard_plan_docs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, len({_TOK}) AS w FROM documents),
+    c AS (SELECT doc_id, w,
+                 coalesce(sum(w) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS cum
+          FROM d)
+    SELECT CAST(cum // 20000 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS tokens
+    FROM c GROUP BY shard_id
+    """,
+)
+def shard_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side shard planning: documents greedily packed into
+    contiguous ~20K-token output shards in doc_id order (exclusive
+    prefix-sum div budget), reported per shard — the planner in front
+    of a balanced training-shard write. Scale: global prefix sums via
+    the two-phase range-exchange pattern (no single-task window); the
+    plan runs on a narrow (id, weight) projection, the text never
+    moves. See operators/layout.shard_plan."""
+    from petastorm_spark.operators.layout import shard_plan
+    from petastorm_spark.operators.text import token_count
+
+    d = _t_wide(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("w")
+    )
+    planned = shard_plan(d, "w", ["doc_id"], budget=20_000)
+    return planned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").cast("bigint").alias("tokens"),
+    )
+
+
 @register("padding_waste_report", oracle=_padding_oracle())
 def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHY length-bucketed batching exists, measured: tokens of padding

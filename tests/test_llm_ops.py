@@ -1443,3 +1443,36 @@ def test_ngram_novelty_semantics(spark):
     out = {r.doc_id: (r.n_shingles, r.novelty) for r in
            ngram_novelty(docs, "text", "doc_id").collect()}
     assert out == {1: (3, 0.0), 2: (3, 0.0), 3: (2, 1.0)}
+
+
+def test_shard_plan_matches_driver_prefix_sums(spark):
+    """Greedy shard assignment must equal the driver-computed exclusive
+    prefix-sum div budget for EVERY row, across a forced multi-
+    partition range exchange (the two-phase offset arithmetic is the
+    thing under test), straddler included."""
+    import random
+
+    from petastorm_spark.operators.layout import shard_plan
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 500)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+
+    cum = 0
+    expected = {}
+    for i, w in rows:  # already in id order
+        expected[i] = cum // 1000
+        cum += w
+
+    got = {
+        r.id: r.shard_id
+        for r in shard_plan(
+            df, "w", ["id"], budget=1000, num_partitions=3
+        ).collect()
+    }
+    assert got == expected
+    # contiguity: shard ids are non-decreasing in the order
+    ordered = [got[i] for i, _ in rows]
+    assert ordered == sorted(ordered)
+    with pytest.raises(ValueError, match="budget"):
+        shard_plan(df, "w", ["id"], budget=0)

@@ -65,6 +65,7 @@ STUDY_QUERIES = [
     "dedup_jaccard_pairs",
     "incremental_near_dup",
     "doc_ngram_novelty",
+    "shard_plan_docs",
     "curate_corpus_docs",
     "boilerplate_ngrams",
     "dedup_substring_windows",
