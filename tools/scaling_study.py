@@ -179,6 +179,7 @@ ORGANIC_QUERIES = [
     "dedup_substring_windows",
     "excise_dup_spans",
     "incremental_near_dup",
+    "doc_ngram_novelty",
 ]
 
 
