@@ -155,9 +155,12 @@ def bpe_learn(
     learned order; vocab as the final (word, count, syms) table.
 
     Stops early when the best remaining pair's frequency falls below
-    ``min_freq``. Genuinely iterative (each round's argmax depends on
-    the previous merge), so this is test-pinned against a pure-Python
-    reference rather than a SQL oracle.
+    ``min_freq``. Iterative (each round's argmax depends on the
+    previous merge) but still oracle-checked: the registered query's
+    DuckDB twin unrolls the rounds as a MATERIALIZED-CTE ladder with
+    the greedy fold expressed as ``replace()`` over a double-delimited
+    symbol string (queries_llm._bpe_oracle_sql), on top of the
+    pure-Python differential tests here.
 
     Scale-adaptive like connected_components: the corpus ALWAYS
     collapses to its word-frequency table distributed (that is the

@@ -3106,9 +3106,56 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_classifier_score(d, "text", "doc_id", n_features=1024, seed=0)
 
 
-@register("bpe_merges", rows_only=True)  # iterative (each argmax depends on the prior
-# merge) -> genuinely non-SQL-expressible; rows-only driver check,
-# value-pinned by the pure-Python differential in tests/test_round6b_ops.py
+def _bpe_oracle_sql(num_merges: int = 8) -> str:
+    """Unrolled MATERIALIZED-CTE DuckDB ladder for ``num_merges`` BPE
+    rounds — the pagerank/kcore oracle technique applied to tokenizer
+    training. The only non-relational step of a BPE round, the greedy
+    left-to-right merge fold, is expressed as a plain ``replace()``
+    over a DOUBLE-DELIMITED symbol string: each symbol is wrapped as
+    US+sym+US (US = chr(31)), so pattern US+a+US+US+b+US -> US+ab+US.
+    ``replace`` scans left-to-right, never re-matching replacement
+    text, which is exactly the fold: 'a a a a' under (a,a) merges to
+    ('aa','aa') and 'a a a' to ('aa','a') — bit-identical to
+    operators/bpe.merge_pair_expr. Round r argmaxes pair frequency
+    (DESC, then lexicographic a, b — the Spark tie-break) over the
+    delimited vocab v{r-1}; an empty argmax (best freq < 2) makes all
+    later rounds empty, matching ``bpe_learn``'s early stop."""
+    us = "chr(31)"
+    d2 = f"{us}||{us}"
+    ctes = [
+        f"""v0 AS MATERIALIZED (
+  SELECT {us} || array_to_string(string_split(word, ''), {d2}) || {us} AS s,
+         cnt
+  FROM (SELECT word, count(*) AS cnt
+        FROM (SELECT unnest({_TOK}) AS word FROM documents)
+        WHERE len(word) > 0 GROUP BY word))"""
+    ]
+    for r in range(1, num_merges + 1):
+        p = r - 1
+        ctes.append(
+            f"""sy{r} AS (
+  SELECT string_split(trim(s, {us}), {d2}) AS syms, cnt FROM v{p}),
+m{r} AS MATERIALIZED (
+  SELECT a, b, freq FROM (
+    SELECT z[1] AS a, z[2] AS b, sum(cnt) AS freq
+    FROM (SELECT unnest(list_zip(syms[:len(syms)-1], syms[2:])) AS z, cnt
+          FROM sy{r} WHERE len(syms) >= 2)
+    GROUP BY a, b)
+  WHERE freq >= 2 ORDER BY freq DESC, a, b LIMIT 1),
+v{r} AS MATERIALIZED (
+  SELECT replace(v.s, {us}||m.a||{d2}||m.b||{us}, {us}||m.a||m.b||{us}) AS s,
+         v.cnt
+  FROM v{p} v, m{r} m)"""
+        )
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS rank, a AS left, b AS right, "
+        f"CAST(freq AS BIGINT) AS freq FROM m{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+@register("bpe_merges", oracle=_bpe_oracle_sql(8))
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training on the corpus: learn 8 BPE merges over the
     documents table and return the merge table (rank, left, right,

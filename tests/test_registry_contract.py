@@ -25,18 +25,18 @@ from petastorm_spark.queries import ORACLE, QUERIES, ROWS_ONLY
 NON_SCALAR = (T.ArrayType, T.MapType, T.StructType)
 
 # genuinely non-SQL-expressible ops, each value-pinned by a
-# differential test instead (see the registration-site comments)
-KNOWN_ROWS_ONLY = {"bpe_merges"}
+# differential test instead (see the registration-site comments).
+# Empty since round 9: bpe_merges gained an unrolled MATERIALIZED-CTE
+# oracle (queries_llm._bpe_oracle_sql), so every query is oracle-checked.
+KNOWN_ROWS_ONLY: set[str] = set()
 
-SF_DIR = "/root/testdata/sf0.001"
 
-
-def test_every_query_schema_is_driver_hashable(spark):
+def test_every_query_schema_is_driver_hashable(spark, sf_dir):
     bad: dict[str, list[str]] = {}
     errs: dict[str, str] = {}
     for name, fn in QUERIES.items():
         try:
-            df = fn(spark, SF_DIR)
+            df = fn(spark, sf_dir)
         except Exception as e:  # noqa: BLE001 - collect, don't stop
             errs[name] = f"{type(e).__name__}: {e}"
             continue
