@@ -320,12 +320,37 @@ def lsh_index_write(
 
 
 def lsh_index_append(
-    index_url: str, buckets: DataFrame, signatures: DataFrame
+    index_url: str, buckets: DataFrame, signatures: DataFrame,
+    check_ids: bool = True,
 ) -> None:
     """Fold a new batch into a persisted index (append-only parquet —
     the batch was deduped against the index first, so appended ids are
-    the accepted survivors)."""
+    the accepted survivors).
+
+    ``check_ids`` (default on) semi-joins the batch's ids against the
+    index's signature ids and refuses overlaps — an id appended twice
+    would permanently plant duplicate bucket and signature rows that
+    every later probe re-emits. The check reads ONE column-pruned id
+    column of the index semi-joined to a batch-sized side; disable it
+    only when the pipeline already guarantees fresh ids."""
     root = index_url.rstrip("/")
+    if check_ids:
+        id_col = signatures.columns[0]
+        existing = signatures.sparkSession.read.parquet(
+            root + "/signatures"
+        ).select(id_col)
+        n_dup = (
+            signatures.select(id_col)
+            .join(existing, id_col, "left_semi")
+            .count()
+        )
+        if n_dup:
+            raise ValueError(
+                f"lsh_index_append: {n_dup} batch id(s) already exist in "
+                f"{root}/signatures — appending would corrupt the index "
+                "with duplicate-id rows (pass check_ids=False only if "
+                "ids are guaranteed fresh)"
+            )
     buckets.write.mode("append").partitionBy("bh_shard").parquet(
         root + "/buckets"
     )
@@ -358,8 +383,13 @@ def incremental_near_dup(
     LSH index: (new_id, old_id, est_jaccard), where ``est_jaccard`` is
     the MinHash agreement fraction — the unbiased Jaccard estimate
     ``|{i: mh_i(new) = mh_i(old)}| / num_hashes`` (granularity
-    ``1/num_hashes``) — kept at or above ``min_est``. New ids must be
-    disjoint from indexed ids (they are different corpus generations).
+    ``1/num_hashes``) — kept at or above ``min_est``. New ids should
+    be disjoint from indexed ids (they are different corpus
+    generations); the candidate join drops ``new_id == old_id`` rows
+    so a re-probed id can never match itself, but distinct documents
+    SHARING an id across generations are the caller's bug — and
+    :func:`lsh_index_append` refuses them rather than corrupting the
+    index with duplicate-id bucket rows.
 
     Scale: work is BATCH-sized, never corpus-sized. The new batch is
     signed and banded (one pass over the batch), then equi-joined to
@@ -392,6 +422,9 @@ def incremental_near_dup(
             index_buckets.select(F.col(id_col).alias("old_id"), "band", "bh"),
             ["band", "bh"],
         )
+        # self-match guard: an id probed against an index that already
+        # contains it would otherwise emit (id, id, 1.0)
+        .where(F.col("new_id") != F.col("old_id"))
         .select("new_id", "old_id")
         .distinct()  # multiplicity <= bands by construction
     )
@@ -775,6 +808,61 @@ def containment_pairs(
     )
 
 
+def estimate_postings_volume(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    sample_docs: int = 100_000,
+    inflate: float = 1.25,
+) -> float:
+    """Estimate sum(df^2) over shingle document frequencies — the
+    exact row count of a postings self-join — WITHOUT a full corpus
+    pass. Corpora at or under ``sample_docs`` are measured exactly;
+    larger ones tokenize only a deterministic md5-keyed doc sample at
+    rate p = sample_docs/n and scale up with the unbiased estimator
+
+        E[df'(df'-1)] = p^2 df(df-1),  E[df'] = p df   (df' ~ Bin(df, p))
+        => sum(df^2) ~= (sum(df'^2) - sum(df'))/p^2 + sum(df')/p.
+
+    The hub shingles that dominate sum(df^2) (df ~ n) are exactly the
+    ones the sample sees thousands of times (relative error
+    ~1/sqrt(p*df)), so the heavy component is tight; ``inflate`` adds
+    a conservative margin for tail noise, erring toward the
+    prefix-filtered plan — the safe side, since it is lossless either
+    way. This keeps the plan CHOICE at ~(sample_docs/n) of a corpus
+    scan at 100 TB instead of a full tokenize pass (the round-8
+    advisory)."""
+    from petastorm_spark.predicates import md5_fraction
+
+    n_docs = df.count()  # no tokenization — column-pruned count
+    p = 1.0 if n_docs <= sample_docs else sample_docs / n_docs
+    src = df
+    if p < 1.0:
+        src = df.where(
+            md5_fraction(
+                F.concat_ws("|", F.lit("jpstats"), F.col(id_col).cast("string"))
+            )
+            < p
+        )
+    row = (
+        exploded_shingles(src, text_col, id_col, shingle_n)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .agg(
+            F.sum(F.col("_df") * F.col("_df")).alias("_ss"),
+            F.sum("_df").alias("_s"),
+        )
+        .collect()[0]
+    )
+    ss, s = row["_ss"], row["_s"]
+    if ss is None:
+        return 0.0
+    if p >= 1.0:
+        return float(ss)
+    return inflate * ((ss - s) / (p * p) + s / p)
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -787,8 +875,11 @@ def jaccard_pairs(
     scale-adaptive between two lossless plans.
 
     The decision statistic is sum(df^2) over the shingle document
-    frequencies — the EXACT row count of a postings self-join — read
-    with one vocab-sized aggregate over a map-only shingle pass:
+    frequencies — the row count of a postings self-join — measured
+    exactly for corpora up to 100k docs and estimated from a
+    deterministic md5-keyed doc sample above that
+    (:func:`estimate_postings_volume`), so the plan CHOICE never costs
+    a full corpus tokenize pass at scale:
 
     - ``sum(df^2) <= postings_budget_per_core * defaultParallelism``:
       postings-count join (inverted index joined on the shingle,
@@ -825,11 +916,9 @@ def jaccard_pairs(
     out_cols = ["id_a", "id_b", F.round("_j", 4).alias("jaccard")]
     budget = postings_budget_per_core * df.sparkSession.sparkContext.defaultParallelism
     if budget > 0:
-        sh0 = exploded_shingles(df, text_col, id_col, shingle_n)
-        join_rows = sh0.groupBy("sh").agg(
-            F.count(F.lit(1)).alias("_df")
-        ).agg(F.sum(F.col("_df") * F.col("_df"))).collect()[0][0]
-        if join_rows is not None and join_rows <= budget:
+        join_rows = estimate_postings_volume(df, text_col, id_col, shingle_n)
+        if join_rows <= budget:
+            sh0 = exploded_shingles(df, text_col, id_col, shingle_n)
             sizes = sh0.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
             a = sh0.alias("a")
             b = sh0.alias("b")

@@ -497,21 +497,29 @@ def ivf_build(
             .limit(n_cells)
             .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
         )
+    # argmax WITHOUT the vector payload: the n x n_cells scored rows
+    # reduce map-side to one 24-byte (id, best) row per vector, then
+    # ONE equi-join puts the vector back. Grouping by (id, vec) instead
+    # would hash a 64-float array key once per scored row and carry it
+    # through the exchange — the round-9 organic-sf1 profile showed
+    # that payload, not the cosine math, dominating assignment cost.
     scored = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .crossJoin(F.broadcast(cent))
         .withColumn("_cos", cosine(F.col(vec_col), F.col("cent_vec")))
+        .select(F.col(id_col), "_cos", "cell")
     )
-    assigned = (
-        scored.groupBy(id_col, vec_col)
+    best = (
+        scored.groupBy(id_col)
         .agg(
             F.max(F.struct(F.col("_cos"), (-F.col("cell")).alias("_nc"))).alias("_b")
         )
         # un-negate without a narrowing cast: int centroid ids stay int,
         # 60-bit hash-derived bigint ids stay bigint (no silent wrap)
         .withColumn("cell", -F.col("_b").getField("_nc"))
-        .drop("_b")
+        .select(F.col(id_col), "cell")
     )
+    assigned = corpus.select(F.col(id_col), F.col(vec_col)).join(best, id_col)
     return cent, assigned
 
 
@@ -832,33 +840,46 @@ def semantic_dedup(
                 .limit(n_cells)
                 .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
             )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("_ccos").desc(), F.col("cell")
-        )
-        # one row per id, probed cells as a sorted array — the pair
-        # join explodes the array but keeps it alongside, so a pair
-        # sharing several cells can be emitted from its MINIMAL shared
-        # cell only (first-match emission, as in simhash pairs): no
-        # candidate-dedup shuffle exists at all
-        w_id = Window.partitionBy(id_col)
-        assigned = (
+        # top-n_probe cells WITHOUT the vector payload: score rows
+        # shrink to (id, _ccos, cell) before any exchange, the probed
+        # set is picked by sorting each id's 16-byte (-cos, cell)
+        # structs (partial collect state, no window sort-shuffle of
+        # n x n_cells vector-carrying rows — the round-9 organic-sf1
+        # bottleneck), and ONE equi-join puts the vector back. The
+        # probed cells come out as a sorted array so the pair join can
+        # emit each pair from its MINIMAL shared cell only (first-match
+        # emission, as in simhash pairs): no candidate-dedup shuffle
+        # exists at all.
+        # cell keeps its native type throughout — a narrowing int cast
+        # would silently wrap 60-bit hash-derived centroid ids,
+        # colliding distinct cells and corrupting first-match emission
+        scored = (
             corpus.select(id_col, vec_col)
             .crossJoin(F.broadcast(cent))
             .withColumn("_ccos", cosine(F.col(vec_col), F.col("cent_vec")))
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= n_probe)
-            # cell keeps its native type — a narrowing int cast here
-            # silently wraps 60-bit hash-derived centroid ids, colliding
-            # distinct cells and corrupting first-match emission
-            .withColumn(
-                "_cells",
-                F.sort_array(F.collect_list(F.col("cell")).over(w_id)),
-            )
-            .where(F.col("_rn") == 1)  # one row per id, cells + vec aboard
-            .select(id_col, vec_col, "_cells")
+            .select(F.col(id_col), "_ccos", "cell")
         )
+        probed = (
+            scored.groupBy(id_col)
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct((-F.col("_ccos")).alias("_nc"), F.col("cell"))
+                        )
+                    ),
+                    1,
+                    n_probe,
+                ).alias("_top")
+            )
+            .select(
+                F.col(id_col),
+                F.sort_array(
+                    F.transform(F.col("_top"), lambda s: s.getField("cell"))
+                ).alias("_cells"),
+            )
+        )
+        assigned = corpus.select(id_col, vec_col).join(probed, id_col)
     else:
         _, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids)
     unit = (

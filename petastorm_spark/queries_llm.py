@@ -3026,11 +3026,31 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(canon, "text", "doc_id")
 
 
-def _semantic_dedup_oracle(n_cells: int = 16, tau: float = 0.95) -> str:
+# corpus-adaptive quantizer size shared by the semantic-dedup queries
+# and their oracles: cells grow with the corpus so per-cell population
+# (and thus the cell-confined quadratic work) stays ~constant — the
+# property that makes SemDeDup linear at 100 TB. floor keeps tiny
+# fixtures at the historical fixed size, so sf0.01/sf0.1 results are
+# bit-identical to the pre-adaptive registrations.
+def _adaptive_cells(n: int, target: int, floor: int) -> int:
+    return max(floor, -(-n // target))
+
+
+def _adaptive_cells_sql(target: int, floor: int) -> str:
+    return (
+        f"(SELECT greatest({floor}, CAST(ceil(count(*) / {target}.0) AS "
+        "BIGINT)) FROM e)"
+    )
+
+
+def _semantic_dedup_oracle(
+    cell_target: int = 256, cell_floor: int = 16, tau: float = 0.95
+) -> str:
     cos = lambda a, b: (  # noqa: E731
         f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
         f"sqrt(list_dot_product({b}, {b})))"
     )
+    n_cells = _adaptive_cells_sql(cell_target, cell_floor)
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                UNION ALL
@@ -3057,17 +3077,26 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle rebuilds), cosine scored only within a cell, every vector
     with a lower-id neighbor >= 0.95 dropped. The synthetic identical
     copies land in their originals' cells (cos 1.0 with the same
-    centroid) so each must surface exactly once. Scale: quadratic work
-    confined per cell — grow n_cells with the corpus and total cost
-    stays linear; assignment is one broadcast-centroid scan and the
-    pair join reuses one exchange for both sides."""
+    centroid) so each must surface exactly once. Scale: n_cells is
+    CORPUS-ADAPTIVE (~256 vectors/cell, floor 16 — the oracle computes
+    the same formula), so per-cell quadratic work stays constant and
+    total cost linear as the corpus grows; assignment is one
+    broadcast-centroid scan and the pair join reuses one exchange for
+    both sides. The sizing count-star is metadata-only on parquet."""
     from petastorm_spark.operators.similarity import semantic_dedup
 
+    n = 2 * _t(spark, sf_dir, "embeddings").count()
     emb = _t_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     both = emb.unionByName(
         emb.select((F.col("vec_id") + _COPY_SHIFT).alias("vec_id"), "embedding")
     )
-    return semantic_dedup(both, "vec_id", "embedding", n_cells=16, threshold=0.95)
+    return semantic_dedup(
+        both,
+        "vec_id",
+        "embedding",
+        n_cells=_adaptive_cells(n, 256, 16),
+        threshold=0.95,
+    )
 
 
 _QC_BUCKET = "((('0x'||substr(md5('qc0|'||tok),1,15))::BIGINT) % 1024)"
@@ -3997,12 +4026,13 @@ def gbdt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tree_ensemble_score(d, "doc_id", feats, _GBDT_TREES)
 
 
-def _semantic_probe_oracle(n_cells: int = 16, tau: float = 0.95,
-                           n_probe: int = 2) -> str:
+def _semantic_probe_oracle(cell_target: int = 64, cell_floor: int = 64,
+                           tau: float = 0.95, n_probe: int = 2) -> str:
     cos = lambda a, b: (  # noqa: E731
         f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
         f"sqrt(list_dot_product({b}, {b})))"
     )
+    n_cells = _adaptive_cells_sql(cell_target, cell_floor)
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                UNION ALL
@@ -4024,25 +4054,33 @@ def _semantic_probe_oracle(n_cells: int = 16, tau: float = 0.95,
     """
 
 
-@register("dedup_semantic_probe2", oracle=_semantic_probe_oracle(n_cells=64))
+@register("dedup_semantic_probe2", oracle=_semantic_probe_oracle())
 def dedup_semantic_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe SemDeDup: every vector assigned to its TOP-2 cells,
     so a near-dup pair split across a cell boundary (invisible to
     single-assignment semantic dedup) meets in whichever cell they
     share — the recall knob on the cluster-scoped trade; each pair is
     emitted once from its minimal shared cell (no dedup shuffle).
-    Runs at 64 cells (4x dedup_semantic's 16): multi-probe is how you
-    AFFORD a finer quantizer — per-cell quadratic work drops 16x while
-    boundary pairs stay visible. The oracle rebuilds the same 64-cell
-    index."""
+    Runs a 4x finer corpus-adaptive quantizer than dedup_semantic
+    (~64 vectors/cell, floor 64 — the oracle computes the same
+    formula): multi-probe is how you AFFORD a finer quantizer —
+    per-cell quadratic work drops 16x while boundary pairs stay
+    visible, and cell count growing with the corpus keeps total cost
+    linear. The oracle rebuilds the identical index."""
     from petastorm_spark.operators.similarity import semantic_dedup
 
+    n = 2 * _t(spark, sf_dir, "embeddings").count()
     emb = _t_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     both = emb.unionByName(
         emb.select((F.col("vec_id") + _COPY_SHIFT).alias("vec_id"), "embedding")
     )
     return semantic_dedup(
-        both, "vec_id", "embedding", n_cells=64, threshold=0.95, n_probe=2
+        both,
+        "vec_id",
+        "embedding",
+        n_cells=_adaptive_cells(n, 64, 64),
+        threshold=0.95,
+        n_probe=2,
     )
 
 

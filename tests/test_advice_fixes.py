@@ -298,3 +298,90 @@ def test_cache_sentinel_foreign_host_and_ttl(tmp_path):
     # expired lease loses the pin even though the pid is alive
     # (recycled-pid defense; real readers refresh the lease in __iter__)
     assert not _cache_dir_in_use(str(d))
+
+
+# --------------------------------------------------------------------------
+# round-9 ADVICE findings
+# --------------------------------------------------------------------------
+
+
+def test_incremental_near_dup_never_self_matches(spark, sf_dir):
+    """ADVICE r8: probing a batch whose ids overlap the index silently
+    emitted (id, id, 1.0) self-pairs. The candidate join now drops
+    new_id == old_id, so re-probing indexed documents yields only
+    genuine cross-document matches."""
+    from petastorm_spark.operators.dedup import (
+        incremental_near_dup,
+        lsh_index_build,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    buckets, sigs = lsh_index_build(corpus, "text", "doc_id")
+    # probe the EXACT indexed batch back against its own index
+    pairs = incremental_near_dup(
+        corpus, buckets, sigs, "text", "doc_id", min_est=0.5
+    ).collect()
+    assert all(r.new_id != r.old_id for r in pairs)
+
+
+def test_lsh_index_append_refuses_duplicate_ids(spark, sf_dir, tmp_path_factory):
+    """ADVICE r8: appending a batch with an already-indexed id planted
+    permanent duplicate bucket/signature rows. The append now
+    semi-joins batch ids against the persisted signatures and raises."""
+    import pytest as _pytest
+
+    from petastorm_spark.operators.dedup import (
+        lsh_index_append,
+        lsh_index_build,
+        lsh_index_write,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    url = str(tmp_path_factory.mktemp("lshidx") / "idx")
+    buckets, sigs = lsh_index_build(corpus, "text", "doc_id")
+    lsh_index_write(url, buckets, sigs)
+
+    # fresh ids append fine
+    fresh = corpus.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    fb, fs = lsh_index_build(fresh, "text", "doc_id")
+    lsh_index_append(url, fb, fs)
+
+    # overlapping ids are refused (and the message counts them)
+    with _pytest.raises(ValueError, match="already exist"):
+        lsh_index_append(url, buckets, sigs)
+
+
+def test_postings_volume_estimator_tracks_exact(spark, sf_dir):
+    """ADVICE r8: jaccard_pairs paid a full corpus tokenize pass just
+    to choose a plan. The chooser now samples docs above a size cutoff;
+    the Binomial-corrected estimator must track the exact sum(df^2)
+    closely enough to pick the same regime (budgets differ by orders
+    of magnitude, so a small relative error never flips a sane one)."""
+    from petastorm_spark.operators.dedup import (
+        estimate_postings_volume,
+        exploded_shingles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    exact = estimate_postings_volume(docs, "text", "doc_id", 3)
+    truth = (
+        exploded_shingles(docs, "text", "doc_id", 3)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .agg(F.sum(F.col("_df") * F.col("_df")))
+        .collect()[0][0]
+    )
+    assert exact == float(truth)  # at-or-under-cutoff corpora: exact
+
+    n = docs.count()
+    sampled = estimate_postings_volume(
+        docs, "text", "doc_id", 3, sample_docs=max(2, n // 2)
+    )
+    # inflate=1.25 biases high on purpose; allow sampling noise around it
+    assert 0.4 * truth <= sampled <= 4.0 * truth

@@ -67,3 +67,21 @@ def test_every_query_has_oracle_or_explicit_rows_only():
     )
     # an oracle for an unregistered query is dead weight
     assert set(ORACLE) <= set(QUERIES)
+
+
+def test_readme_counts_match_registry():
+    """The round-8 verdict caught README's front-page counts stale
+    (151/150 vs a 154/153 registry). The counts now live in
+    <!--NQ-->/<!--NO--> marker spans refreshed by
+    tools/gen_readme_counts.py; this pins them to the live registry."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "README.md")) as f:
+        text = f.read()
+    nq = {int(m) for m in re.findall(r"<!--NQ-->(\d+)<!--/NQ-->", text)}
+    no = {int(m) for m in re.findall(r"<!--NO-->(\d+)<!--/NO-->", text)}
+    assert nq and no, "README count marker spans are missing"
+    assert nq == {len(QUERIES)}, f"README query counts {nq} != {len(QUERIES)}"
+    assert no == {len(ORACLE)}, f"README oracle counts {no} != {len(ORACLE)}"

@@ -22,7 +22,7 @@ Every entry is registered in `__spark_entry__.queries()` with a DuckDB
 `tools/check_correctness.py`. Regenerate with
 `python tools/gen_queries_md.py`.
 
-**{n} queries, {n_oracle} with oracles** (the remainder are rows-only: genuinely iterative/non-SQL ops).
+**{n} queries, {n_oracle} with oracles**{remainder_note}
 
 | query | one-line summary |
 |---|---|
@@ -42,13 +42,21 @@ def main() -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    lines = [HEADER.format(n=len(qs), n_oracle=len(oracles))]
+    note = (
+        ""
+        if len(oracles) == len(qs)
+        else " (the remainder are rows-only: genuinely iterative/non-SQL ops)"
+    )
+    lines = [
+        HEADER.format(n=len(qs), n_oracle=len(oracles), remainder_note=note)
+    ]
     for name in sorted(qs):
         lines.append(f"| {name} | {summary_of(qs[name])} |\n")
+    rows_only = sorted(set(qs) - set(oracles))
     lines.append(
-        "\nRows-only (no oracle by design): "
-        + ", ".join(sorted(set(qs) - set(oracles)))
-        + "\n"
+        "\nRows-only (no oracle by design): " + ", ".join(rows_only) + "\n"
+        if rows_only
+        else "\nEvery registered query has a DuckDB oracle.\n"
     )
     with open("QUERIES.md", "w") as f:
         f.writelines(lines)

@@ -180,26 +180,53 @@ ORGANIC_QUERIES = [
     "excise_dup_spans",
     "incremental_near_dup",
     "doc_ngram_novelty",
+    "dedup_semantic",
+    "dedup_semantic_probe2",
+    "dedup_embedding_pairs",
 ]
+
+
+def _signed_perm_expr(dim: int, seed: int) -> str:
+    """One SQL expression applying a deterministic signed permutation
+    to the ``embedding`` array column (0-based Spark SQL indexing).
+    A signed permutation is orthogonal, so EVERY within-replica
+    pairwise cosine is preserved exactly (up to float summation
+    order), while a vector and its image — or two images under
+    different permutations — have cosine distributed like a random
+    pair's (std ~ 1/sqrt(dim)), far below any dedup threshold."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(dim)
+    signs = rng.choice([-1.0, 1.0], dim)
+    terms = ", ".join(
+        f"-embedding[{int(p)}]" if s < 0 else f"embedding[{int(p)}]"
+        for p, s in zip(perm, signs)
+    )
+    return f"array({terms})"
 
 
 def build_sf1_organic(spark, src: str, sf1_dir: str, dst: str) -> None:
     """sf1 variant with HONEST dup multiplicity: same 10x replication,
     but replica i > 0 of ``documents`` rewrites every whitespace token
-    ``t -> r{i}t``. The map is injective and applied uniformly within a
-    replica, so within-replica shingle/edit/simhash dup structure is
-    EXACTLY sf0.1's, while cross-replica token vocabularies are
-    disjoint (no shared shingles, distant edits) — total dup pairs grow
-    10x (linearly), not quadratically, matching an organic corpus where
-    more data means more dup GROUPS, not deeper ones. Non-document
-    tables are symlinked from the synthetic sf1 build."""
-    params = f"replicas={REPLICAS};shift={SHIFT};organic=documents-v1"
+    ``t -> r{i}t`` and replica i > 0 of ``embeddings`` applies a
+    seeded signed permutation of the vector coordinates. Both maps are
+    injective/orthogonal and uniform within a replica, so
+    within-replica dup structure (shingles/edits/simhash bands, and
+    pairwise cosines exactly) is sf0.1's, while cross-replica token
+    vocabularies are disjoint and cross-replica cosines are
+    random-pair-sized (|cos| ~ 1/sqrt(64), nowhere near the 0.95/0.995
+    thresholds) — total dup pairs grow 10x (linearly), not
+    quadratically, matching an organic corpus where more data means
+    more dup GROUPS, not deeper ones. Remaining tables are symlinked
+    from the synthetic sf1 build."""
+    params = f"replicas={REPLICAS};shift={SHIFT};organic=documents-v1;embeddings-v1"
     marker = f"{dst}/_BUILD_COMPLETE"
     if os.path.exists(marker) and open(marker).read().strip() == params:
         return
     os.makedirs(dst, exist_ok=True)
     for t in list(KEY_COLS) + COPY_TABLES:
-        if t == "documents":
+        if t in ("documents", "embeddings"):
             continue
         link = f"{dst}/{t}.parquet"
         if not os.path.exists(link):
@@ -214,6 +241,20 @@ def build_sf1_organic(spark, src: str, sf1_dir: str, dst: str) -> None:
             )
         out = part if out is None else out.unionByName(part)
     out.repartition(16).write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+    # pre-v1 organic builds symlinked embeddings to the synthetic dir;
+    # drop the link so the overwrite below cannot chase it
+    if os.path.islink(f"{dst}/embeddings.parquet"):
+        os.remove(f"{dst}/embeddings.parquet")
+    ebase = spark.read.parquet(f"{src}/embeddings.parquet")
+    eout = None
+    for i in range(REPLICAS):
+        part = ebase.withColumn("vec_id", F.col("vec_id") + F.lit(i * SHIFT))
+        if i > 0:
+            part = part.withColumn(
+                "embedding", F.expr(_signed_perm_expr(64, 1000 + i))
+            )
+        eout = part if eout is None else eout.unionByName(part)
+    eout.repartition(4).write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
     with open(marker, "w") as f:
         f.write(params + "\n")
 
@@ -359,7 +400,10 @@ def main() -> None:
         "## Pair ops at sf1-ORGANIC (honest dup multiplicity)",
         "",
         "Same 10x volume, but replica i>0 of `documents` rewrites every",
-        "token `t -> r{i}t` — within-replica dup structure is exactly",
+        "token `t -> r{i}t` and replica i>0 of `embeddings` applies a",
+        "seeded signed coordinate permutation (orthogonal: within-replica",
+        "cosines preserved exactly; cross-replica cosines random-pair",
+        "sized, ~1/sqrt(64)) — within-replica dup structure is exactly",
         "sf0.1's and cross-replica shingle vocabularies are disjoint, so",
         "dup pairs grow 10x linearly (more dup GROUPS, same depth) like a",
         "real corpus, instead of the synthetic fixture's >=20-copy groups",
