@@ -56,10 +56,39 @@ def _last_green_round() -> dict[str, int]:
     return last
 
 
+# Queries whose Spark plan or oracle CHANGED this round: they sort
+# ahead of everything so the driver's ~50-query window certifies the
+# code that actually ships (round-8 ADVICE: the bigint purchase-graph
+# re-encode landed in a round whose window never exercised it).
+# Refresh this list each round; stale names cost nothing — once the
+# round's CORRECTNESS file is committed the staleness sort would have
+# rotated them forward anyway.
+CHANGED_THIS_ROUND = [
+    "bpe_merges",
+    "dedup_semantic",
+    "dedup_semantic_probe2",
+    "dedup_embedding_pairs",
+    "dedup_jaccard_pairs",
+    "incremental_near_dup",
+    "ann_recall_ivf",
+    "ann_cosine_multiprobe",
+    "ann_recall_lsh",
+]
+
+
 def _ordered(mapping: dict) -> dict:
     last = _last_green_round()
     natural = {k: i for i, k in enumerate(mapping)}
-    keys = sorted(mapping, key=lambda k: (last.get(k, -1), natural[k]))
+    front = {k: i for i, k in enumerate(CHANGED_THIS_ROUND)}
+    keys = sorted(
+        mapping,
+        key=lambda k: (
+            0 if k in front else 1,
+            front.get(k, 0),
+            last.get(k, -1),
+            natural[k],
+        ),
+    )
     return {k: mapping[k] for k in keys}
 
 

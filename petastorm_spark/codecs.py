@@ -153,8 +153,17 @@ class NdarrayCodec(DataframeColumnCodec):
 
 
 class CompressedNdarrayCodec(DataframeColumnCodec):
-    """ndarray <-> zlib-compressed ``np.save`` bytes (same role as the
-    reference's ``np.savez_compressed`` container)."""
+    """ndarray <-> ``np.savez_compressed``-format npz container, the
+    reference's CompressedNdarrayCodec wire format (array under key
+    'arr', petastorm/codecs.py:174-212) — datasets written here decode
+    byte-for-byte in original petastorm and vice versa.
+
+    The container is assembled with a FIXED zip entry date (1980-01-01,
+    the DOS epoch) so encode stays deterministic — ``np.savez_compressed``
+    itself stamps wall-clock entry times; ``np.load`` accepts any valid
+    zip either way. Decode also accepts this library's pre-round-9
+    payloads (zlib-compressed ``np.save`` bytes, recognized by the zlib
+    header) so existing datasets keep reading."""
 
     name = "compressed_ndarray"
 
@@ -162,13 +171,24 @@ class CompressedNdarrayCodec(DataframeColumnCodec):
         return BinaryType()
 
     def encode(self, field, value):
+        import zipfile
+
         _check_shape_and_dtype(field, value)
+        raw = io.BytesIO()
+        np.save(raw, value)
         buf = io.BytesIO()
-        np.save(buf, value)
-        return bytearray(zlib.compress(buf.getvalue()))
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED, allowZip64=True) as z:
+            info = zipfile.ZipInfo("arr.npy", date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            z.writestr(info, raw.getvalue())
+        return bytearray(buf.getvalue())
 
     def decode(self, field, encoded):
-        return np.load(io.BytesIO(zlib.decompress(bytes(encoded))), allow_pickle=False)
+        raw = bytes(encoded)
+        if raw[:2] == b"PK":  # npz container (reference format)
+            return np.load(io.BytesIO(raw), allow_pickle=False)["arr"]
+        # legacy pre-round-9 payload: zlib-wrapped np.save bytes
+        return np.load(io.BytesIO(zlib.decompress(raw)), allow_pickle=False)
 
 
 class CompressedImageCodec(DataframeColumnCodec):

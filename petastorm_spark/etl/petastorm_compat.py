@@ -17,8 +17,11 @@ Format notes:
   - reference ``NdarrayCodec`` payloads are plain ``np.save`` bytes —
     byte-compatible with our own ``NdarrayCodec``;
   - reference ``CompressedNdarrayCodec`` uses ``np.savez_compressed``
-    (petastorm/codecs.py:174-212), a DIFFERENT container from our
-    zlib one, so it maps to :class:`PetastormNpzCodec` below;
+    (petastorm/codecs.py:174-212); since round 9 our own
+    ``CompressedNdarrayCodec`` emits the same npz container (and still
+    decodes its pre-round-9 zlib payloads), so both directions are
+    byte-compatible. :class:`PetastormNpzCodec` remains registered so
+    sidecars written under that name keep loading;
   - ``CompressedImageCodec`` maps by (format, quality); decoding real
     png/jpeg stays gated on an image library being importable.
 """
@@ -39,6 +42,7 @@ from pyspark.sql.types import BinaryType
 from petastorm_spark.codecs import (
     _CODEC_CLASSES,
     CompressedImageCodec,
+    CompressedNdarrayCodec,
     DataframeColumnCodec,
     NdarrayCodec,
     ScalarCodec,
@@ -126,12 +130,51 @@ for _pkg in _LEGACY_PACKAGES:
 
 _SAFE_MODULES = ("numpy", "decimal", "collections", "builtins", "pyspark.sql.types")
 
+# Python-2-era pickles (petastorm 0.4.x-0.7.x wrote protocol <= 2 under
+# py2) route object reconstruction through copy_reg._reconstructor and
+# name builtins as __builtin__; map both to their py3 homes instead of
+# whitelisting the modules wholesale (the reference's legacy.py:22-30
+# allows all of copy_reg/__builtin__ — we resolve only the two symbols
+# these footers actually need).
+import copyreg as _copyreg
+
+
+def _restore_namedtuple(name, fields, value):
+    """Replacement for the long-removed ``pyspark.serializers._restore``
+    (Spark <= 2.x hijacked collections.namedtuple so that instances —
+    petastorm 0.4.x's UnischemaField among them — pickled through this
+    hook). UnischemaField payloads rebuild as the local shim (older
+    footers carry 4 elements, before ``nullable`` existed — padded
+    False); anything else rebuilds as a plain namedtuple."""
+    if name == "UnischemaField":
+        vals = tuple(value) + (False,) * (5 - len(value))
+        return _RefUnischemaField(*vals[:5])
+    import collections
+
+    return collections.namedtuple(name, fields)(*value)
+
+
+_PY2_SYMBOLS = {
+    ("copy_reg", "_reconstructor"): _copyreg._reconstructor,
+    ("copyreg", "_reconstructor"): _copyreg._reconstructor,
+    ("__builtin__", "object"): object,
+    ("__builtin__", "tuple"): tuple,
+    ("__builtin__", "list"): list,
+    ("__builtin__", "dict"): dict,
+    ("__builtin__", "set"): set,
+    ("__builtin__", "frozenset"): frozenset,
+    ("pyspark.serializers", "_restore"): _restore_namedtuple,
+}
+
 
 class _RestrictedUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
         shim = _SHIMS.get((module, name))
         if shim is not None:
             return shim
+        py2 = _PY2_SYMBOLS.get((module, name))
+        if py2 is not None:
+            return py2
         if module in _SAFE_MODULES or module.startswith("numpy."):
             return super().find_class(module, name)
         raise pickle.UnpicklingError(
@@ -147,7 +190,7 @@ def _convert_codec(ref) -> DataframeColumnCodec | None:
     if isinstance(ref, _RefNdarrayCodec):
         return NdarrayCodec()  # both sides are plain np.save bytes
     if isinstance(ref, _RefCompressedNdarrayCodec):
-        return PetastormNpzCodec()
+        return CompressedNdarrayCodec()  # same npz container since round 9
     if isinstance(ref, _RefCompressedImageCodec):
         d = ref.__dict__
         fmt = d.get("_image_codec", ".png").lstrip(".")
@@ -311,20 +354,20 @@ def _codec_to_ref(codec):
         return c
     if isinstance(codec, NdarrayCodec):
         return _WNdarrayCodec()  # both sides: plain np.save bytes
-    if isinstance(codec, PetastormNpzCodec):
+    if isinstance(codec, (PetastormNpzCodec, CompressedNdarrayCodec)):
         return _WCompressedNdarrayCodec()  # npz container, byte-compatible
     if isinstance(codec, CompressedImageCodec):
         c = _WCompressedImageCodec()
         c.__dict__["_image_codec"] = "." + codec.to_json()["format"]
         c.__dict__["_quality"] = codec.to_json()["quality"]
         return c
-    # e.g. our zlib CompressedNdarrayCodec: the PAYLOAD bytes would not
-    # decode in original petastorm, so advertising a schema would
-    # produce silent garbage — refuse instead.
+    # custom/unknown codec: the PAYLOAD bytes would not decode in
+    # original petastorm, so advertising a schema would produce silent
+    # garbage — refuse instead.
     raise ValueError(
         f"codec {type(codec).__name__} has no byte-compatible original-"
-        "petastorm equivalent; use NdarrayCodec or PetastormNpzCodec for "
-        "datasets that original petastorm must read"
+        "petastorm equivalent; use NdarrayCodec or CompressedNdarrayCodec "
+        "for datasets that original petastorm must read"
     )
 
 

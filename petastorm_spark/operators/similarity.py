@@ -62,6 +62,27 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_unrolled(a, b, dim: int) -> Column:
+    """Bit-identical value to :func:`dot` (x0*y0 + x1*y1 + ... is the
+    same left-to-right double chain as the fold, since 0.0 + z == z in
+    IEEE) but as a FLAT expression that whole-stage codegen compiles.
+    Higher-order-function lambdas (``zip_with``/``aggregate``) are
+    evaluated INTERPRETED per element — profiling the round-9 organic
+    fixture put 25M interpreted 64-dim cosines at ~35 s where the
+    unrolled form runs inside codegen in ~2 s. Requires a static
+    ``dim``; callers with unknown width keep the fold."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    term = F.get(a, 0).cast("double") * F.get(b, 0).cast("double")
+    for j in range(1, dim):
+        term = term + F.get(a, j).cast("double") * F.get(b, j).cast("double")
+    return term
+
+
+def norm_unrolled(a, dim: int) -> Column:
+    return F.sqrt(dot_unrolled(a, a, dim))
+
+
 def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     """Exact per-query top-k over pre-scored (query_id, neighbor_id,
     cos_sim) rows, in two stages:
@@ -471,12 +492,48 @@ def _as_centroids(centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _score_cells(
+    corpus: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int | None,
+) -> DataFrame:
+    """(id, _cos, cell) for every corpus vector x centroid — the
+    assignment scan shared by IVF build and SemDeDup. With a static
+    ``dim`` the cosine is the codegen'd unrolled chain over
+    per-side-precomputed norms (same value as ``cosine`` bit for bit:
+    identical add order, identical dot/(norm_v*norm_c) shape); without
+    one it falls back to the interpreted fold. Only 24-byte rows leave
+    this plan — no vector payload rides the n x n_cells stage."""
+    if dim is not None:
+        c = cent.withColumn("_cn", norm_unrolled(F.col("cent_vec"), dim))
+        return (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .withColumn("_vn", norm_unrolled(F.col(vec_col), dim))
+            .crossJoin(F.broadcast(c))
+            .withColumn(
+                "_cos",
+                dot_unrolled(F.col(vec_col), F.col("cent_vec"), dim)
+                / (F.col("_vn") * F.col("_cn")),
+            )
+            .select(F.col(id_col), "_cos", "cell")
+        )
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_cos", cosine(F.col(vec_col), F.col("cent_vec")))
+        .select(F.col(id_col), "_cos", "cell")
+    )
+
+
 def ivf_build(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 16,
     centroids: DataFrame | None = None,
+    dim: int | None = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index: returns ``(centroids, assignments)`` —
     centroids as (cell, cent_vec); assignments as (id, vec, cell) with
@@ -502,13 +559,9 @@ def ivf_build(
     # ONE equi-join puts the vector back. Grouping by (id, vec) instead
     # would hash a 64-float array key once per scored row and carry it
     # through the exchange — the round-9 organic-sf1 profile showed
-    # that payload, not the cosine math, dominating assignment cost.
-    scored = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(cent))
-        .withColumn("_cos", cosine(F.col(vec_col), F.col("cent_vec")))
-        .select(F.col(id_col), "_cos", "cell")
-    )
+    # that payload (and interpreted fold cosines; see _score_cells)
+    # dominating assignment cost.
+    scored = _score_cells(corpus, cent, id_col, vec_col, dim)
     best = (
         scored.groupBy(id_col)
         .agg(
@@ -795,6 +848,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
     n_probe: int = 1,
+    dim: int | None = 64,
 ) -> DataFrame:
     """Cluster-scoped semantic dedup (the SemDeDup recipe, Abbas et
     al. 2023): bucket the corpus by nearest coarse centroid, score
@@ -841,49 +895,38 @@ def semantic_dedup(
                 .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
             )
         # top-n_probe cells WITHOUT the vector payload: score rows
-        # shrink to (id, _ccos, cell) before any exchange, the probed
-        # set is picked by sorting each id's 16-byte (-cos, cell)
-        # structs (partial collect state, no window sort-shuffle of
-        # n x n_cells vector-carrying rows — the round-9 organic-sf1
-        # bottleneck), and ONE equi-join puts the vector back. The
-        # probed cells come out as a sorted array so the pair join can
-        # emit each pair from its MINIMAL shared cell only (first-match
-        # emission, as in simhash pairs): no candidate-dedup shuffle
-        # exists at all.
+        # shrink to 24-byte (id, _cos, cell) before any exchange (and
+        # the cosine itself runs codegen'd, see _score_cells — the two
+        # round-9 organic-sf1 bottlenecks were vector-carrying
+        # exchanges and interpreted fold cosines), the probed set is a
+        # row_number window over those slim rows, and ONE equi-join
+        # puts the vector back. The probed cells come out as a sorted
+        # array so the pair join can emit each pair from its MINIMAL
+        # shared cell only (first-match emission, as in simhash
+        # pairs): no candidate-dedup shuffle exists at all.
         # cell keeps its native type throughout — a narrowing int cast
         # would silently wrap 60-bit hash-derived centroid ids,
         # colliding distinct cells and corrupting first-match emission
-        scored = (
-            corpus.select(id_col, vec_col)
-            .crossJoin(F.broadcast(cent))
-            .withColumn("_ccos", cosine(F.col(vec_col), F.col("cent_vec")))
-            .select(F.col(id_col), "_ccos", "cell")
-        )
+        from pyspark.sql import Window
+
+        scored = _score_cells(corpus, cent, id_col, vec_col, dim)
+        w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), "cell")
         probed = (
-            scored.groupBy(id_col)
-            .agg(
-                F.slice(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct((-F.col("_ccos")).alias("_nc"), F.col("cell"))
-                        )
-                    ),
-                    1,
-                    n_probe,
-                ).alias("_top")
-            )
-            .select(
-                F.col(id_col),
-                F.sort_array(
-                    F.transform(F.col("_top"), lambda s: s.getField("cell"))
-                ).alias("_cells"),
-            )
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n_probe)
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("cell")).alias("_cells"))
         )
         assigned = corpus.select(id_col, vec_col).join(probed, id_col)
     else:
-        _, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids)
+        _, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids, dim)
     unit = (
-        assigned.withColumn("_nrm", norm(F.col(vec_col)))
+        assigned.withColumn(
+            "_nrm",
+            norm_unrolled(F.col(vec_col), dim)
+            if dim is not None
+            else norm(F.col(vec_col)),
+        )
         .withColumn(
             "_u",
             F.when(
@@ -926,9 +969,12 @@ def semantic_dedup(
             F.col(id_col).alias("_kb"), F.col("_u").alias("_vb"), "cell"
         )
         cand = a.join(b, "cell").where(F.col("_ka") < F.col("_kb"))
-    pairs = cand.withColumn("_cos", dot(F.col("_va"), F.col("_vb"))).where(
-        F.col("_cos") >= threshold
+    pair_dot = (
+        dot_unrolled(F.col("_va"), F.col("_vb"), dim)
+        if dim is not None
+        else dot(F.col("_va"), F.col("_vb"))
     )
+    pairs = cand.withColumn("_cos", pair_dot).where(F.col("_cos") >= threshold)
     return (
         pairs.groupBy(F.col("_kb").alias("removed_id"))
         .agg(

@@ -188,23 +188,26 @@ def test_make_reader_reads_legacy_layouts(spark, tmp_path, pkg, with_rowgroup_ke
 
 
 def test_compressed_ndarray_codec_compat_contract(spark, tmp_path):
-    """The documented degradation, pinned: a dataset written with the
-    engine's zlib ``CompressedNdarrayCodec`` has no byte-compatible
-    original-petastorm codec (reference CompressedNdarrayCodec is an
-    np.savez_compressed container, petastorm/codecs.py:174-212), so
-    ``materialize_dataset(petastorm_compat=True)`` must (a) warn, (b)
-    skip the compat ``_common_metadata`` footer — never advertise a
-    schema whose payloads original petastorm would mis-decode — while
-    (c) the JSON sidecar and the engine's own reader stay fully
-    functional."""
+    """Since round 9 ``CompressedNdarrayCodec`` emits the reference's
+    np.savez_compressed npz container (petastorm/codecs.py:174-212), so
+    ``materialize_dataset(petastorm_compat=True)`` (a) writes the compat
+    ``_common_metadata`` footer with NO skip warning, (b) stores
+    payloads a reference-style consumer (np.load(...)['arr'] on the raw
+    parquet binary) decodes byte-for-byte, and (c) the engine's own
+    reader still round-trips — including LEGACY pre-round-9 zlib
+    payloads, pinned at the codec level."""
+    import io
     import os
     import warnings
+    import zlib
 
     import numpy as np
+    import pyarrow.parquet as pq
     from pyspark.sql.types import LongType
 
     from petastorm_spark.codecs import CompressedNdarrayCodec, ScalarCodec
     from petastorm_spark.etl.dataset_metadata import materialize_dataset
+    from petastorm_spark.etl.petastorm_compat import UNISCHEMA_KEY
     from petastorm_spark.reader import make_reader
     from petastorm_spark.unischema import (
         Unischema,
@@ -219,7 +222,7 @@ def test_compressed_ndarray_codec_compat_contract(spark, tmp_path):
             UnischemaField("vec", np.float32, (3,), CompressedNdarrayCodec(), False),
         ],
     )
-    url = str(tmp_path / "zlibds")
+    url = str(tmp_path / "npzds")
     rows = [
         {"id": i, "vec": np.arange(3, dtype=np.float32) + i} for i in range(10)
     ]
@@ -230,11 +233,28 @@ def test_compressed_ndarray_codec_compat_contract(spark, tmp_path):
                 [dict_to_spark_row(schema, r) for r in rows],
                 schema.as_spark_schema(),
             ).coalesce(1).write.mode("overwrite").parquet(url)
-    assert any("petastorm-compat" in str(x.message) for x in w)
-    assert not os.path.exists(os.path.join(url, "_common_metadata"))
+    assert not any("petastorm-compat" in str(x.message) for x in w)
+    cm = os.path.join(url, "_common_metadata")
+    assert os.path.exists(cm)
+    assert UNISCHEMA_KEY in (pq.read_metadata(cm).metadata or {})
+    # reference-style consumption: raw binary column -> np.load ['arr']
+    part = next(
+        f for f in os.listdir(url) if f.endswith(".parquet") and f[0] != "_"
+    )
+    tbl = pq.read_table(os.path.join(url, part), columns=["id", "vec"])
+    for rid, payload in zip(tbl["id"].to_pylist(), tbl["vec"].to_pylist()):
+        arr = np.load(io.BytesIO(payload))["arr"]
+        np.testing.assert_array_equal(arr, rows[rid]["vec"])
     with make_reader(url, spark=spark) as r:
         got = sorted((row.id, row.vec.tolist()) for row in r)
     assert got == [(i, [float(i), float(i + 1), float(i + 2)]) for i in range(10)]
+    # legacy pre-round-9 payload (zlib-wrapped np.save) still decodes
+    codec = CompressedNdarrayCodec()
+    f = schema.fields["vec"]
+    legacy_raw = io.BytesIO()
+    np.save(legacy_raw, rows[0]["vec"])
+    legacy = bytearray(zlib.compress(legacy_raw.getvalue()))
+    np.testing.assert_array_equal(codec.decode(f, legacy), rows[0]["vec"])
 
 
 def test_npz_codec_is_reference_byte_compatible(spark, tmp_path):

@@ -494,10 +494,12 @@ def test_materialize_writes_petastorm_readable_metadata(spark, tmp_path):
 
 
 def test_materialize_compat_skips_incompatible_codec(spark, tmp_path):
-    """Our zlib CompressedNdarrayCodec has no byte-compatible reference
-    equivalent — the compat key must be SKIPPED (advertising a schema
-    the reference would decode into garbage is worse than absence)."""
-    from petastorm_spark.codecs import CompressedNdarrayCodec, ScalarCodec
+    """A codec with no byte-compatible reference equivalent (here: a
+    custom user codec; CompressedNdarrayCodec graduated to the npz
+    container in round 9) — the compat key must be SKIPPED
+    (advertising a schema the reference would decode into garbage is
+    worse than absence)."""
+    from petastorm_spark.codecs import NdarrayCodec, ScalarCodec
     from petastorm_spark.etl.dataset_metadata import materialize_dataset
     from petastorm_spark.etl.petastorm_compat import UNISCHEMA_KEY
     from petastorm_spark.unischema import (
@@ -506,11 +508,22 @@ def test_materialize_compat_skips_incompatible_codec(spark, tmp_path):
         dict_to_spark_row,
     )
 
+    class ReversedBytesCodec(NdarrayCodec):
+        """np.save bytes, reversed — valid here, garbage elsewhere."""
+
+        name = "reversed_bytes"
+
+        def encode(self, field, value):
+            return bytearray(bytes(super().encode(field, value))[::-1])
+
+        def decode(self, field, encoded):
+            return super().decode(field, bytes(encoded)[::-1])
+
     schema = Unischema(
         "ZSchema",
         [
             UnischemaField("id", np.int32, (), ScalarCodec(IntegerType()), False),
-            UnischemaField("z", np.float64, (2,), CompressedNdarrayCodec(), False),
+            UnischemaField("z", np.float64, (2,), ReversedBytesCodec(), False),
         ],
     )
     url = str(tmp_path / "zds")
