@@ -62,25 +62,15 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def dot_unrolled(a, b, dim: int) -> Column:
-    """Bit-identical value to :func:`dot` (x0*y0 + x1*y1 + ... is the
-    same left-to-right double chain as the fold, since 0.0 + z == z in
-    IEEE) but as a FLAT expression that whole-stage codegen compiles.
-    Higher-order-function lambdas (``zip_with``/``aggregate``) are
-    evaluated INTERPRETED per element — profiling the round-9 organic
-    fixture put 25M interpreted 64-dim cosines at ~35 s where the
-    unrolled form runs inside codegen in ~2 s. Requires a static
-    ``dim``; callers with unknown width keep the fold."""
-    a = F.col(a) if isinstance(a, str) else a
-    b = F.col(b) if isinstance(b, str) else b
-    term = F.get(a, 0).cast("double") * F.get(b, 0).cast("double")
-    for j in range(1, dim):
-        term = term + F.get(a, j).cast("double") * F.get(b, j).cast("double")
-    return term
-
-
-def norm_unrolled(a, dim: int) -> Column:
-    return F.sqrt(dot_unrolled(a, a, dim))
+# A NOTE ON "JUST UNROLL THE DOT PRODUCT": an unrolled 64-term
+# x0*y0 + x1*y1 + ... chain is bit-identical to the fold and
+# whole-stage codegen compiles it — but the generated method exceeds
+# HotSpot's JIT size threshold (-XX:DontCompileHugeMethods, ~8000
+# bytecodes once null checks are emitted), so it executes in the
+# BYTECODE INTERPRETER at ~46 us/row: measured 144 s for 25M rows on
+# the round-9 organic fixture, 4x WORSE than the interpreted
+# Catalyst fold (~35 s) and 70x worse than the vectorized numpy
+# assignment that replaced both (see _probe_cells_numpy).
 
 
 def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -492,38 +482,87 @@ def _as_centroids(centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _score_cells(
+# largest centroid table shipped to tasks for the vectorized
+# assignment: 16384 cells x 64 dims x 8 B = 8 MB of closure — beyond
+# that the join fallback applies, and at that scale a hierarchical /
+# k-means quantizer is the right tool anyway
+_MAX_LOCAL_CELLS = 16384
+
+
+def _probe_cells_numpy(
     corpus: DataFrame,
-    cent: DataFrame,
+    crows,
     id_col: str,
     vec_col: str,
-    dim: int | None,
+    n_probe: int,
 ) -> DataFrame:
-    """(id, _cos, cell) for every corpus vector x centroid — the
-    assignment scan shared by IVF build and SemDeDup. With a static
-    ``dim`` the cosine is the codegen'd unrolled chain over
-    per-side-precomputed norms (same value as ``cosine`` bit for bit:
-    identical add order, identical dot/(norm_v*norm_c) shape); without
-    one it falls back to the interpreted fold. Only 24-byte rows leave
-    this plan — no vector payload rides the n x n_cells stage."""
-    if dim is not None:
-        c = cent.withColumn("_cn", norm_unrolled(F.col("cent_vec"), dim))
-        return (
-            corpus.select(F.col(id_col), F.col(vec_col))
-            .withColumn("_vn", norm_unrolled(F.col(vec_col), dim))
-            .crossJoin(F.broadcast(c))
-            .withColumn(
-                "_cos",
-                dot_unrolled(F.col(vec_col), F.col("cent_vec"), dim)
-                / (F.col("_vn") * F.col("_cn")),
+    """(id, vec, _cells) with ``_cells`` = each vector's top-``n_probe``
+    nearest-centroid cells (cosine DESC, cell ASC tie-break), sorted
+    ascending — ONE Arrow-batched numpy pass over the corpus.
+
+    This is the assignment plan that survives 100 TB: the quantizer is
+    bounded (that is what makes it coarse), so it ships to every task
+    as a (n_cells x dim) float64 matrix and the scan is a pure map —
+    one BLAS matmul + stable argsort per Arrow batch, n rows in, n
+    rows out, the vector column passing through untouched. No
+    n x n_cells row blowup exists anywhere. The Catalyst alternatives
+    all lose by 1-2 orders of magnitude on the 25M-score organic
+    profile: crossJoin is BroadcastNestedLoopJoin (no codegen, every
+    expression interpreted), HOF fold cosines are interpreted per
+    element (~35 s), and unrolled codegen chains blow the JIT method
+    limit (~144 s) — the matmul takes ~1 s.
+
+    Tie-break parity: centroid rows are pre-sorted by cell and the
+    argsort is stable, so exact cosine ties resolve to the lower cell
+    — the same (cos DESC, cell ASC) order the SQL oracles compute.
+    numpy's pairwise summation can differ from an engine's sequential
+    fold in the last bit, which matters only if two DISTINCT cells'
+    cosines tie within ~1e-15 of each other at the probe boundary;
+    tests/test_round9_ops.py measures the fixture's minimal boundary
+    gap (orders of magnitude wider) and pins the numpy/Catalyst
+    agreement row for row."""
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(crows, key=lambda r: r["cell"])
+    C = np.array([list(r["cent_vec"]) for r in crows], dtype=np.float64)
+    cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+    cells_np = np.array([r["cell"] for r in crows])
+    int_cells = cells_np.dtype.kind in "iu"
+    cell_sql = "bigint" if int_cells else "string"
+    k = min(n_probe, len(crows))
+    CT = C.T
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, {vec_col} {vec_t}, _cells array<{cell_sql}>"
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], vec_col: pdf[vec_col], "_cells": []}
+                )
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (V @ CT) / (vn[:, None] * cn[None, :])
+            idx = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+            sel = np.sort(cells_np[idx], axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "_cells": [
+                        [int(c) for c in row] if int_cells else list(row)
+                        for row in sel
+                    ],
+                }
             )
-            .select(F.col(id_col), "_cos", "cell")
-        )
-    return (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(cent))
-        .withColumn("_cos", cosine(F.col(vec_col), F.col("cent_vec")))
-        .select(F.col(id_col), "_cos", "cell")
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign, out_schema
     )
 
 
@@ -533,7 +572,6 @@ def ivf_build(
     vec_col: str = "embedding",
     n_cells: int = 16,
     centroids: DataFrame | None = None,
-    dim: int | None = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index: returns ``(centroids, assignments)`` —
     centroids as (cell, cent_vec); assignments as (id, vec, cell) with
@@ -543,9 +581,12 @@ def ivf_build(
     (the ``n_cells`` lowest-id corpus vectors); feed k-means centroids
     via ``centroids=`` in production — either the (cell, cent_vec)
     shape :func:`train_kmeans_centroids` returns or a corpus-shaped
-    (id, vec) frame is accepted. Scale: one corpus scan, centroid
-    table broadcast, partial-agg argmax — no window, no shuffle beyond
-    the aggregation."""
+    (id, vec) frame is accepted. Scale: ONE corpus map — the bounded
+    quantizer ships to tasks and each Arrow batch argmaxes a BLAS
+    matmul (:func:`_probe_cells_numpy`); no shuffle, no join, no
+    n x n_cells row blowup. Falls back to the broadcast-join +
+    partial-agg argmax only when the quantizer outgrows the local
+    matrix (at which point use a hierarchical quantizer)."""
     if centroids is not None:
         cent = _as_centroids(centroids, id_col, vec_col)
     else:
@@ -554,14 +595,19 @@ def ivf_build(
             .limit(n_cells)
             .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
         )
-    # argmax WITHOUT the vector payload: the n x n_cells scored rows
-    # reduce map-side to one 24-byte (id, best) row per vector, then
-    # ONE equi-join puts the vector back. Grouping by (id, vec) instead
-    # would hash a 64-float array key once per scored row and carry it
-    # through the exchange — the round-9 organic-sf1 profile showed
-    # that payload (and interpreted fold cosines; see _score_cells)
-    # dominating assignment cost.
-    scored = _score_cells(corpus, cent, id_col, vec_col, dim)
+    crows = cent.select("cell", "cent_vec").collect()
+    if 0 < len(crows) <= _MAX_LOCAL_CELLS:
+        probed = _probe_cells_numpy(corpus, crows, id_col, vec_col, 1)
+        assigned = probed.select(
+            F.col(id_col), F.col(vec_col), F.element_at("_cells", 1).alias("cell")
+        )
+        return cent, assigned
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_cos", cosine(F.col(vec_col), F.col("cent_vec")))
+        .select(F.col(id_col), "_cos", "cell")
+    )
     best = (
         scored.groupBy(id_col)
         .agg(
@@ -848,7 +894,6 @@ def semantic_dedup(
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
     n_probe: int = 1,
-    dim: int | None = 64,
 ) -> DataFrame:
     """Cluster-scoped semantic dedup (the SemDeDup recipe, Abbas et
     al. 2023): bucket the corpus by nearest coarse centroid, score
@@ -894,39 +939,40 @@ def semantic_dedup(
                 .limit(n_cells)
                 .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
             )
-        # top-n_probe cells WITHOUT the vector payload: score rows
-        # shrink to 24-byte (id, _cos, cell) before any exchange (and
-        # the cosine itself runs codegen'd, see _score_cells — the two
-        # round-9 organic-sf1 bottlenecks were vector-carrying
-        # exchanges and interpreted fold cosines), the probed set is a
-        # row_number window over those slim rows, and ONE equi-join
-        # puts the vector back. The probed cells come out as a sorted
-        # array so the pair join can emit each pair from its MINIMAL
-        # shared cell only (first-match emission, as in simhash
-        # pairs): no candidate-dedup shuffle exists at all.
+        # top-n_probe cells in ONE vectorized corpus map
+        # (_probe_cells_numpy): n rows in, n rows out with the vector
+        # aboard — no n x n_cells row stage, no window, no join. The
+        # probed cells come out as a sorted array so the pair join can
+        # emit each pair from its MINIMAL shared cell only (first-match
+        # emission, as in simhash pairs): no candidate-dedup shuffle
+        # exists at all.
         # cell keeps its native type throughout — a narrowing int cast
         # would silently wrap 60-bit hash-derived centroid ids,
         # colliding distinct cells and corrupting first-match emission
-        from pyspark.sql import Window
+        crows = cent.select("cell", "cent_vec").collect()
+        if 0 < len(crows) <= _MAX_LOCAL_CELLS:
+            assigned = _probe_cells_numpy(corpus, crows, id_col, vec_col, n_probe)
+        else:
+            from pyspark.sql import Window
 
-        scored = _score_cells(corpus, cent, id_col, vec_col, dim)
-        w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), "cell")
-        probed = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= n_probe)
-            .groupBy(id_col)
-            .agg(F.sort_array(F.collect_list("cell")).alias("_cells"))
-        )
-        assigned = corpus.select(id_col, vec_col).join(probed, id_col)
+            scored = (
+                corpus.select(id_col, vec_col)
+                .crossJoin(F.broadcast(cent))
+                .withColumn("_cos", cosine(F.col(vec_col), F.col("cent_vec")))
+                .select(F.col(id_col), "_cos", "cell")
+            )
+            w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), "cell")
+            probed = (
+                scored.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= n_probe)
+                .groupBy(id_col)
+                .agg(F.sort_array(F.collect_list("cell")).alias("_cells"))
+            )
+            assigned = corpus.select(id_col, vec_col).join(probed, id_col)
     else:
-        _, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids, dim)
+        _, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids)
     unit = (
-        assigned.withColumn(
-            "_nrm",
-            norm_unrolled(F.col(vec_col), dim)
-            if dim is not None
-            else norm(F.col(vec_col)),
-        )
+        assigned.withColumn("_nrm", norm(F.col(vec_col)))
         .withColumn(
             "_u",
             F.when(
@@ -938,6 +984,13 @@ def semantic_dedup(
         )
         .select(F.col(id_col), "_cells" if n_probe > 1 else "cell", "_u")
     )
+    # the pair join consumes `unit` on BOTH sides, and the assignment
+    # runs through mapInPandas — a Python stage Spark cannot dedupe
+    # via ReusedExchange — so materialize it once. O(corpus) rows of
+    # (id, cells, unit-vec); MEMORY_AND_DISK spills rather than OOMs.
+    from pyspark import StorageLevel
+
+    unit = unit.persist(StorageLevel.MEMORY_AND_DISK)
     if n_probe > 1:
         ue = unit.withColumn("cell", F.explode("_cells"))
         a = ue.select(
@@ -969,12 +1022,9 @@ def semantic_dedup(
             F.col(id_col).alias("_kb"), F.col("_u").alias("_vb"), "cell"
         )
         cand = a.join(b, "cell").where(F.col("_ka") < F.col("_kb"))
-    pair_dot = (
-        dot_unrolled(F.col("_va"), F.col("_vb"), dim)
-        if dim is not None
-        else dot(F.col("_va"), F.col("_vb"))
+    pairs = cand.withColumn("_cos", dot(F.col("_va"), F.col("_vb"))).where(
+        F.col("_cos") >= threshold
     )
-    pairs = cand.withColumn("_cos", pair_dot).where(F.col("_cos") >= threshold)
     return (
         pairs.groupBy(F.col("_kb").alias("removed_id"))
         .agg(
