@@ -182,11 +182,28 @@ class _RestrictedUnpickler(pickle.Unpickler):
         )
 
 
+def _fresh_spark_type(t):
+    """Rebuild an unpickled pyspark DataType with the CURRENT class:
+    a Spark-2.x-era pickled StringType lacks attributes modern pyspark
+    expects (e.g. ``collation``, added in 4.x), so trusting unpickled
+    state produces objects that crash on first use. Parameterized
+    types re-init from their own pickled parameters."""
+    import pyspark.sql.types as T
+
+    if isinstance(t, T.DecimalType):
+        return T.DecimalType(int(t.precision), int(t.scale))
+    if isinstance(t, T.CharType):
+        return T.CharType(int(t.length))
+    if isinstance(t, T.VarcharType):
+        return T.VarcharType(int(t.length))
+    return type(t)()
+
+
 def _convert_codec(ref) -> DataframeColumnCodec | None:
     if ref is None:
         return None
     if isinstance(ref, _RefScalarCodec):
-        return ScalarCodec(ref.__dict__["_spark_type"])
+        return ScalarCodec(_fresh_spark_type(ref.__dict__["_spark_type"]))
     if isinstance(ref, _RefNdarrayCodec):
         return NdarrayCodec()  # both sides are plain np.save bytes
     if isinstance(ref, _RefCompressedNdarrayCodec):
