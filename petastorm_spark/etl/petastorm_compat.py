@@ -128,7 +128,12 @@ for _pkg in _LEGACY_PACKAGES:
     for (_mod, _cls), _shim in list(_SHIMS.items()):
         _SHIMS[(_mod.replace("petastorm", _pkg, 1), _cls)] = _shim
 
-_SAFE_MODULES = ("numpy", "decimal", "collections", "builtins", "pyspark.sql.types")
+# NOTE: 'builtins' is deliberately ABSENT — whitelisting it wholesale
+# would let a crafted footer resolve builtins.eval/exec/getattr and
+# execute code. The handful of benign builtins a pickle can legitimately
+# name are enumerated explicitly in _PY2_SYMBOLS below (py3 'builtins'
+# aliases of the same py2 '__builtin__' set).
+_SAFE_MODULES = ("numpy", "decimal", "collections", "pyspark.sql.types")
 
 # Python-2-era pickles (petastorm 0.4.x-0.7.x wrote protocol <= 2 under
 # py2) route object reconstruction through copy_reg._reconstructor and
@@ -157,14 +162,14 @@ def _restore_namedtuple(name, fields, value):
 _PY2_SYMBOLS = {
     ("copy_reg", "_reconstructor"): _copyreg._reconstructor,
     ("copyreg", "_reconstructor"): _copyreg._reconstructor,
-    ("__builtin__", "object"): object,
-    ("__builtin__", "tuple"): tuple,
-    ("__builtin__", "list"): list,
-    ("__builtin__", "dict"): dict,
-    ("__builtin__", "set"): set,
-    ("__builtin__", "frozenset"): frozenset,
     ("pyspark.serializers", "_restore"): _restore_namedtuple,
 }
+# Benign container/value types a footer pickle can legitimately name,
+# under both the py2 and py3 module names. Nothing callable-with-effect
+# (eval/exec/getattr/__import__) is resolvable.
+for _t in (object, tuple, list, dict, set, frozenset, bytearray, complex, bool, int, float, str, bytes):
+    _PY2_SYMBOLS[("__builtin__", _t.__name__)] = _t
+    _PY2_SYMBOLS[("builtins", _t.__name__)] = _t
 
 
 class _RestrictedUnpickler(pickle.Unpickler):
@@ -363,17 +368,21 @@ def _fake_petastorm_modules():
 
 
 def _codec_to_ref(codec):
+    # Exact-type checks, not isinstance: a user codec SUBCLASSING one of
+    # ours may override encode/decode (round-9 red test: ReversedBytesCodec),
+    # so its payload bytes are NOT what the reference class decodes — it
+    # must fall through to the ValueError refusal below.
     if codec is None:
         return None
-    if isinstance(codec, ScalarCodec):
+    if type(codec) is ScalarCodec:
         c = _WScalarCodec()
         c.__dict__["_spark_type"] = codec.spark_dtype()
         return c
-    if isinstance(codec, NdarrayCodec):
+    if type(codec) is NdarrayCodec:
         return _WNdarrayCodec()  # both sides: plain np.save bytes
-    if isinstance(codec, (PetastormNpzCodec, CompressedNdarrayCodec)):
+    if type(codec) in (PetastormNpzCodec, CompressedNdarrayCodec):
         return _WCompressedNdarrayCodec()  # npz container, byte-compatible
-    if isinstance(codec, CompressedImageCodec):
+    if type(codec) is CompressedImageCodec:
         c = _WCompressedImageCodec()
         c.__dict__["_image_codec"] = "." + codec.to_json()["format"]
         c.__dict__["_quality"] = codec.to_json()["quality"]

@@ -321,7 +321,7 @@ def lsh_index_write(
 
 def lsh_index_append(
     index_url: str, buckets: DataFrame, signatures: DataFrame,
-    check_ids: bool = True,
+    check_ids: bool = True, id_col: str | None = None,
 ) -> None:
     """Fold a new batch into a persisted index (append-only parquet —
     the batch was deduped against the index first, so appended ids are
@@ -332,13 +332,28 @@ def lsh_index_append(
     would permanently plant duplicate bucket and signature rows that
     every later probe re-emits. The check reads ONE column-pruned id
     column of the index semi-joined to a batch-sized side; disable it
-    only when the pipeline already guarantees fresh ids."""
+    only when the pipeline already guarantees fresh ids. ``id_col``
+    names the id column explicitly (default: the batch's first column,
+    validated against the persisted index's schema so a reordered
+    signatures frame cannot silently semi-join on a minhash column)."""
     root = index_url.rstrip("/")
     if check_ids:
-        id_col = signatures.columns[0]
         existing = signatures.sparkSession.read.parquet(
             root + "/signatures"
-        ).select(id_col)
+        )
+        if id_col is None:
+            # The persisted index's first column IS the id (written by
+            # lsh_index_write from minhash_signatures, id first) — use
+            # it, not the batch's first column, so a column-reordered
+            # batch frame cannot silently semi-join on a minhash column.
+            id_col = existing.columns[0]
+        if id_col not in existing.columns or id_col not in signatures.columns:
+            raise ValueError(
+                f"lsh_index_append: id column {id_col!r} not present in "
+                f"both the batch ({signatures.columns[:3]}…) and the "
+                f"persisted index ({existing.columns[:3]}…); pass id_col="
+            )
+        existing = existing.select(id_col)
         n_dup = (
             signatures.select(id_col)
             .join(existing, id_col, "left_semi")

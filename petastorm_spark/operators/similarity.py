@@ -527,6 +527,11 @@ def _probe_cells_numpy(
     crows = sorted(crows, key=lambda r: r["cell"])
     C = np.array([list(r["cent_vec"]) for r in crows], dtype=np.float64)
     cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+    if not np.all(cn > 0):
+        # a zero-norm centroid's cosine is NaN, and engines rank NaN
+        # differently than numpy — refuse the ambiguity outright
+        bad = [r["cell"] for r, n in zip(crows, cn) if not n > 0]
+        raise ValueError(f"zero-norm centroid(s) for cell(s) {bad[:5]}")
     cells_np = np.array([r["cell"] for r in crows])
     int_cells = cells_np.dtype.kind in "iu"
     cell_sql = "bigint" if int_cells else "string"
@@ -548,6 +553,11 @@ def _probe_cells_numpy(
             vn = np.sqrt(np.einsum("ij,ij->i", V, V))
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = (V @ CT) / (vn[:, None] * cn[None, :])
+            # A zero-norm vector or centroid yields NaN; numpy argsort
+            # ranks NaN LAST under -cos while Spark/DuckDB rank NaN
+            # greatest under DESC. Pin "degenerate never wins" on both
+            # paths: the SQL oracles coalesce their cosine to -inf too.
+            cos = np.where(np.isnan(cos), -np.inf, cos)
             idx = np.argsort(-cos, axis=1, kind="stable")[:, :k]
             sel = np.sort(cells_np[idx], axis=1)
             yield pd.DataFrame(
@@ -988,9 +998,14 @@ def semantic_dedup(
     # runs through mapInPandas — a Python stage Spark cannot dedupe
     # via ReusedExchange — so materialize it once. O(corpus) rows of
     # (id, cells, unit-vec); MEMORY_AND_DISK spills rather than OOMs.
+    # The result is returned lazily, so the cache is registered with
+    # session.release_persisted() for the caller to free after
+    # consumption (clearCache() between bench runs also frees it).
     from pyspark import StorageLevel
 
-    unit = unit.persist(StorageLevel.MEMORY_AND_DISK)
+    from petastorm_spark.session import register_persisted
+
+    unit = register_persisted(unit.persist(StorageLevel.MEMORY_AND_DISK))
     if n_probe > 1:
         ue = unit.withColumn("cell", F.explode("_cells"))
         a = ue.select(

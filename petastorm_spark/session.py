@@ -100,6 +100,35 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Plans persist()ed on behalf of a LAZILY returned result (the operator
+# cannot unpersist before the caller consumes it). Operators append here;
+# callers release after consumption. `spark.catalog.clearCache()` (which
+# bench.py runs between queries) also frees these — but a long-lived
+# session that neither calls release_persisted() nor clearCache() would
+# accumulate cached partitions until the ContextCleaner GCs the plans.
+_PERSISTED: list = []
+
+
+def register_persisted(df):
+    """Track a DataFrame persist()ed for a lazily-returned result."""
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every intermediate an operator cached on behalf of a
+    lazily-returned result; call once the results are consumed."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 - session may be gone
+            pass
+    return n
+
+
 def arrow_local_df(spark: SparkSession, data: dict, schema: str):
     """createDataFrame for small driver-local tables via the
     pandas->Arrow path. A plain Row-list ``createDataFrame``

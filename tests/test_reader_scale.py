@@ -350,6 +350,28 @@ def test_petastorm_interop_rejects_malicious_pickle(tmp_path):
         unischema_from_pickle(pickle.dumps(os.system))
 
 
+def test_restricted_unpickler_refuses_builtins_callables():
+    """'builtins' is NOT whitelisted wholesale: eval/exec/getattr must
+    not resolve (a crafted footer naming them would be code execution),
+    while the enumerated benign container types still do."""
+    import builtins
+    import io
+
+    from petastorm_spark.etl.petastorm_compat import _RestrictedUnpickler
+
+    def load_global(module, name):
+        # raw GLOBAL opcode (pickle.dumps would refuse to build these)
+        payload = b"c" + module.encode() + b"\n" + name.encode() + b"\n."
+        return _RestrictedUnpickler(io.BytesIO(payload)).load()
+
+    for dangerous in ("eval", "exec", "getattr", "__import__", "compile", "open"):
+        with pytest.raises(pickle.UnpicklingError, match="refusing"):
+            load_global("builtins", dangerous)
+    for benign in ("set", "frozenset", "dict", "bytearray"):
+        assert load_global("builtins", benign) is getattr(builtins, benign)
+        assert load_global("__builtin__", benign) is getattr(builtins, benign)
+
+
 # ---------------------------------------------------------------------------
 # Multi-URL make_batch_reader (reference petastorm/reader.py:51-57,209)
 # ---------------------------------------------------------------------------

@@ -36,6 +36,44 @@ def render(text: str, n_queries: int, n_oracles: int) -> tuple[str, int]:
     return text, hits
 
 
+def find_contradictions(text: str, n_queries: int, n_oracles: int) -> list[str]:
+    """Hand-written prose counts that contradict the registry (the
+    round-9 verdict caught '153 DuckDB-oracle hash-exact' three lines
+    under a correct auto-generated 154): any '<N> <catalog|registered|
+    catalog queries|DuckDB-oracle...>' phrasing outside the marker
+    spans whose N doesn't match the live registry."""
+    bad = []
+    spans = {str(n_queries), str(n_oracles)}
+    # Historical '## Round-N status' sections record counts that were
+    # correct AT that round; only the latest one must match the live
+    # registry (plus all prose outside any round-status section).
+    rounds = [
+        int(m.group(1))
+        for m in re.finditer(r"^## Round-(\d+) status", text, re.M)
+    ]
+    latest_round = max(rounds, default=None)
+
+    def in_stale_section(pos: int) -> bool:
+        # the '## ' heading governing pos; stale iff it is a
+        # Round-N status section with N < the latest round
+        h = text.rfind("\n## ", 0, pos)
+        if h == -1:
+            return False
+        m = re.match(r"\n## Round-(\d+) status", text[h:h + 40])
+        return m is not None and int(m.group(1)) != latest_round
+
+    pat = re.compile(
+        r"\b(\d{2,4})\s+(?:catalog queries|registered queries|"
+        r"DuckDB[- ]oracle\S*|queries? with (?:a )?DuckDB)", re.I
+    )
+    for m in pat.finditer(text):
+        if m.group(1) not in spans and not in_stale_section(m.start()):
+            line_no = text.count("\n", 0, m.start()) + 1
+            bad.append(f"README.md:{line_no}: '{m.group(0)}' contradicts "
+                       f"registry ({n_queries} queries / {n_oracles} oracles)")
+    return bad
+
+
 def main() -> int:
     import __spark_entry__ as entry
 
@@ -46,6 +84,11 @@ def main() -> int:
     if hits < 2:
         print(f"README.md: only {hits} count markers found — expected "
               "at least one NQ and one NO span", file=sys.stderr)
+        return 1
+    contradictions = find_contradictions(new, len(qs), len(oracles))
+    if contradictions:
+        for c in contradictions:
+            print(c, file=sys.stderr)
         return 1
     if new != old:
         with open("README.md", "w") as f:
