@@ -19,6 +19,7 @@ import json
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 
@@ -64,24 +65,35 @@ def decode_series(field, col: pd.Series) -> pd.Series:
     return col.astype(np.dtype(field.numpy_dtype))
 
 
-def load_raw(
-    fs, path: str, rg: int, sl: int, drop_parts: int, read_columns, schema
-) -> pd.DataFrame:
-    """Read one row group (optionally one strided slice of it) into a
-    pandas frame, recovering hive-partition columns from the path with
-    the schema's partition-value typing."""
-    import os
-
+def load_table(
+    fs, path: str, rg: int, sl: int, drop_parts: int, read_columns
+) -> pa.Table:
+    """Read one row group (optionally one strided slice of it) as an
+    ARROW table — codec payload bytes stay in arrow buffers until
+    :func:`decode_col` slices them as memoryviews, so the hot read path
+    never materializes an intermediate python ``bytes`` per row (the
+    ``to_pandas`` copy was ~30%% of per-piece wall on the PNG bench)."""
     with fs.open_input_file(path) as f:
         pf = pq.ParquetFile(f)
         cols = [c for c in read_columns if c in pf.schema_arrow.names]
         table = pf.read_row_group(rg, columns=cols or None)
-    pdf = table.to_pandas()
     if drop_parts > 1:
-        pdf = pdf.iloc[sl::drop_parts].reset_index(drop=True)
+        table = table.take(np.arange(sl, len(table), drop_parts))
+    return table
 
-    missing = [c for c in read_columns if c not in pdf.columns]
-    for c in missing:
+
+def partition_values(
+    path: str, read_columns, present_columns, schema
+) -> dict:
+    """{column: typed scalar} for requested hive-partition columns not
+    stored in the file, recovered from the path with the schema's
+    partition-value typing. Raises KeyError for a requested column that
+    is neither in the file nor on the path (load_raw's contract)."""
+    parts: dict = {}
+    present = set(present_columns)
+    for c in read_columns:
+        if c in present:
+            continue
         marker = f"/{c}="
         if marker in path:
             val: object = path.split(marker, 1)[1].split("/", 1)[0]
@@ -97,9 +109,105 @@ def load_raw(
                     val = int(val)
                 elif kind == "f":
                     val = float(val)
-            pdf[c] = val
+            parts[c] = val
         else:
             raise KeyError(f"column {c} not found in {path}")
+    return parts
+
+
+def _decode_binary_chunks(field, col: pa.ChunkedArray, sel) -> list:
+    """Decode a (large_)binary ChunkedArray through ``field.codec``
+    straight from the arrow buffers: each value reaches the codec as a
+    zero-copy memoryview slice of the data buffer. ``sel``: optional
+    sorted global row indices to decode (others skipped — the two-phase
+    predicate path decodes survivors only)."""
+    decode = field.codec.decode
+    out: list = []
+    base = 0
+    sel_pos = 0
+    for chunk in col.chunks:
+        n = len(chunk)
+        if sel is None:
+            idxs = range(n)
+        else:
+            start = sel_pos
+            while sel_pos < len(sel) and sel[sel_pos] < base + n:
+                sel_pos += 1
+            idxs = [int(g - base) for g in sel[start:sel_pos]]
+            if not idxs:
+                base += n
+                continue
+        if chunk.null_count:
+            for i in idxs:
+                v = chunk[i]
+                out.append(decode(field, v.as_py()) if v.is_valid else None)
+        else:
+            width = 8 if pa.types.is_large_binary(chunk.type) else 4
+            dt = np.int64 if width == 8 else np.int32
+            bufs = chunk.buffers()
+            off = np.frombuffer(
+                bufs[1], dtype=dt, count=n + 1, offset=chunk.offset * width
+            )
+            # cast('B'): arrow buffers expose format 'b' (signed), under
+            # which memoryview == bytes is ALWAYS False — codecs compare
+            # signature prefixes against bytes literals, so hand them
+            # unsigned views (the cast is zero-copy)
+            data = memoryview(bufs[2]).cast("B")
+            out.extend(
+                decode(field, data[off[i]:off[i + 1]]) for i in idxs
+            )
+        base += n
+    return out
+
+
+def decode_col(
+    field, table: pa.Table, parts: dict, name: str, sel
+) -> pd.Series:
+    """One decoded column of a piece as a default-indexed Series.
+    ``sel``: optional sorted ndarray of surviving row indices (post
+    dnf/predicate filtering); None keeps every row."""
+    n_out = len(sel) if sel is not None else len(table)
+    if name in parts:
+        return pd.Series([parts[name]] * n_out)
+    col = table.column(name)
+    if (
+        field is not None
+        and field.codec is not None
+        and (pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type))
+    ):
+        return pd.Series(
+            _decode_binary_chunks(field, col, sel), dtype=object
+        )
+    s = col.to_pandas()
+    if sel is not None:
+        s = s.iloc[sel].reset_index(drop=True)
+    return decode_series(field, s)
+
+
+def scalar_frame(table: pa.Table, parts: dict, names) -> pd.DataFrame:
+    """Undecode d pandas frame of the given (scalar) columns — the DNF
+    mask input. Partition columns come from ``parts`` as constants."""
+    data = {}
+    for c in names:
+        if c in parts:
+            data[c] = pd.Series([parts[c]] * len(table))
+        else:
+            data[c] = table.column(c).to_pandas()
+    return pd.DataFrame(data)
+
+
+def load_raw(
+    fs, path: str, rg: int, sl: int, drop_parts: int, read_columns, schema
+) -> pd.DataFrame:
+    """Read one row group (optionally one strided slice of it) into a
+    pandas frame, recovering hive-partition columns from the path with
+    the schema's partition-value typing. (Compat surface — the reader
+    hot path now uses :func:`load_table` + :func:`decode_col`.)"""
+    table = load_table(fs, path, rg, sl, drop_parts, read_columns)
+    pdf = table.to_pandas()
+    parts = partition_values(path, read_columns, pdf.columns, schema)
+    for c, val in parts.items():
+        pdf[c] = val
     return pdf
 
 
@@ -239,10 +347,17 @@ def process_piece(task: tuple) -> pd.DataFrame:
     fs, path, rg, sl, drop_parts, read_columns, storage_js, full_js, dnf = task
     storage = _schema_from_json(storage_js)
     full = _schema_from_json(full_js)
-    pdf = load_raw(fs, path, rg, sl, drop_parts, read_columns, storage)
+    table = load_table(fs, path, rg, sl, drop_parts, read_columns)
+    parts = partition_values(path, read_columns, table.column_names, storage)
+    sel = None
     if dnf is not None:
-        mask = dnf_mask(pdf, dnf)
-        pdf = pdf[mask].reset_index(drop=True)
+        mask = dnf_mask(
+            scalar_frame(table, parts, dnf_columns(dnf)), dnf
+        )
+        sel = np.nonzero(mask)[0]
+    names = list(table.column_names) + [
+        c for c in parts if c not in table.column_names
+    ]
     return pd.DataFrame(
-        {c: decode_series(full.fields.get(c), pdf[c]) for c in pdf.columns}
+        {c: decode_col(full.fields.get(c), table, parts, c, sel) for c in names}
     )

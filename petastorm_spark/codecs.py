@@ -184,7 +184,10 @@ class CompressedNdarrayCodec(DataframeColumnCodec):
         return bytearray(buf.getvalue())
 
     def decode(self, field, encoded):
-        raw = bytes(encoded)
+        # `encoded` may be bytes/bytearray/memoryview (the reader hands
+        # zero-copy arrow buffer slices); every op below is
+        # buffer-protocol friendly, so no normalizing copy is made
+        raw = encoded if isinstance(encoded, (bytes, memoryview)) else bytes(encoded)
         if raw[:2] == b"PK":  # npz container (reference format)
             return np.load(io.BytesIO(raw), allow_pickle=False)["arr"]
         # legacy pre-round-9 payload: zlib-wrapped np.save bytes
@@ -262,7 +265,11 @@ class CompressedImageCodec(DataframeColumnCodec):
         return bytearray(buf.getvalue())
 
     def decode(self, field, encoded):
-        raw = bytes(encoded)
+        # `encoded` may be bytes/bytearray/memoryview (the reader hands
+        # zero-copy arrow buffer slices); the signature probes compare
+        # content either way and the png path is buffer-native, so the
+        # hot path makes no normalizing copy
+        raw = encoded if isinstance(encoded, (bytes, memoryview)) else bytes(encoded)
         if raw[:4] == self._MAGIC:
             return np.load(io.BytesIO(raw[4:]), allow_pickle=False)
         Image = self._pil()
@@ -275,7 +282,7 @@ class CompressedImageCodec(DataframeColumnCodec):
         if raw[:2] == b"\xff\xd8":
             from petastorm_spark.functions.pure_jpeg import jpeg_decode
 
-            return jpeg_decode(raw)
+            return jpeg_decode(bytes(raw) if isinstance(raw, memoryview) else raw)
         raise NotImplementedError(
             "unrecognized compressed-image byte stream (png and baseline "
             "jpeg decode via the pure-python codecs; PIL extends coverage)"

@@ -295,6 +295,8 @@ def embedding_near_dup_pairs(
     hot_threshold: int = 2000,
     extra_planes: int = 12,
     corpus_size_hint: int | None = None,
+    target_bucket: int = 64,
+    _keys_only: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: random-hyperplane LSH
     bucketing (each vector lands in exactly one sign-pattern bucket) and
@@ -310,8 +312,15 @@ def embedding_near_dup_pairs(
     ``dedup.simhash_pair_candidates``):
 
     1. *Adaptive plane count* — pass ``corpus_size_hint`` and the
-       bucket width grows as ceil(log2(N / 1024)), keeping the expected
-       bucket near-constant instead of N/2^8 (quadratic per bucket).
+       bucket width grows as ceil(log2(N / target_bucket)), keeping the
+       expected bucket ~``target_bucket`` (default 64 — for a PAIR join
+       the bucket size IS the per-vector candidate budget, so the
+       target is far below the top-k searcher's 1024) instead of
+       N/2^8, under which the candidate-verify volume is quadratic in
+       the corpus (measured: 94.5x candidates for 10x data at 8 fixed
+       planes, tools/measure_key_volume.py). Each extra plane costs
+       ~theta/pi near-miss recall per the standard LSH trade; exact
+       copies are unaffected (they agree on every plane).
     2. *Hot-bucket refinement* — bucket sizes are counted with a window
        over the same key the self-join shuffles on (exchange reused,
        no extra agg job). Buckets above ``hot_threshold`` — clustered
@@ -327,7 +336,9 @@ def embedding_near_dup_pairs(
     (bucket, refine) key, so a pair collides at most once.
     """
     if corpus_size_hint is not None:
-        n_planes = max(n_planes, adaptive_plane_count(corpus_size_hint))
+        n_planes = max(
+            n_planes, adaptive_plane_count(corpus_size_hint, target_bucket)
+        )
 
     # One rng stream: the first n_planes rows match hyperplane_buckets
     # (and the SQL oracle) for the same seed; the extras are the
@@ -392,6 +403,8 @@ def embedding_near_dup_pairs(
         "_sub",
         F.when(F.col("_n") > hot_threshold, F.col("_refine")).otherwise(F.lit(-1)),
     )
+    if _keys_only:
+        return marked.select(F.col(id_col), "bucket", "_sub")
     a = marked.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket", "_sub"
     )
@@ -904,6 +917,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
     n_probe: int = 1,
+    _keys_only: bool = False,
 ) -> DataFrame:
     """Cluster-scoped semantic dedup (the SemDeDup recipe, Abbas et
     al. 2023): bucket the corpus by nearest coarse centroid, score
@@ -981,6 +995,12 @@ def semantic_dedup(
             assigned = corpus.select(id_col, vec_col).join(probed, id_col)
     else:
         _, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids)
+    if _keys_only:
+        # (id, cell) join keys only — the SCALING_OUT key-volume study
+        # measures candidate-pair counts from the identical assignment
+        if n_probe > 1:
+            return assigned.select(F.col(id_col), F.explode("_cells").alias("cell"))
+        return assigned.select(F.col(id_col), "cell")
     unit = (
         assigned.withColumn("_nrm", norm(F.col(vec_col)))
         .withColumn(

@@ -1583,15 +1583,22 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket density; the plain-bucket oracle stays exact because only
     identical vectors clear the 0.995 threshold in this corpus.
     Scale: one scan + one shuffle (window count and join share the
-    bucket exchange); hot buckets split on 12 extra hyperplane bits."""
+    bucket exchange); hot buckets split on 12 extra hyperplane bits,
+    and ``corpus_size_hint`` grows the plane count so the expected
+    bucket — the per-vector candidate budget — stays ~64 instead of
+    N/256 (at the oracle's sf0.01 scale the hint leaves the 8-plane
+    floor untouched, so the fixed-plane SQL stays exact; identical
+    vectors agree on every plane at ANY width)."""
     from petastorm_spark.operators.similarity import embedding_near_dup_pairs
 
+    n = 2 * _t(spark, sf_dir, "embeddings").count()
     emb = _t_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     both = emb.unionByName(
         emb.select((F.col("vec_id") + _COPY_SHIFT).alias("vec_id"), "embedding")
     )
     return embedding_near_dup_pairs(
-        both, "vec_id", "embedding", dim=64, threshold=0.995, n_planes=8, seed=7
+        both, "vec_id", "embedding", dim=64, threshold=0.995, n_planes=8,
+        seed=7, corpus_size_hint=n,
     )
 
 

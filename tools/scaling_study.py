@@ -333,13 +333,16 @@ def patch(
 
 
 def main() -> None:
-    out_md = sys.argv[1] if len(sys.argv) > 1 else "SCALING.md"
     only: list[str] | None = None
-    if "--only" in sys.argv:
-        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+    args = sys.argv[1:]
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1].split(",")
+        del args[i:i + 2]
         unknown = [q for q in only if q not in STUDY_QUERIES]
         if unknown:
             sys.exit(f"--only names not in STUDY_QUERIES: {unknown}")
+    out_md = args[0] if args else "SCALING_OUT.md"
     spark = get_spark("scaling_study")
     sf1_dir = "/tmp/ps_scale_sf1"
     organic_dir = "/tmp/ps_scale_sf1_organic"
