@@ -57,7 +57,7 @@ from petastorm_spark._piece_worker import (
     rg_may_match,
     scalar_frame,
 )
-from petastorm_spark.etl.dataset_metadata import read_sidecar
+from petastorm_spark.etl.dataset_metadata import SIDECAR_NAME, read_sidecar
 from petastorm_spark.predicates import PredicateBase
 from petastorm_spark.session import get_spark
 from petastorm_spark.transform import (
@@ -393,8 +393,34 @@ class Reader:
             df = dataframe
             stored = None
         elif dataset_url is not None:
-            df = self._spark.read.parquet(dataset_url)
-            payload = read_sidecar(self._spark, dataset_url)
+            struct = None
+            try:
+                df = self._spark.read.parquet(dataset_url)
+                payload = read_sidecar(self._spark, dataset_url)
+            except Exception:
+                # The JVM has no filesystem for this scheme (e.g. s3a://
+                # without hadoop-aws on the driver classpath). The DIRECT
+                # tier still reaches it through pyarrow's from_uri:
+                # derive the schema from a parquet footer, read the
+                # sidecar through the same pyarrow filesystem, and run
+                # plan-tier-less (self.dataframe stays None).
+                pair = _resolve_fs(dataset_url)
+                if pair is None:
+                    raise
+                pfs, root = pair
+                leaves = _list_parquet_files_fs(pfs, root)
+                if not leaves:
+                    raise
+                from pyspark.sql.pandas.types import from_arrow_schema
+
+                with pfs.open_input_file(leaves[0]) as fh:
+                    struct = from_arrow_schema(pq.read_schema(fh))
+                df = None
+                payload = None
+                side = root.rstrip("/") + "/" + SIDECAR_NAME
+                if pfs.get_file_info([side])[0].type == pafs.FileType.File:
+                    with pfs.open_input_file(side) as fh:
+                        payload = json.loads(fh.read().decode())
             if payload is not None:
                 stored = Unischema.from_json(payload["unischema"])
                 self._sidecar_counts = payload.get("row_groups")
@@ -411,25 +437,57 @@ class Reader:
             # multi-URL: validate the shards agree on a schema (name ->
             # type, order-insensitive) before merging; one footer-only
             # read per URL, driver-side metadata cost only.
-            first_fields = None
-            for u in urls:
-                fields = {
-                    f.name: f.dataType
-                    for f in self._spark.read.parquet(u).schema.fields
-                }
-                if first_fields is None:
-                    first_fields = fields
-                elif fields != first_fields:
+            def _check(u, fields, first_fields):
+                if first_fields is not None and fields != first_fields:
                     raise ValueError(
                         f"dataset URL {u!r} schema {sorted(fields)} is "
                         f"incompatible with {urls[0]!r} "
                         f"({sorted(first_fields)}); multi-URL datasets "
                         "must share one schema"
                     )
-            df = self._spark.read.parquet(*urls)
+                return fields
+
+            struct = None
+            try:
+                first_fields = None
+                for u in urls:
+                    first_fields = _check(u, {
+                        f.name: f.dataType
+                        for f in self._spark.read.parquet(u).schema.fields
+                    }, first_fields)
+                df = self._spark.read.parquet(*urls)
+            except ValueError:
+                raise
+            except Exception:
+                # The JVM has no filesystem for this scheme (e.g. s3a://
+                # without hadoop-aws on the driver classpath). The DIRECT
+                # tier still reaches it through pyarrow's from_uri, so
+                # derive + validate the schema from parquet footers and
+                # run plan-tier-less (self.dataframe stays None; a
+                # JVM-only Column filter then raises below).
+                from pyspark.sql.pandas.types import from_arrow_schema
+
+                pairs = [_resolve_fs(u) for u in urls]
+                if any(p is None for p in pairs):
+                    raise
+                first_fields = None
+                struct = None
+                for (pfs, root), u in zip(pairs, urls):
+                    leaves = _list_parquet_files_fs(pfs, root)
+                    if not leaves:
+                        raise FileNotFoundError(f"no parquet files under {u}")
+                    with pfs.open_input_file(leaves[0]) as fh:
+                        st = from_arrow_schema(pq.read_schema(fh))
+                    struct = struct or st
+                    first_fields = _check(
+                        u, {f.name: f.dataType for f in st.fields}, first_fields
+                    )
+                df = None
             stored = None  # petastorm sidecars are per-dataset: plain-store path
 
-        full_schema = stored or Unischema.from_spark_schema(df.schema)
+        full_schema = stored or Unischema.from_spark_schema(
+            df.schema if df is not None else struct
+        )
 
         # reference behavior: schema_fields may be an NGram spec — the
         # reader then yields {offset: namedtuple} window dicts
@@ -517,12 +575,24 @@ class Reader:
                 .parquet(*sorted(selected_files))
             )
 
-        plan = df.select(*need) if set(need) != set(df.columns) else df
-        if self._dnf is not None:
-            plan = plan.filter(_dnf_to_column(self._dnf))
-        elif col_filter is not None:
-            plan = plan.filter(col_filter)
-        self.dataframe = plan
+        if df is None:
+            # JVM-unreachable scheme (see the multi-URL footer fallback):
+            # the direct tier streams via pyarrow; there is no plan-tier
+            # DataFrame to filter, so a JVM-only Column filter cannot run
+            if col_filter is not None:
+                raise ValueError(
+                    "filters=<Column> needs the Spark plan tier, but the "
+                    "JVM has no filesystem for this URL scheme; pass "
+                    "pyarrow-style DNF tuples instead"
+                )
+            self.dataframe = None
+        else:
+            plan = df.select(*need) if set(need) != set(df.columns) else df
+            if self._dnf is not None:
+                plan = plan.filter(_dnf_to_column(self._dnf))
+            elif col_filter is not None:
+                plan = plan.filter(col_filter)
+            self.dataframe = plan
 
         # Direct-iteration path: stream row groups straight from the
         # source filesystem (local, file://, s3://, gs://, hdfs:// —
@@ -554,6 +624,15 @@ class Reader:
                 # sidecar rowgroup counts are keyed relative to ONE
                 # root; a merged dataset always takes the footer scan
                 self._sidecar_counts = None
+        elif df is None:
+            # plan-tier-less remote reader (JVM-unreachable scheme) that
+            # also failed direct-tier eligibility: nothing can serve it
+            raise ValueError(
+                "the JVM has no filesystem for this URL scheme and the "
+                "direct pyarrow tier is unavailable (cache_dir over a "
+                "remote store, or an unresolvable URL); drop cache_dir "
+                "or use a scheme one of the tiers reaches"
+            )
         elif cache_dir is not None:
             # user-managed cache dir: materialize into a managed
             # SUBDIRECTORY (an overwrite-write into the dir itself would
