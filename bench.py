@@ -126,6 +126,8 @@ HEADLINE = [
     "next_event_examples",
     "cdc_repeated_chunks",
     "ann_cosine_sq8",
+    "ann_cosine_pq",
+    "hybrid_search_rrf",
     "corpus_datacard",
     "vocab_coverage",
     "fuzzy_match_ids",

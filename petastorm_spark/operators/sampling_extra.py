@@ -191,6 +191,53 @@ def bm25_top_k(
     )
 
 
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k_const: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked
+    retrieval lists: ``rrf = sum over systems of 1 / (k_const +
+    rank)``, the standard score-free way to combine lexical (BM25)
+    and vector (ANN) retrieval — no score normalization across
+    incomparable scales, just ranks. Output: (id, rrf_score round 6,
+    rank), top ``k``, ties by id.
+
+    Scale: each input is already a top-n list (retrieval output,
+    bounded), so the union + groupBy touches system-count x n rows;
+    determinism note — double addition is commutative, so 2-system
+    fusion is bit-stable across engines regardless of union order;
+    beyond 2 systems the sum is order-sensitive in the last bit,
+    absorbed by the 1e-6 rounding."""
+    parts = [
+        df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k_const)) + F.col(rank_col).cast("double"))
+             ).alias("_s"),
+        )
+        for df in ranked
+    ]
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionByName(p)
+    fused = scored.groupBy(id_col).agg(
+        F.sum("_s").alias("_raw"), F.count(F.lit(1)).alias("n_systems")
+    )
+    from pyspark.sql import Window
+
+    top = fused.orderBy(F.desc("_raw"), F.col(id_col)).limit(k)
+    # rank window runs over the <= k surviving rows only — benign
+    w = Window.orderBy(F.desc("_raw"), F.col(id_col))
+    return top.select(
+        F.col(id_col),
+        F.round("_raw", 6).alias("rrf_score"),
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.col("n_systems"),
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

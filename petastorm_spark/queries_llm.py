@@ -1021,6 +1021,83 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rrf_oracle(n_list: int = 20, k: int = 10, k_const: int = 60) -> str:
+    # bm25 half: same CTE math as _bm25_oracle (floor-scaled scores,
+    # rank ties by doc_id); ann half: exact cosine of query vector 0
+    tfs = ",\n                 ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"(ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * 2.2"
+        f" / (tf{i} + 1.2 * (0.25 + (0.75 * dl) / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    cos = (
+        "list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * "
+        "sqrt(list_dot_product(e.v, e.v)))"
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    d AS (SELECT doc_id, len(t) AS dl, {tfs} FROM tok),
+    s AS (SELECT count(*) AS n, avg(dl) AS avgdl, {dfs} FROM d),
+    bscore AS (SELECT doc_id, floor(({terms}) * 10000) / 10000 AS score
+               FROM d, s
+               WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0),
+    brank AS (SELECT doc_id, rn AS rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM bscore) WHERE rn <= {n_list}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id = 0),
+    arank AS (SELECT doc_id, rn AS rank FROM (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (ORDER BY {cos} DESC, e.vec_id) AS rn
+        FROM e, q WHERE e.vec_id != q.query_id) WHERE rn <= {n_list}),
+    u AS (SELECT doc_id, 1.0 / ({k_const} + rank) AS s FROM brank
+          UNION ALL
+          SELECT doc_id, 1.0 / ({k_const} + rank) AS s FROM arank),
+    f AS (SELECT doc_id, sum(s) AS raw, count(*) AS n_systems
+          FROM u GROUP BY doc_id),
+    r AS (SELECT doc_id, raw, n_systems,
+                 row_number() OVER (ORDER BY raw DESC, doc_id) AS rank
+          FROM f)
+    SELECT doc_id, round(raw, 6) AS rrf_score, CAST(rank AS INT) AS rank,
+           CAST(n_systems AS BIGINT) AS n_systems
+    FROM r WHERE rank <= {k}
+    """
+
+
+@register("hybrid_search_rrf", oracle=_rrf_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 over the documents table and exact-cosine
+    ANN over the embeddings table (vec_id == doc_id), fused by
+    reciprocal-rank fusion — the score-free rank combination that
+    needs no normalization between the incomparable BM25 and cosine
+    scales. Top-20 from each system, RRF k=60, top-10 out. Scale: both
+    retrieval legs are the already-scale-proof operators (stats
+    broadcast + map-side BM25; broadcast-queries scan + two-phase
+    top-k ANN); the fusion itself touches 40 rows. 2-system double
+    addition is commutative, so the fused score is bit-stable."""
+    from petastorm_spark.operators.sampling_extra import bm25_scores, rrf_fuse
+    from petastorm_spark.operators.similarity import cosine_topk
+
+    from pyspark.sql import Window
+
+    d = _t_wide(spark, sf_dir, "documents")
+    e = _t_wide(spark, sf_dir, "embeddings")
+    bs = bm25_scores(d, "text", "doc_id", _BM25_TERMS)
+    btop = bs.orderBy(F.desc("score"), "doc_id").limit(20)
+    w = Window.orderBy(F.desc("score"), "doc_id")  # <= 20 rows post-limit
+    brank = btop.select("doc_id", F.row_number().over(w).alias("rank"))
+    ann = cosine_topk(e, e.where(F.col("vec_id") == 0), k=20)
+    arank = ann.select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([brank, arank], "doc_id", k_const=60, k=10)
+
+
 @register(
     "sample_stratified_lang",
     oracle=f"""
@@ -4270,6 +4347,76 @@ def _sq8_oracle(k: int = 5, factor: int = 4) -> str:
            round(cos, 4) AS cos_sim
     FROM r WHERE rank <= {k}
     """
+
+
+def _pq_oracle(k: int = 5, factor: int = 4, m: int = 8, dsub: int = 8,
+               k_codes: int = 16) -> str:
+    cos = lambda a, b: (  # noqa: E731
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})))"
+    )
+    # squared L2 between subspace j of vector column `vc` and a
+    # codebook subvector `cv` — mirrors the Spark fold's (x-y)*(x-y)
+    d2 = lambda vc, cv: (  # noqa: E731
+        f"list_sum(list_transform(range(1, {dsub} + 1), "
+        f"i -> ({vc}[j * {dsub} + i] - {cv}[i]) * ({vc}[j * {dsub} + i] - {cv}[i])))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    base AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+             FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k_codes})),
+    cb AS (SELECT j.j, base.code,
+                  list_slice(base.v, j.j * {dsub} + 1, (j.j + 1) * {dsub}) AS cv
+           FROM base, (SELECT unnest(range({m})) AS j) j),
+    cd AS (SELECT e.vec_id, cb.j, cb.code, {d2('e.v', 'cb.cv')} AS d2
+           FROM e, cb),
+    codes AS (SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, code) AS rn
+        FROM cd) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    qd AS (SELECT q.query_id, cb.j, cb.code, {d2('q.qv', 'cb.cv')} AS d2
+           FROM q, cb),
+    adc AS (SELECT qd.query_id, codes.vec_id AS neighbor_id,
+                   sum(qd.d2) AS dist
+            FROM codes JOIN qd ON qd.j = codes.j AND qd.code = codes.code
+            WHERE codes.vec_id != qd.query_id
+            GROUP BY qd.query_id, codes.vec_id),
+    r1 AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, neighbor_id) AS rn
+        FROM adc) WHERE rn <= {k * factor}),
+    x AS (SELECT query_id, neighbor_id, {cos('q.qv', 'e.v')} AS cos
+          FROM r1 JOIN e ON e.vec_id = neighbor_id JOIN q USING (query_id)),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM x)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cos, 4) AS cos_sim
+    FROM r WHERE rank <= {k}
+    """
+
+
+@register("ann_cosine_pq", oracle=_pq_oracle())
+def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN top-5 (PQ/ADC, Jegou et al. 2011): the
+    corpus compresses to m=8 one-byte codes per vector (32x smaller
+    than float32-64d), each query precomputes its 8x16 subvector
+    distance table once, the approximate pass is 8 table lookups per
+    candidate, and a 4x-k shortlist rescored against full vectors
+    makes the output cosine exact. The memory-bound sibling of
+    ann_cosine_sq8 — at 100 TB the hot scan reads the code column
+    only. The oracle rebuilds the identical deterministic codebooks
+    (lowest-id vectors' subvectors), codes, ADC shortlist, rescore."""
+    from petastorm_spark.operators.similarity import cosine_topk_pq
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    return cosine_topk_pq(
+        emb, emb.where(F.col("vec_id") < 10), k=5, rescore_factor=4
+    )
 
 
 @register("ann_cosine_sq8", oracle=_sq8_oracle())
