@@ -138,6 +138,7 @@ HEADLINE = [
     "embedding_jl_projection",
     "embedding_label_drift",
     "ann_recall_ivf",
+    "ann_recall_pq",
     "zipf_corpus_fit",
     "assortativity_parts",
     "pagerank_personalized",

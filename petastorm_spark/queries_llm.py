@@ -4419,6 +4419,58 @@ def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_pq_oracle(k: int = 5, factor: int = 4) -> str:
+    # the PQ approx pipeline (codebooks -> codes -> ADC shortlist ->
+    # exact-cosine rescore) from _pq_oracle, compared against exact
+    # brute force per query
+    pq_body = _pq_oracle(k, factor).strip()
+    assert pq_body.startswith("WITH ") and "SELECT query_id" in pq_body
+    with_part, final = pq_body.rsplit("SELECT query_id", 1)
+    cos = (
+        "list_dot_product(qe.qv, ce.v) / (sqrt(list_dot_product(qe.qv, qe.qv))"
+        " * sqrt(list_dot_product(ce.v, ce.v)))"
+    )
+    return f"""
+    {with_part.rstrip()},
+    approx AS (SELECT query_id, neighbor_id FROM r WHERE rank <= {k}),
+    qe AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    se AS (SELECT query_id, ce.vec_id AS neighbor_id, {cos} AS cos
+           FROM qe, e ce WHERE ce.vec_id != query_id),
+    exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM se) WHERE rank <= {k})
+    SELECT x.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           count(a.neighbor_id) / {float(k)} AS recall
+    FROM exact x LEFT JOIN approx a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """
+
+
+@register("ann_recall_pq", oracle=_recall_pq_oracle())
+def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality report for the PQ index: per-query recall@5 of
+    ADC-shortlisted (4x-k, rescored) PQ against exact brute force —
+    the tuning number for m / k_codes / rescore_factor, completing
+    recall tooling across all three index families (LSH, IVF, PQ).
+    Scale: both sides are top-k RESULTS; the comparison join never
+    touches vectors."""
+    from petastorm_spark.operators.similarity import (
+        ann_recall_report,
+        cosine_topk,
+        cosine_topk_pq,
+    )
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=5)
+    approx = cosine_topk_pq(emb, q, k=5, rescore_factor=4)
+    return ann_recall_report(exact, approx, k=5)
+
+
 @register("ann_cosine_sq8", oracle=_sq8_oracle())
 def ann_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized ANN top-5: the int8 corpus is scored first
