@@ -1141,6 +1141,46 @@ def pq_codebooks(
     return V.reshape(len(rows), m, dim // m).transpose(1, 0, 2)
 
 
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    seed: int = 7,
+    max_iter: int = 20,
+):
+    """K-means-trained PQ codebooks (the production replacement for
+    :func:`pq_codebooks`' deterministic lowest-id subvectors): one
+    distributed Spark-ML KMeans per subspace over that subspace's
+    slice of the corpus. Returns the same (m, k_codes, dim//m) numpy
+    array :func:`pq_encode` / :func:`cosine_topk_pq` take via
+    ``codebooks=``.
+
+    Scale: m KMeans fits, each map-side + tree-aggregated over a
+    (dim/m)-wide projection of the corpus — nothing corpus-sized on
+    the driver; import-gated on pyspark.ml like
+    :func:`train_kmeans_centroids`."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    dsub = dim // m
+    out = np.empty((m, k_codes, dsub), dtype=np.float64)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = corpus.select(vd.alias("_vd"))
+    for j in range(m):
+        feats = base.select(
+            array_to_vector(F.slice("_vd", j * dsub + 1, dsub)).alias("features")
+        )
+        model = KMeans(k=k_codes, seed=seed + j, maxIter=max_iter).fit(feats)
+        for c, cent in enumerate(model.clusterCenters()):
+            out[j, c] = np.asarray(cent, dtype=np.float64)
+    return out
+
+
 def pq_encode(
     df: DataFrame,
     codebooks,

@@ -65,6 +65,36 @@ def test_pq_topk_exact_rescore_and_recall(spark, corpus):
         assert ex[key] == ap[key]  # rescored cosine is the exact one
 
 
+def test_pq_trained_codebooks_improve_or_match_recall(spark, corpus):
+    """The production path: per-subspace k-means codebooks plug into
+    the same encode/search, and shortlist recall vs brute force is at
+    least as good as the deterministic lowest-id codebooks (k-means
+    fits the data; lowest-id is an arbitrary sample)."""
+    pytest.importorskip("pyspark.ml")
+    from petastorm_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_pq,
+        pq_codebooks,
+        pq_train_codebooks,
+    )
+
+    q = corpus.where(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(corpus, q, k=5).collect()}
+
+    def recall(cb):
+        got = {(r.query_id, r.neighbor_id)
+               for r in cosine_topk_pq(
+                   corpus, q, k=5, rescore_factor=4, dim=16, m=4,
+                   k_codes=8, codebooks=cb).collect()}
+        return len(exact & got) / len(exact)
+
+    det = recall(pq_codebooks(corpus, dim=16, m=4, k_codes=8))
+    trained = recall(pq_train_codebooks(corpus, dim=16, m=4, k_codes=8))
+    assert trained >= det - 0.05  # never meaningfully worse
+    assert trained >= 0.5
+
+
 def test_rrf_fuse_arithmetic_and_ties(spark):
     from petastorm_spark.operators.sampling_extra import rrf_fuse
 
