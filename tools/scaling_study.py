@@ -128,6 +128,9 @@ STUDY_QUERIES = [
     "embedding_jl_projection",
     "embedding_label_drift",
     "ann_recall_ivf",
+    "ann_cosine_pq",
+    "ann_recall_pq",
+    "hybrid_search_rrf",
     "zipf_corpus_fit",
     "assortativity_parts",
     "pagerank_personalized",
