@@ -1193,9 +1193,61 @@ def pq_encode(
     code. 64 float32 dims at m=8 compress 32x to 8 bytes; at 100 TB
     the ANN hot scan reads THIS column, never the vectors.
 
-    Scale: a pure per-subspace map — each codebook rides the plan as
-    one 2-D literal (:func:`const_matrix`), distances are JVM double
-    folds, no shuffle, no Python."""
+    Scale: one Arrow-batched numpy pass (the `_probe_cells_numpy`
+    pattern) — the codebook ships to every task inside the closure,
+    each batch is one (n, m, 1, dsub) - (m, k, dsub) broadcast
+    subtract + square + sum + argmin, n rows in / n rows out. A
+    Catalyst-expression alternative builds m x k_codes aggregate
+    trees: fine at 8x16, but production k_codes=256 would put the
+    generated method past the JIT size threshold (the round-9
+    interpreter cliff), so the vectorized path is the only one that
+    survives real codebook sizes.
+
+    Cross-engine parity: distances accumulate left-to-right in double
+    (numpy sums of dsub<=128 elements are sequential, matching the SQL
+    oracle's fold order) and ``argmin`` takes the FIRST minimum, so
+    exact ties resolve to the lower code on every engine. Small
+    codebooks (m * k_codes <= 256 distance trees) stay on a pure
+    Catalyst expression path instead — same distances, same tie-break
+    (array_position finds the first minimum), no python workers."""
+    import pandas as pd
+
+    m, k_codes, dsub = codebooks.shape
+    if m * k_codes <= 256:
+        return _pq_encode_exprs(df, codebooks, vec_col, code_col)
+    C = np.ascontiguousarray(codebooks, dtype=np.float64)
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{code_col} array<int>"]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[code_col] = pd.Series([], dtype=object)
+                yield pdf
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sub = V.reshape(len(pdf), m, 1, dsub)
+            d2 = ((sub - C[None]) ** 2).sum(axis=3)  # (n, m, k_codes)
+            codes = d2.argmin(axis=2)  # first-min ties -> lower code
+            pdf = pdf.copy()
+            pdf[code_col] = [
+                [int(c) for c in row] for row in codes
+            ]
+            yield pdf
+
+    return df.mapInPandas(encode, out_schema)
+
+
+def _pq_encode_exprs(df, codebooks, vec_col, code_col) -> DataFrame:
+    """Catalyst expression variant of :func:`pq_encode` for SMALL
+    codebooks: m x k_codes aggregate trees (each a dsub-element
+    double fold). Faster than the Arrow path when the tree count is
+    modest (no python workers), but k_codes=256 would push the
+    generated method past the JIT threshold — the chooser in
+    pq_encode keeps this path under 256 trees."""
     m, k_codes, dsub = codebooks.shape
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 

@@ -65,6 +65,28 @@ def test_pq_topk_exact_rescore_and_recall(spark, corpus):
         assert ex[key] == ap[key]  # rescored cosine is the exact one
 
 
+def test_pq_encode_paths_agree(spark, corpus):
+    """The Arrow-numpy path (chosen above 256 distance trees) and the
+    Catalyst expression path emit IDENTICAL codes for the same
+    codebook — distances fold left-to-right in double and ties take
+    the first minimum on both."""
+    from petastorm_spark.operators.similarity import (
+        _pq_encode_exprs,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    cb = pq_codebooks(corpus, dim=16, m=4, k_codes=65)  # 260 trees
+    via_numpy = {
+        r.vec_id: list(r.pq_codes) for r in pq_encode(corpus, cb).collect()
+    }
+    via_exprs = {
+        r.vec_id: list(r.pq_codes)
+        for r in _pq_encode_exprs(corpus, cb, "embedding", "pq_codes").collect()
+    }
+    assert via_numpy == via_exprs
+
+
 def test_pq_trained_codebooks_improve_or_match_recall(spark, corpus):
     """The production path: per-subspace k-means codebooks plug into
     the same encode/search, and shortlist recall vs brute force is at
