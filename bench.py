@@ -267,6 +267,10 @@ def measure_reader_throughput(spark, image_codec: str = "png") -> dict:
         window_sps = [round(N_MEASURED_READS / w, 1) for w in window_dts]
         return {
             "samples_per_sec": round(N_MEASURED_READS / dt, 1),
+            # median window: the noise-robust trend number — best-of-5
+            # keeps cross-round continuity, but with 15-25% machine
+            # spread the median moves far less run to run
+            "median_sps": sorted(window_sps)[len(window_sps) // 2],
             "window_sps": window_sps,
             "spread_pct": round(
                 100.0 * (max(window_dts) - min(window_dts)) / min(window_dts), 1
@@ -388,9 +392,11 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "reader_samples_per_sec": reader_rate,
+                "reader_median_sps": png_stats.get("median_sps"),
                 "reader_window_sps": png_stats.get("window_sps"),
                 "reader_spread_pct": png_stats.get("spread_pct"),
                 "reader_samples_per_sec_raw0": reader_rate_raw0,
+                "reader_median_sps_raw0": raw0_stats.get("median_sps"),
                 "reader_window_sps_raw0": raw0_stats.get("window_sps"),
                 "reader_spread_pct_raw0": raw0_stats.get("spread_pct"),
                 "reader_rss_mb": png_stats.get("rss_mb"),
@@ -418,6 +424,7 @@ def main() -> None:
         "n_queries": len(timings),
         "reader_samples_per_sec": reader_rate,
         "reader_spread_pct": png_stats.get("spread_pct"),
+        "reader_median_sps": png_stats.get("median_sps"),
         "reader_samples_per_sec_raw0": reader_rate_raw0,
         "reader_spread_pct_raw0": raw0_stats.get("spread_pct"),
         "reader_rss_main_mb": png_stats.get("rss_main_mb"),

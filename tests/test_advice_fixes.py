@@ -385,3 +385,95 @@ def test_postings_volume_estimator_tracks_exact(spark, sf_dir):
     )
     # inflate=1.25 biases high on purpose; allow sampling noise around it
     assert 0.4 * truth <= sampled <= 4.0 * truth
+
+
+def test_lsh_index_append_id_col_from_index_not_batch_order(
+    spark, sf_dir, tmp_path_factory
+):
+    """ADVICE r9: the duplicate-id guard took the BATCH's first column
+    as the id — a column-reordered signatures frame semi-joined on a
+    minhash column. The id now comes from the persisted index's schema
+    (written id-first), with an explicit id_col override + validation."""
+    from petastorm_spark.operators.dedup import (
+        lsh_index_append,
+        lsh_index_build,
+        lsh_index_write,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    url = str(tmp_path_factory.mktemp("lshidx2") / "idx")
+    buckets, sigs = lsh_index_build(corpus, "text", "doc_id")
+    lsh_index_write(url, buckets, sigs)
+
+    # duplicate batch with columns REORDERED (mh_* first): still refused
+    reordered = sigs.select(*[c for c in sigs.columns if c != "doc_id"], "doc_id")
+    with pytest.raises(ValueError, match="already exist"):
+        lsh_index_append(url, buckets, reordered)
+
+    # a bogus explicit id_col is rejected with guidance, not mis-joined
+    with pytest.raises(ValueError, match="id_col"):
+        lsh_index_append(url, buckets, sigs, id_col="no_such_col")
+
+
+def test_probe_cells_zero_norm_handling(spark):
+    """ADVICE r9: a zero-norm CENTROID made numpy rank NaN cosines
+    differently than Spark/DuckDB — now refused outright; a zero-norm
+    VECTOR (all cells tie) assigns to the lowest cells on both the
+    numpy path and the Catalyst fallback semantics (tie -> cell ASC)."""
+    from petastorm_spark.operators.similarity import _probe_cells_numpy
+    from petastorm_spark.session import arrow_local_df
+
+    corpus = arrow_local_df(
+        spark,
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [0.0, 0.0]],
+        },
+        "vec_id bigint, embedding array<double>",
+    )
+
+    class Row(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    good = [Row(cell=0, cent_vec=[1.0, 0.0]), Row(cell=1, cent_vec=[0.0, 1.0])]
+    out = {
+        r.vec_id: list(r._cells)
+        for r in _probe_cells_numpy(corpus, good, "vec_id", "embedding", 1).collect()
+    }
+    assert out[0] == [0] and out[1] == [1]
+    # zero-norm vector: every cosine NaN -> -inf, all tie -> lowest cell
+    assert out[3] == [0]
+
+    bad = [Row(cell=0, cent_vec=[0.0, 0.0]), Row(cell=1, cent_vec=[0.0, 1.0])]
+    with pytest.raises(ValueError, match="zero-norm centroid"):
+        _probe_cells_numpy(corpus, bad, "vec_id", "embedding", 1).collect()
+
+
+def test_semantic_dedup_registers_releasable_cache(spark):
+    """ADVICE r9: semantic_dedup persisted its unit-vector table and
+    never unpersisted — the cache is now registered for
+    session.release_persisted(), which frees it after consumption."""
+    from petastorm_spark import session as sess
+    from petastorm_spark.operators.similarity import semantic_dedup
+    from petastorm_spark.session import arrow_local_df, release_persisted
+
+    rng = np.random.default_rng(5)
+    vecs = [[float(x) for x in rng.standard_normal(8)] for _ in range(40)]
+    corpus = arrow_local_df(
+        spark,
+        {"vec_id": list(range(40)), "embedding": vecs},
+        "vec_id bigint, embedding array<double>",
+    )
+    release_persisted()  # drain any leftovers from other tests
+    before = len(sess._PERSISTED)
+    out = semantic_dedup(corpus, n_cells=4, threshold=0.99)
+    out.count()  # consume
+    assert len(sess._PERSISTED) == before + 1
+    cached = sess._PERSISTED[-1]
+    assert cached.storageLevel.useMemory  # actually persisted
+    assert release_persisted() >= 1
+    assert not sess._PERSISTED
+    assert not cached.storageLevel.useMemory or not cached.is_cached
