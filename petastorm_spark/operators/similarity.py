@@ -1301,9 +1301,78 @@ def cosine_topk_pq(
     for k*factor rows per query via an id equi-join."""
     if codebooks is None:
         codebooks = pq_codebooks(corpus, id_col, vec_col, dim, m, k_codes)
-    m, k_codes, dsub = codebooks.shape
     coded = pq_encode(corpus, codebooks, id_col, vec_col)
+    return pq_query(
+        codebooks, coded, corpus, queries, id_col, vec_col, k, rescore_factor
+    )
 
+
+def pq_index_write(
+    index_url: str, codebooks, coded: DataFrame, code_col: str = "pq_codes"
+) -> None:
+    """Persist the PQ index: the code table as parquet (id + m-int
+    codes — the 32x-smaller artifact the ANN hot scan reads) and the
+    codebooks as a JSON sidecar (tiny by construction). The vector
+    column, if present in ``coded``, is dropped — full vectors stay
+    with the source dataset; the rescore joins them back by id."""
+    import json as _json
+
+    from petastorm_spark.etl.petastorm_compat import _fs_for
+
+    root = index_url.rstrip("/")
+    keep = [c for c in coded.columns if c == code_col or not c.startswith("_")]
+    drop_vecs = [
+        c for c in keep
+        if c != code_col and coded.schema[c].dataType.simpleString().startswith("array")
+    ]
+    coded.select(*[c for c in keep if c not in drop_vecs]).write.mode(
+        "overwrite"
+    ).parquet(root + "/codes")
+    fs, local_root = _fs_for(index_url)
+    payload = {
+        "m": int(codebooks.shape[0]),
+        "k_codes": int(codebooks.shape[1]),
+        "dsub": int(codebooks.shape[2]),
+        "codebooks": [[[float(x) for x in c] for c in sub] for sub in codebooks],
+    }
+    with fs.open_output_stream(local_root.rstrip("/") + "/codebooks.json") as f:
+        f.write(_json.dumps(payload).encode())
+
+
+def pq_index_read(spark, index_url: str):
+    """Load a persisted PQ index: ``(codebooks ndarray, codes DataFrame)``."""
+    import json as _json
+
+    from petastorm_spark.etl.petastorm_compat import _fs_for
+
+    root = index_url.rstrip("/")
+    fs, local_root = _fs_for(index_url)
+    with fs.open_input_file(local_root.rstrip("/") + "/codebooks.json") as f:
+        payload = _json.loads(f.read().decode())
+    cb = np.asarray(payload["codebooks"], dtype=np.float64)
+    assert cb.shape == (payload["m"], payload["k_codes"], payload["dsub"])
+    return cb, spark.read.parquet(root + "/codes")
+
+
+def pq_query(
+    codebooks,
+    coded: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rescore_factor: int = 4,
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Top-k cosine against a prebuilt PQ code table (the search half
+    of :func:`cosine_topk_pq`, shared with persisted indexes from
+    :func:`pq_index_read`): per-query ADC tables are driver-built and
+    broadcast, the approximate pass reads ONLY (id, codes) — at 100 TB
+    that scan is 32x smaller than the vectors — and the
+    ``k * rescore_factor`` shortlist joins ``vectors`` by id for the
+    exact-cosine rescore."""
+    m, k_codes, dsub = codebooks.shape
     # per-query ADC tables, flattened row-major (j * k_codes + code)
     qrows = queries.select(id_col, vec_col).collect()
     from petastorm_spark.session import arrow_local_df
@@ -1316,13 +1385,13 @@ def cosine_topk_pq(
         tables.append([float(x) for x in t.ravel()])
         qvecs.append([float(x) for x in r[vec_col]])
     qdf = arrow_local_df(
-        corpus.sparkSession,
+        coded.sparkSession,
         {"query_id": qids, "_tbl": tables, "_qv": qvecs},
         "query_id bigint, _tbl array<double>, _qv array<double>",
     )
 
     approx = (
-        coded.select(F.col(id_col).alias("neighbor_id"), "pq_codes")
+        coded.select(F.col(id_col).alias("neighbor_id"), code_col)
         .crossJoin(F.broadcast(qdf))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
@@ -1332,7 +1401,8 @@ def cosine_topk_pq(
                 F.lit(0.0),
                 lambda acc, j: acc
                 + F.element_at(
-                    "_tbl", (j * k_codes + F.element_at("pq_codes", j + 1) + 1).cast("int")
+                    "_tbl",
+                    (j * k_codes + F.element_at(code_col, j + 1) + 1).cast("int"),
                 ),
             ),
         )
@@ -1340,7 +1410,7 @@ def cosine_topk_pq(
     shortlist = topk_per_query(approx, k * rescore_factor).select(
         "query_id", "neighbor_id"
     )
-    cv = corpus.select(
+    cv = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     rescored = (

@@ -117,6 +117,39 @@ def test_pq_trained_codebooks_improve_or_match_recall(spark, corpus):
     assert trained >= 0.5
 
 
+def test_pq_persistent_index_roundtrip(spark, corpus, tmp_path_factory):
+    """Build-once / query-many: codes parquet + codebook JSON sidecar
+    round-trip, the persisted-code query matches the inline
+    cosine_topk_pq row for row, and the codes table carries NO vector
+    column (the 32x-smaller artifact is the point)."""
+    from petastorm_spark.operators.similarity import (
+        cosine_topk_pq,
+        pq_codebooks,
+        pq_encode,
+        pq_index_read,
+        pq_index_write,
+        pq_query,
+    )
+
+    url = str(tmp_path_factory.mktemp("pqidx") / "idx")
+    cb = pq_codebooks(corpus, dim=16, m=4, k_codes=8)
+    pq_index_write(url, cb, pq_encode(corpus, cb))
+    cb2, coded2 = pq_index_read(spark, url)
+    np.testing.assert_array_equal(cb, cb2)
+    assert set(coded2.columns) == {"vec_id", "pq_codes"}  # vectors dropped
+
+    q = corpus.where(F.col("vec_id") < 5)
+    inline = sorted(
+        map(tuple, cosine_topk_pq(
+            corpus, q, k=5, rescore_factor=4, dim=16, m=4, k_codes=8
+        ).collect())
+    )
+    persisted = sorted(
+        map(tuple, pq_query(cb2, coded2, corpus, q, k=5, rescore_factor=4).collect())
+    )
+    assert inline == persisted
+
+
 def test_rrf_fuse_arithmetic_and_ties(spark):
     from petastorm_spark.operators.sampling_extra import rrf_fuse
 
