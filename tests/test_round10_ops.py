@@ -150,6 +150,42 @@ def test_pq_persistent_index_roundtrip(spark, corpus, tmp_path_factory):
     assert inline == persisted
 
 
+def test_pq_encode_streaming_twin_matches_batch(spark, corpus, tmp_path_factory):
+    """PQ encoding is a pure per-row map, so it composes directly onto
+    a readStream feed: availableNow over a static vector directory
+    emits exactly the batch path's codes — the online half of a
+    continuously-ingested ANN index (append codes as vectors arrive,
+    search via pq_query)."""
+    from petastorm_spark.operators.similarity import pq_codebooks, pq_encode
+    from petastorm_spark.streaming.feed import stream_dataset
+
+    d = str(tmp_path_factory.mktemp("pqstream") / "vecs")
+    corpus.write.parquet(d)
+    cb = pq_codebooks(corpus, dim=16, m=4, k_codes=8)
+
+    qy = (
+        pq_encode(stream_dataset(spark, d), cb)
+        .selectExpr("vec_id", "cast(pq_codes as string) AS codes")
+        .writeStream.format("memory")
+        .queryName("pq_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(120)
+    got = {
+        (r.vec_id, r.codes)
+        for r in spark.sql("SELECT * FROM pq_stream").collect()
+    }
+    want = {
+        (r.vec_id, r.codes)
+        for r in pq_encode(spark.read.parquet(d), cb)
+        .selectExpr("vec_id", "cast(pq_codes as string) AS codes")
+        .collect()
+    }
+    assert got == want and got
+
+
 def test_rrf_fuse_arithmetic_and_ties(spark):
     from petastorm_spark.operators.sampling_extra import rrf_fuse
 
