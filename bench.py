@@ -127,6 +127,7 @@ HEADLINE = [
     "cdc_repeated_chunks",
     "ann_cosine_sq8",
     "ann_cosine_pq",
+    "ann_cosine_ivfpq",
     "hybrid_search_rrf",
     "corpus_datacard",
     "vocab_coverage",

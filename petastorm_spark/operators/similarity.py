@@ -1421,6 +1421,129 @@ def pq_query(
     return topk_per_query(rescored, k)
 
 
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rescore_factor: int = 4,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    m: int = 8,
+    k_codes: int = 16,
+    centroids: DataFrame | None = None,
+    codebooks=None,
+) -> DataFrame:
+    """IVF-PQ ANN (Jegou et al. 2011's full system — the production
+    billion-vector index): corpus vectors live in coarse IVF cells and
+    are stored as PQ codes of their RESIDUAL (vector minus its cell
+    centroid); a query probes its ``n_probe`` nearest cells, builds one
+    ADC table per probed cell from the query's residual against THAT
+    cell's centroid, and scores candidates with m table lookups. The
+    per-cell tables all approximate the same global quantity
+    (||q - (c + r)||^2 = ||q - v̂||^2), so distances compare across
+    cells; a ``k * rescore_factor`` shortlist is rescored against full
+    vectors — the output cosine is EXACT, like :func:`cosine_topk`.
+
+    Scale: this composes BOTH pruning axes — the cell equi-join means
+    a query touches only its probed cells (partition pruning on a
+    persisted index), and within a cell the scan reads m-byte codes,
+    not vectors. Quantizers are deterministic by default (lowest-id
+    vectors / lowest-id residuals — the rebuild-anywhere oracle
+    contract); feed :func:`train_kmeans_centroids` /
+    :func:`pq_train_codebooks` output in production. Query-side work
+    (probes x ADC tables) is driver-built and broadcast: n_queries x
+    n_probe x m x k_codes doubles, bounded by construction."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    dsub = dim // m
+    cent, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids)
+    crows = sorted(cent.collect(), key=lambda r: r["cell"])
+    cent_map = {
+        r["cell"]: np.asarray(list(r["cent_vec"]), dtype=np.float64) for r in crows
+    }
+
+    cent_b = F.broadcast(
+        cent.select(F.col("cell"), F.col("cent_vec").alias("_cv0"))
+    )
+    res = (
+        assigned.join(cent_b, "cell")
+        .withColumn(
+            "_res",
+            F.zip_with(
+                F.col(vec_col), F.col("_cv0"),
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ),
+        )
+        .select(F.col(id_col), "cell", "_res")
+    )
+    if codebooks is None:
+        # deterministic: the k_codes lowest-id residuals' subvectors
+        rows = sorted(
+            res.orderBy(id_col).limit(k_codes).collect(), key=lambda r: r[id_col]
+        )
+        R = np.array([list(r["_res"]) for r in rows], dtype=np.float64)
+        codebooks = R.reshape(len(rows), m, dsub).transpose(1, 0, 2)
+    coded = pq_encode(res, codebooks, id_col, "_res")
+
+    # query probes + per-(query, cell) ADC tables, driver-built
+    probed = _probe_cells_numpy(queries, crows, id_col, vec_col, n_probe)
+    qrows = sorted(probed.collect(), key=lambda r: r[id_col])
+    from petastorm_spark.session import arrow_local_df
+
+    qids, cells, tables, qvecs = [], [], [], []
+    for r in qrows:
+        qv = np.asarray(list(r[vec_col]), dtype=np.float64)
+        for cell in r["_cells"]:
+            qres = (qv - cent_map[cell]).reshape(m, dsub)
+            t = ((qres[:, None, :] - codebooks) ** 2).sum(axis=2)
+            qids.append(r[id_col])
+            cells.append(int(cell))
+            tables.append([float(x) for x in t.ravel()])
+            qvecs.append([float(x) for x in qv])
+    qdf = arrow_local_df(
+        corpus.sparkSession,
+        {"query_id": qids, "cell": cells, "_tbl": tables, "_qv": qvecs},
+        "query_id bigint, cell bigint, _tbl array<double>, _qv array<double>",
+    )
+
+    approx = (
+        coded.select(F.col(id_col).alias("neighbor_id"), "cell", "pq_codes")
+        .join(F.broadcast(qdf), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",  # negated ADC distance: topk_per_query sorts DESC
+            -F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    "_tbl",
+                    (j * k_codes + F.element_at("pq_codes", j + 1) + 1).cast("int"),
+                ),
+            ),
+        )
+    )
+    shortlist = topk_per_query(approx, k * rescore_factor).select(
+        "query_id", "neighbor_id"
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    qv_side = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    rescored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv_side), "query_id")
+        .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    return topk_per_query(rescored, k)
+
+
 def project_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

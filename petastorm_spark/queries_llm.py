@@ -4400,6 +4400,98 @@ def _pq_oracle(k: int = 5, factor: int = 4, m: int = 8, dsub: int = 8,
     """
 
 
+def _ivfpq_oracle(k: int = 5, factor: int = 4, dim: int = 64, m: int = 8,
+                  n_cells: int = 16, n_probe: int = 2, k_codes: int = 16) -> str:
+    dsub = dim // m
+    cos = lambda a, b: (  # noqa: E731
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})))"
+    )
+    d2 = lambda vc, cv: (  # noqa: E731
+        f"list_sum(list_transform(range(1, {dsub} + 1), "
+        f"i -> ({vc}[j * {dsub} + i] - {cv}[i]) * ({vc}[j * {dsub} + i] - {cv}[i])))"
+    )
+    residual = (
+        f"list_transform(range(1, {dim} + 1), i -> e.v[i] - cent.cv[i])"
+    )
+    q_residual = (
+        f"list_transform(range(1, {dim} + 1), i -> qp.qv[i] - cent.cv[i])"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {n_cells}),
+    ca AS (SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM e, cent c) WHERE rn = 1),
+    res AS (SELECT ca.vec_id, ca.cell, {residual} AS r
+            FROM ca JOIN e ON e.vec_id = ca.vec_id
+            JOIN cent ON cent.cell = ca.cell),
+    base AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r
+             FROM (SELECT vec_id, r FROM res ORDER BY vec_id LIMIT {k_codes})),
+    cb AS (SELECT j.j, base.code,
+                  list_slice(base.r, j.j * {dsub} + 1, (j.j + 1) * {dsub}) AS cv
+           FROM base, (SELECT unnest(range({m})) AS j) j),
+    cd AS (SELECT res.vec_id, res.cell, cb.j, cb.code, {d2('res.r', 'cb.cv')} AS dd
+           FROM res, cb),
+    codes AS (SELECT vec_id, cell, j, code FROM (
+        SELECT vec_id, cell, j, code,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dd, code) AS rn
+        FROM cd) WHERE rn = 1),
+    qp AS (SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM e, cent c WHERE e.vec_id < 10) WHERE rn <= {n_probe}),
+    qres AS (SELECT qp.query_id, qp.cell, {q_residual} AS qr
+             FROM qp JOIN cent ON cent.cell = qp.cell),
+    qd AS (SELECT qres.query_id, qres.cell, cb.j, cb.code,
+                  {d2('qres.qr', 'cb.cv')} AS dd
+           FROM qres, cb),
+    adc AS (SELECT qd.query_id, codes.vec_id AS neighbor_id, sum(qd.dd) AS dist
+            FROM codes JOIN qd ON qd.cell = codes.cell
+                                AND qd.j = codes.j AND qd.code = codes.code
+            WHERE codes.vec_id != qd.query_id
+            GROUP BY qd.query_id, codes.vec_id),
+    r1 AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, neighbor_id) AS rn
+        FROM adc) WHERE rn <= {k * factor}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    x AS (SELECT query_id, neighbor_id, {cos('q.qv', 'e.v')} AS cos
+          FROM r1 JOIN e ON e.vec_id = neighbor_id JOIN q USING (query_id)),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM x)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cos, 4) AS cos_sim
+    FROM r WHERE rank <= {k}
+    """
+
+
+@register("ann_cosine_ivfpq", oracle=_ivfpq_oracle())
+def ann_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5 — the full Jegou et al. production index:
+    coarse cells prune WHICH vectors a query touches (2-probe), PQ
+    residual codes shrink WHAT it reads per candidate (8 bytes), ADC
+    tables make each candidate cost 8 lookups, and a 4x-k shortlist
+    rescored against full vectors keeps the output cosine exact. The
+    oracle rebuilds the identical deterministic index end to end:
+    lowest-id coarse centroids, lowest-id residual codebooks, codes,
+    per-(query, cell) ADC tables, shortlist, rescore."""
+    from petastorm_spark.operators.similarity import cosine_topk_ivfpq
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    return cosine_topk_ivfpq(
+        emb, emb.where(F.col("vec_id") < 10), k=5, rescore_factor=4,
+        dim=64, n_cells=16, n_probe=2, m=8, k_codes=16,
+    )
+
+
 @register("ann_cosine_pq", oracle=_pq_oracle())
 def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN top-5 (PQ/ADC, Jegou et al. 2011): the

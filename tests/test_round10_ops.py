@@ -150,6 +150,30 @@ def test_pq_persistent_index_roundtrip(spark, corpus, tmp_path_factory):
     assert inline == persisted
 
 
+def test_ivfpq_exact_rescore_and_probe_recall(spark, corpus):
+    """IVF-PQ: emitted cosines are exact (bit-equal to brute force for
+    shared neighbors) and widening n_probe never loses recall — the
+    same monotonicity contract as plain IVF."""
+    from petastorm_spark.operators.similarity import cosine_topk, cosine_topk_ivfpq
+
+    q = corpus.where(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id): r.cos_sim
+             for r in cosine_topk(corpus, q, k=5).collect()}
+
+    def hits(n_probe):
+        got = {(r.query_id, r.neighbor_id): r.cos_sim
+               for r in cosine_topk_ivfpq(
+                   corpus, q, k=5, rescore_factor=4, dim=16, n_cells=8,
+                   n_probe=n_probe, m=4, k_codes=8).collect()}
+        for key in set(exact) & set(got):
+            assert exact[key] == got[key]  # rescored cosine is exact
+        return len(set(exact) & set(got))
+
+    h1, h3 = hits(1), hits(3)
+    assert h3 >= h1
+    assert h3 >= len(exact) * 0.5  # coarse fixture, but probes recover
+
+
 def test_pq_encode_streaming_twin_matches_batch(spark, corpus, tmp_path_factory):
     """PQ encoding is a pure per-row map, so it composes directly onto
     a readStream feed: availableNow over a static vector directory
