@@ -1456,15 +1456,36 @@ def cosine_topk_ivfpq(
     :func:`pq_train_codebooks` output in production. Query-side work
     (probes x ADC tables) is driver-built and broadcast: n_queries x
     n_probe x m x k_codes doubles, bounded by construction."""
+    cent, codebooks, coded = ivfpq_build(
+        corpus, id_col, vec_col, dim, n_cells, m, k_codes, centroids, codebooks
+    )
+    return ivfpq_query(
+        cent, codebooks, coded, corpus, queries,
+        id_col, vec_col, k, rescore_factor, n_probe,
+    )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    centroids: DataFrame | None = None,
+    codebooks=None,
+):
+    """Build the IVF-PQ index: ``(centroids, codebooks, coded)`` with
+    ``coded`` = (id, cell, pq_codes) — each vector's coarse cell plus
+    the PQ codes of its RESIDUAL against that cell's centroid.
+    Deterministic defaults (lowest-id centroids, lowest-id residual
+    codebooks — the rebuild-anywhere contract); feed trained ones in
+    production."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
     dsub = dim // m
     cent, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids)
-    crows = sorted(cent.collect(), key=lambda r: r["cell"])
-    cent_map = {
-        r["cell"]: np.asarray(list(r["cent_vec"]), dtype=np.float64) for r in crows
-    }
-
     cent_b = F.broadcast(
         cent.select(F.col("cell"), F.col("cent_vec").alias("_cv0"))
     )
@@ -1486,9 +1507,80 @@ def cosine_topk_ivfpq(
         )
         R = np.array([list(r["_res"]) for r in rows], dtype=np.float64)
         codebooks = R.reshape(len(rows), m, dsub).transpose(1, 0, 2)
-    coded = pq_encode(res, codebooks, id_col, "_res")
+    coded = pq_encode(res, codebooks, id_col, "_res").select(
+        id_col, "cell", "pq_codes"
+    )
+    return cent, codebooks, coded
 
-    # query probes + per-(query, cell) ADC tables, driver-built
+
+def ivfpq_index_write(
+    index_url: str, centroids: DataFrame, codebooks, coded: DataFrame
+) -> None:
+    """Persist the IVF-PQ index: the code table parquet PARTITIONED BY
+    cell (a probe reads only its cells' directories), centroids as a
+    tiny side table, codebooks as a JSON sidecar — the deployable
+    billion-vector artifact: pruning by cell, m bytes per vector."""
+    import json as _json
+
+    from petastorm_spark.etl.petastorm_compat import _fs_for
+
+    root = index_url.rstrip("/")
+    coded.write.mode("overwrite").partitionBy("cell").parquet(root + "/codes")
+    centroids.write.mode("overwrite").parquet(root + "/centroids")
+    fs, local_root = _fs_for(index_url)
+    payload = {
+        "m": int(codebooks.shape[0]),
+        "k_codes": int(codebooks.shape[1]),
+        "dsub": int(codebooks.shape[2]),
+        "codebooks": [[[float(x) for x in c] for c in sub] for sub in codebooks],
+    }
+    with fs.open_output_stream(local_root.rstrip("/") + "/codebooks.json") as f:
+        f.write(_json.dumps(payload).encode())
+
+
+def ivfpq_index_read(spark, index_url: str):
+    """Load a persisted IVF-PQ index: ``(centroids, codebooks, coded)``."""
+    import json as _json
+
+    from petastorm_spark.etl.petastorm_compat import _fs_for
+
+    root = index_url.rstrip("/")
+    fs, local_root = _fs_for(index_url)
+    with fs.open_input_file(local_root.rstrip("/") + "/codebooks.json") as f:
+        payload = _json.loads(f.read().decode())
+    cb = np.asarray(payload["codebooks"], dtype=np.float64)
+    return (
+        spark.read.parquet(root + "/centroids"),
+        cb,
+        spark.read.parquet(root + "/codes"),
+    )
+
+
+def ivfpq_query(
+    centroids: DataFrame,
+    codebooks,
+    coded: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rescore_factor: int = 4,
+    n_probe: int = 2,
+    prune_cells: bool = True,
+) -> DataFrame:
+    """Top-k cosine against a prebuilt IVF-PQ index (the search half of
+    :func:`cosine_topk_ivfpq`, shared with persisted indexes). With
+    ``prune_cells`` (default) the batch's distinct probed cells are
+    pushed into the code scan as an ``isin`` filter, so a
+    cell-partitioned parquet index reads ONLY the probed cells' files —
+    and inside them only m-byte codes. The shortlist joins ``vectors``
+    by id for the exact-cosine rescore."""
+    m, k_codes, dsub = codebooks.shape
+    crows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    cent_map = {
+        r["cell"]: np.asarray(list(r["cent_vec"]), dtype=np.float64) for r in crows
+    }
     probed = _probe_cells_numpy(queries, crows, id_col, vec_col, n_probe)
     qrows = sorted(probed.collect(), key=lambda r: r[id_col])
     from petastorm_spark.session import arrow_local_df
@@ -1504,14 +1596,16 @@ def cosine_topk_ivfpq(
             tables.append([float(x) for x in t.ravel()])
             qvecs.append([float(x) for x in qv])
     qdf = arrow_local_df(
-        corpus.sparkSession,
+        coded.sparkSession,
         {"query_id": qids, "cell": cells, "_tbl": tables, "_qv": qvecs},
         "query_id bigint, cell bigint, _tbl array<double>, _qv array<double>",
     )
 
+    cand = coded.select(F.col(id_col).alias("neighbor_id"), "cell", "pq_codes")
+    if prune_cells:
+        cand = cand.where(F.col("cell").isin(sorted(set(cells))))
     approx = (
-        coded.select(F.col(id_col).alias("neighbor_id"), "cell", "pq_codes")
-        .join(F.broadcast(qdf), "cell")
+        cand.join(F.broadcast(qdf), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos_sim",  # negated ADC distance: topk_per_query sorts DESC
@@ -1529,7 +1623,7 @@ def cosine_topk_ivfpq(
     shortlist = topk_per_query(approx, k * rescore_factor).select(
         "query_id", "neighbor_id"
     )
-    cv = corpus.select(
+    cv = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     qv_side = queries.select(

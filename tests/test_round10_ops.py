@@ -174,6 +174,49 @@ def test_ivfpq_exact_rescore_and_probe_recall(spark, corpus):
     assert h3 >= len(exact) * 0.5  # coarse fixture, but probes recover
 
 
+def test_ivfpq_persistent_index_prunes_and_matches(spark, corpus, tmp_path_factory):
+    """The persisted IVF-PQ index round-trips (cell-partitioned codes +
+    centroids + codebook sidecar), the persisted query matches the
+    inline path row for row, and cell pruning reads only the probed
+    cells' partitions (pinned in the physical plan)."""
+    from petastorm_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+        ivfpq_build,
+        ivfpq_index_read,
+        ivfpq_index_write,
+        ivfpq_query,
+    )
+
+    url = str(tmp_path_factory.mktemp("ivfpqidx") / "idx")
+    cent, cb, coded = ivfpq_build(corpus, dim=16, n_cells=8, m=4, k_codes=8)
+    ivfpq_index_write(url, cent, cb, coded)
+    cent2, cb2, coded2 = ivfpq_index_read(spark, url)
+    np.testing.assert_array_equal(cb, cb2)
+
+    q = corpus.where(F.col("vec_id") < 5)
+    inline = sorted(map(tuple, cosine_topk_ivfpq(
+        corpus, q, k=5, rescore_factor=4, dim=16, n_cells=8,
+        n_probe=2, m=4, k_codes=8).collect()))
+    persisted = sorted(map(tuple, ivfpq_query(
+        cent2, cb2, coded2, corpus, q, k=5, rescore_factor=4,
+        n_probe=2).collect()))
+    assert inline == persisted
+
+    # partition pruning: the CODE scan (not the vector rescore scan)
+    # carries the probed-cell isin as a PartitionFilter — the index
+    # reads only those cells' directories
+    plan = ivfpq_query(
+        cent2, cb2, coded2, corpus, q, k=5, n_probe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    code_scans = [
+        ln for ln in plan.split("\n")
+        if "FileScan parquet" in ln and "pq_codes" in ln
+    ]
+    assert code_scans and all(
+        "PartitionFilters: [cell#" in ln and " IN (" in ln for ln in code_scans
+    )
+
+
 def test_pq_encode_streaming_twin_matches_batch(spark, corpus, tmp_path_factory):
     """PQ encoding is a pure per-row map, so it composes directly onto
     a readStream feed: availableNow over a static vector directory
