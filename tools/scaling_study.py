@@ -129,6 +129,7 @@ STUDY_QUERIES = [
     "embedding_label_drift",
     "ann_recall_ivf",
     "ann_cosine_pq",
+    "ann_cosine_ivfpq",
     "ann_recall_pq",
     "hybrid_search_rrf",
     "zipf_corpus_fit",
