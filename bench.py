@@ -140,6 +140,7 @@ HEADLINE = [
     "embedding_label_drift",
     "ann_recall_ivf",
     "ann_recall_pq",
+    "ann_recall_ivfpq",
     "zipf_corpus_fit",
     "assortativity_parts",
     "pagerank_personalized",

@@ -4492,6 +4492,56 @@ def ann_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_ivfpq_oracle(k: int = 5, factor: int = 4) -> str:
+    body = _ivfpq_oracle(k, factor).strip()
+    with_part, _ = body.rsplit("SELECT query_id", 1)
+    cos = (
+        "list_dot_product(qe.qv, ce.v) / (sqrt(list_dot_product(qe.qv, qe.qv))"
+        " * sqrt(list_dot_product(ce.v, ce.v)))"
+    )
+    return f"""
+    {with_part.rstrip()},
+    approx AS (SELECT query_id, neighbor_id FROM r WHERE rank <= {k}),
+    qe AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    se AS (SELECT query_id, ce.vec_id AS neighbor_id, {cos} AS cos
+           FROM qe, e ce WHERE ce.vec_id != query_id),
+    exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM se) WHERE rank <= {k})
+    SELECT x.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           count(a.neighbor_id) / {float(k)} AS recall
+    FROM exact x LEFT JOIN approx a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """
+
+
+@register("ann_recall_ivfpq", oracle=_recall_ivfpq_oracle())
+def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality report for the IVF-PQ index: per-query recall@5 of
+    the 2-probe, ADC-shortlisted, rescored index against exact brute
+    force — where BOTH loss sources (cell misses and code
+    approximation) land in one number. Completes recall tooling across
+    all four index families (LSH, IVF, PQ, IVF-PQ)."""
+    from petastorm_spark.operators.similarity import (
+        ann_recall_report,
+        cosine_topk,
+        cosine_topk_ivfpq,
+    )
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=5)
+    approx = cosine_topk_ivfpq(
+        emb, q, k=5, rescore_factor=4, dim=64, n_cells=16, n_probe=2,
+        m=8, k_codes=16,
+    )
+    return ann_recall_report(exact, approx, k=5)
+
+
 @register("ann_cosine_pq", oracle=_pq_oracle())
 def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN top-5 (PQ/ADC, Jegou et al. 2011): the

@@ -131,6 +131,7 @@ STUDY_QUERIES = [
     "ann_cosine_pq",
     "ann_cosine_ivfpq",
     "ann_recall_pq",
+    "ann_recall_ivfpq",
     "hybrid_search_rrf",
     "zipf_corpus_fit",
     "assortativity_parts",
