@@ -191,6 +191,111 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_dhash_oracle(bands: int = 4, max_hamming: int = 3) -> str:
+    """The dHash math in pure integer SQL: the synthetic image is a
+    6x11 grayscale grid whose pixel k (row-major) is byte ``k % 16``
+    of ``md5(d || '_' || k // 16)`` (d = doc_id % shift, shared by a
+    doc and its copy; copies of every 5th doc perturb pixel (0,0) by
+    +13 mod 256 — a <=1-bit hamming tweak). md5 bytes carry NO
+    per-doc affine structure — every closed-form arithmetic draft
+    (affine, multiplicative, LCG) left pixel-to-pixel deltas constant
+    per doc, and brightness-invariant dHash collided corpus-wide
+    (34k/4k/27k pairs measured). The grid shape equals the dHash
+    resize target, so the resize is the identity and every bit is an
+    exact integer comparison both engines compute identically."""
+    width = 60 // bands
+    mask = (1 << width) - 1
+
+    def pix(y: int, x: int) -> str:
+        k = y * 11 + x
+        chunk, byte = k // 16, k % 16
+        base = (
+            f"(('0x' || substr(md5((doc_id % {_COPY_SHIFT})::VARCHAR "
+            f"|| '_{chunk}'), {2 * byte + 1}, 2))::INT)"
+        )
+        if y == 0 and x == 0:
+            return (
+                f"(CASE WHEN doc_id >= {_COPY_SHIFT} AND "
+                f"(doc_id % {_COPY_SHIFT}) % 5 = 0 "
+                f"THEN ({base} + 13) % 251 ELSE {base} END)"
+            )
+        return base
+
+    terms = " + ".join(
+        f"(CASE WHEN {pix(y, x)} < {pix(y, x + 1)} "
+        f"THEN (1::BIGINT << {59 - (y * 10 + x)}) ELSE 0::BIGINT END)"
+        for y in range(6) for x in range(10)
+    )
+    return f"""
+    WITH ids AS (SELECT doc_id FROM documents
+                 UNION ALL
+                 SELECT doc_id + {_COPY_SHIFT} FROM documents),
+    sig AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM ids),
+    bands AS (SELECT doc_id, simhash, bb.b AS band,
+                     (simhash >> (bb.b * {width})) & {mask} AS val
+              FROM sig, (SELECT unnest(range({bands})) AS b) bb),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.simhash AS sa, b.simhash AS sb
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+@register("image_dhash_pairs", oracle=_image_dhash_oracle())
+def image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: perceptual dHash over an IMAGE binary
+    column + the text-SimHash banded self-join — the full multimodal
+    plumbing (binary column -> decode_image_bytes -> dhash60 ->
+    banded pairs) runs for real; only the camera is fake. Images are
+    deterministic 6x11 RAW0 grids derived from doc_id (the mandated
+    deterministic stand-in for the absent image libs), a doc and its
+    copy share the grid (hamming 0), and copies of every 5th doc get
+    a one-pixel perturbation (hamming <= 1) — so the oracle, which
+    re-derives every pixel in closed-form integer SQL, checks the
+    decode + hash + banding pipeline end to end. Scale: pure map to
+    60-bit fingerprints, then the pigeonhole-banded join — never
+    quadratic, identical shape to dedup_simhash_pairs."""
+    import pandas as pd
+
+    from petastorm_spark.operators.multimodal import (
+        encode_fake_image,
+        image_dup_pairs,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    both = ids.unionByName(
+        ids.select((F.col("doc_id") + _COPY_SHIFT).alias("doc_id"))
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            imgs = []
+            for did in pdf["doc_id"]:
+                d = int(did) % _COPY_SHIFT
+                digest = b"".join(
+                    hashlib.md5(f"{d}_{c}".encode()).digest()
+                    for c in range(5)
+                )
+                p = (
+                    np.frombuffer(digest, dtype=np.uint8)[:66]
+                    .astype(np.int64)
+                    .reshape(6, 11)
+                )
+                if did >= _COPY_SHIFT and d % 5 == 0:
+                    p[0, 0] = (p[0, 0] + 13) % 251
+                imgs.append(encode_fake_image(p.astype(np.uint8)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "image": imgs})
+
+    imgs = both.mapInPandas(gen, "doc_id bigint, image binary")
+    return image_dup_pairs(imgs, "image", "doc_id", max_hamming=3, bands=4)
+
+
 @register(
     "dedup_jaccard_pairs",
     oracle=_DOCS_CTE

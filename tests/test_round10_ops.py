@@ -278,3 +278,38 @@ def test_rrf_fuse_arithmetic_and_ties(spark):
     fused = rrf_fuse([c, d], "doc_id", k=10).collect()
     by_rank = {r.rank: r.doc_id for r in fused}
     assert by_rank[1] == 7 and by_rank[2] == 9  # same score, lower id first
+
+
+def test_image_dhash_pairs_semantics(spark, sf_dir):
+    """The multimodal near-dup query end to end at sf0.001: every doc's
+    copy (id + 100k) is hamming-0, copies of every 5th doc carry the
+    one-pixel perturbation (hamming <= 1), and no cross-doc pair leaks
+    in — md5-derived pixels kill the corpus-wide collisions every
+    arithmetic image draft suffered."""
+    from petastorm_spark.queries_llm import _COPY_SHIFT, image_dhash_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_dhash_pairs(spark, sf_dir).collect()
+    }
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(pairs) == n_docs  # exactly one pair per (doc, copy)
+    for (a, b), h in pairs.items():
+        assert b == a + _COPY_SHIFT
+        # the +13 tweak flips the (0,0)<(0,1) bit only when it crosses
+        # the comparison boundary — <=1, and only on every-5th copies
+        assert h <= (1 if a % 5 == 0 else 0)
+    assert any(h == 1 for h in pairs.values())
+
+
+def test_image_dhash_generator_matches_oracle_math():
+    """Pixel k of doc d is byte k%16 of md5(f"{d}_{k//16}") — the
+    closed form the DuckDB oracle re-derives in integer SQL."""
+    import hashlib
+
+    digest = b"".join(hashlib.md5(f"7_{c}".encode()).digest() for c in range(5))
+    p = np.frombuffer(digest, dtype=np.uint8)[:66].reshape(6, 11)
+    # spot-check against the SQL formula for two (chunk, byte) spots
+    for k in (0, 37):
+        hexs = hashlib.md5(f"7_{k // 16}".encode()).hexdigest()
+        assert p[k // 11, k % 11] == int(hexs[2 * (k % 16): 2 * (k % 16) + 2], 16)
