@@ -296,6 +296,157 @@ def image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dup_pairs(imgs, "image", "doc_id", max_hamming=3, bands=4)
 
 
+def _envelope_oracle(tag: str, square: bool, bands: int = 4,
+                     max_hamming: int = 3) -> str:
+    """The 61-point envelope fingerprints (audio RMS / video frame
+    mean) in pure integer SQL. Both kernels compare consecutive
+    61-window aggregates of 16 md5-derived values; with window width
+    16 (a power of two) every float64 step in the numpy kernel —
+    value/2^15, square, pairwise sum, /16, sqrt — is exactly dyadic,
+    so env[i] < env[i+1] is EQUIVALENT to comparing the integer
+    window sums (of squares for audio, raw for video) the oracle
+    computes. ``tag`` is the md5 key infix ('w' audio windows, 'f'
+    video frames); copies of every 5th doc perturb value 0 of window
+    0 by +50 mod 256 (a <=1-bit tweak, bit 0 only)."""
+    width = 60 // bands
+    mask = (1 << width) - 1
+
+    def byte(b: int) -> str:
+        e = (
+            f"(('0x' || substr(md5((ids.doc_id % {_COPY_SHIFT})::VARCHAR "
+            f"|| '_{tag}' || w.w::VARCHAR), {2 * b + 1}, 2))::BIGINT)"
+        )
+        if b == 0:
+            e = (
+                f"(CASE WHEN w.w = 0 AND ids.doc_id >= {_COPY_SHIFT} AND "
+                f"(ids.doc_id % {_COPY_SHIFT}) % 5 = 0 "
+                f"THEN (({e} + 50) % 256) ELSE {e} END)"
+            )
+        return f"({e} * {e})" if square else e
+
+    terms = " + ".join(byte(b) for b in range(16))
+    return f"""
+    WITH ids AS (SELECT doc_id FROM documents
+                 UNION ALL
+                 SELECT doc_id + {_COPY_SHIFT} FROM documents),
+    win AS (SELECT ids.doc_id, w.w, ({terms}) AS s
+            FROM ids, (SELECT unnest(range(61)) AS w) w),
+    env AS (SELECT doc_id, w, s,
+                   lead(s) OVER (PARTITION BY doc_id ORDER BY w) AS s2
+            FROM win),
+    sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN s < s2
+                            THEN (1::BIGINT << (59 - w)) ELSE 0::BIGINT END)
+                        AS BIGINT) AS simhash
+            FROM env WHERE w < 60 GROUP BY doc_id),
+    bands AS (SELECT doc_id, simhash, bb.b AS band,
+                     (simhash >> (bb.b * {width})) & {mask} AS val
+              FROM sig, (SELECT unnest(range({bands})) AS b) bb),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.simhash AS sa, b.simhash AS sb
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+def _md5_values(doc_key: int, tag: str, n_chunks: int):
+    """n_chunks x 16 uint8 grid: chunk c's 16 values are the md5
+    digest bytes of f"{doc_key}_{tag}{c}" — the closed form the
+    envelope oracles re-derive with substr(md5(...)) in SQL."""
+    import hashlib
+
+    import numpy as np
+
+    digest = b"".join(
+        hashlib.md5(f"{doc_key}_{tag}{c}".encode()).digest()
+        for c in range(n_chunks)
+    )
+    return np.frombuffer(digest, dtype=np.uint8).astype(np.int64).reshape(
+        n_chunks, 16
+    )
+
+
+@register("audio_dup_pairs", oracle=_envelope_oracle("w", square=True))
+def audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup, audio leg: REAL RIFF/PCM WAV blobs (the
+    pure-python writer/parser pair) -> channel-mean -> 61-window RMS
+    energy envelope -> 60-bit fingerprint -> the shared pigeonhole
+    banded self-join. Each doc's 976-frame mono int16 clip derives
+    from md5 bytes (16 samples per envelope window), its copy
+    (doc_id + 100k) is byte-identical (hamming 0), and copies of
+    every 5th doc perturb sample 0 by +50 mod 256 (hamming <= 1).
+    Window width 16 keeps the RMS math exactly dyadic, so the oracle
+    compares integer sums of squares — decode, envelope, fingerprint
+    and banding all check hash-exact. Scale: pure map to 60-bit
+    fingerprints + banded join, identical shape to the text/image
+    legs."""
+    import pandas as pd
+
+    from petastorm_spark.operators.audio import (
+        audio_dup_pairs as _pairs,
+        encode_wav,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    both = ids.unionByName(
+        ids.select((F.col("doc_id") + _COPY_SHIFT).alias("doc_id"))
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did) % _COPY_SHIFT
+                s = _md5_values(d, "w", 61).ravel()
+                if did >= _COPY_SHIFT and d % 5 == 0:
+                    s[0] = (s[0] + 50) % 256
+                blobs.append(encode_wav(s.astype("int16"), 16000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "audio": blobs})
+
+    wavs = both.mapInPandas(gen, "doc_id bigint, audio binary")
+    return _pairs(wavs, "audio", "doc_id", max_hamming=3, bands=4)
+
+
+@register("video_dup_pairs", oracle=_envelope_oracle("f", square=False))
+def video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup, video leg: RAW0 (61, 4, 4) grayscale
+    'videos' -> per-frame mean brightness -> 60-bit temporal
+    fingerprint -> the shared banded self-join. Frame t's 16 pixels
+    are the md5 bytes of f"{{d}}_f{{t}}"; a doc and its copy share
+    the clip (hamming 0) and copies of every 5th doc perturb frame
+    0's first pixel (hamming <= 1). T=61 makes the kernel's 61-point
+    block resample the identity and the 16-pixel frame mean exactly
+    dyadic, so the oracle compares integer frame sums. Scale: pure
+    map + banded join, never quadratic."""
+    import pandas as pd
+
+    from petastorm_spark.operators.multimodal import (
+        encode_fake_image,
+        video_dup_pairs as _pairs,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    both = ids.unionByName(
+        ids.select((F.col("doc_id") + _COPY_SHIFT).alias("doc_id"))
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did) % _COPY_SHIFT
+                p = _md5_values(d, "f", 61).reshape(61, 4, 4)
+                if did >= _COPY_SHIFT and d % 5 == 0:
+                    p[0, 0, 0] = (p[0, 0, 0] + 50) % 256
+                blobs.append(encode_fake_image(p.astype("uint8")))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "video": blobs})
+
+    vids = both.mapInPandas(gen, "doc_id bigint, video binary")
+    return _pairs(vids, "video", "doc_id", max_hamming=3, bands=4)
+
+
 @register(
     "dedup_jaccard_pairs",
     oracle=_DOCS_CTE

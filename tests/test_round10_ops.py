@@ -313,3 +313,35 @@ def test_image_dhash_generator_matches_oracle_math():
     for k in (0, 37):
         hexs = hashlib.md5(f"7_{k // 16}".encode()).hexdigest()
         assert p[k // 11, k % 11] == int(hexs[2 * (k % 16): 2 * (k % 16) + 2], 16)
+
+
+@pytest.mark.parametrize("qname", ["audio_dup_pairs", "video_dup_pairs"])
+def test_av_dup_pairs_semantics(spark, sf_dir, qname):
+    """Audio and video near-dup queries end to end at sf0.001: one
+    pair per (doc, copy), perturbed every-5th copies at hamming <= 1,
+    clean copies at hamming 0, no cross-doc leakage."""
+    from petastorm_spark import queries_llm
+
+    q = getattr(queries_llm, qname)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in q(spark, sf_dir).collect()}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(pairs) == n_docs
+    for (a, b), h in pairs.items():
+        assert b == a + queries_llm._COPY_SHIFT
+        assert h <= (1 if a % 5 == 0 else 0)
+
+
+def test_envelope_dyadic_exactness():
+    """The fixture's RMS envelope comparisons equal integer
+    sum-of-squares comparisons — the property the SQL oracle relies
+    on (window width 16 keeps every float64 step exactly dyadic)."""
+    from petastorm_spark.operators.audio import audio_fingerprint60
+    from petastorm_spark.queries_llm import _md5_values
+
+    s = _md5_values(7, "w", 61).ravel()
+    fp = audio_fingerprint60((s.astype("int16") / 32768.0)[:, None])
+    sums = (s.reshape(61, 16) ** 2).sum(axis=1)
+    want = 0
+    for i in range(60):
+        want = (want << 1) | int(sums[i] < sums[i + 1])
+    assert fp == want
