@@ -149,6 +149,9 @@ HEADLINE = [
     "incremental_near_dup",
     "doc_ngram_novelty",
     "shard_plan_docs",
+    "image_dhash_pairs",
+    "audio_dup_pairs",
+    "video_dup_pairs",
 ]
 
 N_WARMUP_READS = 500

@@ -191,6 +191,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_SHIFT = 10**11
+# The multimodal fixtures derive content from doc_id, so their copy
+# shift must NOT divide the scaling study's replica shift (1e9): with
+# the text family's 100k shift every sf1 replica would collide onto the
+# same md5 grid and the pair count would measure fixture multiplicity,
+# not the plan. 1e11 > any replicated id, so d = doc_id stays unique
+# per replica and output grows linearly.
+
+
 def _image_dhash_oracle(bands: int = 4, max_hamming: int = 3) -> str:
     """The dHash math in pure integer SQL: the synthetic image is a
     6x11 grayscale grid whose pixel k (row-major) is byte ``k % 16``
@@ -210,13 +219,13 @@ def _image_dhash_oracle(bands: int = 4, max_hamming: int = 3) -> str:
         k = y * 11 + x
         chunk, byte = k // 16, k % 16
         base = (
-            f"(('0x' || substr(md5((doc_id % {_COPY_SHIFT})::VARCHAR "
+            f"(('0x' || substr(md5((doc_id % {_MM_SHIFT})::VARCHAR "
             f"|| '_{chunk}'), {2 * byte + 1}, 2))::INT)"
         )
         if y == 0 and x == 0:
             return (
-                f"(CASE WHEN doc_id >= {_COPY_SHIFT} AND "
-                f"(doc_id % {_COPY_SHIFT}) % 5 = 0 "
+                f"(CASE WHEN doc_id >= {_MM_SHIFT} AND "
+                f"(doc_id % {_MM_SHIFT}) % 5 = 0 "
                 f"THEN ({base} + 13) % 251 ELSE {base} END)"
             )
         return base
@@ -229,7 +238,7 @@ def _image_dhash_oracle(bands: int = 4, max_hamming: int = 3) -> str:
     return f"""
     WITH ids AS (SELECT doc_id FROM documents
                  UNION ALL
-                 SELECT doc_id + {_COPY_SHIFT} FROM documents),
+                 SELECT doc_id + {_MM_SHIFT} FROM documents),
     sig AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM ids),
     bands AS (SELECT doc_id, simhash, bb.b AS band,
                      (simhash >> (bb.b * {width})) & {mask} AS val
@@ -266,7 +275,7 @@ def image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _t(spark, sf_dir, "documents").select("doc_id")
     both = ids.unionByName(
-        ids.select((F.col("doc_id") + _COPY_SHIFT).alias("doc_id"))
+        ids.select((F.col("doc_id") + _MM_SHIFT).alias("doc_id"))
     )
 
     def gen(batches):
@@ -277,7 +286,7 @@ def image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             imgs = []
             for did in pdf["doc_id"]:
-                d = int(did) % _COPY_SHIFT
+                d = int(did) % _MM_SHIFT
                 digest = b"".join(
                     hashlib.md5(f"{d}_{c}".encode()).digest()
                     for c in range(5)
@@ -287,7 +296,7 @@ def image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .astype(np.int64)
                     .reshape(6, 11)
                 )
-                if did >= _COPY_SHIFT and d % 5 == 0:
+                if did >= _MM_SHIFT and d % 5 == 0:
                     p[0, 0] = (p[0, 0] + 13) % 251
                 imgs.append(encode_fake_image(p.astype(np.uint8)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "image": imgs})
@@ -313,13 +322,13 @@ def _envelope_oracle(tag: str, square: bool, bands: int = 4,
 
     def byte(b: int) -> str:
         e = (
-            f"(('0x' || substr(md5((ids.doc_id % {_COPY_SHIFT})::VARCHAR "
+            f"(('0x' || substr(md5((ids.doc_id % {_MM_SHIFT})::VARCHAR "
             f"|| '_{tag}' || w.w::VARCHAR), {2 * b + 1}, 2))::BIGINT)"
         )
         if b == 0:
             e = (
-                f"(CASE WHEN w.w = 0 AND ids.doc_id >= {_COPY_SHIFT} AND "
-                f"(ids.doc_id % {_COPY_SHIFT}) % 5 = 0 "
+                f"(CASE WHEN w.w = 0 AND ids.doc_id >= {_MM_SHIFT} AND "
+                f"(ids.doc_id % {_MM_SHIFT}) % 5 = 0 "
                 f"THEN (({e} + 50) % 256) ELSE {e} END)"
             )
         return f"({e} * {e})" if square else e
@@ -328,7 +337,7 @@ def _envelope_oracle(tag: str, square: bool, bands: int = 4,
     return f"""
     WITH ids AS (SELECT doc_id FROM documents
                  UNION ALL
-                 SELECT doc_id + {_COPY_SHIFT} FROM documents),
+                 SELECT doc_id + {_MM_SHIFT} FROM documents),
     win AS (SELECT ids.doc_id, w.w, ({terms}) AS s
             FROM ids, (SELECT unnest(range(61)) AS w) w),
     env AS (SELECT doc_id, w, s,
@@ -391,16 +400,16 @@ def audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _t(spark, sf_dir, "documents").select("doc_id")
     both = ids.unionByName(
-        ids.select((F.col("doc_id") + _COPY_SHIFT).alias("doc_id"))
+        ids.select((F.col("doc_id") + _MM_SHIFT).alias("doc_id"))
     )
 
     def gen(batches):
         for pdf in batches:
             blobs = []
             for did in pdf["doc_id"]:
-                d = int(did) % _COPY_SHIFT
+                d = int(did) % _MM_SHIFT
                 s = _md5_values(d, "w", 61).ravel()
-                if did >= _COPY_SHIFT and d % 5 == 0:
+                if did >= _MM_SHIFT and d % 5 == 0:
                     s[0] = (s[0] + 50) % 256
                 blobs.append(encode_wav(s.astype("int16"), 16000))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "audio": blobs})
@@ -429,16 +438,16 @@ def video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _t(spark, sf_dir, "documents").select("doc_id")
     both = ids.unionByName(
-        ids.select((F.col("doc_id") + _COPY_SHIFT).alias("doc_id"))
+        ids.select((F.col("doc_id") + _MM_SHIFT).alias("doc_id"))
     )
 
     def gen(batches):
         for pdf in batches:
             blobs = []
             for did in pdf["doc_id"]:
-                d = int(did) % _COPY_SHIFT
+                d = int(did) % _MM_SHIFT
                 p = _md5_values(d, "f", 61).reshape(61, 4, 4)
-                if did >= _COPY_SHIFT and d % 5 == 0:
+                if did >= _MM_SHIFT and d % 5 == 0:
                     p[0, 0, 0] = (p[0, 0, 0] + 50) % 256
                 blobs.append(encode_fake_image(p.astype("uint8")))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "video": blobs})

@@ -286,7 +286,7 @@ def test_image_dhash_pairs_semantics(spark, sf_dir):
     one-pixel perturbation (hamming <= 1), and no cross-doc pair leaks
     in — md5-derived pixels kill the corpus-wide collisions every
     arithmetic image draft suffered."""
-    from petastorm_spark.queries_llm import _COPY_SHIFT, image_dhash_pairs
+    from petastorm_spark.queries_llm import _MM_SHIFT, image_dhash_pairs
 
     pairs = {
         (r.id_a, r.id_b): r.hamming
@@ -295,7 +295,7 @@ def test_image_dhash_pairs_semantics(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert len(pairs) == n_docs  # exactly one pair per (doc, copy)
     for (a, b), h in pairs.items():
-        assert b == a + _COPY_SHIFT
+        assert b == a + _MM_SHIFT
         # the +13 tweak flips the (0,0)<(0,1) bit only when it crosses
         # the comparison boundary — <=1, and only on every-5th copies
         assert h <= (1 if a % 5 == 0 else 0)
@@ -327,7 +327,7 @@ def test_av_dup_pairs_semantics(spark, sf_dir, qname):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert len(pairs) == n_docs
     for (a, b), h in pairs.items():
-        assert b == a + queries_llm._COPY_SHIFT
+        assert b == a + queries_llm._MM_SHIFT
         assert h <= (1 if a % 5 == 0 else 0)
 
 

@@ -138,6 +138,12 @@ STUDY_QUERIES = [
     "pagerank_personalized",
     "label_propagation_parts",
     "quantile_sketch_chars",
+    # multimodal fixtures derive content from doc_id (shift 1e11, not
+    # the text family's 100k), so replicas get distinct grids and the
+    # synthetic column already measures the plan, not copy multiplicity
+    "image_dhash_pairs",
+    "audio_dup_pairs",
+    "video_dup_pairs",
 ]
 
 
