@@ -457,6 +457,126 @@ def video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_meta_stats",
+    oracle=f"""
+    WITH m AS (SELECT 1 + (doc_id % 2) AS channels,
+                      CAST(CASE WHEN doc_id % 3 = 0 THEN 8000
+                           ELSE 16000 END AS BIGINT) AS sample_rate,
+                      160 + (doc_id % 41) * 16 AS n_frames
+               FROM documents)
+    SELECT channels, sample_rate,
+           COUNT(*) AS n_clips,
+           CAST(SUM(n_frames) AS BIGINT) AS sum_frames,
+           round(CAST(SUM(n_frames) AS DOUBLE)
+                 / (sample_rate * COUNT(*)), 6) AS avg_sec
+    FROM m GROUP BY channels, sample_rate
+    ORDER BY channels, sample_rate
+    """,
+)
+def audio_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata extraction over an audio binary column: REAL
+    RIFF/PCM WAV blobs (mono AND stereo, 8 kHz and 16 kHz, variable
+    length — all doc_id-derived) round-trip through encode_wav ->
+    with_audio_meta's chunk-walking parser, then aggregate per
+    (channels, rate). The oracle re-derives frames/channels/rate in
+    closed form, so the container writer+parser pair is what's being
+    checked. Scale: mapInPandas pure map + one partial-agg groupBy
+    over a 4-row key space."""
+    import numpy as np
+    import pandas as pd
+
+    from petastorm_spark.operators.audio import encode_wav, with_audio_meta
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 160 + (d % 41) * 16
+                ch = 1 + (d % 2)
+                rate = 8000 if d % 3 == 0 else 16000
+                s = np.full((n, ch), d % 128, dtype=np.int16)
+                blobs.append(encode_wav(s, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "audio": blobs})
+
+    wavs = ids.mapInPandas(gen, "doc_id bigint, audio binary")
+    m = with_audio_meta(wavs, "audio").select("audio_meta.*")
+    return (
+        m.groupBy(
+            F.col("channels").cast("long").alias("channels"),
+            F.col("sample_rate").cast("long").alias("sample_rate"),
+        )
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("n_frames").alias("sum_frames"),
+            F.round(
+                F.sum("n_frames").cast("double")
+                / (F.col("sample_rate") * F.count("*")),
+                6,
+            ).alias("avg_sec"),
+        )
+        .orderBy("channels", "sample_rate")
+    )
+
+
+@register(
+    "image_meta_stats",
+    oracle="""
+    WITH m AS (SELECT 8 + (doc_id % 5) AS height,
+                      8 + (doc_id % 7) AS width
+               FROM documents)
+    SELECT height, width, COUNT(*) AS n_images,
+           CAST(SUM(height * width) AS BIGINT) AS sum_pixels,
+           'png' AS fmt
+    FROM m GROUP BY height, width ORDER BY height, width
+    """,
+)
+def image_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata extraction over an image binary column holding
+    REAL PNG byte streams: the pure-python zlib PNG encoder writes
+    variable-shape grayscale images, with_image_meta's decoder reads
+    the shape back, and the aggregate is checked against the closed
+    form — the encode->decode pair is the system under test (the
+    RAW0 path is covered by the dup-pair queries). The fmt column
+    pins that the PNG signature route, not RAW0, decoded the blobs.
+    Scale: mapInPandas pure maps + a 35-key partial-agg groupBy."""
+    import numpy as np
+    import pandas as pd
+
+    from petastorm_spark.functions.pure_png import png_encode
+    from petastorm_spark.operators.multimodal import with_image_meta
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = 8 + d % 5, 8 + d % 7
+                img = np.full((h, w), d % 251, dtype=np.uint8)
+                blobs.append(png_encode(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "image": blobs})
+
+    imgs = ids.mapInPandas(gen, "doc_id bigint, image binary")
+    m = with_image_meta(imgs, "image").select("image_meta.*")
+    return (
+        m.groupBy(
+            F.col("height").cast("long").alias("height"),
+            F.col("width").cast("long").alias("width"),
+        )
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.col("height") * F.col("width")).alias("sum_pixels"),
+            F.max("format").alias("fmt"),
+        )
+        .orderBy("height", "width")
+    )
+
+
+@register(
     "dedup_jaccard_pairs",
     oracle=_DOCS_CTE
     + f""",

@@ -345,3 +345,22 @@ def test_envelope_dyadic_exactness():
     for i in range(60):
         want = (want << 1) | int(sums[i] < sums[i + 1])
     assert fp == want
+
+
+def test_meta_stats_queries_pin_real_containers(spark, sf_dir):
+    """audio_meta_stats exercises stereo + 8k/16k WAVs through the
+    chunk-walking parser; image_meta_stats pins that the pure-python
+    PNG route (not RAW0) decoded every blob."""
+    from petastorm_spark.queries_llm import audio_meta_stats, image_meta_stats
+
+    a = audio_meta_stats(spark, sf_dir).collect()
+    assert {(r.channels, r.sample_rate) for r in a} <= {
+        (1, 8000), (1, 16000), (2, 8000), (2, 16000)
+    }
+    assert sum(r.n_clips for r in a) == spark.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    ).count()
+
+    i = image_meta_stats(spark, sf_dir).collect()
+    assert all(r.fmt == "png" for r in i)
+    assert all(r.sum_pixels == r.height * r.width * r.n_images for r in i)
