@@ -577,6 +577,149 @@ def image_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_resize_pipeline",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, ij.i, ij.j,
+             ((ij.i * (6 + doc_id % 3)) // 4) * (12 + doc_id % 5)
+             + ((ij.j * (12 + doc_id % 5)) // 4) AS k
+      FROM documents,
+           (SELECT a.i, b.j
+            FROM (SELECT unnest(range(4)) AS i) a,
+                 (SELECT unnest(range(4)) AS j) b) ij
+    )
+    SELECT doc_id,
+           CAST(SUM(('0x' || substr(
+                md5(doc_id::VARCHAR || '_r' || (k // 16)::VARCHAR),
+                2 * (k % 16) + 1, 2))::BIGINT) AS BIGINT) AS resized_sum
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def image_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode -> transform -> re-encode kernel end to end on REAL
+    PNG containers: variable-shape md5-pixel images are zlib-PNG
+    encoded, resize_images nearest-neighbors them to 4x4 (PNG in ->
+    PNG out), and a second decode sums the surviving pixels. The
+    oracle re-derives the nearest-neighbor source index
+    (i*H//4, j*W//4) and the md5 byte at that position in closed
+    form — two full pure-python PNG round trips per row are what the
+    hash checks. Scale: two mapInPandas pure maps, no shuffle until
+    the final per-doc row."""
+    import numpy as np
+    import pandas as pd
+
+    from petastorm_spark.functions.pure_png import png_decode, png_encode
+    from petastorm_spark.operators.multimodal import resize_images
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = 6 + d % 3, 12 + d % 5
+                img = _md5_values(d, "r", 8).ravel()[: h * w].reshape(h, w)
+                blobs.append(png_encode(img.astype("uint8")))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "image": blobs})
+
+    imgs = ids.mapInPandas(gen, "doc_id bigint, image binary")
+    small = resize_images(imgs, "image", "small", (4, 4))
+
+    def summed(batches):
+        for pdf in batches:
+            sums = [
+                int(png_decode(bytes(raw)).astype(np.int64).sum())
+                for raw in pdf["small"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "resized_sum": sums}
+            )
+
+    return small.mapInPandas(
+        summed, "doc_id bigint, resized_sum bigint"
+    ).orderBy("doc_id")
+
+
+@register(
+    "video_frame_sample",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id, t.t
+      FROM documents, (SELECT unnest(range(20)) AS t) t
+      WHERE t.t % 3 = 0 AND t.t < 13 + doc_id % 7
+    ),
+    vals AS (
+      SELECT doc_id, f.t, b.b,
+             ('0x' || substr(md5(doc_id::VARCHAR || '_v' || f.t::VARCHAR),
+                             2 * b.b + 1, 2))::BIGINT AS val
+      FROM frames f, (SELECT unnest(range(4)) AS b) b
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT t) AS BIGINT) AS n_kept,
+           CAST(SUM(val) AS BIGINT) AS frame_sum
+    FROM vals GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling end to end: variable-length (T, 2, 2) RAW0
+    videos (T = 13 + doc_id%7, frame t's pixels = the first 4 md5
+    bytes of f"{{d}}_v{{t}}") pass through frame_sample_video
+    (every 3rd frame) and a decode stage counts and sums the kept
+    frames. The oracle enumerates t in 0,3,6,... < T in SQL — the
+    ffmpeg-shaped sampling kernel's stride arithmetic is what's
+    checked. Scale: two mapInPandas pure maps."""
+    import numpy as np
+    import pandas as pd
+
+    from petastorm_spark.operators.multimodal import (
+        decode_image_bytes,
+        encode_fake_image,
+        frame_sample_video,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import hashlib
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                T = 13 + d % 7
+                frames = np.stack(
+                    [
+                        np.frombuffer(
+                            hashlib.md5(f"{d}_v{t}".encode()).digest()[:4],
+                            dtype=np.uint8,
+                        ).reshape(2, 2)
+                        for t in range(T)
+                    ]
+                )
+                blobs.append(encode_fake_image(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "video": blobs})
+
+    vids = ids.mapInPandas(gen, "doc_id bigint, video binary")
+    sampled = frame_sample_video(vids, "video", "kept", every_nth=3)
+
+    def reduced(batches):
+        for pdf in batches:
+            n, s = [], []
+            for raw in pdf["kept"]:
+                arr, _ = decode_image_bytes(bytes(raw))
+                n.append(int(arr.shape[0]))
+                s.append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_kept": n, "frame_sum": s}
+            )
+
+    return sampled.mapInPandas(
+        reduced, "doc_id bigint, n_kept bigint, frame_sum bigint"
+    ).orderBy("doc_id")
+
+
+@register(
     "dedup_jaccard_pairs",
     oracle=_DOCS_CTE
     + f""",

@@ -364,3 +364,38 @@ def test_meta_stats_queries_pin_real_containers(spark, sf_dir):
     i = image_meta_stats(spark, sf_dir).collect()
     assert all(r.fmt == "png" for r in i)
     assert all(r.sum_pixels == r.height * r.width * r.n_images for r in i)
+
+
+def test_resize_and_frame_sample_pipelines(spark, sf_dir):
+    """Spot-check the two kernel-pipeline queries against a pure-numpy
+    rebuild for a handful of docs (the oracle gate checks all rows;
+    this pins the kernels against an INDEPENDENT derivation)."""
+    import hashlib
+
+    from petastorm_spark.queries_llm import (
+        _md5_values,
+        image_resize_pipeline,
+        video_frame_sample,
+    )
+
+    rs = {r.doc_id: r.resized_sum
+          for r in image_resize_pipeline(spark, sf_dir).collect()}
+    for d in (0, 7, 123):
+        h, w = 6 + d % 3, 12 + d % 5
+        img = _md5_values(d, "r", 8).ravel()[: h * w].reshape(h, w)
+        ys = (np.arange(4) * h) // 4
+        xs = (np.arange(4) * w) // 4
+        assert rs[d] == int(img[np.ix_(ys, xs)].sum())
+
+    fs = {r.doc_id: (r.n_kept, r.frame_sum)
+          for r in video_frame_sample(spark, sf_dir).collect()}
+    for d in (0, 7, 123):
+        T = 13 + d % 7
+        kept = list(range(0, T, 3))
+        total = sum(
+            int(np.frombuffer(
+                hashlib.md5(f"{d}_v{t}".encode()).digest()[:4], dtype=np.uint8
+            ).astype(np.int64).sum())
+            for t in kept
+        )
+        assert fs[d] == (len(kept), total)
