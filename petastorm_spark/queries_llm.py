@@ -279,26 +279,14 @@ def image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(batches):
-        import hashlib
-
-        import numpy as np
-
         for pdf in batches:
             imgs = []
             for did in pdf["doc_id"]:
                 d = int(did) % _MM_SHIFT
-                digest = b"".join(
-                    hashlib.md5(f"{d}_{c}".encode()).digest()
-                    for c in range(5)
-                )
-                p = (
-                    np.frombuffer(digest, dtype=np.uint8)[:66]
-                    .astype(np.int64)
-                    .reshape(6, 11)
-                )
+                p = _md5_values(d, "", 5).ravel()[:66].reshape(6, 11)
                 if did >= _MM_SHIFT and d % 5 == 0:
                     p[0, 0] = (p[0, 0] + 13) % 251
-                imgs.append(encode_fake_image(p.astype(np.uint8)))
+                imgs.append(encode_fake_image(p.astype("uint8")))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "image": imgs})
 
     imgs = both.mapInPandas(gen, "doc_id bigint, image binary")
