@@ -1729,3 +1729,82 @@ def embedding_centroids(
             F.col("_dims"), lambda s: s.getField("s") / s.getField("n")
         ).alias("centroid"),
     )
+
+
+def bitext_margin_mine(
+    src_corpus: DataFrame,
+    tgt_corpus: DataFrame,
+    src_queries: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    topk_fn=None,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER recipe): for each source vector, the best target
+    candidate scored by the RATIO of its cosine to the mean of both
+    sides' k-NN cosines — the margin denoises the raw cosine, which
+    is incomparable across hubness regimes.
+
+        margin(x, y) = cos(x, y) / ((fwd_mean(x) + bwd_mean(y)) / 2)
+
+    where fwd_mean(x) = mean cosine of x's top-k targets and
+    bwd_mean(y) = mean cosine of y's top-k over the FULL source
+    domain. Output: (src_id, tgt_id, cos_sim, margin) — the argmax
+    target per source (margin desc, tgt_id tiebreak on the 4-dp
+    rounded margin, so ranking is engine-stable).
+
+    Exactness: cosines are rounded to 4 dp by :func:`topk_per_query`,
+    converted to integer micro-units, and summed as BIGINTs, so the
+    margin is one double division of exact integers — bit-identical
+    across engines regardless of aggregation order.
+
+    Scale: two :func:`cosine_topk` passes (broadcast query sets,
+    single corpus scans, two-stage top-k); the backward pass scores
+    only the <= k * |queries| distinct candidates. At index scale,
+    pass ``topk_fn=...`` bound to any of the cosine_topk_{lsh,ivf,
+    pq,ivfpq} family — the margin algebra is search-strategy
+    agnostic."""
+    from pyspark.sql import Window
+
+    fn = topk_fn or cosine_topk
+    q = src_queries if src_queries is not None else src_corpus
+
+    def micro(df):
+        return df.withColumn(
+            "c4", F.round(F.col("cos_sim") * 10000).cast("long")
+        )
+
+    fwd = micro(fn(tgt_corpus, q, id_col, vec_col, k))
+    fwd_sum = fwd.groupBy("query_id").agg(F.sum("c4").alias("fs"))
+
+    cand_ids = fwd.select(F.col("neighbor_id").alias(id_col)).distinct()
+    cand = tgt_corpus.join(cand_ids, id_col, "semi")
+    bwd = micro(fn(src_corpus, cand, id_col, vec_col, k))
+    bwd_sum = bwd.groupBy(
+        F.col("query_id").alias("neighbor_id")
+    ).agg(F.sum("c4").alias("bs"))
+
+    scored = (
+        fwd.join(F.broadcast(fwd_sum), "query_id")
+        .join(F.broadcast(bwd_sum), "neighbor_id")
+        .withColumn(
+            "margin",
+            F.round(
+                F.lit(2.0 * k) * F.col("c4") / (F.col("fs") + F.col("bs")), 4
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("margin").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            F.col("query_id").alias("src_id"),
+            F.col("neighbor_id").alias("tgt_id"),
+            "cos_sim",
+            "margin",
+        )
+    )

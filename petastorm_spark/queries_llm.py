@@ -2020,6 +2020,76 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "bitext_margin_mine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    src AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+    tgt AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+    q AS (SELECT vec_id, v FROM src WHERE vec_id < 200),
+    fwd_all AS (
+      SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+             list_dot_product(q.v, t.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(t.v, t.v))) AS cos
+      FROM q, tgt t),
+    fwd_r AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM fwd_all),
+    fwd AS (
+      SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim,
+             CAST(round(round(cos, 4) * 10000, 0) AS BIGINT) AS c4
+      FROM fwd_r WHERE rnk <= 4),
+    fwd_sum AS (SELECT query_id, CAST(SUM(c4) AS BIGINT) AS fs
+                FROM fwd GROUP BY query_id),
+    cand AS (SELECT DISTINCT neighbor_id FROM fwd),
+    bwd_all AS (
+      SELECT t.vec_id AS tgt_id, s.vec_id AS src_nb,
+             list_dot_product(t.v, s.v)
+             / (sqrt(list_dot_product(t.v, t.v))
+                * sqrt(list_dot_product(s.v, s.v))) AS cos
+      FROM cand c JOIN tgt t ON t.vec_id = c.neighbor_id, src s),
+    bwd_r AS (
+      SELECT tgt_id, cos,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY cos DESC, src_nb) AS rnk
+      FROM bwd_all),
+    bwd_sum AS (
+      SELECT tgt_id AS neighbor_id,
+             CAST(SUM(CAST(round(round(cos, 4) * 10000, 0) AS BIGINT))
+                  AS BIGINT) AS bs
+      FROM bwd_r WHERE rnk <= 4 GROUP BY tgt_id),
+    m AS (
+      SELECT f.query_id, f.neighbor_id, f.cos_sim,
+             round(8.0 * f.c4 / (fs + bs), 4) AS margin
+      FROM fwd f
+      JOIN fwd_sum USING (query_id) JOIN bwd_sum USING (neighbor_id)),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY margin DESC, neighbor_id) AS rr
+      FROM m)
+    SELECT query_id AS src_id, neighbor_id AS tgt_id, cos_sim, margin
+    FROM r WHERE rr = 1
+    """,
+)
+def bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (the CCMatrix/LASER recipe): even
+    vec_ids play the source language, odd the target; for each of the
+    first 100 source vectors, the best target by cosine-over-mean-kNN
+    margin. The oracle unrolls both directions' top-4 and the
+    micro-unit margin algebra. Scale: see
+    operators/similarity.bitext_margin_mine — two broadcast-query
+    topk passes, index-swappable."""
+    from petastorm_spark.operators.similarity import bitext_margin_mine as mine
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    src = emb.where(F.col("vec_id") % 2 == 0)
+    tgt = emb.where(F.col("vec_id") % 2 == 1)
+    return mine(src, tgt, src.where(F.col("vec_id") < 200), k=4)
+
+
 def _lsh_planes_sql(n_planes: int = 8, dim: int = 64, seed: int = 7) -> str:
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))

@@ -399,3 +399,32 @@ def test_resize_and_frame_sample_pipelines(spark, sf_dir):
             for t in kept
         )
         assert fs[d] == (len(kept), total)
+
+
+def test_bitext_margin_demotes_hub(spark):
+    """The point of margin scoring: a hub target (similar to EVERY
+    source) has the highest raw cosine but a high backward mean, so
+    the specific target wins the margin — mined pair != argmax cosine."""
+    from petastorm_spark.operators.similarity import bitext_margin_mine
+
+    src = arrow_local_df(
+        spark,
+        {"vec_id": [0, 2, 4],
+         "embedding": [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]]},
+        "vec_id bigint, embedding array<double>",
+    )
+    tgt = arrow_local_df(
+        spark,
+        {"vec_id": [1, 3],  # 1 = hub, 3 = specific
+         "embedding": [[0.9, 0.6, 0.6, 0], [0.7, 0, 0, 0.7]]},
+        "vec_id bigint, embedding array<double>",
+    )
+    out = bitext_margin_mine(
+        src, tgt, src.where(F.col("vec_id") == 0), k=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.src_id, r.tgt_id) == (0, 3)  # specific wins...
+    hub_cos = 0.9 / np.sqrt(0.9**2 + 0.6**2 + 0.6**2)
+    assert r.cos_sim < round(hub_cos, 4)  # ...despite lower raw cosine
+    assert r.margin > 1.0
