@@ -428,3 +428,57 @@ def test_bitext_margin_demotes_hub(spark):
     hub_cos = 0.9 / np.sqrt(0.9**2 + 0.6**2 + 0.6**2)
     assert r.cos_sim < round(hub_cos, 4)  # ...despite lower raw cosine
     assert r.margin > 1.0
+
+
+def test_image_dhash_streaming_twin(spark, sf_dir, tmp_path_factory):
+    """Multimodal fingerprints are pure per-row maps, so they compose
+    onto a readStream feed unchanged: availableNow over a directory of
+    image blobs emits exactly the batch path's dhash values — the
+    online half of a continuously-ingested near-dup index."""
+    from petastorm_spark.operators.multimodal import image_dhash
+    from petastorm_spark.queries_llm import _md5_values
+    from petastorm_spark.streaming.feed import stream_dataset
+
+    def gen(batches):
+        import pandas as pd
+
+        from petastorm_spark.operators.multimodal import encode_fake_image
+
+        for pdf in batches:
+            imgs = [
+                encode_fake_image(
+                    _md5_values(int(d), "", 5).ravel()[:66]
+                    .reshape(6, 11).astype("uint8")
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "image": imgs})
+
+    d = str(tmp_path_factory.mktemp("imgstream") / "imgs")
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .mapInPandas(gen, "doc_id bigint, image binary")
+    )
+    base.write.parquet(d)
+
+    qy = (
+        image_dhash(stream_dataset(spark, d), "image")
+        .select("doc_id", "dhash")
+        .writeStream.format("memory")
+        .queryName("dhash_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(120)
+    got = {
+        (r.doc_id, r.dhash)
+        for r in spark.sql("SELECT * FROM dhash_stream").collect()
+    }
+    want = {
+        (r.doc_id, r.dhash)
+        for r in image_dhash(spark.read.parquet(d), "image")
+        .select("doc_id", "dhash").collect()
+    }
+    assert got == want and got
