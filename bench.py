@@ -152,6 +152,11 @@ HEADLINE = [
     "image_dhash_pairs",
     "audio_dup_pairs",
     "video_dup_pairs",
+    "audio_meta_stats",
+    "image_meta_stats",
+    "image_resize_pipeline",
+    "video_frame_sample",
+    "bitext_margin_mine",
 ]
 
 N_WARMUP_READS = 500

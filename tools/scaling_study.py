@@ -144,6 +144,8 @@ STUDY_QUERIES = [
     "image_dhash_pairs",
     "audio_dup_pairs",
     "video_dup_pairs",
+    "image_resize_pipeline",
+    "bitext_margin_mine",
 ]
 
 
