@@ -1775,7 +1775,15 @@ def bitext_margin_mine(
             "c4", F.round(F.col("cos_sim") * 10000).cast("long")
         )
 
-    fwd = micro(fn(tgt_corpus, q, id_col, vec_col, k))
+    # the forward top-k feeds three consumers (scored pairs, fwd_sum,
+    # the backward pass's candidate set); without a cut each reference
+    # re-executes the corpus-sized cosine cross join — measured 20x at
+    # 10x data before, 'tiny result, flat lineage' after (the same
+    # persist-vs-recompute trap as connected_components). The result is
+    # only |queries| x k rows, so the checkpoint is O(queries).
+    fwd = micro(fn(tgt_corpus, q, id_col, vec_col, k)).localCheckpoint(
+        eager=True
+    )
     fwd_sum = fwd.groupBy("query_id").agg(F.sum("c4").alias("fs"))
 
     cand_ids = fwd.select(F.col("neighbor_id").alias(id_col)).distinct()
