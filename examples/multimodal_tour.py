@@ -34,22 +34,46 @@ def main() -> None:
     spark = get_spark("multimodal_tour")
     ids = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
 
-    # 1. attach binary columns: real PNG images and real PCM WAV clips
+    # 1. attach binary columns: real PNG images and real PCM WAV clips.
+    # Content derives from md5(doc_id) — arithmetic pixel patterns give
+    # every image the same pixel-to-pixel deltas and perceptual hashes
+    # collide corpus-wide. Every 50th doc also gets a near-duplicate
+    # twin (id + 100000) with a one-sample perturbation, so the dup
+    # counts below are meaningful.
     def media(batches):
-        rng_like = None  # deterministic from doc_id, no RNG state
+        import hashlib
+
+        def md5_grid(d, tag, n_chunks):
+            raw = b"".join(
+                hashlib.md5(f"{d}_{tag}{c}".encode()).digest()
+                for c in range(n_chunks)
+            )
+            return np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+
         for pdf in batches:
-            imgs, wavs, vids = [], [], []
+            rows = []
             for did in pdf["doc_id"]:
                 d = int(did)
-                px = (np.arange(48, dtype=np.int64) * (d + 7)) % 251
-                imgs.append(png_encode(px.reshape(6, 8).astype(np.uint8)))
-                s = ((np.arange(320) * (d + 3)) % 199).astype(np.int16)
-                wavs.append(encode_wav(s, 16000))
-                fr = ((np.arange(61 * 4) * (d + 11)) % 223).astype(np.uint8)
-                vids.append(encode_fake_image(fr.reshape(61, 2, 2)))
+                twins = [(d, False)] + ([(d + 100_000, True)] if d % 50 == 0 else [])
+                for out_id, perturb in twins:
+                    px = md5_grid(d, "i", 3)[:48]
+                    au = md5_grid(d, "a", 61)
+                    fr = md5_grid(d, "v", 16)[:244]
+                    if perturb:
+                        px, au, fr = px.copy(), au.copy(), fr.copy()
+                        px[0] = (px[0] + 13) % 251
+                        au[0] = (au[0] + 50) % 256
+                        fr[0] = (fr[0] + 50) % 256
+                    rows.append(
+                        (
+                            out_id,
+                            png_encode(px.reshape(6, 8).astype(np.uint8)),
+                            encode_wav(au.astype(np.int16), 16000),
+                            encode_fake_image(fr.reshape(61, 2, 2).astype(np.uint8)),
+                        )
+                    )
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "image": imgs,
-                 "audio": wavs, "video": vids}
+                rows, columns=["doc_id", "image", "audio", "video"]
             )
 
     df = ids.mapInPandas(
