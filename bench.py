@@ -157,6 +157,7 @@ HEADLINE = [
     "image_resize_pipeline",
     "video_frame_sample",
     "bitext_margin_mine",
+    "dedup_semantic_incremental",
 ]
 
 N_WARMUP_READS = 500

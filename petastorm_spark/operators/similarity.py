@@ -1816,3 +1816,123 @@ def bitext_margin_mine(
             "margin",
         )
     )
+
+
+def ivf_append(
+    index_url: str,
+    new_assignments: DataFrame,
+    cell_col: str = "cell",
+    check_ids: bool = True,
+    id_col: str | None = None,
+) -> None:
+    """Fold a new batch's assignments into a persisted IVF index
+    (append-only parquet, partitioned by cell — the batch was deduped
+    against the index first, so appended ids are the accepted
+    survivors; same lifecycle as dedup.lsh_index_append).
+
+    ``check_ids`` (default on) semi-joins the batch's ids against the
+    index and refuses overlaps — an id appended twice would plant
+    duplicate vectors every later probe re-emits. The check reads one
+    column-pruned id column semi-joined to a batch-sized side."""
+    root = index_url.rstrip("/") + "/cells"
+    if check_ids:
+        spark = new_assignments.sparkSession
+        key = id_col or new_assignments.columns[0]
+        dup = (
+            spark.read.parquet(root)
+            .select(key)
+            .join(F.broadcast(new_assignments.select(key)), key, "semi")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"ivf_append: id {dup[0][0]!r} already indexed — "
+                "appending it again would corrupt every later probe"
+            )
+    new_assignments.write.mode("append").partitionBy(cell_col).parquet(root)
+
+
+def incremental_semantic_dedup(
+    new_df: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_probe: int = 1,
+    prune_cells: bool = True,
+) -> DataFrame:
+    """Semantic near-dup matches of a NEW embedding batch against an
+    existing IVF index — the embedding twin of
+    :func:`dedup.incremental_near_dup` and the production shape of
+    SemDeDup on a growing corpus: batch-sized work against a
+    persisted, cell-pruned vector table. Output: (new_id, old_id,
+    cos) for every indexed vector at cosine >= ``threshold`` with a
+    batch vector; keep a new vector iff it has no output row.
+
+    New ids must be disjoint from indexed ids (different corpus
+    generations); the join drops ``new_id == old_id`` rows so a
+    re-probed id can never match itself, and :func:`ivf_append`
+    refuses overlapping appends rather than corrupting the index.
+
+    Scale: the batch assigns to its top-``n_probe`` cells in one
+    vectorized map (bounded quantizer aboard every task); with
+    ``prune_cells`` the batch's distinct probed cells (<= n_probe x
+    |batch| ints, the small side by construction) push into the
+    assignments scan as an isin filter, so a cell-partitioned parquet
+    index reads ONLY the probed cells' directories. Because every
+    indexed vector lives in exactly one cell, a (new, old) pair meets
+    in at most one cell — no candidate-dedup shuffle exists. Unit
+    vectors are normalized once per side; each candidate costs one
+    dot product."""
+    crows = _as_centroids(centroids, id_col, vec_col).collect()
+    if 0 < len(crows) <= _MAX_LOCAL_CELLS:
+        probed = _probe_cells_numpy(new_df, crows, id_col, vec_col, n_probe)
+    else:
+        raise ValueError(
+            "incremental_semantic_dedup: quantizer exceeds the local "
+            "matrix bound; use a hierarchical quantizer"
+        )
+
+    def unit(df, out_id, u_name):
+        return (
+            df.withColumn("_nrm", norm(F.col(vec_col)))
+            .withColumn(
+                u_name,
+                F.when(
+                    F.col("_nrm") > 0,
+                    F.transform(
+                        F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm")
+                    ),
+                ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+            )
+            .select(F.col(id_col).alias(out_id), "cell", u_name)
+        )
+
+    new_side = unit(
+        probed.withColumn("cell", F.explode("_cells")), "new_id", "_un"
+    )
+    idx = assignments
+    if prune_cells:
+        cells = [
+            r[0]
+            for r in probed.select(F.explode("_cells").alias("c"))
+            .distinct()
+            .collect()
+        ]
+        idx = idx.where(F.col("cell").isin(cells))
+    old_side = unit(idx, "old_id", "_uo")
+
+    cos = F.aggregate(
+        F.zip_with(F.col("_un"), F.col("_uo"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        new_side.join(old_side, "cell")
+        .where(F.col("new_id") != F.col("old_id"))
+        .withColumn("_cos", cos)
+        .where(F.col("_cos") >= threshold)
+        .select("new_id", "old_id", F.round("_cos", 4).alias("cos"))
+    )

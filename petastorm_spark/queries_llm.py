@@ -3740,6 +3740,63 @@ def _semantic_dedup_oracle(
     """
 
 
+def _semantic_incremental_oracle(
+    cell_target: int = 256, cell_floor: int = 16, tau: float = 0.95
+) -> str:
+    cos = lambda a, b: (  # noqa: E731
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})))"
+    )
+    n_cells = _adaptive_cells_sql(cell_target, cell_floor)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {n_cells}),
+    ca AS (SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM e, cent c) WHERE rn = 1),
+    nb AS (SELECT vec_id + {_COPY_SHIFT} AS new_id, v FROM e WHERE vec_id < 100),
+    na AS (SELECT new_id, v, cell FROM (
+        SELECT n.new_id, n.v, c.cell,
+               row_number() OVER (PARTITION BY n.new_id
+                                  ORDER BY {cos('n.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM nb n, cent c) WHERE rn = 1)
+    SELECT n.new_id, o.vec_id AS old_id, round({cos('n.v', 'o.v')}, 4) AS cos
+    FROM na n JOIN ca o USING (cell)
+    WHERE n.new_id != o.vec_id AND {cos('n.v', 'o.v')} >= {tau}
+    """
+
+
+@register("dedup_semantic_incremental", oracle=_semantic_incremental_oracle())
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SemDeDup: a new embedding batch (the first 100
+    vectors re-issued under shifted ids) deduped against the IVF
+    index of the existing corpus — the embedding twin of
+    incremental_near_dup_batch and the production shape of semantic
+    dedup on a growing corpus: batch-sized work against a persisted,
+    cell-pruned vector table (ivf_write/ivf_read + ivf_append; disk
+    round-trip and partition pruning pinned by tests). Each re-issued
+    vector must surface its original at cos 1.0. See
+    operators/similarity.incremental_semantic_dedup."""
+    from petastorm_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        ivf_build,
+    )
+
+    emb = _t_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = _t(spark, sf_dir, "embeddings").count()
+    cent, assigned = ivf_build(
+        emb, "vec_id", "embedding", n_cells=_adaptive_cells(n, 256, 16)
+    )
+    new = emb.where(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + _COPY_SHIFT).alias("vec_id"), "embedding"
+    )
+    return incremental_semantic_dedup(
+        new, cent, assigned, "vec_id", "embedding", threshold=0.95
+    )
+
+
 @register("dedup_semantic", oracle=_semantic_dedup_oracle())
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster-scoped semantic dedup — corpus bucketed by

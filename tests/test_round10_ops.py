@@ -482,3 +482,56 @@ def test_image_dhash_streaming_twin(spark, sf_dir, tmp_path_factory):
         .select("doc_id", "dhash").collect()
     }
     assert got == want and got
+
+
+def test_incremental_semantic_dedup_persisted_index(
+    spark, corpus, tmp_path_factory
+):
+    """The growing-corpus lifecycle: build -> write -> read ->
+    incremental dedup against the persisted index (plan prunes to the
+    batch's probed cells), then append the survivors; a duplicate-id
+    append is refused."""
+    import re
+
+    from petastorm_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        ivf_append,
+        ivf_build,
+        ivf_read,
+        ivf_write,
+    )
+
+    url = str(tmp_path_factory.mktemp("ivfinc") / "idx")
+    cent, assigned = ivf_build(corpus, "vec_id", "embedding", n_cells=8)
+    ivf_write(url, cent, assigned)
+    cent2, assigned2 = ivf_read(spark, url)
+
+    new = corpus.where(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    out = incremental_semantic_dedup(
+        new, cent2, assigned2, threshold=0.95
+    )
+    got = {(r.new_id, r.old_id): r.cos for r in out.collect()}
+    # each re-issued vector matches its original at cos 1.0
+    for i in range(6):
+        assert got[(i + 10_000, i)] == 1.0
+    # the persisted scan prunes to the probed cells
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1)
+
+    # in-memory and persisted paths agree row for row
+    mem = {
+        (r.new_id, r.old_id): r.cos
+        for r in incremental_semantic_dedup(
+            new, cent, assigned, threshold=0.95
+        ).collect()
+    }
+    assert got == mem
+
+    # append survivors; re-appending the same ids is refused
+    _, new_assigned = ivf_build(new, "vec_id", "embedding", centroids=cent2)
+    ivf_append(url, new_assigned, id_col="vec_id")
+    with pytest.raises(ValueError, match="already indexed"):
+        ivf_append(url, new_assigned, id_col="vec_id")

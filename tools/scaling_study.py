@@ -146,6 +146,7 @@ STUDY_QUERIES = [
     "video_dup_pairs",
     "image_resize_pipeline",
     "bitext_margin_mine",
+    "dedup_semantic_incremental",
 ]
 
 
