@@ -535,3 +535,49 @@ def test_incremental_semantic_dedup_persisted_index(
     ivf_append(url, new_assigned, id_col="vec_id")
     with pytest.raises(ValueError, match="already indexed"):
         ivf_append(url, new_assigned, id_col="vec_id")
+
+
+def test_incremental_semantic_dedup_streaming_twin(
+    spark, corpus, tmp_path_factory
+):
+    """Continuous-ingest shape: a readStream feed of new vectors
+    deduped against the static index emits exactly the batch path's
+    matches (availableNow == batch) — assignment is a pure per-row
+    map and the index join is a stream-static equi-join, so the
+    operator composes onto Structured Streaming unchanged."""
+    from petastorm_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        ivf_build,
+    )
+    from petastorm_spark.streaming.feed import stream_dataset
+
+    cent, assigned = ivf_build(corpus, "vec_id", "embedding", n_cells=8)
+    new = corpus.where(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    d = str(tmp_path_factory.mktemp("semstream") / "vecs")
+    new.write.parquet(d)
+
+    qy = (
+        incremental_semantic_dedup(
+            stream_dataset(spark, d), cent, assigned, threshold=0.95,
+            prune_cells=False,  # probed-cell collect() needs a batch plan
+        )
+        .writeStream.format("memory")
+        .queryName("sem_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(120)
+    got = {
+        (r.new_id, r.old_id, r.cos)
+        for r in spark.sql("SELECT * FROM sem_stream").collect()
+    }
+    want = {
+        (r.new_id, r.old_id, r.cos)
+        for r in incremental_semantic_dedup(
+            spark.read.parquet(d), cent, assigned, threshold=0.95
+        ).collect()
+    }
+    assert got == want and got
