@@ -227,3 +227,34 @@ def test_dhash_brightness_invariant(brightness, seed):
     assert dhash60(base.astype(np.uint8)) == dhash60(
         (base + brightness).astype(np.uint8)
     )
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    gain=st.floats(min_value=0.05, max_value=4.0),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_audio_fingerprint_volume_invariant(gain, seed):
+    """audio_fingerprint60 is invariant under any positive gain (the
+    RMS envelope scales uniformly, comparisons are relative)."""
+    from petastorm_spark.operators.audio import audio_fingerprint60
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(976)
+    assert audio_fingerprint60(x) == audio_fingerprint60(x * gain)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    brightness=st.integers(min_value=-40, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_video_fingerprint_brightness_invariant(brightness, seed):
+    """video_fingerprint60 is exactly invariant under a global
+    brightness shift that does not clip — frame means all move by the
+    same constant, so every adjacent comparison is unchanged."""
+    from petastorm_spark.operators.multimodal import video_fingerprint60
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(60, 190, (61, 4, 4)).astype(np.int64)
+    assert video_fingerprint60(base) == video_fingerprint60(base + brightness)
