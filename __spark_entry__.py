@@ -64,15 +64,24 @@ def _last_green_round() -> dict[str, int]:
 # round's CORRECTNESS file is committed the staleness sort would have
 # rotated them forward anyway.
 CHANGED_THIS_ROUND = [
-    "bpe_merges",
-    "dedup_semantic",
-    "dedup_semantic_probe2",
-    "dedup_embedding_pairs",
-    "dedup_jaccard_pairs",
+    # new in round 10
+    "ann_cosine_pq",
+    "ann_cosine_ivfpq",
+    "ann_recall_pq",
+    "ann_recall_ivfpq",
+    "hybrid_search_rrf",
+    "image_dhash_pairs",
+    "audio_dup_pairs",
+    "video_dup_pairs",
+    "audio_meta_stats",
+    "image_meta_stats",
+    "image_resize_pipeline",
+    "video_frame_sample",
+    "bitext_margin_mine",
+    "dedup_semantic_incremental",
+    # implementation touched in round 10 (id-guard / cache lifecycle)
     "incremental_near_dup",
-    "ann_recall_ivf",
-    "ann_cosine_multiprobe",
-    "ann_recall_lsh",
+    "dedup_semantic",
 ]
 
 
