@@ -581,3 +581,32 @@ def test_incremental_semantic_dedup_streaming_twin(
         ).collect()
     }
     assert got == want and got
+
+
+def test_bitext_mine_index_swappable(spark, corpus):
+    """The margin algebra is search-strategy agnostic: plugging the
+    IVF top-k in via topk_fn yields the same mined pairs as exact
+    search whenever the approximate shortlists agree (high n_probe ->
+    full agreement on this fixture)."""
+    from functools import partial
+
+    from petastorm_spark.operators.similarity import (
+        bitext_margin_mine,
+        cosine_topk_ivf,
+    )
+
+    src = corpus.where(F.col("vec_id") % 2 == 0)
+    tgt = corpus.where(F.col("vec_id") % 2 == 1)
+    q = src.where(F.col("vec_id") < 12)
+    exact = {
+        (r.src_id, r.tgt_id, r.margin)
+        for r in bitext_margin_mine(src, tgt, q, k=3).collect()
+    }
+    via_ivf = {
+        (r.src_id, r.tgt_id, r.margin)
+        for r in bitext_margin_mine(
+            src, tgt, q, k=3,
+            topk_fn=partial(cosine_topk_ivf, n_cells=4, n_probe=4),
+        ).collect()
+    }
+    assert via_ivf == exact and exact  # n_probe == n_cells -> exhaustive
