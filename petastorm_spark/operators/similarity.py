@@ -784,6 +784,7 @@ def ivf_append(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    check_ids: bool = True,
 ) -> int:
     """Incrementally add vectors to a persisted IVF index: assign the
     new batch against the INDEX'S OWN centroids (never re-quantize —
@@ -801,6 +802,23 @@ def ivf_append(
     etl.compact.compact_dataset.
     """
     root = index_url.rstrip("/")
+    if check_ids:
+        # refuse duplicate-id appends: an id indexed twice plants
+        # duplicate vectors every later probe re-emits (same contract
+        # as dedup.lsh_index_append). One column-pruned id scan
+        # semi-joined to the batch-sized side.
+        dup = (
+            spark.read.parquet(root + "/cells")
+            .select(id_col)
+            .join(F.broadcast(new_vectors.select(id_col)), id_col, "semi")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"ivf_append: id {dup[0][0]!r} already indexed - "
+                "appending it again would corrupt every later probe"
+            )
     centroids = spark.read.parquet(root + "/centroids")
     cent = centroids.select("cell", "cent_vec")
     scored = (
@@ -1816,41 +1834,6 @@ def bitext_margin_mine(
             "margin",
         )
     )
-
-
-def ivf_append(
-    index_url: str,
-    new_assignments: DataFrame,
-    cell_col: str = "cell",
-    check_ids: bool = True,
-    id_col: str | None = None,
-) -> None:
-    """Fold a new batch's assignments into a persisted IVF index
-    (append-only parquet, partitioned by cell — the batch was deduped
-    against the index first, so appended ids are the accepted
-    survivors; same lifecycle as dedup.lsh_index_append).
-
-    ``check_ids`` (default on) semi-joins the batch's ids against the
-    index and refuses overlaps — an id appended twice would plant
-    duplicate vectors every later probe re-emits. The check reads one
-    column-pruned id column semi-joined to a batch-sized side."""
-    root = index_url.rstrip("/") + "/cells"
-    if check_ids:
-        spark = new_assignments.sparkSession
-        key = id_col or new_assignments.columns[0]
-        dup = (
-            spark.read.parquet(root)
-            .select(key)
-            .join(F.broadcast(new_assignments.select(key)), key, "semi")
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"ivf_append: id {dup[0][0]!r} already indexed — "
-                "appending it again would corrupt every later probe"
-            )
-    new_assignments.write.mode("append").partitionBy(cell_col).parquet(root)
 
 
 def incremental_semantic_dedup(

@@ -530,11 +530,11 @@ def test_incremental_semantic_dedup_persisted_index(
     }
     assert got == mem
 
-    # append survivors; re-appending the same ids is refused
-    _, new_assigned = ivf_build(new, "vec_id", "embedding", centroids=cent2)
-    ivf_append(url, new_assigned, id_col="vec_id")
+    # append survivors (assigned against the INDEX'S OWN centroids);
+    # re-appending the same ids is refused
+    assert ivf_append(spark, url, new) == 6
     with pytest.raises(ValueError, match="already indexed"):
-        ivf_append(url, new_assigned, id_col="vec_id")
+        ivf_append(spark, url, new)
 
 
 def test_incremental_semantic_dedup_streaming_twin(
