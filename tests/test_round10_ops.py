@@ -610,3 +610,20 @@ def test_bitext_mine_index_swappable(spark, corpus):
         ).collect()
     }
     assert via_ivf == exact and exact  # n_probe == n_cells -> exhaustive
+
+
+def test_round10_query_plans_never_cartesian(spark, sf_dir):
+    """Plan-shape pins for the round's new queries: the pair joins are
+    equi-joins on band/cell keys and the only broadcast cross joins
+    are bounded small sides — no unbounded CartesianProduct anywhere."""
+    from petastorm_spark import queries_llm
+
+    for qname in (
+        "image_dhash_pairs",
+        "audio_dup_pairs",
+        "video_dup_pairs",
+        "dedup_semantic_incremental",
+    ):
+        df = getattr(queries_llm, qname)(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, qname
