@@ -158,6 +158,7 @@ HEADLINE = [
     "video_frame_sample",
     "bitext_margin_mine",
     "dedup_semantic_incremental",
+    "winnowing_matches",
 ]
 
 N_WARMUP_READS = 500

@@ -1737,3 +1737,102 @@ def canonicalize_by(
         .select(F.col("doc_id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    algorithm): from each sliding window of ``w`` consecutive k-gram
+    hashes, select the minimum (rightmost occurrence on ties — the
+    "robust winnowing" rule), then dedupe selections. Guarantees: any
+    shared substring of length >= k + w - 1 contributes at least one
+    SHARED selected fingerprint, while only ~2/(w+1) of all k-grams
+    are kept — position-aware substring matching at a fraction of the
+    index size (the property fixed-stride windows don't have).
+    Output: (id, pos, fp) distinct selected fingerprints.
+
+    Scale: tokenize + k-gram hash are pure maps; the window min runs
+    per document ordered by position (one doc-keyed exchange, O(w)
+    state); selection never leaves the document. The rightmost-tie
+    rule is one struct min — (hash, -pos) minimized lexicographically
+    — so no second ranking pass exists."""
+    from pyspark.sql import Window
+
+    t = tokens(text_col)
+    d = df.select(F.col(id_col), t.alias("_t")).where(F.size("_t") >= k)
+    idx = F.sequence(F.lit(0), F.size("_t") - k)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("_t", (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    kg = d.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "_g")
+    ).withColumn("h", hash60("_g"))
+    wn = Window.partitionBy(id_col)
+    frame = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = (
+        kg.withColumn("_n", F.count("*").over(wn))
+        .withColumn(
+            "_m", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(frame)
+        )
+        .where(F.col("pos") <= F.col("_n") - w)
+        .select(
+            F.col(id_col),
+            (-F.col("_m").getField("np")).alias("pos"),
+            F.col("_m").getField("h").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnowing_matches(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 5,
+    max_df: int = 10,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    — the MOSS match report. Fingerprints appearing in more than
+    ``max_df`` documents are dropped before pairing (common-trigram
+    stopgap, the same df-cap every fingerprint index applies): hot
+    fingerprints carry no plagiarism signal and would make the
+    per-fingerprint pair fan-out quadratic. Output:
+    (id_a, id_b, n_shared).
+
+    Scale: selection is per-document (see winnow_fingerprints); the
+    pair stage groups by fingerprint VALUE with group size capped at
+    max_df, so pair fan-out per fingerprint is C(max_df, 2) at worst
+    — never corpus-quadratic."""
+    sel = winnow_fingerprints(df, text_col, id_col, k, w).select(
+        F.col(id_col), "fp"
+    ).distinct()
+    df_counts = sel.groupBy("fp").agg(
+        F.count("*").alias("_df")
+    )
+    rare = sel.join(
+        df_counts.where(F.col("_df") <= max_df).select("fp"), "fp"
+    )
+    a = rare.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = rare.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

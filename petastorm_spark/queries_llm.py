@@ -708,6 +708,53 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnowing_matches",
+    oracle=_DOCS_CTE
+    + f""",
+    tok AS (SELECT doc_id, {_TOK} AS t FROM d),
+    kg AS (
+      SELECT doc_id, i AS pos,
+             (('0x'||substr(md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]),
+                            1, 15))::BIGINT) AS h,
+             len(t) - 2 AS n
+      FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+            FROM tok WHERE len(t) >= 3)
+    ),
+    sel0 AS (
+      SELECT a.doc_id, a.pos AS start,
+             min(b.h * 4 + (3 - (b.pos - a.pos))) AS key
+      FROM kg a JOIN kg b
+        ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos AND a.pos + 3
+      WHERE a.pos <= a.n - 4
+      GROUP BY a.doc_id, a.pos
+    ),
+    sel AS (SELECT DISTINCT doc_id, key // 4 AS fp FROM sel0),
+    dfc AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 10),
+    r AS (SELECT s.doc_id, s.fp FROM sel s JOIN dfc USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5
+    """,
+)
+def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing / MOSS match report: documents sharing >= 5 selected
+    fingerprints, where each fingerprint is the rightmost-min k-gram
+    hash of a 4-hash sliding window — any shared substring of >= 6
+    tokens is guaranteed to surface, at ~2/(w+1) of the full k-gram
+    index size. The oracle encodes the rightmost-tie rule as one
+    integer min (hash*4 + (3 - offset)); the Spark side is a struct
+    min over a row frame — same selection, zero ranking passes. See
+    operators/dedup.winnowing_matches for the df-cap scale argument."""
+    from petastorm_spark.operators.dedup import winnowing_matches as wm
+
+    return wm(
+        _docs_with_copies(spark, sf_dir), "text", "doc_id",
+        k=3, w=4, min_shared=5, max_df=10,
+    )
+
+
+@register(
     "dedup_jaccard_pairs",
     oracle=_DOCS_CTE
     + f""",

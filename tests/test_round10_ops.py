@@ -627,3 +627,33 @@ def test_round10_query_plans_never_cartesian(spark, sf_dir):
         df = getattr(queries_llm, qname)(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, qname
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing contract (Schleimer et al. Thm 1): any shared
+    substring of >= k + w - 1 tokens yields at least one SHARED
+    selected fingerprint, while selection density stays well below 1.
+    Two otherwise-disjoint documents share exactly one 6-token run."""
+    from petastorm_spark.operators.dedup import winnow_fingerprints
+
+    shared = "zeta eta theta iota kappa lambda"  # 6 tokens = k + w - 1
+    docs = arrow_local_df(
+        spark,
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "alpha beta gamma " + shared + " delta epsilon",
+                "one two three four " + shared + " five six seven",
+            ],
+        },
+        "doc_id bigint, text string",
+    )
+    sel = winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+    rows = sel.collect()
+    by_doc = {1: set(), 2: set()}
+    for r in rows:
+        by_doc[r.doc_id].add(r.fp)
+    assert by_doc[1] & by_doc[2]  # the guarantee
+    # density: far fewer selections than k-grams (the point of MOSS)
+    n_kgrams_1 = len(docs.collect()[0].text.split()) - 2
+    assert len([r for r in rows if r.doc_id == 1]) < n_kgrams_1

@@ -147,6 +147,7 @@ STUDY_QUERIES = [
     "image_resize_pipeline",
     "bitext_margin_mine",
     "dedup_semantic_incremental",
+    "winnowing_matches",
 ]
 
 
