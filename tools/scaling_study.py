@@ -198,6 +198,10 @@ ORGANIC_QUERIES = [
     "dedup_semantic",
     "dedup_semantic_probe2",
     "dedup_embedding_pairs",
+    # df-capped fingerprint pairing: >= 20 synthetic copies per doc
+    # push every fingerprint over max_df, so the synthetic column
+    # reads 0 rows; the organic fixture restores honest multiplicity
+    "winnowing_matches",
 ]
 
 
