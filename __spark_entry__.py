@@ -79,6 +79,7 @@ CHANGED_THIS_ROUND = [
     "video_frame_sample",
     "bitext_margin_mine",
     "dedup_semantic_incremental",
+    "winnowing_matches",
     # implementation touched in round 10 (id-guard / cache lifecycle)
     "incremental_near_dup",
     "dedup_semantic",
