@@ -1,5 +1,8 @@
-"""Round-10 operators: product quantization (PQ/ADC) and
-reciprocal-rank fusion."""
+"""Round-10 operators: product quantization (PQ/ADC), reciprocal-rank
+fusion, the oracle-exact multimodal family (image/audio/video dup
+pairs, meta stats, resize / frame-sample pipelines, streaming twins),
+margin bitext mining, incremental semantic dedup against a persisted
+IVF index, and winnowing (MOSS) fingerprint matching."""
 from __future__ import annotations
 
 import numpy as np
