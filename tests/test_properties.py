@@ -258,3 +258,38 @@ def test_video_fingerprint_brightness_invariant(brightness, seed):
     rng = np.random.default_rng(seed)
     base = rng.integers(60, 190, (61, 4, 4)).astype(np.int64)
     assert video_fingerprint60(base) == video_fingerprint60(base + brightness)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_binary_decoders_fail_cleanly_on_garbage(data):
+    """The pure-python container parsers run over untrusted binary
+    columns; arbitrary bytes must raise a clean, typed error (or
+    decode, for bytes that happen to be a valid container) — never
+    hang, loop, or raise something a mapInPandas kernel's except
+    clause would not catch."""
+    import struct
+
+    from petastorm_spark.operators.audio import decode_wav
+    from petastorm_spark.operators.multimodal import decode_image_bytes
+
+    for fn in (decode_wav, decode_image_bytes):
+        try:
+            fn(data)
+        except (NotImplementedError, ValueError, struct.error, EOFError):
+            pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=8, max_size=400))
+def test_wav_header_prefix_fuzz(data):
+    """Garbage wearing a RIFF/WAVE header still fails cleanly — the
+    chunk walker must tolerate truncated/overlong chunk sizes."""
+    import struct
+
+    from petastorm_spark.operators.audio import decode_wav
+
+    try:
+        decode_wav(b"RIFF" + data[:4] + b"WAVE" + data[4:])
+    except (NotImplementedError, ValueError, struct.error, EOFError):
+        pass
