@@ -660,3 +660,45 @@ def test_winnowing_guarantee_and_density(spark):
     # density: far fewer selections than k-grams (the point of MOSS)
     n_kgrams_1 = len(docs.collect()[0].text.split()) - 2
     assert len([r for r in rows if r.doc_id == 1]) < n_kgrams_1
+
+
+def test_webdataset_roundtrip_and_byte_stability(spark, tmp_path_factory):
+    """The tar-shard sink: binary columns become {key}.{col} entries,
+    scalars gather into {key}.json, shards stream one tar per distinct
+    shard value, and output bytes are a pure function of the rows
+    (zeroed mtimes + sorted keys) — two writes produce identical
+    tars. read_webdataset inverts the layout."""
+    import hashlib
+    import json as _json
+    import os
+
+    from petastorm_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    df = arrow_local_df(
+        spark,
+        {
+            "sample_id": [3, 1, 2, 4],
+            "shard": [0, 0, 1, 1],
+            "image": [b"\x89PNGx", b"raw", None, b"zz"],
+            "label": ["cat", "dog", "bird", "fish"],
+        },
+        "sample_id bigint, shard int, image binary, label string",
+    )
+    d1 = str(tmp_path_factory.mktemp("wds") / "out1")
+    d2 = str(tmp_path_factory.mktemp("wds") / "out2")
+    assert write_webdataset(df, d1, "sample_id") == 2
+    assert write_webdataset(df, d2, "sample_id") == 2
+    for name in ("shard-000000.tar", "shard-000001.tar"):
+        h1 = hashlib.md5(open(os.path.join(d1, name), "rb").read()).hexdigest()
+        h2 = hashlib.md5(open(os.path.join(d2, name), "rb").read()).hexdigest()
+        assert h1 == h2  # byte-stable artifacts
+
+    back = read_webdataset(spark, d1).collect()
+    rows = {(r.key, r.column): bytes(r.payload) for r in back}
+    assert rows[("3", "image")] == b"\x89PNGx"
+    assert ("3", "json") in rows and ("2", "image") not in rows  # null skipped
+    meta = {k[0]: _json.loads(v) for k, v in rows.items() if k[1] == "json"}
+    assert meta["1"] == {"label": "dog"} and len(meta) == 4
