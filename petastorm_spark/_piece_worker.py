@@ -32,7 +32,12 @@ def decode_series(field, col: pd.Series) -> pd.Series:
     if field is None:
         return col
     castable = (
-        field.numpy_dtype is not None
+        # tensor/array fields carry their ELEMENT dtype; casting the
+        # object Series of per-row arrays to it explodes ("setting an
+        # array element with a sequence") — arrow already delivered
+        # each element with the right dtype, so they pass through
+        not field.is_tensor
+        and field.numpy_dtype is not None
         and field.numpy_dtype not in (np.str_, np.bytes_, str, bytes)
         and np.dtype(field.numpy_dtype).kind in "iufb"
     )

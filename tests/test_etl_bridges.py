@@ -597,3 +597,64 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, events_dir):
         for r in QUERIES["funnel_signup_purchase"](spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_converter_vector_udt_to_array(spark):
+    """C11 for real (reference spark_dataset_converter's VectorUDT
+    handling): dense AND sparse ML vectors materialize as
+    array<double>/array<float> parquet columns and read back through
+    the batch reader — pyspark.ml is present in this environment, so
+    the import gate is exercised, not skipped."""
+    import numpy as np
+    from pyspark.ml.linalg import Vectors
+
+    df = spark.createDataFrame(
+        [
+            (0, Vectors.dense([1.0, 2.0, 3.0])),
+            (1, Vectors.sparse(3, {1: 5.0})),
+        ],
+        ["id", "features"],
+    )
+    conv = make_spark_converter(df, dtype="float32")
+    try:
+        with conv.make_batch_reader() as r:
+            rows = {}
+            for b in r:
+                for i, vid in enumerate(b.id):
+                    rows[int(vid)] = np.asarray(b.features[i])
+        np.testing.assert_allclose(rows[0], [1.0, 2.0, 3.0])
+        np.testing.assert_allclose(rows[1], [0.0, 5.0, 0.0])  # sparse densified
+        assert rows[0].dtype == np.float32  # precision cast applied after
+    finally:
+        conv.delete()
+
+
+def test_batch_reader_plain_array_columns(spark, sf_dir, tmp_path):
+    """Regression: make_batch_reader over a plain parquet ARRAY column
+    (no codec, no sidecar — the embeddings table shape) must pass the
+    per-row arrays through; the element-dtype 'restore' cast used to
+    explode with 'setting an array element with a sequence'. Nullable
+    arrays ride the same path."""
+    import numpy as np
+
+    with make_batch_reader(
+        f"file://{sf_dir}/embeddings.parquet", spark=spark
+    ) as r:
+        total, dim = 0, None
+        for b in r:
+            total += len(b.vec_id)
+            dim = len(b.embedding[0])
+        assert dim == 64 and total > 0
+
+    # nullable array column
+    p = str(tmp_path / "nullable_arrays")
+    spark.sql(
+        "SELECT * FROM VALUES (1, array(1.0D, 2.0D)), (2, CAST(NULL AS ARRAY<DOUBLE>)) t(id, v)"
+    ).write.parquet(p)
+    with make_batch_reader(f"file://{p}", spark=spark) as r:
+        rows = {}
+        for b in r:
+            for i, rid in enumerate(b.id):
+                rows[int(rid)] = b.v[i]
+    np.testing.assert_allclose(np.asarray(rows[1]), [1.0, 2.0])
+    assert rows[2] is None or (isinstance(rows[2], float) and np.isnan(rows[2]))
