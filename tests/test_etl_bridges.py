@@ -658,3 +658,24 @@ def test_batch_reader_plain_array_columns(spark, sf_dir, tmp_path):
                 rows[int(rid)] = b.v[i]
     np.testing.assert_allclose(np.asarray(rows[1]), [1.0, 2.0])
     assert rows[2] is None or (isinstance(rows[2], float) and np.isnan(rows[2]))
+
+
+def test_batch_reader_struct_map_nested(spark, tmp_path):
+    """Struct, map, and nested-array columns pass through the batch
+    reader undecoded (numpy_dtype=None fields) — the upgrade over the
+    reference, which refuses non-flat schemas."""
+    p = str(tmp_path / "structs")
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " (1, named_struct('a', 1, 'b', 'x'), map('k', 1.5D), array(array(1,2))),"
+        " (2, named_struct('a', 2, 'b', 'y'), map('q', 2.5D), array(array(4)))"
+        " t(id, st, mp, nested)"
+    ).write.parquet(p)
+    with make_batch_reader(f"file://{p}", spark=spark) as r:
+        rows = {}
+        for b in r:
+            for i, rid in enumerate(b.id):
+                rows[int(rid)] = (b.st[i], b.mp[i], b.nested[i])
+    assert rows[1][0] == {"a": 1, "b": "x"}
+    assert dict(rows[2][1]) == {"q": 2.5}
+    assert list(rows[1][2][0]) == [1, 2]
