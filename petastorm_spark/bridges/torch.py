@@ -29,6 +29,18 @@ _SANITIZE = {
 def _sanitize(arr: np.ndarray) -> np.ndarray:
     if arr.dtype in _SANITIZE:
         return arr.astype(_SANITIZE[arr.dtype])
+    if arr.dtype == object and len(arr):
+        # an ARRAY column arrives as an object array of per-row
+        # vectors; equal-shape numeric vectors stack into the
+        # (batch, dim) tensor the reference produces for shaped
+        # Unischema fields (petastorm/pytorch.py decodes into fixed
+        # shapes before collation). Ragged rows stay rejected below —
+        # reference parity: variable shapes are not collatable.
+        if all(isinstance(v, np.ndarray) for v in arr):
+            shapes = {v.shape for v in arr}
+            kinds = {v.dtype.kind for v in arr}
+            if len(shapes) == 1 and kinds <= set("iufb"):
+                return _sanitize(np.stack(list(arr)))
     if arr.dtype.kind in ("U", "S", "O"):
         raise TypeError(
             f"dtype {arr.dtype} is not torch-collatable (reference parity: "

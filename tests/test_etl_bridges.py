@@ -679,3 +679,25 @@ def test_batch_reader_struct_map_nested(spark, tmp_path):
     assert rows[1][0] == {"a": 1, "b": "x"}
     assert dict(rows[2][1]) == {"q": 2.5}
     assert list(rows[1][2][0]) == [1, 2]
+
+
+def test_torch_dataloader_array_columns(spark, sf_dir):
+    """The training-loader path over an EMBEDDING table: array columns
+    ride the batch reader (fixed this round) into torch-bridge
+    batches as per-row vectors — the shape every embedding-training
+    job consumes."""
+    import numpy as np
+
+    from petastorm_spark.bridges.torch import DataLoader
+
+    with DataLoader(
+        make_batch_reader(f"{sf_dir}/embeddings.parquet", spark=spark),
+        batch_size=128,
+    ) as loader:
+        n = 0
+        for b in loader:
+            n += len(b["vec_id"])
+            e = np.asarray(b["embedding"])
+            assert e.ndim == 2 and e.shape[1] == 64  # stacked (batch, dim)
+            assert e.dtype.kind == "f"
+    assert n == spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
