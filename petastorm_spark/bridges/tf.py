@@ -32,6 +32,15 @@ def _sanitize(arr: np.ndarray) -> np.ndarray:
         return arr.astype("datetime64[ns]").astype(np.int64)
     if arr.dtype == object and len(arr) and isinstance(arr[0], Decimal):
         return np.array([str(v) for v in arr])
+    if arr.dtype == object and len(arr):
+        # array columns: equal-shape numeric vectors stack into the
+        # (batch, dim) tensor tf.data wants (same rule as the torch
+        # bridge); ragged rows pass through as object for the caller
+        if all(isinstance(v, np.ndarray) for v in arr):
+            shapes = {v.shape for v in arr}
+            kinds = {v.dtype.kind for v in arr}
+            if len(shapes) == 1 and kinds <= set("iufb"):
+                return _sanitize(np.stack(list(arr)))
     return arr
 
 

@@ -701,3 +701,21 @@ def test_torch_dataloader_array_columns(spark, sf_dir):
             assert e.ndim == 2 and e.shape[1] == 64  # stacked (batch, dim)
             assert e.dtype.kind == "f"
     assert n == spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+
+
+def test_tf_batch_generator_array_columns(spark, sf_dir):
+    """The TF generator stacks equal-shape array columns into
+    (batch, dim) — re-chunking concatenates the 2D blocks correctly."""
+    import numpy as np
+
+    from petastorm_spark.bridges.tf import batch_generator
+
+    reader = make_batch_reader(f"{sf_dir}/embeddings.parquet", spark=spark)
+    try:
+        gen = batch_generator(reader, batch_size=100)
+        b = next(gen)
+        e = np.asarray(b["embedding"])
+        assert e.shape == (100, 64) and e.dtype.kind == "f"
+    finally:
+        reader.stop()
+        reader.join()
