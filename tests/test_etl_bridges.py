@@ -719,3 +719,21 @@ def test_tf_batch_generator_array_columns(spark, sf_dir):
     finally:
         reader.stop()
         reader.join()
+
+
+def test_converter_torch_dataloader_embeddings(spark, sf_dir):
+    """The reference's flagship converter flow (examples/
+    spark_dataset_converter): DataFrame -> cached parquet ->
+    make_torch_dataloader, here over an embedding table — batches
+    arrive as float32 (batch, dim)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    conv = make_spark_converter(emb, dtype="float32")
+    try:
+        with conv.make_torch_dataloader(batch_size=64) as dl:
+            b = next(iter(dl))
+            e = np.asarray(b["embedding"])
+            assert e.shape == (64, 64) and e.dtype == np.float32
+    finally:
+        conv.delete()
