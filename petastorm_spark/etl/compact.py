@@ -40,6 +40,7 @@ def compact_dataset(
     output_url: str,
     target_mb: int = 128,
     petastorm_compat: bool = True,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Rewrite ``dataset_url`` into ``output_url`` with ~``target_mb``
     per output file; returns the number of output partitions.
@@ -49,9 +50,18 @@ def compact_dataset(
     one inferred from its Spark schema, so compaction also UPGRADES a
     bare directory into a fully-described engine dataset.
 
-    Scale: one distributed read + round-robin repartition + write; no
-    driver-side data. Row-group size is capped at the file target so a
-    single output file holds >= 1 complete row group.
+    ``partition_by`` preserves a hive-partitioned layout: rows are
+    hash-repartitioned ON the partition columns before a
+    ``partitionBy`` write, so each partition value lands in exactly
+    one task and comes out as ONE file — the append-heavy case
+    (ivf_append's cell directories) compacts to one file per cell
+    WITHOUT losing the directory pruning readers depend on. Omitting
+    it on a partitioned input would silently flatten the layout and
+    break partition-filter pruning.
+
+    Scale: one distributed read + repartition + write; no driver-side
+    data. Row-group size is capped at the file target so a single
+    output file holds >= 1 complete row group.
     """
     df = spark.read.parquet(dataset_url)
     schema = load_unischema(spark, dataset_url) or Unischema.from_spark_schema(
@@ -66,5 +76,15 @@ def compact_dataset(
         row_group_size_mb=min(target_mb, 128),
         petastorm_compat=petastorm_compat,
     ):
-        df.repartition(n_parts).write.mode("overwrite").parquet(output_url)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            (
+                df.repartition(n_parts, *[F.col(c) for c in partition_by])
+                .write.mode("overwrite")
+                .partitionBy(*partition_by)
+                .parquet(output_url)
+            )
+        else:
+            df.repartition(n_parts).write.mode("overwrite").parquet(output_url)
     return n_parts

@@ -799,7 +799,9 @@ def ivf_append(
     the data distribution moves — rebuild centroids (train_kmeans_
     centroids + ivf_build) when recall degrades, exactly like any IVF
     deployment. Compact small appended files periodically with
-    etl.compact.compact_dataset.
+    etl.compact.compact_dataset(..., partition_by=["cell"]) — the
+    partition_by is load-bearing: without it compaction flattens the
+    cell directories and destroys probe pruning.
     """
     root = index_url.rstrip("/")
     if check_ids:

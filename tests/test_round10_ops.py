@@ -702,3 +702,48 @@ def test_webdataset_roundtrip_and_byte_stability(spark, tmp_path_factory):
     assert ("3", "json") in rows and ("2", "image") not in rows  # null skipped
     meta = {k[0]: _json.loads(v) for k, v in rows.items() if k[1] == "json"}
     assert meta["1"] == {"label": "dog"} and len(meta) == 4
+
+
+def test_compact_preserves_cell_partitioning(spark, corpus, tmp_path_factory):
+    """Compacting an append-heavy IVF index with partition_by keeps
+    the hive layout (one file per cell, pruning intact) and identical
+    query results; this is the maintenance pass ivf_append points at."""
+    import glob
+    import re
+
+    from petastorm_spark.etl.compact import compact_dataset
+    from petastorm_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_query,
+        ivf_read,
+        ivf_write,
+    )
+
+    url = str(tmp_path_factory.mktemp("ivfcompact") / "idx")
+    base = corpus.where(F.col("vec_id") < 80)
+    cent, assigned = ivf_build(base, "vec_id", "embedding", n_cells=4)
+    ivf_write(url, cent, assigned)
+    for lo, hi in ((80, 100), (100, 120)):  # two appends -> small files
+        ivf_append(
+            spark, url,
+            corpus.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+        )
+
+    out = str(tmp_path_factory.mktemp("ivfcompact") / "cells2")
+    compact_dataset(spark, url + "/cells", out, partition_by=["cell"])
+    per_cell = {
+        d: len(glob.glob(f"{d}/*.parquet"))
+        for d in glob.glob(f"{out}/cell=*")
+    }
+    assert per_cell and all(n == 1 for n in per_cell.values())
+
+    cent2, _ = ivf_read(spark, url)
+    compacted = spark.read.parquet(out)
+    q = corpus.where(F.col("vec_id") >= 110)  # appended vectors as queries
+    res = ivf_query(cent2, compacted, q, k=3, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1)  # pruning survives compaction
+    orig = ivf_query(cent2, spark.read.parquet(url + "/cells"), q, k=3, n_probe=2)
+    assert sorted(map(tuple, res.collect())) == sorted(map(tuple, orig.collect()))
