@@ -311,7 +311,10 @@ def lsh_index_write(
 ) -> None:
     """Persist the index: buckets parquet PARTITIONED BY bh_shard (an
     incremental batch's probe prunes to the shards its band hashes land
-    in), signatures id-keyed alongside."""
+    in), signatures id-keyed alongside. Compact append-heavy bucket
+    directories with etl.compact.compact_dataset(...,
+    partition_by=["bh_shard"]) — omitting partition_by flattens the
+    shard layout and destroys probe pruning."""
     root = index_url.rstrip("/")
     buckets.write.mode("overwrite").partitionBy("bh_shard").parquet(
         root + "/buckets"
