@@ -127,3 +127,20 @@ def read_webdataset(
         tars.select("content")
         .mapInPandas(explode_tar, "key string, column string, payload binary")
     )
+
+
+def webdataset_to_frame(long_df: DataFrame) -> DataFrame:
+    """Pivot the (key, column, payload) long shape back into one row
+    per sample with a binary column per entry extension — the inverse
+    of write_webdataset's layout for consumers that want a frame
+    instead of a stream. Scale: one groupBy-pivot on the sample key;
+    column set is the (small, fixed) extension vocabulary."""
+    cols = [
+        r.column
+        for r in long_df.select("column").distinct().collect()
+    ]
+    return (
+        long_df.groupBy("key")
+        .pivot("column", sorted(cols))
+        .agg(F.first("payload"))
+    )

@@ -747,3 +747,25 @@ def test_compact_preserves_cell_partitioning(spark, corpus, tmp_path_factory):
     assert m and "cell" in m.group(1)  # pruning survives compaction
     orig = ivf_query(cent2, spark.read.parquet(url + "/cells"), q, k=3, n_probe=2)
     assert sorted(map(tuple, res.collect())) == sorted(map(tuple, orig.collect()))
+
+
+def test_webdataset_to_frame_pivot(spark, tmp_path_factory):
+    from petastorm_spark.sources.webdataset import (
+        read_webdataset,
+        webdataset_to_frame,
+        write_webdataset,
+    )
+
+    df = arrow_local_df(
+        spark,
+        {"sample_id": [1, 2], "shard": [0, 0],
+         "image": [b"a", b"b"], "label": ["x", "y"]},
+        "sample_id bigint, shard int, image binary, label string",
+    )
+    d = str(tmp_path_factory.mktemp("wdsf") / "out")
+    write_webdataset(df, d, "sample_id")
+    wide = webdataset_to_frame(read_webdataset(spark, d))
+    rows = {r.key: r for r in wide.collect()}
+    assert bytes(rows["1"].image) == b"a"
+    assert b'"label": "x"' in bytes(rows["1"].json)
+    assert set(wide.columns) == {"key", "image", "json"}
