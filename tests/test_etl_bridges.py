@@ -737,3 +737,36 @@ def test_converter_torch_dataloader_embeddings(spark, sf_dir):
             assert e.shape == (64, 64) and e.dtype == np.float32
     finally:
         conv.delete()
+
+
+def test_transform_spec_over_array_columns(spark, sf_dir):
+    """TransformSpec consuming AND producing array columns through the
+    batch reader (U1-U3 x the array path fixed this round): derive a
+    scalar and a sliced vector from the embedding, drop the source."""
+    import numpy as np
+
+    from petastorm_spark.transform import TransformSpec
+
+    def f(pdf):
+        pdf["norm"] = [float(np.linalg.norm(v)) for v in pdf["embedding"]]
+        pdf["half"] = [np.asarray(v)[:32] for v in pdf["embedding"]]
+        return pdf.drop(columns=["embedding"])
+
+    ts = TransformSpec(
+        f,
+        edit_fields=[
+            ("norm", np.float64, (), False),
+            ("half", np.float32, (32,), False),
+        ],
+        removed_fields=["embedding"],
+    )
+    with make_batch_reader(
+        f"{sf_dir}/embeddings.parquet", spark=spark, transform_spec=ts
+    ) as r:
+        n = 0
+        for b in r:
+            n += len(b.vec_id)
+            assert len(b.half[0]) == 32
+            assert abs(float(b.norm[0]) - 1.0) < 1e-6  # unit vectors
+            assert not hasattr(b, "embedding")
+    assert n == spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
