@@ -132,3 +132,50 @@ def test_ngram_reader_non_overlap(spark, tmp_path):
     used = [t for pair in got for t in pair]
     assert len(used) == len(set(used))  # disjoint windows
     assert got == [(1, 2), (3, 4), (5, 6)]
+
+
+def test_ngram_over_tensor_codec_sequence(spark, tmp_path):
+    """The reference's flagship NGram use: consecutive-frame windows
+    over a TENSOR (NdarrayCodec) column — a video-frame sequence
+    dataset read as 3-grams with full payloads (reference
+    petastorm/tests/test_ngram_end_to_end.py's shape)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType
+
+    from petastorm_spark.codecs import NdarrayCodec, ScalarCodec
+    from petastorm_spark.etl.dataset_metadata import materialize_dataset
+    from petastorm_spark.reader import make_reader
+    from petastorm_spark.unischema import (
+        Unischema,
+        UnischemaField,
+        dict_to_spark_row,
+    )
+
+    schema = Unischema(
+        "Seq",
+        [
+            UnischemaField("ts", np.int32, (), ScalarCodec(IntegerType()), False),
+            UnischemaField("frame", np.uint8, (4, 4), NdarrayCodec(), False),
+        ],
+    )
+    url = str(tmp_path / "seq")
+    rows = [
+        {"ts": i, "frame": np.full((4, 4), i, np.uint8)} for i in range(20)
+    ]
+    with materialize_dataset(spark, url, schema, row_group_size_mb=1):
+        spark.createDataFrame(
+            [dict_to_spark_row(schema, r) for r in rows],
+            schema.as_spark_schema(),
+        ).coalesce(1).write.mode("overwrite").parquet(url)
+
+    ngram = NGram(
+        {i: ["ts", "frame"] for i in range(3)},
+        delta_threshold=1,
+        timestamp_field="ts",
+    )
+    with make_reader(url, spark=spark, schema_fields=ngram) as r:
+        grams = sorted(list(r), key=lambda g: g[0].ts)
+    assert len(grams) == 18  # 20 frames -> 18 complete 3-grams
+    for g in grams:
+        assert [g[i].ts - g[0].ts for i in range(3)] == [0, 1, 2]
+        assert all(int(g[i].frame[0, 0]) == g[i].ts for i in range(3))
