@@ -1315,16 +1315,35 @@ def cosine_topk_pq(
     (query_id, neighbor_id, rank, cos_sim), like :func:`cosine_topk`.
 
     Scale: the hot scan reads the code column only (column pruning
-    keeps the vectors on disk); the query-side tables are driver-built
-    (queries are the bounded side, same contract as the IVF centroid
-    collect) and broadcast-joined; the rescore touches full vectors
-    for k*factor rows per query via an id equi-join."""
+    keeps the vectors on disk); the query-side tables are built
+    distributed in one mapInPandas pass (:func:`_pq_adc_tables` — no
+    driver collect, unbounded query side) and broadcast-joined by
+    default; the rescore touches full vectors for k*factor rows per
+    query via an id equi-join."""
     if codebooks is None:
         codebooks = pq_codebooks(corpus, id_col, vec_col, dim, m, k_codes)
     coded = pq_encode(corpus, codebooks, id_col, vec_col)
     return pq_query(
         codebooks, coded, corpus, queries, id_col, vec_col, k, rescore_factor
     )
+
+
+def _index_fs(index_url: str):
+    """Resolve ``index_url`` to ``(pyarrow FileSystem, local path)`` for
+    the sidecar read/write half of the persistent-index codecs, raising
+    a usable error when resolution fails (``_fs_for`` returns None for
+    unknown schemes, which would otherwise surface as an opaque
+    'cannot unpack non-iterable NoneType')."""
+    from petastorm_spark.etl.petastorm_compat import _fs_for
+
+    pair = _fs_for(index_url)
+    if pair is None:
+        raise ValueError(
+            f"cannot resolve a filesystem for index URL {index_url!r}: "
+            "pyarrow FileSystem.from_uri failed (unknown scheme or "
+            "missing filesystem driver)"
+        )
+    return pair
 
 
 def pq_index_write(
@@ -1337,8 +1356,6 @@ def pq_index_write(
     with the source dataset; the rescore joins them back by id."""
     import json as _json
 
-    from petastorm_spark.etl.petastorm_compat import _fs_for
-
     root = index_url.rstrip("/")
     keep = [c for c in coded.columns if c == code_col or not c.startswith("_")]
     drop_vecs = [
@@ -1348,7 +1365,7 @@ def pq_index_write(
     coded.select(*[c for c in keep if c not in drop_vecs]).write.mode(
         "overwrite"
     ).parquet(root + "/codes")
-    fs, local_root = _fs_for(index_url)
+    fs, local_root = _index_fs(index_url)
     payload = {
         "m": int(codebooks.shape[0]),
         "k_codes": int(codebooks.shape[1]),
@@ -1363,15 +1380,49 @@ def pq_index_read(spark, index_url: str):
     """Load a persisted PQ index: ``(codebooks ndarray, codes DataFrame)``."""
     import json as _json
 
-    from petastorm_spark.etl.petastorm_compat import _fs_for
-
     root = index_url.rstrip("/")
-    fs, local_root = _fs_for(index_url)
+    fs, local_root = _index_fs(index_url)
     with fs.open_input_file(local_root.rstrip("/") + "/codebooks.json") as f:
         payload = _json.loads(f.read().decode())
     cb = np.asarray(payload["codebooks"], dtype=np.float64)
     assert cb.shape == (payload["m"], payload["k_codes"], payload["dsub"])
     return cb, spark.read.parquet(root + "/codes")
+
+
+def _pq_adc_tables(
+    queries: DataFrame,
+    codebooks,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, _tbl, _qv): each query's ADC lookup table — the
+    m x k_codes squared subvector distances of Jegou et al. 2011,
+    flattened row-major (j * k_codes + code) — built in ONE
+    mapInPandas pass over the queries DataFrame. Nothing query-sized
+    touches the driver, so the query side is unbounded (bulk
+    re-ranking, corpus-scale bitext); the codebooks ship to tasks in
+    the closure, bounded by construction. ``query_id`` keeps the
+    input id column's native type (string/uuid ids work — the same
+    no-narrowing contract as :func:`_probe_cells_numpy`)."""
+    import pandas as pd
+
+    m, k_codes, dsub = codebooks.shape
+    id_t = queries.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_t}, _tbl array<double>, _qv array<double>"
+
+    def build(batches):
+        for pdf in batches:
+            tables, qvecs = [], []
+            for v in pdf[vec_col]:
+                qv = np.asarray(list(v), dtype=np.float64).reshape(m, dsub)
+                t = ((qv[:, None, :] - codebooks) ** 2).sum(axis=2)
+                tables.append([float(x) for x in t.ravel()])
+                qvecs.append([float(x) for x in v])
+            yield pd.DataFrame(
+                {"query_id": pdf[id_col], "_tbl": tables, "_qv": qvecs}
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(build, out_schema)
 
 
 def pq_query(
@@ -1384,35 +1435,27 @@ def pq_query(
     k: int = 5,
     rescore_factor: int = 4,
     code_col: str = "pq_codes",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-k cosine against a prebuilt PQ code table (the search half
     of :func:`cosine_topk_pq`, shared with persisted indexes from
-    :func:`pq_index_read`): per-query ADC tables are driver-built and
-    broadcast, the approximate pass reads ONLY (id, codes) — at 100 TB
+    :func:`pq_index_read`): per-query ADC tables are built DISTRIBUTED
+    (:func:`_pq_adc_tables` — no driver collect, unbounded query
+    side), the approximate pass reads ONLY (id, codes) — at 100 TB
     that scan is 32x smaller than the vectors — and the
     ``k * rescore_factor`` shortlist joins ``vectors`` by id for the
-    exact-cosine rescore."""
+    exact-cosine rescore. ``broadcast_queries`` (default) hints the
+    query side into a broadcast join — right for the common
+    thousands-of-queries regime; pass False for bulk jobs whose query
+    table outgrows the broadcast threshold and let AQE pick the
+    strategy."""
     m, k_codes, dsub = codebooks.shape
-    # per-query ADC tables, flattened row-major (j * k_codes + code)
-    qrows = queries.select(id_col, vec_col).collect()
-    from petastorm_spark.session import arrow_local_df
-
-    qids, tables, qvecs = [], [], []
-    for r in sorted(qrows, key=lambda x: x[id_col]):
-        qv = np.asarray(list(r[vec_col]), dtype=np.float64).reshape(m, dsub)
-        t = ((qv[:, None, :] - codebooks) ** 2).sum(axis=2)  # (m, k_codes)
-        qids.append(r[id_col])
-        tables.append([float(x) for x in t.ravel()])
-        qvecs.append([float(x) for x in r[vec_col]])
-    qdf = arrow_local_df(
-        coded.sparkSession,
-        {"query_id": qids, "_tbl": tables, "_qv": qvecs},
-        "query_id bigint, _tbl array<double>, _qv array<double>",
-    )
+    qdf = _pq_adc_tables(queries, codebooks, id_col, vec_col)
+    qj = F.broadcast(qdf) if broadcast_queries else qdf
 
     approx = (
         coded.select(F.col(id_col).alias("neighbor_id"), code_col)
-        .crossJoin(F.broadcast(qdf))
+        .crossJoin(qj)
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos_sim",  # negated ADC distance: topk_per_query sorts DESC
@@ -1433,9 +1476,12 @@ def pq_query(
     cv = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
+    qv_side = qdf.select("query_id", "_qv")
+    if broadcast_queries:
+        qv_side = F.broadcast(qv_side)
     rescored = (
         shortlist.join(cv, "neighbor_id")
-        .join(F.broadcast(qdf.select("query_id", "_qv")), "query_id")
+        .join(qv_side, "query_id")
         .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
     )
     return topk_per_query(rescored, k)
@@ -1474,8 +1520,9 @@ def cosine_topk_ivfpq(
     vectors / lowest-id residuals — the rebuild-anywhere oracle
     contract); feed :func:`train_kmeans_centroids` /
     :func:`pq_train_codebooks` output in production. Query-side work
-    (probes x ADC tables) is driver-built and broadcast: n_queries x
-    n_probe x m x k_codes doubles, bounded by construction."""
+    (probes x ADC tables) is built distributed — one mapInPandas pass
+    each for probe assignment and table construction; nothing
+    query-sized ever lands on the driver."""
     cent, codebooks, coded = ivfpq_build(
         corpus, id_col, vec_col, dim, n_cells, m, k_codes, centroids, codebooks
     )
@@ -1542,12 +1589,10 @@ def ivfpq_index_write(
     billion-vector artifact: pruning by cell, m bytes per vector."""
     import json as _json
 
-    from petastorm_spark.etl.petastorm_compat import _fs_for
-
     root = index_url.rstrip("/")
     coded.write.mode("overwrite").partitionBy("cell").parquet(root + "/codes")
     centroids.write.mode("overwrite").parquet(root + "/centroids")
-    fs, local_root = _fs_for(index_url)
+    fs, local_root = _index_fs(index_url)
     payload = {
         "m": int(codebooks.shape[0]),
         "k_codes": int(codebooks.shape[1]),
@@ -1562,10 +1607,8 @@ def ivfpq_index_read(spark, index_url: str):
     """Load a persisted IVF-PQ index: ``(centroids, codebooks, coded)``."""
     import json as _json
 
-    from petastorm_spark.etl.petastorm_compat import _fs_for
-
     root = index_url.rstrip("/")
-    fs, local_root = _fs_for(index_url)
+    fs, local_root = _index_fs(index_url)
     with fs.open_input_file(local_root.rstrip("/") + "/codebooks.json") as f:
         payload = _json.loads(f.read().decode())
     cb = np.asarray(payload["codebooks"], dtype=np.float64)
@@ -1574,6 +1617,49 @@ def ivfpq_index_read(spark, index_url: str):
         cb,
         spark.read.parquet(root + "/codes"),
     )
+
+
+def _ivfpq_adc_tables(
+    probed: DataFrame,
+    cent_map,
+    codebooks,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, cell, _tbl, _qv): one row per (query, probed cell)
+    with the ADC table of the query's RESIDUAL against that cell's
+    centroid — built in ONE mapInPandas pass over the probed frame
+    from :func:`_probe_cells_numpy`. No driver collect: the query side
+    is unbounded; the quantizer (cent_map + codebooks) ships in the
+    closure, bounded by construction. ``query_id`` and ``cell`` keep
+    their native input types (string/uuid ids and string cells work —
+    no bigint narrowing)."""
+    import pandas as pd
+
+    m, k_codes, dsub = codebooks.shape
+    id_t = probed.schema[id_col].dataType.simpleString()
+    cell_t = probed.schema["_cells"].dataType.elementType.simpleString()
+    out_schema = (
+        f"query_id {id_t}, cell {cell_t}, _tbl array<double>, _qv array<double>"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            qids, cells, tables, qvecs = [], [], [], []
+            for qid, v, cs in zip(pdf[id_col], pdf[vec_col], pdf["_cells"]):
+                qv = np.asarray(list(v), dtype=np.float64)
+                for cell in cs:
+                    qres = (qv - cent_map[cell]).reshape(m, dsub)
+                    t = ((qres[:, None, :] - codebooks) ** 2).sum(axis=2)
+                    qids.append(qid)
+                    cells.append(cell)
+                    tables.append([float(x) for x in t.ravel()])
+                    qvecs.append([float(x) for x in qv])
+            yield pd.DataFrame(
+                {"query_id": qids, "cell": cells, "_tbl": tables, "_qv": qvecs}
+            )
+
+    return probed.mapInPandas(build, out_schema)
 
 
 def ivfpq_query(
@@ -1588,44 +1674,40 @@ def ivfpq_query(
     rescore_factor: int = 4,
     n_probe: int = 2,
     prune_cells: bool = True,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-k cosine against a prebuilt IVF-PQ index (the search half of
-    :func:`cosine_topk_ivfpq`, shared with persisted indexes). With
-    ``prune_cells`` (default) the batch's distinct probed cells are
-    pushed into the code scan as an ``isin`` filter, so a
-    cell-partitioned parquet index reads ONLY the probed cells' files —
-    and inside them only m-byte codes. The shortlist joins ``vectors``
-    by id for the exact-cosine rescore."""
+    :func:`cosine_topk_ivfpq`, shared with persisted indexes). Probe
+    assignment AND per-(query, cell) ADC tables are built DISTRIBUTED
+    (:func:`_probe_cells_numpy` + :func:`_ivfpq_adc_tables`) — the only
+    driver collects are the centroid table (bounded: that is what makes
+    a quantizer coarse) and, with ``prune_cells`` (default), the
+    batch's DISTINCT probed cells (bounded by n_cells, never by query
+    count; the literals are what lets the ``isin`` reach a
+    cell-partitioned parquet index as a PartitionFilter, so the scan
+    reads ONLY the probed cells' files — and inside them only m-byte
+    codes). The distinct-cells pass does re-run the probe map once;
+    pass ``prune_cells=False`` to skip it when the index is not
+    partition-pruned anyway. The shortlist joins ``vectors`` by id for
+    the exact-cosine rescore. ``broadcast_queries`` as in
+    :func:`pq_query`."""
     m, k_codes, dsub = codebooks.shape
     crows = sorted(centroids.collect(), key=lambda r: r["cell"])
     cent_map = {
         r["cell"]: np.asarray(list(r["cent_vec"]), dtype=np.float64) for r in crows
     }
     probed = _probe_cells_numpy(queries, crows, id_col, vec_col, n_probe)
-    qrows = sorted(probed.collect(), key=lambda r: r[id_col])
-    from petastorm_spark.session import arrow_local_df
-
-    qids, cells, tables, qvecs = [], [], [], []
-    for r in qrows:
-        qv = np.asarray(list(r[vec_col]), dtype=np.float64)
-        for cell in r["_cells"]:
-            qres = (qv - cent_map[cell]).reshape(m, dsub)
-            t = ((qres[:, None, :] - codebooks) ** 2).sum(axis=2)
-            qids.append(r[id_col])
-            cells.append(int(cell))
-            tables.append([float(x) for x in t.ravel()])
-            qvecs.append([float(x) for x in qv])
-    qdf = arrow_local_df(
-        coded.sparkSession,
-        {"query_id": qids, "cell": cells, "_tbl": tables, "_qv": qvecs},
-        "query_id bigint, cell bigint, _tbl array<double>, _qv array<double>",
-    )
+    qdf = _ivfpq_adc_tables(probed, cent_map, codebooks, id_col, vec_col)
 
     cand = coded.select(F.col(id_col).alias("neighbor_id"), "cell", "pq_codes")
     if prune_cells:
-        cand = cand.where(F.col("cell").isin(sorted(set(cells))))
+        probed_cells = sorted(
+            r["cell"] for r in qdf.select("cell").distinct().collect()
+        )
+        cand = cand.where(F.col("cell").isin(probed_cells))
+    qj = F.broadcast(qdf) if broadcast_queries else qdf
     approx = (
-        cand.join(F.broadcast(qdf), "cell")
+        cand.join(qj, "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos_sim",  # negated ADC distance: topk_per_query sorts DESC
@@ -1650,9 +1732,11 @@ def ivfpq_query(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
     )
+    if broadcast_queries:
+        qv_side = F.broadcast(qv_side)
     rescored = (
         shortlist.join(cv, "neighbor_id")
-        .join(F.broadcast(qv_side), "query_id")
+        .join(qv_side, "query_id")
         .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
     )
     return topk_per_query(rescored, k)
