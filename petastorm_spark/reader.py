@@ -91,6 +91,18 @@ def _resolve_fs(url: str) -> tuple[pafs.FileSystem, str] | None:
         return None
 
 
+def _sidecar_via_pyarrow(pfs: pafs.FileSystem, root: str) -> dict | None:
+    """The JSON sidecar payload read through a pyarrow filesystem, or
+    None when absent — the retry path that keeps a working JVM plan
+    tier when only the sidecar read hiccups, and the primary path for
+    JVM-unreachable schemes."""
+    side = root.rstrip("/") + "/" + SIDECAR_NAME
+    if pfs.get_file_info([side])[0].type != pafs.FileType.File:
+        return None
+    with pfs.open_input_file(side) as fh:
+        return json.loads(fh.read().decode())
+
+
 def _list_parquet_files_fs(fs: pafs.FileSystem, root: str) -> list[str]:
     """Data files under ``root`` on any pyarrow filesystem, skipping
     _metadata/_ps_index/hidden entries at every directory level."""
@@ -395,8 +407,10 @@ class Reader:
         elif dataset_url is not None:
             struct = None
             try:
+                # scoped to the parquet read ONLY: a transient sidecar
+                # failure on a JVM-reachable dataset must not discard
+                # the working plan tier (round-11 advice)
                 df = self._spark.read.parquet(dataset_url)
-                payload = read_sidecar(self._spark, dataset_url)
             except Exception:
                 # The JVM has no filesystem for this scheme (e.g. s3a://
                 # without hadoop-aws on the driver classpath). The DIRECT
@@ -416,11 +430,17 @@ class Reader:
                 with pfs.open_input_file(leaves[0]) as fh:
                     struct = from_arrow_schema(pq.read_schema(fh))
                 df = None
-                payload = None
-                side = root.rstrip("/") + "/" + SIDECAR_NAME
-                if pfs.get_file_info([side])[0].type == pafs.FileType.File:
-                    with pfs.open_input_file(side) as fh:
-                        payload = json.loads(fh.read().decode())
+                payload = _sidecar_via_pyarrow(pfs, root)
+            else:
+                try:
+                    payload = read_sidecar(self._spark, dataset_url)
+                except Exception:
+                    # keep the JVM DataFrame; retry just the sidecar
+                    # through pyarrow (None = sidecar genuinely absent)
+                    pair = _resolve_fs(dataset_url)
+                    payload = (
+                        _sidecar_via_pyarrow(*pair) if pair is not None else None
+                    )
             if payload is not None:
                 stored = Unischema.from_json(payload["unischema"])
                 self._sidecar_counts = payload.get("row_groups")

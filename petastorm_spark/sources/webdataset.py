@@ -17,6 +17,19 @@ Determinism: entries are written sample-by-sample in ascending key
 order with zeroed tar timestamps, so a shard's bytes are a pure
 function of its rows — re-runs produce identical tars (byte-stable
 artifacts diff cleanly across pipeline versions).
+
+Filesystem contract: both ends resolve paths through pyarrow
+filesystems (``_fs_for`` — the same routing the persistent-index
+writers use), so ``out_dir``/``in_dir`` may be a local path, ``s3://``,
+or anything pyarrow can mount. A PLAIN LOCAL PATH on a multi-node
+cluster must be a SHARED mount (NFS/FUSE): each executor writes the
+shards it owns, and a non-shared local path would scatter tars across
+executor-local disks. Writes are atomic-rename: each shard lands at
+``{name}.tar.inprogress-{taskAttemptId}`` and is moved to its final
+name only when complete, so a retried/speculative task never exposes a
+truncated tar to concurrent readers (on object stores the "move" is
+copy+delete — still safe, because the final key only appears after a
+complete copy).
 """
 
 from __future__ import annotations
@@ -30,6 +43,21 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
+
+
+def _wds_fs(url: str):
+    """pyarrow (FileSystem, path) for a shard directory or tar URL,
+    with a named error instead of an unpackable None."""
+    from petastorm_spark.etl.petastorm_compat import _fs_for
+
+    pair = _fs_for(url)
+    if pair is None:
+        raise ValueError(
+            f"cannot resolve a filesystem for WebDataset URL {url!r}: "
+            "pyarrow FileSystem.from_uri failed (unknown scheme or "
+            "missing filesystem driver)"
+        )
+    return pair
 
 
 def _tar_add(tar: tarfile.TarFile, name: str, payload: bytes) -> None:
@@ -55,8 +83,12 @@ def write_webdataset(
     streams its shards' tars sequentially — memory is one sample at a
     time, IO is append-only, and shard count bounds parallelism
     exactly the way a 1000-executor export wants. Keys sort within a
-    shard so output bytes are run-independent."""
-    os.makedirs(out_dir, exist_ok=True)
+    shard so output bytes are run-independent. Each tar is written to
+    a task-attempt-suffixed temp name and atomically renamed on
+    completion (see the module docstring for the shared-filesystem /
+    object-store contract)."""
+    fs, root = _wds_fs(out_dir)
+    fs.create_dir(root, recursive=True)
     bin_cols = [
         f.name
         for f in df.schema.fields
@@ -70,22 +102,30 @@ def write_webdataset(
     cols = [key_col, shard_col, *bin_cols, *meta_cols]
 
     def write_shards(rows) -> Iterator[tuple[int]]:
+        from pyspark import TaskContext
+
+        fs, root = _wds_fs(out_dir)  # executors resolve their own handle
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
         by_shard: dict[int, list] = {}
         for r in rows:
             by_shard.setdefault(r[shard_col], []).append(r)
         for shard, samples in by_shard.items():
-            path = os.path.join(out_dir, f"{prefix}-{int(shard):06d}.tar")
-            with tarfile.open(path, "w") as tar:
-                for r in sorted(samples, key=lambda x: x[key_col]):
-                    key = str(r[key_col])
-                    for c in bin_cols:
-                        if r[c] is not None:
-                            _tar_add(tar, f"{key}.{c}", bytes(r[c]))
-                    meta = {c: r[c] for c in meta_cols}
-                    payload = json.dumps(
-                        meta, sort_keys=True, default=str
-                    ).encode()
-                    _tar_add(tar, f"{key}.json", payload)
+            final = root.rstrip("/") + f"/{prefix}-{int(shard):06d}.tar"
+            tmp = f"{final}.inprogress-{attempt}"
+            with fs.open_output_stream(tmp) as out_f:
+                with tarfile.open(fileobj=out_f, mode="w") as tar:
+                    for r in sorted(samples, key=lambda x: x[key_col]):
+                        key = str(r[key_col])
+                        for c in bin_cols:
+                            if r[c] is not None:
+                                _tar_add(tar, f"{key}.{c}", bytes(r[c]))
+                        meta = {c: r[c] for c in meta_cols}
+                        payload = json.dumps(
+                            meta, sort_keys=True, default=str
+                        ).encode()
+                        _tar_add(tar, f"{key}.json", payload)
+            fs.move(tmp, final)
             yield (1,)
 
     written = (
@@ -97,34 +137,66 @@ def write_webdataset(
     return int(written)
 
 
+def _iter_tar_chunks(url: str, chunk_bytes: int):
+    """Stream one tar's entries as pandas chunks of (key, column,
+    payload) rows, flushing whenever accumulated payload bytes reach
+    ``chunk_bytes`` — task memory is bounded by the chunk size plus
+    one entry, never by the shard size (1 GB shards at the standard
+    WebDataset sizing would otherwise pin ~2 GB per task: the tar
+    bytes AND every extracted payload). The tar itself is opened as a
+    non-seekable stream (``r|*``) straight off the filesystem, so the
+    container bytes are never materialized either. Non-regular members
+    (directories, symlinks — legal in foreign-written shards) are
+    skipped: ``extractfile`` returns None for them."""
+    import pandas as pd
+
+    fs, path = _wds_fs(url)
+    out = {"key": [], "column": [], "payload": []}
+    size = 0
+    with fs.open_input_stream(path) as f:
+        with tarfile.open(fileobj=f, mode="r|*") as tar:
+            for m in tar:
+                if not m.isfile():
+                    continue
+                key, _, col = m.name.rpartition(".")
+                payload = tar.extractfile(m).read()
+                out["key"].append(key)
+                out["column"].append(col)
+                out["payload"].append(payload)
+                size += len(payload)
+                if size >= chunk_bytes:
+                    yield pd.DataFrame(out)
+                    out = {"key": [], "column": [], "payload": []}
+                    size = 0
+    if out["key"]:
+        yield pd.DataFrame(out)
+
+
 def read_webdataset(
-    spark: SparkSession, in_dir: str, prefix: str = "shard"
+    spark: SparkSession,
+    in_dir: str,
+    prefix: str = "shard",
+    chunk_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Read WebDataset shards back into (key, column, payload) rows —
-    one row per tar entry, distributed one task per shard via
-    binaryFile on the tars themselves. Regroup with
-    ``groupBy('key').pivot('column')`` when a wide frame is wanted;
-    the long shape is the streaming-friendly one."""
+    one row per tar entry, distributed one task per shard. Only the
+    shard PATHS flow through the binaryFile source (column pruning
+    keeps the tar bytes out of Spark rows); each task streams its tar
+    off the filesystem and yields ``chunk_bytes``-sized Arrow batches
+    (:func:`_iter_tar_chunks`), so task memory is independent of shard
+    size. Regroup with :func:`webdataset_to_frame` when a wide frame
+    is wanted; the long shape is the streaming-friendly one."""
     tars = spark.read.format("binaryFile").load(
         os.path.join(in_dir, f"{prefix}-*.tar")
     )
 
     def explode_tar(rows):
-        import pandas as pd
-
         for pdf in rows:
-            out = {"key": [], "column": [], "payload": []}
-            for raw in pdf["content"]:
-                with tarfile.open(fileobj=io.BytesIO(bytes(raw))) as tar:
-                    for m in tar.getmembers():
-                        key, _, col = m.name.rpartition(".")
-                        out["key"].append(key)
-                        out["column"].append(col)
-                        out["payload"].append(tar.extractfile(m).read())
-            yield pd.DataFrame(out)
+            for url in pdf["path"]:
+                yield from _iter_tar_chunks(url, chunk_bytes)
 
     return (
-        tars.select("content")
+        tars.select("path")
         .mapInPandas(explode_tar, "key string, column string, payload binary")
     )
 

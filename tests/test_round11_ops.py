@@ -141,3 +141,124 @@ def test_index_fs_unresolvable_url_raises_value_error(spark, corpus):
 
     with pytest.raises(ValueError, match="nosuchscheme://"):
         pq_index_read(spark, "nosuchscheme://bucket/index")
+
+
+# ---------------------------------------------------------------- webdataset
+
+
+def _write_corpus_shards(spark, out_dir, n=8):
+    from petastorm_spark.sources.webdataset import write_webdataset
+
+    df = arrow_local_df(
+        spark,
+        {
+            "k": [f"{i:05d}" for i in range(n)],
+            "shard": [i % 2 for i in range(n)],
+            "img": [bytes([i]) * 200 for i in range(n)],
+            "label": [i * 10 for i in range(n)],
+        },
+        "k string, shard int, img binary, label bigint",
+    )
+    return write_webdataset(df, out_dir, key_col="k")
+
+
+def test_webdataset_write_is_atomic_no_inprogress_left(spark, tmp_path_factory):
+    import os
+
+    out = str(tmp_path_factory.mktemp("wds_atomic"))
+    n_shards = _write_corpus_shards(spark, out)
+    names = sorted(os.listdir(out))
+    assert n_shards == 2
+    assert names == ["shard-000000.tar", "shard-000001.tar"]
+    assert not [f for f in names if "inprogress" in f]
+
+
+def test_webdataset_read_skips_non_regular_members(spark, tmp_path_factory):
+    """Foreign-written shards may contain directory and symlink
+    entries; the reader must skip them instead of crashing on
+    extractfile(None)."""
+    import tarfile
+
+    from petastorm_spark.sources.webdataset import read_webdataset
+
+    out = tmp_path_factory.mktemp("wds_foreign")
+    with tarfile.open(str(out / "shard-000000.tar"), "w") as tar:
+        d = tarfile.TarInfo("samples")
+        d.type = tarfile.DIRTYPE
+        tar.addfile(d)
+        link = tarfile.TarInfo("alias.img")
+        link.type = tarfile.SYMTYPE
+        link.linkname = "00000.img"
+        tar.addfile(link)
+        real = tarfile.TarInfo("00000.img")
+        payload = b"\x07" * 64
+        real.size = len(payload)
+        import io as _io
+
+        tar.addfile(real, _io.BytesIO(payload))
+    rows = read_webdataset(spark, str(out)).collect()
+    assert [(r["key"], r["column"], bytes(r["payload"])) for r in rows] == [
+        ("00000", "img", payload)
+    ]
+
+
+def test_webdataset_chunked_yield_bounds_task_memory(spark, tmp_path_factory):
+    """A shard bigger than chunk_bytes must stream out in multiple
+    chunks (unit: count generator flushes) and read back identically
+    through Spark under an absurdly small chunk size."""
+    from petastorm_spark.sources.webdataset import (
+        _iter_tar_chunks,
+        read_webdataset,
+    )
+
+    out = str(tmp_path_factory.mktemp("wds_chunks"))
+    _write_corpus_shards(spark, out, n=8)
+    # 8 samples x (200B img + json) across 2 shards; chunk at 256B
+    chunks = list(_iter_tar_chunks(out + "/shard-000000.tar", 256))
+    assert len(chunks) > 1  # actually flushed mid-shard
+    assert sum(len(c) for c in chunks) == 8  # 4 samples x (img + json)
+
+    full = read_webdataset(spark, out)
+    tiny = read_webdataset(spark, out, chunk_bytes=1)
+    canon = lambda df: sorted(  # noqa: E731
+        (r["key"], r["column"], bytes(r["payload"])) for r in df.collect()
+    )
+    assert canon(full) == canon(tiny)
+    assert len(canon(full)) == 16
+
+
+def test_webdataset_read_plan_prunes_tar_content(spark, tmp_path_factory):
+    """The binaryFile scan must read only `path` — the tar bytes never
+    enter Spark rows (ReadSchema pins the column pruning)."""
+    out = str(tmp_path_factory.mktemp("wds_prune"))
+    _write_corpus_shards(spark, out)
+    from petastorm_spark.sources.webdataset import read_webdataset
+
+    plan = read_webdataset(spark, out)._jdf.queryExecution().toString()
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("content" not in ln for ln in scans)
+
+
+# -------------------------------------------------------------- reader tier
+
+
+def test_transient_sidecar_failure_keeps_plan_tier(
+    spark, sf_dir, monkeypatch
+):
+    """A JVM-reachable dataset whose read_sidecar call hiccups must
+    KEEP the Spark plan tier (round-11 advice: the old single try
+    around both reads dropped df to None, and a later Column filter
+    failed with a misleading no-filesystem message). The sidecar is
+    retried through pyarrow, so sidecar metadata still loads."""
+    import petastorm_spark.reader as reader_mod
+
+    url = f"{sf_dir}/lineitem.parquet"
+
+    def boom(*a, **k):
+        raise OSError("transient sidecar read failure")
+
+    monkeypatch.setattr(reader_mod, "read_sidecar", boom)
+    with reader_mod.make_batch_reader(url, spark=spark) as r:
+        assert r.dataframe is not None  # plan tier survived
+        batch = next(iter(r))
+        assert len(batch.l_orderkey) > 0

@@ -6,6 +6,9 @@ freely around them:
 
     <!--NQ-->154<!--/NQ-->   total registered queries
     <!--NO-->154<!--/NO-->   queries with a DuckDB oracle
+    <!--NT-->442<!--/NT-->   pytest-collected test count (round-11:
+                             the hand-written "439 tests green" had
+                             drifted from the actual 442)
 
 Usage: python tools/gen_readme_counts.py  (rewrites README.md in place;
 exits 1 if any marker is missing so CI-style checks notice deletions).
@@ -20,7 +23,26 @@ import sys
 sys.path.insert(0, ".")
 
 
-def render(text: str, n_queries: int, n_oracles: int) -> tuple[str, int]:
+def count_tests() -> int:
+    """The live pytest collection count (parametrization included —
+    a `def test_` grep undercounts, which is exactly how the round-10
+    prose drifted)."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
+        capture_output=True, text=True, timeout=600,
+    ).stdout
+    m = re.search(r"(\d+) tests collected", out)
+    if not m:
+        raise RuntimeError(f"could not parse pytest collection output: "
+                           f"{out[-300:]!r}")
+    return int(m.group(1))
+
+
+def render(
+    text: str, n_queries: int, n_oracles: int, n_tests: int | None = None
+) -> tuple[str, int]:
     """Replace every marker span; returns (new_text, spans_replaced)."""
     hits = 0
 
@@ -33,6 +55,8 @@ def render(text: str, n_queries: int, n_oracles: int) -> tuple[str, int]:
 
     text = sub("NQ", n_queries, text)
     text = sub("NO", n_oracles, text)
+    if n_tests is not None:
+        text = sub("NT", n_tests, text)
     return text, hits
 
 
@@ -78,12 +102,13 @@ def main() -> int:
     import __spark_entry__ as entry
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    n_tests = count_tests()
     with open("README.md") as f:
         old = f.read()
-    new, hits = render(old, len(qs), len(oracles))
-    if hits < 2:
+    new, hits = render(old, len(qs), len(oracles), n_tests)
+    if hits < 3:
         print(f"README.md: only {hits} count markers found — expected "
-              "at least one NQ and one NO span", file=sys.stderr)
+              "at least one each of NQ, NO, NT spans", file=sys.stderr)
         return 1
     contradictions = find_contradictions(new, len(qs), len(oracles))
     if contradictions:
@@ -93,7 +118,8 @@ def main() -> int:
     if new != old:
         with open("README.md", "w") as f:
             f.write(new)
-    print(f"README.md: {len(qs)} queries, {len(oracles)} oracles "
+    print(f"README.md: {len(qs)} queries, {len(oracles)} oracles, "
+          f"{n_tests} tests "
           f"({hits} spans {'updated' if new != old else 'already current'})")
     return 0
 
