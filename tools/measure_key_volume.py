@@ -93,6 +93,26 @@ def measure(sf_dir: str) -> dict[str, int]:
         )
         out[f"{name}_cells"] = cells
         out[f"{name}_scored_pairs"] = _pairs_from_keys(keys, ["cell"])
+
+    # winnowing_matches (k=3, w=4, max_df=10, the query's params):
+    # distinct SELECTED fingerprints are the pair stage's shuffle-key
+    # cardinality; df-capped joined pair rows = sum over rare fps of
+    # C(df, 2) — the exact fan-out the self-join materializes
+    from petastorm_spark.operators.dedup import winnow_fingerprints
+
+    docs = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.unionByName(
+        docs.select((F.col("doc_id") + _COPY_SHIFT).alias("doc_id"), "text")
+    )
+    sel = winnow_fingerprints(docs, "text", "doc_id", 3, 4).select(
+        "doc_id", "fp"
+    ).distinct()
+    out["winnowing_distinct_fps"] = sel.select("fp").distinct().count()
+    dfc = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("n")).where(
+        F.col("n") <= 10
+    )
+    row = dfc.agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p")).collect()[0]
+    out["winnowing_pair_rows"] = int(row["p"] or 0)
     return out
 
 
@@ -114,6 +134,10 @@ def main() -> None:
         ("dedup_semantic_probe2", f"scored pairs ({a['semantic_probe2_cells']} -> "
          f"{b['semantic_probe2_cells']} cells, 2 probes)",
          a["semantic_probe2_scored_pairs"], b["semantic_probe2_scored_pairs"]),
+        ("winnowing_matches", "distinct selected fingerprints",
+         a["winnowing_distinct_fps"], b["winnowing_distinct_fps"]),
+        ("winnowing_matches", "df-capped joined pair rows",
+         a["winnowing_pair_rows"], b["winnowing_pair_rows"]),
     ]
     print("| query | cost key | sf0.1 | sf1-ORGANIC | key ratio |")
     print("|---|---|---|---|---|")
