@@ -159,6 +159,9 @@ HEADLINE = [
     "bitext_margin_mine",
     "dedup_semantic_incremental",
     "winnowing_matches",
+    "lm_score_backoff",
+    "ann_cosine_prefix",
+    "ann_recall_prefix",
 ]
 
 N_WARMUP_READS = 500

@@ -2007,3 +2007,58 @@ def incremental_semantic_dedup(
         .where(F.col("_cos") >= threshold)
         .select("new_id", "old_id", F.round("_cos", 4).alias("cos"))
     )
+
+
+def cosine_topk_prefix(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rescore_factor: int = 4,
+    prefix_dim: int = 16,
+) -> DataFrame:
+    """Matryoshka / prefix-dimension ANN (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): embeddings trained so every
+    PREFIX of the vector is itself a valid lower-dimensional embedding
+    let the approximate pass score only the first ``prefix_dim``
+    coordinates — a dim/prefix_dim I/O and FLOP cut with NO auxiliary
+    index to build or keep consistent (the funnel-retrieval recipe
+    from the paper). A ``k * rescore_factor`` shortlist is rescored
+    against full-dimension vectors, so the output cosine is EXACT:
+    (query_id, neighbor_id, rank, cos_sim), like :func:`cosine_topk`.
+
+    Scale: the same broadcast-queries scan as brute force but over a
+    prefix_dim-wide slice — materialize the prefix as its own parquet
+    column (one ``F.slice`` map) to make the hot scan physically
+    smaller, exactly like the SQ8/PQ code columns; the rescore touches
+    full vectors for k*factor rows per query via an id equi-join.
+    Quality depends on the embedding being matryoshka-trained; on
+    arbitrary embeddings this degrades toward random truncation (the
+    recall report quantifies it)."""
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("_qp"),
+    )
+    approx = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.slice(F.col(vec_col), 1, prefix_dim).alias("_cp"),
+        )
+        .crossJoin(F.broadcast(qs.select("query_id", "_qp")))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("_qp"), F.col("_cp")))
+    )
+    shortlist = topk_per_query(approx, k * rescore_factor).select(
+        "query_id", "neighbor_id"
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    rescored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qs.select("query_id", "q_vec")), "query_id")
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("_cv")))
+    )
+    return topk_per_query(rescored, k)

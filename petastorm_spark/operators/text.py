@@ -938,3 +938,113 @@ def zipf_fit(
             4,
         ).alias("r2"),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    model_df: DataFrame | None = None,
+    alpha: float = 0.4,
+    micro: int = 10**6,
+) -> DataFrame:
+    """Per-document bigram language-model score with STUPID BACKOFF
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation" — the scoring rule invented FOR distributed
+    count-based LMs, because it needs no held-out normalization pass):
+
+        S(w2 | w1) = c(w1 w2) / c(w1)                 if c(w1 w2) > 0
+                     alpha * max(c(w2), 1) / N        otherwise
+
+    (the ``max(., 1)`` is the standard unknown-word floor — an
+    out-of-vocabulary w2 scores ``alpha / N`` instead of ln 0). The
+    model is counted over ``model_df`` (default: ``df`` itself — score
+    the training corpus); pass a SUBSET (one source, a reference
+    corpus) to get the CCNet-style quality signal: held-out documents
+    hit the backoff and score low. This is the count-based step up
+    from perplexity_buckets' unigram proxy.
+
+    Output per document (docs with >= 2 tokens):
+    (id, n_bigrams, seen_bigrams, score_micro, avg_logprob) where
+    ``score_micro`` = sum over bigram occurrences of
+    floor(ln(S) * micro) — each term floor-scaled to an INTEGER before
+    summing, so the per-doc total is addition-order-independent and
+    bit-stable across engines (the established micro-unit contract);
+    ``avg_logprob`` = round(score_micro / micro / n_bigrams, 4).
+
+    Scale: both count tables partial-aggregate before their one
+    shuffle each (bigram types, unigram types); the corpus total rides
+    a 1-row broadcast; scoring is doc-bigram-TYPES left-joined to the
+    model tables (shuffle joins on the token keys — both sides are
+    already type-deduped, so the exchanges carry vocabulary-sized
+    data, zipf-small relative to the corpus) and one final groupBy on
+    the doc id. No driver collect anywhere."""
+    if model_df is None:
+        model_df = df
+
+    def _pairs(frame: DataFrame, *keep) -> DataFrame:
+        t = tokens(text_col)
+        n = F.size(t)
+        z = F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        )
+        return (
+            frame.where(F.size(tokens(text_col)) >= 2)
+            .select(*keep, F.explode(z).alias("_p"))
+            .select(*keep, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        )
+
+    big = _pairs(model_df).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("_c2")
+    )
+    muni = (
+        model_df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    n_total = muni.agg(F.sum("_c1").cast("double").alias("_n"))
+
+    dpc = _pairs(df, id_col).groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("_cdoc")
+    )
+    joined = (
+        dpc.join(big, ["w1", "w2"], "left")
+        .join(
+            muni.select(F.col("w").alias("w1"), F.col("_c1").alias("_c1w1")),
+            "w1", "left",
+        )
+        .join(
+            muni.select(F.col("w").alias("w2"), F.col("_c1").alias("_c1w2")),
+            "w2", "left",
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    s = F.when(
+        F.col("_c2").isNotNull(), F.col("_c2") * F.lit(1.0) / F.col("_c1w1")
+    ).otherwise(
+        F.lit(alpha)
+        * (
+            F.greatest(F.coalesce(F.col("_c1w2"), F.lit(0)), F.lit(1))
+            * F.lit(1.0)
+            / F.col("_n")
+        )
+    )
+    term = F.floor(F.log(s) * F.lit(float(micro))).cast("bigint") * F.col("_cdoc")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("_cdoc").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("_c2").isNotNull(), F.col("_cdoc")).otherwise(F.lit(0))
+            ).cast("bigint").alias("seen_bigrams"),
+            F.sum(term).cast("bigint").alias("score_micro"),
+        )
+        .withColumn(
+            "avg_logprob",
+            F.round(
+                F.col("score_micro") / F.lit(float(micro)) / F.col("n_bigrams"), 4
+            ),
+        )
+    )

@@ -759,10 +759,13 @@ def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_DOCS_CTE
     + f""",
     tok AS (SELECT doc_id, {_TOK} AS t FROM d),
+    sh0 AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+            FROM tok WHERE len(t) >= 3),
     sh AS (SELECT doc_id,
-                  unnest(list_distinct(list_transform(range(1, len(t) - 1),
-                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-           FROM tok WHERE len(t) >= 3),
+                  (('0x'||substr(md5(s),1,15))::BIGINT) AS sh
+           FROM sh0),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -5666,3 +5669,165 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select(
         "doc_id", token_count("text").cast("bigint").alias("n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: stupid-backoff bigram LM scoring; Matryoshka prefix ANN
+# ---------------------------------------------------------------------------
+
+_LM_MODEL_SRC = "('src0', 'src1', 'src2', 'src3')"
+
+
+def _lm_backoff_oracle(alpha: float = 0.4, micro: int = 10**6) -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id, source, {_TOK} AS t FROM documents),
+    mt AS (SELECT t FROM tok WHERE source IN {_LM_MODEL_SRC}),
+    mp AS (SELECT unnest(t[1:length(t)-1]) AS w1, unnest(t[2:length(t)]) AS w2
+           FROM mt WHERE length(t) >= 2),
+    big AS (SELECT w1, w2, count(*) AS c2 FROM mp GROUP BY w1, w2),
+    mu AS (SELECT unnest(t) AS w FROM mt),
+    uni AS (SELECT w, count(*) AS c1 FROM mu GROUP BY w),
+    nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM mu),
+    dp AS (SELECT doc_id, unnest(t[1:length(t)-1]) AS w1,
+                  unnest(t[2:length(t)]) AS w2
+           FROM tok WHERE length(t) >= 2),
+    dpc AS (SELECT doc_id, w1, w2, count(*) AS cdoc
+            FROM dp GROUP BY doc_id, w1, w2),
+    sc AS (SELECT doc_id, cdoc, b.c2,
+                  u1.c1 AS c1w1, u2.c1 AS c1w2, nt.n
+           FROM dpc
+           LEFT JOIN big b USING (w1, w2)
+           LEFT JOIN uni u1 ON u1.w = dpc.w1
+           LEFT JOIN uni u2 ON u2.w = dpc.w2, nt),
+    t2 AS (SELECT doc_id, cdoc, (c2 IS NOT NULL) AS seen,
+                  CASE WHEN c2 IS NOT NULL THEN c2 * 1.0 / c1w1
+                       ELSE CAST({alpha} AS DOUBLE)
+                            * (greatest(coalesce(c1w2, 0), 1) * 1.0 / n)
+                  END AS s
+           FROM sc)
+    SELECT doc_id,
+           CAST(sum(cdoc) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN seen THEN cdoc ELSE 0 END) AS BIGINT)
+               AS seen_bigrams,
+           CAST(sum(CAST(floor(ln(s) * {micro}) AS BIGINT) * cdoc) AS BIGINT)
+               AS score_micro,
+           round(sum(CAST(floor(ln(s) * {micro}) AS BIGINT) * cdoc)
+                 / {float(micro)} / sum(cdoc), 4) AS avg_logprob
+    FROM t2 GROUP BY doc_id
+    """
+
+
+@register("lm_score_backoff", oracle=_lm_backoff_oracle())
+def lm_score_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM quality scoring with stupid backoff
+    (Brants et al. 2007 — the scoring rule built FOR distributed
+    count LMs): the model is counted over 4 of the 20 sources, every
+    document scored against it — held-out sources hit the backoff and
+    score lower, the CCNet-style LM quality signal one rung above
+    perplexity_buckets' unigram proxy. Per-term floor-scaled integer
+    micro-units make the per-doc sums addition-order-independent
+    (engine-exact). Scale: see operators/text.bigram_lm_score — two
+    vocabulary-sized count shuffles, token-keyed scoring joins, one
+    doc-keyed groupBy; corpus total on a 1-row broadcast."""
+    from petastorm_spark.operators.text import bigram_lm_score
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    model = d.where(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    return bigram_lm_score(d, "text", "doc_id", model_df=model)
+
+
+def _prefix_oracle(k: int = 5, factor: int = 4, p: int = 16) -> str:
+    cos = lambda a, b: (  # noqa: E731
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pz AS (SELECT vec_id, list_slice(v, 1, {p}) AS pv FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, list_slice(v, 1, {p}) AS qp
+          FROM e WHERE vec_id < 10),
+    s1 AS (SELECT query_id, pz.vec_id AS neighbor_id,
+                  {cos('q.qp', 'pz.pv')} AS approx
+           FROM q, pz WHERE pz.vec_id != query_id),
+    r1 AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx DESC, neighbor_id) AS rn
+        FROM s1) WHERE rn <= {k * factor}),
+    x AS (SELECT query_id, neighbor_id, {cos('q.qv', 'e.v')} AS cos
+          FROM r1 JOIN e ON e.vec_id = neighbor_id JOIN q USING (query_id)),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM x)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cos, 4) AS cos_sim
+    FROM r WHERE rank <= {k}
+    """
+
+
+@register("ann_cosine_prefix", oracle=_prefix_oracle())
+def ann_cosine_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / prefix-dimension ANN top-5 (Kusupati et al. 2022):
+    the approximate pass scores only the first 16 of 64 dims (a 4x
+    I/O+FLOP cut with zero index state), the 4x-k shortlist is
+    rescored at full dimension — output cosine exact. The oracle
+    rebuilds the identical prefix shortlist and rescore."""
+    from petastorm_spark.operators.similarity import cosine_topk_prefix
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    return cosine_topk_prefix(
+        emb, emb.where(F.col("vec_id") < 10),
+        k=5, rescore_factor=4, prefix_dim=16,
+    )
+
+
+def _recall_prefix_oracle(k: int = 5, factor: int = 4, p: int = 16) -> str:
+    # same surgery as _recall_pq_oracle: the approx pipeline compared
+    # against exact brute force per query
+    body = _prefix_oracle(k, factor, p).strip()
+    assert body.startswith("WITH ") and "SELECT query_id" in body
+    with_part, _ = body.rsplit("SELECT query_id", 1)
+    cos = (
+        "list_dot_product(qe.qv, ce.v) / (sqrt(list_dot_product(qe.qv, qe.qv))"
+        " * sqrt(list_dot_product(ce.v, ce.v)))"
+    )
+    return f"""
+    {with_part.rstrip()},
+    approx AS (SELECT query_id, neighbor_id FROM r WHERE rank <= {k}),
+    qe AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    se AS (SELECT query_id, ce.vec_id AS neighbor_id, {cos} AS cos
+           FROM qe, e ce WHERE ce.vec_id != query_id),
+    exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM se) WHERE rank <= {k})
+    SELECT x.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           count(a.neighbor_id) / {float(k)} AS recall
+    FROM exact x LEFT JOIN approx a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """
+
+
+@register("ann_recall_prefix", oracle=_recall_prefix_oracle())
+def ann_recall_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the prefix-dimension funnel vs exact brute force —
+    the number that tells you whether an embedding is
+    matryoshka-trained enough to truncate (on non-matryoshka test
+    vectors this is the honest degradation readout)."""
+    from petastorm_spark.operators.similarity import (
+        ann_recall_report,
+        cosine_topk,
+        cosine_topk_prefix,
+    )
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=5)
+    approx = cosine_topk_prefix(emb, q, k=5, rescore_factor=4, prefix_dim=16)
+    return ann_recall_report(exact, approx, k=5)

@@ -262,3 +262,104 @@ def test_transient_sidecar_failure_keeps_plan_tier(
         assert r.dataframe is not None  # plan tier survived
         batch = next(iter(r))
         assert len(batch.l_orderkey) > 0
+
+
+# ------------------------------------------------------- round-11 operators
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """Stupid backoff on a hand-checkable fixture: model = doc 1 only
+    ('a b a b c'), scored docs exercise all three rule branches (seen
+    bigram, backoff to in-vocab unigram, unknown-word floor)."""
+    import math
+
+    from petastorm_spark.operators.text import bigram_lm_score
+
+    df = arrow_local_df(
+        spark,
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b a b c", "b a x", "q q"],
+        },
+        "doc_id bigint, text string",
+    )
+    model = df.where(F.col("doc_id") == 1)
+    got = {
+        r["doc_id"]: r
+        for r in bigram_lm_score(df, "text", "doc_id", model_df=model).collect()
+    }
+    # model counts: bigrams ab:2, ba:1, bc:1; unigrams a:2 b:2 c:1; N=5
+    mu = lambda x: math.floor(math.log(x) * 10**6)  # noqa: E731
+
+    # doc 1: ab ba ab bc -> all seen: 2/2, 1/2, 2/2, 1/2
+    assert got[1]["n_bigrams"] == 4 and got[1]["seen_bigrams"] == 4
+    assert got[1]["score_micro"] == 2 * mu(2 / 2) + 2 * mu(1 / 2)
+    # doc 2: 'b a' seen (1/2); 'a x' unseen, x OOV -> alpha * 1/5
+    assert got[2]["n_bigrams"] == 2 and got[2]["seen_bigrams"] == 1
+    assert got[2]["score_micro"] == mu(1 / 2) + mu(0.4 * (1 / 5))
+    # doc 3: 'q q' unseen, q OOV -> unk floor alpha * 1/5
+    assert got[3]["n_bigrams"] == 1 and got[3]["seen_bigrams"] == 0
+    assert got[3]["score_micro"] == mu(0.4 * (1 / 5))
+    assert got[3]["avg_logprob"] == round(mu(0.4 * (1 / 5)) / 10**6 / 1, 4)
+
+
+def test_bigram_lm_backoff_branch_fires_in_fixture(spark, sf_dir):
+    """The registered query's held-out sources must actually exercise
+    the backoff (otherwise the oracle never checks that branch)."""
+    from petastorm_spark.queries import QUERIES
+
+    rows = QUERIES["lm_score_backoff"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert any(r["seen_bigrams"] < r["n_bigrams"] for r in rows)
+    assert all(r["score_micro"] < 0 for r in rows)  # log-probs are negative
+
+
+def test_bigram_lm_default_model_is_self(spark):
+    """Scoring the training corpus itself: every bigram is seen."""
+    from petastorm_spark.operators.text import bigram_lm_score
+
+    df = arrow_local_df(
+        spark,
+        {"doc_id": [1, 2], "text": ["a b c", "c b a"]},
+        "doc_id bigint, text string",
+    )
+    rows = bigram_lm_score(df, "text", "doc_id").collect()
+    assert all(r["seen_bigrams"] == r["n_bigrams"] for r in rows)
+
+
+def test_prefix_ann_full_dim_equals_exact(spark, corpus):
+    """With prefix_dim = dim the funnel IS brute force — results must
+    match cosine_topk row for row (same tie-breaks, same rounding)."""
+    from petastorm_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_prefix,
+    )
+
+    q = corpus.limit(6)
+    exact = sorted(map(tuple, cosine_topk(corpus, q, k=4).collect()))
+    full = sorted(
+        map(tuple, cosine_topk_prefix(corpus, q, k=4, prefix_dim=16).collect())
+    )
+    assert exact == full
+
+
+def test_prefix_ann_recall_and_exact_rescore(spark, corpus):
+    """Truncated prefix: output cosines must still be EXACT (rescore)
+    and recall must be a valid fraction."""
+    from petastorm_spark.operators.similarity import (
+        ann_recall_report,
+        cosine_topk,
+        cosine_topk_prefix,
+    )
+
+    q = corpus.limit(6)
+    approx = cosine_topk_prefix(corpus, q, k=4, rescore_factor=4, prefix_dim=4)
+    exact = cosine_topk(corpus, q, k=4)
+    ex = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex:  # any overlap must carry the exact cosine
+            assert r["cos_sim"] == ex[key]
+    rep = ann_recall_report(exact, approx, k=4).collect()
+    assert len(rep) == 6
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rep)
