@@ -779,11 +779,11 @@ def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-shingle Jaccard >= 0.8 near-dup pairs, EXACT, via
-    prefix-filtered inverted indexing (PPJoin) — only each doc's
-    rarest ~(1-t)n+1 shingles are indexed, so hub shingles never
-    drive the self-join; candidates verify on the full sets. The 500
-    copy pairs score exactly 1.0. See operators/dedup.jaccard_pairs."""
+    """3-shingle Jaccard >= 0.8 near-dup pairs, EXACT, scale-adaptive:
+    a hash60-keyed postings-count join while sum(df^2) fits the
+    per-core budget (this fixture), flipping to prefix-filtered
+    inverted indexing (PPJoin) in the hub regime. The 500 copy pairs
+    score exactly 1.0. See operators/dedup.jaccard_pairs."""
     from petastorm_spark.operators.dedup import jaccard_pairs
 
     return jaccard_pairs(
