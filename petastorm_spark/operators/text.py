@@ -981,22 +981,37 @@ def bigram_lm_score(
     the doc id. No driver collect anywhere."""
     if model_df is None:
         model_df = df
+    big, muni, n_total = bigram_lm_model(model_df, text_col)
+    return lm_score_from_model(
+        df, text_col, id_col, big, muni, n_total, alpha=alpha, micro=micro
+    )
 
-    def _pairs(frame: DataFrame, *keep) -> DataFrame:
-        t = tokens(text_col)
-        n = F.size(t)
-        z = F.zip_with(
-            F.slice(t, 1, n - 1),
-            F.slice(t, 2, n - 1),
-            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
-        )
-        return (
-            frame.where(F.size(tokens(text_col)) >= 2)
-            .select(*keep, F.explode(z).alias("_p"))
-            .select(*keep, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
-        )
 
-    big = _pairs(model_df).groupBy("w1", "w2").agg(
+def _bigram_pairs(frame: DataFrame, text_col: str, *keep) -> DataFrame:
+    """One row per adjacent-token pair occurrence: (*keep, w1, w2)."""
+    t = tokens(text_col)
+    n = F.size(t)
+    z = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    return (
+        frame.where(F.size(tokens(text_col)) >= 2)
+        .select(*keep, F.explode(z).alias("_p"))
+        .select(*keep, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+
+
+def bigram_lm_model(
+    model_df: DataFrame, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The count tables a stupid-backoff scorer reads:
+    ``(bigram_counts (w1, w2, _c2), unigram_counts (w, _c1),
+    total (1-row _n double))``. Persist these as parquet to score
+    ingest streams against a frozen model
+    (:func:`petastorm_spark.streaming.feed.lm_score_stream`)."""
+    big = _bigram_pairs(model_df, text_col).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("_c2")
     )
     muni = (
@@ -1005,10 +1020,37 @@ def bigram_lm_score(
         .agg(F.count(F.lit(1)).alias("_c1"))
     )
     n_total = muni.agg(F.sum("_c1").cast("double").alias("_n"))
+    return big, muni, n_total
 
-    dpc = _pairs(df, id_col).groupBy(id_col, "w1", "w2").agg(
-        F.count(F.lit(1)).alias("_cdoc")
-    )
+
+def lm_score_from_model(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    big: DataFrame,
+    muni: DataFrame,
+    n_total: DataFrame,
+    alpha: float = 0.4,
+    micro: int = 10**6,
+    pre_aggregate: bool = True,
+) -> DataFrame:
+    """Score documents against prebuilt :func:`bigram_lm_model` count
+    tables (the search half of :func:`bigram_lm_score`). With
+    ``pre_aggregate`` (batch default) per-doc bigram TYPES are counted
+    before the model joins, shrinking join volume to type counts;
+    ``pre_aggregate=False`` scores per occurrence — required on a
+    streaming input, where the type count would be a second chained
+    streaming aggregation (unsupported), and bit-identical to the
+    batch path because every term is floor-scaled to an integer BEFORE
+    summation."""
+    if pre_aggregate:
+        dpc = _bigram_pairs(docs, text_col, id_col).groupBy(
+            id_col, "w1", "w2"
+        ).agg(F.count(F.lit(1)).alias("_cdoc"))
+    else:
+        dpc = _bigram_pairs(docs, text_col, id_col).withColumn(
+            "_cdoc", F.lit(1).cast("bigint")
+        )
     joined = (
         dpc.join(big, ["w1", "w2"], "left")
         .join(

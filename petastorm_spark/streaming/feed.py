@@ -840,3 +840,38 @@ def incremental_near_dup_stream(
         .groupBy("new_id", "old_id")
         .agg(F.round(F.max("_est"), 4).alias("est_jaccard"))
     )
+
+
+def lm_score_stream(
+    doc_stream: DataFrame,
+    big: DataFrame,
+    muni: DataFrame,
+    n_total: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.4,
+    micro: int = 10**6,
+) -> DataFrame:
+    """Streaming twin of ``operators.text.bigram_lm_score``: score an
+    ingest firehose against a PRE-BUILT stupid-backoff bigram model
+    (``bigram_lm_model`` count tables, built offline and frozen) — the
+    online "does this crawl doc read like my reference corpus" gate,
+    one rung above ``dsir_score_stream``'s unigram buckets.
+
+    Stream-static left joins onto the model tables (the static sides
+    behave like dimension tables; the 1-row total broadcasts), scored
+    per pair OCCURRENCE — the batch scorer's per-doc type count would
+    be a second chained streaming aggregation, which Structured
+    Streaming rejects — then ONE update-mode groupBy on the doc id.
+    Occurrence-level scoring is bit-identical to the batch path
+    because every term is floor-scaled to an integer micro-unit before
+    summation. A doc's pairs arrive in one micro-batch, so its row
+    stabilizes immediately; state is one row per scored doc.
+    availableNow over a static dir reproduces the batch scorer exactly
+    (pinned by test)."""
+    from petastorm_spark.operators.text import lm_score_from_model
+
+    return lm_score_from_model(
+        doc_stream, text_col, id_col, big, muni, n_total,
+        alpha=alpha, micro=micro, pre_aggregate=False,
+    )

@@ -363,3 +363,42 @@ def test_prefix_ann_recall_and_exact_rescore(spark, corpus):
     rep = ann_recall_report(exact, approx, k=4).collect()
     assert len(rep) == 6
     assert all(0.0 <= r["recall"] <= 1.0 for r in rep)
+
+
+def test_lm_score_stream_matches_batch_twin(spark, sf_dir, tmp_path_factory):
+    """lm_score_stream (stream-static model joins, occurrence-level
+    terms, one update-mode agg) over a static dir must reproduce
+    bigram_lm_score exactly — integer micro-unit terms make the
+    occurrence/type-count split bit-identical."""
+    from petastorm_spark.operators.text import bigram_lm_model, bigram_lm_score
+    from petastorm_spark.streaming.feed import lm_score_stream, stream_dataset
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    model = docs.where(F.col("source").isin("src0", "src1", "src2", "src3"))
+    d = str(tmp_path_factory.mktemp("lmscore") / "docs")
+    docs.coalesce(1).write.parquet(d)
+
+    big, muni, n_total = bigram_lm_model(model, "text")
+    q = (
+        lm_score_stream(
+            stream_dataset(spark, d).select("doc_id", "text"),
+            big, muni, n_total, "text", "doc_id",
+        )
+        .writeStream.format("memory")
+        .queryName("lm_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        r.doc_id: (r.n_bigrams, r.seen_bigrams, r.score_micro, r.avg_logprob)
+        for r in spark.sql("SELECT * FROM lm_out").collect()
+    }
+    batch_rows = {
+        r.doc_id: (r.n_bigrams, r.seen_bigrams, r.score_micro, r.avg_logprob)
+        for r in bigram_lm_score(docs, "text", "doc_id", model_df=model).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
