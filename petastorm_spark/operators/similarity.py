@@ -1672,6 +1672,72 @@ def _ivfpq_adc_tables(
     return probed.mapInPandas(build, out_schema)
 
 
+def ivfpq_append(
+    spark,
+    index_url: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    check_ids: bool = True,
+) -> int:
+    """Incrementally add vectors to a persisted IVF-PQ index: assign
+    the new batch against the INDEX'S OWN centroids and PQ-encode the
+    residuals with the INDEX'S OWN codebooks (never re-train — stored
+    codes stay ADC-comparable across the whole index), then append
+    into the cell-partitioned codes layout. Returns the number of
+    vectors appended. Completes the index-maintenance family next to
+    :func:`ivf_append` / ``dedup.lsh_index_append``: ingest cost
+    scales with the BATCH (one quantizer-broadcast scan + one encode
+    map + one partitioned append); same duplicate-id refusal contract;
+    compact small appended files periodically with
+    ``compact_dataset(..., partition_by=['cell'])``; re-train and
+    rebuild when recall drifts, like any IVF deployment."""
+    from pyspark import StorageLevel
+
+    root = index_url.rstrip("/")
+    cent, codebooks, codes = ivfpq_index_read(spark, index_url)
+    if check_ids:
+        dup = (
+            codes.select(id_col)
+            .join(F.broadcast(new_vectors.select(id_col)), id_col, "semi")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"ivfpq_append: id {dup[0][0]!r} already indexed - "
+                "appending it again would corrupt every later probe"
+            )
+    # ivf_build with centroids= reuses the exact assignment path (and
+    # tie-breaks) the index was built with
+    _, assigned = ivf_build(new_vectors, id_col, vec_col, centroids=cent)
+    cent_b = F.broadcast(
+        cent.select(F.col("cell"), F.col("cent_vec").alias("_cv0"))
+    )
+    res = (
+        assigned.join(cent_b, "cell")
+        .withColumn(
+            "_res",
+            F.zip_with(
+                F.col(vec_col), F.col("_cv0"),
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ),
+        )
+        .select(F.col(id_col), "cell", "_res")
+    )
+    coded = pq_encode(res, codebooks, id_col, "_res").select(
+        id_col, "cell", "pq_codes"
+    )
+    # persist across count + write (same rationale as ivf_append)
+    coded = coded.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = coded.count()
+        coded.write.mode("append").partitionBy("cell").parquet(root + "/codes")
+    finally:
+        coded.unpersist()
+    return n
+
+
 def ivfpq_query(
     centroids: DataFrame,
     codebooks,

@@ -402,3 +402,44 @@ def test_lm_score_stream_matches_batch_twin(spark, sf_dir, tmp_path_factory):
         for r in bigram_lm_score(docs, "text", "doc_id", model_df=model).collect()
     }
     assert stream_rows == batch_rows and stream_rows
+
+
+def test_ivfpq_append_extends_persisted_index(spark, corpus, tmp_path_factory):
+    """ivfpq_append: new vectors become findable through the persisted
+    index without re-encoding old rows; duplicate-id appends refused;
+    cell partition layout (and thus probe pruning) preserved."""
+    import re
+
+    from petastorm_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_index_read,
+        ivfpq_index_write,
+        ivfpq_query,
+    )
+
+    url = str(tmp_path_factory.mktemp("ivfpq_append") / "idx")
+    base = corpus.where(F.col("vec_id") < 100)
+    extra = corpus.where(F.col("vec_id") >= 100).withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    cent, cb, coded = ivfpq_build(base, dim=16, n_cells=8, m=4, k_codes=8)
+    ivfpq_index_write(url, cent, cb, coded)
+
+    n = ivfpq_append(spark, url, extra)
+    assert n == extra.count() > 0
+    with pytest.raises(ValueError, match="already indexed"):
+        ivfpq_append(spark, url, extra.limit(3))
+
+    cent2, cb2, codes2 = ivfpq_index_read(spark, url)
+    assert codes2.count() == 120
+    # an appended vector must find itself top-1 through the index
+    q = extra.limit(3)
+    got = ivfpq_query(
+        cent2, cb2, codes2, base.unionByName(extra), q,
+        k=3, n_probe=8,  # probe all cells: exact within the rescore
+    )
+    plan = got._jdf.queryExecution().toString()
+    assert re.search(r"PartitionFilters: \[.*cell.* IN \(", plan)
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == {r["vec_id"] for r in q.collect()}
