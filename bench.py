@@ -162,6 +162,7 @@ HEADLINE = [
     "lm_score_backoff",
     "ann_cosine_prefix",
     "ann_recall_prefix",
+    "embedding_covariance",
 ]
 
 N_WARMUP_READS = 500

@@ -2128,3 +2128,70 @@ def cosine_topk_prefix(
         .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("_cv")))
     )
     return topk_per_query(rescored, k)
+
+
+def embedding_covariance(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 8,
+    micro: int = 10**6,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """ENGINE-EXACT covariance matrix of the leading ``dims``
+    embedding coordinates — the sufficient statistic behind whitening,
+    PCA, and embedding-drift monitors (and the natural companion to
+    the matryoshka-prefix family: the leading block is the one worth
+    whitening). Long-form output, one row per upper-triangle cell:
+    (i, j, n, cov) with 1-based i <= j.
+
+    Exactness contract (the corr_matrix_exact recipe): coordinates are
+    scaled to ``micro`` integers, the per-cell sufficient statistics
+    (n, Sx, Sy, Sxy) accumulate as DECIMAL(38,0) integer sums —
+    immune to float summation order — and the combination
+    ``(n*Sxy - Sx*Sy) / n^2`` runs in double over identical integers
+    using only correctly-rounded IEEE ops, so the doubles are
+    bit-reproducible across engines.
+
+    Scale: the pair explode is dims*(dims+1)/2 rows per vector — the
+    price of integer-exact sums, fine for a leading block (36x at
+    dims=8) and partially aggregated before its ONE shuffle (the
+    exchange carries dims^2 rows per map task, not per vector). For
+    full-width covariance at 100 TB, the production shape is per-batch
+    numpy X^T X partial sums via mapInPandas (dims^2 doubles per
+    batch) — float-ordered, so not oracle-exact; this operator is the
+    exact twin that validates it."""
+    xv = F.posexplode(F.slice(F.col(vec_col), 1, dims))
+    x = df.select(F.col(id_col).alias("_id"), xv.alias("_p", "_x")).select(
+        "_id",
+        (F.col("_p") + 1).alias("i"),
+        F.round(F.col("_x").cast("double") * micro, 0)
+        .cast("decimal(38,0)")
+        .alias("_xi"),
+    )
+    a, b = x.alias("a"), x.alias("b")
+    pairs = a.join(
+        b, (F.col("a._id") == F.col("b._id")) & (F.col("b.i") >= F.col("a.i"))
+    ).select(
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        F.col("a._xi").alias("_xa"),
+        F.col("b._xi").alias("_xb"),
+    )
+    g = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_xa").cast("decimal(38,0)").alias("_sa"),
+        F.sum("_xb").cast("decimal(38,0)").alias("_sb"),
+        F.sum(F.col("_xa") * F.col("_xb")).cast("decimal(38,0)").alias("_sab"),
+    )
+    n_d = F.col("_n").cast("double")
+    num = n_d * F.col("_sab").cast("double") - F.col("_sa").cast(
+        "double"
+    ) * F.col("_sb").cast("double")
+    cov = num / (n_d * n_d) / F.lit(float(micro) * float(micro))
+    return g.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        F.col("_n").cast("bigint").alias("n"),
+        F.round(cov, out_decimals).alias("cov"),
+    )

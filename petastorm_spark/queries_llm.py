@@ -5831,3 +5831,37 @@ def ann_recall_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(emb, q, k=5)
     approx = cosine_topk_prefix(emb, q, k=5, rescore_factor=4, prefix_dim=16)
     return ann_recall_report(exact, approx, k=5)
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (SELECT vec_id, i,
+                 CAST(round(v[i] * 1000000, 0) AS HUGEINT) AS xi
+          FROM e, unnest(range(1, 9)) AS u(i)),
+    p AS (SELECT a.i AS i, b.i AS j, a.xi AS xa, b.xi AS xb
+          FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i),
+    g AS (SELECT i, j, count(*) AS n,
+                 sum(xa) AS sa, sum(xb) AS sb, sum(xa * xb) AS sab
+          FROM p GROUP BY i, j)
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 / 1000000000000.0, 6) AS cov
+    FROM g
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the leading 8 embedding
+    dims — the whitening/PCA/drift sufficient statistic, engine-exact
+    via micro-unit DECIMAL(38,0) sums (the corr_lineitem_matrix
+    recipe applied to array columns). 36 cells; the combination runs
+    in double over identical integers on both engines. See
+    operators/similarity.embedding_covariance for the full-width
+    mapInPandas production shape this exact twin validates."""
+    from petastorm_spark.operators.similarity import embedding_covariance as ec
+
+    return ec(_t_wide(spark, sf_dir, "embeddings"), dims=8)

@@ -443,3 +443,28 @@ def test_ivfpq_append_extends_persisted_index(spark, corpus, tmp_path_factory):
     assert re.search(r"PartitionFilters: \[.*cell.* IN \(", plan)
     rows = got.collect()
     assert {r["query_id"] for r in rows} == {r["vec_id"] for r in q.collect()}
+
+
+def test_embedding_covariance_matches_numpy(spark, corpus):
+    """36 upper-triangle cells vs numpy's population covariance of the
+    micro-quantized coordinates (the operator's exact contract)."""
+    import numpy as np
+
+    from petastorm_spark.operators.similarity import embedding_covariance
+
+    got = {
+        (r["i"], r["j"]): (r["n"], r["cov"])
+        for r in embedding_covariance(corpus, dims=8).collect()
+    }
+    V = np.array(
+        [r["embedding"] for r in corpus.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )[:, :8]
+    Q = np.round(V * 10**6)  # the micro-unit quantization
+    n = len(Q)
+    assert len(got) == 36
+    for (i, j), (gn, gcov) in got.items():
+        assert gn == n and 1 <= i <= j <= 8
+        xa, xb = Q[:, i - 1], Q[:, j - 1]
+        want = (n * (xa * xb).sum() - xa.sum() * xb.sum()) / (n * n) / 1e12
+        assert abs(gcov - want) < 1.5e-6  # round(.,6) vs unrounded
