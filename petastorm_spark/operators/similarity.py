@@ -2195,3 +2195,69 @@ def embedding_covariance(
         F.col("_n").cast("bigint").alias("n"),
         F.round(cov, out_decimals).alias("cov"),
     )
+
+
+def pca_project_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 8,
+    n_components: int = 4,
+    out_col: str = "pca",
+) -> DataFrame:
+    """PCA projection of the leading ``dims`` embedding coordinates
+    onto the top ``n_components`` principal axes — the learned
+    counterpart of :func:`project_embeddings`' random JL matrix, and
+    the consumer of :func:`embedding_covariance`'s exact sufficient
+    statistics. Output adds ``out_col`` (array<double>, centered data
+    times components) next to the input columns.
+
+    Scale split, the same shape as every quantizer here: the
+    covariance is computed DISTRIBUTED (one partially-aggregated
+    pass), and only the dims x dims cell table — bounded by
+    construction, like a centroid table — reaches the driver for the
+    eigendecomposition; the components then ride the projection plan
+    as ONE 2-D literal (:func:`const_matrix`), a pure per-row map.
+    Determinism: numpy ``eigh`` on the symmetric matrix, components
+    ordered by descending eigenvalue, each component's sign fixed so
+    its largest-|.|-element (lowest index on ties) is positive."""
+    cells = embedding_covariance(df, id_col, vec_col, dims).collect()
+    C = np.zeros((dims, dims), dtype=np.float64)
+    for r in cells:
+        C[r["i"] - 1, r["j"] - 1] = C[r["j"] - 1, r["i"] - 1] = r["cov"]
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(-w)[:n_components]
+    comps = V[:, order].T  # (n_components, dims)
+    for c in range(len(comps)):
+        pivot = np.argmax(np.abs(comps[c]))
+        if comps[c, pivot] < 0:
+            comps[c] = -comps[c]
+    # center with the exact per-dimension means (one distributed pass)
+    means = (
+        df.select(
+            *[
+                F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(
+                    f"m{i}"
+                )
+                for i in range(dims)
+            ]
+        ).collect()[0]
+    )
+    mu = const_vector([float(means[f"m{i}"]) for i in range(dims)])
+    m = const_matrix(comps)
+    centered = F.zip_with(
+        F.slice(F.col(vec_col), 1, dims), mu, lambda x, y: x.cast("double") - y
+    )
+    proj = F.transform(
+        m,
+        lambda row: F.aggregate(
+            F.zip_with(F.col("_ctr"), row, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (
+        df.withColumn("_ctr", centered)
+        .withColumn(out_col, proj)
+        .drop("_ctr")
+    )

@@ -468,3 +468,42 @@ def test_embedding_covariance_matches_numpy(spark, corpus):
         xa, xb = Q[:, i - 1], Q[:, j - 1]
         want = (n * (xa * xb).sum() - xa.sum() * xb.sum()) / (n * n) / 1e12
         assert abs(gcov - want) < 1.5e-6  # round(.,6) vs unrounded
+
+
+def test_pca_project_matches_numpy(spark, corpus):
+    """pca_project_embeddings vs numpy: eigh of the micro-quantized
+    covariance, same component ordering and sign convention, projection
+    within float tolerance of numpy's (the Spark fold is sequential,
+    numpy may pairwise-sum — not bit-pinned, but this is a learned
+    transform, not an oracle query)."""
+    import numpy as np
+
+    from petastorm_spark.operators.similarity import pca_project_embeddings
+
+    dims, k = 8, 4
+    rows = pca_project_embeddings(
+        corpus, dims=dims, n_components=k
+    ).orderBy("vec_id").collect()
+    V = np.array(
+        [r["embedding"] for r in corpus.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )[:, :dims]
+    n = len(V)
+    Q = np.round(V * 1e6)
+    Cn = np.zeros((dims, dims))
+    for i in range(dims):
+        for j in range(dims):
+            Cn[i, j] = round(
+                (n * (Q[:, i] * Q[:, j]).sum() - Q[:, i].sum() * Q[:, j].sum())
+                / (n * n) / 1e12, 6,
+            )
+    w, E = np.linalg.eigh(Cn)
+    comps = E[:, np.argsort(-w)[:k]].T
+    for c in range(k):
+        p = np.argmax(np.abs(comps[c]))
+        if comps[c, p] < 0:
+            comps[c] = -comps[c]
+    want = (V - V.mean(axis=0)) @ comps.T
+    got = np.array([r["pca"] for r in rows])
+    assert got.shape == (n, k)
+    assert np.abs(got - want).max() < 1e-9
