@@ -163,6 +163,7 @@ HEADLINE = [
     "ann_cosine_prefix",
     "ann_recall_prefix",
     "embedding_covariance",
+    "video_shot_boundaries",
 ]
 
 N_WARMUP_READS = 500

@@ -345,3 +345,50 @@ def video_dup_pairs(
     )
     hamming = F2.bit_count(F2.col("sig_a").bitwiseXOR(F2.col("sig_b")))
     return cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+
+
+def shot_boundaries(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    threshold: int,
+) -> DataFrame:
+    """Shot-boundary (cut) detection for RAW0 'videos': a cut at frame
+    ``t >= 1`` wherever the absolute difference of consecutive frames'
+    INTEGER pixel sums reaches ``threshold`` — the classic
+    sum-of-absolute-differences cut detector reduced to its per-frame
+    sufficient statistic. Integer sums end to end (no float), so the
+    cut set is trivially engine-exact. Output per video:
+    (id, n_frames, n_cuts, cuts_csv) with cut frame indexes joined
+    ascending into a comma string (scalar columns only — the registry
+    contract).
+
+    Scale: one mapInPandas pure map (decode -> per-frame sum -> diff),
+    n rows in / n rows out; the real-ffmpeg swap-in keeps this exact
+    plumbing and replaces only the decode."""
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} bigint, n_frames bigint, n_cuts bigint, cuts_csv string"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, nf, nc, csv = [], [], [], []
+            for did, raw in zip(pdf[id_col], pdf[binary_col]):
+                arr, _ = decode_image_bytes(bytes(raw))
+                sums = arr.reshape(arr.shape[0], -1).astype(np.int64).sum(axis=1)
+                cuts = [
+                    int(t)
+                    for t in range(1, len(sums))
+                    if abs(int(sums[t]) - int(sums[t - 1])) >= threshold
+                ]
+                ids.append(did)
+                nf.append(len(sums))
+                nc.append(len(cuts))
+                csv.append(",".join(str(t) for t in cuts))
+            yield pd.DataFrame(
+                {id_col: ids, "n_frames": nf, "n_cuts": nc, "cuts_csv": csv}
+            )
+
+    return df.mapInPandas(kernel, out_schema)

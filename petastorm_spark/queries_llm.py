@@ -5865,3 +5865,72 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petastorm_spark.operators.similarity import embedding_covariance as ec
 
     return ec(_t_wide(spark, sf_dir, "embeddings"), dims=8)
+
+
+@register(
+    "video_shot_boundaries",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id, t.t
+      FROM documents, (SELECT unnest(range(20)) AS t) t
+      WHERE t.t < 13 + doc_id % 7
+    ),
+    sums AS (
+      SELECT doc_id, f.t,
+             SUM(('0x' || substr(md5(doc_id::VARCHAR || '_v' || f.t::VARCHAR),
+                                 2 * b.b + 1, 2))::BIGINT) AS s
+      FROM frames f, (SELECT unnest(range(4)) AS b) b
+      GROUP BY doc_id, f.t
+    ),
+    d AS (SELECT doc_id, t,
+                 s - lag(s) OVER (PARTITION BY doc_id ORDER BY t) AS df
+          FROM sums),
+    cuts AS (SELECT doc_id, t FROM d WHERE abs(df) >= 300)
+    SELECT s.doc_id,
+           CAST(13 + s.doc_id % 7 AS BIGINT) AS n_frames,
+           CAST(count(c.t) AS BIGINT) AS n_cuts,
+           coalesce(string_agg(c.t::VARCHAR, ',' ORDER BY c.t), '')
+               AS cuts_csv
+    FROM (SELECT DISTINCT doc_id FROM sums) s
+    LEFT JOIN cuts c ON c.doc_id = s.doc_id
+    GROUP BY s.doc_id
+    """,
+)
+def video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection end to end: the variable-length
+    (T, 2, 2) md5-pixel videos from the frame-sample fixture pass
+    through the SAD cut detector at threshold 300 — per-frame INTEGER
+    pixel sums, so the cut set is integer-exact and the oracle is a
+    lag() window over the same md5 byte sums. Output (doc_id,
+    n_frames, n_cuts, cuts_csv). Scale: one mapInPandas pure map."""
+    import hashlib
+
+    import pandas as pd
+
+    from petastorm_spark.operators.multimodal import (
+        encode_fake_image,
+        shot_boundaries,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                T = 13 + d % 7
+                frames = np.stack(
+                    [
+                        np.frombuffer(
+                            hashlib.md5(f"{d}_v{t}".encode()).digest()[:4],
+                            dtype=np.uint8,
+                        ).reshape(2, 2)
+                        for t in range(T)
+                    ]
+                )
+                blobs.append(encode_fake_image(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "video": blobs})
+
+    vids = ids.mapInPandas(gen, "doc_id bigint, video binary")
+    return shot_boundaries(vids, "video", "doc_id", threshold=300)

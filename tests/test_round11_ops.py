@@ -507,3 +507,36 @@ def test_pca_project_matches_numpy(spark, corpus):
     got = np.array([r["pca"] for r in rows])
     assert got.shape == (n, k)
     assert np.abs(got - want).max() < 1e-9
+
+
+def test_shot_boundaries_hand_computed(spark):
+    """A hand-built video with known cuts: frame sums 0,0,1020,1020,0
+    at threshold 300 -> cuts at t=2 and t=4; an all-constant video has
+    none; a 1-frame video has none."""
+    import numpy as np
+    import pandas as pd
+
+    from petastorm_spark.operators.multimodal import (
+        encode_fake_image,
+        shot_boundaries,
+    )
+
+    def vid(levels):
+        return encode_fake_image(
+            np.stack([np.full((2, 2), v, dtype=np.uint8) for v in levels])
+        )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "video": [vid([0, 0, 255, 255, 0]), vid([7] * 4), vid([9])],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: (r["n_frames"], r["n_cuts"], r["cuts_csv"])
+        for r in shot_boundaries(df, "video", "doc_id", 300).collect()
+    }
+    assert got[1] == (5, 2, "2,4")
+    assert got[2] == (4, 0, "")
+    assert got[3] == (1, 0, "")
