@@ -164,6 +164,7 @@ HEADLINE = [
     "ann_recall_prefix",
     "embedding_covariance",
     "video_shot_boundaries",
+    "audio_silence_spans",
 ]
 
 N_WARMUP_READS = 500

@@ -301,3 +301,69 @@ def audio_dup_pairs(
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+
+
+def silence_spans(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    window: int,
+    threshold: int,
+) -> DataFrame:
+    """Silence detection for PCM WAV clips — the trim/VAD-proxy
+    preprocessing every speech pipeline runs first: the clip is cut
+    into non-overlapping ``window``-sample blocks, a block is silent
+    when the INTEGER sum of absolute sample values (across channels)
+    is below ``threshold``, and the report is
+    (id, n_windows, n_silent, longest_silence) with the longest run
+    of consecutive silent blocks. Integer statistics end to end, so
+    the spans are trivially engine-exact (the shot_boundaries
+    contract, audio leg).
+
+    Scale: one mapInPandas pure map (decode -> block abs-sums ->
+    run-length), n rows in / n rows out; a real VAD swaps in for the
+    block statistic and keeps the plumbing."""
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} bigint, n_windows bigint, n_silent bigint, "
+        "longest_silence bigint"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, nw, ns, run = [], [], [], []
+            for did, raw in zip(pdf[id_col], pdf[binary_col]):
+                samples, _rate = decode_wav(bytes(raw))
+                if samples.ndim == 1:
+                    samples = samples[:, None]
+                if np.issubdtype(samples.dtype, np.floating):
+                    # decode_wav normalizes PCM16 by /32768 — a dyadic
+                    # scale, so multiplying back recovers the original
+                    # integer samples EXACTLY (no rounding drift)
+                    samples = np.round(samples * 32768.0)
+                n = (samples.shape[0] // window) * window
+                blocks = (
+                    np.abs(samples[:n].astype(np.int64))
+                    .reshape(n // window, window, samples.shape[1])
+                    .sum(axis=(1, 2))
+                )
+                silent = blocks < threshold
+                best = cur = 0
+                for s in silent:
+                    cur = cur + 1 if s else 0
+                    best = max(best, cur)
+                ids.append(did)
+                nw.append(len(blocks))
+                ns.append(int(silent.sum()))
+                run.append(best)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_windows": nw,
+                    "n_silent": ns,
+                    "longest_silence": run,
+                }
+            )
+
+    return df.mapInPandas(kernel, out_schema)

@@ -5934,3 +5934,71 @@ def video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vids = ids.mapInPandas(gen, "doc_id bigint, video binary")
     return shot_boundaries(vids, "video", "doc_id", threshold=300)
+
+
+@register(
+    "audio_silence_spans",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, t.w,
+             ('0x' || substr(md5(doc_id::VARCHAR || '_w' || t.w::VARCHAR),
+                             1, 2))::BIGINT AS b
+      FROM documents, (SELECT unnest(range(13)) AS w) t
+      WHERE t.w < 8 + doc_id % 5
+    ),
+    blocks AS (SELECT doc_id, w, 16 * abs(b - 60) AS e,
+                      (16 * abs(b - 60) < 160) AS silent
+               FROM w),
+    isl AS (SELECT doc_id, w, silent,
+                   w - row_number() OVER (PARTITION BY doc_id, silent
+                                          ORDER BY w) AS grp
+            FROM blocks),
+    runs AS (SELECT doc_id, count(*) AS run_len
+             FROM isl WHERE silent GROUP BY doc_id, grp)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN b.silent THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_silent,
+           CAST(coalesce(max(r.mx), 0) AS BIGINT) AS longest_silence
+    FROM blocks b
+    LEFT JOIN (SELECT doc_id, max(run_len) AS mx FROM runs GROUP BY doc_id) r
+      ON r.doc_id = b.doc_id
+    GROUP BY b.doc_id
+    """,
+)
+def audio_silence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence/trim report end to end: mono WAV clips whose w-th
+    16-sample block is the constant (md5_byte - 60) — so a block's
+    abs-sum is exactly 16*|b-60| and 'silent' (< 160) is an integer
+    comparison — pass through the silence_spans run-length kernel.
+    The oracle recomputes blocks from the same md5 bytes and finds the
+    longest run with gaps-and-islands. Scale: one mapInPandas map."""
+    import hashlib
+
+    import pandas as pd
+
+    from petastorm_spark.operators.audio import encode_wav, silence_spans
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                nw = 8 + d % 5
+                s = np.concatenate(
+                    [
+                        np.full(
+                            16,
+                            hashlib.md5(f"{d}_w{w}".encode()).digest()[0] - 60,
+                            dtype=np.int16,
+                        )
+                        for w in range(nw)
+                    ]
+                )
+                blobs.append(encode_wav(s.reshape(-1, 1), 16000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "audio": blobs})
+
+    wavs = ids.mapInPandas(gen, "doc_id bigint, audio binary")
+    return silence_spans(wavs, "audio", "doc_id", window=16, threshold=160)

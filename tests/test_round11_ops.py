@@ -540,3 +540,34 @@ def test_shot_boundaries_hand_computed(spark):
     assert got[1] == (5, 2, "2,4")
     assert got[2] == (4, 0, "")
     assert got[3] == (1, 0, "")
+
+
+def test_silence_spans_hand_computed(spark):
+    """Known silence pattern: blocks quiet,loud,quiet,quiet,loud at
+    window 4, threshold 40 -> n_silent=3, longest run=2; an all-loud
+    clip has zeros."""
+    import numpy as np
+    import pandas as pd
+
+    from petastorm_spark.operators.audio import encode_wav, silence_spans
+
+    def clip(levels):
+        s = np.concatenate(
+            [np.full(4, v, dtype=np.int16) for v in levels]
+        ).reshape(-1, 1)
+        return encode_wav(s, 8000)
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "audio": [clip([2, 100, -3, 0, 50]), clip([99, 99])],
+        }
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_silent"], r["longest_silence"])
+        for r in silence_spans(
+            spark.createDataFrame(pdf), "audio", "doc_id", 4, 40
+        ).collect()
+    }
+    assert got[1] == (5, 3, 2)
+    assert got[2] == (2, 0, 0)
