@@ -325,8 +325,9 @@ def silence_spans(
     block statistic and keeps the plumbing."""
     import pandas as pd
 
+    id_t = df.schema[id_col].dataType.simpleString()  # native id type
     out_schema = (
-        f"{id_col} bigint, n_windows bigint, n_silent bigint, "
+        f"{id_col} {id_t}, n_windows bigint, n_silent bigint, "
         "longest_silence bigint"
     )
 

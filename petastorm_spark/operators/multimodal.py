@@ -368,8 +368,9 @@ def shot_boundaries(
     plumbing and replaces only the decode."""
     import pandas as pd
 
+    id_t = df.schema[id_col].dataType.simpleString()  # native id type
     out_schema = (
-        f"{id_col} bigint, n_frames bigint, n_cuts bigint, cuts_csv string"
+        f"{id_col} {id_t}, n_frames bigint, n_cuts bigint, cuts_csv string"
     )
 
     def kernel(batches):

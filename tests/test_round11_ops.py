@@ -571,3 +571,28 @@ def test_silence_spans_hand_computed(spark):
     }
     assert got[1] == (5, 3, 2)
     assert got[2] == (2, 0, 0)
+
+
+def test_shot_and_silence_accept_string_ids(spark):
+    """The round-11 dtype lesson applied to the new kernels: string
+    ids must flow through shot_boundaries and silence_spans."""
+    import numpy as np
+    import pandas as pd
+
+    from petastorm_spark.operators.audio import encode_wav, silence_spans
+    from petastorm_spark.operators.multimodal import (
+        encode_fake_image,
+        shot_boundaries,
+    )
+
+    vid = encode_fake_image(
+        np.stack([np.full((2, 2), v, dtype=np.uint8) for v in (0, 255)])
+    )
+    clip = encode_wav(np.zeros((8, 1), dtype=np.int16), 8000)
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["doc-a"], "video": [vid], "audio": [clip]})
+    )
+    s = shot_boundaries(df, "video", "k", 300).collect()
+    assert [(r["k"], r["n_cuts"]) for r in s] == [("doc-a", 1)]
+    a = silence_spans(df, "audio", "k", 4, 10).collect()
+    assert [(r["k"], r["n_silent"]) for r in a] == [("doc-a", 2)]
