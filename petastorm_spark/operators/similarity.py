@@ -2261,3 +2261,79 @@ def pca_project_embeddings(
         .withColumn(out_col, proj)
         .drop("_ctr")
     )
+
+
+def prefix_index_write(
+    index_url: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix_dim: int = 16,
+) -> None:
+    """Persist the Matryoshka prefix index: (id, prefix slice) as its
+    own parquet — the artifact that makes :func:`cosine_topk_prefix`'s
+    approximate pass PHYSICALLY dim/prefix_dim smaller (a slice
+    computed in the scan still reads the full vector column off disk;
+    this index stores only the leading block). The dimensionality is
+    recorded in a JSON sidecar."""
+    import json as _json
+
+    root = index_url.rstrip("/")
+    corpus.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("prefix"),
+    ).write.mode("overwrite").parquet(root + "/prefix")
+    fs, local_root = _index_fs(index_url)
+    with fs.open_output_stream(local_root.rstrip("/") + "/prefix.json") as f:
+        f.write(_json.dumps({"prefix_dim": int(prefix_dim)}).encode())
+
+
+def prefix_index_read(spark, index_url: str):
+    """Load a persisted prefix index: ``(prefix_dim, prefix DataFrame)``."""
+    import json as _json
+
+    root = index_url.rstrip("/")
+    fs, local_root = _index_fs(index_url)
+    with fs.open_input_file(local_root.rstrip("/") + "/prefix.json") as f:
+        payload = _json.loads(f.read().decode())
+    return int(payload["prefix_dim"]), spark.read.parquet(root + "/prefix")
+
+
+def prefix_query(
+    prefix_df: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rescore_factor: int = 4,
+    prefix_dim: int = 16,
+) -> DataFrame:
+    """Top-k cosine against a prebuilt prefix index (the search half of
+    :func:`cosine_topk_prefix`): the approximate pass scans ONLY the
+    (id, prefix) table — dim/prefix_dim of the vector bytes — and the
+    ``k * rescore_factor`` shortlist joins ``vectors`` by id for the
+    exact-cosine rescore."""
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("_qp"),
+    )
+    approx = (
+        prefix_df.select(F.col(id_col).alias("neighbor_id"), F.col("prefix"))
+        .crossJoin(F.broadcast(qs.select("query_id", "_qp")))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("_qp"), F.col("prefix")))
+    )
+    shortlist = topk_per_query(approx, k * rescore_factor).select(
+        "query_id", "neighbor_id"
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    rescored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qs.select("query_id", "q_vec")), "query_id")
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("_cv")))
+    )
+    return topk_per_query(rescored, k)

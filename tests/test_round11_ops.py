@@ -596,3 +596,35 @@ def test_shot_and_silence_accept_string_ids(spark):
     assert [(r["k"], r["n_cuts"]) for r in s] == [("doc-a", 1)]
     a = silence_spans(df, "audio", "k", 4, 10).collect()
     assert [(r["k"], r["n_silent"]) for r in a] == [("doc-a", 2)]
+
+
+def test_prefix_persistent_index_matches_and_prunes(
+    spark, corpus, tmp_path_factory
+):
+    """prefix_query over a persisted index must equal the in-plan
+    cosine_topk_prefix row for row, and its approx scan must read ONLY
+    (id, prefix) — the physical payoff (ReadSchema pinned)."""
+    from petastorm_spark.operators.similarity import (
+        cosine_topk_prefix,
+        prefix_index_read,
+        prefix_index_write,
+        prefix_query,
+    )
+
+    url = str(tmp_path_factory.mktemp("prefix_idx") / "idx")
+    prefix_index_write(url, corpus, prefix_dim=4)
+    p, pdf_idx = prefix_index_read(spark, url)
+    assert p == 4
+    q = corpus.limit(5)
+    got = prefix_query(pdf_idx, corpus, q, k=3, prefix_dim=4)
+    want = sorted(
+        map(tuple, cosine_topk_prefix(corpus, q, k=3, prefix_dim=4).collect())
+    )
+    assert sorted(map(tuple, got.collect())) == want
+    plan = got._jdf.queryExecution().toString()
+    idx_scans = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "/prefix]" in ln.replace("\\", "/")
+    ]
+    # the index scan reads id + prefix, never a full vector column
+    assert idx_scans and all("embedding" not in ln for ln in idx_scans)
