@@ -148,6 +148,12 @@ STUDY_QUERIES = [
     "bitext_margin_mine",
     "dedup_semantic_incremental",
     "winnowing_matches",
+    "lm_score_backoff",
+    "ann_cosine_prefix",
+    "ann_recall_prefix",
+    "embedding_covariance",
+    "video_shot_boundaries",
+    "audio_silence_spans",
 ]
 
 
