@@ -2130,6 +2130,54 @@ def cosine_topk_prefix(
     return topk_per_query(rescored, k)
 
 
+def _covariance_cells(
+    df: DataFrame,
+    vec_col: str,
+    dims: int,
+    micro: int,
+) -> DataFrame:
+    """Shared sufficient-statistics frame behind
+    :func:`embedding_covariance` and :func:`pca_project_embeddings`:
+    one row per upper-triangle cell, (i, j, _n, _sa, _sb, _sab) with
+    DECIMAL(38,0) integer sums of the micro-quantized coordinates.
+
+    Shape: the dims*(dims+1)/2 (i, j, xi, xj) structs are generated
+    INLINE from each row's sliced vector (a plan-time-constant struct
+    array indexed with null-safe ``get``) and exploded — a pure
+    per-row map with zero joins; the groupBy partial-aggregates
+    map-side, so the single exchange carries <= dims^2 rows per task."""
+    xarr = F.transform(
+        F.slice(F.col(vec_col), 1, dims),
+        lambda v: F.round(v.cast("double") * micro, 0).cast("decimal(38,0)"),
+    )
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                F.get("_v", i - 1).alias("_xa"),
+                F.get("_v", j - 1).alias("_xb"),
+            )
+            for i in range(1, dims + 1)
+            for j in range(i, dims + 1)
+        ]
+    )
+    return (
+        df.select(xarr.alias("_v"))
+        .select(F.explode(pair_structs).alias("_c"))
+        .select("_c.i", "_c.j", "_c._xa", "_c._xb")
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_xa").cast("decimal(38,0)").alias("_sa"),
+            F.sum("_xb").cast("decimal(38,0)").alias("_sb"),
+            F.sum(F.col("_xa") * F.col("_xb"))
+            .cast("decimal(38,0)")
+            .alias("_sab"),
+        )
+    )
+
+
 def embedding_covariance(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -2153,37 +2201,16 @@ def embedding_covariance(
     using only correctly-rounded IEEE ops, so the doubles are
     bit-reproducible across engines.
 
-    Scale: the pair explode is dims*(dims+1)/2 rows per vector — the
-    price of integer-exact sums, fine for a leading block (36x at
-    dims=8) and partially aggregated before its ONE shuffle (the
-    exchange carries dims^2 rows per map task, not per vector). For
-    full-width covariance at 100 TB, the production shape is per-batch
-    numpy X^T X partial sums via mapInPandas (dims^2 doubles per
-    batch) — float-ordered, so not oracle-exact; this operator is the
-    exact twin that validates it."""
-    xv = F.posexplode(F.slice(F.col(vec_col), 1, dims))
-    x = df.select(F.col(id_col).alias("_id"), xv.alias("_p", "_x")).select(
-        "_id",
-        (F.col("_p") + 1).alias("i"),
-        F.round(F.col("_x").cast("double") * micro, 0)
-        .cast("decimal(38,0)")
-        .alias("_xi"),
-    )
-    a, b = x.alias("a"), x.alias("b")
-    pairs = a.join(
-        b, (F.col("a._id") == F.col("b._id")) & (F.col("b.i") >= F.col("a.i"))
-    ).select(
-        F.col("a.i").alias("i"),
-        F.col("b.i").alias("j"),
-        F.col("a._xi").alias("_xa"),
-        F.col("b._xi").alias("_xb"),
-    )
-    g = pairs.groupBy("i", "j").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum("_xa").cast("decimal(38,0)").alias("_sa"),
-        F.sum("_xb").cast("decimal(38,0)").alias("_sb"),
-        F.sum(F.col("_xa") * F.col("_xb")).cast("decimal(38,0)").alias("_sab"),
-    )
+    Scale: the i <= j pair fan-out is a PER-ROW map — dims*(dims+1)/2
+    structs built inline from the sliced vector and exploded (no join,
+    no second scan), then partially aggregated before the ONE shuffle
+    (the exchange carries at most dims^2 rows per map task, not per
+    vector), so cost is linear in N at any scale. For full-width
+    covariance at 100 TB, the production shape is per-batch numpy
+    X^T X partial sums via mapInPandas (dims^2 doubles per batch) —
+    float-ordered, so not oracle-exact; this operator is the exact
+    twin that validates it."""
+    g = _covariance_cells(df, vec_col, dims, micro)
     n_d = F.col("_n").cast("double")
     num = n_d * F.col("_sab").cast("double") - F.col("_sa").cast(
         "double"
@@ -2213,18 +2240,34 @@ def pca_project_embeddings(
     times components) next to the input columns.
 
     Scale split, the same shape as every quantizer here: the
-    covariance is computed DISTRIBUTED (one partially-aggregated
-    pass), and only the dims x dims cell table — bounded by
-    construction, like a centroid table — reaches the driver for the
-    eigendecomposition; the components then ride the projection plan
-    as ONE 2-D literal (:func:`const_matrix`), a pure per-row map.
-    Determinism: numpy ``eigh`` on the symmetric matrix, components
-    ordered by descending eigenvalue, each component's sign fixed so
-    its largest-|.|-element (lowest index on ties) is positive."""
-    cells = embedding_covariance(df, id_col, vec_col, dims).collect()
+    sufficient statistics are computed DISTRIBUTED (ONE
+    partially-aggregated pass, :func:`_covariance_cells`), and only
+    the dims x dims cell table — bounded by construction, like a
+    centroid table — reaches the driver, where BOTH the covariance
+    cells and the per-dimension means (Sa/n of the i==j rows, the
+    same DECIMAL(38,0) integer sums) are derived; the components then
+    ride the projection plan as ONE 2-D literal (:func:`const_matrix`),
+    a pure per-row map. Determinism: every driver-side double is a
+    correctly-rounded function of the integer sums (no float
+    accumulation anywhere), so the transform is RUN-IDENTICAL; numpy
+    ``eigh`` on the symmetric matrix, components ordered by descending
+    eigenvalue, each component's sign fixed so its
+    largest-|.|-element (lowest index on ties) is positive."""
+    micro = 10**6
+    cells = _covariance_cells(df, vec_col, dims, micro).collect()
     C = np.zeros((dims, dims), dtype=np.float64)
+    mu_vals = [0.0] * dims
     for r in cells:
-        C[r["i"] - 1, r["j"] - 1] = C[r["j"] - 1, r["i"] - 1] = r["cov"]
+        n, sa, sb, sab = (
+            float(r["_n"]),
+            float(r["_sa"]),
+            float(r["_sb"]),
+            float(r["_sab"]),
+        )
+        cov = round((n * sab - sa * sb) / (n * n) / float(micro) ** 2, 6)
+        C[r["i"] - 1, r["j"] - 1] = C[r["j"] - 1, r["i"] - 1] = cov
+        if r["i"] == r["j"]:
+            mu_vals[r["i"] - 1] = sa / n / micro
     w, V = np.linalg.eigh(C)
     order = np.argsort(-w)[:n_components]
     comps = V[:, order].T  # (n_components, dims)
@@ -2232,18 +2275,7 @@ def pca_project_embeddings(
         pivot = np.argmax(np.abs(comps[c]))
         if comps[c, pivot] < 0:
             comps[c] = -comps[c]
-    # center with the exact per-dimension means (one distributed pass)
-    means = (
-        df.select(
-            *[
-                F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(
-                    f"m{i}"
-                )
-                for i in range(dims)
-            ]
-        ).collect()[0]
-    )
-    mu = const_vector([float(means[f"m{i}"]) for i in range(dims)])
+    mu = const_vector(mu_vals)
     m = const_matrix(comps)
     centered = F.zip_with(
         F.slice(F.col(vec_col), 1, dims), mu, lambda x, y: x.cast("double") - y

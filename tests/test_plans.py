@@ -326,3 +326,21 @@ def test_signals_bundle_single_pass_no_shuffle(spark, sf_dir):
     assert "EvalPython" not in ep
     assert "Join" not in ep
     assert "HashAggregate" not in ep
+
+
+def test_embedding_covariance_join_free_single_exchange(spark, sf_dir):
+    """embedding_covariance: the i<=j pair fan-out is a per-row map
+    (inline struct explode), NOT a self-join of the exploded corpus —
+    the executed plan must be join-free and Python-free, with exactly
+    ONE hash exchange (the partially-aggregated (i, j) groupBy)."""
+    from petastorm_spark.plans.checks import formatted_plan
+
+    df = QUERIES["embedding_covariance"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, "pair self-join resurfaced"
+    assert "EvalPython" not in plan
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert plan.count("ReadSchema") == 1, plan
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in ep and "EvalPython" not in ep

@@ -503,7 +503,9 @@ def test_pca_project_matches_numpy(spark, corpus):
         p = np.argmax(np.abs(comps[c]))
         if comps[c, p] < 0:
             comps[c] = -comps[c]
-    want = (V - V.mean(axis=0)) @ comps.T
+    # centered with the exact micro-unit means (Sa/n of the i==j
+    # cells), not the float mean of the raw doubles
+    want = (V - Q.mean(axis=0) / 1e6) @ comps.T
     got = np.array([r["pca"] for r in rows])
     assert got.shape == (n, k)
     assert np.abs(got - want).max() < 1e-9
