@@ -55,10 +55,15 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
 
 
-def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
+def decode_wav_ex(raw: bytes) -> tuple[np.ndarray, int, int, int]:
     """Parse a RIFF PCM WAV blob -> (float64 array (frames, channels)
-    scaled to [-1, 1], sample_rate). Chunk-walks the container, so
-    extra chunks (LIST/fact/cue) are skipped correctly."""
+    scaled to [-1, 1], sample_rate, audio_format, bits). Chunk-walks
+    the container, so extra chunks (LIST/fact/cue) are skipped
+    correctly. ``audio_format`` is the fmt-chunk code (1 = integer
+    PCM, 3 = IEEE float); ``bits`` the container bit depth — what an
+    exactness-sensitive consumer needs to undo the normalization
+    (integer PCM divides by 1 << (bits-1), a dyadic scale, so
+    multiplying back recovers the original integers exactly)."""
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise NotImplementedError(
             "not a RIFF/WAVE byte stream; compressed audio codecs need "
@@ -88,7 +93,14 @@ def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
     else:
         raise NotImplementedError(f"WAV format {audio_format}/{bits}bit")
     frames = len(arr) // n_ch
-    return arr[: frames * n_ch].reshape(frames, n_ch), rate
+    return arr[: frames * n_ch].reshape(frames, n_ch), rate, audio_format, bits
+
+
+def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
+    """:func:`decode_wav_ex` without the format fields — the decode
+    surface every feature kernel uses."""
+    arr, rate, _fmt, _bits = decode_wav_ex(raw)
+    return arr, rate
 
 
 AUDIO_META_SCHEMA = StructType(
@@ -318,7 +330,12 @@ def silence_spans(
     (id, n_windows, n_silent, longest_silence) with the longest run
     of consecutive silent blocks. Integer statistics end to end, so
     the spans are trivially engine-exact (the shot_boundaries
-    contract, audio leg).
+    contract, audio leg). ``threshold`` is in the container's native
+    integer sample units (half-scale = 1 << (bits-1)), so the same
+    clip at a different bit depth needs a proportionally scaled
+    threshold; IEEE-float WAVs have no exact integer samples to
+    recover and raise NotImplementedError rather than silently
+    quantizing.
 
     Scale: one mapInPandas pure map (decode -> block abs-sums ->
     run-length), n rows in / n rows out; a real VAD swaps in for the
@@ -335,14 +352,20 @@ def silence_spans(
         for pdf in batches:
             ids, nw, ns, run = [], [], [], []
             for did, raw in zip(pdf[id_col], pdf[binary_col]):
-                samples, _rate = decode_wav(bytes(raw))
+                samples, _rate, audio_format, bits = decode_wav_ex(bytes(raw))
+                if audio_format != 1:
+                    raise NotImplementedError(
+                        "silence_spans needs integer PCM: IEEE-float WAV "
+                        "samples have no exact integer recovery, and a "
+                        "silent mis-scale would corrupt the threshold"
+                    )
                 if samples.ndim == 1:
                     samples = samples[:, None]
-                if np.issubdtype(samples.dtype, np.floating):
-                    # decode_wav normalizes PCM16 by /32768 — a dyadic
-                    # scale, so multiplying back recovers the original
-                    # integer samples EXACTLY (no rounding drift)
-                    samples = np.round(samples * 32768.0)
+                # decode_wav_ex normalizes integer PCM by the dyadic
+                # 1 << (bits-1), so multiplying back recovers the
+                # original integer samples EXACTLY (8-bit: the signed
+                # x-128 value; no rounding drift at any depth)
+                samples = np.round(samples * float(1 << (bits - 1)))
                 n = (samples.shape[0] // window) * window
                 blocks = (
                     np.abs(samples[:n].astype(np.int64))

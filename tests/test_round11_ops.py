@@ -575,6 +575,73 @@ def test_silence_spans_hand_computed(spark):
     assert got[2] == (2, 0, 0)
 
 
+def _wav_bytes(samples, rate, bits, audio_format=1):
+    """Hand-rolled WAV container at arbitrary bit depth / format —
+    encode_wav only writes 16-bit PCM, so depth coverage needs this."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n_ch = s.shape[1]
+    if audio_format == 3:
+        data = s.astype("<f4").tobytes()
+    elif bits == 8:
+        data = (s.astype(np.int64) + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = s.astype("<i2").tobytes()
+    else:
+        data = s.astype("<i4").tobytes()
+    ba = n_ch * bits // 8
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, audio_format, n_ch, rate, rate * ba, ba, bits
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def test_silence_spans_bit_depths(spark):
+    """The SAME signed sample values at 8/16/32-bit PCM must yield the
+    SAME silence report — the rescale factor is derived from the
+    container's bit depth, not hardwired to 2^15 (8-bit would read
+    256x loud, 32-bit would collapse to all-silent). IEEE-float WAVs
+    raise instead of silently quantizing."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from petastorm_spark.operators.audio import silence_spans
+
+    vals = np.repeat([1, 100, 2], 4)  # block abs-sums 4, 400, 8
+    for bits in (8, 16, 32):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [1], "audio": [_wav_bytes(vals, 8000, bits)]}
+            )
+        )
+        rows = silence_spans(df, "audio", "doc_id", 4, 10).collect()
+        assert [
+            (r["n_windows"], r["n_silent"], r["longest_silence"])
+            for r in rows
+        ] == [(3, 2, 1)], f"bits={bits}"
+    fdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "audio": [
+                    _wav_bytes(vals / 32768.0, 8000, 32, audio_format=3)
+                ],
+            }
+        )
+    )
+    with pytest.raises(Exception, match=re.escape("integer PCM")):
+        silence_spans(fdf, "audio", "doc_id", 4, 10).collect()
+
+
 def test_shot_and_silence_accept_string_ids(spark):
     """The round-11 dtype lesson applied to the new kernels: string
     ids must flow through shot_boundaries and silence_spans."""
