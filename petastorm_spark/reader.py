@@ -436,11 +436,20 @@ class Reader:
                     payload = read_sidecar(self._spark, dataset_url)
                 except Exception:
                     # keep the JVM DataFrame; retry just the sidecar
-                    # through pyarrow (None = sidecar genuinely absent)
-                    pair = _resolve_fs(dataset_url)
-                    payload = (
-                        _sidecar_via_pyarrow(*pair) if pair is not None else None
-                    )
+                    # through pyarrow (None = sidecar genuinely absent).
+                    # The retry itself may also fail (fs error after
+                    # resolution succeeds) — a doubly-failing sidecar
+                    # must degrade to payload=None, never abort a
+                    # dataset whose parquet read succeeded.
+                    try:
+                        pair = _resolve_fs(dataset_url)
+                        payload = (
+                            _sidecar_via_pyarrow(*pair)
+                            if pair is not None
+                            else None
+                        )
+                    except Exception:
+                        payload = None
             if payload is not None:
                 stored = Unischema.from_json(payload["unischema"])
                 self._sidecar_counts = payload.get("row_groups")

@@ -45,12 +45,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
 
+# Hadoop connector scheme -> the name pyarrow's FileSystem.from_uri
+# knows the same store by (s3a/s3n are the Hadoop S3 clients; the
+# bucket/path layout is identical).
+_HADOOP_SCHEME_MAP = {"s3a": "s3", "s3n": "s3"}
+
+
+def _translate_scheme(url: str) -> str:
+    from urllib.parse import urlparse
+
+    scheme = urlparse(url).scheme
+    if scheme in _HADOOP_SCHEME_MAP:
+        return _HADOOP_SCHEME_MAP[scheme] + url[len(scheme):]
+    return url
+
+
 def _wds_fs(url: str):
     """pyarrow (FileSystem, path) for a shard directory or tar URL,
-    with a named error instead of an unpackable None."""
+    with a named error instead of an unpackable None. Hadoop-only
+    scheme names pyarrow knows the store by another name (s3a -> s3)
+    are translated first."""
     from petastorm_spark.etl.petastorm_compat import _fs_for
 
-    pair = _fs_for(url)
+    pair = _fs_for(_translate_scheme(url))
     if pair is None:
         raise ValueError(
             f"cannot resolve a filesystem for WebDataset URL {url!r}: "
@@ -148,26 +165,31 @@ def _iter_tar_chunks(url: str, chunk_bytes: int):
     container bytes are never materialized either. Non-regular members
     (directories, symlinks — legal in foreign-written shards) are
     skipped: ``extractfile`` returns None for them."""
+    fs, path = _wds_fs(url)
+    with fs.open_input_stream(path) as f:
+        yield from _iter_tar_entries(f, chunk_bytes)
+
+
+def _iter_tar_entries(fileobj, chunk_bytes: int):
+    """The shared chunking loop over an already-open tar byte stream."""
     import pandas as pd
 
-    fs, path = _wds_fs(url)
     out = {"key": [], "column": [], "payload": []}
     size = 0
-    with fs.open_input_stream(path) as f:
-        with tarfile.open(fileobj=f, mode="r|*") as tar:
-            for m in tar:
-                if not m.isfile():
-                    continue
-                key, _, col = m.name.rpartition(".")
-                payload = tar.extractfile(m).read()
-                out["key"].append(key)
-                out["column"].append(col)
-                out["payload"].append(payload)
-                size += len(payload)
-                if size >= chunk_bytes:
-                    yield pd.DataFrame(out)
-                    out = {"key": [], "column": [], "payload": []}
-                    size = 0
+    with tarfile.open(fileobj=fileobj, mode="r|*") as tar:
+        for m in tar:
+            if not m.isfile():
+                continue
+            key, _, col = m.name.rpartition(".")
+            payload = tar.extractfile(m).read()
+            out["key"].append(key)
+            out["column"].append(col)
+            out["payload"].append(payload)
+            size += len(payload)
+            if size >= chunk_bytes:
+                yield pd.DataFrame(out)
+                out = {"key": [], "column": [], "payload": []}
+                size = 0
     if out["key"]:
         yield pd.DataFrame(out)
 
@@ -184,21 +206,36 @@ def read_webdataset(
     keeps the tar bytes out of Spark rows); each task streams its tar
     off the filesystem and yields ``chunk_bytes``-sized Arrow batches
     (:func:`_iter_tar_chunks`), so task memory is independent of shard
-    size. Regroup with :func:`webdataset_to_frame` when a wide frame
-    is wanted; the long shape is the streaming-friendly one."""
+    size. URLs Spark's Hadoop connectors read but pyarrow cannot
+    resolve (abfss://, wasbs://, ...) fall back to extracting from the
+    binaryFile ``content`` column — correct everywhere Spark can read,
+    at the cost of materializing one shard per task in memory (s3a/s3n
+    are translated to pyarrow's s3 and stay on the streaming path).
+    Regroup with :func:`webdataset_to_frame` when a wide frame is
+    wanted; the long shape is the streaming-friendly one."""
+    from petastorm_spark.etl.petastorm_compat import _fs_for
+
     tars = spark.read.format("binaryFile").load(
         os.path.join(in_dir, f"{prefix}-*.tar")
     )
+    out_schema = "key string, column string, payload binary"
+    if _fs_for(_translate_scheme(in_dir)) is None:
+
+        def explode_content(rows):
+            for pdf in rows:
+                for content in pdf["content"]:
+                    yield from _iter_tar_entries(
+                        io.BytesIO(bytes(content)), chunk_bytes
+                    )
+
+        return tars.select("content").mapInPandas(explode_content, out_schema)
 
     def explode_tar(rows):
         for pdf in rows:
             for url in pdf["path"]:
                 yield from _iter_tar_chunks(url, chunk_bytes)
 
-    return (
-        tars.select("path")
-        .mapInPandas(explode_tar, "key string, column string, payload binary")
-    )
+    return tars.select("path").mapInPandas(explode_tar, out_schema)
 
 
 def webdataset_to_frame(long_df: DataFrame) -> DataFrame:

@@ -239,6 +239,42 @@ def test_webdataset_read_plan_prunes_tar_content(spark, tmp_path_factory):
     assert scans and all("content" not in ln for ln in scans)
 
 
+def test_webdataset_scheme_translation_and_content_fallback(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Round-12 advice: URLs readable by Spark's Hadoop connectors but
+    not by pyarrow must still read — (a) s3a/s3n translate to
+    pyarrow's s3 scheme, (b) anything pyarrow can't resolve at all
+    falls back to extracting from the binaryFile content column, with
+    identical rows."""
+    from petastorm_spark.sources import webdataset as wds
+
+    assert wds._translate_scheme("s3a://bkt/p/x.tar") == "s3://bkt/p/x.tar"
+    assert wds._translate_scheme("s3n://bkt/x") == "s3://bkt/x"
+    assert wds._translate_scheme("abfss://c@a.dfs.core.windows.net/p").startswith(
+        "abfss://"
+    )
+    assert wds._translate_scheme("/local/dir") == "/local/dir"
+
+    out = str(tmp_path_factory.mktemp("wds_fallback"))
+    _write_corpus_shards(spark, out)
+    canon = lambda df: sorted(  # noqa: E731
+        (r["key"], r["column"], bytes(r["payload"])) for r in df.collect()
+    )
+    want = canon(wds.read_webdataset(spark, out))
+    assert len(want) == 16
+    # simulate a Hadoop-only scheme: pyarrow resolution fails for the
+    # directory, so the reader must take the content-column path
+    from petastorm_spark.etl import petastorm_compat
+
+    monkeypatch.setattr(petastorm_compat, "_fs_for", lambda url: None)
+    fallback = wds.read_webdataset(spark, out)
+    plan = fallback._jdf.queryExecution().toString()
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("content" in ln for ln in scans)
+    assert canon(fallback) == want
+
+
 # -------------------------------------------------------------- reader tier
 
 
@@ -258,6 +294,26 @@ def test_transient_sidecar_failure_keeps_plan_tier(
         raise OSError("transient sidecar read failure")
 
     monkeypatch.setattr(reader_mod, "read_sidecar", boom)
+    with reader_mod.make_batch_reader(url, spark=spark) as r:
+        assert r.dataframe is not None  # plan tier survived
+        batch = next(iter(r))
+        assert len(batch.l_orderkey) > 0
+
+
+def test_doubly_failing_sidecar_degrades_to_none(spark, sf_dir, monkeypatch):
+    """Round-12 advice: when read_sidecar fails AND the pyarrow retry
+    itself raises (fs error after resolution succeeds), Reader
+    construction must still succeed with payload=None — a dataset
+    whose parquet read works is never aborted by sidecar trouble."""
+    import petastorm_spark.reader as reader_mod
+
+    url = f"{sf_dir}/lineitem.parquet"
+
+    def boom(*a, **k):
+        raise OSError("sidecar read failure")
+
+    monkeypatch.setattr(reader_mod, "read_sidecar", boom)
+    monkeypatch.setattr(reader_mod, "_sidecar_via_pyarrow", boom)
     with reader_mod.make_batch_reader(url, spark=spark) as r:
         assert r.dataframe is not None  # plan tier survived
         batch = next(iter(r))
