@@ -264,9 +264,7 @@ def measure_reader_throughput(spark, image_codec: str = "png") -> dict:
             # (steady state past the warmup).
             import gc as _gc
 
-            best_dt, before, after = None, None, None
-            window_dts = []
-            for _ in range(5):
+            def run_window():
                 _gc.collect()
                 try:
                     spark.sparkContext._jvm.System.gc()
@@ -276,12 +274,24 @@ def measure_reader_throughput(spark, image_codec: str = "png") -> dict:
                 t0 = time.perf_counter()
                 for _ in range(N_MEASURED_READS):
                     next(it)
-                dt = time.perf_counter() - t0
-                a = process_tree_sample()
-                window_dts.append(dt)
-                if best_dt is None or dt < best_dt:
-                    best_dt, before, after = dt, b, a
-            dt = best_dt
+                return time.perf_counter() - t0, b, process_tree_sample()
+
+            windows = [run_window() for _ in range(5)]
+            # Stalled-window rerun (r11: one ~2.1k-sps window among 6k
+            # windows pushed spread_pct to 184, making best-of-5 look
+            # cherry-picked): a window slower than 2x the median is a
+            # stall (GC/scheduler), not a decode rate — replace it,
+            # bounded retries, and report how many reruns happened.
+            window_reruns = 0
+            while window_reruns < 3:
+                dts = sorted(w[0] for w in windows)
+                if max(dts) <= 2.0 * dts[len(dts) // 2]:
+                    break
+                worst = max(range(len(windows)), key=lambda i: windows[i][0])
+                windows[worst] = run_window()
+                window_reruns += 1
+            window_dts = [w[0] for w in windows]
+            dt, before, after = min(windows, key=lambda w: w[0])
         window_sps = [round(N_MEASURED_READS / w, 1) for w in window_dts]
         return {
             "samples_per_sec": round(N_MEASURED_READS / dt, 1),
@@ -293,6 +303,7 @@ def measure_reader_throughput(spark, image_codec: str = "png") -> dict:
             "spread_pct": round(
                 100.0 * (max(window_dts) - min(window_dts)) / min(window_dts), 1
             ),
+            "window_reruns": window_reruns,
             "rss_mb": (
                 round(after["rss_bytes"] / 2**20, 1) if after else None
             ),
@@ -377,15 +388,21 @@ def main() -> None:
     # timed window (it also lets Spark's ContextCleaner actually
     # release dropped broadcasts, which is GC-triggered). Disable with
     # SPARK_GRAFT_BENCH_GC=0 to measure the accumulation itself.
+    # r11 follow-up: GC between QUERIES was not enough — bitext's r11
+    # bench row read 8.98s vs 3.7s fresh because checkpoint/broadcast
+    # debris from 138 prior queries was collected INSIDE its timed
+    # runs (the first run's own garbage then lands in runs 2-3). GC
+    # now runs before EVERY timed run; the pause sits outside the
+    # timed window, so min-of-N measures the plan, not the session.
     gc_between = os.environ.get("SPARK_GRAFT_BENCH_GC", "1") != "0"
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in names:
-        if gc_between:
-            spark.sparkContext._jvm.System.gc()
         runs = []
         for _ in range(n_runs):
             spark.catalog.clearCache()
+            if gc_between:
+                spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.count()
@@ -401,8 +418,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "reader_protocol": f"{N_WARMUP_READS} warmup + {N_MEASURED_READS} measured row reads, hello_world-shaped dataset (BASELINE.md protocol, longer measurement window). reader_samples_per_sec = best of 5 windows with BOTH collectors (CPython gc + JVM System.gc) drained before each window so due collections land outside the timed region; reader_window_sps lists every window's rate and reader_spread_pct = (slowest-fastest)/fastest — the r8 +-25%% swing diagnosed as mid-window GC, now measured per run. reader_samples_per_sec decodes REAL PNG byte streams via the pure-python codec (r3+ protocol; the BASELINE.md comparison row); reader_samples_per_sec_raw0 reads the np.save RAW0 container r1/r2 measured, for cross-round trend continuity. reader_rss_mb / reader_cpu_pct: process-tree (python + driver JVM + pool workers) RSS after / CPU%% over the measured window via procfs — the reference benchmark's psutil memory_info/cpu columns (BASELINE.md rows 2-3/5-6). reader_rss_main_mb is the benchmark process alone — the like-for-like column against the reference's 217 MB single-process psutil figure; reader_rss_iter_mb additionally includes Spark's resident pyspark.daemon workers (tree minus java), and reader_rss_jvm_mb is the local[32] driver JVM, a fixed harness cost",
-                "query_protocol": f"one untimed warmup run per query at sf0.001 (JIT/codegen), then {n_runs} timed runs at target sf with spark.catalog.clearCache() before each; 'queries' is min-of-{n_runs} (continuity with r3), 'queries_median' the median. r1/r2 were single-run — cross-round comparison to them overstates speedups",
+                "reader_protocol": f"{N_WARMUP_READS} warmup + {N_MEASURED_READS} measured row reads, hello_world-shaped dataset (BASELINE.md protocol, longer measurement window). reader_samples_per_sec = best of 5 windows with BOTH collectors (CPython gc + JVM System.gc) drained before each window so due collections land outside the timed region; reader_window_sps lists every window's rate and reader_spread_pct = (slowest-fastest)/fastest — the r8 +-25%% swing diagnosed as mid-window GC, now measured per run; a window slower than 2x the median is a stall, not a decode rate, and is rerun in place (<=3 reruns, count in reader_window_reruns; r11's spread_pct=184 was one such window). reader_samples_per_sec decodes REAL PNG byte streams via the pure-python codec (r3+ protocol; the BASELINE.md comparison row); reader_samples_per_sec_raw0 reads the np.save RAW0 container r1/r2 measured, for cross-round trend continuity. reader_rss_mb / reader_cpu_pct: process-tree (python + driver JVM + pool workers) RSS after / CPU%% over the measured window via procfs — the reference benchmark's psutil memory_info/cpu columns (BASELINE.md rows 2-3/5-6). reader_rss_main_mb is the benchmark process alone — the like-for-like column against the reference's 217 MB single-process psutil figure; reader_rss_iter_mb additionally includes Spark's resident pyspark.daemon workers (tree minus java), and reader_rss_jvm_mb is the local[32] driver JVM, a fixed harness cost",
+                "query_protocol": f"one untimed warmup run per query at sf0.001 (JIT/codegen), then {n_runs} timed runs at target sf with spark.catalog.clearCache() AND a forced JVM GC before each run (r12: GC only between queries left prior-session debris collecting inside checkpoint-heavy queries' timed runs — bitext read 8.98s in r11 vs 3.7s fresh); 'queries' is min-of-{n_runs} (continuity with r3), 'queries_median' the median. r1/r2 were single-run — cross-round comparison to them overstates speedups",
                 "queries_median": medians,
                 "queries": timings,
                 "metric": "headline_queries_total",
@@ -413,10 +430,12 @@ def main() -> None:
                 "reader_median_sps": png_stats.get("median_sps"),
                 "reader_window_sps": png_stats.get("window_sps"),
                 "reader_spread_pct": png_stats.get("spread_pct"),
+                "reader_window_reruns": png_stats.get("window_reruns"),
                 "reader_samples_per_sec_raw0": reader_rate_raw0,
                 "reader_median_sps_raw0": raw0_stats.get("median_sps"),
                 "reader_window_sps_raw0": raw0_stats.get("window_sps"),
                 "reader_spread_pct_raw0": raw0_stats.get("spread_pct"),
+                "reader_window_reruns_raw0": raw0_stats.get("window_reruns"),
                 "reader_rss_mb": png_stats.get("rss_mb"),
                 "reader_rss_iter_mb": png_stats.get("rss_iter_mb"),
                 "reader_rss_main_mb": png_stats.get("rss_main_mb"),

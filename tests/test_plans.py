@@ -344,3 +344,17 @@ def test_embedding_covariance_join_free_single_exchange(spark, sf_dir):
     df.collect()
     ep = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in ep and "EvalPython" not in ep
+
+
+def test_prefix_indexed_query_scans_only_prefix_columns(spark, sf_dir):
+    """ann_cosine_prefix_indexed: the approximate pass must scan the
+    persisted (vec_id, prefix) parquet — its ReadSchema carries the
+    prefix column and NOT the 64-dim embedding (the physical payoff of
+    the index); the full vectors appear only in the rescore scan."""
+    plan = QUERIES["ann_cosine_prefix_indexed"](
+        spark, sf_dir
+    )._jdf.queryExecution().toString()
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    prefix_scans = [ln for ln in scans if "prefix" in ln]
+    assert prefix_scans, plan
+    assert all("embedding" not in ln for ln in prefix_scans), prefix_scans
