@@ -161,6 +161,7 @@ HEADLINE = [
     "winnowing_matches",
     "lm_score_backoff",
     "ann_cosine_prefix",
+    "ann_cosine_prefix_indexed",
     "ann_recall_prefix",
     "embedding_covariance",
     "video_shot_boundaries",

@@ -36,6 +36,9 @@ def curate_corpus(
     classifier_features: int = 1024,
     classifier_weights: dict[int, float] | None = None,
     classifier_seed: int = 0,
+    lm_floor: float | None = None,
+    lm_model_df: DataFrame | None = None,
+    lm_alpha: float = 0.4,
 ) -> dict[str, DataFrame]:
     """Chain the standard curation passes and return every intermediate
     stage (lazy) keyed by name, in order:
@@ -64,6 +67,15 @@ def curate_corpus(
       ``classifier_weights``) >= ``classifier_floor``; a left-semi
       join on the scored ids so the text column is never widened (key
       absent when ``classifier_floor`` is None);
+    - ``lm`` (opt-in) — language-model gate, the CCNet recipe's
+      perplexity filter as this engine's count-based twin: stupid-
+      backoff bigram ``avg_logprob``
+      (:func:`~petastorm_spark.operators.text.bigram_lm_score`)
+      against ``lm_model_df`` (a frozen reference corpus — e.g. a
+      trusted source; defaults to the surviving docs themselves) must
+      be >= ``lm_floor``. Left-semi on the scored ids; docs with < 2
+      tokens have no bigram score and are dropped by the gate (key
+      absent when ``lm_floor`` is None);
     - ``capped`` — at most ``max_per_stratum`` rows per
       ``strata_col`` value, key-stable md5 order (stage skipped —
       aliased to the previous stage — when either arg is None);
@@ -155,6 +167,21 @@ def curate_corpus(
         pre_cap = stages["classified"]
     else:
         pre_cap = stages["quality"]
+
+    if lm_floor is not None:
+        from petastorm_spark.operators.text import bigram_lm_score
+
+        scored = bigram_lm_score(
+            pre_cap,
+            text_col,
+            id_col,
+            model_df=lm_model_df if lm_model_df is not None else pre_cap,
+            alpha=lm_alpha,
+        )
+        keep_ids = scored.where(
+            F.col("avg_logprob") >= lm_floor
+        ).select(id_col)
+        pre_cap = stages["lm"] = pre_cap.join(keep_ids, id_col, "left_semi")
 
     if strata_col is not None and max_per_stratum is not None:
         stages["capped"] = cap_per_group(

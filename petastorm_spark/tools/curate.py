@@ -1,6 +1,6 @@
 """Corpus-curation CLI: run the full curate_corpus pipeline (exact
 dedup -> optional near-dedup -> optional span excision -> quality
-floor -> per-source cap -> PII scrub) over a parquet corpus and write
+floor -> optional classifier/LM gates -> per-source cap -> PII scrub) over a parquet corpus and write
 the curated output plus a per-stage attrition report.
 
     python -m petastorm_spark.tools.curate SRC DST \\
@@ -37,6 +37,8 @@ def curate(
     near_dedup: bool = False,
     excise_spans: bool = False,
     classifier_floor: float | None = None,
+    lm_floor: float | None = None,
+    lm_model_url: str | None = None,
     report_url: str | None = None,
     row_group_size_mb: int | None = None,
     zorder_cols: list[str] | None = None,
@@ -63,6 +65,10 @@ def curate(
         near_dedup=near_dedup,
         excise_spans=excise_spans,
         classifier_floor=classifier_floor,
+        lm_floor=lm_floor,
+        lm_model_df=(
+            spark.read.parquet(lm_model_url) if lm_model_url else None
+        ),
     )
     out = stages["output"]
     if zorder_cols:
@@ -103,6 +109,15 @@ def main() -> None:
     p.add_argument("--near-dedup", action="store_true")
     p.add_argument("--excise-spans", action="store_true")
     p.add_argument("--classifier-floor", type=float, default=None)
+    p.add_argument(
+        "--lm-floor",
+        type=float,
+        default=None,
+        help="minimum stupid-backoff bigram avg_logprob (the CCNet-style "
+        "LM quality gate); score against --lm-model-url when given, "
+        "else against the surviving docs themselves",
+    )
+    p.add_argument("--lm-model-url", default=None)
     p.add_argument("--report", dest="report_url", default=None)
     p.add_argument("--row-group-size-mb", type=int, default=None)
     p.add_argument(
@@ -130,6 +145,8 @@ def main() -> None:
         near_dedup=a.near_dedup,
         excise_spans=a.excise_spans,
         classifier_floor=a.classifier_floor,
+        lm_floor=a.lm_floor,
+        lm_model_url=a.lm_model_url,
         report_url=a.report_url,
         row_group_size_mb=a.row_group_size_mb,
         zorder_cols=a.zorder.split(",") if a.zorder else None,

@@ -159,6 +159,44 @@ def test_curate_corpus_excise_and_rank_floor_stages(spark):
     ]
 
 
+def test_curate_corpus_lm_floor_stage(spark):
+    """The CCNet-style LM gate: docs scored against a frozen reference
+    model; in-distribution docs survive, word-salad (every bigram hits
+    the unknown-word backoff floor) is dropped; attrition reported."""
+    from petastorm_spark.operators.pipeline import curate_corpus, curation_report
+    from petastorm_spark.operators.text import bigram_lm_score
+
+    model = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat and the dog sat too") for i in range(3)],
+        ["doc_id", "text"],
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),        # in-distribution
+            (2, "zq xv qqk wplj zzt mmo pqr ab"),  # word salad, all OOV
+        ],
+        ["doc_id", "text"],
+    )
+    scores = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in bigram_lm_score(df, "text", "doc_id", model_df=model).collect()
+    }
+    assert scores[1] > scores[2]
+    floor = (scores[1] + scores[2]) / 2
+    stages = curate_corpus(
+        df, "text", "doc_id",
+        quality_floor=0.0, lm_floor=floor, lm_model_df=model,
+    )
+    assert list(stages) == [
+        "input", "dedup", "quality", "lm", "capped", "output"
+    ]
+    assert [r["doc_id"] for r in stages["lm"].collect()] == [1]
+    rep = {
+        r["stage"]: r["n_rows"] for r in curation_report(stages).collect()
+    }
+    assert rep["quality"] == 2 and rep["lm"] == 1 and rep["output"] == 1
+
+
 def test_sample_weighted_biases_and_is_stable(spark):
     from petastorm_spark.operators.sampling_extra import sample_weighted
 

@@ -574,6 +574,25 @@ def test_curate_cli_writes_dataset_and_report(spark, sf_dir, tmp_path):
     assert spark.read.parquet(rep).count() == len(counts)
 
 
+def test_curate_cli_lm_floor_gate(spark, sf_dir, tmp_path):
+    """--lm-floor plumbs through the CLI: the lm stage appears in the
+    attrition report, gates between quality and cap, and scores
+    against the frozen model corpus given by --lm-model-url."""
+    from petastorm_spark.tools.curate import curate
+
+    src = f"{sf_dir}/documents.parquet"
+    counts = curate(
+        spark, src, str(tmp_path / "curated_lm"),
+        quality_floor=0.0,
+        lm_floor=-9.0,  # between fluent and salad on this corpus
+        lm_model_url=src,
+    )
+    order = list(counts)
+    assert order == ["input", "dedup", "quality", "lm", "capped", "output"]
+    assert 0 < counts["lm"] <= counts["quality"]
+    assert counts["output"] == counts["capped"] == counts["lm"]
+
+
 def test_streaming_funnel_matches_batch(spark, sf_dir, events_dir):
     from petastorm_spark.queries import QUERIES
     from petastorm_spark.streaming.feed import funnel_stream, stream_dataset
