@@ -164,6 +164,7 @@ HEADLINE = [
     "ann_cosine_prefix_indexed",
     "ann_recall_prefix",
     "embedding_covariance",
+    "embedding_dim_robust_stats",
     "video_shot_boundaries",
     "audio_silence_spans",
 ]

@@ -2295,6 +2295,99 @@ def pca_project_embeddings(
     )
 
 
+def _weighted_median2(counts: DataFrame, key: str, val: str, cnt: str):
+    """Per-``key`` doubled median from a (key, value, count) table:
+    returns (key, n, m2) where ``m2 = x_lo + x_hi``, the SUM of the two
+    middle-rank values (equal for odd n) — an integer whenever the
+    values are integers, so callers can keep exact arithmetic and
+    halve at the very end. The weighted-median shape that scales: the
+    cumulative-count window runs over DISTINCT values per key (the
+    groupBy upstream already count-compressed the rows), never the raw
+    observations."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(val)
+    wp = Window.partitionBy(key)
+    c = counts.withColumn("_cum", F.sum(cnt).over(w)).withColumn(
+        "_n", F.sum(cnt).over(wp)
+    )
+    lo = F.floor((F.col("_n") + 1) / 2)
+    hi = F.floor(F.col("_n") / 2) + 1
+    first_rank = F.col("_cum") - F.col(cnt) + 1
+    covers = lambda r: (first_rank <= r) & (r <= F.col("_cum"))  # noqa: E731
+    return c.groupBy(key).agg(
+        F.max("_n").alias("n"),
+        (
+            F.max(F.when(covers(lo), F.col(val)))
+            + F.max(F.when(covers(hi), F.col(val)))
+        ).alias("m2"),
+    )
+
+
+def embedding_dim_robust_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 8,
+    micro: int = 10**6,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """ENGINE-EXACT per-dimension MEDIAN and MAD (median absolute
+    deviation) of the leading ``dims`` embedding coordinates — the
+    outlier-robust twin of :func:`embedding_covariance`'s moment
+    statistics, and the screen that catches corrupt/adversarial
+    embedding batches a mean/variance monitor smooths over. Output one
+    row per dimension: (i, n, med, mad).
+
+    Exactness contract: coordinates quantize to ``micro`` integers;
+    the median of an even count is the mean of the two middle INTEGERS
+    (a dyadic .5 — exact in double), and the MAD pass works on
+    ``|2*x - 2*median|`` (still integers) and divides by 4 only at the
+    end, so every emitted double is a correctly-rounded function of
+    integer ranks — bit-reproducible across engines.
+
+    Scale: no per-group sort of raw rows — values are count-compressed
+    first (``groupBy (i, x)`` partial-aggregates before its one
+    shuffle), then the cumulative-count window walks DISTINCT values
+    per dimension; the dims-row median table broadcasts back for the
+    MAD pass. Parallelism within a dimension is bounded by the window
+    (dims partitions), but the window input is |distinct values|, not
+    N — the standard exact weighted-median shape."""
+    x = df.select(
+        F.posexplode(F.slice(F.col(vec_col), 1, dims)).alias("_p", "_v")
+    ).select(
+        (F.col("_p") + 1).alias("i"),
+        F.round(F.col("_v").cast("double") * micro, 0)
+        .cast("bigint")
+        .alias("_x"),
+    )
+    counts = x.groupBy("i", "_x").agg(F.count(F.lit(1)).alias("_c"))
+    med = _weighted_median2(counts, "i", "_x", "_c").select(
+        "i", "n", F.col("m2").alias("_med2")
+    )
+    dev = (
+        counts.join(F.broadcast(med.select("i", "_med2")), "i")
+        .select(
+            "i",
+            F.abs(2 * F.col("_x") - F.col("_med2")).alias("_d"),
+            "_c",
+        )
+        .groupBy("i", "_d")
+        .agg(F.sum("_c").alias("_c"))
+    )
+    mad = _weighted_median2(dev, "i", "_d", "_c").select(
+        "i", F.col("m2").alias("_mad4")
+    )
+    return (
+        med.join(F.broadcast(mad), "i")
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("_med2") / 2 / micro, out_decimals).alias("med"),
+            F.round(F.col("_mad4") / 4 / micro, out_decimals).alias("mad"),
+        )
+    )
+
+
 def prefix_index_write(
     index_url: str,
     corpus: DataFrame,

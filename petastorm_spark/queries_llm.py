@@ -5900,6 +5900,38 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_dim_robust_stats",
+    oracle="""
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (SELECT i, CAST(round(v[i] * 1000000, 0) AS BIGINT) AS x
+          FROM e, unnest(range(1, 9)) AS u(i)),
+    m AS (SELECT i, median(x) AS med, count(*) AS n FROM x GROUP BY i),
+    d AS (SELECT x.i, abs(2 * x.x - CAST(2 * m.med AS BIGINT)) AS dd
+          FROM x JOIN m ON m.i = x.i),
+    m2 AS (SELECT i, median(dd) AS madd FROM d GROUP BY i)
+    SELECT CAST(m.i AS INT) AS i, CAST(m.n AS BIGINT) AS n,
+           round(m.med / 1000000.0, 6) AS med,
+           round(m2.madd / 2 / 1000000.0, 6) AS mad
+    FROM m JOIN m2 ON m2.i = m.i
+    """,
+)
+def embedding_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension MEDIAN + MAD of the leading 8 embedding dims —
+    the outlier-robust batch-health screen next to the covariance
+    moments, engine-exact: micro-int quantization, medians taken as
+    the sum of the two middle integers (dyadic halves), the MAD pass
+    on |2x - 2*median| integers, division only at the end. The oracle
+    is DuckDB's exact median over the same integers. See
+    operators/similarity.embedding_dim_robust_stats for the
+    count-compressed weighted-median scale shape."""
+    from petastorm_spark.operators.similarity import (
+        embedding_dim_robust_stats as rs,
+    )
+
+    return rs(_t_wide(spark, sf_dir, "embeddings"), dims=8)
+
+
+@register(
     "video_shot_boundaries",
     oracle="""
     WITH frames AS (

@@ -1,0 +1,91 @@
+"""Round-12 operators: robust embedding statistics and friends."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from petastorm_spark.session import arrow_local_df
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(41, 16)).astype(np.float64)  # odd count
+    return arrow_local_df(
+        spark,
+        {
+            "vec_id": list(range(41)),
+            "embedding": [list(map(float, v)) for v in vecs],
+        },
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+def test_robust_stats_match_numpy(spark, corpus):
+    """median/MAD per dim vs numpy over the micro-quantized integers —
+    odd count here; the even-count .5 interpolation is exercised by the
+    second frame below."""
+    from petastorm_spark.operators.similarity import embedding_dim_robust_stats
+
+    V = np.array(
+        [r["embedding"] for r in corpus.orderBy("vec_id").collect()]
+    )[:, :8]
+    Q = np.round(V * 1e6)
+    got = {
+        r["i"]: (r["n"], r["med"], r["mad"])
+        for r in embedding_dim_robust_stats(corpus, dims=8).collect()
+    }
+    assert len(got) == 8
+    for i in range(1, 9):
+        n, med, mad = got[i]
+        col = Q[:, i - 1]
+        assert n == len(col)
+        assert med == round(float(np.median(col)) / 1e6, 6)
+        want_mad = float(np.median(np.abs(col - np.median(col)))) / 1e6
+        assert abs(mad - want_mad) < 2e-6
+
+
+def test_robust_stats_even_count_interpolates(spark):
+    """Even n: median must be the mean of the two middle integers, not
+    either one — and MAD follows the same rule on the deviations."""
+    from petastorm_spark.operators.similarity import embedding_dim_robust_stats
+
+    df = arrow_local_df(
+        spark,
+        {
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [[0.000001], [0.000002], [0.000004], [0.000008]],
+        },
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = embedding_dim_robust_stats(df, dims=1, out_decimals=7).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # micro ints 1,2,4,8: median = 3.0 -> 3e-6; deviations |x-3| = 2,1,1,5
+    # -> sorted 1,1,2,5 -> MAD = 1.5 -> 1.5e-6 (out_decimals=7 so the
+    # half-integer at the micro floor survives the final rounding)
+    assert r["n"] == 4
+    assert r["med"] == 3e-06
+    assert r["mad"] == 1.5e-06
+
+
+def test_robust_stats_outlier_immunity(spark):
+    """The point of MAD: one corrupt vector (1000x blowup) must leave
+    median/MAD essentially unchanged while it would wreck mean/std."""
+    from petastorm_spark.operators.similarity import embedding_dim_robust_stats
+
+    base = [[0.1], [0.11], [0.12], [0.13], [0.14]]
+    clean = arrow_local_df(
+        spark,
+        {"vec_id": [1, 2, 3, 4, 5], "embedding": base},
+        "vec_id bigint, embedding array<double>",
+    )
+    dirty = arrow_local_df(
+        spark,
+        {"vec_id": [1, 2, 3, 4, 5, 6], "embedding": base + [[120.0]]},
+        "vec_id bigint, embedding array<double>",
+    )
+    c = embedding_dim_robust_stats(clean, dims=1).collect()[0]
+    d = embedding_dim_robust_stats(dirty, dims=1).collect()[0]
+    assert abs(d["med"] - c["med"]) < 0.01
+    assert abs(d["mad"] - c["mad"]) < 0.01

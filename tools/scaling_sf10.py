@@ -43,7 +43,45 @@ TARGETS = [
     "audio_dup_pairs",
     "video_dup_pairs",
     "winnowing_matches",
+    # round-12 additions (the round-11 families' decade receipts)
+    "lm_score_backoff",
+    "ann_cosine_prefix",
+    "embedding_covariance",
 ]
+
+
+def build_embeddings(spark) -> None:
+    """sf10 embeddings (round 12): the round-11 families read the
+    embeddings table, which the original sf10 build symlinked to
+    sf1-organic. Same honest map as build_sf1_organic: replica i>0
+    applies a seeded signed coordinate permutation (orthogonal —
+    within-replica cosines exact, cross-replica random-pair-sized).
+    Own completion marker so adding it never rebuilds docs/lineitem."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scaling_study import _signed_perm_expr
+
+    eparams = f"replicas={REPLICAS};shift={SHIFT};embeddings-v1"
+    marker = f"{DST}/_EMB_COMPLETE"
+    if os.path.exists(marker) and open(marker).read().strip() == eparams:
+        return
+    link = f"{DST}/embeddings.parquet"
+    if os.path.islink(link):
+        os.remove(link)
+    t0 = time.perf_counter()
+    ebase = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    eout = None
+    for i in range(REPLICAS):
+        part = ebase.withColumn("vec_id", F.col("vec_id") + F.lit(i * SHIFT))
+        if i > 0:
+            part = part.withColumn(
+                "embedding", F.expr(_signed_perm_expr(64, 2000 + i))
+            )
+        eout = part if eout is None else eout.unionByName(part)
+    eout.repartition(8).write.mode("overwrite").parquet(link)
+    print(f"embeddings x{REPLICAS}: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    with open(marker, "w") as f:
+        f.write(eparams + "\n")
 
 
 def build(spark) -> None:
@@ -92,6 +130,7 @@ def main() -> None:
         sys.exit(f"unknown queries: {unknown}")
     spark = get_spark("scaling_sf10")
     build(spark)
+    build_embeddings(spark)
 
     for name in names:  # JIT warmup at toy scale
         QUERIES[name](spark, "/root/testdata/sf0.001").count()
