@@ -69,6 +69,7 @@ HEADLINE = [
     "rollup_multigrain",
     "chunk_documents",
     "pii_scrub",
+    "pii_k_anonymity",
     "ngram_repetition",
     "token_entropy",
     "cap_per_source",

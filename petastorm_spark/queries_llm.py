@@ -2358,6 +2358,45 @@ _PII_SUFFIX_SQL = (
 
 
 @register(
+    "pii_k_anonymity",
+    oracle="""
+    WITH r AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT)
+               AS bal_bucket,
+             count(*) AS class_size
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, bal_bucket,
+           CAST(class_size AS BIGINT) AS class_size,
+           CAST(class_size < 5 AS INT) AS at_risk
+    FROM r
+    """,
+)
+def pii_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk report (Sweeney 2002) over the customer
+    quasi-identifiers (nation, market segment, account-balance
+    thousand-bucket): one row per QI equivalence class with its size
+    and an at_risk flag (class_size < 5 — the rows a linkage attack
+    can single out even with direct identifiers removed). The
+    measurement half of the privacy pair; enforcement is
+    operators/privacy.suppress_small_classes. Scale: one partial
+    groupBy, output bounded by the QI domain."""
+    from petastorm_spark.operators.privacy import k_anonymity_report
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / 1000)
+        .cast("bigint")
+        .alias("bal_bucket"),
+    )
+    return k_anonymity_report(
+        c, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=5
+    ).withColumn("class_size", F.col("class_size").cast("bigint"))
+
+
+@register(
     "pii_scrub",
     oracle=f"""
     WITH d AS (SELECT doc_id,

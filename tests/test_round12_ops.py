@@ -89,3 +89,46 @@ def test_robust_stats_outlier_immunity(spark):
     d = embedding_dim_robust_stats(dirty, dims=1).collect()[0]
     assert abs(d["med"] - c["med"]) < 0.01
     assert abs(d["mad"] - c["mad"]) < 0.01
+
+
+def test_k_anonymity_report_summary_and_suppression(spark):
+    """Hand-built QI classes at k=2: the size-1 class is at risk; the
+    size-3, size-2, and NULL-QI (size 2) classes are safe; suppression
+    keeps exactly the safe classes' rows (null-safe on the QI key)."""
+    from petastorm_spark.operators.privacy import (
+        k_anonymity_report,
+        k_anonymity_summary,
+        suppress_small_classes,
+    )
+
+    rows = [
+        (1, "US", "A"), (2, "US", "A"), (3, "US", "A"),  # size 3
+        (4, "US", "B"), (5, "US", "B"),                  # size 2
+        (6, "FR", "A"),                                  # size 1
+        (7, None, "C"), (8, None, "C"),                  # NULL QI, size 2
+    ]
+    df = spark.createDataFrame(rows, ["id", "country", "seg"])
+    rep = {
+        (r["country"], r["seg"]): (r["class_size"], r["at_risk"])
+        for r in k_anonymity_report(df, ["country", "seg"], k=2).collect()
+    }
+    assert rep == {
+        ("US", "A"): (3, 0),
+        ("US", "B"): (2, 0),
+        ("FR", "A"): (1, 1),
+        (None, "C"): (2, 0),
+    }
+    s = k_anonymity_summary(df, ["country", "seg"], k=2).collect()[0]
+    assert (s["n_rows"], s["n_classes"], s["n_at_risk_classes"]) == (8, 4, 1)
+    assert (s["n_rows_at_risk"], s["min_class_size"], s["k"]) == (1, 1, 2)
+    kept = sorted(
+        r["id"] for r in suppress_small_classes(df, ["country", "seg"], k=2).collect()
+    )
+    assert kept == [1, 2, 3, 4, 5, 7, 8]
+    # suppressed output is k-anonymous by construction
+    s2 = k_anonymity_summary(
+        suppress_small_classes(df, ["country", "seg"], k=2),
+        ["country", "seg"],
+        k=2,
+    ).collect()[0]
+    assert s2["n_rows_at_risk"] == 0
