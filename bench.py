@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_cosine_lsh",
     "token_frequencies",
     "knn_classify",
+    "knn_graph_ivf",
     "running_totals",
     "q9_profit_by_nation_year",
     "dedup_simhash_pairs",

@@ -714,6 +714,59 @@ def ivf_query(
     return topk_per_query(scored, k)
 
 
+def knn_graph(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """ALL-PAIRS approximate k-nearest-neighbor GRAPH: every corpus
+    vector's top-``k`` neighbors by EXACT cosine among IVF-blocked
+    candidates — the primitive under semantic dedup at corpus scale,
+    graph-based diversity sampling, and label propagation over
+    embeddings. Output (query_id, neighbor_id, rank, cos_sim), one
+    row per edge.
+
+    Shape — and why it is NOT ``cosine_topk(corpus, corpus)``: there
+    both sides are corpus-sized, so the broadcast-queries scan would
+    broadcast the whole corpus (the exact failure mode the round-11
+    covariance audit flagged). Here nothing broadcasts but the bounded
+    quantizer: each vector gets its ``n_probe`` nearest coarse cells
+    in one Arrow/BLAS map (:func:`_probe_cells_numpy`), each vector's
+    single HOME cell comes from :func:`ivf_build`'s identical
+    assignment pass, and candidates are the (cell) EQUI-JOIN of the
+    two — a shuffle join whose volume is sum over cells of
+    |members| x |probers|, bounded by cell granularity, never N^2.
+    Per-query top-k is the two-phase partition-local window
+    (:func:`topk_per_query`). Recall follows the IVF geometry: a true
+    neighbor is missed only when it lives outside all n_probe probed
+    cells (raise n_probe / use k-means centroids to trade cost for
+    recall, exactly as in :func:`ivf_query`)."""
+    cent, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids)
+    crows = cent.select("cell", "cent_vec").collect()  # bounded quantizer
+    probes = _probe_cells_numpy(
+        corpus, crows, id_col, vec_col, n_probe
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode("_cells").alias("cell"),
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("cell"),
+    )
+    scored = (
+        probes.join(cand, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    return topk_per_query(scored, k)
+
+
 def train_kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",

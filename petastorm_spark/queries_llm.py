@@ -5224,6 +5224,56 @@ def ann_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_graph_oracle(k: int = 3, n_cells: int = 16, n_probe: int = 2) -> str:
+    cos = lambda a, b: (  # noqa: E731
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {n_cells}),
+    asg AS (SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM e, cent c) WHERE rn = 1),
+    pr AS (SELECT vec_id AS query_id, v AS qv, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM e, cent c) WHERE rn <= {n_probe}),
+    x AS (SELECT pr.query_id, asg.vec_id AS neighbor_id,
+                 {cos('pr.qv', 'asg.v')} AS cos
+          FROM pr JOIN asg ON asg.cell = pr.cell
+          WHERE asg.vec_id != pr.query_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM x)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cos, 4) AS cos_sim
+    FROM r WHERE rank <= {k}
+    """
+
+
+@register("knn_graph_ivf", oracle=_knn_graph_oracle())
+def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs kNN graph (top-3 exact-cosine edges per vector among
+    2-probe IVF candidates) — the corpus-scale primitive under
+    semantic dedup and embedding-graph analytics. Unlike the query-
+    batch ANN entries, BOTH sides are corpus-sized: nothing broadcasts
+    but the 16-centroid quantizer; candidates come from the cell
+    equi-join of each vector's probe list against the home-cell
+    assignment (volume = sum of |cell| x |probers|, never N^2). The
+    oracle rebuilds the identical deterministic lowest-id quantizer,
+    assignment, probes, and rescored top-3."""
+    from petastorm_spark.operators.similarity import knn_graph
+
+    return knn_graph(
+        _t_wide(spark, sf_dir, "embeddings"), k=3, n_cells=16, n_probe=2
+    )
+
+
 def _recall_ivfpq_oracle(k: int = 5, factor: int = 4) -> str:
     body = _ivfpq_oracle(k, factor).strip()
     with_part, _ = body.rsplit("SELECT query_id", 1)

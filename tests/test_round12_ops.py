@@ -132,3 +132,42 @@ def test_k_anonymity_report_summary_and_suppression(spark):
         k=2,
     ).collect()[0]
     assert s2["n_rows_at_risk"] == 0
+
+
+def test_knn_graph_edges_and_recall(spark, corpus):
+    """Every vector gets exactly k edges (cells are big enough on this
+    fixture), no self-edges, cosine within [-1,1], and probing ALL
+    cells makes the graph exact (equals brute-force top-k row for
+    row)."""
+    from petastorm_spark.operators.similarity import cosine_topk, knn_graph
+
+    g = knn_graph(corpus, k=3, n_cells=8, n_probe=2).collect()
+    n = corpus.count()
+    per_q = {}
+    for r in g:
+        assert r["query_id"] != r["neighbor_id"]
+        assert -1.0001 <= r["cos_sim"] <= 1.0001
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert len(per_q) == n
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+    full = knn_graph(corpus, k=3, n_cells=8, n_probe=8)
+    exact = cosine_topk(corpus, corpus, k=3)
+    got = sorted(
+        ((r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in full.collect())
+    )
+    want = sorted(
+        ((r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in exact.collect())
+    )
+    assert got == want
+
+
+def test_knn_graph_never_broadcasts_the_corpus(spark, corpus):
+    """The candidate stage must be a cell EQUI-join of two corpus-sized
+    sides — no BroadcastNestedLoopJoin (the cosine_topk broadcast shape
+    would ship the whole corpus at scale)."""
+    from petastorm_spark.operators.similarity import knn_graph
+
+    plan = knn_graph(corpus, k=3, n_cells=8, n_probe=2)._jdf.queryExecution().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cell" in plan
