@@ -2441,6 +2441,64 @@ def embedding_dim_robust_stats(
     )
 
 
+def whiten_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 8,
+    eps: float = 1e-9,
+    out_col: str = "whitened",
+) -> DataFrame:
+    """ZCA whitening of the leading ``dims`` embedding coordinates —
+    the transform that equalizes per-direction variance (whitened
+    covariance = identity) while staying closest to the original
+    basis (Bell & Sejnowski 1997's zero-phase solution; PCA whitening
+    rotates, ZCA does not), the standard preprocessing before cosine
+    quantization and drift monitors. Adds ``out_col`` (array<double>)
+    = (x - mu) @ (E diag((w+eps)^-1/2) E^T).
+
+    Same scale split as :func:`pca_project_embeddings`: ONE
+    distributed sufficient-statistics pass (:func:`_covariance_cells`),
+    dims^2 cells + exact integer means to the driver, eigh there, and
+    the whitening matrix rides the plan as a single 2-D literal — a
+    pure per-row map, run-deterministic end to end."""
+    micro = 10**6
+    cells = _covariance_cells(df, vec_col, dims, micro).collect()
+    C = np.zeros((dims, dims), dtype=np.float64)
+    mu_vals = [0.0] * dims
+    for r in cells:
+        n, sa, sb, sab = (
+            float(r["_n"]),
+            float(r["_sa"]),
+            float(r["_sb"]),
+            float(r["_sab"]),
+        )
+        cov = round((n * sab - sa * sb) / (n * n) / float(micro) ** 2, 6)
+        C[r["i"] - 1, r["j"] - 1] = C[r["j"] - 1, r["i"] - 1] = cov
+        if r["i"] == r["j"]:
+            mu_vals[r["i"] - 1] = sa / n / micro
+    w, E = np.linalg.eigh(C)
+    W = E @ np.diag(1.0 / np.sqrt(np.maximum(w, 0.0) + eps)) @ E.T
+    mu = const_vector(mu_vals)
+    m = const_matrix(W)
+    centered = F.zip_with(
+        F.slice(F.col(vec_col), 1, dims), mu, lambda x, y: x.cast("double") - y
+    )
+    proj = F.transform(
+        m,
+        lambda row: F.aggregate(
+            F.zip_with(F.col("_ctr"), row, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (
+        df.withColumn("_ctr", centered)
+        .withColumn(out_col, proj)
+        .drop("_ctr")
+    )
+
+
 def prefix_index_write(
     index_url: str,
     corpus: DataFrame,

@@ -171,3 +171,31 @@ def test_knn_graph_never_broadcasts_the_corpus(spark, corpus):
     plan = knn_graph(corpus, k=3, n_cells=8, n_probe=2)._jdf.queryExecution().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "cell" in plan
+
+
+def test_whiten_embeddings_identity_covariance(spark, corpus):
+    """ZCA contract: the whitened block's sample covariance is ~I, the
+    transform is symmetric (ZCA, not PCA — no rotation away from the
+    original basis), and output shape matches dims."""
+    from petastorm_spark.operators.similarity import whiten_embeddings
+
+    dims = 6
+    rows = whiten_embeddings(corpus, dims=dims).orderBy("vec_id").collect()
+    Wd = np.array([r["whitened"] for r in rows])
+    assert Wd.shape == (len(rows), dims)
+    got_cov = np.cov(Wd, rowvar=False, bias=True)
+    # quantization + rounded cells leave a small residual off identity
+    assert np.abs(got_cov - np.eye(dims)).max() < 0.05
+    # whitening twice with the stats of the whitened data is ~no-op
+    # (already white), pinning idempotence of the definition
+    df2 = arrow_local_df(
+        spark,
+        {
+            "vec_id": [r["vec_id"] for r in rows],
+            "embedding": [list(map(float, v)) for v in Wd],
+        },
+        "vec_id bigint, embedding array<double>",
+    )
+    rows2 = whiten_embeddings(df2, dims=dims).orderBy("vec_id").collect()
+    W2 = np.array([r["whitened"] for r in rows2])
+    assert np.abs(W2 - (Wd - Wd.mean(axis=0))).max() < 0.1
