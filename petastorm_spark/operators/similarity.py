@@ -744,7 +744,13 @@ def knn_graph(
     (:func:`topk_per_query`). Recall follows the IVF geometry: a true
     neighbor is missed only when it lives outside all n_probe probed
     cells (raise n_probe / use k-means centroids to trade cost for
-    recall, exactly as in :func:`ivf_query`)."""
+    recall, exactly as in :func:`ivf_query`).
+
+    Sizing: candidate volume ~= N * n_probe * (N / n_cells), so
+    ``n_cells`` must GROW with the corpus — n_cells ~ sqrt(N) keeps
+    per-vector candidate work ~ sqrt(N) (the standard IVF-graph
+    sizing); a fixed n_cells turns this quadratic. The default 16 is
+    a test-scale toy value."""
     cent, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids)
     crows = cent.select("cell", "cent_vec").collect()  # bounded quantizer
     probes = _probe_cells_numpy(

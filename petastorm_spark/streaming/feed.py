@@ -875,3 +875,21 @@ def lm_score_stream(
         doc_stream, text_col, id_col, big, muni, n_total,
         alpha=alpha, micro=micro, pre_aggregate=False,
     )
+
+
+def k_anonymity_stream(
+    rows: DataFrame, qi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Streaming twin of :func:`operators.privacy.k_anonymity_report`:
+    maintain per-quasi-identifier class sizes over a continuous ingest
+    feed — the release gate that watches re-identification risk AS the
+    dataset accretes, instead of auditing after the fact. State is
+    bounded by the QI domain product (the same bound as the batch
+    report's output), complete/update mode; ``at_risk`` is recomputed
+    on every snapshot, so a class flips to safe the moment its k-th
+    member arrives. The aggregation is the identical pure groupBy, so
+    availableNow over a static dir reproduces the batch report row for
+    row (pinned by test)."""
+    from petastorm_spark.operators.privacy import k_anonymity_report
+
+    return k_anonymity_report(rows, qi_cols, k)

@@ -199,3 +199,45 @@ def test_whiten_embeddings_identity_covariance(spark, corpus):
     rows2 = whiten_embeddings(df2, dims=dims).orderBy("vec_id").collect()
     W2 = np.array([r["whitened"] for r in rows2])
     assert np.abs(W2 - (Wd - Wd.mean(axis=0))).max() < 0.1
+
+
+def test_k_anonymity_stream_matches_batch(spark, tmp_path_factory):
+    """availableNow over a static dir == the batch report row for row
+    (the streaming-twin contract of the privacy family)."""
+    from petastorm_spark.operators.privacy import k_anonymity_report
+    from petastorm_spark.streaming.feed import (
+        k_anonymity_stream,
+        stream_dataset,
+    )
+
+    cust = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet"
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal").cast("double") / 1000))
+        .cast("bigint")
+        .alias("bal_bucket"),
+    )
+    d = str(tmp_path_factory.mktemp("kanon") / "cust")
+    cust.coalesce(1).write.parquet(d)
+    qi = ["c_nationkey", "c_mktsegment", "bal_bucket"]
+    q = (
+        k_anonymity_stream(stream_dataset(spark, d), qi, k=5)
+        .writeStream.format("memory")
+        .queryName("kanon_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = lambda r: (r["c_nationkey"], r["c_mktsegment"], r["bal_bucket"])  # noqa: E731
+    got = {
+        key(r): (r["class_size"], r["at_risk"])
+        for r in spark.table("kanon_out").collect()
+    }
+    want = {
+        key(r): (r["class_size"], r["at_risk"])
+        for r in k_anonymity_report(cust, qi, k=5).collect()
+    }
+    assert got == want and len(want) > 0
