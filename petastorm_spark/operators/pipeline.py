@@ -12,6 +12,8 @@ tensors); this is the beyond-parity layer SURVEY §7 Phase 6 calls for.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,6 +41,8 @@ def curate_corpus(
     lm_floor: float | None = None,
     lm_model_df: DataFrame | None = None,
     lm_alpha: float = 0.4,
+    k_anon_cols: Sequence[str] | None = None,
+    k_anon_k: int = 5,
 ) -> dict[str, DataFrame]:
     """Chain the standard curation passes and return every intermediate
     stage (lazy) keyed by name, in order:
@@ -79,6 +83,13 @@ def curate_corpus(
     - ``capped`` — at most ``max_per_stratum`` rows per
       ``strata_col`` value, key-stable md5 order (stage skipped —
       aliased to the previous stage — when either arg is None);
+    - ``k_anon`` (opt-in) — k-anonymity suppression over the
+      ``k_anon_cols`` quasi-identifiers (:func:`~petastorm_spark.
+      operators.privacy.suppress_small_classes`): rows whose QI class
+      has fewer than ``k_anon_k`` members are dropped. Runs LAST among
+      the filters — every earlier stage shrinks classes, and only the
+      final class sizes decide re-identification risk (key absent when
+      ``k_anon_cols`` is None);
     - ``output`` — PII scrubbed in place.
 
     The near-dedup stage EXECUTES when built (connected components is
@@ -190,9 +201,15 @@ def curate_corpus(
     else:
         stages["capped"] = pre_cap
 
-    stages["output"] = stages["capped"].withColumn(
-        text_col, scrub_pii(text_col)
-    )
+    pre_out = stages["capped"]
+    if k_anon_cols is not None:
+        from petastorm_spark.operators.privacy import suppress_small_classes
+
+        pre_out = stages["k_anon"] = suppress_small_classes(
+            pre_out, list(k_anon_cols), k_anon_k
+        )
+
+    stages["output"] = pre_out.withColumn(text_col, scrub_pii(text_col))
     return stages
 
 

@@ -39,6 +39,8 @@ def curate(
     classifier_floor: float | None = None,
     lm_floor: float | None = None,
     lm_model_url: str | None = None,
+    k_anon_cols: list[str] | None = None,
+    k_anon_k: int = 5,
     report_url: str | None = None,
     row_group_size_mb: int | None = None,
     zorder_cols: list[str] | None = None,
@@ -69,6 +71,8 @@ def curate(
         lm_model_df=(
             spark.read.parquet(lm_model_url) if lm_model_url else None
         ),
+        k_anon_cols=k_anon_cols,
+        k_anon_k=k_anon_k,
     )
     out = stages["output"]
     if zorder_cols:
@@ -118,6 +122,14 @@ def main() -> None:
         "else against the surviving docs themselves",
     )
     p.add_argument("--lm-model-url", default=None)
+    p.add_argument(
+        "--k-anon-cols",
+        default=None,
+        help="comma-separated quasi-identifier columns; rows whose QI "
+        "class has fewer than --k-anon-k members after all other "
+        "filters are suppressed (k-anonymity enforcement)",
+    )
+    p.add_argument("--k-anon-k", type=int, default=5)
     p.add_argument("--report", dest="report_url", default=None)
     p.add_argument("--row-group-size-mb", type=int, default=None)
     p.add_argument(
@@ -147,6 +159,8 @@ def main() -> None:
         classifier_floor=a.classifier_floor,
         lm_floor=a.lm_floor,
         lm_model_url=a.lm_model_url,
+        k_anon_cols=a.k_anon_cols.split(",") if a.k_anon_cols else None,
+        k_anon_k=a.k_anon_k,
         report_url=a.report_url,
         row_group_size_mb=a.row_group_size_mb,
         zorder_cols=a.zorder.split(",") if a.zorder else None,

@@ -241,3 +241,25 @@ def test_k_anonymity_stream_matches_batch(spark, tmp_path_factory):
         for r in k_anonymity_report(cust, qi, k=5).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_curate_corpus_k_anon_stage(spark):
+    """Opt-in k-anonymity suppression runs LAST among the filters:
+    rows whose (source) class falls below k after earlier stages are
+    dropped, and the stage appears in the attrition report."""
+    from petastorm_spark.operators.pipeline import curate_corpus, curation_report
+
+    rows = [(i, f"plain unique document text number {i}", "web") for i in range(4)]
+    rows += [(9, "plain unique document text number 9", "rare")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    stages = curate_corpus(
+        df, "text", "doc_id",
+        quality_floor=0.0, k_anon_cols=["source"], k_anon_k=2,
+    )
+    assert list(stages) == [
+        "input", "dedup", "quality", "capped", "k_anon", "output"
+    ]
+    kept = sorted(r["doc_id"] for r in stages["k_anon"].collect())
+    assert kept == [0, 1, 2, 3]  # the size-1 'rare' class is suppressed
+    rep = {r["stage"]: r["n_rows"] for r in curation_report(stages).collect()}
+    assert rep["capped"] == 5 and rep["k_anon"] == 4 and rep["output"] == 4
