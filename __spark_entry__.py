@@ -64,25 +64,15 @@ def _last_green_round() -> dict[str, int]:
 # round's CORRECTNESS file is committed the staleness sort would have
 # rotated them forward anyway.
 CHANGED_THIS_ROUND = [
-    # new in round 10
-    "ann_cosine_pq",
-    "ann_cosine_ivfpq",
-    "ann_recall_pq",
-    "ann_recall_ivfpq",
-    "hybrid_search_rrf",
-    "image_dhash_pairs",
-    "audio_dup_pairs",
-    "video_dup_pairs",
-    "audio_meta_stats",
-    "image_meta_stats",
-    "image_resize_pipeline",
-    "video_frame_sample",
-    "bitext_margin_mine",
-    "dedup_semantic_incremental",
-    "winnowing_matches",
-    # implementation touched in round 10 (id-guard / cache lifecycle)
-    "incremental_near_dup",
-    "dedup_semantic",
+    # new in round 12
+    "embedding_dim_robust_stats",
+    "pii_k_anonymity",
+    "knn_graph_ivf",
+    "ann_cosine_prefix_indexed",
+    # plan rebuilt in round 12 (join-free map-side pair explode)
+    "embedding_covariance",
+    # implementation touched in round 12 (bit-depth-derived rescale)
+    "audio_silence_spans",
 ]
 
 
