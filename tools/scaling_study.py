@@ -154,6 +154,13 @@ STUDY_QUERIES = [
     "embedding_covariance",
     "video_shot_boundaries",
     "audio_silence_spans",
+    "embedding_dim_robust_stats",
+    "pii_k_anonymity",
+    "ann_cosine_prefix_indexed",
+    # knn_graph_ivf is NOT in the study: its registered form pins the
+    # oracle's toy 16-cell quantizer, which is quadratic by design at
+    # sf1 (the operator's n_cells ~ sqrt(N) sizing rule is the scale
+    # story — receipt measured directly in SCALING_OUT "kNN graph").
 ]
 
 
