@@ -66,6 +66,7 @@ def _last_green_round() -> dict[str, int]:
 CHANGED_THIS_ROUND = [
     # new in round 12
     "embedding_dim_robust_stats",
+    "embedding_outliers",
     "pii_k_anonymity",
     "knn_graph_ivf",
     "ann_cosine_prefix_indexed",

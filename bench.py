@@ -167,6 +167,7 @@ HEADLINE = [
     "ann_recall_prefix",
     "embedding_covariance",
     "embedding_dim_robust_stats",
+    "embedding_outliers",
     "video_shot_boundaries",
     "audio_silence_spans",
 ]

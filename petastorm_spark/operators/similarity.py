@@ -2447,6 +2447,108 @@ def embedding_dim_robust_stats(
     )
 
 
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 8,
+    z: float = 3.5,
+    micro: int = 10**6,
+) -> DataFrame:
+    """Robust per-dimension outlier screen — the actionable consumer
+    of :func:`embedding_dim_robust_stats`: a coordinate is anomalous
+    when its modified z-score ``|x - median| / (1.4826 * MAD)``
+    exceeds ``z`` (Iglewicz & Hoaglin's 3.5 default), the rule that
+    catches corrupt/adversarial embedding batches a mean/std screen
+    smooths over (the outliers inflate std until they hide
+    themselves). Output one row per flagged vector:
+    (id, n_bad_dims, worst_dim, worst_ratio_bp) with worst_ratio_bp =
+    the max |x-med|/MAD in integer basis points. Engine-exact: the
+    flag compares the bigint products ``2*|2x-2med| * 10^4`` vs
+    ``round(z*1.4826*10^4) * 4*MAD`` and the ratio is an integer
+    floor DIV — no float math anywhere past the micro quantization.
+    Dimensions with MAD = 0 (constant coordinate) are skipped rather
+    than dividing by zero.
+
+    Scale: the stats table is dims rows (broadcast); the screen is a
+    pure map + one explode + a per-id partial aggregation."""
+    zq = int(round(z * 14826))  # z * 1.4826 in 1e4 units
+    stats = _weighted_median2(
+        df.select(
+            F.posexplode(F.slice(F.col(vec_col), 1, dims)).alias("_p", "_v")
+        )
+        .select(
+            (F.col("_p") + 1).alias("i"),
+            F.round(F.col("_v").cast("double") * micro, 0)
+            .cast("bigint")
+            .alias("_x"),
+        )
+        .groupBy("i", "_x")
+        .agg(F.count(F.lit(1)).alias("_c")),
+        "i",
+        "_x",
+        "_c",
+    ).select("i", F.col("m2").alias("_med2"))
+    dev = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.slice(F.col(vec_col), 1, dims)).alias("_p", "_v"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("_p") + 1).alias("i"),
+            F.round(F.col("_v").cast("double") * micro, 0)
+            .cast("bigint")
+            .alias("_x"),
+        )
+        .join(F.broadcast(stats), "i")
+        .select(
+            F.col(id_col),
+            "i",
+            F.abs(2 * F.col("_x") - F.col("_med2")).alias("_d2"),
+        )
+    )
+    mad = _weighted_median2(
+        dev.groupBy("i", "_d2").agg(F.count(F.lit(1)).alias("_c")),
+        "i",
+        "_d2",
+        "_c",
+    ).select("i", F.col("m2").alias("_mad4"))  # 4 * MAD as an integer
+    # modified z: |x-med|/MAD > z*1.4826 with ratio = 2*_d2/_mad4 and
+    # z*1.4826 = zq/10^4, i.e. _d2 * 2*10^4 > zq * _mad4 — pure bigint
+    # products (max ~1e14, far under 2^63), and the reported ratio is
+    # the exact integer floor DIV, so no float division anywhere
+    flagged = (
+        dev.join(F.broadcast(mad), "i")
+        .where(F.col("_mad4") > 0)
+        .withColumn(
+            "_bad",
+            (F.col("_d2") * 20000 > F.lit(zq) * F.col("_mad4")).cast("int"),
+        )
+        .withColumn(
+            "_ratio_bp", F.expr("(_d2 * 20000) DIV _mad4").cast("bigint")
+        )
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.sum("_bad").cast("bigint").alias("n_bad_dims"),
+            F.max(
+                F.struct(
+                    F.col("_ratio_bp"), (-F.col("i")).alias("_ni")
+                )
+            ).alias("_w"),
+        )
+        .where(F.col("n_bad_dims") > 0)
+        .select(
+            F.col(id_col),
+            "n_bad_dims",
+            (-F.col("_w._ni")).cast("int").alias("worst_dim"),
+            F.col("_w._ratio_bp").alias("worst_ratio_bp"),
+        )
+    )
+
+
 def whiten_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -6021,6 +6021,46 @@ def embedding_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_outliers",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (SELECT vec_id, i, CAST(round(v[i] * 1000000, 0) AS BIGINT) AS x
+          FROM e, unnest(range(1, 9)) AS u(i)),
+    m AS (SELECT i, CAST(2 * median(x) AS BIGINT) AS med2 FROM x GROUP BY i),
+    d AS (SELECT x.vec_id, x.i, abs(2 * x.x - m.med2) AS d2
+          FROM x JOIN m USING (i)),
+    md AS (SELECT i, CAST(2 * median(d2) AS BIGINT) AS mad4 FROM d GROUP BY i),
+    f AS (SELECT d.vec_id, d.i,
+                 CASE WHEN d.d2 * 20000 > 37065 * md.mad4
+                      THEN 1 ELSE 0 END AS bad,
+                 (d.d2 * 20000) // md.mad4 AS ratio_bp
+          FROM d JOIN md USING (i) WHERE md.mad4 > 0),
+    w AS (SELECT vec_id, i, ratio_bp,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY ratio_bp DESC, i) AS rn
+          FROM f),
+    g AS (SELECT vec_id, sum(bad) AS n_bad FROM f GROUP BY vec_id)
+    SELECT g.vec_id, CAST(g.n_bad AS BIGINT) AS n_bad_dims,
+           CAST(w.i AS INT) AS worst_dim,
+           CAST(w.ratio_bp AS BIGINT) AS worst_ratio_bp
+    FROM g JOIN w ON w.vec_id = g.vec_id AND w.rn = 1
+    WHERE g.n_bad > 0
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-dimension outlier screen over the leading 8 dims
+    (modified z-score |x-med| / (1.4826*MAD) > 2.5, Iglewicz &
+    Hoaglin): the actionable consumer of embedding_dim_robust_stats —
+    flags corrupt/adversarial vectors a mean/std screen smooths over.
+    Engine-exact end to end: the flag and the reported basis-point
+    ratio are bigint products and integer floor division over the
+    same micro-quantized medians the oracle computes."""
+    from petastorm_spark.operators.similarity import embedding_outliers as eo
+
+    return eo(_t_wide(spark, sf_dir, "embeddings"), dims=8, z=2.5)
+
+
+@register(
     "video_shot_boundaries",
     oracle="""
     WITH frames AS (

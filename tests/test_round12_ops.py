@@ -263,3 +263,29 @@ def test_curate_corpus_k_anon_stage(spark):
     assert kept == [0, 1, 2, 3]  # the size-1 'rare' class is suppressed
     rep = {r["stage"]: r["n_rows"] for r in curation_report(stages).collect()}
     assert rep["capped"] == 5 and rep["k_anon"] == 4 and rep["output"] == 4
+
+
+def test_embedding_outliers_flags_injected_corruption(spark, corpus):
+    """Inject one 100x-blown vector into a clean cloud: it must be
+    flagged with the right worst_dim, and the clean corpus must flag
+    (far) fewer rows than the corrupted one flags for the bad id."""
+    from petastorm_spark.operators.similarity import embedding_outliers
+
+    rows = [r["embedding"] for r in corpus.orderBy("vec_id").collect()]
+    bad = list(rows[0])
+    bad[2] = 100.0  # dim 3 blown out
+    dirty = arrow_local_df(
+        spark,
+        {
+            "vec_id": list(range(len(rows))) + [999],
+            "embedding": rows + [bad],
+        },
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r for r in embedding_outliers(dirty, dims=8, z=3.5).collect()
+    }
+    assert 999 in got
+    assert got[999]["worst_dim"] == 3
+    assert got[999]["n_bad_dims"] >= 1
+    assert got[999]["worst_ratio_bp"] > 35000  # z=3.5 -> ~51891 bp floor
