@@ -67,6 +67,7 @@ CHANGED_THIS_ROUND = [
     # new in round 12
     "embedding_dim_robust_stats",
     "embedding_outliers",
+    "embedding_cov_drift",
     "pii_k_anonymity",
     "knn_graph_ivf",
     "ann_cosine_prefix_indexed",

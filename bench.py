@@ -168,6 +168,7 @@ HEADLINE = [
     "embedding_covariance",
     "embedding_dim_robust_stats",
     "embedding_outliers",
+    "embedding_cov_drift",
     "video_shot_boundaries",
     "audio_silence_spans",
 ]

@@ -6020,6 +6020,60 @@ def embedding_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rs(_t_wide(spark, sf_dir, "embeddings"), dims=8)
 
 
+def _cov_cells_sql(pred: str) -> str:
+    return f"""
+      SELECT i, j, count(*) AS n,
+             round((CAST(count(*) AS DOUBLE) * CAST(sum(xa * xb) AS DOUBLE)
+                    - CAST(sum(xa) AS DOUBLE) * CAST(sum(xb) AS DOUBLE))
+                   / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE))
+                   / 1000000000000.0, 6) AS cov
+      FROM (SELECT a.i AS i, b.i AS j, a.xi AS xa, b.xi AS xb
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+            WHERE {pred}) p
+      GROUP BY i, j
+    """
+
+
+@register(
+    "embedding_cov_drift",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (SELECT vec_id, i,
+                 CAST(round(v[i] * 1000000, 0) AS HUGEINT) AS xi
+          FROM e, unnest(range(1, 9)) AS u(i)),
+    ga AS ({_cov_cells_sql('a.vec_id % 2 = 0')}),
+    gb AS ({_cov_cells_sql('a.vec_id % 2 = 1')})
+    SELECT CAST(ga.i AS INT) AS i, CAST(ga.j AS INT) AS j,
+           CAST(ga.n AS BIGINT) AS n_a, CAST(gb.n AS BIGINT) AS n_b,
+           ga.cov AS cov_a, gb.cov AS cov_b,
+           round(ga.cov - gb.cov, 6) AS delta
+    FROM ga JOIN gb ON gb.i = ga.i AND gb.j = ga.j
+    """,
+)
+def embedding_cov_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment drift monitor — the covariance companion to
+    embedding_label_drift's centroid (first-moment) drift: the exact
+    covariance cells of two corpus splits (even/odd vec_id standing in
+    for old/new snapshots) joined per (i, j) with their delta. A
+    distribution shift that leaves means untouched (variance collapse,
+    rotated correlations — classic embedding-model regressions) shows
+    up here first. Engine-exact: each side is the join-free
+    DECIMAL(38,0) sufficient-statistics pass; the delta subtracts two
+    identically-rounded doubles. Scale: two linear passes + a 36-row
+    join."""
+    from petastorm_spark.operators.similarity import embedding_covariance as ec
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    a = ec(emb.where(F.col("vec_id") % 2 == 0), dims=8)
+    b = ec(emb.where(F.col("vec_id") % 2 == 1), dims=8)
+    a = a.select("i", "j", F.col("n").alias("n_a"), F.col("cov").alias("cov_a"))
+    b = b.select("i", "j", F.col("n").alias("n_b"), F.col("cov").alias("cov_b"))
+    return a.join(b, ["i", "j"]).select(
+        "i", "j", "n_a", "n_b", "cov_a", "cov_b",
+        F.round(F.col("cov_a") - F.col("cov_b"), 6).alias("delta"),
+    )
+
+
 @register(
     "embedding_outliers",
     oracle="""
