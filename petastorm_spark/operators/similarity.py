@@ -722,6 +722,7 @@ def knn_graph(
     n_cells: int = 16,
     n_probe: int = 2,
     centroids: DataFrame | None = None,
+    score_kernel: str = "fold",
 ) -> DataFrame:
     """ALL-PAIRS approximate k-nearest-neighbor GRAPH: every corpus
     vector's top-``k`` neighbors by EXACT cosine among IVF-blocked
@@ -750,7 +751,16 @@ def knn_graph(
     ``n_cells`` must GROW with the corpus — n_cells ~ sqrt(N) keeps
     per-vector candidate work ~ sqrt(N) (the standard IVF-graph
     sizing); a fixed n_cells turns this quadratic. The default 16 is
-    a test-scale toy value."""
+    a test-scale toy value.
+
+    ``score_kernel``: "fold" (default) scores candidates with the
+    Catalyst HOF fold — sequential summation, bit-identical to the
+    SQL oracles. "numpy" scores each Arrow batch of joined candidate
+    pairs with one einsum — the production kernel for the graph's
+    all-pairs volume (the fold interprets its lambda per element,
+    ~1.4 us/score; the batch kernel is two orders faster), pairwise
+    summation so the last float bit can differ from the fold — tested
+    rank-identical on realistic gaps, not hash-pinned."""
     cent, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids)
     crows = cent.select("cell", "cent_vec").collect()  # bounded quantizer
     probes = _probe_cells_numpy(
@@ -765,11 +775,55 @@ def knn_graph(
         F.col(vec_col).alias("c_vec"),
         F.col("cell"),
     )
-    scored = (
-        probes.join(cand, "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    joined = probes.join(cand, "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
     )
+    if score_kernel == "numpy":
+        import pandas as pd
+
+        id_t = corpus.schema[id_col].dataType.simpleString()
+        out_schema = (
+            f"query_id {id_t}, neighbor_id {id_t}, cos_sim double"
+        )
+
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": pdf["query_id"],
+                            "neighbor_id": pdf["neighbor_id"],
+                            "cos_sim": [],
+                        }
+                    )
+                    continue
+                Q = np.stack(pdf["q_vec"].to_numpy()).astype(np.float64)
+                C = np.stack(pdf["c_vec"].to_numpy()).astype(np.float64)
+                num = np.einsum("ij,ij->i", Q, C)
+                qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+                cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = num / (qn * cn)
+                # degenerate (zero-norm) never wins — the
+                # _probe_cells_numpy convention
+                cos = np.where(np.isnan(cos), -np.inf, cos)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "neighbor_id": pdf["neighbor_id"],
+                        "cos_sim": cos,
+                    }
+                )
+
+        scored = joined.select(
+            "query_id", "q_vec", "neighbor_id", "c_vec"
+        ).mapInPandas(score, out_schema)
+    elif score_kernel == "fold":
+        scored = joined.withColumn(
+            "cos_sim", cosine(F.col("q_vec"), F.col("c_vec"))
+        )
+    else:
+        raise ValueError(f"unknown score_kernel {score_kernel!r}")
     return topk_per_query(scored, k)
 
 

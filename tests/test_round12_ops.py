@@ -289,3 +289,21 @@ def test_embedding_outliers_flags_injected_corruption(spark, corpus):
     assert got[999]["worst_dim"] == 3
     assert got[999]["n_bad_dims"] >= 1
     assert got[999]["worst_ratio_bp"] > 35000  # z=3.5 -> ~51891 bp floor
+
+
+def test_knn_graph_numpy_kernel_matches_fold(spark, corpus):
+    """The production numpy score kernel must reproduce the fold
+    kernel's graph row for row (ranks and 4-decimal cosines) — the
+    pairwise-vs-sequential float gap never crosses a ranking or
+    rounding boundary on realistic data."""
+    from petastorm_spark.operators.similarity import knn_graph
+
+    canon = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in df.collect()
+    )
+    fold = canon(knn_graph(corpus, k=3, n_cells=8, n_probe=2))
+    fast = canon(
+        knn_graph(corpus, k=3, n_cells=8, n_probe=2, score_kernel="numpy")
+    )
+    assert fold == fast and len(fold) > 0
