@@ -893,3 +893,65 @@ def k_anonymity_stream(
     from petastorm_spark.operators.privacy import k_anonymity_report
 
     return k_anonymity_report(rows, qi_cols, k)
+
+
+def fingerprint_dup_stream(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str,
+    sig_col: str = "simhash",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Streaming near-dup gate for FINGERPRINTED content — the
+    multimodal twin of :func:`incremental_near_dup_stream`: an ingest
+    stream of 60-bit fingerprints (audio RMS-envelope, video
+    frame-mean, image dHash, text SimHash — every modality reduces to
+    the same signature shape, and the fingerprint kernels are
+    mapInPandas pure maps that run unchanged on a streaming frame)
+    probed online against the static signature table of the existing
+    corpus. Emits (new_id, old_id, hamming), EXACTLY the pairs at
+    hamming <= ``max_hamming``: with ``max_hamming < bands`` the
+    pigeonhole guarantees every true pair shares a band bucket, and
+    the bit_count verify drops every false collision — no recall loss,
+    no noise.
+
+    Shape: band extraction is a stateless per-row posexplode; the
+    (band, val) equi-join against the static side prices each probe by
+    its buckets' occupancy, never the corpus; one streaming groupBy
+    collapses multi-band collisions to a row per (new_id, old_id) —
+    state is one row per EMITTED match (update mode). availableNow
+    over a static batch equals the brute-force pair set (pinned by
+    test)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(sig_col).alias(f"_s_{out_id}"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col(sig_col), b * width).bitwiseAND(
+                            F.lit(mask)
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "val"),
+        )
+
+    hamming = F.bit_count(
+        F.col("_s_new_id").bitwiseXOR(F.col("_s_old_id"))
+    ).cast("int")
+    return (
+        banded(new_sigs, "new_id")
+        .join(banded(index_sigs, "old_id"), ["band", "val"])
+        .where(F.col("new_id") != F.col("old_id"))
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("new_id", "old_id")
+        .agg(F.min("hamming").alias("hamming"))
+    )

@@ -307,3 +307,58 @@ def test_knn_graph_numpy_kernel_matches_fold(spark, corpus):
         knn_graph(corpus, k=3, n_cells=8, n_probe=2, score_kernel="numpy")
     )
     assert fold == fast and len(fold) > 0
+
+
+def test_fingerprint_dup_stream_matches_brute_force(spark, tmp_path_factory):
+    """availableNow over a static batch of REAL audio fingerprints must
+    emit exactly the brute-force pair set at hamming <= 3 (pigeonhole +
+    verify: no recall loss, no false positives)."""
+    import numpy as np
+    import pandas as pd
+
+    from petastorm_spark.operators.audio import audio_fingerprints, encode_wav
+    from petastorm_spark.streaming.feed import (
+        fingerprint_dup_stream,
+        stream_dataset,
+    )
+
+    rng = np.random.default_rng(3)
+    base = (rng.normal(0, 3000, 4096)).astype(np.int16)
+    clips, ids = [], []
+    for i in range(12):
+        c = base.copy()
+        c[: 300 * i] = (rng.normal(0, 3000, 300 * i)).astype(np.int16)
+        ids.append(i)
+        clips.append(encode_wav(c.reshape(-1, 1), 8000))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids, "audio": clips}))
+    sigs = audio_fingerprints(df, "audio", "simhash").select("doc_id", "simhash")
+
+    # index = even ids (static), stream = odd ids
+    index = sigs.where("doc_id % 2 = 0")
+    index.persist().count()
+    newd = str(tmp_path_factory.mktemp("fps") / "new")
+    sigs.where("doc_id % 2 = 1").coalesce(1).write.parquet(newd)
+    q = (
+        fingerprint_dup_stream(
+            stream_dataset(spark, newd), index, "doc_id"
+        )
+        .writeStream.format("memory")
+        .queryName("fps_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["new_id"], r["old_id"]): r["hamming"]
+        for r in spark.table("fps_out").collect()
+    }
+    s = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    want = {
+        (a, b): bin(s[a] ^ s[b]).count("1")
+        for a in s
+        for b in s
+        if a % 2 == 1 and b % 2 == 0 and bin(s[a] ^ s[b]).count("1") <= 3
+    }
+    assert got == want and len(want) > 0
+    index.unpersist()
