@@ -46,11 +46,19 @@ def k_anonymity_summary(
     is k-anonymous over ``qi_cols`` iff ``n_rows_at_risk == 0``
     (equivalently ``min_class_size >= k``)."""
     rep = k_anonymity_report(df, qi_cols, k)
+    # coalesce the sums so an EMPTY release (trivially k-anonymous)
+    # reads n_rows_at_risk == 0, not NULL — the gate condition must
+    # pass, not evaluate falsy-by-accident; min_class_size stays NULL
+    # (there is no class to have a size)
     return rep.agg(
-        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum("class_size"), F.lit(0))
+        .cast("bigint")
+        .alias("n_rows"),
         F.count(F.lit(1)).cast("bigint").alias("n_classes"),
-        F.sum("at_risk").cast("bigint").alias("n_at_risk_classes"),
-        F.sum(F.col("class_size") * F.col("at_risk"))
+        F.coalesce(F.sum("at_risk"), F.lit(0))
+        .cast("bigint")
+        .alias("n_at_risk_classes"),
+        F.coalesce(F.sum(F.col("class_size") * F.col("at_risk")), F.lit(0))
         .cast("bigint")
         .alias("n_rows_at_risk"),
         F.min("class_size").cast("bigint").alias("min_class_size"),

@@ -508,6 +508,7 @@ def _probe_cells_numpy(
     id_col: str,
     vec_col: str,
     n_probe: int,
+    keep_order: bool = False,
 ) -> DataFrame:
     """(id, vec, _cells) with ``_cells`` = each vector's top-``n_probe``
     nearest-centroid cells (cosine DESC, cell ASC tie-break), sorted
@@ -572,7 +573,11 @@ def _probe_cells_numpy(
             # paths: the SQL oracles coalesce their cosine to -inf too.
             cos = np.where(np.isnan(cos), -np.inf, cos)
             idx = np.argsort(-cos, axis=1, kind="stable")[:, :k]
-            sel = np.sort(cells_np[idx], axis=1)
+            # default: cells sorted ascending (a stable set for output
+            # columns); keep_order=True preserves (cos DESC, cell ASC)
+            # rank order so element 1 IS the nearest-centroid cell —
+            # what knn_graph's one-pass home-cell assignment reads
+            sel = cells_np[idx] if keep_order else np.sort(cells_np[idx], axis=1)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -760,21 +765,74 @@ def knn_graph(
     all-pairs volume (the fold interprets its lambda per element,
     ~1.4 us/score; the batch kernel is two orders faster), pairwise
     summation so the last float bit can differ from the fold — tested
-    rank-identical on realistic gaps, not hash-pinned."""
-    cent, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids)
+    rank-identical on realistic gaps, not hash-pinned. Both kernels
+    rank a zero-norm (degenerate) vector LAST instead of dividing by
+    zero (ANSI) or letting NaN sort first.
+
+    Probe + home-cell assignment is ONE Arrow/BLAS pass while the
+    quantizer fits the local-matrix bound (the _probe_cells_numpy
+    contract); past ``_MAX_LOCAL_CELLS`` it degrades to the same
+    broadcast-join + per-vector rank window :func:`ivf_query` uses —
+    never a full quantizer matrix serialized into every task."""
+    from pyspark.sql import Window
+
+    if centroids is not None:
+        cent = _as_centroids(centroids, id_col, vec_col)
+    else:
+        cent = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
+            )
+        )
     crows = cent.select("cell", "cent_vec").collect()  # bounded quantizer
-    probes = _probe_cells_numpy(
-        corpus, crows, id_col, vec_col, n_probe
-    ).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode("_cells").alias("cell"),
-    )
-    cand = assigned.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col("cell"),
-    )
+    if 0 < len(crows) <= _MAX_LOCAL_CELLS:
+        probed = _probe_cells_numpy(
+            corpus, crows, id_col, vec_col, n_probe, keep_order=True
+        )
+        cand = probed.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.get("_cells", 0).alias("cell"),  # rank-1 = home cell
+        )
+        probes = probed.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode("_cells").alias("cell"),
+        )
+    else:
+        # quantizer outgrew the local matrix: broadcast-join ranking,
+        # the ivf_query probe shape (degenerate cosine never wins)
+        num = dot(F.col(vec_col), F.col("cent_vec"))
+        den = norm(F.col(vec_col)) * norm(F.col("cent_vec"))
+        safe_cos = F.when(den > 0, num / den).otherwise(
+            F.lit(float("-inf"))
+        )
+        ranked = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .crossJoin(F.broadcast(cent))
+            .withColumn("_cos", safe_cos)
+            .withColumn(
+                "_r",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(
+                        F.col("_cos").desc(), F.col("cell")
+                    )
+                ),
+            )
+            .where(F.col("_r") <= max(n_probe, 1))
+        )
+        cand = ranked.where(F.col("_r") == 1).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col("cell"),
+        )
+        probes = ranked.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("cell"),
+        )
     joined = probes.join(cand, "cell").where(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -819,8 +877,14 @@ def knn_graph(
             "query_id", "q_vec", "neighbor_id", "c_vec"
         ).mapInPandas(score, out_schema)
     elif score_kernel == "fold":
+        # zero-norm guard: ANSI Spark raises DIVIDE_BY_ZERO on 0/0 and
+        # non-ANSI NaN would sort FIRST under desc() — pin "degenerate
+        # never wins" to match the numpy kernel and _probe_cells_numpy
+        num = dot(F.col("q_vec"), F.col("c_vec"))
+        den = norm(F.col("q_vec")) * norm(F.col("c_vec"))
         scored = joined.withColumn(
-            "cos_sim", cosine(F.col("q_vec"), F.col("c_vec"))
+            "cos_sim",
+            F.when(den > 0, num / den).otherwise(F.lit(float("-inf"))),
         )
     else:
         raise ValueError(f"unknown score_kernel {score_kernel!r}")
@@ -2366,8 +2430,25 @@ def pca_project_embeddings(
     ``eigh`` on the symmetric matrix, components ordered by descending
     eigenvalue, each component's sign fixed so its
     largest-|.|-element (lowest index on ties) is positive."""
-    micro = 10**6
-    cells = _covariance_cells(df, vec_col, dims, micro).collect()
+    C, mu_vals = _driver_cov_mu(
+        _covariance_cells(df, vec_col, dims, 10**6).collect(), dims
+    )
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(-w)[:n_components]
+    comps = V[:, order].T  # (n_components, dims)
+    for c in range(len(comps)):
+        pivot = np.argmax(np.abs(comps[c]))
+        if comps[c, pivot] < 0:
+            comps[c] = -comps[c]
+    return _center_project(df, vec_col, dims, mu_vals, comps, out_col)
+
+
+def _driver_cov_mu(cells, dims: int, micro: int = 10**6):
+    """Decode collected :func:`_covariance_cells` rows into the
+    symmetric covariance matrix (cells rounded to 6 decimals, the
+    operator contract) and the exact per-dimension means (Sa/n of the
+    i==j rows) — the shared driver half of PCA and ZCA whitening.
+    Every double is a correctly-rounded function of the integer sums."""
     C = np.zeros((dims, dims), dtype=np.float64)
     mu_vals = [0.0] * dims
     for r in cells:
@@ -2381,15 +2462,22 @@ def pca_project_embeddings(
         C[r["i"] - 1, r["j"] - 1] = C[r["j"] - 1, r["i"] - 1] = cov
         if r["i"] == r["j"]:
             mu_vals[r["i"] - 1] = sa / n / micro
-    w, V = np.linalg.eigh(C)
-    order = np.argsort(-w)[:n_components]
-    comps = V[:, order].T  # (n_components, dims)
-    for c in range(len(comps)):
-        pivot = np.argmax(np.abs(comps[c]))
-        if comps[c, pivot] < 0:
-            comps[c] = -comps[c]
-    mu = const_vector(mu_vals)
-    m = const_matrix(comps)
+    return C, mu_vals
+
+
+def _center_project(
+    df: DataFrame,
+    vec_col: str,
+    dims: int,
+    mu_vals,
+    matrix,
+    out_col: str,
+) -> DataFrame:
+    """(x - mu) @ matrix.T as a pure per-row plan: the mean and the
+    matrix ride as literals (:func:`const_vector`/:func:`const_matrix`),
+    centering is one zip_with, each output coordinate one fold."""
+    mu = const_vector([float(v) for v in mu_vals])
+    m = const_matrix(matrix)
     centered = F.zip_with(
         F.slice(F.col(vec_col), 1, dims), mu, lambda x, y: x.cast("double") - y
     )
@@ -2624,41 +2712,12 @@ def whiten_embeddings(
     dims^2 cells + exact integer means to the driver, eigh there, and
     the whitening matrix rides the plan as a single 2-D literal — a
     pure per-row map, run-deterministic end to end."""
-    micro = 10**6
-    cells = _covariance_cells(df, vec_col, dims, micro).collect()
-    C = np.zeros((dims, dims), dtype=np.float64)
-    mu_vals = [0.0] * dims
-    for r in cells:
-        n, sa, sb, sab = (
-            float(r["_n"]),
-            float(r["_sa"]),
-            float(r["_sb"]),
-            float(r["_sab"]),
-        )
-        cov = round((n * sab - sa * sb) / (n * n) / float(micro) ** 2, 6)
-        C[r["i"] - 1, r["j"] - 1] = C[r["j"] - 1, r["i"] - 1] = cov
-        if r["i"] == r["j"]:
-            mu_vals[r["i"] - 1] = sa / n / micro
+    C, mu_vals = _driver_cov_mu(
+        _covariance_cells(df, vec_col, dims, 10**6).collect(), dims
+    )
     w, E = np.linalg.eigh(C)
     W = E @ np.diag(1.0 / np.sqrt(np.maximum(w, 0.0) + eps)) @ E.T
-    mu = const_vector(mu_vals)
-    m = const_matrix(W)
-    centered = F.zip_with(
-        F.slice(F.col(vec_col), 1, dims), mu, lambda x, y: x.cast("double") - y
-    )
-    proj = F.transform(
-        m,
-        lambda row: F.aggregate(
-            F.zip_with(F.col("_ctr"), row, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    return (
-        df.withColumn("_ctr", centered)
-        .withColumn(out_col, proj)
-        .drop("_ctr")
-    )
+    return _center_project(df, vec_col, dims, mu_vals, W, out_col)
 
 
 def prefix_index_write(

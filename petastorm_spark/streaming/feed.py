@@ -923,7 +923,24 @@ def fingerprint_dup_stream(
     collapses multi-band collisions to a row per (new_id, old_id) —
     state is one row per EMITTED match (update mode). availableNow
     over a static batch equals the brute-force pair set (pinned by
-    test)."""
+    test).
+
+    Caveat vs the batch candidate generator
+    (:func:`operators.dedup.simhash_pair_candidates`): no hot-bucket
+    sub-banding here — a degenerate fingerprint value that piles many
+    index rows into one (band, val) bucket (all-silence clips,
+    constant frames) prices every probe of that bucket by its full
+    occupancy. Pre-filter degenerate signatures from the INDEX side
+    (they are near-dups of each other, not of anything else) before
+    handing it to the stream."""
+    if max_hamming >= bands:
+        # same contract as the batch generator: the pigeonhole only
+        # guarantees a shared band when strictly fewer differing bits
+        # than bands exist — a silent recall hole otherwise
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}) for "
+            "the banded join to be lossless"
+        )
     width = bits // bands
     mask = (1 << width) - 1
 

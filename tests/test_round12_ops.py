@@ -362,3 +362,49 @@ def test_fingerprint_dup_stream_matches_brute_force(spark, tmp_path_factory):
     }
     assert got == want and len(want) > 0
     index.unpersist()
+
+
+def test_knn_graph_zero_norm_vector_never_wins(spark):
+    """A zero-norm (degenerate) vector must rank LAST on BOTH score
+    kernels — not crash ANSI division and not NaN-sort to rank 1."""
+    from petastorm_spark.operators.similarity import knn_graph
+
+    vecs = [[1.0, 0.0], [0.9, 0.1], [0.8, 0.2], [0.0, 0.0]]
+    df = arrow_local_df(
+        spark,
+        {"vec_id": [1, 2, 3, 4], "embedding": vecs},
+        "vec_id bigint, embedding array<double>",
+    )
+    for kern in ("fold", "numpy"):
+        g = knn_graph(
+            df, k=2, n_cells=2, n_probe=2, score_kernel=kern
+        ).collect()
+        top1 = {r["query_id"]: r["neighbor_id"] for r in g if r["rank"] == 1}
+        assert all(n != 4 for n in top1.values()), (kern, top1)
+
+
+def test_fingerprint_dup_stream_rejects_lossy_banding(spark):
+    """max_hamming >= bands would silently lose recall — must raise,
+    matching the batch candidate generator's contract."""
+    import pytest
+
+    from petastorm_spark.streaming.feed import fingerprint_dup_stream
+
+    df = arrow_local_df(
+        spark, {"doc_id": [1], "simhash": [7]}, "doc_id bigint, simhash bigint"
+    )
+    with pytest.raises(ValueError, match="must be < bands"):
+        fingerprint_dup_stream(df, df, "doc_id", bands=4, max_hamming=4)
+
+
+def test_k_anonymity_summary_empty_release_passes_gate(spark):
+    """An empty release is trivially k-anonymous: the gate scalars must
+    be 0, never NULL."""
+    from petastorm_spark.operators.privacy import k_anonymity_summary
+
+    df = arrow_local_df(
+        spark, {"id": [], "qi": []}, "id bigint, qi string"
+    )
+    s = k_anonymity_summary(df, ["qi"], k=5).collect()[0]
+    assert s["n_rows"] == 0 and s["n_classes"] == 0
+    assert s["n_at_risk_classes"] == 0 and s["n_rows_at_risk"] == 0
