@@ -408,3 +408,43 @@ def test_k_anonymity_summary_empty_release_passes_gate(spark):
     s = k_anonymity_summary(df, ["qi"], k=5).collect()[0]
     assert s["n_rows"] == 0 and s["n_classes"] == 0
     assert s["n_at_risk_classes"] == 0 and s["n_rows_at_risk"] == 0
+
+
+def test_curate_corpus_all_stages_integration(spark):
+    """Every opt-in stage enabled at once: the stage chain keeps its
+    documented order, attrition is monotone non-increasing, and the
+    output is scrubbed + k-anonymous over the QI."""
+    from petastorm_spark.operators.pipeline import curate_corpus, curation_report
+    from petastorm_spark.operators.privacy import k_anonymity_summary
+
+    rows = []
+    for i in range(8):
+        rows.append(
+            (i, f"the quick brown fox number {i} jumps over the lazy dog", "web")
+        )
+    rows.append((100, rows[0][1], "web"))           # exact dup
+    rows.append((101, "zq xv wpl qqk mmo ppt", "rare"))  # salad + rare source
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    stages = curate_corpus(
+        df, "text", "doc_id",
+        quality_floor=0.0,
+        near_dedup=True,
+        excise_spans=True, excise_min_count=50,  # high floor: no excision
+        classifier_floor=None,
+        lm_floor=-9.0, lm_model_df=df.where("doc_id < 8"),
+        strata_col="source", max_per_stratum=100,
+        k_anon_cols=["source"], k_anon_k=2,
+    )
+    assert list(stages) == [
+        "input", "dedup", "near_dedup", "excised", "quality", "lm",
+        "capped", "k_anon", "output",
+    ]
+    rep = [
+        (r["stage"], r["n_rows"])
+        for r in curation_report(stages).orderBy("stage_idx").collect()
+    ]
+    counts = [n for _, n in rep]
+    assert counts[0] == 10
+    assert all(a >= b for a, b in zip(counts, counts[1:])), rep
+    s = k_anonymity_summary(stages["output"], ["source"], k=2).collect()[0]
+    assert s["n_rows_at_risk"] == 0
