@@ -155,6 +155,17 @@ class in_lambda(PredicateBase):
             out = self._func(cols, self._state)
         else:
             out = self._func(cols)
+        # a scalar here is almost always a mis-signatured lambda (the
+        # func receives a DICT of columns — e.g. ``lambda d: d['x'] > 0``,
+        # not ``lambda x: x > 0``, whose dict comparison yields one
+        # python bool); silently broadcasting it would turn the
+        # predicate into keep-all/drop-all
+        if not hasattr(out, "__len__") or len(out) != len(df):
+            raise TypeError(
+                "in_lambda func must return a boolean array of the batch "
+                f"length ({len(df)}), got {type(out).__name__}; note the "
+                "func receives a dict of column arrays"
+            )
         return pd.Series(out, index=df.index, dtype=bool)
 
 

@@ -448,3 +448,64 @@ def test_curate_corpus_all_stages_integration(spark):
     assert all(a >= b for a, b in zip(counts, counts[1:])), rep
     s = k_anonymity_summary(stages["output"], ["source"], k=2).collect()[0]
     assert s["n_rows_at_risk"] == 0
+
+
+def test_reader_ngram_with_transform_and_predicate(spark, tmp_path):
+    """Surface-combination probe (the round-10 technique): NGram
+    windowing + TransformSpec + a row predicate through make_reader in
+    ONE call — transform runs BEFORE windowing (windows see
+    transformed values), the predicate prunes rows before windows
+    form, and window timestamps stay delta-gated."""
+    from petastorm_spark.operators.ngram import NGram
+    from petastorm_spark.predicates import in_lambda
+    from petastorm_spark.reader import make_reader
+    from petastorm_spark.transform import TransformSpec
+
+    url = str(tmp_path / "ngds")
+    spark.createDataFrame(
+        [(t, t * 10) for t in range(1, 9)], ["ts", "v"]
+    ).coalesce(1).write.parquet(url)
+
+    ng = NGram(
+        fields={0: ["ts", "v"], 1: ["ts", "v"]},
+        delta_threshold=1,
+        timestamp_field="ts",
+    )
+    spec = TransformSpec(lambda pdf: pdf.assign(v=pdf["v"] + 1))
+    pred = in_lambda(["ts"], lambda d: d["ts"] != 5)  # break the chain at 5
+    with make_reader(
+        url,
+        spark=spark,
+        schema_fields=ng,
+        transform_spec=spec,
+        predicate=pred,
+    ) as r:
+        wins = [(w[0].ts, w[0].v, w[1].ts, w[1].v) for w in r]
+    # ts=5 removed -> (4,5) and (5,6) windows gone; v transformed +1
+    assert sorted(wins) == [
+        (1, 11, 2, 21),
+        (2, 21, 3, 31),
+        (3, 31, 4, 41),
+        (6, 61, 7, 71),
+        (7, 71, 8, 81),
+    ]
+
+
+def test_in_lambda_rejects_scalar_result(spark, tmp_path):
+    """A mis-signatured lambda (treating the column-dict as the column)
+    returns one python bool; the predicate must raise loudly instead of
+    silently broadcasting keep-all."""
+    import pytest
+
+    from petastorm_spark.predicates import in_lambda
+    from petastorm_spark.reader import make_reader
+
+    url = str(tmp_path / "sclds")
+    spark.range(10).selectExpr("id AS ts").coalesce(1).write.parquet(url)
+    with make_reader(
+        url,
+        spark=spark,
+        predicate=in_lambda(["ts"], lambda ts: ts != 5),  # wrong signature
+    ) as r:
+        with pytest.raises(Exception, match="boolean array of the batch"):
+            list(r)
