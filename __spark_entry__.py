@@ -71,6 +71,7 @@ CHANGED_THIS_ROUND = [
     "pii_k_anonymity",
     "knn_graph_ivf",
     "ann_cosine_prefix_indexed",
+    "resample_user_values",
     # plan rebuilt in round 12 (join-free map-side pair explode)
     "embedding_covariance",
     # implementation touched in round 12 (bit-depth-derived rescale)

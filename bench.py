@@ -68,6 +68,7 @@ HEADLINE = [
     "asof_join_clicks",
     "range_join_campaigns",
     "rollup_multigrain",
+    "resample_user_values",
     "chunk_documents",
     "pii_scrub",
     "pii_k_anonymity",

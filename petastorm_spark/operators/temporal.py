@@ -377,3 +377,81 @@ def interval_attribution(
         (F.col(right_ts_us) > F.col(left_ts_us))
         & (F.col(right_ts_us) <= F.col(left_ts_us) + F.lit(int(window_us)))
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: int,
+    tiebreak_col: str,
+    max_grid_points: int = 1_000_000,
+) -> DataFrame:
+    """Gap-filled resampling with last-observation-carried-forward —
+    the hypertable ``time_bucket_gapfill + locf`` pair (TimescaleDB's
+    continuous-aggregate surface; reference engine has no temporal
+    operators at all, SURVEY §2.6): each key's observations land in
+    ``floor(ts / step) * step`` buckets, the LAST observation per
+    bucket wins (ts, then ``tiebreak_col`` — deterministic under
+    equal timestamps), every key's grid runs from its first to its
+    last bucket with no holes, and empty buckets carry the previous
+    value forward. Output: (key, grid_ts, value_ff, is_gap).
+    ``ts_col`` must be an integer timeline (epoch microseconds by
+    this repo's convention).
+
+    Scale: the bucket collapse is one partially-aggregated groupBy
+    (observations never reach the window); the grid explode is
+    bounded by ``max_grid_points`` per key (validated with one scalar
+    aggregate over the per-key span table — a guard against a
+    mis-unit ``step`` exploding 10^12 rows); the forward fill is a
+    running ``last(ignorenulls)`` over grid rows only, parallel in
+    keys. First grid point is an observed bucket by construction, so
+    value_ff is never NULL."""
+    from pyspark.sql import Window
+
+    bucket = F.expr(f"({ts_col} DIV {int(step)}) * {int(step)}")
+    obs = (
+        df.select(
+            F.col(key_col),
+            bucket.alias("_b"),
+            F.struct(
+                F.col(ts_col).alias("_t"),
+                F.col(tiebreak_col).alias("_tb"),
+                F.col(value_col).alias("_v"),
+            ).alias("_s"),
+        )
+        .groupBy(key_col, "_b")
+        .agg(F.max("_s").getField("_v").alias("_v_obs"))
+    )
+    span = obs.groupBy(key_col).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    worst = span.agg(
+        F.max((F.col("_hi") - F.col("_lo")) / int(step) + 1).alias("m")
+    ).collect()[0]["m"]
+    if worst is not None and worst > max_grid_points:
+        raise ValueError(
+            f"resample grid would reach {int(worst)} points for one key "
+            f"(> max_grid_points={max_grid_points}); check the step unit"
+        )
+    grid = span.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(step)))
+        ).alias("grid_ts"),
+    )
+    j = grid.join(
+        obs.withColumnRenamed("_b", "grid_ts"), [key_col, "grid_ts"], "left"
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col(key_col),
+        F.col("grid_ts"),
+        F.last("_v_obs", ignorenulls=True).over(w).alias("value_ff"),
+        F.col("_v_obs").isNull().cast("int").alias("is_gap"),
+    )

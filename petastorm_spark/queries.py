@@ -1794,6 +1794,60 @@ def range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "resample_user_values",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, value, event_id
+               FROM events WHERE user_id < 50),
+    o AS (SELECT user_id, b, value FROM (
+        SELECT user_id, (t // 86400000000) * 86400000000 AS b, value,
+               row_number() OVER (PARTITION BY user_id,
+                                               (t // 86400000000)
+                                  ORDER BY t DESC, event_id DESC) AS rn
+        FROM e) WHERE rn = 1),
+    s AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM o GROUP BY user_id),
+    g AS (SELECT user_id, unnest(range(lo, hi + 1, 86400000000)) AS grid_ts
+          FROM s),
+    j AS (SELECT g.user_id, g.grid_ts, o.value AS v_obs
+          FROM g LEFT JOIN o ON o.user_id = g.user_id AND o.b = g.grid_ts),
+    f AS (SELECT user_id, grid_ts, v_obs,
+                 last_value(v_obs IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY grid_ts
+                     ROWS UNBOUNDED PRECEDING) AS v
+          FROM j)
+    SELECT user_id, CAST(grid_ts AS BIGINT) AS grid_ts,
+           round(v, 4) AS value_ff,
+           CAST(v_obs IS NULL AS INT) AS is_gap
+    FROM f
+    """,
+)
+def resample_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily resampling with forward fill — the hypertable
+    time_bucket_gapfill + locf pair over each user's event values
+    (users < 50): last observation per day wins (ts, event_id
+    tie-break), missing days carry the previous value, is_gap flags
+    the filled rows. See operators/temporal.resample_ffill for the
+    bucket-collapse-before-window scale shape."""
+    from petastorm_spark.operators.temporal import resample_ffill
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    ev = (
+        ev.withColumn("ts_us", events_ts_us(ev))
+        .where(F.col("user_id") < 50)
+        .select("user_id", "ts_us", "value", "event_id")
+    )
+    out = resample_ffill(
+        ev, "user_id", "ts_us", "value", 86_400_000_000, "event_id"
+    )
+    return out.select(
+        "user_id",
+        F.col("grid_ts").cast("bigint").alias("grid_ts"),
+        F.round("value_ff", 4).alias("value_ff"),
+        "is_gap",
+    )
+
+
+@register(
     "rollup_multigrain",
     oracle="""
     WITH e AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events)

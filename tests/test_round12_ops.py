@@ -509,3 +509,32 @@ def test_in_lambda_rejects_scalar_result(spark, tmp_path):
     ) as r:
         with pytest.raises(Exception, match="boolean array of the batch"):
             list(r)
+
+
+def test_resample_ffill_hand_computed(spark):
+    """Grid, forward fill, last-per-bucket tie-break and the
+    mis-unit-step guard on a hand-built series."""
+    import pytest
+
+    from petastorm_spark.operators.temporal import resample_ffill
+
+    rows = [
+        # key a: buckets 0 (two obs, later wins), 30 (gap at 10, 20)
+        ("a", 1, 10.0, 1), ("a", 5, 11.0, 2), ("a", 33, 12.0, 3),
+        # key a: equal ts in bucket 0? covered by key b below
+        ("b", 12, 5.0, 4), ("b", 12, 6.0, 5),  # equal ts -> id 5 wins
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v", "eid"])
+    got = {
+        (r["k"], r["grid_ts"]): (r["value_ff"], r["is_gap"])
+        for r in resample_ffill(df, "k", "ts", "v", 10, "eid").collect()
+    }
+    assert got == {
+        ("a", 0): (11.0, 0),   # later obs (ts=5) wins bucket 0
+        ("a", 10): (11.0, 1),  # gap, carried forward
+        ("a", 20): (11.0, 1),  # gap
+        ("a", 30): (12.0, 0),
+        ("b", 10): (6.0, 0),   # equal ts -> higher tiebreak id wins
+    }
+    with pytest.raises(ValueError, match="max_grid_points"):
+        resample_ffill(df, "k", "ts", "v", 10, "eid", max_grid_points=2)
