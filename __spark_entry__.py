@@ -72,6 +72,7 @@ CHANGED_THIS_ROUND = [
     "knn_graph_ivf",
     "ann_cosine_prefix_indexed",
     "resample_user_values",
+    "resample_user_interp",
     # plan rebuilt in round 12 (join-free map-side pair explode)
     "embedding_covariance",
     # implementation touched in round 12 (bit-depth-derived rescale)

@@ -69,6 +69,7 @@ HEADLINE = [
     "range_join_campaigns",
     "rollup_multigrain",
     "resample_user_values",
+    "resample_user_interp",
     "chunk_documents",
     "pii_scrub",
     "pii_k_anonymity",

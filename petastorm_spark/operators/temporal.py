@@ -387,6 +387,7 @@ def resample_ffill(
     step: int,
     tiebreak_col: str,
     max_grid_points: int = 1_000_000,
+    fill: str = "locf",
 ) -> DataFrame:
     """Gap-filled resampling with last-observation-carried-forward —
     the hypertable ``time_bucket_gapfill + locf`` pair (TimescaleDB's
@@ -407,7 +408,15 @@ def resample_ffill(
     mis-unit ``step`` exploding 10^12 rows); the forward fill is a
     running ``last(ignorenulls)`` over grid rows only, parallel in
     keys. First grid point is an observed bucket by construction, so
-    value_ff is never NULL."""
+    value_ff is never NULL.
+
+    ``fill``: "locf" (default) carries the last observation forward;
+    "interp" linearly interpolates interior gaps between the previous
+    and next OBSERVED buckets (trailing gaps still carry forward —
+    there is nothing to interpolate toward). Interpolation is
+    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)`` over
+    exact bigint time deltas — a fixed scalar expression, so the
+    doubles are bit-reproducible across engines."""
     from pyspark.sql import Window
 
     bucket = F.expr(f"({ts_col} DIV {int(step)}) * {int(step)}")
@@ -449,9 +458,32 @@ def resample_ffill(
         .orderBy("grid_ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    prev_v = F.last("_v_obs", ignorenulls=True).over(w)
+    if fill == "locf":
+        filled = prev_v
+    elif fill == "interp":
+        wf = (
+            Window.partitionBy(key_col)
+            .orderBy("grid_ts")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        obs_ts = F.when(F.col("_v_obs").isNotNull(), F.col("grid_ts"))
+        prev_t = F.last(obs_ts, ignorenulls=True).over(w)
+        next_v = F.first("_v_obs", ignorenulls=True).over(wf)
+        next_t = F.first(obs_ts, ignorenulls=True).over(wf)
+        frac = (F.col("grid_ts") - prev_t).cast("double") / (
+            next_t - prev_t
+        ).cast("double")
+        filled = (
+            F.when(F.col("_v_obs").isNotNull(), F.col("_v_obs"))
+            .when(next_v.isNull(), prev_v)  # trailing gap: carry forward
+            .otherwise(prev_v + (next_v - prev_v) * frac)
+        )
+    else:
+        raise ValueError(f"unknown fill mode {fill!r}")
     return j.select(
         F.col(key_col),
         F.col("grid_ts"),
-        F.last("_v_obs", ignorenulls=True).over(w).alias("value_ff"),
+        filled.alias("value_ff"),
         F.col("_v_obs").isNull().cast("int").alias("is_gap"),
     )

@@ -1848,6 +1848,73 @@ def resample_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "resample_user_interp",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, value, event_id
+               FROM events WHERE user_id < 50),
+    o AS (SELECT user_id, b, value FROM (
+        SELECT user_id, (t // 86400000000) * 86400000000 AS b, value,
+               row_number() OVER (PARTITION BY user_id,
+                                               (t // 86400000000)
+                                  ORDER BY t DESC, event_id DESC) AS rn
+        FROM e) WHERE rn = 1),
+    s AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM o GROUP BY user_id),
+    g AS (SELECT user_id, unnest(range(lo, hi + 1, 86400000000)) AS grid_ts
+          FROM s),
+    j AS (SELECT g.user_id, g.grid_ts, o.value AS v_obs
+          FROM g LEFT JOIN o ON o.user_id = g.user_id AND o.b = g.grid_ts),
+    f AS (SELECT user_id, grid_ts, v_obs,
+                 last_value(v_obs IGNORE NULLS) OVER wp AS pv,
+                 last_value(CASE WHEN v_obs IS NOT NULL THEN grid_ts END
+                            IGNORE NULLS) OVER wp AS pt,
+                 first_value(v_obs IGNORE NULLS) OVER wf AS nv,
+                 first_value(CASE WHEN v_obs IS NOT NULL THEN grid_ts END
+                             IGNORE NULLS) OVER wf AS nt
+          FROM j
+          WINDOW wp AS (PARTITION BY user_id ORDER BY grid_ts
+                        ROWS UNBOUNDED PRECEDING),
+                 wf AS (PARTITION BY user_id ORDER BY grid_ts
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, CAST(grid_ts AS BIGINT) AS grid_ts,
+           round(CASE WHEN v_obs IS NOT NULL THEN v_obs
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv)
+                           * (CAST(grid_ts - pt AS DOUBLE)
+                              / CAST(nt - pt AS DOUBLE)) END, 4)
+               AS value_ff,
+           CAST(v_obs IS NULL AS INT) AS is_gap
+    FROM f
+    """,
+)
+def resample_user_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The linear-interpolation fill mode of the gapfill pair (the
+    hypertable `interpolate()` next to resample_user_values' locf):
+    interior gaps take the line between the previous and next observed
+    daily buckets — exact bigint time deltas, one fixed scalar
+    expression, bit-reproducible doubles; trailing gaps carry
+    forward."""
+    from petastorm_spark.operators.temporal import resample_ffill
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    ev = (
+        ev.withColumn("ts_us", events_ts_us(ev))
+        .where(F.col("user_id") < 50)
+        .select("user_id", "ts_us", "value", "event_id")
+    )
+    out = resample_ffill(
+        ev, "user_id", "ts_us", "value", 86_400_000_000, "event_id",
+        fill="interp",
+    )
+    return out.select(
+        "user_id",
+        F.col("grid_ts").cast("bigint").alias("grid_ts"),
+        F.round("value_ff", 4).alias("value_ff"),
+        "is_gap",
+    )
+
+
+@register(
     "rollup_multigrain",
     oracle="""
     WITH e AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events)

@@ -538,3 +538,25 @@ def test_resample_ffill_hand_computed(spark):
     }
     with pytest.raises(ValueError, match="max_grid_points"):
         resample_ffill(df, "k", "ts", "v", 10, "eid", max_grid_points=2)
+
+
+def test_resample_interp_hand_computed(spark):
+    """Linear interpolation across a 2-bucket interior gap hits the
+    exact line; trailing gap carries forward."""
+    from petastorm_spark.operators.temporal import resample_ffill
+
+    rows = [("a", 0, 10.0, 1), ("a", 30, 40.0, 2), ("a", 45, 7.0, 3)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v", "eid"])
+    got = {
+        r["grid_ts"]: (r["value_ff"], r["is_gap"])
+        for r in resample_ffill(
+            df, "k", "ts", "v", 10, "eid", fill="interp"
+        ).collect()
+    }
+    assert got == {
+        0: (10.0, 0),
+        10: (20.0, 1),  # 10 + (40-10) * 10/30
+        20: (30.0, 1),  # 10 + (40-10) * 20/30
+        30: (40.0, 0),
+        40: (7.0, 0),   # bucket 40 observed (ts=45)
+    }
