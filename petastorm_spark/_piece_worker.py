@@ -88,12 +88,15 @@ def load_table(
 
 
 def partition_values(
-    path: str, read_columns, present_columns, schema
+    path: str, read_columns, present_columns, schema, missing_ok: bool = False
 ) -> dict:
     """{column: typed scalar} for requested hive-partition columns not
     stored in the file, recovered from the path with the schema's
     partition-value typing. Raises KeyError for a requested column that
-    is neither in the file nor on the path (load_raw's contract)."""
+    is neither in the file nor on the path (load_raw's contract) —
+    unless ``missing_ok`` (the schema-evolution read path), where the
+    column becomes a NULL constant: files written before a nullable
+    column was added simply have no values for it."""
     parts: dict = {}
     present = set(present_columns)
     for c in read_columns:
@@ -115,6 +118,8 @@ def partition_values(
                 elif kind == "f":
                     val = float(val)
             parts[c] = val
+        elif missing_ok:
+            parts[c] = None
         else:
             raise KeyError(f"column {c} not found in {path}")
     return parts
@@ -349,11 +354,16 @@ def process_piece(task: tuple) -> pd.DataFrame:
     ALL read columns (the GIL-bound codec work). Predicate, transform,
     and row shuffle stay in the parent so closures never cross the
     process boundary."""
-    fs, path, rg, sl, drop_parts, read_columns, storage_js, full_js, dnf = task
+    (
+        fs, path, rg, sl, drop_parts, read_columns,
+        storage_js, full_js, dnf, missing_ok,
+    ) = task
     storage = _schema_from_json(storage_js)
     full = _schema_from_json(full_js)
     table = load_table(fs, path, rg, sl, drop_parts, read_columns)
-    parts = partition_values(path, read_columns, table.column_names, storage)
+    parts = partition_values(
+        path, read_columns, table.column_names, storage, missing_ok
+    )
     sel = None
     if dnf is not None:
         mask = dnf_mask(

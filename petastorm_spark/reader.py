@@ -307,6 +307,7 @@ class Reader:
         cache_type: str | None = None,
         cache_location: str | None = None,
         cache_size_limit: int | None = None,
+        schema_evolution: bool = False,
         **compat_kwargs,
     ):
         # Drop-in signature compatibility with petastorm's make_reader
@@ -383,6 +384,7 @@ class Reader:
         self._pool_type = reader_pool_type
         self._workers = 1 if reader_pool_type == "dummy" else max(1, workers_count)
         self._predicate = predicate
+        self._schema_evolution = bool(schema_evolution)
         self._spec = transform_spec
         self._shuffle_row_groups = shuffle_row_groups
         self._shuffle_rows = shuffle_rows
@@ -401,6 +403,10 @@ class Reader:
 
         # ---- plan tier -----------------------------------------------------
         self._sidecar_counts: dict | None = None
+        # schema evolution: later-written files may ADD nullable
+        # columns; mergeSchema unions footers JVM-side (type conflicts
+        # raise from Spark's merge), and the iteration tier null-fills
+        # columns absent from an old file (partition_values missing_ok)
         if dataframe is not None:
             df = dataframe
             stored = None
@@ -410,7 +416,7 @@ class Reader:
                 # scoped to the parquet read ONLY: a transient sidecar
                 # failure on a JVM-reachable dataset must not discard
                 # the working plan tier (round-11 advice)
-                df = self._spark.read.parquet(dataset_url)
+                df = self._reader_with_merge().parquet(dataset_url)
             except Exception:
                 # The JVM has no filesystem for this scheme (e.g. s3a://
                 # without hadoop-aws on the driver classpath). The DIRECT
@@ -467,6 +473,19 @@ class Reader:
             # type, order-insensitive) before merging; one footer-only
             # read per URL, driver-side metadata cost only.
             def _check(u, fields, first_fields):
+                if self._schema_evolution:
+                    # union of fields; same-name type conflicts raise
+                    merged = dict(first_fields or {})
+                    for k, t in fields.items():
+                        if k in merged and merged[k] != t:
+                            raise ValueError(
+                                f"dataset URL {u!r} column {k!r} type {t} "
+                                f"conflicts with {merged[k]} from an "
+                                "earlier URL; schema evolution merges "
+                                "columns, never types"
+                            )
+                        merged[k] = t
+                    return merged
                 if first_fields is not None and fields != first_fields:
                     raise ValueError(
                         f"dataset URL {u!r} schema {sorted(fields)} is "
@@ -484,7 +503,7 @@ class Reader:
                         f.name: f.dataType
                         for f in self._spark.read.parquet(u).schema.fields
                     }, first_fields)
-                df = self._spark.read.parquet(*urls)
+                df = self._reader_with_merge().parquet(*urls)
             except ValueError:
                 raise
             except Exception:
@@ -501,6 +520,8 @@ class Reader:
                     raise
                 first_fields = None
                 struct = None
+                from pyspark.sql.types import StructField, StructType
+
                 for (pfs, root), u in zip(pairs, urls):
                     leaves = _list_parquet_files_fs(pfs, root)
                     if not leaves:
@@ -510,6 +531,17 @@ class Reader:
                     struct = struct or st
                     first_fields = _check(
                         u, {f.name: f.dataType for f in st.fields}, first_fields
+                    )
+                if self._schema_evolution and first_fields is not None:
+                    # union schema across URLs (evolved columns nullable)
+                    seen = {f.name for f in struct.fields}
+                    struct = StructType(
+                        list(struct.fields)
+                        + [
+                            StructField(k, t, True)
+                            for k, t in first_fields.items()
+                            if k not in seen
+                        ]
                     )
                 df = None
             stored = None  # petastorm sidecars are per-dataset: plain-store path
@@ -816,7 +848,11 @@ class Reader:
             self._fs, path, rg, sl, self._drop_parts, self._read_columns
         )
         parts = partition_values(
-            path, self._read_columns, table.column_names, self._storage_schema
+            path,
+            self._read_columns,
+            table.column_names,
+            self._storage_schema,
+            self._schema_evolution,
         )
         sel = None  # surviving row indices; None = all rows
         if self._dnf is not None:
@@ -931,10 +967,15 @@ class Reader:
             pdf = pdf.iloc[rng.permutation(len(pdf))].reset_index(drop=True)
         return pdf
 
+    def _reader_with_merge(self):
+        r = self._spark.read
+        return r.option("mergeSchema", "true") if self._schema_evolution else r
+
     def _proc_task(self, path: str, rg: int, sl: int) -> tuple:
         return (
             self._fs, path, rg, sl, self._drop_parts, self._read_columns,
             self._storage_json, self._full_json, self._dnf,
+            self._schema_evolution,
         )
 
     def __iter__(self):

@@ -560,3 +560,54 @@ def test_resample_interp_hand_computed(spark):
         30: (40.0, 0),
         40: (7.0, 0),   # bucket 40 observed (ts=45)
     }
+
+
+def test_reader_schema_evolution_null_fills_old_files(spark, tmp_path):
+    """schema_evolution=True: a dataset whose later files ADD a nullable
+    column reads end to end — mergeSchema unions the plan-tier schema,
+    and the iteration tier null-fills the column for pre-evolution
+    files, on both the thread and process pools. Multi-URL reads merge
+    columns too; a same-name TYPE conflict still raises."""
+    import pytest
+
+    from petastorm_spark.reader import make_batch_reader
+
+    d = str(tmp_path / "evds")
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "v"]).coalesce(
+        1
+    ).write.parquet(d)
+    spark.createDataFrame(
+        [(3, 30.0, "new")], ["id", "v", "extra"]
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    for pool in ("thread", "process"):
+        with make_batch_reader(
+            d, spark=spark, schema_evolution=True, reader_pool_type=pool
+        ) as r:
+            assert "extra" in r.schema.fields
+            rows = {}
+            for b in r:
+                for i in range(len(b.id)):
+                    rows[int(b.id[i])] = b.extra[i]
+        assert rows[3] == "new" and rows[1] is None and rows[2] is None, pool
+
+    # multi-URL column merge
+    d1, d2 = str(tmp_path / "u1"), str(tmp_path / "u2")
+    spark.createDataFrame([(1, 10.0)], ["id", "v"]).write.parquet(d1)
+    spark.createDataFrame([(2, 20.0, 7)], ["id", "v", "w"]).write.parquet(d2)
+    with make_batch_reader([d1, d2], spark=spark, schema_evolution=True) as r:
+        got = sorted(
+            (int(i), None if w is None else int(w))
+            for b in r
+            for i, w in zip(b.id, b.w)
+        )
+    assert got == [(1, None), (2, 7)]
+    # without the flag the old strict contract holds
+    with pytest.raises(ValueError, match="must share one schema"):
+        make_batch_reader([d1, d2], spark=spark)
+    # type conflicts never merge
+    d3 = str(tmp_path / "u3")
+    spark.createDataFrame([(3, "s", 1)], ["id", "v", "w"]).write.parquet(d3)
+    with pytest.raises(Exception, match="conflict|merge|incompatible|Failed"):
+        with make_batch_reader([d1, d3], spark=spark, schema_evolution=True) as r:
+            list(r)
