@@ -719,12 +719,25 @@ def ivf_query(
     return topk_per_query(scored, k)
 
 
+def auto_n_cells(n_rows: int) -> int:
+    """The scale-safe IVF cell count for an all-pairs kNN graph over
+    ``n_rows`` vectors: ``max(16, ceil(sqrt(N)))``. Candidate volume
+    is ~ N * n_probe * (N / n_cells); sqrt(N) cells keep per-vector
+    candidate work ~ sqrt(N) (the standard IVF-graph sizing) instead
+    of letting a fixed cell count turn the candidate join quadratic.
+    Exposed as a plain function so the sizing rule itself is pinned
+    by a unit test, not just documented."""
+    import math
+
+    return max(16, math.ceil(math.sqrt(max(n_rows, 0))))
+
+
 def knn_graph(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 2,
     centroids: DataFrame | None = None,
     score_kernel: str = "fold",
@@ -755,8 +768,16 @@ def knn_graph(
     Sizing: candidate volume ~= N * n_probe * (N / n_cells), so
     ``n_cells`` must GROW with the corpus — n_cells ~ sqrt(N) keeps
     per-vector candidate work ~ sqrt(N) (the standard IVF-graph
-    sizing); a fixed n_cells turns this quadratic. The default 16 is
-    a test-scale toy value.
+    sizing); a fixed n_cells turns this quadratic. The default
+    (``n_cells=None``) COMPUTES :func:`auto_n_cells` =
+    max(16, ceil(sqrt(N))) from one cheap id-column count and trains
+    seeded k-means centroids (:func:`train_kmeans_centroids`) when
+    pyspark.ml is importable, falling back to the deterministic
+    lowest-id quantizer otherwise — scale safety is the default, not
+    a docstring rule the caller must remember. Passing an EXPLICIT
+    ``n_cells`` keeps the deterministic lowest-id quantizer so
+    SQL-oracle parity (and any caller pinning exact edges) is
+    reproducible without ML.
 
     ``score_kernel``: "fold" (default) scores candidates with the
     Catalyst HOF fold — sequential summation, bit-identical to the
@@ -778,6 +799,23 @@ def knn_graph(
 
     if centroids is not None:
         cent = _as_centroids(centroids, id_col, vec_col)
+    elif n_cells is None:
+        # auto mode: sqrt(N) cells from one cheap count, k-means
+        # quantizer when ML is present (recall), lowest-id otherwise
+        n_cells = auto_n_cells(corpus.select(id_col).count())
+        try:
+            cent = train_kmeans_centroids(
+                corpus, id_col, vec_col, n_cells=n_cells
+            )
+        except ImportError:
+            cent = (
+                corpus.orderBy(id_col)
+                .limit(n_cells)
+                .select(
+                    F.col(id_col).alias("cell"),
+                    F.col(vec_col).alias("cent_vec"),
+                )
+            )
     else:
         cent = (
             corpus.orderBy(id_col)

@@ -1,0 +1,95 @@
+"""Round-13 operators: knn_graph auto-sizing (sqrt(N) cells + k-means
+quantizer as the DEFAULT, not a docstring rule) and friends."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from petastorm_spark.session import arrow_local_df
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """5 well-separated Gaussian clusters, 120 vectors, dim 16 — the
+    geometry where quantizer quality (k-means vs arbitrary lowest-id
+    seeds) actually moves recall."""
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(5, 16)) * 8.0
+    vecs = np.concatenate(
+        [c + rng.normal(size=(24, 16)) for c in centers]
+    ).astype(np.float64)
+    return arrow_local_df(
+        spark,
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": [list(map(float, v)) for v in vecs],
+        },
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+def test_auto_n_cells_sizing():
+    """Pin the derived cell count: max(16, ceil(sqrt(N))). The sizing
+    rule is the scale guarantee (candidate work ~ N*sqrt(N)), so it is
+    pinned as a function, not trusted as documentation."""
+    from petastorm_spark.operators.similarity import auto_n_cells
+
+    assert auto_n_cells(0) == 16
+    assert auto_n_cells(100) == 16
+    assert auto_n_cells(256) == 16
+    assert auto_n_cells(257) == 17
+    assert auto_n_cells(60_000) == 245
+    assert auto_n_cells(1_000_000) == 1000
+    assert auto_n_cells(6_000_000) == 2450
+
+
+def _edge_set(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_knn_graph_auto_recall_not_worse_than_fixed16(spark, clustered):
+    """n_cells=None (auto: sqrt(N) cells + seeded k-means quantizer)
+    must recall at least as much of the exact top-3 graph as the old
+    fixed-16 lowest-id default on the clustered fixture."""
+    pytest.importorskip("pyspark.ml")
+    from petastorm_spark.operators.similarity import cosine_topk, knn_graph
+
+    exact = _edge_set(cosine_topk(clustered, clustered, k=3))
+    fixed = _edge_set(knn_graph(clustered, k=3, n_cells=16, n_probe=2))
+    auto = _edge_set(knn_graph(clustered, k=3, n_probe=2))
+    recall_fixed = len(fixed & exact) / len(exact)
+    recall_auto = len(auto & exact) / len(exact)
+    assert recall_auto >= recall_fixed
+    # k-means on 5 separated clusters should be near-exact at 2 probes
+    assert recall_auto >= 0.9
+
+
+def test_knn_graph_auto_plan_still_cell_equijoin(spark, clustered):
+    """Auto mode must keep the scale shape: candidates come from a
+    cell equi-join, never a BroadcastNestedLoopJoin of the corpus."""
+    pytest.importorskip("pyspark.ml")
+    from petastorm_spark.operators.similarity import knn_graph
+
+    plan = (
+        knn_graph(clustered, k=3, n_probe=2)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cell" in plan
+
+
+def test_knn_graph_explicit_n_cells_stays_deterministic(spark, clustered):
+    """Passing an explicit n_cells must keep the lowest-id quantizer
+    (the SQL-oracle contract) — identical edges run to run, no ML."""
+    from petastorm_spark.operators.similarity import knn_graph
+
+    a = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_graph(clustered, k=3, n_cells=8, n_probe=2).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_graph(clustered, k=3, n_cells=8, n_probe=2).collect()
+    )
+    assert a == b and len(a) == clustered.count() * 3
