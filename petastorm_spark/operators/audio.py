@@ -321,6 +321,7 @@ def silence_spans(
     id_col: str,
     window: int,
     threshold: int,
+    assume_bits: int | None = None,
 ) -> DataFrame:
     """Silence detection for PCM WAV clips — the trim/VAD-proxy
     preprocessing every speech pipeline runs first: the clip is cut
@@ -335,7 +336,12 @@ def silence_spans(
     clip at a different bit depth needs a proportionally scaled
     threshold; IEEE-float WAVs have no exact integer samples to
     recover and raise NotImplementedError rather than silently
-    quantizing.
+    quantizing. Callers with float-WAV corpora can OPT IN to
+    quantization with ``assume_bits`` (e.g. ``assume_bits=16``
+    rescales float samples by 1 << 15 and rounds — the pre-round-12
+    implicit behavior, now explicit because the silent rescale
+    corrupted thresholds for non-16-bit expectations; documented as
+    a behavior change in README round-12 status).
 
     Scale: one mapInPandas pure map (decode -> block abs-sums ->
     run-length), n rows in / n rows out; a real VAD swaps in for the
@@ -354,17 +360,24 @@ def silence_spans(
             for did, raw in zip(pdf[id_col], pdf[binary_col]):
                 samples, _rate, audio_format, bits = decode_wav_ex(bytes(raw))
                 if audio_format != 1:
-                    raise NotImplementedError(
-                        "silence_spans needs integer PCM: IEEE-float WAV "
-                        "samples have no exact integer recovery, and a "
-                        "silent mis-scale would corrupt the threshold"
-                    )
+                    if assume_bits is None:
+                        raise NotImplementedError(
+                            "silence_spans needs integer PCM: IEEE-float "
+                            "WAV samples have no exact integer recovery, "
+                            "and a silent mis-scale would corrupt the "
+                            "threshold; pass assume_bits=16 (or the bit "
+                            "depth your threshold is scaled for) to opt "
+                            "in to quantization"
+                        )
+                    bits = assume_bits
                 if samples.ndim == 1:
                     samples = samples[:, None]
                 # decode_wav_ex normalizes integer PCM by the dyadic
                 # 1 << (bits-1), so multiplying back recovers the
                 # original integer samples EXACTLY (8-bit: the signed
-                # x-128 value; no rounding drift at any depth)
+                # x-128 value; no rounding drift at any depth).
+                # Float input (assume_bits set) quantizes here — the
+                # caller chose the scale.
                 samples = np.round(samples * float(1 << (bits - 1)))
                 n = (samples.shape[0] // window) * window
                 blocks = (

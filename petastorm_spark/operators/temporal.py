@@ -403,12 +403,18 @@ def resample_ffill(
 
     Scale: the bucket collapse is one partially-aggregated groupBy
     (observations never reach the window); the grid explode is
-    bounded by ``max_grid_points`` per key (validated with one scalar
-    aggregate over the per-key span table — a guard against a
-    mis-unit ``step`` exploding 10^12 rows); the forward fill is a
-    running ``last(ignorenulls)`` over grid rows only, parallel in
-    keys. First grid point is an observed bucket by construction, so
-    value_ff is never NULL.
+    bounded by ``max_grid_points`` per key — a guard against a
+    mis-unit ``step`` exploding 10^12 rows — enforced INSIDE the plan
+    (a conditional ``raise_error`` on the per-key span before the
+    sequence explode), so constructing the DataFrame stays lazy and
+    the span table is computed once, not twice (r12 ADVICE: the old
+    eager collect() guard ran a full Spark job at plan-construction
+    time and re-aggregated the buckets in the returned plan). The
+    violation surfaces at first materialization as a Spark
+    SparkRuntimeException naming the offending key's point count.
+    The forward fill is a running ``last(ignorenulls)`` over grid
+    rows only, parallel in keys. First grid point is an observed
+    bucket by construction, so value_ff is never NULL.
 
     ``fill``: "locf" (default) carries the last observation forward;
     "interp" linearly interpolates interior gaps between the previous
@@ -436,14 +442,26 @@ def resample_ffill(
     span = obs.groupBy(key_col).agg(
         F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
     )
-    worst = span.agg(
-        F.max((F.col("_hi") - F.col("_lo")) / int(step) + 1).alias("m")
-    ).collect()[0]["m"]
-    if worst is not None and worst > max_grid_points:
-        raise ValueError(
-            f"resample grid would reach {int(worst)} points for one key "
-            f"(> max_grid_points={max_grid_points}); check the step unit"
+    # in-plan guard: _hi flows through a CASE that raises on any key
+    # whose grid would exceed max_grid_points — checked on the span
+    # rows the explode consumes anyway, zero extra passes, still lazy
+    npts = F.expr(f"(_hi - _lo) DIV {int(step)} + 1")
+    span = span.select(
+        F.col(key_col),
+        F.col("_lo"),
+        F.when(npts <= F.lit(int(max_grid_points)), F.col("_hi"))
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "resample grid would reach %s points for one key "
+                    f"(> max_grid_points={int(max_grid_points)}); "
+                    "check the step unit",
+                    npts.cast("string"),
+                )
+            )
         )
+        .alias("_hi"),
+    )
     grid = span.select(
         F.col(key_col),
         F.explode(

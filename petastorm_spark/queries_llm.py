@@ -5881,10 +5881,17 @@ def ann_cosine_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     not an in-plan slice of the full vector column (ReadSchema pinned
     in tests/test_plans.py) — and the 4x-k shortlist joins the full
     vectors for the exact-cosine rescore. Same output, same oracle as
-    the index-free variant; the index is built once per sf_dir
-    (prefix.json, written last, is the completion marker) so repeat
-    runs price the SEARCH, the production steady state."""
+    the index-free variant; the index is built once per DATASET so
+    repeat runs price the SEARCH, the production steady state. The
+    cache key is a fingerprint of the source parquet (file names +
+    mtimes + sizes), not just the path — regenerating the dataset at
+    the same path invalidates the index instead of silently serving
+    stale neighbors — and the build lands in a process-private temp
+    dir atomically renamed into place, so two concurrent first runs
+    cannot interleave a half-written index (r12 ADVICE)."""
+    import hashlib as _hashlib
     import os as _os
+    import shutil as _shutil
     import tempfile as _tempfile
 
     from petastorm_spark.operators.similarity import (
@@ -5894,10 +5901,30 @@ def ann_cosine_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t_wide(spark, sf_dir, "embeddings")
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    h = _hashlib.md5()
+    if _os.path.isdir(src):
+        for name in sorted(_os.listdir(src)):
+            st = _os.stat(_os.path.join(src, name))
+            h.update(f"{name}:{st.st_mtime_ns}:{st.st_size};".encode())
+    elif _os.path.exists(src):
+        st = _os.stat(src)
+        h.update(f"{src}:{st.st_mtime_ns}:{st.st_size}".encode())
     token = sf_dir.rstrip("/").replace("/", "_")
-    url = _os.path.join(_tempfile.gettempdir(), f"ps_prefix_idx{token}")
-    if not _os.path.exists(_os.path.join(url, "prefix.json")):
-        prefix_index_write(url, emb, prefix_dim=16)
+    url = _os.path.join(
+        _tempfile.gettempdir(), f"ps_prefix_idx{token}_{h.hexdigest()[:12]}"
+    )
+    marker = _os.path.join(url, "prefix.json")
+    if not _os.path.exists(marker):
+        tmp = f"{url}.build{_os.getpid()}"
+        prefix_index_write(tmp, emb, prefix_dim=16)
+        try:
+            _os.rename(tmp, url)
+        except OSError:
+            # a concurrent builder won the rename; keep theirs
+            _shutil.rmtree(tmp, ignore_errors=True)
+            if not _os.path.exists(marker):
+                raise
     pdim, pdf = prefix_index_read(spark, url)
     return prefix_query(
         pdf, emb, emb.where(F.col("vec_id") < 10),

@@ -1,7 +1,8 @@
 """Corpus-curation CLI: run the full curate_corpus pipeline (exact
 dedup -> optional near-dedup -> optional span excision -> quality
-floor -> optional classifier/LM gates -> per-source cap -> PII scrub) over a parquet corpus and write
-the curated output plus a per-stage attrition report.
+floor -> optional classifier/LM gates -> per-source cap ->
+k-anonymity suppression -> PII scrub) over a parquet corpus and
+write the curated output plus a per-stage attrition report.
 
     python -m petastorm_spark.tools.curate SRC DST \\
         --text-col text --id-col doc_id \\

@@ -696,6 +696,15 @@ def test_silence_spans_bit_depths(spark):
     )
     with pytest.raises(Exception, match=re.escape("integer PCM")):
         silence_spans(fdf, "audio", "doc_id", 4, 10).collect()
+    # opt-in quantization: assume_bits=16 rescales the float samples
+    # by 1<<15 (the pre-r12 implicit behavior, now an explicit choice)
+    # and reproduces the integer-PCM report exactly
+    rows = silence_spans(
+        fdf, "audio", "doc_id", 4, 10, assume_bits=16
+    ).collect()
+    assert [
+        (r["n_windows"], r["n_silent"], r["longest_silence"]) for r in rows
+    ] == [(3, 2, 1)]
 
 
 def test_shot_and_silence_accept_string_ids(spark):

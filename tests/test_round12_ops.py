@@ -536,8 +536,11 @@ def test_resample_ffill_hand_computed(spark):
         ("a", 30): (12.0, 0),
         ("b", 10): (6.0, 0),   # equal ts -> higher tiebreak id wins
     }
-    with pytest.raises(ValueError, match="max_grid_points"):
-        resample_ffill(df, "k", "ts", "v", 10, "eid", max_grid_points=2)
+    # the max_grid_points guard is IN the plan (lazy — construction
+    # runs no job, r12 ADVICE); it fires at first materialization
+    guarded = resample_ffill(df, "k", "ts", "v", 10, "eid", max_grid_points=2)
+    with pytest.raises(Exception, match="max_grid_points"):
+        guarded.count()
 
 
 def test_resample_interp_hand_computed(spark):
