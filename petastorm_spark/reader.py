@@ -142,6 +142,77 @@ def _parallel_footers(fs: pafs.FileSystem, files: list[str], fn, workers: int = 
         return dict(ex.map(one, files))
 
 
+_WIDEN_CHAINS = (
+    ("byte", "short", "integer", "long"),
+    ("float", "double"),
+)
+
+
+def _widen_types(t1, t2):
+    """The wider of two Spark scalar types when one SAFELY widens to
+    the other (integral chain byte->short->int->long; float->double —
+    the promotions Spark 4's parquet scan performs per file under an
+    explicit requested schema), else None. Anything off the two
+    chains — including array element changes and int<->float — is a
+    genuine conflict, never merged."""
+    if t1 == t2:
+        return t1
+    a, b = t1.typeName(), t2.typeName()
+    for chain in _WIDEN_CHAINS:
+        if a in chain and b in chain:
+            return t1 if chain.index(a) >= chain.index(b) else t2
+    return None
+
+
+def _widened_union_schema(urls: list[str]):
+    """Union schema of every parquet footer under ``urls`` with safe
+    type widening: (first-seen column order, each column at its widest
+    observed type, everything nullable). Raises ValueError on a
+    same-name type pair that is not a safe widening. Driver cost: one
+    footer read per file (parallelized, metadata-sized) — only paid
+    when Spark's own distributed footer merge refused the dataset, so
+    the dataset is KNOWN to contain a type change."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.types import StructField, StructType
+
+    merged: dict = {}
+    order: list[str] = []
+    for u in urls:
+        pair = _resolve_fs(u)
+        if pair is None:
+            raise FileNotFoundError(f"cannot resolve a filesystem for {u!r}")
+        pfs, root = pair
+        leaves = _list_parquet_files_fs(pfs, root)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(path, _pfs=pfs):
+            with _pfs.open_input_file(path) as fh:
+                return path, from_arrow_schema(pq.read_schema(fh))
+
+        with ThreadPoolExecutor(min(16, max(len(leaves), 1))) as ex:
+            footers = dict(ex.map(one, leaves))
+        for path in leaves:
+            for f in footers[path].fields:
+                if f.name not in merged:
+                    merged[f.name] = f.dataType
+                    order.append(f.name)
+                    continue
+                w = _widen_types(merged[f.name], f.dataType)
+                if w is None:
+                    raise ValueError(
+                        f"column {f.name!r} type "
+                        f"{f.dataType.simpleString()} in {path!r} "
+                        f"conflicts with {merged[f.name].simpleString()} "
+                        "from an earlier file; schema evolution widens "
+                        "byte->short->int->long and float->double, "
+                        "never converts across kinds"
+                    )
+                merged[f.name] = w
+    return StructType(
+        [StructField(n, merged[n], True) for n in order]
+    )
+
+
 def _dnf_to_column(filters) -> Column:
     """Compile DNF tuple filters to a Spark Column so the plan tier
     gets the same semantics (and Catalyst pushdown) the iteration tier
@@ -404,19 +475,47 @@ class Reader:
         # ---- plan tier -----------------------------------------------------
         self._sidecar_counts: dict | None = None
         # schema evolution: later-written files may ADD nullable
-        # columns; mergeSchema unions footers JVM-side (type conflicts
-        # raise from Spark's merge), and the iteration tier null-fills
-        # columns absent from an old file (partition_values missing_ok)
+        # columns (mergeSchema unions footers JVM-side; the iteration
+        # tier null-fills columns absent from an old file via
+        # partition_values missing_ok) or WIDEN a column along the safe
+        # chains int32->int64 / float->double (r13): Spark's merge
+        # refuses type changes, so a CANNOT_MERGE_SCHEMAS read retries
+        # under the explicit widened union schema — the parquet scan
+        # promotes per file — and the iteration tier's decode_series
+        # cast to the unified Unischema dtype widens per piece.
+        # Cross-kind changes (int<->float, string<->numeric, array
+        # element changes) still raise.
         if dataframe is not None:
             df = dataframe
             stored = None
         elif dataset_url is not None:
             struct = None
-            try:
+
+            def _jvm_read_single():
                 # scoped to the parquet read ONLY: a transient sidecar
                 # failure on a JVM-reachable dataset must not discard
                 # the working plan tier (round-11 advice)
-                df = self._reader_with_merge().parquet(dataset_url)
+                try:
+                    return self._reader_with_merge().parquet(dataset_url)
+                except Exception as exc:
+                    # mergeSchema refuses type CHANGES outright; with
+                    # schema_evolution, safe widenings (int32->int64,
+                    # float->double) re-read under an explicit widened
+                    # union schema (Spark's scan promotes per file);
+                    # genuine conflicts raise ValueError from the union
+                    if self._schema_evolution and (
+                        "CANNOT_MERGE_SCHEMAS" in str(exc)
+                    ):
+                        st = _widened_union_schema([dataset_url])
+                        return self._spark.read.schema(st).parquet(
+                            dataset_url
+                        )
+                    raise
+
+            try:
+                df = _jvm_read_single()
+            except ValueError:
+                raise  # widening conflict — never a filesystem problem
             except Exception:
                 # The JVM has no filesystem for this scheme (e.g. s3a://
                 # without hadoop-aws on the driver classpath). The DIRECT
@@ -433,8 +532,11 @@ class Reader:
                     raise
                 from pyspark.sql.pandas.types import from_arrow_schema
 
-                with pfs.open_input_file(leaves[0]) as fh:
-                    struct = from_arrow_schema(pq.read_schema(fh))
+                if self._schema_evolution:
+                    struct = _widened_union_schema([dataset_url])
+                else:
+                    with pfs.open_input_file(leaves[0]) as fh:
+                        struct = from_arrow_schema(pq.read_schema(fh))
                 df = None
                 payload = _sidecar_via_pyarrow(pfs, root)
             else:
@@ -474,17 +576,25 @@ class Reader:
             # read per URL, driver-side metadata cost only.
             def _check(u, fields, first_fields):
                 if self._schema_evolution:
-                    # union of fields; same-name type conflicts raise
+                    # union of fields; same-name types may WIDEN along
+                    # the safe chains (int32->int64, float->double);
+                    # anything else conflicts and raises
                     merged = dict(first_fields or {})
                     for k, t in fields.items():
                         if k in merged and merged[k] != t:
-                            raise ValueError(
-                                f"dataset URL {u!r} column {k!r} type {t} "
-                                f"conflicts with {merged[k]} from an "
-                                "earlier URL; schema evolution merges "
-                                "columns, never types"
-                            )
-                        merged[k] = t
+                            w = _widen_types(merged[k], t)
+                            if w is None:
+                                raise ValueError(
+                                    f"dataset URL {u!r} column {k!r} type "
+                                    f"{t} conflicts with {merged[k]} from "
+                                    "an earlier URL; schema evolution "
+                                    "merges columns and widens "
+                                    "int->long / float->double, never "
+                                    "converts across kinds"
+                                )
+                            merged[k] = w
+                        else:
+                            merged[k] = t
                     return merged
                 if first_fields is not None and fields != first_fields:
                     raise ValueError(
@@ -503,7 +613,19 @@ class Reader:
                         f.name: f.dataType
                         for f in self._spark.read.parquet(u).schema.fields
                     }, first_fields)
-                df = self._reader_with_merge().parquet(*urls)
+                try:
+                    df = self._reader_with_merge().parquet(*urls)
+                except Exception as exc:
+                    # widened types across (or within) URLs: mergeSchema
+                    # refuses the type change; re-read under the
+                    # explicit widened union schema (see single-URL path)
+                    if self._schema_evolution and (
+                        "CANNOT_MERGE_SCHEMAS" in str(exc)
+                    ):
+                        st = _widened_union_schema(urls)
+                        df = self._spark.read.schema(st).parquet(*urls)
+                    else:
+                        raise
             except ValueError:
                 raise
             except Exception:
@@ -533,14 +655,13 @@ class Reader:
                         u, {f.name: f.dataType for f in st.fields}, first_fields
                     )
                 if self._schema_evolution and first_fields is not None:
-                    # union schema across URLs (evolved columns nullable)
-                    seen = {f.name for f in struct.fields}
+                    # union schema across URLs, evolved columns nullable
+                    # and widened columns at their WIDEST type (the
+                    # _check merge already applied the widening chains)
                     struct = StructType(
-                        list(struct.fields)
-                        + [
+                        [
                             StructField(k, t, True)
                             for k, t in first_fields.items()
-                            if k not in seen
                         ]
                     )
                 df = None

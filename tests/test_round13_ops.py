@@ -93,3 +93,78 @@ def test_knn_graph_explicit_n_cells_stays_deterministic(spark, clustered):
         for r in knn_graph(clustered, k=3, n_cells=8, n_probe=2).collect()
     )
     assert a == b and len(a) == clustered.count() * 3
+
+
+def test_reader_schema_evolution_widens_types(spark, tmp_path):
+    """schema_evolution=True widens across files along the safe chains
+    (int32->int64, float->double) on BOTH pools and the batch path —
+    what Spark's parquet scan tolerates under an explicit requested
+    schema (mergeSchema itself refuses type changes, so the reader
+    retries under the widened union schema). The unified Unischema is
+    pinned at the WIDE types; values from narrow files are exact."""
+    import numpy as np
+
+    from petastorm_spark.reader import make_batch_reader
+
+    d = str(tmp_path / "wide_ds")
+    spark.createDataFrame([(1, 1.5)], "id int, v float").coalesce(
+        1
+    ).write.parquet(d)
+    spark.createDataFrame(
+        [(2**40, 2.25)], "id bigint, v double"
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    for pool in ("thread", "process"):
+        with make_batch_reader(
+            d, spark=spark, schema_evolution=True, reader_pool_type=pool
+        ) as r:
+            assert r.schema.fields["id"].numpy_dtype == np.int64, pool
+            assert r.schema.fields["v"].numpy_dtype == np.float64, pool
+            rows = sorted(
+                (int(i), float(v))
+                for b in r
+                for i, v in zip(b.id, b.v)
+            )
+        assert rows == [(1, 1.5), (2**40, 2.25)], pool
+
+    # plan tier (dataset_as_rdd-style spark read through the Reader's
+    # DataFrame) carries the widened schema too
+    with make_batch_reader(d, spark=spark, schema_evolution=True) as r:
+        df = r.dataframe
+        assert df is not None
+        t = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+        assert t == {"id": "bigint", "v": "double"}
+
+
+def test_reader_schema_evolution_widens_across_urls(spark, tmp_path):
+    """Multi-URL widening: one shard int32/float, the other
+    int64/double — the union Unischema takes the widest; a cross-kind
+    conflict (string vs double) still raises."""
+    import numpy as np
+    import pytest
+
+    from petastorm_spark.reader import make_batch_reader
+
+    d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    spark.createDataFrame([(1, 1.5)], "id int, v float").write.parquet(d1)
+    spark.createDataFrame(
+        [(2**40, 2.25)], "id bigint, v double"
+    ).write.parquet(d2)
+    with make_batch_reader(
+        [d1, d2], spark=spark, schema_evolution=True
+    ) as r:
+        assert r.schema.fields["id"].numpy_dtype == np.int64
+        assert r.schema.fields["v"].numpy_dtype == np.float64
+        rows = sorted(
+            (int(i), float(v)) for b in r for i, v in zip(b.id, b.v)
+        )
+    assert rows == [(1, 1.5), (2**40, 2.25)]
+
+    # cross-kind change never merges (the old strict contract)
+    d3 = str(tmp_path / "w3")
+    spark.createDataFrame([("s", 2.0)], "id string, v double").write.parquet(d3)
+    with pytest.raises(Exception, match="conflict|merge|incompatible"):
+        with make_batch_reader(
+            [d1, d3], spark=spark, schema_evolution=True
+        ) as r:
+            list(r)
