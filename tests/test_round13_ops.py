@@ -168,3 +168,72 @@ def test_reader_schema_evolution_widens_across_urls(spark, tmp_path):
             [d1, d3], spark=spark, schema_evolution=True
         ) as r:
             list(r)
+
+
+def test_multilevel_partition_pruning_reaches_plan(spark, tmp_path):
+    """P10, two hive levels (source=/lang=): filters on BOTH levels
+    must land in the scan's PartitionFilters — Catalyst prunes every
+    partition level for free, where the reference hand-prunes exactly
+    one (petastorm/reader.py:632-633). Also pinned: a filter on only
+    the INNER level still reaches PartitionFilters (no prefix
+    requirement)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from petastorm_spark.plans.checks import formatted_plan
+
+    url = str(tmp_path / "two_level")
+    spark.range(120).select(
+        "id",
+        (F.col("id") % 3).cast("string").alias("source"),
+        (F.col("id") % 2).cast("string").alias("lang"),
+    ).write.partitionBy("source", "lang").parquet(url)
+
+    df = (
+        spark.read.parquet(url)
+        .where((F.col("source") == 1) & (F.col("lang") == 0))
+        .select("id")
+    )
+    plan = formatted_plan(df)
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert re.search(r"\(source#?\d* = 1\)", seg), seg
+    assert re.search(r"\(lang#?\d* = 0\)", seg), seg
+    assert df.count() == 20  # id%3==1 and id%2==0
+
+    inner = spark.read.parquet(url).where(F.col("lang") == 1).select("id")
+    seg2 = formatted_plan(inner).split("PartitionFilters:")[1].splitlines()[0]
+    assert re.search(r"\(lang#?\d* = 1\)", seg2), seg2
+    assert inner.count() == 60
+
+
+def test_reader_recovers_two_level_partition_values(spark, tmp_path):
+    """Iteration tier on the nested hive layout: both partition
+    columns come back typed from the PATH (they are not stored in the
+    files), and an in_set predicate on the inner level prunes."""
+    from pyspark.sql import functions as F
+
+    from petastorm_spark.predicates import in_set
+    from petastorm_spark.reader import make_reader
+
+    url = str(tmp_path / "two_level_rd")
+    spark.range(60).select(
+        "id",
+        (F.col("id") % 3).alias("source"),
+        (F.col("id") % 2).alias("lang"),
+    ).write.partitionBy("source", "lang").parquet(url)
+
+    with make_reader(url, spark=spark) as r:
+        rows = list(r)
+    assert len(rows) == 60
+    assert all(
+        x.source == x.id % 3 and x.lang == x.id % 2 for x in rows
+    )
+
+    with make_reader(
+        url, spark=spark, predicate=in_set([1], "lang")
+    ) as r:
+        odd = list(r)
+    assert sorted(x.id for x in odd) == [i for i in range(60) if i % 2 == 1]
+    assert all(x.source == x.id % 3 for x in odd)
