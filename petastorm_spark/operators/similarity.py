@@ -73,7 +73,9 @@ def cosine(a, b) -> Column:
 # assignment that replaced both (see _probe_cells_numpy).
 
 
-def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+def topk_per_query(
+    scored: DataFrame, k: int, round_to: int | None = 4
+) -> DataFrame:
     """Exact per-query top-k over pre-scored (query_id, neighbor_id,
     cos_sim) rows, in two stages:
 
@@ -89,7 +91,12 @@ def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     query_id)`` window whose one-task-per-query funnel held
     corpus-sized sorted state (round-1 verdict). Vector columns are
     projected away before any exchange; only (query, neighbor, score)
-    ever shuffles."""
+    ever shuffles.
+
+    Ranking always uses FULL-precision scores; ``round_to`` only
+    formats the OUTPUT cos_sim (default 4, the SQL-oracle convention;
+    None keeps full precision — the persistent kNN-graph index stores
+    unrounded scores so incremental merges rank exactly)."""
     from pyspark.sql import Window
 
     slim = scored.select("query_id", "neighbor_id", "cos_sim")
@@ -105,11 +112,14 @@ def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
+    out_cos = (
+        F.round("cos_sim", round_to) if round_to is not None else F.col("cos_sim")
+    )
     return (
         partial.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select(
-            "query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim")
+            "query_id", "neighbor_id", "rank", out_cos.alias("cos_sim")
         )
     )
 
@@ -732,6 +742,39 @@ def auto_n_cells(n_rows: int) -> int:
     return max(16, math.ceil(math.sqrt(max(n_rows, 0))))
 
 
+def _knn_quantizer(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int | None,
+    centroids: DataFrame | None,
+) -> DataFrame:
+    """The kNN-graph coarse quantizer as (cell, cent_vec): explicit
+    ``centroids`` win; ``n_cells=None`` is AUTO mode — sqrt(N) cells
+    from one cheap count, seeded k-means when pyspark.ml is importable
+    (recall), deterministic lowest-id otherwise; an explicit
+    ``n_cells`` keeps the lowest-id quantizer (SQL-oracle parity).
+    Shared by :func:`knn_graph` and :func:`knn_graph_write` so the
+    built and the persisted graph quantize identically."""
+    if centroids is not None:
+        return _as_centroids(centroids, id_col, vec_col)
+    if n_cells is None:
+        n_cells = auto_n_cells(corpus.select(id_col).count())
+        try:
+            return train_kmeans_centroids(
+                corpus, id_col, vec_col, n_cells=n_cells
+            )
+        except ImportError:
+            pass
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+
+
 def knn_graph(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -797,33 +840,7 @@ def knn_graph(
     never a full quantizer matrix serialized into every task."""
     from pyspark.sql import Window
 
-    if centroids is not None:
-        cent = _as_centroids(centroids, id_col, vec_col)
-    elif n_cells is None:
-        # auto mode: sqrt(N) cells from one cheap count, k-means
-        # quantizer when ML is present (recall), lowest-id otherwise
-        n_cells = auto_n_cells(corpus.select(id_col).count())
-        try:
-            cent = train_kmeans_centroids(
-                corpus, id_col, vec_col, n_cells=n_cells
-            )
-        except ImportError:
-            cent = (
-                corpus.orderBy(id_col)
-                .limit(n_cells)
-                .select(
-                    F.col(id_col).alias("cell"),
-                    F.col(vec_col).alias("cent_vec"),
-                )
-            )
-    else:
-        cent = (
-            corpus.orderBy(id_col)
-            .limit(n_cells)
-            .select(
-                F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
-            )
-        )
+    cent = _knn_quantizer(corpus, id_col, vec_col, n_cells, centroids)
     crows = cent.select("cell", "cent_vec").collect()  # bounded quantizer
     if 0 < len(crows) <= _MAX_LOCAL_CELLS:
         probed = _probe_cells_numpy(
@@ -933,6 +950,410 @@ def _safe_cosine(a, b) -> Column:
         F.try_divide(dot(a, b), norm(a) * norm(b)),
         F.lit(float("-inf")),
     )
+
+
+def knn_graph_write(
+    index_url: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int | None = None,
+    n_probe: int = 2,
+    centroids: DataFrame | None = None,
+) -> None:
+    """Persist the all-pairs kNN graph as an INCREMENTAL index — the
+    graph member of the persistent-index family (LSH / IVF / PQ /
+    IVF-PQ / prefix all have write/read/append; the graph was
+    build-only until r13). Layout under ``index_url``:
+
+    - ``cells/``      (id, vec, cell, is_home) PARTITIONED BY cell:
+      every vector replicated into each of its ``n_probe`` probe
+      cells (``is_home`` marks the rank-1 home cell). The replication
+      is what makes APPEND batch-scaled: "which existing vectors
+      probe into cell c" is a partition-pruned read of cells/cell=c,
+      never an index scan.
+    - ``centroids/``  the bounded quantizer (cell, cent_vec).
+    - ``edges/``      (query_id, neighbor_id, rank, cos_sim)
+      PARTITIONED BY qcell (the query's home cell), so an append
+      rewrites only the affected home-cell partitions (dynamic
+      partition overwrite).
+    - ``knn_graph.json`` (written LAST — the completion marker):
+      k / n_probe / n_cells / id and vector column names.
+
+    Edges are scored with the oracle-exact Catalyst fold
+    (:func:`_safe_cosine`), identical to ``knn_graph(...,
+    score_kernel="fold")`` — a write-then-read round trip reproduces
+    the in-memory graph row for row."""
+    import json as _json
+
+    from pyspark import StorageLevel
+
+    root = index_url.rstrip("/")
+    cent = _knn_quantizer(corpus, id_col, vec_col, n_cells, centroids)
+    crows = cent.select("cell", "cent_vec").collect()
+    if not 0 < len(crows) <= _MAX_LOCAL_CELLS:
+        raise ValueError(
+            f"knn_graph_write needs a bounded local quantizer "
+            f"(1..{_MAX_LOCAL_CELLS} cells, got {len(crows)}); use a "
+            "coarser (hierarchical) quantizer"
+        )
+    probed = _probe_cells_numpy(
+        corpus, crows, id_col, vec_col, n_probe, keep_order=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        repl = _knn_replicated_cells(probed, id_col, vec_col)
+        repl.write.mode("overwrite").partitionBy("cell").parquet(
+            root + "/cells"
+        )
+        cent.write.mode("overwrite").parquet(root + "/centroids")
+        edges = _knn_edges_from_probed(probed, id_col, vec_col, k)
+        home = probed.select(
+            F.col(id_col).alias("query_id"),
+            F.get("_cells", 0).alias("qcell"),
+        )
+        edges.join(home, "query_id").write.mode("overwrite").partitionBy(
+            "qcell"
+        ).parquet(root + "/edges")
+    finally:
+        probed.unpersist()
+    fs, local_root = _index_fs(index_url)
+    payload = {
+        "k": int(k),
+        "n_probe": int(n_probe),
+        "n_cells": len(crows),
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    with fs.open_output_stream(
+        local_root.rstrip("/") + "/knn_graph.json"
+    ) as f:
+        f.write(_json.dumps(payload).encode())
+
+
+def _knn_replicated_cells(
+    probed: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, home, cell, is_home): every vector replicated into
+    each of its probe cells, carrying its HOME cell on every row — so
+    a partition-pruned read of any probe cell yields the members'
+    home cells without an index-wide lookup (the append path needs
+    qcell = home(u) for vectors affected through NON-home probes)."""
+    return (
+        probed.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.get("_cells", 0).alias("home"),
+            F.posexplode("_cells").alias("_pr", "cell"),
+        )
+        .withColumn("is_home", F.col("_pr") == 0)
+        .drop("_pr")
+    )
+
+
+def _knn_edges_from_probed(
+    probed: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Top-k edges from a (id, vec, _cells) probe frame: the knn_graph
+    candidate rule — u's candidates are the HOME members of u's probe
+    cells — as one cell equi-join, scored with the oracle-exact fold."""
+    cand = probed.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.get("_cells", 0).alias("cell"),
+    )
+    probes = probed.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode("_cells").alias("cell"),
+    )
+    scored = (
+        probes.join(cand, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", _safe_cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    # store FULL precision so incremental merges rank exactly; reads
+    # round to the knn_graph output convention
+    return topk_per_query(scored, k, round_to=None)
+
+
+def knn_graph_read(spark, index_url: str) -> tuple[dict, DataFrame]:
+    """Load a persisted kNN graph: ``(params, edges)`` — edges as
+    (query_id, neighbor_id, rank, cos_sim) with cos_sim rounded to the
+    :func:`knn_graph` output convention (storage keeps full
+    precision), params the marker JSON."""
+    import json as _json
+
+    root = index_url.rstrip("/")
+    fs, local_root = _index_fs(index_url)
+    with fs.open_input_file(
+        local_root.rstrip("/") + "/knn_graph.json"
+    ) as f:
+        params = _json.loads(f.read().decode())
+    edges = spark.read.parquet(root + "/edges").select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("cos_sim", 4).alias("cos_sim"),
+    )
+    return params, edges
+
+
+def knn_graph_append(
+    spark,
+    index_url: str,
+    new_vectors: DataFrame,
+    check_ids: bool = True,
+) -> DataFrame:
+    """Incrementally extend a persisted kNN graph: probe the new batch
+    against the STORED cells and emit/persist ONLY new or updated
+    edges — the graph twin of :func:`ivf_append`. After the append the
+    stored graph equals ``knn_graph`` rebuilt over old ∪ new under the
+    same quantizer (pinned by the knn_graph_incremental oracle row):
+
+    1. the batch is quantized against the index's own centroids
+       (never re-quantized — existing cells stay valid);
+    2. BATCH edges: candidates are the home members of each new
+       vector's probe cells — read PARTITION-PRUNED to those cells —
+       plus the batch itself;
+    3. UPDATED edges: an existing vector u gains candidate b exactly
+       when b's home cell is one of u's probe cells, and u's probe
+       membership is materialized in ``cells/`` — so the affected
+       set is the partition-pruned read of the batch's home-cell
+       partitions, and each affected u's stored top-k merges with its
+       new (u, b) scores;
+    4. the batch's replicated probe rows append into ``cells/``, and
+       the affected + batch home-cell partitions of ``edges/`` are
+       rewritten with dynamic partition overwrite.
+
+    Cost scales with the BATCH: |B|·n_probe pruned cell partitions
+    for candidates, |B| home-cell partitions for the affected set —
+    never an index-wide scan (pinned by a plan test). Returns the
+    changed edge rows (query_id, neighbor_id, rank, cos_sim,
+    qcell)."""
+    import json as _json
+
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    root = index_url.rstrip("/")
+    fs, local_root = _index_fs(index_url)
+    with fs.open_input_file(
+        local_root.rstrip("/") + "/knn_graph.json"
+    ) as f:
+        params = _json.loads(f.read().decode())
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    k, n_probe = int(params["k"]), int(params["n_probe"])
+
+    if check_ids:
+        dup = (
+            spark.read.parquet(root + "/cells")
+            .where(F.col("is_home"))
+            .select(id_col)
+            .join(F.broadcast(new_vectors.select(id_col)), id_col, "semi")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"knn_graph_append: id {dup[0][0]!r} already indexed - "
+                "appending it again would corrupt the graph"
+            )
+
+    crows = spark.read.parquet(root + "/centroids").collect()
+    probed = _probe_cells_numpy(
+        new_vectors, crows, id_col, vec_col, n_probe, keep_order=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # bounded driver lists: |B|*n_probe probe cells, |B| home cells
+        cell_rows = probed.select(
+            F.get("_cells", 0).alias("h"), F.col("_cells").alias("p")
+        ).collect()
+        home_cells = sorted({r["h"] for r in cell_rows})
+        probe_cells = sorted({c for r in cell_rows for c in r["p"]})
+
+        # ---- batch edges -------------------------------------------------
+        stored_home = (
+            spark.read.parquet(root + "/cells")
+            .where(F.col("cell").isin(probe_cells) & F.col("is_home"))
+            .select(F.col(id_col), F.col(vec_col), "cell")
+        )
+        batch_home = probed.select(
+            F.col(id_col), F.col(vec_col), F.get("_cells", 0).alias("cell")
+        )
+        cand = stored_home.unionByName(batch_home).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            "cell",
+        )
+        bprobes = probed.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode("_cells").alias("cell"),
+        )
+        bscored = (
+            bprobes.join(cand, "cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn(
+                "cos_sim", _safe_cosine(F.col("q_vec"), F.col("c_vec"))
+            )
+        )
+        batch_edges = topk_per_query(bscored, k, round_to=None).join(
+            F.broadcast(
+                probed.select(
+                    F.col(id_col).alias("query_id"),
+                    F.get("_cells", 0).alias("qcell"),
+                )
+            ),
+            "query_id",
+        )
+
+        # ---- updated edges of affected existing vectors ------------------
+        # u is affected iff some batch home cell is in u's probe list —
+        # exactly the members of the batch home-cell PARTITIONS; every
+        # replicated row carries u's home cell, so qcell needs no
+        # index-wide lookup
+        affected = (
+            spark.read.parquet(root + "/cells")
+            .where(F.col("cell").isin(home_cells))
+            .join(
+                F.broadcast(probed.select(id_col)), id_col, "anti"
+            )  # batch ids handled above
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"),
+                "cell",
+                F.col("home").alias("qcell"),
+            )
+            .dropDuplicates(["query_id", "cell"])
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_cand = probed.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.get("_cells", 0).alias("cell"),
+        )
+        pair_scores = (
+            affected.join(F.broadcast(new_cand), "cell")
+            .withColumn(
+                "cos_sim", _safe_cosine(F.col("q_vec"), F.col("c_vec"))
+            )
+            .select("query_id", "neighbor_id", "cos_sim", "qcell")
+            # u probing b's home via TWO of its cells still scores once
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        # affected home-cell list: bounded by the quantizer size
+        qcells = sorted(
+            {r["qcell"] for r in affected.select("qcell").distinct().collect()}
+        )
+        old_edges = (
+            spark.read.parquet(root + "/edges")
+            .where(F.col("qcell").isin(qcells) if qcells else F.lit(False))
+        )
+        affected_ids = affected.select("query_id").distinct()
+        merged_src = (
+            old_edges.join(F.broadcast(affected_ids), "query_id", "semi")
+            .select("query_id", "neighbor_id", "cos_sim", "qcell")
+            .unionByName(
+                pair_scores.select(
+                    "query_id", "neighbor_id", "cos_sim", "qcell"
+                )
+            )
+        )
+        wm = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        merged = (
+            merged_src.withColumn("rank", F.row_number().over(wm))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_sim", "qcell")
+        )
+        untouched = old_edges.join(
+            F.broadcast(affected_ids), "query_id", "anti"
+        ).select("query_id", "neighbor_id", "rank", "cos_sim", "qcell")
+
+        # changed = merged rows that differ from the stored edge at the
+        # same (query_id, rank)
+        changed_updates = merged.join(
+            old_edges.select(
+                "query_id", F.col("neighbor_id").alias("_on"), "rank"
+            ),
+            ["query_id", "rank"],
+            "left",
+        ).where(
+            F.col("_on").isNull() | (F.col("_on") != F.col("neighbor_id"))
+        ).drop("_on")
+        # localCheckpoint (eager) CUTS the lineage: ``changed`` reads
+        # the pre-overwrite edges parquet, which the dynamic overwrite
+        # below replaces — a lazily recomputed plan would silently read
+        # the NEW files. The checkpoint is batch-scaled.
+        changed = (
+            batch_edges.select(
+                "query_id", "neighbor_id", "rank", "cos_sim", "qcell"
+            )
+            .unionByName(changed_updates)
+            .localCheckpoint(eager=True)
+        )
+
+        # ---- persist ------------------------------------------------------
+        repl = _knn_replicated_cells(probed, id_col, vec_col)
+        repl.write.mode("append").partitionBy("cell").parquet(
+            root + "/cells"
+        )
+        # rewrite READS the edges parquet it is about to overwrite —
+        # eager localCheckpoint materializes it first (scaled to the
+        # affected partitions, not the graph), so the overwrite can
+        # never consume its own half-deleted input
+        rewrite = (
+            merged.unionByName(untouched)
+            .unionByName(
+                batch_edges.select(
+                    "query_id", "neighbor_id", "rank", "cos_sim", "qcell"
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+        with _dynamic_partition_overwrite(spark):
+            rewrite.write.mode("overwrite").partitionBy("qcell").parquet(
+                root + "/edges"
+            )
+        return changed.select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cos_sim", 4).alias("cos_sim"),
+            "qcell",
+        )
+    finally:
+        probed.unpersist()
+        try:
+            affected.unpersist()
+        except (NameError, UnboundLocalError):
+            pass
+
+
+class _dynamic_partition_overwrite:
+    """Scope spark.sql.sources.partitionOverwriteMode=dynamic to one
+    write: overwrite ONLY the partitions present in the written frame
+    (the affected + batch home cells), leaving every other edge
+    partition untouched."""
+
+    def __init__(self, spark):
+        self._spark = spark
+
+    def __enter__(self):
+        self._old = self._spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self._spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+
+    def __exit__(self, *exc):
+        self._spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", self._old
+        )
+        return False
 
 
 def train_kmeans_centroids(

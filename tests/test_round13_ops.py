@@ -237,3 +237,125 @@ def test_reader_recovers_two_level_partition_values(spark, tmp_path):
         odd = list(r)
     assert sorted(x.id for x in odd) == [i for i in range(60) if i % 2 == 1]
     assert all(x.source == x.id % 3 for x in odd)
+
+
+def _edge_tuples(df):
+    return sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["cos_sim"], 12))
+        for r in df.collect()
+    )
+
+
+def test_knn_graph_write_read_round_trip(spark, clustered, tmp_path):
+    """The persisted graph reproduces knn_graph row for row (ids,
+    ranks, fold-exact cosines), and the marker JSON carries the build
+    params."""
+    from petastorm_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_read,
+        knn_graph_write,
+    )
+
+    url = str(tmp_path / "kg_idx")
+    knn_graph_write(url, clustered, k=3, n_cells=8, n_probe=2)
+    params, edges = knn_graph_read(spark, url)
+    assert params == {
+        "k": 3, "n_probe": 2, "n_cells": 8,
+        "id_col": "vec_id", "vec_col": "embedding",
+    }
+    want = knn_graph(clustered, k=3, n_cells=8, n_probe=2)
+    assert _edge_tuples(edges) == _edge_tuples(want)
+
+
+def test_knn_graph_append_matches_full_rebuild(spark, clustered, tmp_path):
+    """Incremental contract: write on the first 100 vectors, append
+    the last 20 — the stored graph must equal knn_graph rebuilt over
+    the FULL corpus under the same quantizer; the changed-edge return
+    covers exactly the batch plus the displaced existing vectors; and
+    edge partitions of unaffected cells are BYTE-untouched (the
+    dynamic overwrite rewrote only the affected home cells — the
+    append-cost-scales-with-the-batch receipt)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from petastorm_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_append,
+        knn_graph_read,
+        knn_graph_write,
+    )
+
+    # one explicit centroid per cluster (medoid-ish members), so the
+    # batch (cluster 4) interacts with exactly one cell's neighborhood
+    cents = clustered.where(F.col("vec_id").isin([0, 24, 48, 72, 96]))
+    initial = clustered.where(F.col("vec_id") < 100)
+    batch = clustered.where(F.col("vec_id") >= 100)
+
+    url = str(tmp_path / "kg_inc")
+    knn_graph_write(url, initial, k=3, n_probe=2, centroids=cents)
+
+    def partition_snapshot():
+        snap = {}
+        root = os.path.join(url, "edges")
+        for d in os.listdir(root):
+            if not d.startswith("qcell="):
+                continue
+            files = sorted(
+                (f, os.path.getmtime(os.path.join(root, d, f)))
+                for f in os.listdir(os.path.join(root, d))
+                if not f.startswith((".", "_"))
+            )
+            snap[d] = files
+        return snap
+
+    before = partition_snapshot()
+    changed = knn_graph_append(spark, url, batch)
+    changed_rows = changed.collect()
+    after = partition_snapshot()
+
+    _, edges = knn_graph_read(spark, url)
+    want = knn_graph(clustered, k=3, n_probe=2, centroids=cents)
+    assert _edge_tuples(edges) == _edge_tuples(want)
+
+    # every batch vector's edges are in the changed set
+    changed_q = {r["query_id"] for r in changed_rows}
+    assert set(range(100, 120)) <= changed_q
+    # changed rows agree with the final stored graph
+    final = {
+        (t[0], t[1]): (t[2], t[3]) for t in _edge_tuples(edges)
+    }
+    for r in changed_rows:
+        assert final[(r["query_id"], r["rank"])] == (
+            r["neighbor_id"], round(r["cos_sim"], 12)
+        )
+    # at least one far cluster's partition exists and was not rewritten
+    untouched = [
+        d for d in before
+        if d in after and before[d] == after[d]
+    ]
+    assert untouched, (before.keys(), after.keys())
+    # and the batch's own home partition WAS rewritten
+    assert any(
+        d not in before or before[d] != after[d] for d in after
+    )
+
+
+def test_knn_graph_append_rejects_duplicate_ids(spark, clustered, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from petastorm_spark.operators.similarity import (
+        knn_graph_append,
+        knn_graph_write,
+    )
+
+    url = str(tmp_path / "kg_dup")
+    knn_graph_write(
+        url, clustered.where(F.col("vec_id") < 100), k=3, n_cells=8,
+        n_probe=2,
+    )
+    with pytest.raises(ValueError, match="already indexed"):
+        knn_graph_append(
+            spark, url, clustered.where(F.col("vec_id") < 10)
+        )
