@@ -64,18 +64,16 @@ def _last_green_round() -> dict[str, int]:
 # round's CORRECTNESS file is committed the staleness sort would have
 # rotated them forward anyway.
 CHANGED_THIS_ROUND = [
-    # new in round 12
-    "embedding_dim_robust_stats",
-    "embedding_outliers",
-    "embedding_cov_drift",
-    "pii_k_anonymity",
+    # new in round 13
+    "knn_graph_incremental",
+    # quantizer-selection refactor + auto-sizing default in round 13
     "knn_graph_ivf",
+    # fingerprint-keyed index cache + atomic rename in round 13
     "ann_cosine_prefix_indexed",
+    # max_grid_points guard moved into the plan in round 13
     "resample_user_values",
     "resample_user_interp",
-    # plan rebuilt in round 12 (join-free map-side pair explode)
-    "embedding_covariance",
-    # implementation touched in round 12 (bit-depth-derived rescale)
+    # silence_spans gained the assume_bits opt-in in round 13
     "audio_silence_spans",
 ]
 

@@ -173,6 +173,7 @@ HEADLINE = [
     "embedding_cov_drift",
     "video_shot_boundaries",
     "audio_silence_spans",
+    "knn_graph_incremental",
 ]
 
 N_WARMUP_READS = 500
