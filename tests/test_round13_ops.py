@@ -359,3 +359,66 @@ def test_knn_graph_append_rejects_duplicate_ids(spark, clustered, tmp_path):
         knn_graph_append(
             spark, url, clustered.where(F.col("vec_id") < 10)
         )
+
+
+def test_knn_graph_append_updates_via_non_home_probe(spark, tmp_path):
+    """The merge-completeness case the sf0.01 oracle caught in r13
+    development: an existing vector u whose HOME cell is untouched by
+    the batch, but whose RANK-2 probe cell receives a new vector b
+    that displaces u's top edge. u is affected only through the
+    non-home probe — the replicated cells rows must carry u's home
+    cell so the merge join keeps u's pair scores."""
+    from pyspark.sql import functions as F
+
+    from petastorm_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_append,
+        knn_graph_read,
+        knn_graph_write,
+    )
+    from petastorm_spark.session import arrow_local_df
+
+    def frame(ids, vecs):
+        return arrow_local_df(
+            spark,
+            {"vec_id": ids, "embedding": [list(map(float, v)) for v in vecs]},
+            "vec_id bigint, embedding array<double>",
+        )
+
+    cents = arrow_local_df(
+        spark,
+        {"cell": [0, 1], "cent_vec": [[1.0, 0.0], [0.0, 1.0]]},
+        "cell int, cent_vec array<double>",
+    )
+    # u=(0.8,0.6): home cell 0, rank-2 probe cell 1. w/x: cell-0
+    # fillers (w is u's initial top-1). y: cell-1 member.
+    initial = frame(
+        [1, 2, 3, 4],
+        [[0.8, 0.6], [1.0, 0.05], [0.99, -0.1], [0.1, 0.995]],
+    )
+    # b homes to cell 1 (cos 0.835 vs 0.55) and beats w for u's top-1:
+    # cos(u,b) ~ 0.941 > cos(u,w) ~ 0.829
+    batch = frame([10], [[0.55, 0.835]])
+
+    url = str(tmp_path / "kg_nonhome")
+    knn_graph_write(url, initial, k=1, n_probe=2, centroids=cents)
+    _, before = knn_graph_read(spark, url)
+    assert {
+        (r["query_id"], r["neighbor_id"]) for r in before.collect()
+    } >= {(1, 2)}  # u's initial top-1 is w
+
+    changed = knn_graph_append(spark, url, batch).collect()
+    # u's updated edge is in the changed set despite u's home cell
+    # receiving no batch vector
+    assert (1, 10) in {(r["query_id"], r["neighbor_id"]) for r in changed}
+
+    _, edges = knn_graph_read(spark, url)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in edges.collect()}
+    assert got[(1, 1)] == 10
+    full = knn_graph(
+        initial.unionByName(batch), k=1, n_probe=2, centroids=cents
+    )
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in full.collect()
+    }
+    assert got == want
