@@ -972,3 +972,92 @@ def fingerprint_dup_stream(
         .groupBy("new_id", "old_id")
         .agg(F.min("hamming").alias("hamming"))
     )
+
+
+def knn_edges_stream(
+    new_stream: DataFrame,
+    centroids: DataFrame,
+    cells: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Streaming twin of the persisted kNN graph's FORWARD half: an
+    ingest stream of new embeddings gets its top-``k`` exact-cosine
+    edges against the stored graph index online — the
+    similarity-family member of the incremental_near_dup_stream /
+    fingerprint_dup_stream pattern. ``centroids``/``cells`` are the
+    static frames :func:`operators.similarity.knn_graph_read`'s layout
+    stores (``knn_graph.json`` sibling tables); the nightly
+    :func:`operators.similarity.knn_graph_append` remains the
+    compaction path that ALSO back-updates existing vectors' edges
+    (a stream cannot rewrite the stored graph; it can tell you, at
+    ingest time, what each new vector is near).
+
+    Emits one row per new vector: (query_id, topk) with ``topk`` an
+    array of (neighbor_id, cos_sim) structs in rank order — an array,
+    not exploded rows, because per-query top-k in a stream is a
+    streaming AGGREGATION (collect_list + array_sort; windows are a
+    batch-only tool) and each vector's candidates arrive in one
+    micro-batch via the stream-static cell equi-join, so rows
+    stabilize immediately (run the sink in update mode, the
+    incremental_near_dup_stream contract).
+
+    Shape: quantization is the same stateless Arrow/BLAS map the
+    batch graph uses (:func:`_probe_cells_numpy` runs unchanged on a
+    streaming frame); candidates come from the stream-static join
+    against the index's HOME rows on cell — the static side is the
+    cell-partitioned parquet, so each micro-batch scans only the
+    probed cells' files; ties break (cos DESC, neighbor ASC), the
+    engine-exact convention."""
+    from petastorm_spark.operators.similarity import (
+        _probe_cells_numpy,
+        _safe_cosine,
+    )
+
+    crows = centroids.select("cell", "cent_vec").collect()
+    probed = _probe_cells_numpy(
+        new_stream, crows, id_col, vec_col, n_probe, keep_order=True
+    )
+    probes = probed.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode("_cells").alias("cell"),
+    )
+    cand = cells.where(F.col("is_home")).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "cell",
+    )
+    scored = (
+        probes.join(cand, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim", _safe_cosine(F.col("q_vec"), F.col("c_vec"))
+        )
+    )
+    ranked = scored.groupBy("query_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cos_sim")).alias("_nc"),
+                        F.col("neighbor_id").alias("neighbor_id"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("_top")
+    )
+    return ranked.select(
+        "query_id",
+        F.transform(
+            "_top",
+            lambda s: F.struct(
+                s.getField("neighbor_id").alias("neighbor_id"),
+                F.round(-s.getField("_nc"), 4).alias("cos_sim"),
+            ),
+        ).alias("topk"),
+    )

@@ -422,3 +422,64 @@ def test_knn_graph_append_updates_via_non_home_probe(spark, tmp_path):
         (r["query_id"], r["rank"]): r["neighbor_id"] for r in full.collect()
     }
     assert got == want
+
+
+def test_knn_edges_stream_matches_numpy(spark, clustered, tmp_path):
+    """Streaming forward edges against the persisted graph index
+    (availableNow) match a from-scratch numpy construction of the
+    candidate rule: probe the 2 nearest quantizer cells (cos DESC,
+    cell ASC ties), candidates = the STORED home members of those
+    cells, top-3 by (cos DESC, neighbor ASC), rounded like the batch
+    graph."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from petastorm_spark.operators.similarity import knn_graph_write
+    from petastorm_spark.streaming.feed import knn_edges_stream, stream_dataset
+
+    initial = clustered.where(F.col("vec_id") < 100)
+    batch = clustered.where(F.col("vec_id") >= 100)
+    url = str(tmp_path / "kg_stream_idx")
+    knn_graph_write(url, initial, k=3, n_cells=8, n_probe=2)
+
+    bdir = str(tmp_path / "batch_in")
+    batch.coalesce(1).write.parquet(bdir)
+    q = (
+        knn_edges_stream(
+            stream_dataset(spark, bdir),
+            spark.read.parquet(url + "/centroids"),
+            spark.read.parquet(url + "/cells"),
+            k=3,
+            n_probe=2,
+        )
+        .writeStream.format("memory")
+        .queryName("kg_stream_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.query_id: [(s.neighbor_id, s.cos_sim) for s in r.topk]
+        for r in spark.sql("SELECT * FROM kg_stream_out").collect()
+    }
+
+    V = {r["vec_id"]: np.array(r["embedding"]) for r in clustered.collect()}
+    cent = {c: V[c] for c in range(8)}  # lowest-id quantizer
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    homes: dict[int, list[int]] = {c: [] for c in cent}
+    for i in range(100):  # stored home members
+        best = sorted(cent, key=lambda c: (-cos(V[i], cent[c]), c))
+        homes[best[0]].append(i)
+
+    want = {}
+    for b in range(100, 120):
+        probe = sorted(cent, key=lambda c: (-cos(V[b], cent[c]), c))[:2]
+        cands = [i for c in probe for i in homes[c]]
+        top = sorted(cands, key=lambda i: (-cos(V[b], V[i]), i))[:3]
+        want[b] = [(i, round(cos(V[b], V[i]), 4)) for i in top]
+
+    assert got == want
