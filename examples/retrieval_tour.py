@@ -68,6 +68,28 @@ def main() -> None:
     matches = incremental_semantic_dedup(batch, cent, assigned, threshold=0.95)
     print("incremental matches:", matches.count())
 
+    # 5. the persisted all-pairs kNN graph (r13): build on most of the
+    # corpus, APPEND a batch (only the affected edge partitions are
+    # rewritten), read back the full graph
+    import tempfile
+
+    from petastorm_spark.operators.similarity import (
+        knn_graph_append,
+        knn_graph_read,
+        knn_graph_write,
+    )
+
+    url = tempfile.mkdtemp(prefix="ps_kg_tour") + "/graph"
+    knn_graph_write(
+        url, emb.where(F.col("vec_id") % 17 != 0), k=3, n_cells=16, n_probe=2
+    )
+    changed = knn_graph_append(
+        spark, url, emb.where(F.col("vec_id") % 17 == 0)
+    )
+    print("append changed edges:", changed.count())
+    _, edges = knn_graph_read(spark, url)
+    print("graph edges:", edges.count())
+
     spark.stop()
 
 

@@ -483,3 +483,27 @@ def test_knn_edges_stream_matches_numpy(spark, clustered, tmp_path):
         want[b] = [(i, round(cos(V[b], V[i]), 4)) for i in top]
 
     assert got == want
+
+
+def test_make_reader_row_path_widens_types(spark, tmp_path):
+    """S1 symmetry: the ROW reader (make_reader namedtuples) widens
+    across files like the batch path — narrow-file values come back
+    as the wide numpy dtypes."""
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from petastorm_spark.reader import make_reader
+
+    d = str(tmp_path / "wide_rows")
+    spark.createDataFrame([(1, 1.5)], "id int, v float").coalesce(
+        1
+    ).write.parquet(d)
+    spark.createDataFrame(
+        [(2**40, 2.25)], "id bigint, v double"
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    with make_reader(d, spark=spark, schema_evolution=True) as r:
+        rows = sorted((int(x.id), float(x.v)) for x in r)
+        assert r.schema.fields["id"].numpy_dtype == np.int64
+        assert r.schema.fields["v"].numpy_dtype == np.float64
+    assert rows == [(1, 1.5), (2**40, 2.25)]
