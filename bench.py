@@ -174,6 +174,8 @@ HEADLINE = [
     "video_shot_boundaries",
     "audio_silence_spans",
     "knn_graph_incremental",
+    "kmeans_embeddings",
+    "cluster_balanced_sample",
 ]
 
 N_WARMUP_READS = 500

@@ -1420,6 +1420,156 @@ def normalize_embeddings(
     )
 
 
+def _kmeans_quantize_expr(vec_col: str, dims: int, micro: int) -> Column:
+    """Micro-quantized leading coordinates as an array<long> — the
+    corr_matrix_exact recipe (see :func:`_covariance_cells`): float ->
+    double is exact, round(x * micro) is the same correctly-rounded
+    double op in Spark and DuckDB, so both engines see identical
+    integers and every distance below is exact integer arithmetic."""
+    return F.transform(
+        F.slice(F.col(vec_col), 1, dims),
+        lambda v: F.round(v.cast("double") * micro, 0).cast("long"),
+    )
+
+
+def _kmeans_assign_expr(cents: dict[int, list[int]]) -> Column:
+    """argmin-distance assignment as ONE Catalyst expression: per cell
+    a (dist, cell) struct whose dist is the exact integer squared
+    distance (zip_with + sequential fold — ints, so order-free), then
+    array_min's lexicographic struct ordering gives the deterministic
+    lowest-distance / lowest-cell winner. Centroids ride the plan as
+    literals; the assignment stage is a pure per-row map, zero joins,
+    zero shuffles."""
+    structs = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_xq"),
+                    F.expr(
+                        "array("
+                        + ",".join(f"{int(c)}L" for c in vec)
+                        + ")"
+                    ),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, d: a + d,
+            ).alias("dist"),
+            F.lit(int(cell)).alias("cell"),
+        )
+        for cell, vec in sorted(cents.items())
+    ]
+    return F.array_min(F.array(*structs))
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    dims: int = 8,
+    rounds: int = 2,
+    micro: int = 10**6,
+    output: str = "report",
+) -> DataFrame:
+    """ENGINE-EXACT distributed Lloyd's k-means over the leading
+    ``dims`` embedding coordinates — the clustering primitive under
+    cluster-balanced data mixing, SemDeDup-style semantic curation,
+    and coarse-quantizer training, as an ORACLE-CHECKABLE operator
+    (the ML twin :func:`train_kmeans_centroids` is float-ordered and
+    seeded, so it can never be cross-engine bit-exact; this one can).
+
+    Determinism contract: coordinates quantize to ``micro`` integers
+    (exact — see :func:`_kmeans_quantize_expr`), so squared distances
+    and the argmin assignment are exact integer arithmetic with a
+    lowest-cell tie-break; init is the ``k`` lowest-id vectors (cell
+    = id rank); each update recomputes integer centroids as
+    round-half-up(S/N) via ``floor((2*S + N) / (2.0*N))`` — the two
+    exact integer sums make the double division correctly rounded and
+    bit-identical in any IEEE engine. A cell that loses all members
+    is DROPPED (surviving cells keep their ids), matching the SQL
+    unroll's natural semantics.
+
+    Shape per round: one corpus scan with the per-row k x dims fold
+    (no joins — centroids are plan literals), one partially-aggregated
+    exchange carrying <= k*dims rows per task, and a bounded k x dims
+    driver collect (the same bounded-quantizer budget every IVF
+    builder here uses). ``rounds`` is fixed and small, so lineage
+    stays flat and the oracle unrolls the identical CTE ladder.
+
+    ``output="report"``: one row per surviving cell —
+    (cell, n_members, inertia, cent_csv) where inertia is the exact
+    integer within-cluster sum of squares scaled back by micro^2 and
+    cent_csv the integer centroid coordinates (the full state, so the
+    oracle check pins assignments AND centroids). ``output="assign"``:
+    (id_col, cell, dist_q) per vector for downstream consumers
+    (:func:`queries_llm.cluster_balanced_sample`)."""
+    import math
+
+    pts = corpus.select(
+        F.col(id_col).alias("_id"),
+        _kmeans_quantize_expr(vec_col, dims, micro).alias("_xq"),
+    )
+    seed_rows = pts.orderBy("_id").limit(k).collect()
+    cents: dict[int, list[int]] = {
+        i: [int(x) for x in r["_xq"]] for i, r in enumerate(seed_rows)
+    }
+    for _ in range(rounds):
+        assigned = pts.withColumn("_a", _kmeans_assign_expr(cents))
+        stats = (
+            assigned.select(
+                F.col("_a.cell").alias("_cell"),
+                F.posexplode("_xq").alias("_d", "_x"),
+            )
+            .groupBy("_cell", "_d")
+            .agg(
+                F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        nxt: dict[int, list[int]] = {}
+        for r in stats:
+            vec = nxt.setdefault(int(r["_cell"]), [0] * dims)
+            s, n = int(r["_s"]), int(r["_n"])
+            # bit-faithful to the oracle's floor((2S+N)/(2.0*N)):
+            # same exact integers -> same IEEE double division/floor
+            vec[int(r["_d"])] = int(math.floor((2 * s + n) / (2.0 * n)))
+        cents = nxt
+    final = pts.withColumn("_a", _kmeans_assign_expr(cents))
+    if output == "assign":
+        return final.select(
+            F.col("_id").alias(id_col),
+            F.col("_a.cell").alias("cell"),
+            F.col("_a.dist").alias("dist_q"),
+        )
+    csv_map = F.create_map(
+        *[
+            x
+            for cell, vec in sorted(cents.items())
+            for x in (
+                F.lit(int(cell)),
+                F.lit(",".join(str(int(c)) for c in vec)),
+            )
+        ]
+    )
+    return (
+        final.groupBy(F.col("_a.cell").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("_a.dist").cast("decimal(38,0)")).alias("_iq"),
+        )
+        .select(
+            "cell",
+            "n_members",
+            F.round(
+                F.col("_iq").cast("double") / float(micro) ** 2, 6
+            ).alias("inertia"),
+            F.element_at(csv_map, F.col("cell")).alias("cent_csv"),
+        )
+    )
+
+
 def ivf_append(
     spark,
     index_url: str,

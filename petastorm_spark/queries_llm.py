@@ -6161,6 +6161,134 @@ def embedding_cov_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_cte(k: int = 8, dims: int = 8, rounds: int = 2,
+                micro: int = 10**6) -> str:
+    """The unrolled Lloyd's-k-means CTE ladder shared by the
+    kmeans_embeddings / cluster_balanced_sample oracles — the exact
+    SQL twin of operators.similarity.kmeans_lloyd's driver loop:
+    micro-quantized integer coordinates, lowest-id seeding, integer
+    squared-distance argmin with lowest-cell tie-break, and the
+    round-half-up((2S+N)/(2N)) centroid update, one cent{r} CTE per
+    fixed round. Ends with af (vec_id, cell, dist) = the final
+    assignment and cent{rounds} = the final integer centroids."""
+    parts = [f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (SELECT vec_id, i, CAST(round(v[i] * {micro}, 0) AS BIGINT) AS x
+          FROM e, unnest(range(1, {dims + 1})) AS u(i)),
+    seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+             FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT {k})),
+    cent0 AS (SELECT s.cell, x.i, x.x AS c FROM seed s JOIN x USING (vec_id))"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    d{r} AS (SELECT x.vec_id, c.cell,
+                    sum((x.x - c.c) * (x.x - c.c)) AS dist
+             FROM x JOIN cent{r - 1} c ON x.i = c.i
+             GROUP BY x.vec_id, c.cell),
+    a{r} AS (SELECT vec_id, cell FROM (
+               SELECT vec_id, cell,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cell) AS rn
+               FROM d{r}) WHERE rn = 1),
+    cent{r} AS (SELECT a.cell, x.i,
+                CAST(floor((2 * sum(x.x) + count(*))
+                           / (2.0 * count(*))) AS BIGINT) AS c
+                FROM a{r} a JOIN x USING (vec_id)
+                GROUP BY a.cell, x.i)""")
+    parts.append(f""",
+    df AS (SELECT x.vec_id, c.cell,
+                  sum((x.x - c.c) * (x.x - c.c)) AS dist
+           FROM x JOIN cent{rounds} c ON x.i = c.i
+           GROUP BY x.vec_id, c.cell),
+    af AS (SELECT vec_id, cell, dist FROM (
+             SELECT vec_id, cell, dist,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cell) AS rn
+             FROM df) WHERE rn = 1)""")
+    return "".join(parts)
+
+
+@register(
+    "kmeans_embeddings",
+    oracle=_kmeans_cte()
+    + """,
+    csv AS (SELECT cell, string_agg(c::VARCHAR, ',' ORDER BY i) AS cent_csv
+            FROM cent2 GROUP BY cell)
+    SELECT CAST(af.cell AS INT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(af.dist) AS DOUBLE) / 1000000000000.0, 6)
+               AS inertia,
+           min(csv.cent_csv) AS cent_csv
+    FROM af JOIN csv USING (cell)
+    GROUP BY af.cell
+    """,
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact distributed Lloyd's k-means (k=8, 2 fixed rounds)
+    over the leading 8 embedding coordinates — the clustering
+    primitive under cluster-balanced mixing and semantic curation.
+    The report row per cell carries the member count, the exact
+    within-cluster sum of squares, AND the integer centroid
+    coordinates, so the oracle pins the full converged state, not
+    just cluster sizes. Scale: per round one corpus scan (assignment
+    is a pure per-row fold over plan-literal centroids — no join) +
+    one <= k*dims-row partially-aggregated exchange + a bounded
+    k x dims driver collect."""
+    from petastorm_spark.operators.similarity import kmeans_lloyd
+
+    return kmeans_lloyd(
+        _t_wide(spark, sf_dir, "embeddings"), k=8, dims=8, rounds=2
+    )
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=_kmeans_cte()
+    + f""",
+    fr AS (SELECT vec_id, cell,
+                  (('0x' || substr(md5('0|' || CAST(vec_id AS VARCHAR)),
+                                   1, 15))::BIGINT
+                   / 1152921504606846976.0) AS frac
+           FROM af),
+    rk AS (SELECT vec_id, cell, frac,
+                  row_number() OVER (PARTITION BY cell
+                                     ORDER BY frac, vec_id) AS rank
+           FROM fr)
+    SELECT CAST(cell AS INT) AS cell, vec_id,
+           CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 10
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced data mixing: k-means the embedding corpus,
+    then draw an EQUAL per-cluster quota (10) by deterministic md5
+    fraction — the semantic-diversity sampler (DataComp / cluster-
+    and-filter style) that stops one dense region dominating a
+    training mix the way plain uniform sampling would. Determinism:
+    the k-means assignment is the engine-exact integer path and the
+    quota draw is the md5('0|id') fraction every sampler here uses
+    (predicates.md5_fraction parity). Scale: assignment is the
+    per-row fold; the quota is one per-cell window over rows already
+    partitioned by cell — no corpus-wide sort."""
+    from petastorm_spark.operators.similarity import kmeans_lloyd
+    from petastorm_spark.predicates import md5_fraction
+    from pyspark.sql import Window
+
+    a = kmeans_lloyd(
+        _t_wide(spark, sf_dir, "embeddings"),
+        k=8, dims=8, rounds=2, output="assign",
+    )
+    w = Window.partitionBy("cell").orderBy("_frac", "vec_id")
+    return (
+        a.withColumn(
+            "_frac",
+            md5_fraction(F.concat_ws("|", F.lit("0"), F.col("vec_id"))),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("cell", "vec_id", "rank")
+    )
+
+
 @register(
     "embedding_outliers",
     oracle="""

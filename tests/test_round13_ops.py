@@ -507,3 +507,101 @@ def test_make_reader_row_path_widens_types(spark, tmp_path):
         assert r.schema.fields["id"].numpy_dtype == np.int64
         assert r.schema.fields["v"].numpy_dtype == np.float64
     assert rows == [(1, 1.5), (2**40, 2.25)]
+
+
+# ---------------------------------------------------------------------------
+# Engine-exact Lloyd's k-means (kmeans_lloyd)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_lloyd_recovers_separated_clusters(spark):
+    """5 well-separated blobs with INTERLEAVED ids (vec_id % 5 =
+    blob), so the k=5 lowest-id seeds start one per blob: two Lloyd
+    rounds must land every vector in its blob's cell (blobs are many
+    sigma apart, so the argmin is unambiguous), and the report's
+    member counts must be the blob sizes. Lowest-id init is the
+    documented determinism contract — when seeds cluster in one blob
+    it behaves like any k-means with bad init, which is why callers
+    with unknown layouts use the ML twin's k-means|| seeding."""
+    from petastorm_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(5, 16)) * 8.0
+    n = 120
+    vecs = [
+        centers[i % 5] + rng.normal(size=16) * 0.3 for i in range(n)
+    ]
+    df = arrow_local_df(
+        spark,
+        {
+            "vec_id": list(range(n)),
+            "embedding": [list(map(float, v)) for v in vecs],
+        },
+        "vec_id bigint, embedding array<double>",
+    )
+    assign = kmeans_lloyd(df, k=5, dims=16, rounds=2, output="assign").collect()
+    cell_by_blob = {}
+    for r in assign:
+        cell_by_blob.setdefault(r["vec_id"] % 5, set()).add(r["cell"])
+    # every blob maps to exactly one cell, all cells distinct
+    assert all(len(cells) == 1 for cells in cell_by_blob.values())
+    assert len({c for s in cell_by_blob.values() for c in s}) == 5
+    report = kmeans_lloyd(df, k=5, dims=16, rounds=2).collect()
+    assert sorted(r["n_members"] for r in report) == [24] * 5
+    # the report carries the full integer centroid state
+    for r in report:
+        assert len(r["cent_csv"].split(",")) == 16
+
+
+def test_kmeans_lloyd_drops_emptied_cells(spark):
+    """Two identical seed vectors: every point ties between cell 0 and
+    cell 1, the lowest-cell tie-break sends all of them to cell 0, and
+    cell 1 must be DROPPED from the report (surviving ids keep their
+    numbering) — the documented empty-cell contract."""
+    from petastorm_spark.operators.similarity import kmeans_lloyd
+
+    df = arrow_local_df(
+        spark,
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [[0.0, 0.0], [0.0, 0.0], [9.0, 9.0], [9.1, 9.1]],
+        },
+        "vec_id bigint, embedding array<double>",
+    )
+    report = kmeans_lloyd(df, k=2, dims=2, rounds=2).collect()
+    cells = sorted(r["cell"] for r in report)
+    assert cells == [0]
+    assert report[0]["n_members"] == 4
+
+
+def test_kmeans_lloyd_deterministic_across_runs(spark, clustered):
+    """Same input, same params -> bit-identical report (the integer
+    path has no float-order, hash-seed, or partitioning sensitivity)."""
+    from petastorm_spark.operators.similarity import kmeans_lloyd
+
+    a = sorted(map(tuple, kmeans_lloyd(clustered, k=5, dims=16).collect()))
+    b = sorted(
+        map(
+            tuple,
+            kmeans_lloyd(
+                clustered.repartition(7), k=5, dims=16
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_kmeans_lloyd_assign_plan_is_join_free(spark, clustered):
+    """The assignment stage must be a pure per-row map: centroids ride
+    the plan as literals, so the physical plan of output='assign' has
+    NO join node and no exchange beyond the source scan."""
+    from petastorm_spark.operators.similarity import kmeans_lloyd
+
+    plan = (
+        kmeans_lloyd(clustered, k=5, dims=16, output="assign")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "Exchange" not in plan
