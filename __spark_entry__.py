@@ -66,6 +66,9 @@ def _last_green_round() -> dict[str, int]:
 CHANGED_THIS_ROUND = [
     # new in round 13
     "knn_graph_incremental",
+    "kmeans_embeddings",
+    "cluster_balanced_sample",
+    "readability_scores",
     # quantizer-selection refactor + auto-sizing default in round 13
     "knn_graph_ivf",
     # fingerprint-keyed index cache + atomic rename in round 13

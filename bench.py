@@ -176,6 +176,7 @@ HEADLINE = [
     "knn_graph_incremental",
     "kmeans_embeddings",
     "cluster_balanced_sample",
+    "readability_scores",
 ]
 
 N_WARMUP_READS = 500

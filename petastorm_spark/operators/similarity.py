@@ -1462,6 +1462,57 @@ def _kmeans_assign_expr(cents: dict[int, list[int]]) -> Column:
     return F.array_min(F.array(*structs))
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    dims: int = 8,
+    rounds: int = 2,
+    micro: int = 10**6,
+) -> dict[int, list[int]]:
+    """The Lloyd driver loop behind :func:`kmeans_lloyd`, exposed so
+    the fitted integer centroids themselves are a first-class model
+    (feed them to :func:`streaming.feed.kmeans_assign_stream` to
+    assign an ingest stream against the frozen clustering): lowest-id
+    seeding, ``rounds`` exact-integer assignment/update sweeps, empty
+    cells dropped. Returns {cell: [dims ints]}. Each round is one
+    corpus scan plus a bounded k x dims driver collect."""
+    import math
+
+    pts = corpus.select(
+        F.col(id_col).alias("_id"),
+        _kmeans_quantize_expr(vec_col, dims, micro).alias("_xq"),
+    )
+    seed_rows = pts.orderBy("_id").limit(k).collect()
+    cents: dict[int, list[int]] = {
+        i: [int(x) for x in r["_xq"]] for i, r in enumerate(seed_rows)
+    }
+    for _ in range(rounds):
+        assigned = pts.withColumn("_a", _kmeans_assign_expr(cents))
+        stats = (
+            assigned.select(
+                F.col("_a.cell").alias("_cell"),
+                F.posexplode("_xq").alias("_d", "_x"),
+            )
+            .groupBy("_cell", "_d")
+            .agg(
+                F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        nxt: dict[int, list[int]] = {}
+        for r in stats:
+            vec = nxt.setdefault(int(r["_cell"]), [0] * dims)
+            s, n = int(r["_s"]), int(r["_n"])
+            # bit-faithful to the oracle's floor((2S+N)/(2.0*N)):
+            # same exact integers -> same IEEE double division/floor
+            vec[int(r["_d"])] = int(math.floor((2 * s + n) / (2.0 * n)))
+        cents = nxt
+    return cents
+
+
 def kmeans_lloyd(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1504,38 +1555,11 @@ def kmeans_lloyd(
     oracle check pins assignments AND centroids). ``output="assign"``:
     (id_col, cell, dist_q) per vector for downstream consumers
     (:func:`queries_llm.cluster_balanced_sample`)."""
-    import math
-
     pts = corpus.select(
         F.col(id_col).alias("_id"),
         _kmeans_quantize_expr(vec_col, dims, micro).alias("_xq"),
     )
-    seed_rows = pts.orderBy("_id").limit(k).collect()
-    cents: dict[int, list[int]] = {
-        i: [int(x) for x in r["_xq"]] for i, r in enumerate(seed_rows)
-    }
-    for _ in range(rounds):
-        assigned = pts.withColumn("_a", _kmeans_assign_expr(cents))
-        stats = (
-            assigned.select(
-                F.col("_a.cell").alias("_cell"),
-                F.posexplode("_xq").alias("_d", "_x"),
-            )
-            .groupBy("_cell", "_d")
-            .agg(
-                F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
-                F.count(F.lit(1)).alias("_n"),
-            )
-            .collect()
-        )
-        nxt: dict[int, list[int]] = {}
-        for r in stats:
-            vec = nxt.setdefault(int(r["_cell"]), [0] * dims)
-            s, n = int(r["_s"]), int(r["_n"])
-            # bit-faithful to the oracle's floor((2S+N)/(2.0*N)):
-            # same exact integers -> same IEEE double division/floor
-            vec[int(r["_d"])] = int(math.floor((2 * s + n) / (2.0 * n)))
-        cents = nxt
+    cents = kmeans_fit(corpus, id_col, vec_col, k, dims, rounds, micro)
     final = pts.withColumn("_a", _kmeans_assign_expr(cents))
     if output == "assign":
         return final.select(

@@ -89,6 +89,53 @@ def quality_score(text_col) -> Column:
     return sw_ok * 0.3 + uniq * 0.3 + alpha * 0.2 + len_ok * 0.2
 
 
+def syllable_count(text_col) -> Column:
+    """Vowel-group syllable approximation (count of maximal
+    [aeiouy]+ runs in the lowered text) — the standard dictionary-free
+    estimator readability formulas are calibrated against. Exact
+    integer per doc, so every downstream score is engine-exact."""
+    return F.regexp_count(F.lower(F.trim(text_col)), F.lit("[aeiouy]+"))
+
+
+def sentence_count(text_col) -> Column:
+    """Terminal-punctuation sentence count, floored at 1 (a fragment
+    with no [.!?] is one sentence, and the floor keeps W/S finite)."""
+    return F.greatest(
+        F.lit(1), F.regexp_count(text_col, F.lit("[.!?]+"))
+    )
+
+
+def flesch_reading_ease(text_col) -> Column:
+    """Flesch reading ease (Flesch 1948): 206.835 - 1.015*(W/S) -
+    84.6*(Y/W) over the exact integer word / sentence / vowel-group
+    counts — the classic prose-complexity quality signal next to
+    :func:`quality_score`'s ratio bundle. Identical integer inputs +
+    correctly-rounded IEEE double ops make it bit-reproducible across
+    engines. NULL on zero-word docs."""
+    w = token_count(text_col).cast("double")
+    s = sentence_count(text_col).cast("double")
+    y = syllable_count(text_col).cast("double")
+    return F.when(
+        w > 0,
+        F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w),
+    )
+
+
+def fk_grade_level(text_col) -> Column:
+    """Flesch-Kincaid grade level (Kincaid et al. 1975):
+    0.39*(W/S) + 11.8*(Y/W) - 15.59 — the same exact integer counts
+    as :func:`flesch_reading_ease`, scaled to US school grades (the
+    unit most curation quality floors are quoted in). NULL on
+    zero-word docs."""
+    w = token_count(text_col).cast("double")
+    s = sentence_count(text_col).cast("double")
+    y = syllable_count(text_col).cast("double")
+    return F.when(
+        w > 0,
+        F.lit(0.39) * (w / s) + F.lit(11.8) * (y / w) - F.lit(15.59),
+    )
+
+
 def _lexicon_hits(t: Column, lex: list[str]) -> Column:
     # NB: the lambda must take exactly one parameter — F.filter treats a
     # two-parameter lambda as (element, index), so a `lex=lex` default

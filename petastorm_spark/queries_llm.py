@@ -6290,6 +6290,56 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "readability_scores",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS w,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+             len(regexp_extract_all(lower(trim(text)), '[aeiouy]+')) AS y
+      FROM documents)
+    SELECT doc_id,
+           CAST(w AS INT) AS n_words,
+           CAST(s AS INT) AS n_sentences,
+           CAST(y AS INT) AS n_syllables,
+           round(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                 - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)), 4)
+               AS flesch,
+           round(0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                 + 11.8 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
+                 - 15.59, 4) AS fk_grade
+    FROM c WHERE w > 0
+    """,
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic readability scoring per document — Flesch reading ease
+    + Flesch-Kincaid grade level over exact integer word / sentence /
+    vowel-group-syllable counts, the prose-complexity member of the
+    quality-signal family (quality_score's ratio bundle, the Gopher
+    repetition ladder, the CCNet LM floor). Engine-exact: identical
+    integer counts feed the same IEEE double formula in both engines.
+    Scale: three regexp counters per row, pure per-row map, zero
+    shuffles."""
+    from petastorm_spark.operators.text import (
+        fk_grade_level,
+        flesch_reading_ease,
+        sentence_count,
+        syllable_count,
+        token_count,
+    )
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return d.where(token_count("text") > 0).select(
+        "doc_id",
+        token_count("text").alias("n_words"),
+        sentence_count("text").alias("n_sentences"),
+        syllable_count("text").alias("n_syllables"),
+        F.round(flesch_reading_ease("text"), 4).alias("flesch"),
+        F.round(fk_grade_level("text"), 4).alias("fk_grade"),
+    )
+
+
+@register(
     "embedding_outliers",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

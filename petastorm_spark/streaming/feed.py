@@ -1061,3 +1061,41 @@ def knn_edges_stream(
             ),
         ).alias("topk"),
     )
+
+
+def kmeans_assign_stream(
+    new_stream: DataFrame,
+    cents: dict[int, list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 8,
+    micro: int = 10**6,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.similarity.kmeans_lloyd`'s
+    assignment: an ingest stream of embeddings is assigned against a
+    FROZEN clustering (``cents`` = :func:`operators.similarity.
+    kmeans_fit`'s {cell: integer centroid} model) online — the
+    clustering-family member of the lm_score_stream pattern (score
+    the stream against a model trained offline; retrain nightly, not
+    per micro-batch).
+
+    Emits (id_col, cell, dist_q) per vector, bit-identical to the
+    batch ``output="assign"`` path: quantization and the integer
+    argmin fold are the SAME stateless Catalyst expressions, so this
+    is a pure per-row map — no state store, no watermark, append-mode
+    safe at any ingest rate."""
+    from petastorm_spark.operators.similarity import (
+        _kmeans_assign_expr,
+        _kmeans_quantize_expr,
+    )
+
+    pts = new_stream.select(
+        F.col(id_col),
+        _kmeans_quantize_expr(vec_col, dims, micro).alias("_xq"),
+    )
+    a = pts.withColumn("_a", _kmeans_assign_expr(cents))
+    return a.select(
+        id_col,
+        F.col("_a.cell").alias("cell"),
+        F.col("_a.dist").alias("dist_q"),
+    )

@@ -605,3 +605,76 @@ def test_kmeans_lloyd_assign_plan_is_join_free(spark, clustered):
     )
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_kmeans_assign_stream_matches_batch(spark, clustered, tmp_path):
+    """Streaming assignment against the frozen kmeans_fit model
+    (availableNow) is bit-identical to the batch output='assign'
+    path — the two share the quantize + integer-argmin expressions,
+    so this pins that the shared expressions stay streaming-safe
+    (stateless, append-mode)."""
+    from petastorm_spark.operators.similarity import kmeans_fit, kmeans_lloyd
+    from petastorm_spark.streaming.feed import (
+        kmeans_assign_stream,
+        stream_dataset,
+    )
+
+    cents = kmeans_fit(clustered, k=5, dims=16, rounds=2)
+    batch = {
+        (r["vec_id"], r["cell"], r["dist_q"])
+        for r in kmeans_lloyd(
+            clustered, k=5, dims=16, rounds=2, output="assign"
+        ).collect()
+    }
+
+    sdir = str(tmp_path / "km_stream_in")
+    clustered.coalesce(2).write.parquet(sdir)
+    q = (
+        kmeans_assign_stream(stream_dataset(spark, sdir), cents, dims=16)
+        .writeStream.format("memory")
+        .queryName("km_assign_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["vec_id"], r["cell"], r["dist_q"])
+        for r in spark.sql("SELECT * FROM km_assign_out").collect()
+    }
+    assert got == batch
+
+
+def test_readability_known_values(spark):
+    """Hand-checked Flesch / FK on punctuation-bearing text (the
+    testdata corpus is punctuation-free, so the sentence counter only
+    exercises its floor there): 'The cat sat. The dog ran!' = 6 words,
+    2 sentences, 6 vowel groups -> flesch 119.19, grade -2.62; a
+    no-punctuation fragment floors at 1 sentence."""
+    from petastorm_spark.operators.text import (
+        fk_grade_level,
+        flesch_reading_ease,
+        sentence_count,
+        syllable_count,
+        token_count,
+    )
+
+    df = arrow_local_df(
+        spark,
+        {"doc_id": [1, 2], "text": ["The cat sat. The dog ran!", "no stops here"]},
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("w"),
+            sentence_count("text").alias("s"),
+            syllable_count("text").alias("y"),
+            F.round(flesch_reading_ease("text"), 2).alias("fre"),
+            F.round(fk_grade_level("text"), 2).alias("fk"),
+        ).collect()
+    }
+    assert (rows[1]["w"], rows[1]["s"], rows[1]["y"]) == (6, 2, 6)
+    assert rows[1]["fre"] == 119.19 and rows[1]["fk"] == -2.62
+    assert rows[2]["s"] == 1
