@@ -69,6 +69,7 @@ CHANGED_THIS_ROUND = [
     "kmeans_embeddings",
     "cluster_balanced_sample",
     "readability_scores",
+    "knn_graph_communities",
     # quantizer-selection refactor + auto-sizing default in round 13
     "knn_graph_ivf",
     # fingerprint-keyed index cache + atomic rename in round 13

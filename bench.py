@@ -177,6 +177,7 @@ HEADLINE = [
     "kmeans_embeddings",
     "cluster_balanced_sample",
     "readability_scores",
+    "knn_graph_communities",
 ]
 
 N_WARMUP_READS = 500

@@ -5224,7 +5224,10 @@ def ann_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_graph_oracle(k: int = 3, n_cells: int = 16, n_probe: int = 2) -> str:
+def _knn_graph_cte(k: int = 3, n_cells: int = 16, n_probe: int = 2) -> str:
+    """The kNN-graph WITH-clause through ``r`` (query_id, neighbor_id,
+    cos, rank) — shared by the edge-list oracles and the
+    knn_graph_communities LPA unroll that consumes the edges."""
     cos = lambda a, b: (  # noqa: E731
         f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
         f"sqrt(list_dot_product({b}, {b})))"
@@ -5249,11 +5252,74 @@ def _knn_graph_oracle(k: int = 3, n_cells: int = 16, n_probe: int = 2) -> str:
     r AS (SELECT query_id, neighbor_id, cos,
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY cos DESC, neighbor_id) AS rank
-          FROM x)
+          FROM x)"""
+
+
+def _knn_graph_oracle(k: int = 3, n_cells: int = 16, n_probe: int = 2) -> str:
+    return (
+        _knn_graph_cte(k, n_cells, n_probe)
+        + f"""
     SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
            round(cos, 4) AS cos_sim
     FROM r WHERE rank <= {k}
     """
+    )
+
+
+def _knn_communities_oracle(
+    k: int = 3, n_cells: int = 16, n_probe: int = 2, rounds: int = 3
+) -> str:
+    """The kNN edge CTE + the synchronous-LPA unroll (the
+    label_propagation_parts ladder verbatim: neighbor-label count per
+    round, max count with smallest-label ties)."""
+    parts = [
+        _knn_graph_cte(k, n_cells, n_probe),
+        f""",
+    eg AS (SELECT DISTINCT least(query_id, neighbor_id) AS a,
+                           greatest(query_id, neighbor_id) AS b
+           FROM r WHERE rank <= {k}),
+    sym AS (SELECT a, b FROM eg UNION ALL SELECT b AS a, a AS b FROM eg),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    ct{i} AS (SELECT s.a AS node, l{i - 1}.label, count(*) AS c
+              FROM sym s JOIN l{i - 1} ON l{i - 1}.node = s.b
+              GROUP BY s.a, l{i - 1}.label),
+    l{i} AS (SELECT ct{i}.node, min(ct{i}.label) AS label
+             FROM ct{i} JOIN (SELECT node, max(c) AS mc FROM ct{i}
+                              GROUP BY node) m
+               ON m.node = ct{i}.node AND ct{i}.c = m.mc
+             GROUP BY ct{i}.node)""")
+    parts.append(f"""
+    SELECT node, label FROM l{rounds}""")
+    return "".join(parts)
+
+
+@register("knn_graph_communities", oracle=_knn_communities_oracle())
+def knn_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic communities: synchronous label propagation (3 rounds,
+    smallest-label ties) over the all-pairs kNN graph's edges — the
+    composition that turns the similarity index into a TOPIC/HOST
+    clustering signal for corpus curation (diversity quotas per
+    semantic community, near-dup triage above the pair level). The
+    two families compose without new machinery: knn_graph emits the
+    edge list, graph.label_propagation consumes it; the oracle chains
+    the identical kNN CTE into the identical LPA ladder. Scale: edge
+    volume is the graph's k*N rows, each LPA round one edge-scale
+    join + partial-agg argmax, localCheckpoint-cut."""
+    from petastorm_spark.operators.graph import label_propagation
+    from petastorm_spark.operators.similarity import knn_graph
+
+    # eager-checkpoint the k*N-row edge list BEFORE LPA: the
+    # symmetrize step references its input twice (e union reverse(e)),
+    # which would re-run the candidate scoring join per reference
+    edges = knn_graph(
+        _t_wide(spark, sf_dir, "embeddings"), k=3, n_cells=16, n_probe=2
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    return label_propagation(
+        edges, rounds=3, src="query_id", dst="neighbor_id"
+    )
 
 
 @register("knn_graph_ivf", oracle=_knn_graph_oracle())
