@@ -70,6 +70,7 @@ CHANGED_THIS_ROUND = [
     "cluster_balanced_sample",
     "readability_scores",
     "knn_graph_communities",
+    "token_label_mi_lang",
     # quantizer-selection refactor + auto-sizing default in round 13
     "knn_graph_ivf",
     # fingerprint-keyed index cache + atomic rename in round 13

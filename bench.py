@@ -178,6 +178,7 @@ HEADLINE = [
     "cluster_balanced_sample",
     "readability_scores",
     "knn_graph_communities",
+    "token_label_mi_lang",
 ]
 
 N_WARMUP_READS = 500

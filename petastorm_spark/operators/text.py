@@ -552,6 +552,77 @@ def token_psi(
     )
 
 
+def token_label_mi(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    min_df: int = 5,
+) -> DataFrame:
+    """Mutual-information terms between TOKEN PRESENCE and a document
+    label — the supervised feature-selection signal (Manning et al.,
+    IR ch. 13) for building quality/domain classifiers on top of this
+    corpus: high-MI tokens are the vocabulary a linear gate should
+    look at, where PMI (:func:`pmi_cooccurrence`) ranks token-token
+    association and PSI (:func:`token_psi`) ranks drift. One row per
+    (token, label) over the FULL vocab x label grid: (token, label,
+    n_tl, n_t, n_l, mi_term) with mi_term the label's present+absent
+    contribution; sum(mi_term) over a token's rows is its full MI.
+
+    Exactness: every count is an exact integer (doc-level presence via
+    per-doc distinct tokens); mi_term combines them with IEEE double
+    division and ln over identical integers, rounded to 6 — the
+    unigram_logprob contract. Zero-count cells contribute exactly 0.
+
+    Scale: one explode + (token, label) partial-agg count (vocab x
+    labels output), token totals from that same table, the label and
+    corpus totals broadcast (labels are few, the corpus count is one
+    row) — the grid is a broadcast cross join on the vocab-scale
+    table, never corpus-scale."""
+    base = df.select(
+        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+        F.col(label_col).alias("label"),
+    )
+    tl = base.groupBy("token", "label").agg(
+        F.count(F.lit(1)).alias("n_tl")
+    )
+    tcnt = (
+        tl.groupBy("token")
+        .agg(F.sum("n_tl").alias("n_t"))
+        .where(F.col("n_t") >= min_df)
+    )
+    lcnt = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    ncnt = df.agg(F.count(F.lit(1)).alias("N"))
+    grid = (
+        tcnt.crossJoin(F.broadcast(lcnt))
+        .join(tl, ["token", "label"], "left")
+        .na.fill({"n_tl": 0})
+        .crossJoin(F.broadcast(ncnt))
+    )
+    n = F.col("N").cast("double")
+    ntl = F.col("n_tl").cast("double")
+    nt = F.col("n_t").cast("double")
+    nl = F.col("n_l").cast("double")
+    t1 = F.when(
+        F.col("n_tl") > 0,
+        (ntl / n) * F.log((n * ntl) / (nt * nl)),
+    ).otherwise(F.lit(0.0))
+    t2 = F.when(
+        ((F.col("n_l") - F.col("n_tl")) > 0)
+        & ((F.col("N") - F.col("n_t")) > 0),
+        ((nl - ntl) / n) * F.log((n * (nl - ntl)) / ((n - nt) * nl)),
+    ).otherwise(F.lit(0.0))
+    return grid.select(
+        "token",
+        "label",
+        F.col("n_tl").cast("long").alias("n_tl"),
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_l").cast("long").alias("n_l"),
+        F.round(t1 + t2, 6).alias("mi_term"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, text_col: str, id_col: str, k: int = 3
 ) -> DataFrame:

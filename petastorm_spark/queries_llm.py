@@ -6356,6 +6356,59 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_label_mi_lang",
+    oracle=rf"""
+    WITH base AS (
+      SELECT DISTINCT doc_id, lang AS label, tok.token
+      FROM documents,
+           unnest(string_split_regex(lower(trim(text)), '\s+'))
+               AS tok(token)),
+    tl AS (SELECT token, label, count(*) AS n_tl
+           FROM base GROUP BY token, label),
+    tc AS (SELECT token, sum(n_tl) AS n_t FROM tl
+           GROUP BY token HAVING sum(n_tl) >= 5),
+    lc AS (SELECT lang AS label, count(*) AS n_l
+           FROM documents GROUP BY lang),
+    nn AS (SELECT count(*) AS N FROM documents),
+    grid AS (SELECT tc.token, lc.label, tc.n_t, lc.n_l,
+                    coalesce(tl.n_tl, 0) AS n_tl, nn.N
+             FROM tc CROSS JOIN lc
+             LEFT JOIN tl ON tl.token = tc.token AND tl.label = lc.label,
+                  nn)
+    SELECT token, label,
+           CAST(n_tl AS BIGINT) AS n_tl,
+           CAST(n_t AS BIGINT) AS n_t,
+           CAST(n_l AS BIGINT) AS n_l,
+           round(
+             (CASE WHEN n_tl > 0
+                   THEN (CAST(n_tl AS DOUBLE) / N)
+                        * ln((N * CAST(n_tl AS DOUBLE))
+                             / (CAST(n_t AS DOUBLE) * CAST(n_l AS DOUBLE)))
+                   ELSE 0 END)
+             + (CASE WHEN (n_l - n_tl) > 0 AND (N - n_t) > 0
+                     THEN ((CAST(n_l AS DOUBLE) - CAST(n_tl AS DOUBLE)) / N)
+                          * ln((N * (CAST(n_l AS DOUBLE)
+                                     - CAST(n_tl AS DOUBLE)))
+                               / ((CAST(N AS DOUBLE) - CAST(n_t AS DOUBLE))
+                                  * CAST(n_l AS DOUBLE)))
+                     ELSE 0 END), 6) AS mi_term
+    FROM grid
+    """,
+)
+def token_label_mi_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token <-> language mutual information over the corpus — the
+    supervised feature-selection table (which tokens carry label
+    signal) behind quality/domain classifier vocabularies; the
+    labeled sibling of PMI (token-token) and PSI (drift). Full vocab
+    x label grid at min_df=5; sum(mi_term) per token = its MI."""
+    from petastorm_spark.operators.text import token_label_mi
+
+    return token_label_mi(
+        _t_wide(spark, sf_dir, "documents"), "text", "lang", min_df=5
+    )
+
+
+@register(
     "readability_scores",
     oracle=r"""
     WITH c AS (

@@ -678,3 +678,38 @@ def test_readability_known_values(spark):
     assert (rows[1]["w"], rows[1]["s"], rows[1]["y"]) == (6, 2, 6)
     assert rows[1]["fre"] == 119.19 and rows[1]["fk"] == -2.62
     assert rows[2]["s"] == 1
+
+
+def test_token_label_mi_hand_computed(spark):
+    """Hand-checked MI terms on a 4-doc corpus: a label-independent
+    token gets exactly 0; a token perfectly aligned with one label
+    contributes 0.5*ln(2) (~0.346574) in BOTH its present (aligned
+    label) and absent (other label) rows."""
+    import math
+
+    from petastorm_spark.operators.text import token_label_mi
+
+    df = arrow_local_df(
+        spark,
+        {
+            "doc_id": [1, 2, 3, 4],
+            "lang": ["en", "en", "fr", "fr"],
+            "text": ["cat dog", "dog", "cat", "x"],
+        },
+        "doc_id bigint, lang string, text string",
+    )
+    rows = {
+        (r["token"], r["label"]): r
+        for r in token_label_mi(df, "text", "lang", min_df=1).collect()
+    }
+    # "cat" is in one en and one fr doc -> independent of label
+    assert rows[("cat", "en")]["mi_term"] == 0.0
+    assert rows[("cat", "fr")]["mi_term"] == 0.0
+    # "dog" only in en docs -> 0.5*ln(2) on both label rows
+    expect = round(0.5 * math.log(2.0), 6)
+    assert rows[("dog", "en")]["mi_term"] == expect
+    assert rows[("dog", "fr")]["mi_term"] == expect
+    assert rows[("dog", "en")]["n_tl"] == 2
+    assert rows[("dog", "fr")]["n_tl"] == 0
+    # the grid is complete: every kept token has a row per label
+    assert {(t, l) for (t, l) in rows} >= {("x", "en"), ("x", "fr")}
