@@ -71,6 +71,7 @@ CHANGED_THIS_ROUND = [
     "readability_scores",
     "knn_graph_communities",
     "token_label_mi_lang",
+    "dp_event_type_release",
     # quantizer-selection refactor + auto-sizing default in round 13
     "knn_graph_ivf",
     # fingerprint-keyed index cache + atomic rename in round 13

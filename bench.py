@@ -179,6 +179,7 @@ HEADLINE = [
     "readability_scores",
     "knn_graph_communities",
     "token_label_mi_lang",
+    "dp_event_type_release",
 ]
 
 N_WARMUP_READS = 500

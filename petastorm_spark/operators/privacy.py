@@ -85,3 +85,87 @@ def suppress_small_classes(
         eq = df[c].eqNullSafe(safe[c])
         cond = eq if cond is None else (cond & eq)
     return df.join(safe, cond, "left_semi")
+
+
+def _laplace_noise(u, b: float):
+    """Inverse-CDF Laplace(0, b) sample from a uniform [0,1) column:
+    -b * sign(u - 0.5) * ln(1 - 2*|u - 0.5|), the tail clamped at
+    1e-12 so a pathological u=0 draw yields a large-but-finite sample
+    instead of -inf. IEEE double ops over the same u reproduce
+    bit-identically in any engine (the unigram_logprob ln contract)."""
+    c = F.greatest(
+        F.lit(1e-12), F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))
+    )
+    sgn = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return F.lit(-float(b)) * sgn * F.log(c)
+
+
+def dp_group_release(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: int = 0,
+    value_col: str | None = None,
+    clip_lo: float = 0.0,
+    clip_hi: float = 1.0,
+    micro: int = 10**6,
+) -> DataFrame:
+    """Differentially-private group release (Dwork et al. 2006, the
+    Laplace mechanism): per group, the exact count plus Laplace(1/eps)
+    noise — and, when ``value_col`` is given, the [clip_lo, clip_hi]-
+    clipped sum plus Laplace((clip_hi-clip_lo)/eps) — so the released
+    histogram satisfies eps-DP per released statistic (2*eps total
+    when both are released; neither the exact counts nor the clipping
+    rejects leave the operator). The aggregate-release leg of the
+    privacy family: k-anonymity gates which ROWS may ship,
+    dp_group_release makes shipped AGGREGATES safe.
+
+    DETERMINISM CAVEAT, by design: the noise draw is the md5-keyed
+    uniform (seed|group) through the inverse CDF, so runs are
+    reproducible and an external engine can verify the release
+    mechanics bit-for-bit. Reproducible noise is the TEST/audit mode:
+    a production release must draw from a secure RNG and never
+    publish the seed (a known seed lets anyone subtract the noise).
+
+    Scale: one partially-aggregated groupBy (counts + the micro-
+    quantized exact-integer clipped sum, immune to float order);
+    noise is a per-GROUP-row map after aggregation — output-sized,
+    never corpus-sized."""
+    from petastorm_spark.predicates import md5_fraction
+
+    g = F.col(group_col)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if value_col is not None:
+        clipped = F.least(
+            F.greatest(F.col(value_col).cast("double"), F.lit(clip_lo)),
+            F.lit(clip_hi),
+        )
+        aggs.append(
+            F.sum(F.round(clipped * micro, 0).cast("decimal(38,0)")).alias(
+                "_sq"
+            )
+        )
+    out = df.groupBy(g).agg(*aggs)
+    u_n = md5_fraction(
+        F.concat_ws("|", F.lit(f"{seed}n"), F.col(group_col))
+    )
+    cols = [
+        g,
+        F.round(
+            F.col("_n").cast("double") + _laplace_noise(u_n, 1.0 / epsilon),
+            6,
+        ).alias("noisy_count"),
+    ]
+    if value_col is not None:
+        u_s = md5_fraction(
+            F.concat_ws("|", F.lit(f"{seed}s"), F.col(group_col))
+        )
+        b_s = (clip_hi - clip_lo) / epsilon
+        cols.append(
+            F.round(
+                F.col("_sq").cast("double") / F.lit(float(micro))
+                + _laplace_noise(u_s, b_s),
+                6,
+            ).alias("noisy_sum")
+        )
+    return out.select(*cols)

@@ -6356,6 +6356,54 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dp_event_type_release",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(round(least(greatest(CAST(value AS DOUBLE), 0.0),
+                                  100.0) * 1000000, 0) AS HUGEINT)) AS sq
+      FROM events GROUP BY event_type),
+    u AS (
+      SELECT event_type, n, sq,
+             (('0x' || substr(md5('0n|' || event_type), 1, 15))::BIGINT
+              / 1152921504606846976.0) AS un,
+             (('0x' || substr(md5('0s|' || event_type), 1, 15))::BIGINT
+              / 1152921504606846976.0) AS us
+      FROM g)
+    SELECT event_type,
+           round(CAST(n AS DOUBLE)
+                 + (-1.0) * (CASE WHEN un >= 0.5 THEN 1.0 ELSE -1.0 END)
+                   * ln(greatest(1e-12, 1.0 - 2.0 * abs(un - 0.5))), 6)
+               AS noisy_count,
+           round(CAST(sq AS DOUBLE) / 1000000.0
+                 + (-100.0) * (CASE WHEN us >= 0.5 THEN 1.0 ELSE -1.0 END)
+                   * ln(greatest(1e-12, 1.0 - 2.0 * abs(us - 0.5))), 6)
+               AS noisy_sum
+    FROM u
+    """,
+)
+def dp_event_type_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eps-DP release of the per-event-type histogram: exact counts +
+    Laplace(1/eps) noise, [0,100]-clipped value sums +
+    Laplace(100/eps) noise (eps=1) — the aggregate-release leg of the
+    privacy family next to pii_k_anonymity's row gate. The md5-seeded
+    inverse-CDF noise is the reproducible audit mode; the oracle
+    replays the identical mechanism bit-for-bit (production swaps in
+    a secure RNG)."""
+    from petastorm_spark.operators.privacy import dp_group_release
+
+    return dp_group_release(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        epsilon=1.0,
+        value_col="value",
+        clip_lo=0.0,
+        clip_hi=100.0,
+    )
+
+
+@register(
     "token_label_mi_lang",
     oracle=rf"""
     WITH base AS (

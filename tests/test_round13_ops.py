@@ -713,3 +713,49 @@ def test_token_label_mi_hand_computed(spark):
     assert rows[("dog", "fr")]["n_tl"] == 0
     # the grid is complete: every kept token has a row per label
     assert {(t, l) for (t, l) in rows} >= {("x", "en"), ("x", "fr")}
+
+
+def test_dp_group_release_clips_and_is_deterministic(spark):
+    """DP release mechanics: an outlier value contributes at most
+    clip_hi to the released sum (sensitivity is bounded BEFORE noise),
+    the seeded noise is partitioning-invariant, and a different seed
+    moves the release."""
+    from petastorm_spark.operators.privacy import dp_group_release
+
+    df = arrow_local_df(
+        spark,
+        {
+            "grp": ["a"] * 5 + ["b"] * 3,
+            "value": [1.0, 2.0, 3.0, 4.0, 1e9, 10.0, 20.0, 30.0],
+        },
+        "grp string, value double",
+    )
+    rel = {
+        r["grp"]: r
+        for r in dp_group_release(
+            df, "grp", epsilon=1.0, value_col="value",
+            clip_lo=0.0, clip_hi=100.0,
+        ).collect()
+    }
+    # outlier clipped to 100: true clipped sum for a = 110, Laplace
+    # b=100 noise keeps the release within a plausible band and FAR
+    # from the unclipped 1e9
+    assert abs(rel["a"]["noisy_sum"] - 110.0) < 5000.0
+    assert abs(rel["a"]["noisy_count"] - 5.0) < 50.0
+    assert abs(rel["b"]["noisy_sum"] - 60.0) < 5000.0
+
+    again = {
+        r["grp"]: r
+        for r in dp_group_release(
+            df.repartition(5), "grp", epsilon=1.0, value_col="value",
+            clip_lo=0.0, clip_hi=100.0,
+        ).collect()
+    }
+    assert {(k, v["noisy_count"], v["noisy_sum"]) for k, v in rel.items()} == {
+        (k, v["noisy_count"], v["noisy_sum"]) for k, v in again.items()
+    }
+    other = {
+        r["grp"]: r["noisy_count"]
+        for r in dp_group_release(df, "grp", epsilon=1.0, seed=1).collect()
+    }
+    assert any(other[k] != rel[k]["noisy_count"] for k in other)
