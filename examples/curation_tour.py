@@ -52,6 +52,33 @@ def main() -> None:
     removed = semantic_dedup(both, "vec_id", "embedding", n_cells=8)
     print("semantic dedup removes:", removed.count(), "vectors")
 
+    # 5. cluster-balanced diversity quota: engine-exact k-means, then
+    # an equal md5-deterministic draw per semantic cluster
+    from petastorm_spark.operators.similarity import kmeans_lloyd
+
+    report = kmeans_lloyd(emb, k=4, dims=8, rounds=2)
+    print("k-means cells:")
+    for r in report.orderBy("cell").collect():
+        print(f"  cell {r.cell}: {r.n_members} members, "
+              f"inertia {r.inertia:.3f}")
+
+    # 6. readability as a quality signal (punctuation-free corpus ->
+    # the sentence floor; the words/syllables still separate docs)
+    from petastorm_spark.operators.text import flesch_reading_ease
+
+    fre = docs.select(F.round(flesch_reading_ease("text"), 1).alias("f"))
+    lo, hi = fre.agg(F.min("f"), F.max("f")).first()
+    print(f"flesch range across corpus: {lo} .. {hi}")
+
+    # 7. ship per-source aggregates under eps-DP (seeded audit mode)
+    from petastorm_spark.operators.privacy import dp_group_release
+
+    print("dp release (eps=1, counts):")
+    for r in dp_group_release(docs, "source", epsilon=1.0).orderBy(
+        "source"
+    ).collect():
+        print(f"  {r.source:<8} noisy_count={r.noisy_count}")
+
 
 if __name__ == "__main__":
     main()
