@@ -358,3 +358,46 @@ def test_prefix_indexed_query_scans_only_prefix_columns(spark, sf_dir):
     prefix_scans = [ln for ln in scans if "prefix" in ln]
     assert prefix_scans, plan
     assert all("embedding" not in ln for ln in prefix_scans), prefix_scans
+
+
+def test_readability_pure_map_prunes_scan(spark, sf_dir):
+    """readability_scores: three regexp counters per row — the plan
+    must be join-free, Python-free, aggregation-free, and the parquet
+    scan must read only (doc_id, text)."""
+    from petastorm_spark.plans.checks import read_schema_columns
+
+    df = QUERIES["readability_scores"](spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert set(cols) <= {"doc_id", "text"}, cols
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in ep
+    assert "Join" not in ep
+    assert "HashAggregate" not in ep
+
+
+def test_token_label_mi_broadcasts_totals(spark, sf_dir):
+    """token_label_mi_lang: the label and corpus totals must arrive
+    as broadcasts onto the vocab-scale grid (never a shuffled join
+    with the exploded corpus), and inference stays JVM-side."""
+    df = QUERIES["token_label_mi_lang"](spark, sf_dir)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in ep
+    assert "BroadcastExchange" in ep
+    assert "SortMergeJoin" not in ep or "BroadcastNestedLoopJoin" not in ep
+
+
+def test_dp_release_single_exchange_noise_after_agg(spark, sf_dir):
+    """dp_event_type_release: ONE partially-aggregated exchange (the
+    group count/sum); the Laplace noise is a per-GROUP-row projection
+    after it — no join, no Python, no second shuffle."""
+    from petastorm_spark.plans.checks import formatted_plan
+
+    df = QUERIES["dp_event_type_release"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("hashpartitioning(") == 1, plan
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in ep
+    assert "Join" not in ep
