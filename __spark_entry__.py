@@ -72,6 +72,7 @@ CHANGED_THIS_ROUND = [
     "knn_graph_communities",
     "token_label_mi_lang",
     "dp_event_type_release",
+    "ann_rbo_prefix",
     # quantizer-selection refactor + auto-sizing default in round 13
     "knn_graph_ivf",
     # fingerprint-keyed index cache + atomic rename in round 13

@@ -180,6 +180,7 @@ HEADLINE = [
     "knn_graph_communities",
     "token_label_mi_lang",
     "dp_event_type_release",
+    "ann_rbo_prefix",
 ]
 
 N_WARMUP_READS = 500

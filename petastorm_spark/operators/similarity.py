@@ -1745,6 +1745,78 @@ def ann_recall_report(
     )
 
 
+def rank_rbo_report(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-Biased Overlap terms (Webber et al. 2010) between an
+    approximate ANN ranking and the exact ground truth — the
+    top-weighted evaluation next to :func:`ann_recall_report`: recall
+    treats all k positions equally, RBO discounts depth by p^(d-1),
+    so an index that nails the top hits but fuzzes the tail scores
+    higher than one that does the reverse. Both inputs are the
+    ``(query_id, neighbor_id, rank)`` shape the top-k operators emit.
+
+    Output: one row per (query_id, depth d in 1..k) —
+    (query_id, d, x_d, rbo_term) where x_d = |exact@d ∩ approx@d| and
+    rbo_term = (1-p) * p^(d-1) * x_d / d; sum(rbo_term) over a
+    query's rows is its truncated RBO@k (term rows, not a cross-row
+    double sum, the psi_term / mi_term exactness pattern). An item's
+    intersection activation depth is greatest(exact rank, approx
+    rank), so x_d is a running count — exact integers end to end.
+
+    Scale: inputs are top-k results (k rows per query); the join,
+    the depth grid (k rows per query), and the running window are all
+    result-sized — never touches vectors."""
+    e = exact.where(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("_re")
+    )
+    a = approx.where(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("_ra")
+    )
+    j = e.join(a, ["query_id", "neighbor_id"]).select(
+        "query_id", F.greatest("_re", "_ra").alias("_d0")
+    )
+    c = j.groupBy("query_id", F.col("_d0").alias("d")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    grid = (
+        e.select("query_id")
+        .distinct()
+        .select(
+            "query_id",
+            F.explode(F.array(*[F.lit(d) for d in range(1, k + 1)])).alias(
+                "d"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = (
+        grid.join(c, ["query_id", "d"], "left")
+        .select(
+            "query_id", "d", F.coalesce("_n", F.lit(0)).alias("_n")
+        )
+        .withColumn("x_d", F.sum("_n").over(w).cast("long"))
+    )
+    term = (
+        F.lit(1.0 - p)
+        * F.pow(F.lit(float(p)), F.col("d").cast("double") - F.lit(1.0))
+        * F.col("x_d").cast("double")
+        / F.col("d").cast("double")
+    )
+    return g.select(
+        "query_id", "d", "x_d", F.round(term, 6).alias("rbo_term")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",

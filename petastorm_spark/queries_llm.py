@@ -6088,6 +6088,70 @@ def _recall_prefix_oracle(k: int = 5, factor: int = 4, p: int = 16) -> str:
     """
 
 
+def _rbo_prefix_oracle(
+    k: int = 5, factor: int = 4, pdim: int = 16, p: float = 0.9
+) -> str:
+    # same surgery as _recall_prefix_oracle, but keeping BOTH sides'
+    # ranks so the intersection activation depth greatest(re, ra)
+    # drives the running x_d count
+    body = _prefix_oracle(k, factor, pdim).strip()
+    assert body.startswith("WITH ") and "SELECT query_id" in body
+    with_part, _ = body.rsplit("SELECT query_id", 1)
+    cos = (
+        "list_dot_product(qe.qv, ce.v) / (sqrt(list_dot_product(qe.qv, qe.qv))"
+        " * sqrt(list_dot_product(ce.v, ce.v)))"
+    )
+    return f"""
+    {with_part.rstrip()},
+    ap AS (SELECT query_id, neighbor_id, rank AS ra
+           FROM r WHERE rank <= {k}),
+    qe AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    se AS (SELECT query_id, ce.vec_id AS neighbor_id, {cos} AS cos
+           FROM qe, e ce WHERE ce.vec_id != query_id),
+    ex AS (SELECT query_id, neighbor_id, rank AS re FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM se) WHERE rank <= {k}),
+    j AS (SELECT ex.query_id, greatest(ex.re, ap.ra) AS d0
+          FROM ex JOIN ap ON ap.query_id = ex.query_id
+                         AND ap.neighbor_id = ex.neighbor_id),
+    grid AS (SELECT q.query_id, CAST(dd.d AS INT) AS d
+             FROM (SELECT DISTINCT query_id FROM ex) q,
+                  (SELECT unnest(range(1, {k + 1})) AS d) dd),
+    xd AS (SELECT g.query_id, g.d, count(j.d0) AS x_d
+           FROM grid g LEFT JOIN j ON j.query_id = g.query_id
+                                  AND j.d0 <= g.d
+           GROUP BY g.query_id, g.d)
+    SELECT query_id, d, CAST(x_d AS BIGINT) AS x_d,
+           round((1.0 - {p}) * power({p}, CAST(d AS DOUBLE) - 1.0)
+                 * CAST(x_d AS DOUBLE) / CAST(d AS DOUBLE), 6) AS rbo_term
+    FROM xd
+    """
+
+
+@register("ann_rbo_prefix", oracle=_rbo_prefix_oracle())
+def ann_rbo_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap terms (p=0.9, k=5) of the prefix-dimension
+    ANN funnel vs exact brute force — the top-weighted companion to
+    ann_recall_prefix: recall@5 counts hits anywhere in the top 5,
+    RBO's p^(d-1) depth discount rewards getting the FIRST hits
+    right, the metric that matches retrieval-augmented usage (the top
+    result is what gets stuffed into the context window). Sum a
+    query's rbo_term rows = its RBO@5."""
+    from petastorm_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_prefix,
+        rank_rbo_report,
+    )
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=5)
+    approx = cosine_topk_prefix(emb, q, k=5, rescore_factor=4, prefix_dim=16)
+    return rank_rbo_report(exact, approx, k=5, p=0.9)
+
+
 @register("ann_recall_prefix", oracle=_recall_prefix_oracle())
 def ann_recall_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the prefix-dimension funnel vs exact brute force —

@@ -759,3 +759,48 @@ def test_dp_group_release_clips_and_is_deterministic(spark):
         for r in dp_group_release(df, "grp", epsilon=1.0, seed=1).collect()
     }
     assert any(other[k] != rel[k]["noisy_count"] for k in other)
+
+
+def test_rank_rbo_hand_computed(spark):
+    """Hand-checked RBO terms: identical rankings give x_d = d at
+    every depth (term = (1-p)p^(d-1)); a ranking sharing only the
+    top-1 item at rank 1 on both sides activates x_d = 1 everywhere;
+    RBO favors top-heavy agreement over tail agreement at equal
+    recall."""
+    import math
+
+    from petastorm_spark.operators.similarity import rank_rbo_report
+
+    def ranking(qid, ids):
+        return arrow_local_df(
+            spark,
+            {
+                "query_id": [qid] * len(ids),
+                "neighbor_id": ids,
+                "rank": list(range(1, len(ids) + 1)),
+            },
+            "query_id bigint, neighbor_id bigint, rank int",
+        )
+
+    exact = ranking(1, [10, 11, 12])
+    same = rank_rbo_report(exact, ranking(1, [10, 11, 12]), k=3).collect()
+    p = 0.9
+    for r in same:
+        assert r["x_d"] == r["d"]
+        assert r["rbo_term"] == round(
+            (1 - p) * p ** (r["d"] - 1) * 1.0, 6
+        )
+    # top-1 agreement beats bottom-1 agreement (equal recall = 1/3)
+    top = sum(
+        r["rbo_term"]
+        for r in rank_rbo_report(exact, ranking(1, [10, 98, 99]), k=3).collect()
+    )
+    tail = sum(
+        r["rbo_term"]
+        for r in rank_rbo_report(exact, ranking(1, [98, 99, 12]), k=3).collect()
+    )
+    assert top > tail > 0
+    # identical rankings sum to the truncated-RBO closed form
+    full = sum(r["rbo_term"] for r in same)
+    expect = sum((1 - p) * p ** (d - 1) for d in range(1, 4))
+    assert math.isclose(full, expect, abs_tol=2e-6)
