@@ -1848,3 +1848,45 @@ def winnowing_matches(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def lsh_plan(
+    threshold: float,
+    num_hashes: int,
+    curve_points: tuple[float, ...] = (0.2, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> dict:
+    """Choose (bands, rows) for MinHash LSH at a target Jaccard
+    ``threshold`` — the MMDS s-curve rule: candidate probability for
+    similarity s is 1 - (1 - s^r)^b, and the curve's steepest point
+    sits near (1/b)^(1/r), so pick the divisor pair of ``num_hashes``
+    whose knee lands closest to the threshold (ties -> more bands =
+    recall-leaning, the usual dedup preference). Returns the chosen
+    plan plus the s-curve so a caller can SEE the false-positive /
+    false-negative mass they signed up for before paying for the
+    banded join:
+
+        {"bands": b, "rows": r, "knee": (1/b)^(1/r),
+         "curve": {s: P(candidate | jaccard=s), ...}}
+
+    Driver-side arithmetic only — this is the sizing companion to
+    :func:`minhash_signatures` / the banded-bucket join, the same
+    role auto_n_cells plays for the IVF graph (a computed rule, not
+    a docstring rule)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        knee = (1.0 / b) ** (1.0 / r)
+        key = (abs(knee - threshold), -b)
+        if best is None or key < best[0]:
+            best = (key, b, r, knee)
+    _, b, r, knee = best
+    curve = {
+        s: round(1.0 - (1.0 - s**r) ** b, 6) for s in curve_points
+    }
+    return {"bands": b, "rows": r, "knee": round(knee, 6), "curve": curve}

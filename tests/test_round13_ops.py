@@ -804,3 +804,30 @@ def test_rank_rbo_hand_computed(spark):
     full = sum(r["rbo_term"] for r in same)
     expect = sum((1 - p) * p ** (d - 1) for d in range(1, 4))
     assert math.isclose(full, expect, abs_tol=2e-6)
+
+
+def test_lsh_plan_picks_knee_near_threshold(spark):
+    """The banding planner lands the s-curve knee (1/b)^(1/r) near the
+    requested threshold, leans to more bands (recall) on ties, and the
+    returned curve is monotone with high catch probability above the
+    threshold and low below."""
+    from petastorm_spark.operators.dedup import lsh_plan
+
+    plan = lsh_plan(0.5, 16)
+    assert plan["bands"] * plan["rows"] == 16
+    assert abs(plan["knee"] - 0.5) <= 0.15
+    c = plan["curve"]
+    ss = sorted(c)
+    assert all(c[a] <= c[b] for a, b in zip(ss, ss[1:]))
+    assert c[0.9] > 0.95 and c[0.2] < 0.35
+    # 16 hashes offer knees at 0.707 (4x4) and 0.354 (8x2): 0.5 picks
+    # the recall-leaning 8x2, 0.6+ picks the 4x4 the catalog's
+    # dedup_minhash_lsh default uses — pin both choices
+    assert (plan["bands"], plan["rows"]) == (8, 2)
+    assert (lsh_plan(0.65, 16)["bands"], lsh_plan(0.65, 16)["rows"]) == (4, 4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_plan(1.5, 16)
+    with _pytest.raises(ValueError):
+        lsh_plan(0.5, 1)
