@@ -73,6 +73,8 @@ CHANGED_THIS_ROUND = [
     "token_label_mi_lang",
     "dp_event_type_release",
     "ann_rbo_prefix",
+    "profile_documents",
+    "constraint_check_orders",
     # quantizer-selection refactor + auto-sizing default in round 13
     "knn_graph_ivf",
     # fingerprint-keyed index cache + atomic rename in round 13

@@ -181,6 +181,8 @@ HEADLINE = [
     "token_label_mi_lang",
     "dp_event_type_release",
     "ann_rbo_prefix",
+    "profile_documents",
+    "constraint_check_orders",
 ]
 
 N_WARMUP_READS = 500

@@ -6419,6 +6419,110 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_col_sql(col: str, kind: str) -> str:
+    mn = (
+        f"CAST(min({col}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
+    )
+    mx = (
+        f"CAST(max({col}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
+    )
+    ms = f"min({col})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+    xs = f"max({col})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+    return f"""
+    SELECT '{col}' AS "column", count(*) AS n,
+           count(CASE WHEN {col} IS NULL THEN 1 END) AS n_null,
+           count(DISTINCT {col}) AS n_distinct,
+           {mn} AS min_num, {mx} AS max_num,
+           {ms} AS min_str, {xs} AS max_str
+    FROM documents"""
+
+
+@register(
+    "profile_documents",
+    oracle=" UNION ALL ".join(
+        _profile_col_sql(c, k)
+        for c, k in (
+            ("doc_id", "num"),
+            ("text", "str"),
+            ("lang", "str"),
+            ("source", "str"),
+            ("n_chars", "num"),
+        )
+    ),
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Deequ-style column profile of the documents table —
+    the pre-release data-quality report (row/null/distinct counts,
+    numeric and lexicographic extremes per column). All metrics are
+    exact counts / extreme selections, no float arithmetic; the plan
+    is ONE Aggregate (single exchange) + a plan-literal explode, so
+    profiling five columns costs one scan."""
+    from petastorm_spark.operators.profiling import profile_columns
+
+    return profile_columns(
+        _t_wide(spark, sf_dir, "documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+@register(
+    "constraint_check_orders",
+    oracle="""
+    WITH checks AS (
+      SELECT 'not_null' AS "check", 'o_orderkey' AS "column",
+             count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'range', 'o_totalprice',
+             count(CASE WHEN o_totalprice IS NULL
+                          OR NOT (o_totalprice >= 0.0
+                                  AND o_totalprice <= 600000.0)
+                        THEN 1 END)
+      FROM orders
+      UNION ALL
+      SELECT 'in_set', 'o_orderstatus',
+             count(CASE WHEN o_orderstatus IS NULL
+                          OR o_orderstatus NOT IN ('O', 'F', 'P')
+                        THEN 1 END)
+      FROM orders
+      UNION ALL
+      SELECT 'regex', 'o_orderpriority',
+             count(CASE WHEN o_orderpriority IS NULL
+                          OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                        THEN 1 END)
+      FROM orders
+      UNION ALL
+      SELECT 'unique', 'o_orderkey',
+             (SELECT coalesce(sum(cnt), 0) FROM (
+                SELECT count(*) AS cnt FROM orders
+                WHERE o_orderkey IS NOT NULL
+                GROUP BY o_orderkey HAVING count(*) > 1))
+      FROM (SELECT 1))
+    SELECT "check", "column", CAST(n_violations AS BIGINT) AS n_violations,
+           (n_violations = 0) AS passed
+    FROM checks
+    """,
+)
+def constraint_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract assertion over the orders table (Great-Expectations
+    style): key not-null + unique, price range, status membership,
+    priority format — one row per check with the exact violation
+    count and the release-gate boolean. The non-unique checks fuse
+    into ONE filter-count scan; unique is one key-grouped count."""
+    from petastorm_spark.operators.profiling import check_constraints
+
+    return check_constraints(
+        _t(spark, sf_dir, "orders"),
+        [
+            ("not_null", "o_orderkey"),
+            ("range", "o_totalprice", 0.0, 600000.0),
+            ("in_set", "o_orderstatus", ["O", "F", "P"]),
+            ("regex", "o_orderpriority", "^[1-5]-"),
+            ("unique", "o_orderkey"),
+        ],
+    )
+
+
 @register(
     "dp_event_type_release",
     oracle="""

@@ -831,3 +831,75 @@ def test_lsh_plan_picks_knee_near_threshold(spark):
         lsh_plan(1.5, 16)
     with _pytest.raises(ValueError):
         lsh_plan(0.5, 1)
+
+
+def test_profile_and_constraints_hand_fixture(spark):
+    """Profiling counts nulls/distincts exactly and splits extremes by
+    type family; constraint checks count each violation kind (null
+    violates range/in_set/regex; unique counts ALL rows of a
+    duplicated key)."""
+    from petastorm_spark.operators.profiling import (
+        check_constraints,
+        profile_columns,
+    )
+
+    df = arrow_local_df(
+        spark,
+        {
+            "k": [1, 2, 2, 3, None],
+            "s": ["a", "b", None, "b", "z"],
+            "v": [0.5, 1.5, 2.5, -1.0, 99.0],
+        },
+        "k bigint, s string, v double",
+    )
+    prof = {r["column"]: r for r in profile_columns(df).collect()}
+    assert prof["k"]["n"] == 5 and prof["k"]["n_null"] == 1
+    assert prof["k"]["n_distinct"] == 3
+    assert (prof["k"]["min_num"], prof["k"]["max_num"]) == (1.0, 3.0)
+    assert prof["k"]["min_str"] is None
+    assert (prof["s"]["min_str"], prof["s"]["max_str"]) == ("a", "z")
+    assert prof["s"]["min_num"] is None
+
+    checks = {
+        (r["check"], r["column"]): r
+        for r in check_constraints(
+            df,
+            [
+                ("not_null", "k"),
+                ("unique", "k"),
+                ("range", "v", 0.0, 10.0),
+                ("in_set", "s", ["a", "b"]),
+                ("regex", "s", "^[ab]$"),
+            ],
+        ).collect()
+    }
+    assert checks[("not_null", "k")]["n_violations"] == 1
+    # key 2 appears twice -> both rows count
+    assert checks[("unique", "k")]["n_violations"] == 2
+    # -1.0 and 99.0 out of range
+    assert checks[("range", "v")]["n_violations"] == 2
+    # None and "z" not in set
+    assert checks[("in_set", "s")]["n_violations"] == 2
+    assert checks[("regex", "s")]["n_violations"] == 2
+    assert not checks[("unique", "k")]["passed"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown check"):
+        check_constraints(df, [("bogus", "k")]).collect()
+
+
+def test_profile_single_exchange(spark, tmp_path):
+    """profile_columns is ONE Aggregate over the scan: the physical
+    plan has no join and a single hash-aggregate pair around one
+    exchange regardless of column count."""
+    from petastorm_spark.operators.profiling import profile_columns
+
+    d = str(tmp_path / "prof_ds")
+    spark.range(100).select(
+        "id", (F.col("id") % 7).cast("string").alias("s")
+    ).write.parquet(d)
+    df = profile_columns(spark.read.parquet(d))
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in ep
+    assert "EvalPython" not in ep
