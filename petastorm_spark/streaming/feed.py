@@ -1099,3 +1099,62 @@ def kmeans_assign_stream(
         F.col("_a.cell").alias("cell"),
         F.col("_a.dist").alias("dist_q"),
     )
+
+
+def constraint_check_stream(
+    stream: DataFrame,
+    checks: list,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.profiling.check_constraints`:
+    the data contract watched as the dataset accretes — running
+    violation counts per check, one output row per check (run the
+    sink in update mode; each micro-batch revises the totals).
+    State is ONE counter per check, bounded at any ingest rate.
+
+    Supports the single-pass kinds (not_null / range / in_set /
+    regex) — their violation flags fold into one streaming aggregate
+    and the long-form explode after it is stateless. The ``unique``
+    kind needs a key-grouped count (a second stateful operator) and
+    stays a batch/nightly gate; asking for it here raises."""
+    from petastorm_spark.operators.profiling import check_constraints  # noqa: F401
+
+    aggs, names = [], []
+    for i, chk in enumerate(checks):
+        kind, col = chk[0], chk[1]
+        if kind == "not_null":
+            bad = F.col(col).isNull()
+        elif kind == "range":
+            bad = (
+                F.col(col).isNull()
+                | ~((F.col(col) >= chk[2]) & (F.col(col) <= chk[3]))
+            )
+        elif kind == "in_set":
+            bad = F.col(col).isNull() | ~F.col(col).isin(list(chk[2]))
+        elif kind == "regex":
+            bad = F.col(col).isNull() | ~F.col(col).rlike(chk[2])
+        elif kind == "unique":
+            raise ValueError(
+                "unique needs a key-grouped count (second stateful "
+                "operator) — run it through the batch "
+                "check_constraints gate"
+            )
+        else:
+            raise ValueError(f"unknown check kind {kind!r}")
+        aggs.append(F.count(F.when(bad, 1)).alias(f"_v_{i}"))
+        names.append((i, kind, col))
+    one = stream.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(kind).alias("check"),
+                F.lit(col).alias("column"),
+                F.col(f"_v_{i}").alias("n_violations"),
+            )
+            for i, kind, col in names
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("_c"))
+        .select("_c.*")
+        .withColumn("passed", F.col("n_violations") == 0)
+    )

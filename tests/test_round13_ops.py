@@ -903,3 +903,57 @@ def test_profile_single_exchange(spark, tmp_path):
     ep = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in ep
     assert "EvalPython" not in ep
+
+
+def test_constraint_check_stream_matches_batch(spark, tmp_path):
+    """Streaming contract gate (availableNow, update mode) lands on
+    the same running violation counts as the batch gate over the same
+    files; the unique kind is rejected with a pointer to batch."""
+    from petastorm_spark.operators.profiling import check_constraints
+    from petastorm_spark.streaming.feed import (
+        constraint_check_stream,
+        stream_dataset,
+    )
+
+    d = str(tmp_path / "cc_stream_in")
+    arrow_local_df(
+        spark,
+        {
+            "k": [1, None, 3, 4],
+            "v": [0.5, 20.0, -3.0, 1.0],
+        },
+        "k bigint, v double",
+    ).coalesce(2).write.parquet(d)
+
+    checks = [("not_null", "k"), ("range", "v", 0.0, 10.0)]
+    q = (
+        constraint_check_stream(stream_dataset(spark, d), checks)
+        .writeStream.format("memory")
+        .queryName("cc_stream_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["check"], r["column"]): (r["n_violations"], r["passed"])
+        for r in spark.sql(
+            "SELECT * FROM cc_stream_out ORDER BY n_violations"
+        ).collect()
+    }
+    want = {
+        (r["check"], r["column"]): (r["n_violations"], r["passed"])
+        for r in check_constraints(
+            spark.read.parquet(d), checks
+        ).collect()
+    }
+    assert got == want
+    assert got[("not_null", "k")] == (1, False)
+    assert got[("range", "v")] == (2, False)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unique"):
+        constraint_check_stream(
+            stream_dataset(spark, d), [("unique", "k")]
+        )
