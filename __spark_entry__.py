@@ -75,6 +75,7 @@ CHANGED_THIS_ROUND = [
     "ann_rbo_prefix",
     "profile_documents",
     "constraint_check_orders",
+    "text_feature_hash_embed",
     # quantizer-selection refactor + auto-sizing default in round 13
     "knn_graph_ivf",
     # fingerprint-keyed index cache + atomic rename in round 13

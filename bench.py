@@ -183,6 +183,7 @@ HEADLINE = [
     "ann_rbo_prefix",
     "profile_documents",
     "constraint_check_orders",
+    "text_feature_hash_embed",
 ]
 
 N_WARMUP_READS = 500

@@ -623,6 +623,59 @@ def token_label_mi(
     )
 
 
+def feature_hash_embed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Signed feature-hashing embedding (the hashing trick, Weinberger
+    et al. 2009): each token lands in bucket hash % dim with sign
+    (hash div dim) % 2, summed per document — a model-free,
+    vocabulary-free text vectorization that feeds this repo's ENTIRE
+    similarity stack (cosine top-k, LSH, IVF, kNN graph, semantic
+    dedup) directly from the text column. Signed sums make collisions
+    cancel in expectation, the property that lets a 64-dim hash space
+    stand in for an unbounded vocabulary. Output: (id_col, embedding
+    array<double>), raw signed counts (chain
+    :func:`operators.similarity.normalize_embeddings` for unit
+    vectors).
+
+    Engine-exact: md5-keyed buckets/signs and integer sums; the dense
+    array is assembled per doc from a bucket->sum map, missing buckets
+    exactly 0.0. Scale: one explode + (id, bucket) partial-agg (the
+    exchange carries <= dim rows per doc), one per-doc map-assembly
+    agg — no grid join, no windows."""
+    from petastorm_spark.operators.dedup import hash60
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_t")
+    )
+    h = toks.select(
+        id_col, hash60(F.col("_t"), seed=seed).alias("_h")
+    ).select(
+        id_col,
+        (F.col("_h") % dim).cast("int").alias("_b"),
+        F.when(F.expr(f"(_h div {dim}) % 2 = 0"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("_s"),
+    )
+    c = h.groupBy(id_col, "_b").agg(F.sum("_s").alias("_v"))
+    m = c.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_v")))
+        ).alias("_m")
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("int")), F.lit(0).cast("long")
+        ).cast("double"),
+    )
+    return m.select(id_col, emb.alias("embedding"))
+
+
 def tfidf_top_terms(
     df: DataFrame, text_col: str, id_col: str, k: int = 3
 ) -> DataFrame:

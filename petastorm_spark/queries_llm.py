@@ -6625,6 +6625,44 @@ def token_label_mi_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_feature_hash_embed",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id, t.tok
+                 FROM documents,
+                      unnest(string_split_regex(lower(trim(text)), '\s+'))
+                          AS t(tok)),
+    h AS (SELECT doc_id,
+                 (('0x' || substr(md5('0|' || tok), 1, 15))::BIGINT) AS h60
+          FROM tok),
+    b AS (SELECT doc_id, CAST(h60 % 64 AS INT) AS bucket,
+                 CASE WHEN (h60 // 64) % 2 = 0 THEN 1 ELSE -1 END AS s
+          FROM h),
+    c AS (SELECT doc_id, bucket, sum(s) AS v FROM b GROUP BY doc_id, bucket),
+    grid AS (SELECT d.doc_id, CAST(g.bucket AS INT) AS bucket
+             FROM (SELECT DISTINCT doc_id FROM documents) d,
+                  (SELECT unnest(range(64)) AS bucket) g),
+    f AS (SELECT grid.doc_id, grid.bucket,
+                 CAST(coalesce(c.v, 0) AS DOUBLE) AS v
+          FROM grid LEFT JOIN c ON c.doc_id = grid.doc_id
+                               AND c.bucket = grid.bucket)
+    SELECT doc_id, list(v ORDER BY bucket) AS embedding
+    FROM f GROUP BY doc_id
+    """,
+)
+def text_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text vectorization via the signed hashing trick
+    (64-dim): the bridge that feeds the similarity stack (cosine,
+    LSH, IVF, kNN graph, semantic dedup) straight from the text
+    column — no external embedding model, no vocabulary, fully
+    engine-exact (md5 buckets/signs, integer sums)."""
+    from petastorm_spark.operators.text import feature_hash_embed
+
+    return feature_hash_embed(
+        _t_wide(spark, sf_dir, "documents"), "text", "doc_id", dim=64
+    )
+
+
+@register(
     "readability_scores",
     oracle=r"""
     WITH c AS (

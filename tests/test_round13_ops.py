@@ -957,3 +957,40 @@ def test_constraint_check_stream_matches_batch(spark, tmp_path):
         constraint_check_stream(
             stream_dataset(spark, d), [("unique", "k")]
         )
+
+
+def test_feature_hash_embed_mechanics_and_similarity(spark):
+    """Hashing-trick mechanics: a repeated token adds +/-2 in ONE
+    bucket, different docs with identical text embed identically, and
+    near-duplicate texts score near-top cosine through the similarity
+    stack — the model-free text->vector bridge actually retrieves."""
+    from petastorm_spark.operators.similarity import cosine_topk
+    from petastorm_spark.operators.text import feature_hash_embed
+
+    df = arrow_local_df(
+        spark,
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha alpha",
+                "alpha alpha",
+                "alpha alpha beta",
+                "totally different words here",
+            ],
+        },
+        "doc_id bigint, text string",
+    )
+    emb = feature_hash_embed(df, "text", "doc_id", dim=16)
+    vecs = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    assert all(len(v) == 16 for v in vecs.values())
+    # one token repeated twice -> exactly one bucket at +/-2
+    assert sorted(abs(x) for x in vecs[1])[-1] == 2.0
+    assert sum(1 for x in vecs[1] if x != 0.0) == 1
+    assert vecs[1] == vecs[2]
+    # near-dup text is doc 1's nearest non-identical neighbor
+    top = cosine_topk(
+        emb, emb.where(F.col("doc_id") == 1), k=3, id_col="doc_id"
+    ).collect()
+    ranked = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert ranked[0] == 2  # identical text, cosine 1
+    assert ranked[1] == 3  # shared-token near-dup beats unrelated
