@@ -167,3 +167,53 @@ def check_constraints(
         "check", "column", "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def observed_constraints(
+    df: DataFrame, checks: Sequence[tuple]
+):
+    """Zero-extra-scan contract validation: attach the (non-unique)
+    constraint violation counters to ``df`` as Spark OBSERVED METRICS
+    (the Observation API), so the contract is evaluated as a side
+    effect of whatever action the pipeline already runs — its own
+    write/collect — instead of a second scan. Returns
+    ``(observed_df, fetch)``: run any action on ``observed_df``, then
+    ``fetch()`` returns {(kind, column): n_violations}.
+
+    The free-validation twin of :func:`check_constraints` (which
+    prices a dedicated scan and also covers ``unique``); use this one
+    inline in write paths, that one as the standalone gate."""
+    from pyspark.sql import Observation
+
+    aggs, names = [], []
+    for i, chk in enumerate(checks):
+        kind, col = chk[0], chk[1]
+        if kind == "not_null":
+            bad = F.col(col).isNull()
+        elif kind == "range":
+            bad = (
+                F.col(col).isNull()
+                | ~((F.col(col) >= chk[2]) & (F.col(col) <= chk[3]))
+            )
+        elif kind == "in_set":
+            bad = F.col(col).isNull() | ~F.col(col).isin(list(chk[2]))
+        elif kind == "regex":
+            bad = F.col(col).isNull() | ~F.col(col).rlike(chk[2])
+        elif kind == "unique":
+            raise ValueError(
+                "unique needs a key-grouped count — use check_constraints"
+            )
+        else:
+            raise ValueError(f"unknown check kind {kind!r}")
+        aggs.append(F.count(F.when(bad, 1)).alias(f"v_{i}"))
+        names.append((i, kind, col))
+    obs = Observation()
+    observed = df.observe(obs, *aggs)
+
+    def fetch() -> dict:
+        got = obs.get
+        return {
+            (kind, col): int(got[f"v_{i}"]) for i, kind, col in names
+        }
+
+    return observed, fetch

@@ -994,3 +994,33 @@ def test_feature_hash_embed_mechanics_and_similarity(spark):
     ranked = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
     assert ranked[0] == 2  # identical text, cosine 1
     assert ranked[1] == 3  # shared-token near-dup beats unrelated
+
+
+def test_observed_constraints_piggyback_on_write(spark, tmp_path):
+    """The Observation-API gate evaluates the contract during the
+    pipeline's OWN action (a parquet write here) — no second scan —
+    and reports the same counts as the standalone gate."""
+    from petastorm_spark.operators.profiling import (
+        check_constraints,
+        observed_constraints,
+    )
+
+    df = arrow_local_df(
+        spark,
+        {"k": [1, None, 3], "v": [0.5, 50.0, 2.0]},
+        "k bigint, v double",
+    )
+    checks = [("not_null", "k"), ("range", "v", 0.0, 10.0)]
+    observed, fetch = observed_constraints(df, checks)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out_ds"))
+    got = fetch()
+    want = {
+        (r["check"], r["column"]): r["n_violations"]
+        for r in check_constraints(df, checks).collect()
+    }
+    assert got == want == {
+        ("not_null", "k"): 1,
+        ("range", "v"): 1,
+    }
+    # the written data is untouched by the observation
+    assert spark.read.parquet(str(tmp_path / "out_ds")).count() == 3
