@@ -165,3 +165,87 @@ def shard_plan(
         )
         .drop("_mid", "_pid", "_cum")
     )
+
+
+def file_layout_report(
+    spark,
+    dataset_url: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-files / compaction report for a parquet dataset — the
+    table-maintenance readout that keeps a 100 TB layout healthy
+    (tiny files bloat scan task counts and NameNode/listing pressure;
+    monster files serialize row-group parallelism). Output: one row
+    per data file (file, n_rows, bytes, rows_per_mb) plus one
+    `_TOTAL_` row carrying the corpus totals and
+    `recommended_files` = ceil(total_bytes / target_file_bytes) —
+    feed that to repartition()/zorder_repartition before a rewrite.
+
+    Shape: row counts from ONE scan grouped by input_file_name()
+    (file-count-sized output); byte sizes from the filesystem the
+    scan itself named — local os.stat or the live JVM Hadoop FS for
+    remote schemes — bounded by the file count, no data read."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    counts = (
+        spark.read.parquet(dataset_url)
+        .groupBy(F.input_file_name().alias("_uri"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    )
+
+    def size_of(uri: str) -> int:
+        parsed = urlparse(uri)
+        if parsed.scheme in ("", "file"):
+            return os.path.getsize(unquote(parsed.path or uri))
+        jvm = spark.sparkContext._jvm  # pragma: no cover - remote FS
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        hp = jvm.org.apache.hadoop.fs.Path(uri)
+        return hp.getFileSystem(conf).getFileStatus(hp).getLen()
+
+    rows = []
+    total_rows = total_bytes = 0
+    for r in sorted(counts, key=lambda r: r["_uri"]):
+        b = size_of(r["_uri"])
+        total_rows += int(r["n_rows"])
+        total_bytes += b
+        rows.append(
+            {
+                "file": os.path.basename(urlparse(r["_uri"]).path),
+                "n_rows": int(r["n_rows"]),
+                "bytes": int(b),
+                "rows_per_mb": round(
+                    r["n_rows"] / max(b / 2**20, 1e-9), 1
+                ),
+                "recommended_files": None,
+            }
+        )
+    rec = max(1, -(-total_bytes // target_file_bytes))
+    rows.append(
+        {
+            "file": "_TOTAL_",
+            "n_rows": total_rows,
+            "bytes": total_bytes,
+            "rows_per_mb": round(
+                total_rows / max(total_bytes / 2**20, 1e-9), 1
+            ),
+            "recommended_files": int(rec),
+        }
+    )
+    from petastorm_spark.session import arrow_local_df
+
+    return arrow_local_df(
+        spark,
+        {
+            k: [r[k] for r in rows]
+            for k in (
+                "file", "n_rows", "bytes", "rows_per_mb",
+                "recommended_files",
+            )
+        },
+        "file string, n_rows bigint, bytes bigint, rows_per_mb double,"
+        " recommended_files int",
+    )

@@ -1024,3 +1024,24 @@ def test_observed_constraints_piggyback_on_write(spark, tmp_path):
     }
     # the written data is untouched by the observation
     assert spark.read.parquet(str(tmp_path / "out_ds")).count() == 3
+
+
+def test_file_layout_report_counts_and_recommendation(spark, tmp_path):
+    """The compaction report ties out: per-file rows sum to the table,
+    bytes match the filesystem, and the recommendation is
+    ceil(total_bytes / target)."""
+    from petastorm_spark.operators.layout import file_layout_report
+
+    d = str(tmp_path / "layout_ds")
+    spark.range(1000).repartition(4).write.parquet(d)
+    rep = file_layout_report(spark, d, target_file_bytes=4096).collect()
+    per_file = [r for r in rep if r["file"] != "_TOTAL_"]
+    total = [r for r in rep if r["file"] == "_TOTAL_"][0]
+    assert len(per_file) == 4
+    assert sum(r["n_rows"] for r in per_file) == 1000 == total["n_rows"]
+    assert all(r["bytes"] > 0 for r in per_file)
+    assert total["bytes"] == sum(r["bytes"] for r in per_file)
+    import math
+
+    assert total["recommended_files"] == math.ceil(total["bytes"] / 4096)
+    assert all(r["recommended_files"] is None for r in per_file)
