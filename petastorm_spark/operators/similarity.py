@@ -1485,6 +1485,8 @@ def kmeans_fit(
         _kmeans_quantize_expr(vec_col, dims, micro).alias("_xq"),
     )
     seed_rows = pts.orderBy("_id").limit(k).collect()
+    if not seed_rows:
+        raise ValueError("kmeans_fit: corpus is empty")
     cents: dict[int, list[int]] = {
         i: [int(x) for x in r["_xq"]] for i, r in enumerate(seed_rows)
     }

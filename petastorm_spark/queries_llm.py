@@ -6407,13 +6407,24 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t_wide(spark, sf_dir, "embeddings"),
         k=8, dims=8, rounds=2, output="assign",
     )
+    a = a.withColumn(
+        "_frac",
+        md5_fraction(F.concat_ws("|", F.lit("0"), F.col("vec_id"))),
+    )
+    # two-phase top-10: with only k cells, a single cell-partitioned
+    # window would sort N/k rows in one task — take each scan
+    # partition's local top-10 first, then rank the <= 10*partitions
+    # survivors (the topk_per_query discipline; md5 fractions are
+    # unique so the final set is identical)
+    wl = Window.partitionBy("cell", F.spark_partition_id()).orderBy(
+        "_frac", "vec_id"
+    )
+    local = a.withColumn("_lr", F.row_number().over(wl)).where(
+        F.col("_lr") <= 10
+    )
     w = Window.partitionBy("cell").orderBy("_frac", "vec_id")
     return (
-        a.withColumn(
-            "_frac",
-            md5_fraction(F.concat_ws("|", F.lit("0"), F.col("vec_id"))),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 10)
         .select("cell", "vec_id", "rank")
     )
@@ -6639,7 +6650,7 @@ def token_label_mi_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM h),
     c AS (SELECT doc_id, bucket, sum(s) AS v FROM b GROUP BY doc_id, bucket),
     grid AS (SELECT d.doc_id, CAST(g.bucket AS INT) AS bucket
-             FROM (SELECT DISTINCT doc_id FROM documents) d,
+             FROM (SELECT DISTINCT doc_id FROM tok) d,
                   (SELECT unnest(range(64)) AS bucket) g),
     f AS (SELECT grid.doc_id, grid.bucket,
                  CAST(coalesce(c.v, 0) AS DOUBLE) AS v
