@@ -133,6 +133,12 @@ def dp_group_release(
     never corpus-sized."""
     from petastorm_spark.predicates import md5_fraction
 
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    if value_col is not None and clip_hi <= clip_lo:
+        raise ValueError(
+            f"clip_hi must exceed clip_lo, got [{clip_lo}, {clip_hi}]"
+        )
     g = F.col(group_col)
     aggs = [F.count(F.lit(1)).alias("_n")]
     if value_col is not None:
