@@ -1462,6 +1462,81 @@ def _kmeans_assign_expr(cents: dict[int, list[int]]) -> Column:
     return F.array_min(F.array(*structs))
 
 
+def _kmeans_np_model(cents: dict[int, list[int]]):
+    import numpy as np
+
+    cells_sorted = sorted(cents)
+    C = np.array([cents[c] for c in cells_sorted], dtype=np.int64)
+    return C, np.array(cells_sorted, dtype=np.int64)
+
+
+def _kmeans_assign_numpy(pts: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """The production assignment kernel: per Arrow batch one int64
+    numpy pass — (V - C)^2 summed over dims is the SAME exact integer
+    the Catalyst fold computes, and argmin's first-minimum over
+    cell-ascending rows is the same lowest-cell tie-break, so the two
+    kernels are bit-identical (unlike the float cosine kernels, which
+    only agree outside last-bit ties). Emits (_id, cell, dist)."""
+    import numpy as np
+    import pandas as pd
+
+    C, cell_ids = _kmeans_np_model(cents)
+    id_t = pts.schema["_id"].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"_id": pdf["_id"], "cell": [], "dist": []})
+                continue
+            V = np.stack(pdf["_xq"].to_numpy()).astype(np.int64)
+            D = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            idx = D.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"],
+                    "cell": cell_ids[idx].astype(np.int32),
+                    "dist": D[np.arange(len(idx)), idx],
+                }
+            )
+
+    return pts.mapInPandas(run, f"_id {id_t}, cell int, dist long")
+
+
+def _kmeans_stats_numpy(pts: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """Per-batch PARTIAL sufficient statistics for the Lloyd update:
+    scatter-add each batch's vectors onto their argmin cells and emit
+    k x dims (cell, d, s, n) rows — the exchange carries k*dims rows
+    per Arrow batch instead of one per vector. Exact int64 partials;
+    the global DECIMAL(38,0) re-sum keeps any corpus size exact."""
+    import numpy as np
+    import pandas as pd
+
+    C, cell_ids = _kmeans_np_model(cents)
+    k, dims = C.shape
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["_xq"].to_numpy()).astype(np.int64)
+            D = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            idx = D.argmin(axis=1)
+            S = np.zeros((k, dims), dtype=np.int64)
+            np.add.at(S, idx, V)
+            n = np.bincount(idx, minlength=k)
+            live = n > 0
+            yield pd.DataFrame(
+                {
+                    "_cell": np.repeat(cell_ids[live], dims),
+                    "_d": np.tile(np.arange(dims), int(live.sum())),
+                    "_s": S[live].ravel(),
+                    "_n": np.repeat(n[live], dims),
+                }
+            )
+
+    return pts.mapInPandas(run, "_cell int, _d int, _s long, _n long")
+
+
 def kmeans_fit(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1470,6 +1545,7 @@ def kmeans_fit(
     dims: int = 8,
     rounds: int = 2,
     micro: int = 10**6,
+    kernel: str = "fold",
 ) -> dict[int, list[int]]:
     """The Lloyd driver loop behind :func:`kmeans_lloyd`, exposed so
     the fitted integer centroids themselves are a first-class model
@@ -1491,19 +1567,30 @@ def kmeans_fit(
         i: [int(x) for x in r["_xq"]] for i, r in enumerate(seed_rows)
     }
     for _ in range(rounds):
-        assigned = pts.withColumn("_a", _kmeans_assign_expr(cents))
-        stats = (
-            assigned.select(
-                F.col("_a.cell").alias("_cell"),
-                F.posexplode("_xq").alias("_d", "_x"),
+        if kernel == "numpy":
+            stats = (
+                _kmeans_stats_numpy(pts, cents)
+                .groupBy("_cell", "_d")
+                .agg(
+                    F.sum(F.col("_s").cast("decimal(38,0)")).alias("_s"),
+                    F.sum("_n").alias("_n"),
+                )
+                .collect()
             )
-            .groupBy("_cell", "_d")
-            .agg(
-                F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
-                F.count(F.lit(1)).alias("_n"),
+        else:
+            assigned = pts.withColumn("_a", _kmeans_assign_expr(cents))
+            stats = (
+                assigned.select(
+                    F.col("_a.cell").alias("_cell"),
+                    F.posexplode("_xq").alias("_d", "_x"),
+                )
+                .groupBy("_cell", "_d")
+                .agg(
+                    F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
+                    F.count(F.lit(1)).alias("_n"),
+                )
+                .collect()
             )
-            .collect()
-        )
         nxt: dict[int, list[int]] = {}
         for r in stats:
             vec = nxt.setdefault(int(r["_cell"]), [0] * dims)
@@ -1524,6 +1611,7 @@ def kmeans_lloyd(
     rounds: int = 2,
     micro: int = 10**6,
     output: str = "report",
+    kernel: str = "fold",
 ) -> DataFrame:
     """ENGINE-EXACT distributed Lloyd's k-means over the leading
     ``dims`` embedding coordinates — the clustering primitive under
@@ -1561,8 +1649,18 @@ def kmeans_lloyd(
         F.col(id_col).alias("_id"),
         _kmeans_quantize_expr(vec_col, dims, micro).alias("_xq"),
     )
-    cents = kmeans_fit(corpus, id_col, vec_col, k, dims, rounds, micro)
-    final = pts.withColumn("_a", _kmeans_assign_expr(cents))
+    cents = kmeans_fit(
+        corpus, id_col, vec_col, k, dims, rounds, micro, kernel=kernel
+    )
+    if kernel == "numpy":
+        final = _kmeans_assign_numpy(pts, cents).select(
+            "_id",
+            F.struct(
+                F.col("dist").alias("dist"), F.col("cell").alias("cell")
+            ).alias("_a"),
+        )
+    else:
+        final = pts.withColumn("_a", _kmeans_assign_expr(cents))
     if output == "assign":
         return final.select(
             F.col("_id").alias(id_col),

@@ -1045,3 +1045,45 @@ def test_file_layout_report_counts_and_recommendation(spark, tmp_path):
 
     assert total["recommended_files"] == math.ceil(total["bytes"] / 4096)
     assert all(r["recommended_files"] is None for r in per_file)
+
+
+def test_kmeans_numpy_kernel_bit_identical_to_fold(spark, clustered):
+    """The production numpy kernel (int64 scatter/argmin) must be
+    BIT-identical to the Catalyst fold — integer distances make the
+    argmin and the centroid updates exact in both, including the
+    lowest-cell tie-break (pinned with duplicate seed vectors that
+    tie every point)."""
+    from petastorm_spark.operators.similarity import kmeans_fit, kmeans_lloyd
+
+    assert kmeans_fit(clustered, k=5, dims=16, kernel="numpy") == kmeans_fit(
+        clustered, k=5, dims=16, kernel="fold"
+    )
+    a = sorted(
+        map(
+            tuple,
+            kmeans_lloyd(
+                clustered, k=5, dims=16, output="assign", kernel="numpy"
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            kmeans_lloyd(
+                clustered, k=5, dims=16, output="assign", kernel="fold"
+            ).collect(),
+        )
+    )
+    assert a == b
+    # tie-break parity: identical duplicate seeds force exact ties
+    tie = arrow_local_df(
+        spark,
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [[0.0, 0.0], [0.0, 0.0], [9.0, 9.0], [9.1, 9.1]],
+        },
+        "vec_id bigint, embedding array<double>",
+    )
+    ra = sorted(map(tuple, kmeans_lloyd(tie, k=2, dims=2, kernel="numpy").collect()))
+    rb = sorted(map(tuple, kmeans_lloyd(tie, k=2, dims=2, kernel="fold").collect()))
+    assert ra == rb
