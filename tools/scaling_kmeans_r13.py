@@ -32,6 +32,7 @@ def main() -> None:
     for name, kw in (
         ("kmeans_lloyd_report", dict(output="report")),
         ("kmeans_lloyd_assign", dict(output="assign")),
+        ("kmeans_lloyd_assign_numpy", dict(output="assign", kernel="numpy")),
     ):
         walls = {}
         for sf in ("sf1", "sf10"):
