@@ -76,6 +76,7 @@ CHANGED_THIS_ROUND = [
     "profile_documents",
     "constraint_check_orders",
     "text_feature_hash_embed",
+    "pii_l_diversity",
     # quantizer-selection refactor + auto-sizing default in round 13
     "knn_graph_ivf",
     # fingerprint-keyed index cache + atomic rename in round 13

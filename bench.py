@@ -184,6 +184,7 @@ HEADLINE = [
     "profile_documents",
     "constraint_check_orders",
     "text_feature_hash_embed",
+    "pii_l_diversity",
 ]
 
 N_WARMUP_READS = 500

@@ -175,3 +175,35 @@ def dp_group_release(
             ).alias("noisy_sum")
         )
     return out.select(*cols)
+
+
+def l_diversity_report(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """Distinct l-diversity (Machanavajjhala et al. 2006) — the
+    attribute-disclosure extension of k-anonymity: a class can be
+    large (k-anonymous) yet reveal everyone's sensitive value if the
+    class is HOMOGENEOUS in it. One row per QI equivalence class:
+    ``(*qi_cols, class_size, n_sensitive_values, at_risk)`` with
+    ``at_risk = 1`` when the class carries fewer than ``l`` distinct
+    sensitive values (NULLs excluded — an absent value discloses
+    nothing). Gate with at_risk like the k-anonymity report; suppress
+    with :func:`suppress_small_classes` semantics on the flagged
+    classes. Scale: one partially-aggregated groupBy on the QI key
+    (count + exact count-distinct of the sensitive column); output
+    bounded by the QI domain, not N."""
+    return (
+        df.groupBy(*[F.col(c) for c in qi_cols])
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(F.col(sensitive_col)).alias(
+                "n_sensitive_values"
+            ),
+        )
+        .withColumn(
+            "at_risk", (F.col("n_sensitive_values") < l).cast("int")
+        )
+    )

@@ -6535,6 +6535,37 @@ def constraint_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_l_diversity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000)
+                                    AS BIGINT)) AS BIGINT)
+               AS n_sensitive_values,
+           CAST(count(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000)
+                                    AS BIGINT)) < 3 AS INT) AS at_risk
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def pii_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity over the k-anonymity fixture's QI space:
+    classes = (nation, segment), sensitive attribute = the account-
+    balance bucket — a class can pass k-anonymity yet disclose its
+    members' balances if every member shares one bucket
+    (Machanavajjhala 2006, the attribute-disclosure gate next to
+    pii_k_anonymity's linkage gate)."""
+    from petastorm_spark.operators.privacy import l_diversity_report
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_bucket",
+        F.floor(F.col("c_acctbal").cast("double") / 1000).cast("bigint"),
+    )
+    return l_diversity_report(
+        c, ["c_nationkey", "c_mktsegment"], "bal_bucket", l=3
+    )
+
+
+@register(
     "dp_event_type_release",
     oracle="""
     WITH g AS (

@@ -1087,3 +1087,28 @@ def test_kmeans_numpy_kernel_bit_identical_to_fold(spark, clustered):
     ra = sorted(map(tuple, kmeans_lloyd(tie, k=2, dims=2, kernel="numpy").collect()))
     rb = sorted(map(tuple, kmeans_lloyd(tie, k=2, dims=2, kernel="fold").collect()))
     assert ra == rb
+
+
+def test_l_diversity_flags_homogeneous_classes(spark):
+    """A class that is k-anonymous by size but single-valued in the
+    sensitive attribute is flagged; a diverse class of the same size
+    is not; sensitive NULLs disclose nothing and don't count."""
+    from petastorm_spark.operators.privacy import l_diversity_report
+
+    df = arrow_local_df(
+        spark,
+        {
+            "qi": ["a"] * 4 + ["b"] * 4 + ["c"] * 3,
+            "s": [1, 1, 1, 1, 1, 2, 3, 4, None, None, 7],
+        },
+        "qi string, s bigint",
+    )
+    rep = {
+        r["qi"]: r
+        for r in l_diversity_report(df, ["qi"], "s", l=2).collect()
+    }
+    assert rep["a"]["class_size"] == 4
+    assert rep["a"]["n_sensitive_values"] == 1 and rep["a"]["at_risk"] == 1
+    assert rep["b"]["n_sensitive_values"] == 4 and rep["b"]["at_risk"] == 0
+    # nulls excluded: class c has one real value -> at risk at l=2
+    assert rep["c"]["n_sensitive_values"] == 1 and rep["c"]["at_risk"] == 1
