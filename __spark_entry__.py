@@ -77,6 +77,7 @@ CHANGED_THIS_ROUND = [
     "constraint_check_orders",
     "text_feature_hash_embed",
     "pii_l_diversity",
+    "pii_t_closeness",
     # quantizer-selection refactor + auto-sizing default in round 13
     "knn_graph_ivf",
     # fingerprint-keyed index cache + atomic rename in round 13

@@ -185,6 +185,7 @@ HEADLINE = [
     "constraint_check_orders",
     "text_feature_hash_embed",
     "pii_l_diversity",
+    "pii_t_closeness",
 ]
 
 N_WARMUP_READS = 500

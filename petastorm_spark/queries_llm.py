@@ -6566,6 +6566,75 @@ def pii_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_t_closeness",
+    oracle="""
+    WITH base AS (SELECT c_nationkey, c_mktsegment,
+                         CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000)
+                              AS BIGINT) AS v
+                  FROM customer WHERE c_acctbal IS NOT NULL),
+    vals AS (SELECT DISTINCT v FROM base),
+    mm AS (SELECT count(*) AS m FROM vals),
+    nt AS (SELECT count(*) AS n FROM base),
+    g0 AS (SELECT v, count(*) AS g FROM base GROUP BY v),
+    gcdf AS (SELECT v, sum(g) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                    PRECEDING AND CURRENT ROW) AS cum_g
+             FROM g0),
+    cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS nq
+            FROM base GROUP BY 1, 2),
+    cv AS (SELECT c_nationkey, c_mktsegment, v, count(*) AS c
+           FROM base GROUP BY 1, 2, 3),
+    grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.nq, vals.v,
+                    coalesce(cv.c, 0) AS c
+             FROM cls CROSS JOIN vals
+             LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+                         AND cv.c_mktsegment = cls.c_mktsegment
+                         AND cv.v = vals.v),
+    stepped AS (SELECT *, sum(c) OVER (PARTITION BY c_nationkey,
+                                       c_mktsegment ORDER BY v
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum_c
+                FROM grid),
+    diff AS (SELECT s.c_nationkey, s.c_mktsegment, s.nq,
+                    abs(CAST(s.cum_c AS HUGEINT) * (SELECT n FROM nt)
+                        - CAST(g.cum_g AS HUGEINT) * s.nq) AS d
+             FROM stepped s JOIN gcdf g ON g.v = s.v),
+    agg AS (SELECT c_nationkey, c_mktsegment, nq, sum(d) AS num
+            FROM diff GROUP BY 1, 2, 3),
+    fin AS (SELECT c_nationkey, c_mktsegment,
+                   CAST(nq AS BIGINT) AS class_size,
+                   CASE WHEN (SELECT m FROM mm) > 1
+                        THEN round(CAST(num AS DOUBLE)
+                             / (CAST(nq AS DOUBLE)
+                                * CAST((SELECT n FROM nt) AS DOUBLE)
+                                * CAST((SELECT m FROM mm) - 1 AS DOUBLE)),
+                             6)
+                        ELSE 0.0 END AS emd
+            FROM agg)
+    SELECT c_nationkey, c_mktsegment, class_size, emd,
+           CAST(emd > 0.2 AS INT) AS at_risk
+    FROM fin
+    """,
+)
+def pii_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness over the k-anonymity fixture's QI space (classes =
+    nation x segment, sensitive = balance bucket, t = 0.2): flags
+    classes whose balance DISTRIBUTION drifts from the corpus's —
+    the skewness-attack gate above l-diversity (a class can carry
+    many distinct values yet concentrate on the sensitive tail). EMD
+    over the ordered domain from exact cross-multiplied cumulative
+    integers; one double division at the end."""
+    from petastorm_spark.operators.privacy import t_closeness_report
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_bucket",
+        F.floor(F.col("c_acctbal").cast("double") / 1000).cast("bigint"),
+    )
+    return t_closeness_report(
+        c, ["c_nationkey", "c_mktsegment"], "bal_bucket", t=0.2
+    )
+
+
+@register(
     "dp_event_type_release",
     oracle="""
     WITH g AS (
@@ -6684,10 +6753,11 @@ def token_label_mi_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM (SELECT DISTINCT doc_id FROM tok) d,
                   (SELECT unnest(range(64)) AS bucket) g),
     f AS (SELECT grid.doc_id, grid.bucket,
-                 CAST(coalesce(c.v, 0) AS DOUBLE) AS v
+                 CAST(coalesce(c.v, 0) AS BIGINT) AS v
           FROM grid LEFT JOIN c ON c.doc_id = grid.doc_id
                                AND c.bucket = grid.bucket)
-    SELECT doc_id, list(v ORDER BY bucket) AS embedding
+    SELECT doc_id, string_agg(v::VARCHAR, ',' ORDER BY bucket)
+               AS embedding_csv
     FROM f GROUP BY doc_id
     """,
 )
@@ -6696,11 +6766,23 @@ def text_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (64-dim): the bridge that feeds the similarity stack (cosine,
     LSH, IVF, kNN graph, semantic dedup) straight from the text
     column — no external embedding model, no vocabulary, fully
-    engine-exact (md5 buckets/signs, integer sums)."""
+    engine-exact (md5 buckets/signs, integer sums). The driver row
+    flattens the vector to a CSV of the exact integer counts (the
+    registry's scalar-columns contract); the operator itself returns
+    the array column."""
     from petastorm_spark.operators.text import feature_hash_embed
 
-    return feature_hash_embed(
+    emb = feature_hash_embed(
         _t_wide(spark, sf_dir, "documents"), "text", "doc_id", dim=64
+    )
+    return emb.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "embedding", lambda x: x.cast("long").cast("string")
+            ),
+            ",",
+        ).alias("embedding_csv"),
     )
 
 

@@ -1112,3 +1112,54 @@ def test_l_diversity_flags_homogeneous_classes(spark):
     assert rep["b"]["n_sensitive_values"] == 4 and rep["b"]["at_risk"] == 0
     # nulls excluded: class c has one real value -> at risk at l=2
     assert rep["c"]["n_sensitive_values"] == 1 and rep["c"]["at_risk"] == 1
+
+
+def test_t_closeness_flags_skewed_class(spark):
+    """A class concentrated on one tail value has large EMD (flagged
+    at t=0.2); a class mirroring the global distribution has EMD ~ 0;
+    hand-check: global over {0,1} is 50/50, the skewed class is all-1
+    -> EMD = |0*N - cumG*nq| step at v=0 = 0.5 exactly."""
+    from petastorm_spark.operators.privacy import t_closeness_report
+
+    df = arrow_local_df(
+        spark,
+        {
+            "qi": ["a"] * 4 + ["b"] * 4,
+            "s": [0, 1, 0, 1, 1, 1, 1, 1],
+        },
+        "qi string, s bigint",
+    )
+    # global: v=0 count 2, v=1 count 6; N=8, m=2
+    # class a (2,2): cum diffs at v=0: |2*8 - 2*4| = 8 -> emd 8/(4*8*1)=0.25
+    # class b (0,4): at v=0: |0*8 - 2*4| = 8 -> emd 8/(4*8*1) = 0.25
+    # (final step always 0). Rebalance so a mirrors global:
+    df2 = arrow_local_df(
+        spark,
+        {
+            "qi": ["a"] * 4 + ["b"] * 4,
+            "s": [0, 1, 1, 1, 1, 1, 1, 1],
+        },
+        "qi string, s bigint",
+    )
+    rep = {
+        r["qi"]: r for r in t_closeness_report(df2, ["qi"], "s", t=0.2).collect()
+    }
+    # global: v0=1, v1=7. class a (1,3): |4*8-8*4|/... v=0: |1*8-1*4|=4
+    # emd_a = 4/(4*8*1) = 0.125 ; class b (0,4): |0*8-1*4|=4 -> 0.125
+    assert rep["a"]["emd"] == 0.125 and rep["a"]["at_risk"] == 0
+    assert rep["b"]["emd"] == 0.125
+    rep1 = {
+        r["qi"]: r for r in t_closeness_report(df, ["qi"], "s", t=0.2).collect()
+    }
+    assert rep1["a"]["emd"] == 0.25 and rep1["a"]["at_risk"] == 1
+    assert rep1["b"]["emd"] == 0.25
+    # single-value domain -> EMD defined 0
+    one = arrow_local_df(
+        spark,
+        {"qi": ["a", "b"], "s": [5, 5]},
+        "qi string, s bigint",
+    )
+    assert all(
+        r["emd"] == 0.0
+        for r in t_closeness_report(one, ["qi"], "s").collect()
+    )
