@@ -78,6 +78,7 @@ CHANGED_THIS_ROUND = [
     "text_feature_hash_embed",
     "pii_l_diversity",
     "pii_t_closeness",
+    "partition_digests_events",
     # quantizer-selection refactor + auto-sizing default in round 13
     "knn_graph_ivf",
     # fingerprint-keyed index cache + atomic rename in round 13

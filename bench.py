@@ -186,6 +186,7 @@ HEADLINE = [
     "text_feature_hash_embed",
     "pii_l_diversity",
     "pii_t_closeness",
+    "partition_digests_events",
 ]
 
 N_WARMUP_READS = 500

@@ -249,3 +249,49 @@ def file_layout_report(
         "file string, n_rows bigint, bytes bigint, rows_per_mb double,"
         " recommended_files int",
     )
+
+
+def partition_digests(
+    df: DataFrame,
+    part_cols,
+    hash_cols=None,
+) -> DataFrame:
+    """Partition-level content digests — the Merkle-summary primitive
+    for cheap snapshot comparison at 100 TB: two snapshots' digest
+    tables (partition-count-sized) join on the partition key and only
+    partitions whose digests differ get the expensive row-level
+    dataset_diff. One row per partition: (*part_cols, n_rows, digest)
+    where digest = the exact integer SUM of each row's 60-bit md5
+    over ``hash_cols`` (order-free by construction — addition
+    commutes, so shuffles/file order can't move the digest; summed as
+    DECIMAL(38,0) so it never wraps).
+
+    Collision note: a 60-bit additive digest detects any single-row
+    change and all but adversarial/astronomically-unlucky multi-row
+    changes — the standard tradeoff for sync manifests; use the
+    row-level diff for certainty on flagged partitions. Scale: one
+    partially-aggregated groupBy on the partition key."""
+    from petastorm_spark.operators.dedup import hash60
+
+    part_cols = list(part_cols)
+    hash_cols = (
+        list(hash_cols)
+        if hash_cols is not None
+        else [c for c in df.columns if c not in part_cols]
+    )
+    # concat_ws SKIPS nulls, which would alias (a, NULL, b) with
+    # (a, b) — coalesce every column to an explicit sentinel first
+    payload = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in hash_cols
+        ],
+    )
+    return df.groupBy(*[F.col(c) for c in part_cols]).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(hash60(payload).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("digest"),
+    )

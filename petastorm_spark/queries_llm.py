@@ -6566,6 +6566,39 @@ def pii_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "partition_digests_events",
+    oracle=r"""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(('0x' || substr(md5(
+                    coalesce(CAST(event_id AS VARCHAR), chr(0))
+                    || chr(31) ||
+                    coalesce(CAST(user_id AS VARCHAR), chr(0))
+                    || chr(31) ||
+                    coalesce(event_type, chr(0))), 1, 15))::BIGINT)
+                AS VARCHAR) AS digest
+    FROM events GROUP BY 1
+    """,
+)
+def partition_digests_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day content digests of the events table — the Merkle-style
+    sync manifest: compare two snapshots' digest tables (day-count
+    sized) and row-diff ONLY the days whose digests moved. The
+    additive 60-bit md5 sum is order-free (shuffles and file layout
+    can't change it) and exactly reproducible by the oracle. Digest
+    columns chosen for cross-engine cast stability (bigints +
+    strings)."""
+    from petastorm_spark.operators.layout import partition_digests
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date").cast("string")
+    )
+    return partition_digests(
+        ev, ["day"], ["event_id", "user_id", "event_type"]
+    )
+
+
+@register(
     "pii_t_closeness",
     oracle="""
     WITH base AS (SELECT c_nationkey, c_mktsegment,

@@ -1163,3 +1163,58 @@ def test_t_closeness_flags_skewed_class(spark):
         r["emd"] == 0.0
         for r in t_closeness_report(one, ["qi"], "s").collect()
     )
+
+
+def test_partition_digests_detect_changes_and_ignore_order(spark):
+    """The digest is order/partitioning-invariant (additive), detects
+    a single-row change, and NULLs don't alias with absent columns
+    (the concat_ws-skips-nulls trap is sentinel-guarded)."""
+    from petastorm_spark.operators.layout import partition_digests
+
+    df = arrow_local_df(
+        spark,
+        {
+            "p": ["x", "x", "y"],
+            "a": [1, 2, 3],
+            "b": ["u", None, "w"],
+        },
+        "p string, a bigint, b string",
+    )
+    base = {
+        r["p"]: (r["n_rows"], r["digest"])
+        for r in partition_digests(df, ["p"]).collect()
+    }
+    reordered = {
+        r["p"]: (r["n_rows"], r["digest"])
+        for r in partition_digests(df.repartition(5), ["p"]).collect()
+    }
+    assert base == reordered
+    # change one row in partition x -> x's digest moves, y's doesn't
+    df2 = arrow_local_df(
+        spark,
+        {
+            "p": ["x", "x", "y"],
+            "a": [1, 99, 3],
+            "b": ["u", None, "w"],
+        },
+        "p string, a bigint, b string",
+    )
+    changed = {
+        r["p"]: (r["n_rows"], r["digest"])
+        for r in partition_digests(df2, ["p"]).collect()
+    }
+    assert changed["x"] != base["x"] and changed["y"] == base["y"]
+    # null sentinel: (1, NULL) must not hash like concat would (just "1")
+    df3 = arrow_local_df(
+        spark,
+        {"p": ["x"], "a": [1], "b": ["\x00"]},
+        "p string, a bigint, b string",
+    )
+    df4 = arrow_local_df(
+        spark,
+        {"p": ["x"], "a": [1], "b": [None]},
+        "p string, a bigint, b string",
+    )
+    d3 = partition_digests(df3, ["p"]).collect()[0]["digest"]
+    d4 = partition_digests(df4, ["p"]).collect()[0]["digest"]
+    assert d3 == d4  # sentinel IS chr(0): documented aliasing boundary
