@@ -152,9 +152,11 @@ def dp_group_release(
             )
         )
     out = df.groupBy(g).agg(*aggs)
-    u_n = md5_fraction(
-        F.concat_ws("|", F.lit(f"{seed}n"), F.col(group_col))
-    )
+    # concat_ws SKIPS nulls — coalesce the (real) NULL group to a
+    # sentinel so its noise key is distinct and the SQL replay
+    # (coalesce(col, chr(0))) reproduces it bit-for-bit
+    gkey = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00"))
+    u_n = md5_fraction(F.concat_ws("|", F.lit(f"{seed}n"), gkey))
     cols = [
         g,
         F.round(
@@ -163,9 +165,7 @@ def dp_group_release(
         ).alias("noisy_count"),
     ]
     if value_col is not None:
-        u_s = md5_fraction(
-            F.concat_ws("|", F.lit(f"{seed}s"), F.col(group_col))
-        )
+        u_s = md5_fraction(F.concat_ws("|", F.lit(f"{seed}s"), gkey))
         b_s = (clip_hi - clip_lo) / epsilon
         cols.append(
             F.round(
@@ -225,44 +225,75 @@ def t_closeness_report(
     the two cumulative distributions over the m observed values.
 
     One row per QI class (NULL sensitive rows excluded — they
-    disclose nothing): ``(*qi_cols, class_size, emd, at_risk)``.
+    disclose nothing; a NULL QI VALUE is its own class, exactly as
+    groupBy counts it — the grid join is null-safe like
+    :func:`suppress_small_classes`): ``(*qi_cols, class_size, emd,
+    at_risk)``.
 
     Engine-exact: the cumulative counts are exact integers, the
     per-step difference is the cross-multiplied
     ``|cumC * N - cumG * n_q|`` DECIMAL(38,0) integer (division by
     n_q * N * (m-1) happens ONCE at the end, in IEEE double over
-    identical integers). Scale: counts are two partially-aggregated
-    groupBys; the cumulative walk runs on the classes x domain grid
-    (QI-domain x value-domain bounded, never N); the global CDF is a
-    value-domain-sized broadcast."""
+    identical integers). Scale: ONE corpus scan — the (qi, value)
+    count table feeds the class sizes, the global CDF (collected,
+    value-domain-bounded), and the cumulative walk on the classes x
+    domain grid (QI-domain x value-domain, never N); the global CDF
+    and domain ride the plan as a broadcast literal frame."""
     from pyspark.sql import Window
+
+    from petastorm_spark.session import arrow_local_df
 
     s = F.col(sensitive_col)
     base = df.where(s.isNotNull())
     qi = [F.col(c) for c in qi_cols]
 
-    vals = base.select(s.alias("_v")).distinct()
-    wv = Window.orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cv = (
+        base.groupBy(*qi, s.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
     )
-    glob = (
-        base.groupBy(s.alias("_v"))
-        .agg(F.count(F.lit(1)).alias("_g"))
-        .withColumn("_cum_g", F.sum("_g").over(wv).cast("decimal(38,0)"))
-        .select("_v", "_cum_g")
+    # global CDF, domain size, corpus size: all from the (value)
+    # rollup of cv — value-domain-bounded driver state, no extra
+    # corpus scans
+    g_rows = sorted(
+        cv.groupBy("_v").agg(F.sum("_c").alias("_g")).collect(),
+        key=lambda r: r["_v"],
     )
-    m = vals.count()
-    n_total = base.count()
+    m = len(g_rows)
+    n_total = sum(int(r["_g"]) for r in g_rows)
+    cums, acc = [], 0
+    for r in g_rows:
+        acc += int(r["_g"])
+        cums.append(acc)
+    v_type = cv.schema["_v"].dataType.simpleString()
+    glob = arrow_local_df(
+        df.sparkSession,
+        {"_v": [r["_v"] for r in g_rows], "_cum_g": cums},
+        f"_v {v_type}, _cum_g bigint",
+    )
+    vals = glob.select("_v")
 
-    cls = base.groupBy(*qi).agg(F.count(F.lit(1)).alias("_nq"))
-    cv = base.groupBy(*qi, s.alias("_v")).agg(
-        F.count(F.lit(1)).alias("_c")
+    cls = cv.groupBy(*qi).agg(F.sum("_c").alias("_nq"))
+    grid_base = cls.crossJoin(F.broadcast(vals))
+    # rename the probe side (cls derives from cv, so joining cv back
+    # unaliased is an ambiguous self-join); null-safe on the QI key
+    # (NULL QI is a real class); _v never null
+    cvj = cv.select(
+        *[F.col(c).alias(f"_r_{i}") for i, c in enumerate(qi_cols)],
+        F.col("_v").alias("_r_v"),
+        F.col("_c").alias("_r_c"),
     )
-    grid = cls.crossJoin(F.broadcast(vals)).join(
-        cv, [*qi_cols, "_v"], "left"
-    ).select(*qi, "_nq", "_v", F.coalesce("_c", F.lit(0)).alias("_c"))
+    cond = grid_base["_v"] == cvj["_r_v"]
+    for i, c in enumerate(qi_cols):
+        cond = cond & grid_base[c].eqNullSafe(cvj[f"_r_{i}"])
+    grid = grid_base.join(cvj, cond, "left").select(
+        *[grid_base[c] for c in qi_cols],
+        grid_base["_nq"],
+        grid_base["_v"],
+        F.coalesce(cvj["_r_c"], F.lit(0)).alias("_c"),
+    )
     wc = (
-        Window.partitionBy(*qi)
+        Window.partitionBy(*qi_cols)
         .orderBy("_v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -275,11 +306,11 @@ def t_closeness_report(
             "_diff",
             F.abs(
                 F.col("_cum_c") * F.lit(n_total)
-                - F.col("_cum_g") * F.col("_nq")
+                - F.col("_cum_g").cast("decimal(38,0)") * F.col("_nq")
             ),
         )
     )
-    agg = stepped.groupBy(*qi, "_nq").agg(
+    agg = stepped.groupBy(*qi_cols, "_nq").agg(
         F.sum("_diff").cast("decimal(38,0)").alias("_num")
     )
     denom = (

@@ -87,6 +87,28 @@ def profile_columns(
     return one.select(F.explode(rows).alias("_p")).select("_p.*")
 
 
+def violation_expr(chk: tuple):
+    """The shared check-kind -> violation-predicate mapping behind
+    :func:`check_constraints`, :func:`observed_constraints`, and
+    streaming.feed.constraint_check_stream (one ladder, three
+    consumers — the null semantics live HERE). Returns a boolean
+    Column that is true for a violating row; NULL violates every kind
+    except its absence from ``unique`` (which is not expressible as a
+    per-row predicate and is handled by its callers)."""
+    kind, col = chk[0], chk[1]
+    if kind == "not_null":
+        return F.col(col).isNull()
+    if kind == "range":
+        return F.col(col).isNull() | ~(
+            (F.col(col) >= chk[2]) & (F.col(col) <= chk[3])
+        )
+    if kind == "in_set":
+        return F.col(col).isNull() | ~F.col(col).isin(list(chk[2]))
+    if kind == "regex":
+        return F.col(col).isNull() | ~F.col(col).rlike(chk[2])
+    raise ValueError(f"unknown check kind {kind!r}")
+
+
 def check_constraints(
     df: DataFrame, checks: Sequence[tuple]
 ) -> DataFrame:
@@ -103,28 +125,19 @@ def check_constraints(
     cleanup. Counting (not sampling) keeps it exact; each non-unique
     check is a filter-count fused into one scan, unique is one
     key-grouped count."""
+    if not checks:
+        raise ValueError("checks must not be empty")
     spark = df.sparkSession
     aggs, names = [], []
     uniques = []
     for i, chk in enumerate(checks):
         kind, col = chk[0], chk[1]
-        if kind == "not_null":
-            bad = F.col(col).isNull()
-        elif kind == "unique":
+        if kind == "unique":
             uniques.append((i, col))
             continue
-        elif kind == "range":
-            lo, hi = chk[2], chk[3]
-            bad = ~((F.col(col) >= lo) & (F.col(col) <= hi))
-        elif kind == "in_set":
-            bad = ~F.col(col).isin(list(chk[2]))
-        elif kind == "regex":
-            bad = ~F.col(col).rlike(chk[2])
-        else:
-            raise ValueError(f"unknown check kind {kind!r}")
-        aggs.append(F.count(F.when(bad | F.col(col).isNull(), 1)).alias(f"_v_{i}")
-                    if kind != "not_null"
-                    else F.count(F.when(bad, 1)).alias(f"_v_{i}"))
+        aggs.append(
+            F.count(F.when(violation_expr(chk), 1)).alias(f"_v_{i}")
+        )
         names.append((i, kind, col))
     parts = []
     if aggs:
@@ -188,24 +201,13 @@ def observed_constraints(
     aggs, names = [], []
     for i, chk in enumerate(checks):
         kind, col = chk[0], chk[1]
-        if kind == "not_null":
-            bad = F.col(col).isNull()
-        elif kind == "range":
-            bad = (
-                F.col(col).isNull()
-                | ~((F.col(col) >= chk[2]) & (F.col(col) <= chk[3]))
-            )
-        elif kind == "in_set":
-            bad = F.col(col).isNull() | ~F.col(col).isin(list(chk[2]))
-        elif kind == "regex":
-            bad = F.col(col).isNull() | ~F.col(col).rlike(chk[2])
-        elif kind == "unique":
+        if kind == "unique":
             raise ValueError(
                 "unique needs a key-grouped count — use check_constraints"
             )
-        else:
-            raise ValueError(f"unknown check kind {kind!r}")
-        aggs.append(F.count(F.when(bad, 1)).alias(f"v_{i}"))
+        aggs.append(
+            F.count(F.when(violation_expr(chk), 1)).alias(f"v_{i}")
+        )
         names.append((i, kind, col))
     obs = Observation()
     observed = df.observe(obs, *aggs)

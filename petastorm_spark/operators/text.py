@@ -594,10 +594,29 @@ def token_label_mi(
         F.count(F.lit(1)).alias("n_l")
     )
     ncnt = df.agg(F.count(F.lit(1)).alias("N"))
+    # a NULL label is its own class (groupBy counted it that way) —
+    # the grid join must be null-safe on label or those classes'
+    # n_tl would silently zero while still inflating n_t/n_l/N
+    tlj = tl.select(
+        F.col("token").alias("_r_token"),
+        F.col("label").alias("_r_label"),
+        F.col("n_tl").alias("_r_ntl"),
+    )
+    gb = tcnt.crossJoin(F.broadcast(lcnt))
     grid = (
-        tcnt.crossJoin(F.broadcast(lcnt))
-        .join(tl, ["token", "label"], "left")
-        .na.fill({"n_tl": 0})
+        gb.join(
+            tlj,
+            (gb["token"] == tlj["_r_token"])
+            & gb["label"].eqNullSafe(tlj["_r_label"]),
+            "left",
+        )
+        .select(
+            gb["token"],
+            gb["label"],
+            gb["n_t"],
+            gb["n_l"],
+            F.coalesce(tlj["_r_ntl"], F.lit(0)).alias("n_tl"),
+        )
         .crossJoin(F.broadcast(ncnt))
     )
     n = F.col("N").cast("double")
@@ -667,6 +686,10 @@ def feature_hash_embed(
             F.collect_list(F.struct(F.col("_b"), F.col("_v")))
         ).alias("_m")
     )
+    # a doc with NO tokens (NULL text) must still embed — as the zero
+    # vector — or it silently vanishes from every downstream
+    # similarity join; element_at(NULL map, i) is NULL -> coalesce 0
+    m = df.select(id_col).join(m, id_col, "left")
     emb = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.coalesce(

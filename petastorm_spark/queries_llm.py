@@ -6678,9 +6678,9 @@ def pii_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type),
     u AS (
       SELECT event_type, n, sq,
-             (('0x' || substr(md5('0n|' || event_type), 1, 15))::BIGINT
+             (('0x' || substr(md5('0n|' || coalesce(event_type, chr(0))), 1, 15))::BIGINT
               / 1152921504606846976.0) AS un,
-             (('0x' || substr(md5('0s|' || event_type), 1, 15))::BIGINT
+             (('0x' || substr(md5('0s|' || coalesce(event_type, chr(0))), 1, 15))::BIGINT
               / 1152921504606846976.0) AS us
       FROM g)
     SELECT event_type,
@@ -6783,7 +6783,7 @@ def token_label_mi_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM h),
     c AS (SELECT doc_id, bucket, sum(s) AS v FROM b GROUP BY doc_id, bucket),
     grid AS (SELECT d.doc_id, CAST(g.bucket AS INT) AS bucket
-             FROM (SELECT DISTINCT doc_id FROM tok) d,
+             FROM (SELECT DISTINCT doc_id FROM documents) d,
                   (SELECT unnest(range(64)) AS bucket) g),
     f AS (SELECT grid.doc_id, grid.bucket,
                  CAST(coalesce(c.v, 0) AS BIGINT) AS v

@@ -1116,31 +1116,20 @@ def constraint_check_stream(
     and the long-form explode after it is stateless. The ``unique``
     kind needs a key-grouped count (a second stateful operator) and
     stays a batch/nightly gate; asking for it here raises."""
-    from petastorm_spark.operators.profiling import check_constraints  # noqa: F401
+    from petastorm_spark.operators.profiling import violation_expr
 
     aggs, names = [], []
     for i, chk in enumerate(checks):
         kind, col = chk[0], chk[1]
-        if kind == "not_null":
-            bad = F.col(col).isNull()
-        elif kind == "range":
-            bad = (
-                F.col(col).isNull()
-                | ~((F.col(col) >= chk[2]) & (F.col(col) <= chk[3]))
-            )
-        elif kind == "in_set":
-            bad = F.col(col).isNull() | ~F.col(col).isin(list(chk[2]))
-        elif kind == "regex":
-            bad = F.col(col).isNull() | ~F.col(col).rlike(chk[2])
-        elif kind == "unique":
+        if kind == "unique":
             raise ValueError(
                 "unique needs a key-grouped count (second stateful "
                 "operator) — run it through the batch "
                 "check_constraints gate"
             )
-        else:
-            raise ValueError(f"unknown check kind {kind!r}")
-        aggs.append(F.count(F.when(bad, 1)).alias(f"_v_{i}"))
+        aggs.append(
+            F.count(F.when(violation_expr(chk), 1)).alias(f"_v_{i}")
+        )
         names.append((i, kind, col))
     one = stream.agg(*aggs)
     rows = F.array(

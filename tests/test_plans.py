@@ -385,7 +385,15 @@ def test_token_label_mi_broadcasts_totals(spark, sf_dir):
     ep = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in ep
     assert "BroadcastExchange" in ep
-    assert "SortMergeJoin" not in ep or "BroadcastNestedLoopJoin" not in ep
+    # the only nested-loop joins allowed are the broadcast crossJoins
+    # of the bounded totals (1-row corpus count, label-count rows) —
+    # every one must be BuildRight over a BroadcastExchange, and no
+    # unbroadcast cartesian may appear
+    assert "CartesianProduct" not in ep
+    import re
+
+    for mjoin in re.finditer(r"BroadcastNestedLoopJoin (\w+), (\w+)", ep):
+        assert mjoin.group(1) == "BuildRight" and mjoin.group(2) == "Cross", ep
 
 
 def test_dp_release_single_exchange_noise_after_agg(spark, sf_dir):

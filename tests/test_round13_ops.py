@@ -1218,3 +1218,67 @@ def test_partition_digests_detect_changes_and_ignore_order(spark):
     d3 = partition_digests(df3, ["p"]).collect()[0]["digest"]
     d4 = partition_digests(df4, ["p"]).collect()[0]["digest"]
     assert d3 == d4  # sentinel IS chr(0): documented aliasing boundary
+
+
+def test_null_handling_across_r13_ops(spark):
+    """Review regressions pinned: (a) token_label_mi treats a NULL
+    label as its own class (null-safe grid join — n_tl no longer
+    silently zeroes); (b) feature_hash_embed emits the ZERO vector for
+    NULL-text docs instead of dropping them; (c) t_closeness keeps a
+    NULL QI class's real distribution (null-safe grid join);
+    (d) check_constraints rejects an empty check list."""
+    import pytest as _pytest
+
+    from petastorm_spark.operators.privacy import t_closeness_report
+    from petastorm_spark.operators.profiling import check_constraints
+    from petastorm_spark.operators.text import (
+        feature_hash_embed,
+        token_label_mi,
+    )
+
+    # (a) NULL label class
+    df = arrow_local_df(
+        spark,
+        {
+            "doc_id": [1, 2, 3, 4],
+            "lang": ["en", "en", None, None],
+            "text": ["dog", "dog", "dog", "dog"],
+        },
+        "doc_id bigint, lang string, text string",
+    )
+    rows = {
+        (r["token"], r["label"]): r["n_tl"]
+        for r in token_label_mi(df, "text", "lang", min_df=1).collect()
+    }
+    assert rows[("dog", None)] == 2  # was 0 before the null-safe join
+    assert rows[("dog", "en")] == 2
+
+    # (b) NULL text -> zero vector, not a missing row
+    df2 = arrow_local_df(
+        spark,
+        {"doc_id": [1, 2], "text": ["alpha", None]},
+        "doc_id bigint, text string",
+    )
+    emb = {
+        r["doc_id"]: r["embedding"]
+        for r in feature_hash_embed(df2, "text", "doc_id", dim=8).collect()
+    }
+    assert set(emb) == {1, 2}
+    assert emb[2] == [0.0] * 8
+
+    # (c) NULL QI class mirrors the global distribution -> emd 0.5
+    # band, never the bogus maximal value from a dropped join
+    df3 = arrow_local_df(
+        spark,
+        {"qi": [None, None, "b", "b"], "s": [0, 1, 0, 1]},
+        "qi string, s bigint",
+    )
+    rep = {
+        r["qi"]: r["emd"]
+        for r in t_closeness_report(df3, ["qi"], "s", t=0.2).collect()
+    }
+    assert rep[None] == 0.0 and rep["b"] == 0.0
+
+    # (d) empty checks
+    with _pytest.raises(ValueError, match="empty"):
+        check_constraints(df3, [])
