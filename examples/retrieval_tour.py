@@ -90,6 +90,24 @@ def main() -> None:
     _, edges = knn_graph_read(spark, url)
     print("graph edges:", edges.count())
 
+    # 6. retrieval STRAIGHT FROM TEXT (r13): the signed hashing trick
+    # vectorizes the documents table with no model and no vocabulary,
+    # then the same cosine machinery retrieves near-duplicate text
+    from petastorm_spark.operators.similarity import normalize_embeddings
+    from petastorm_spark.operators.text import feature_hash_embed
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    hv = normalize_embeddings(
+        feature_hash_embed(docs, "text", "doc_id", dim=64),
+        id_col="doc_id",
+    )
+    hits = cosine_topk(
+        hv, hv.where(F.col("doc_id") < 3), k=3, id_col="doc_id"
+    )
+    print("hashed-text retrieval:")
+    for r in hits.orderBy("query_id", "rank").collect():
+        print(f"  q{r.query_id} -> doc {r.neighbor_id} cos {r.cos_sim}")
+
     spark.stop()
 
 
