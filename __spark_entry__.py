@@ -79,6 +79,7 @@ CHANGED_THIS_ROUND = [
     "pii_l_diversity",
     "pii_t_closeness",
     "partition_digests_events",
+    "source_mix_report",
     # quantizer-selection refactor + auto-sizing default in round 13
     "knn_graph_ivf",
     # fingerprint-keyed index cache + atomic rename in round 13

@@ -187,6 +187,7 @@ HEADLINE = [
     "pii_l_diversity",
     "pii_t_closeness",
     "partition_digests_events",
+    "source_mix_report",
 ]
 
 N_WARMUP_READS = 500

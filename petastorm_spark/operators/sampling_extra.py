@@ -712,3 +712,59 @@ def token_budget_mix(
         F.round(F.least(F.lit(1.0), epochs), 6).alias("keep_frac"),
         F.round(epochs, 6).alias("epochs"),
     )
+
+
+def source_mix_report(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Corpus-mix balance diagnostic per group (source/domain/lang):
+    the numbers a data-mixing decision reads before setting sampling
+    temperatures — doc and token mass, token share, the Shannon
+    entropy TERM (sum of ent_term over rows = mix entropy in nats;
+    exp of it = the effective source count), and the Gini NUMERATOR
+    term ((2*rank - n - 1) * tokens as an exact integer; sum / (n *
+    total_tokens) = the Gini concentration coefficient). Per-row
+    terms, not cross-row double sums — the psi/mi/rbo exactness
+    pattern; the Gini pieces stay exact integers until the consumer's
+    one division.
+
+    Scale: one explode-free token count per row (size of split), one
+    partially-aggregated groupBy on the group key, a broadcast 1-row
+    total, and one window over the GROUP-count-sized table for the
+    rank — never a corpus-scale sort."""
+    from pyspark.sql import Window
+
+    from petastorm_spark.operators.text import token_count
+
+    per = df.groupBy(F.col(group_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col).cast("bigint")).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("decimal(38,0)").alias("_tt"),
+        F.count(F.lit(1)).alias("_ng"),
+    )
+    w = Window.orderBy("n_tokens", "source")
+    ranked = per.crossJoin(F.broadcast(tot)).withColumn(
+        "_rank", F.row_number().over(w)
+    )
+    p = F.col("n_tokens").cast("double") / F.col("_tt").cast("double")
+    ent = F.when(F.col("n_tokens") > 0, -(p * F.log(p))).otherwise(
+        F.lit(0.0)
+    )
+    gini_num = (
+        (F.lit(2) * F.col("_rank") - F.col("_ng") - F.lit(1)).cast(
+            "decimal(38,0)"
+        )
+        * F.col("n_tokens").cast("decimal(38,0)")
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(p, 6).alias("token_share"),
+        F.round(ent, 6).alias("ent_term"),
+        gini_num.cast("string").alias("gini_num"),
+    )

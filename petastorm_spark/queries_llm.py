@@ -6566,6 +6566,45 @@ def pii_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_mix_report",
+    oracle=r"""
+    WITH per AS (SELECT source, count(*) AS n_docs,
+                        sum(len(string_split_regex(lower(trim(text)),
+                                                   '\s+'))) AS n_tokens
+                 FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_tokens) AS tt, count(*) AS ng FROM per),
+    ranked AS (SELECT per.*, tot.tt, tot.ng,
+                      row_number() OVER (ORDER BY n_tokens, source) AS r
+               FROM per, tot)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+               AS token_share,
+           round(CASE WHEN n_tokens > 0
+                      THEN -((CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE))
+                             * ln(CAST(n_tokens AS DOUBLE)
+                                  / CAST(tt AS DOUBLE)))
+                      ELSE 0.0 END, 6) AS ent_term,
+           CAST(CAST(2 * r - ng - 1 AS HUGEINT) * n_tokens AS VARCHAR)
+               AS gini_num
+    FROM ranked
+    """,
+)
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix balance diagnostic: per source the token mass, token
+    share, Shannon-entropy term (sum = mix entropy; exp = effective
+    source count) and exact-integer Gini numerator term — the numbers
+    a data-mixing decision reads before temperature-sampling
+    (token_budget_mix / sample_temperature are the actuators, this is
+    the gauge)."""
+    from petastorm_spark.operators.sampling_extra import source_mix_report
+
+    return source_mix_report(
+        _t_wide(spark, sf_dir, "documents"), "text", "source"
+    )
+
+
+@register(
     "partition_digests_events",
     oracle=r"""
     SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,

@@ -1282,3 +1282,38 @@ def test_null_handling_across_r13_ops(spark):
     # (d) empty checks
     with _pytest.raises(ValueError, match="empty"):
         check_constraints(df3, [])
+
+
+def test_source_mix_report_gini_and_entropy(spark):
+    """Hand-checked mix diagnostics: a perfectly balanced 2-source mix
+    has entropy ln(2) and Gini 0; a fully concentrated mix has entropy
+    ~0 and Gini (n-1)/n; the Gini numerator terms are exact integers
+    that assemble to G = sum(gini_num) / (n * total)."""
+    import math
+
+    from petastorm_spark.operators.sampling_extra import source_mix_report
+
+    def report(tokens_by_source):
+        rows = {"doc_id": [], "source": [], "text": []}
+        i = 0
+        for src, n in tokens_by_source.items():
+            rows["doc_id"].append(i); i += 1
+            rows["source"].append(src)
+            rows["text"].append(" ".join(["tok"] * n))
+        df = arrow_local_df(
+            spark, rows, "doc_id bigint, source string, text string"
+        )
+        return source_mix_report(df, "text", "source").collect()
+
+    bal = report({"a": 10, "b": 10})
+    ent = sum(r["ent_term"] for r in bal)
+    gini = sum(int(r["gini_num"]) for r in bal) / (2 * 20)
+    assert math.isclose(ent, math.log(2), abs_tol=2e-6)
+    assert gini == 0.0
+    assert all(r["token_share"] == 0.5 for r in bal)
+
+    skew = report({"a": 99, "b": 1})
+    ent_s = sum(r["ent_term"] for r in skew)
+    gini_s = sum(int(r["gini_num"]) for r in skew) / (2 * 100)
+    assert ent_s < 0.1
+    assert math.isclose(gini_s, 0.49, abs_tol=1e-9)  # (n-1)/n * 98/100
