@@ -188,6 +188,7 @@ HEADLINE = [
     "pii_t_closeness",
     "partition_digests_events",
     "source_mix_report",
+    "ann_mrr_prefix",
 ]
 
 N_WARMUP_READS = 500

@@ -1917,6 +1917,41 @@ def rank_rbo_report(
     )
 
 
+def rank_mrr_report(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Mean-reciprocal-rank terms: where does the approximate index
+    place each query's TRUE nearest neighbor (the exact rank-1 item)?
+    The third leg of the retrieval-eval triad — recall@k counts hits
+    anywhere, RBO weighs the whole depth profile, MRR reads the one
+    position retrieval-augmented usage cares about most. One row per
+    exact-side query: (query_id, rel_id, rank_in_approx, rr) with
+    rank_in_approx NULL and rr = 0.0 when the index missed the true
+    neighbor entirely; avg(rr) over queries is the MRR. Inputs are the
+    ``(query_id, neighbor_id, rank)`` top-k shape; joins are
+    result-sized."""
+    rel = exact.where(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("rel_id")
+    )
+    ap = approx.where(F.col("rank") <= k).select(
+        F.col("query_id").alias("_q"),
+        F.col("neighbor_id").alias("_n"),
+        F.col("rank").alias("rank_in_approx"),
+    )
+    j = rel.join(
+        ap,
+        (rel["query_id"] == ap["_q"]) & (rel["rel_id"] == ap["_n"]),
+        "left",
+    )
+    rr = F.coalesce(
+        F.round(F.lit(1.0) / F.col("rank_in_approx").cast("double"), 6),
+        F.lit(0.0),
+    )
+    return j.select("query_id", "rel_id", "rank_in_approx", rr.alias("rr"))
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",

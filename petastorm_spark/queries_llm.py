@@ -6130,6 +6130,55 @@ def _rbo_prefix_oracle(
     """
 
 
+def _mrr_prefix_oracle(k: int = 5, factor: int = 4, pdim: int = 16) -> str:
+    # same surgery as _rbo_prefix_oracle: approx list from the prefix
+    # pipeline's r, exact top-1 from brute force, left join for the
+    # reciprocal rank
+    body = _prefix_oracle(k, factor, pdim).strip()
+    assert body.startswith("WITH ") and "SELECT query_id" in body
+    with_part, _ = body.rsplit("SELECT query_id", 1)
+    cos = (
+        "list_dot_product(qe.qv, ce.v) / (sqrt(list_dot_product(qe.qv, qe.qv))"
+        " * sqrt(list_dot_product(ce.v, ce.v)))"
+    )
+    return f"""
+    {with_part.rstrip()},
+    ap AS (SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}),
+    qe AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    se AS (SELECT query_id, ce.vec_id AS neighbor_id, {cos} AS cos
+           FROM qe, e ce WHERE ce.vec_id != query_id),
+    rel AS (SELECT query_id, neighbor_id AS rel_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM se) WHERE rank = 1)
+    SELECT rel.query_id, rel.rel_id,
+           CAST(ap.rank AS INT) AS rank_in_approx,
+           coalesce(round(1.0 / CAST(ap.rank AS DOUBLE), 6), 0.0) AS rr
+    FROM rel LEFT JOIN ap ON ap.query_id = rel.query_id
+                         AND ap.neighbor_id = rel.rel_id
+    """
+
+
+@register("ann_mrr_prefix", oracle=_mrr_prefix_oracle())
+def ann_mrr_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the TRUE nearest neighbor in the
+    prefix-dimension ANN list — the third retrieval-eval leg next to
+    ann_recall_prefix (hits anywhere) and ann_rbo_prefix (depth
+    profile): avg(rr) is the MRR a retrieval deployment quotes."""
+    from petastorm_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_prefix,
+        rank_mrr_report,
+    )
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=5)
+    approx = cosine_topk_prefix(emb, q, k=5, rescore_factor=4, prefix_dim=16)
+    return rank_mrr_report(exact, approx, k=5)
+
+
 @register("ann_rbo_prefix", oracle=_rbo_prefix_oracle())
 def ann_rbo_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-Biased Overlap terms (p=0.9, k=5) of the prefix-dimension

@@ -1317,3 +1317,34 @@ def test_source_mix_report_gini_and_entropy(spark):
     gini_s = sum(int(r["gini_num"]) for r in skew) / (2 * 100)
     assert ent_s < 0.1
     assert math.isclose(gini_s, 0.49, abs_tol=1e-9)  # (n-1)/n * 98/100
+
+
+def test_rank_mrr_hand_computed(spark):
+    """MRR mechanics: true neighbor at approx rank 1 -> rr 1.0, at
+    rank 3 -> 1/3, absent -> rr 0.0 with NULL rank."""
+    from petastorm_spark.operators.similarity import rank_mrr_report
+
+    def ranking(rows):
+        return arrow_local_df(
+            spark,
+            {
+                "query_id": [r[0] for r in rows],
+                "neighbor_id": [r[1] for r in rows],
+                "rank": [r[2] for r in rows],
+            },
+            "query_id bigint, neighbor_id bigint, rank int",
+        )
+
+    exact = ranking([(1, 10, 1), (1, 11, 2), (2, 20, 1), (3, 30, 1)])
+    approx = ranking(
+        [(1, 10, 1), (1, 99, 2), (2, 98, 1), (2, 97, 2), (2, 20, 3),
+         (3, 96, 1), (3, 95, 2)]
+    )
+    rows = {
+        r["query_id"]: r
+        for r in rank_mrr_report(exact, approx, k=3).collect()
+    }
+    assert rows[1]["rr"] == 1.0 and rows[1]["rank_in_approx"] == 1
+    assert rows[2]["rr"] == round(1 / 3, 6) and rows[2]["rank_in_approx"] == 3
+    assert rows[3]["rr"] == 0.0 and rows[3]["rank_in_approx"] is None
+    assert rows[1]["rel_id"] == 10
