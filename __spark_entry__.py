@@ -81,6 +81,7 @@ CHANGED_THIS_ROUND = [
     "partition_digests_events",
     "source_mix_report",
     "ann_mrr_prefix",
+    "manifest_diff_events",
     # quantizer-selection refactor + auto-sizing default in round 13
     "knn_graph_ivf",
     # fingerprint-keyed index cache + atomic rename in round 13

@@ -189,6 +189,7 @@ HEADLINE = [
     "partition_digests_events",
     "source_mix_report",
     "ann_mrr_prefix",
+    "manifest_diff_events",
 ]
 
 N_WARMUP_READS = 500

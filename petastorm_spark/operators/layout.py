@@ -251,6 +251,50 @@ def file_layout_report(
     )
 
 
+def manifest_diff(
+    digests_a: DataFrame,
+    digests_b: DataFrame,
+    part_cols,
+) -> DataFrame:
+    """The consumer of two :func:`partition_digests` manifests: per
+    partition key, 'same' | 'changed' | 'added' | 'removed' (B
+    relative to A) with both sides' row counts — the partition-count-
+    sized comparison that decides which partitions get the expensive
+    row-level diff / re-sync at 100 TB. Null-safe on the partition
+    key (a NULL partition value is a real partition)."""
+    part_cols = list(part_cols)
+    a = digests_a.select(
+        *[F.col(c).alias(f"_a_{c}") for c in part_cols],
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("digest").alias("_dg_a"),
+    )
+    b = digests_b.select(
+        *[F.col(c).alias(f"_b_{c}") for c in part_cols],
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("digest").alias("_dg_b"),
+    )
+    cond = None
+    for c in part_cols:
+        eq = a[f"_a_{c}"].eqNullSafe(b[f"_b_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    j = a.join(b, cond, "full_outer")
+    status = (
+        F.when(F.col("_dg_a").isNull(), F.lit("added"))
+        .when(F.col("_dg_b").isNull(), F.lit("removed"))
+        .when(F.col("_dg_a") == F.col("_dg_b"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        *[
+            F.coalesce(F.col(f"_a_{c}"), F.col(f"_b_{c}")).alias(c)
+            for c in part_cols
+        ],
+        "n_rows_a",
+        "n_rows_b",
+        status.alias("status"),
+    )
+
+
 def partition_digests(
     df: DataFrame,
     part_cols,

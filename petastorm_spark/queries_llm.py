@@ -6687,6 +6687,77 @@ def partition_digests_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_diff_events",
+    oracle=r"""
+    WITH ev AS (SELECT *, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+                FROM events),
+    md AS (SELECT min(day) AS d FROM ev),
+    evb AS (SELECT event_id, user_id,
+                   CASE WHEN day = (SELECT d FROM md)
+                        THEN event_type || '_v2' ELSE event_type END
+                       AS event_type,
+                   day
+            FROM ev),
+    dig_a AS (SELECT day, count(*) AS n_rows_a,
+                     CAST(sum(('0x' || substr(md5(
+                         coalesce(CAST(event_id AS VARCHAR), chr(0))
+                         || chr(31) ||
+                         coalesce(CAST(user_id AS VARCHAR), chr(0))
+                         || chr(31) ||
+                         coalesce(event_type, chr(0))), 1,
+                         15))::BIGINT) AS VARCHAR) AS dg
+              FROM ev GROUP BY day),
+    dig_b AS (SELECT day, count(*) AS n_rows_b,
+                     CAST(sum(('0x' || substr(md5(
+                         coalesce(CAST(event_id AS VARCHAR), chr(0))
+                         || chr(31) ||
+                         coalesce(CAST(user_id AS VARCHAR), chr(0))
+                         || chr(31) ||
+                         coalesce(event_type, chr(0))), 1,
+                         15))::BIGINT) AS VARCHAR) AS dg
+              FROM evb GROUP BY day)
+    SELECT coalesce(a.day, b.day) AS day,
+           a.n_rows_a, b.n_rows_b,
+           CASE WHEN a.dg IS NULL THEN 'added'
+                WHEN b.dg IS NULL THEN 'removed'
+                WHEN a.dg = b.dg THEN 'same'
+                ELSE 'changed' END AS status
+    FROM dig_a a FULL OUTER JOIN dig_b b ON a.day = b.day
+    """,
+)
+def manifest_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end sync-manifest story: snapshot B mutates ONE day's
+    event_type values, both snapshots produce their partition-digest
+    manifests, and manifest_diff pins exactly that day as 'changed'
+    with every other day 'same' — the partition-count-sized decision
+    of what to re-sync, no row-level work until a digest moves."""
+    from petastorm_spark.operators.layout import (
+        manifest_diff,
+        partition_digests,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date").cast("string")
+    )
+    cols = ["event_id", "user_id", "event_type"]
+    a = partition_digests(ev, ["day"], cols)
+    md = ev.agg(F.min("day").alias("_md"))
+    evb = (
+        ev.crossJoin(F.broadcast(md))
+        .withColumn(
+            "event_type",
+            F.when(
+                F.col("day") == F.col("_md"),
+                F.concat(F.col("event_type"), F.lit("_v2")),
+            ).otherwise(F.col("event_type")),
+        )
+        .drop("_md")
+    )
+    b = partition_digests(evb, ["day"], cols)
+    return manifest_diff(a, b, ["day"])
+
+
+@register(
     "pii_t_closeness",
     oracle="""
     WITH base AS (SELECT c_nationkey, c_mktsegment,

@@ -1348,3 +1348,35 @@ def test_rank_mrr_hand_computed(spark):
     assert rows[2]["rr"] == round(1 / 3, 6) and rows[2]["rank_in_approx"] == 3
     assert rows[3]["rr"] == 0.0 and rows[3]["rank_in_approx"] is None
     assert rows[1]["rel_id"] == 10
+
+
+def test_manifest_diff_statuses(spark):
+    """All four statuses: same, changed (digest moved), added (only in
+    B), removed (only in A); null-safe on the partition key."""
+    from petastorm_spark.operators.layout import (
+        manifest_diff,
+        partition_digests,
+    )
+
+    a_src = arrow_local_df(
+        spark,
+        {"p": ["x", "y", None], "v": [1, 2, 3]},
+        "p string, v bigint",
+    )
+    b_src = arrow_local_df(
+        spark,
+        {"p": ["x", "z", None], "v": [1, 9, 4]},
+        "p string, v bigint",
+    )
+    d = manifest_diff(
+        partition_digests(a_src, ["p"]),
+        partition_digests(b_src, ["p"]),
+        ["p"],
+    )
+    got = {r["p"]: r["status"] for r in d.collect()}
+    assert got == {
+        "x": "same",
+        "y": "removed",
+        "z": "added",
+        None: "changed",
+    }
