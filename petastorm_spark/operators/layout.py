@@ -197,14 +197,28 @@ def file_layout_report(
         .collect()
     )
 
+    # remote schemes: ONE listStatus per parent directory (a 100k-file
+    # dataset must not issue 100k serial driver py4j getFileStatus
+    # round trips against the namenode/listing service)
+    remote_sizes: dict[str, int] = {}
+    remote_dirs = {
+        uri.rsplit("/", 1)[0]
+        for uri in (r["_uri"] for r in counts)
+        if urlparse(uri).scheme not in ("", "file")
+    }
+    if remote_dirs:  # pragma: no cover - remote FS, same listing API
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        for d in remote_dirs:
+            hp = jvm.org.apache.hadoop.fs.Path(d)
+            for st in hp.getFileSystem(conf).listStatus(hp):
+                remote_sizes[st.getPath().toString()] = st.getLen()
+
     def size_of(uri: str) -> int:
         parsed = urlparse(uri)
         if parsed.scheme in ("", "file"):
             return os.path.getsize(unquote(parsed.path or uri))
-        jvm = spark.sparkContext._jvm  # pragma: no cover - remote FS
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        hp = jvm.org.apache.hadoop.fs.Path(uri)
-        return hp.getFileSystem(conf).getFileStatus(hp).getLen()
+        return remote_sizes[uri]  # pragma: no cover - remote FS
 
     rows = []
     total_rows = total_bytes = 0
@@ -214,7 +228,7 @@ def file_layout_report(
         total_bytes += b
         rows.append(
             {
-                "file": os.path.basename(urlparse(r["_uri"]).path),
+                "file": os.path.basename(unquote(urlparse(r["_uri"]).path)),
                 "n_rows": int(r["n_rows"]),
                 "bytes": int(b),
                 "rows_per_mb": round(

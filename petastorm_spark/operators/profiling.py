@@ -198,6 +198,8 @@ def observed_constraints(
     inline in write paths, that one as the standalone gate."""
     from pyspark.sql import Observation
 
+    if not checks:
+        raise ValueError("checks must not be empty")
     aggs, names = [], []
     for i, chk in enumerate(checks):
         kind, col = chk[0], chk[1]
@@ -209,6 +211,13 @@ def observed_constraints(
             F.count(F.when(violation_expr(chk), 1)).alias(f"v_{i}")
         )
         names.append((i, kind, col))
+    if len({(k, c) for _, k, c in names}) != len(names):
+        # fetch() keys by (kind, column); duplicates would silently
+        # collapse to one count — refuse the ambiguity outright
+        raise ValueError(
+            "duplicate (kind, column) checks would collapse in fetch()"
+            " — merge them or use check_constraints"
+        )
     obs = Observation()
     observed = df.observe(obs, *aggs)
 

@@ -746,7 +746,12 @@ def source_mix_report(
         F.sum("n_tokens").cast("decimal(38,0)").alias("_tt"),
         F.count(F.lit(1)).alias("_ng"),
     )
-    w = Window.orderBy("n_tokens", "source")
+    # explicit NULLS LAST on the tie-break: Spark ASC defaults nulls
+    # FIRST while DuckDB/ANSI default them LAST — a NULL source group
+    # would otherwise get a different rank (and Gini term) per engine
+    w = Window.orderBy(
+        F.col("n_tokens").asc(), F.col("source").asc_nulls_last()
+    )
     ranked = per.crossJoin(F.broadcast(tot)).withColumn(
         "_rank", F.row_number().over(w)
     )

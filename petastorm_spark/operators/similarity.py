@@ -1470,6 +1470,21 @@ def _kmeans_np_model(cents: dict[int, list[int]]):
     return C, np.array(cells_sorted, dtype=np.int64)
 
 
+def _kmeans_sqdist(V, C):
+    """Exact int64 squared distances via the matmul decomposition
+    ||v-c||^2 = v.v - 2 v@c + c.c — O(batch x k) memory instead of the
+    batch x k x dims difference tensor (which is ~2.6 GB per 10k-row
+    Arrow batch at a realistic k=256, dims=64 coarse quantizer). All
+    three terms are int64 integer arithmetic, so the result is the
+    SAME exact integer the elementwise form and the Catalyst fold
+    compute."""
+    import numpy as np
+
+    vv = np.einsum("ij,ij->i", V, V)
+    cc = np.einsum("ij,ij->i", C, C)
+    return vv[:, None] - 2 * (V @ C.T) + cc[None, :]
+
+
 def _kmeans_assign_numpy(pts: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
     """The production assignment kernel: per Arrow batch one int64
     numpy pass — (V - C)^2 summed over dims is the SAME exact integer
@@ -1489,7 +1504,7 @@ def _kmeans_assign_numpy(pts: DataFrame, cents: dict[int, list[int]]) -> DataFra
                 yield pd.DataFrame({"_id": pdf["_id"], "cell": [], "dist": []})
                 continue
             V = np.stack(pdf["_xq"].to_numpy()).astype(np.int64)
-            D = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            D = _kmeans_sqdist(V, C)
             idx = D.argmin(axis=1)
             yield pd.DataFrame(
                 {
@@ -1519,7 +1534,7 @@ def _kmeans_stats_numpy(pts: DataFrame, cents: dict[int, list[int]]) -> DataFram
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf["_xq"].to_numpy()).astype(np.int64)
-            D = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            D = _kmeans_sqdist(V, C)
             idx = D.argmin(axis=1)
             S = np.zeros((k, dims), dtype=np.int64)
             np.add.at(S, idx, V)

@@ -6722,7 +6722,8 @@ def partition_digests_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN b.dg IS NULL THEN 'removed'
                 WHEN a.dg = b.dg THEN 'same'
                 ELSE 'changed' END AS status
-    FROM dig_a a FULL OUTER JOIN dig_b b ON a.day = b.day
+    FROM dig_a a FULL OUTER JOIN dig_b b
+      ON a.day IS NOT DISTINCT FROM b.day
     """,
 )
 def manifest_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
