@@ -43,6 +43,8 @@ def curate_corpus(
     lm_alpha: float = 0.4,
     k_anon_cols: Sequence[str] | None = None,
     k_anon_k: int = 5,
+    l_div_sensitive: str | None = None,
+    l_div_l: int = 3,
 ) -> dict[str, DataFrame]:
     """Chain the standard curation passes and return every intermediate
     stage (lazy) keyed by name, in order:
@@ -90,6 +92,12 @@ def curate_corpus(
       the filters — every earlier stage shrinks classes, and only the
       final class sizes decide re-identification risk (key absent when
       ``k_anon_cols`` is None);
+    - ``l_div`` (opt-in) — distinct l-diversity suppression over the
+      SAME QI columns (:func:`~petastorm_spark.operators.privacy.
+      suppress_low_diversity`): classes carrying fewer than
+      ``l_div_l`` distinct ``l_div_sensitive`` values are dropped —
+      the attribute-disclosure gate after the linkage gate (key absent
+      when ``l_div_sensitive`` is None; requires ``k_anon_cols``);
     - ``output`` — PII scrubbed in place.
 
     The near-dedup stage EXECUTES when built (connected components is
@@ -207,6 +215,16 @@ def curate_corpus(
 
         pre_out = stages["k_anon"] = suppress_small_classes(
             pre_out, list(k_anon_cols), k_anon_k
+        )
+    if l_div_sensitive is not None:
+        if k_anon_cols is None:
+            raise ValueError(
+                "l_div_sensitive needs k_anon_cols as the QI columns"
+            )
+        from petastorm_spark.operators.privacy import suppress_low_diversity
+
+        pre_out = stages["l_div"] = suppress_low_diversity(
+            pre_out, list(k_anon_cols), l_div_sensitive, l_div_l
         )
 
     stages["output"] = pre_out.withColumn(text_col, scrub_pii(text_col))

@@ -327,3 +327,28 @@ def t_closeness_report(
         F.col("_nq").alias("class_size"),
         emd.alias("emd"),
     ).withColumn("at_risk", (F.col("emd") > t).cast("int"))
+
+
+def suppress_low_diversity(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """Enforce distinct l-diversity by SUPPRESSION: drop every row
+    whose QI class carries fewer than ``l`` distinct sensitive values
+    (the class is homogeneous enough to disclose its members'
+    attribute even when k-anonymous) — the enforcement twin of
+    :func:`l_diversity_report`, shaped exactly like
+    :func:`suppress_small_classes`: one left-semi join against the
+    safe classes, null-safe on the QI key."""
+    safe = (
+        l_diversity_report(df, qi_cols, sensitive_col, l)
+        .where(F.col("at_risk") == 0)
+        .select(*qi_cols)
+    )
+    cond = None
+    for c in qi_cols:
+        eq = df[c].eqNullSafe(safe[c])
+        cond = eq if cond is None else (cond & eq)
+    return df.join(safe, cond, "left_semi")

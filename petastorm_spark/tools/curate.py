@@ -1,7 +1,8 @@
 """Corpus-curation CLI: run the full curate_corpus pipeline (exact
 dedup -> optional near-dedup -> optional span excision -> quality
 floor -> optional classifier/LM gates -> per-source cap ->
-k-anonymity suppression -> PII scrub) over a parquet corpus and
+k-anonymity suppression -> l-diversity suppression -> PII scrub)
+over a parquet corpus and
 write the curated output plus a per-stage attrition report.
 
     python -m petastorm_spark.tools.curate SRC DST \\
@@ -42,6 +43,8 @@ def curate(
     lm_model_url: str | None = None,
     k_anon_cols: list[str] | None = None,
     k_anon_k: int = 5,
+    l_div_sensitive: str | None = None,
+    l_div_l: int = 3,
     report_url: str | None = None,
     row_group_size_mb: int | None = None,
     zorder_cols: list[str] | None = None,
@@ -74,6 +77,8 @@ def curate(
         ),
         k_anon_cols=k_anon_cols,
         k_anon_k=k_anon_k,
+        l_div_sensitive=l_div_sensitive,
+        l_div_l=l_div_l,
     )
     out = stages["output"]
     if zorder_cols:
@@ -131,6 +136,14 @@ def main() -> None:
         "filters are suppressed (k-anonymity enforcement)",
     )
     p.add_argument("--k-anon-k", type=int, default=5)
+    p.add_argument(
+        "--l-div-sensitive",
+        default=None,
+        help="sensitive column for distinct l-diversity suppression "
+        "over the --k-anon-cols QI classes (classes with fewer than "
+        "--l-div-l distinct values are dropped)",
+    )
+    p.add_argument("--l-div-l", type=int, default=3)
     p.add_argument("--report", dest="report_url", default=None)
     p.add_argument("--row-group-size-mb", type=int, default=None)
     p.add_argument(
@@ -162,6 +175,8 @@ def main() -> None:
         lm_model_url=a.lm_model_url,
         k_anon_cols=a.k_anon_cols.split(",") if a.k_anon_cols else None,
         k_anon_k=a.k_anon_k,
+        l_div_sensitive=a.l_div_sensitive,
+        l_div_l=a.l_div_l,
         report_url=a.report_url,
         row_group_size_mb=a.row_group_size_mb,
         zorder_cols=a.zorder.split(",") if a.zorder else None,

@@ -1380,3 +1380,40 @@ def test_manifest_diff_statuses(spark):
         "z": "added",
         None: "changed",
     }
+
+
+def test_curation_l_div_stage(spark):
+    """The opt-in l-diversity stage: after k-anonymity passes, a class
+    homogeneous in the sensitive column is suppressed; requires the QI
+    columns; the attrition report carries the stage."""
+    import pytest as _pytest
+
+    from petastorm_spark.operators.pipeline import (
+        curate_corpus,
+        curation_report,
+    )
+
+    df = arrow_local_df(
+        spark,
+        {
+            "doc_id": list(range(8)),
+            "text": [f"clean document number {i} with words" for i in range(8)],
+            "grp": ["a"] * 4 + ["b"] * 4,
+            "sens": [1, 1, 1, 1, 1, 2, 3, 4],
+        },
+        "doc_id bigint, text string, grp string, sens bigint",
+    )
+    stages = curate_corpus(
+        df, "text", "doc_id",
+        quality_floor=0.0,
+        k_anon_cols=["grp"], k_anon_k=2,
+        l_div_sensitive="sens", l_div_l=2,
+    )
+    out = stages["output"].select("grp").collect()
+    assert {r["grp"] for r in out} == {"b"}  # class a is homogeneous
+    assert "l_div" in stages
+    rep = {r["stage"]: r["n_rows"] for r in curation_report(stages).collect()}
+    assert rep["k_anon"] == 8 and rep["l_div"] == 4
+
+    with _pytest.raises(ValueError, match="k_anon_cols"):
+        curate_corpus(df, "text", "doc_id", l_div_sensitive="sens")
