@@ -207,7 +207,7 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 3,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
@@ -219,7 +219,11 @@ def cosine_topk_ivf(
     The coarse quantizer here is deterministic (centroids = the
     ``n_cells`` corpus vectors with the lowest ids) so the DuckDB
     oracle can rebuild the exact same index; in production feed k-means
-    centroids in via ``centroids=``. Scale: centroid table is tiny and
+    centroids in via ``centroids=``. ``n_cells=None`` (the default) is
+    AUTO sizing — :func:`auto_n_cells` = sqrt(N) cells, so candidate
+    volume per query stays ~sqrt(N) as the corpus grows instead of a
+    fixed cell count going quadratic; pass an explicit ``n_cells``
+    for SQL-oracle parity on a pinned quantizer. Scale: centroid table is tiny and
     broadcast everywhere; the corpus is scanned once for assignment
     (one partial-agg argmax, no window) and the candidate join is a
     cell equi-join; top-k via partition-local windows + merge.
@@ -608,7 +612,7 @@ def ivf_build(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index: returns ``(centroids, assignments)`` —
@@ -624,10 +628,19 @@ def ivf_build(
     matmul (:func:`_probe_cells_numpy`); no shuffle, no join, no
     n x n_cells row blowup. Falls back to the broadcast-join +
     partial-agg argmax only when the quantizer outgrows the local
-    matrix (at which point use a hierarchical quantizer)."""
+    matrix (at which point use a hierarchical quantizer).
+
+    ``n_cells=None`` (the default) AUTO-sizes the quantizer to
+    :func:`auto_n_cells` = sqrt(N) from one metadata-cheap count —
+    the scale-safe default (per-cell population ~sqrt(N), so the
+    downstream candidate join never goes quadratic as the corpus
+    grows); an explicit ``n_cells`` pins the quantizer for external
+    SQL-oracle rebuilds."""
     if centroids is not None:
         cent = _as_centroids(centroids, id_col, vec_col)
     else:
+        if n_cells is None:
+            n_cells = auto_n_cells(corpus.select(id_col).count())
         cent = (
             corpus.orderBy(id_col)
             .limit(n_cells)
@@ -730,11 +743,14 @@ def ivf_query(
 
 
 def auto_n_cells(n_rows: int) -> int:
-    """The scale-safe IVF cell count for an all-pairs kNN graph over
-    ``n_rows`` vectors: ``max(16, ceil(sqrt(N)))``. Candidate volume
-    is ~ N * n_probe * (N / n_cells); sqrt(N) cells keep per-vector
-    candidate work ~ sqrt(N) (the standard IVF-graph sizing) instead
-    of letting a fixed cell count turn the candidate join quadratic.
+    """The scale-safe IVF cell count over ``n_rows`` vectors:
+    ``max(16, ceil(sqrt(N)))`` — the shared AUTO default for the whole
+    IVF family (:func:`ivf_build`, :func:`cosine_topk_ivf`,
+    :func:`ivfpq_build`, :func:`semantic_dedup`, :func:`knn_graph`,
+    :func:`train_kmeans_centroids`). Candidate volume is
+    ~ N * n_probe * (N / n_cells); sqrt(N) cells keep per-vector
+    candidate work ~ sqrt(N) (the standard IVF sizing) instead of
+    letting a fixed cell count turn the candidate join quadratic.
     Exposed as a plain function so the sizing rule itself is pinned
     by a unit test, not just documented."""
     import math
@@ -1360,7 +1376,7 @@ def train_kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     seed: int = 7,
     max_iter: int = 20,
 ) -> DataFrame:
@@ -1372,9 +1388,14 @@ def train_kmeans_centroids(
     Uses Spark ML's distributed KMeans (import-gated like the other ML
     touchpoints; raises ImportError where pyspark.ml is unavailable).
     Scale: KMeans|| init + Lloyd iterations are all map-side +
-    tree-aggregated; nothing corpus-sized ever sits on the driver."""
+    tree-aggregated; nothing corpus-sized ever sits on the driver.
+    ``n_cells=None`` AUTO-sizes to :func:`auto_n_cells` = sqrt(N),
+    matching the IVF-family default."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    if n_cells is None:
+        n_cells = auto_n_cells(corpus.select(id_col).count())
 
     feats = corpus.select(
         array_to_vector(
@@ -1971,7 +1992,7 @@ def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
     n_probe: int = 1,
@@ -2016,6 +2037,11 @@ def semantic_dedup(
         if centroids is not None:
             cent = _as_centroids(centroids, id_col, vec_col)
         else:
+            if n_cells is None:
+                # AUTO sizing (sqrt(N), shared with ivf_build): cell
+                # population ~sqrt(N) keeps the per-cell quadratic
+                # stage linear-in-N overall
+                n_cells = auto_n_cells(corpus.select(id_col).count())
             cent = (
                 corpus.orderBy(id_col)
                 .limit(n_cells)
@@ -2543,7 +2569,7 @@ def cosine_topk_ivfpq(
     k: int = 5,
     rescore_factor: int = 4,
     dim: int = 64,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 2,
     m: int = 8,
     k_codes: int = 16,
@@ -2585,7 +2611,7 @@ def ivfpq_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     m: int = 8,
     k_codes: int = 16,
     centroids: DataFrame | None = None,
