@@ -200,7 +200,15 @@ def file_layout_report(
     # remote schemes: ONE listStatus per parent directory (a 100k-file
     # dataset must not issue 100k serial driver py4j getFileStatus
     # round trips against the namenode/listing service)
-    remote_sizes: dict[str, int] = {}
+    # key/lookup on DECODED (scheme, host, path) components: Spark's
+    # input_file_name() percent-encodes (e.g. spaces) while Hadoop
+    # Path.toString() may not — raw-string keys would KeyError on any
+    # path needing encoding
+    def _norm_uri(uri: str) -> tuple:
+        p = urlparse(uri)
+        return (p.scheme, p.netloc, unquote(p.path))
+
+    remote_sizes: dict[tuple, int] = {}
     remote_dirs = {
         uri.rsplit("/", 1)[0]
         for uri in (r["_uri"] for r in counts)
@@ -212,13 +220,13 @@ def file_layout_report(
         for d in remote_dirs:
             hp = jvm.org.apache.hadoop.fs.Path(d)
             for st in hp.getFileSystem(conf).listStatus(hp):
-                remote_sizes[st.getPath().toString()] = st.getLen()
+                remote_sizes[_norm_uri(st.getPath().toString())] = st.getLen()
 
     def size_of(uri: str) -> int:
         parsed = urlparse(uri)
         if parsed.scheme in ("", "file"):
             return os.path.getsize(unquote(parsed.path or uri))
-        return remote_sizes[uri]  # pragma: no cover - remote FS
+        return remote_sizes[_norm_uri(uri)]  # pragma: no cover - remote FS
 
     rows = []
     total_rows = total_bytes = 0

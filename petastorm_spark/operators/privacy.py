@@ -109,16 +109,29 @@ def dp_group_release(
     clip_lo: float = 0.0,
     clip_hi: float = 1.0,
     micro: int = 10**6,
+    delta: float | None = None,
 ) -> DataFrame:
     """Differentially-private group release (Dwork et al. 2006, the
     Laplace mechanism): per group, the exact count plus Laplace(1/eps)
     noise — and, when ``value_col`` is given, the [clip_lo, clip_hi]-
-    clipped sum plus Laplace((clip_hi-clip_lo)/eps) — so the released
-    histogram satisfies eps-DP per released statistic (2*eps total
-    when both are released; neither the exact counts nor the clipping
-    rejects leave the operator). The aggregate-release leg of the
-    privacy family: k-anonymity gates which ROWS may ship,
-    dp_group_release makes shipped AGGREGATES safe.
+    clipped sum plus Laplace((clip_hi-clip_lo)/eps). The aggregate-
+    release leg of the privacy family: k-anonymity gates which ROWS
+    may ship, dp_group_release makes shipped AGGREGATES safe.
+
+    DP GUARANTEE — read carefully, the released KEY SET matters:
+    noisy statistics are emitted only for groups OBSERVED in the
+    data, so with ``delta=None`` (the default) the release is eps-DP
+    per statistic ONLY over a PUBLIC/KNOWN group-key domain (e.g. a
+    fixed enum of event types): a key present in one dataset and
+    absent in a neighbor is distinguished with certainty by its mere
+    presence in the output, regardless of noise. For an UNBOUNDED or
+    data-dependent key domain pass ``delta`` to enable the
+    stability-based histogram (Korolova et al. 2009): groups are
+    released only when ``noisy_count >= 1 + ln(1/(2*delta))/epsilon``
+    (P[Lap(1/eps) crosses the gap from a count of 1] <= delta), making
+    the count release (eps, delta)-DP — and, when ``value_col`` is
+    also given, the joint release (2*eps, delta)-DP by composition —
+    under add/remove-one-row adjacency with each row in one group.
 
     DETERMINISM CAVEAT, by design: the noise draw is the md5-keyed
     uniform (seed|group) through the inverse CDF, so runs are
@@ -135,6 +148,8 @@ def dp_group_release(
 
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    if delta is not None and not 0 < delta < 1:
+        raise ValueError(f"delta must be in (0, 1), got {delta}")
     if value_col is not None and clip_hi <= clip_lo:
         raise ValueError(
             f"clip_hi must exceed clip_lo, got [{clip_lo}, {clip_hi}]"
@@ -174,7 +189,16 @@ def dp_group_release(
                 6,
             ).alias("noisy_sum")
         )
-    return out.select(*cols)
+    released = out.select(*cols)
+    if delta is not None:
+        # stability threshold: a group of true count 1 survives with
+        # probability P[Lap(1/eps) >= tau - 1] <= delta. Filtering the
+        # released (post-noise) value is pure post-processing.
+        import math
+
+        tau = 1.0 + math.log(1.0 / (2.0 * delta)) / epsilon
+        released = released.where(F.col("noisy_count") >= F.lit(tau))
+    return released
 
 
 def l_diversity_report(
@@ -245,6 +269,11 @@ def t_closeness_report(
 
     s = F.col(sensitive_col)
     base = df.where(s.isNotNull())
+    # NaN would misalign the two CDF orderings: Python's sorted() has
+    # no total order under NaN while Spark windows order NaN last —
+    # exclude NaN like NULL (it carries no orderable information)
+    if df.schema[sensitive_col].dataType.simpleString() in ("float", "double"):
+        base = base.where(~F.isnan(s))
     qi = [F.col(c) for c in qi_cols]
 
     cv = (

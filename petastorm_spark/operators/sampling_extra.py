@@ -749,8 +749,11 @@ def source_mix_report(
     # explicit NULLS LAST on the tie-break: Spark ASC defaults nulls
     # FIRST while DuckDB/ANSI default them LAST — a NULL source group
     # would otherwise get a different rank (and Gini term) per engine
+    # n_tokens too: a group whose docs are all NULL-text sums to a
+    # NULL token mass, which Spark ASC puts FIRST and DuckDB LAST —
+    # pin NULLS LAST on the primary key as well
     w = Window.orderBy(
-        F.col("n_tokens").asc(), F.col("source").asc_nulls_last()
+        F.col("n_tokens").asc_nulls_last(), F.col("source").asc_nulls_last()
     )
     ranked = per.crossJoin(F.broadcast(tot)).withColumn(
         "_rank", F.row_number().over(w)

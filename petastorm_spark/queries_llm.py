@@ -6893,7 +6893,8 @@ def dp_event_type_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid AS (SELECT tc.token, lc.label, tc.n_t, lc.n_l,
                     coalesce(tl.n_tl, 0) AS n_tl, nn.N
              FROM tc CROSS JOIN lc
-             LEFT JOIN tl ON tl.token = tc.token AND tl.label = lc.label,
+             LEFT JOIN tl ON tl.token = tc.token
+                         AND tl.label IS NOT DISTINCT FROM lc.label,
                   nn)
     SELECT token, label,
            CAST(n_tl AS BIGINT) AS n_tl,

@@ -477,3 +477,89 @@ def test_semantic_dedup_registers_releasable_cache(spark):
     assert release_persisted() >= 1
     assert not sess._PERSISTED
     assert not cached.storageLevel.useMemory or not cached.is_cached
+
+
+def test_dp_group_release_stability_threshold(spark):
+    """r13 ADVICE medium: over an unbounded key domain the bare
+    release leaks group PRESENCE. delta= enables the stability
+    histogram: groups whose noisy count falls under
+    1 + ln(1/(2*delta))/eps are withheld."""
+    import math
+
+    from petastorm_spark.operators.privacy import dp_group_release
+
+    from petastorm_spark.session import arrow_local_df
+
+    df = arrow_local_df(
+        spark,
+        {
+            "g": ["common"] * 200 + ["rare"],
+            "v": [1.0] * 201,
+        },
+        "g string, v double",
+    )
+    eps, delta = 1.0, 1e-6
+    out = dp_group_release(df, "g", epsilon=eps, seed=0, delta=delta)
+    rows = {r["g"]: r["noisy_count"] for r in out.collect()}
+    tau = 1.0 + math.log(1.0 / (2.0 * delta)) / eps
+    # the singleton group cannot beat the ~14.8 threshold except with
+    # probability <= delta; the 200-count group always survives
+    assert "rare" not in rows
+    assert rows["common"] >= tau
+    # delta=None keeps the old (known-domain) behavior: both released
+    both = dp_group_release(df, "g", epsilon=eps, seed=0)
+    assert both.count() == 2
+    with pytest.raises(ValueError):
+        dp_group_release(df, "g", epsilon=eps, delta=1.5)
+
+
+def test_t_closeness_rejects_nan_sensitive(spark):
+    """r13 ADVICE low: NaN sensitive values break Python sorted()'s
+    total order while Spark windows order NaN last — they are now
+    excluded like NULL, so the report matches the NaN-free twin."""
+    from petastorm_spark.operators.privacy import t_closeness_report
+
+    from petastorm_spark.session import arrow_local_df
+
+    clean = arrow_local_df(
+        spark,
+        {"qi": ["a", "a", "b", "b"], "s": [1.0, 2.0, 1.0, 2.0]},
+        "qi string, s double",
+    )
+    dirty = arrow_local_df(
+        spark,
+        {
+            "qi": ["a", "a", "b", "b", "a", "b"],
+            "s": [1.0, 2.0, 1.0, 2.0, float("nan"), float("nan")],
+        },
+        "qi string, s double",
+    )
+    want = sorted(map(tuple, t_closeness_report(clean, ["qi"], "s").collect()))
+    got = sorted(map(tuple, t_closeness_report(dirty, ["qi"], "s").collect()))
+    assert got == want
+
+
+def test_source_mix_report_null_token_mass_ranks_last(spark):
+    """r13 ADVICE low: a group whose docs all have NULL text has
+    n_tokens=NULL; Spark ASC would rank it FIRST while DuckDB ranks
+    NULLS LAST, shifting every Gini term. Pinned to NULLS LAST."""
+    from petastorm_spark.operators.sampling_extra import source_mix_report
+
+    from petastorm_spark.session import arrow_local_df
+
+    df = arrow_local_df(
+        spark,
+        {
+            "source": ["nulls", "nulls", "tiny", "big", "big"],
+            "text": [None, None, "one two", "a b c d", "e f g h"],
+        },
+        "source string, text string",
+    )
+    out = {
+        r["source"]: r for r in source_mix_report(df, "text", "source").collect()
+    }
+    # gini_num = (2*rank - n_groups - 1) * n_tokens with n_groups=3:
+    # NULLS LAST puts tiny at rank 1 (coeff -2 -> -4) and big at
+    # rank 2 (coeff 0 -> 0); NULLS FIRST would give tiny 0 and big 16
+    assert out["tiny"]["gini_num"] == "-4"
+    assert out["big"]["gini_num"] == "0"
