@@ -161,14 +161,18 @@ def triangle_census(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        # eager cut (the label_propagation precedent): e feeds the
+        # degree count AND the orientation join; without the cut each
+        # consumer replans and re-runs the dedup shuffle
+        .localCheckpoint(eager=True)
     )
-    from pyspark import StorageLevel
-
-    e = e.persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        # node-sized; feeds wedges + both sides of the rank join —
+        # one cut saves three recomputes of the explode + aggregate
+        .localCheckpoint(eager=True)
     )
     # wedges (open two-paths, closed or not) need only the degree
     # table; sum the (even) product in bigint and halve with integer
@@ -191,7 +195,11 @@ def triangle_census(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("_db")).otherwise(F.col("_da")).alias("_rv"),
-    )
+        # eager cut: oriented feeds BOTH wedge sides and the closing
+        # semi-join — three consumers, one materialization (this was
+        # the dominant fixed stage cost at bench scale: ~40 stages
+        # from replanning the two-join orientation per consumer)
+    ).localCheckpoint(eager=True)
     o1 = oriented.select(
         F.col("u"), F.col("v").alias("v1"), F.col("_rv").alias("_r1")
     )
