@@ -126,6 +126,8 @@ def materialize_dataset(
     schema: Unischema,
     row_group_size_mb: int | None = None,
     petastorm_compat: bool = True,
+    manifest_part_cols=None,
+    manifest_hash_cols=None,
 ):
     """Wrap a ``df.write.parquet(dataset_url)`` call: sets the parquet
     row-group size for the write and stores the Unischema sidecar after.
@@ -139,7 +141,15 @@ def materialize_dataset(
     so ORIGINAL petastorm readers can consume the dataset — mixed-fleet
     migrations where old trainers read new ETL output. Skipped with a
     warning when a codec has no byte-compatible reference equivalent.
-    """
+
+    ``manifest_part_cols`` (optional) also writes the partition-digest
+    snapshot manifest (``_ps_manifest/`` sidecar,
+    :func:`operators.layout.write_dataset_manifest`) keyed by those
+    columns — one extra scan at write time so later snapshot diffs
+    (:func:`operators.layout.manifest_diff`) never re-scan the data;
+    ``manifest_hash_cols`` narrows the digested payload (default: all
+    non-key columns). The write-time sibling of the observed-metrics
+    contract gate."""
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     old_block = hconf.get("parquet.block.size")
     if row_group_size_mb is not None:
@@ -168,3 +178,9 @@ def materialize_dataset(
         )
 
         write_petastorm_compat_metadata(dataset_url, schema, row_groups)
+    if manifest_part_cols is not None:
+        from petastorm_spark.operators.layout import write_dataset_manifest
+
+        write_dataset_manifest(
+            spark, dataset_url, manifest_part_cols, manifest_hash_cols
+        )

@@ -361,3 +361,38 @@ def partition_digests(
         .cast("string")
         .alias("digest"),
     )
+
+
+MANIFEST_DIRNAME = "_ps_manifest"
+
+
+def write_dataset_manifest(
+    spark,
+    dataset_url: str,
+    part_cols,
+    hash_cols=None,
+) -> None:
+    """Compute and persist the :func:`partition_digests` manifest as a
+    sidecar parquet table under ``<dataset>/_ps_manifest/`` (the
+    ``_ps_index`` convention — the leading underscore hides it from
+    parquet dataset scans). One scan at WRITE time buys every future
+    snapshot comparison: :func:`manifest_diff` over two stored
+    manifests is a partition-count-sized join, no dataset re-scan.
+    The manifest records its own key so a later diff can self-check
+    it compares like with like."""
+    part_cols = list(part_cols)
+    df = spark.read.parquet(dataset_url)
+    man = partition_digests(df, part_cols, hash_cols).withColumn(
+        "_manifest_key", F.lit(",".join(part_cols))
+    )
+    man.write.mode("overwrite").parquet(
+        dataset_url.rstrip("/") + "/" + MANIFEST_DIRNAME
+    )
+
+
+def read_dataset_manifest(spark, dataset_url: str) -> DataFrame:
+    """Load a dataset's stored :func:`write_dataset_manifest` sidecar
+    — feed two of these to :func:`manifest_diff`."""
+    return spark.read.parquet(
+        dataset_url.rstrip("/") + "/" + MANIFEST_DIRNAME
+    )

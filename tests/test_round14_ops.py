@@ -187,3 +187,51 @@ def test_zorder_skips_row_groups_on_both_dimensions(spark, tmp_path_factory):
         f"ub-box z={q_z_ub}; dy-box z={q_z_dy} lin={q_l_dy}; "
         f"2D box z={q_z_box} lin={q_l_box}"
     )
+
+
+def test_write_time_manifest_detects_appended_partition(spark, tmp_path_factory):
+    """The r13 verdict's #5: partition digests were query-side only.
+    materialize_dataset(manifest_part_cols=...) now writes the
+    _ps_manifest sidecar, so manifest_diff between two snapshots is a
+    manifest-only join — no dataset re-scan — and flags an appended
+    partition as 'added' and an edited row as 'changed'."""
+    from petastorm_spark.etl.dataset_metadata import materialize_dataset
+    from petastorm_spark.operators.layout import (
+        manifest_diff,
+        read_dataset_manifest,
+    )
+    from petastorm_spark.unischema import Unischema
+
+    root = tmp_path_factory.mktemp("manif")
+    u1, u2 = str(root / "snap1"), str(root / "snap2")
+
+    def rows(extra_part=False, edit=False):
+        data = [(p, 10 * p + i, f"v{p}-{i}") for p in range(4) for i in range(5)]
+        if edit:
+            data[0] = (0, 0, "EDITED")
+        if extra_part:
+            data += [(9, 90 + i, f"v9-{i}") for i in range(5)]
+        return spark.createDataFrame(data, "part int, id bigint, v string")
+
+    schema = Unischema.from_spark_schema(rows().schema)
+    for url, kw in ((u1, {}), (u2, {"extra_part": True, "edit": True})):
+        with materialize_dataset(
+            spark, url, schema, manifest_part_cols=["part"]
+        ):
+            rows(**kw).write.mode("overwrite").parquet(url)
+
+    # the sidecar is underscore-hidden: the dataset reads back clean
+    assert spark.read.parquet(u1).count() == 20
+    assert spark.read.parquet(u2).count() == 25
+
+    diff = {
+        r["part"]: r["status"]
+        for r in manifest_diff(
+            read_dataset_manifest(spark, u1),
+            read_dataset_manifest(spark, u2),
+            ["part"],
+        ).collect()
+    }
+    assert diff[9] == "added"
+    assert diff[0] == "changed"
+    assert all(diff[p] == "same" for p in (1, 2, 3))
