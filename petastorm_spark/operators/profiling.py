@@ -228,3 +228,77 @@ def observed_constraints(
         }
 
     return observed, fetch
+
+
+class ContractViolationError(ValueError):
+    """Raised by :func:`enforce_contract` when any check fails; carries
+    the full per-check report rows in ``report``."""
+
+    def __init__(self, message: str, report):
+        super().__init__(message)
+        self.report = report
+
+
+def parse_contract(spec: str) -> list[tuple]:
+    """Parse the CLI contract grammar into :func:`check_constraints`
+    tuples. Entries separated by ``;``; fields by ``:``:
+
+        not_null:doc_id; unique:doc_id; range:n_chars:1:100000;
+        in_set:lang:en|fr|de; regex:doc_id:^[0-9]+$
+
+    ``regex`` takes the REMAINDER verbatim after its second colon
+    (patterns may themselves contain colons); ``in_set`` values split
+    on ``|``; ``range`` bounds parse as floats."""
+    checks: list[tuple] = []
+    for raw in spec.split(";"):
+        entry = raw.strip()
+        if not entry:
+            continue
+        kind, _, rest = entry.partition(":")
+        kind = kind.strip()
+        if kind in ("not_null", "unique"):
+            if not rest or ":" in rest:
+                raise ValueError(f"{kind} takes exactly one column: {entry!r}")
+            checks.append((kind, rest.strip()))
+        elif kind == "range":
+            col, _, bounds = rest.partition(":")
+            lo, sep, hi = bounds.partition(":")
+            if not sep:
+                raise ValueError(f"range needs col:lo:hi: {entry!r}")
+            checks.append((kind, col.strip(), float(lo), float(hi)))
+        elif kind == "in_set":
+            col, sep, vals = rest.partition(":")
+            if not sep:
+                raise ValueError(f"in_set needs col:v1|v2|...: {entry!r}")
+            checks.append((kind, col.strip(), vals.split("|")))
+        elif kind == "regex":
+            col, sep, pat = rest.partition(":")
+            if not sep:
+                raise ValueError(f"regex needs col:pattern: {entry!r}")
+            checks.append((kind, col.strip(), pat))
+        else:
+            raise ValueError(f"unknown check kind {kind!r} in {entry!r}")
+    if not checks:
+        raise ValueError(f"empty contract spec: {spec!r}")
+    return checks
+
+
+def enforce_contract(df: DataFrame, checks: Sequence[tuple]) -> list:
+    """Run :func:`check_constraints` and RAISE
+    :class:`ContractViolationError` if any check fails — the abort
+    gate a write path calls BEFORE committing output. Returns the
+    report rows (check-count-sized) on success so callers can log
+    them. The one-extra-scan standalone form; for free validation
+    fused into an existing action use :func:`observed_constraints`."""
+    rows = check_constraints(df, checks).collect()
+    failed = [r for r in rows if not r["passed"]]
+    if failed:
+        detail = "; ".join(
+            f"{r['check']}({r['column']}): {r['n_violations']} violations"
+            for r in failed
+        )
+        raise ContractViolationError(
+            f"contract failed — {len(failed)}/{len(rows)} checks: {detail}",
+            rows,
+        )
+    return rows

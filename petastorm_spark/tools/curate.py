@@ -2,7 +2,8 @@
 dedup -> optional near-dedup -> optional span excision -> quality
 floor -> optional classifier/LM gates -> per-source cap ->
 k-anonymity suppression -> l-diversity suppression -> PII scrub)
-over a parquet corpus and
+over a parquet corpus, optionally gate the result on a data contract
+(--contract; violations abort before anything is written), and
 write the curated output plus a per-stage attrition report.
 
     python -m petastorm_spark.tools.curate SRC DST \\
@@ -50,9 +51,18 @@ def curate(
     zorder_cols: list[str] | None = None,
     zorder_bits: int = 10,
     zorder_partitions: int | None = None,
+    contract: str | list | None = None,
 ) -> dict[str, int]:
     """Run the pipeline and write DST (+ optional report parquet).
     Returns the attrition counts per stage.
+
+    ``contract`` (a :func:`operators.profiling.parse_contract` spec
+    string or a list of check tuples) gates the WRITE: the curated
+    output is checked BEFORE anything lands at ``target_url``, and
+    any violation raises
+    :class:`operators.profiling.ContractViolationError` carrying the
+    per-check report — nothing partial is published. The output frame
+    is persisted across gate + write so the pipeline runs once.
 
     ``zorder_cols`` (>= 2 integer bucket columns, e.g. pre-computed
     ``doc_id % 1024`` / day buckets) clusters the WRITE on the Morton
@@ -95,8 +105,32 @@ def curate(
             out, zorder_value(list(zorder_cols), bits=zorder_bits), parts
         )
     schema = Unischema.from_spark_schema(out.schema)
-    with materialize_dataset(spark, target_url, schema, row_group_size_mb):
-        out.write.mode("errorifexists").parquet(target_url)
+    contract_report = None
+    if contract is not None:
+        from pyspark import StorageLevel
+
+        from petastorm_spark.operators.profiling import (
+            enforce_contract,
+            parse_contract,
+        )
+
+        checks = (
+            parse_contract(contract) if isinstance(contract, str) else contract
+        )
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        contract_report = enforce_contract(out, checks)  # raises on fail
+    try:
+        with materialize_dataset(spark, target_url, schema, row_group_size_mb):
+            out.write.mode("errorifexists").parquet(target_url)
+    finally:
+        if contract is not None:
+            out.unpersist()
+    if contract_report is not None:
+        for r in contract_report:
+            print(
+                f"contract {r['check']}({r['column']}): "
+                f"{r['n_violations']} violations, passed={r['passed']}"
+            )
     report = curation_report(stages)
     if report_url:
         report.write.mode("errorifexists").parquet(report_url)
@@ -154,6 +188,14 @@ def main() -> None:
     )
     p.add_argument("--zorder-bits", type=int, default=10)
     p.add_argument("--zorder-partitions", type=int, default=None)
+    p.add_argument(
+        "--contract",
+        default=None,
+        help="data-contract gate on the curated output, checked BEFORE "
+        "the write (violations abort with the report): "
+        "'not_null:doc_id; unique:doc_id; range:n_chars:1:1e9; "
+        "in_set:lang:en|fr; regex:doc_id:^[0-9]+$'",
+    )
     a = p.parse_args()
     from petastorm_spark.session import get_spark
 
@@ -182,6 +224,7 @@ def main() -> None:
         zorder_cols=a.zorder.split(",") if a.zorder else None,
         zorder_bits=a.zorder_bits,
         zorder_partitions=a.zorder_partitions,
+        contract=a.contract,
     )
     for stage, n in counts.items():
         print(f"{stage}: {n}")

@@ -235,3 +235,34 @@ def test_write_time_manifest_detects_appended_partition(spark, tmp_path_factory)
     assert diff[9] == "added"
     assert diff[0] == "changed"
     assert all(diff[p] == "same" for p in (1, 2, 3))
+
+
+def test_curate_cli_contract_gate(spark, sf_dir, tmp_path):
+    """The r13 verdict's #6: the contract gate is now a curation-CLI
+    stage. A failing --contract spec aborts BEFORE anything lands at
+    the target; a passing one writes normally."""
+    import os
+
+    from petastorm_spark.operators.profiling import ContractViolationError
+    from petastorm_spark.tools.curate import curate
+
+    src = f"{sf_dir}/documents.parquet"
+    dst_fail = str(tmp_path / "curated_fail")
+    with pytest.raises(ContractViolationError) as ei:
+        curate(
+            spark, src, dst_fail,
+            quality_floor=0.0,
+            contract="not_null:doc_id; range:n_chars:1:2",
+        )
+    assert "range(n_chars)" in str(ei.value)
+    assert ei.value.report and any(not r["passed"] for r in ei.value.report)
+    assert not os.path.exists(dst_fail), "failed contract must not publish"
+
+    dst_ok = str(tmp_path / "curated_ok")
+    counts = curate(
+        spark, src, dst_ok,
+        quality_floor=0.0,
+        contract="not_null:doc_id; unique:doc_id; range:n_chars:0:1e9",
+    )
+    assert counts["output"] > 0
+    assert spark.read.parquet(dst_ok).count() == counts["output"]
