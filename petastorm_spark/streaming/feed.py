@@ -895,6 +895,41 @@ def k_anonymity_stream(
     return k_anonymity_report(rows, qi_cols, k)
 
 
+def l_diversity_stream(
+    rows: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,  # noqa: E741 - the literature's letter
+) -> DataFrame:
+    """Streaming twin of :func:`operators.privacy.l_diversity_report`
+    — the next rung of the live privacy ladder after
+    :func:`k_anonymity_stream`: per QI class, the running count of
+    DISTINCT sensitive values, flagging classes an attacker could
+    read a sensitive attribute from even at k-anonymous size.
+
+    The batch report's ``countDistinct`` is not allowed on streaming
+    frames, so distinctness is carried as ``collect_set`` state and
+    sized per snapshot — state is bounded by QI-domain x
+    value-domain (the batch report's own grid bound), never N.
+    ``collect_set`` skips NULL sensitive values exactly as
+    ``countDistinct`` does (an absent value discloses nothing), and
+    ``class_size`` counts every row — identical semantics, so
+    availableNow over a static dir reproduces the batch report row
+    for row (pinned by test)."""
+    return (
+        rows.groupBy(*[F.col(c) for c in qi_cols])
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.size(F.collect_set(F.col(sensitive_col))).alias(
+                "n_sensitive_values"
+            ),
+        )
+        .withColumn(
+            "at_risk", (F.col("n_sensitive_values") < l).cast("int")
+        )
+    )
+
+
 def fingerprint_dup_stream(
     new_sigs: DataFrame,
     index_sigs: DataFrame,

@@ -789,3 +789,50 @@ def test_transform_spec_over_array_columns(spark, sf_dir):
             assert abs(float(b.norm[0]) - 1.0) < 1e-6  # unit vectors
             assert not hasattr(b, "embedding")
     assert n == spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+
+
+def test_l_diversity_stream_matches_batch(spark, tmp_path_factory):
+    """availableNow over a static dir == the batch l_diversity_report
+    row for row (the streaming-twin contract, r13 verdict #7). The
+    stream carries distinctness as collect_set state since streaming
+    forbids countDistinct."""
+    from petastorm_spark.operators.privacy import l_diversity_report
+    from petastorm_spark.streaming.feed import (
+        l_diversity_stream,
+        stream_dataset,
+    )
+
+    cust = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet"
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal").cast("double") / 2000))
+        .cast("bigint")
+        .alias("bal_bucket"),
+    )
+    d = str(tmp_path_factory.mktemp("ldiv") / "cust")
+    cust.coalesce(1).write.parquet(d)
+    qi = ["c_nationkey", "c_mktsegment"]
+    q = (
+        l_diversity_stream(stream_dataset(spark, d), qi, "bal_bucket", l=3)
+        .writeStream.format("memory")
+        .queryName("ldiv_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = lambda r: (r["c_nationkey"], r["c_mktsegment"])  # noqa: E731
+    got = {
+        key(r): (r["class_size"], r["n_sensitive_values"], r["at_risk"])
+        for r in spark.table("ldiv_out").collect()
+    }
+    want = {
+        key(r): (r["class_size"], r["n_sensitive_values"], r["at_risk"])
+        for r in l_diversity_report(cust, qi, "bal_bucket", l=3).collect()
+    }
+    assert got == want and len(want) > 0
+    # both risk classes represented on this fixture
+    risks = {v[2] for v in want.values()}
+    assert risks == {0, 1}
