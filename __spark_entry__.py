@@ -64,33 +64,27 @@ def _last_green_round() -> dict[str, int]:
 # round's CORRECTNESS file is committed the staleness sort would have
 # rotated them forward anyway.
 CHANGED_THIS_ROUND = [
-    # new in round 13
-    "knn_graph_incremental",
+    # new in round 14
+    "ann_cosine_ivf_auto",
+    "dp_release_stability",
+    # sqrt(N) auto-sizing default across the whole IVF family in r14
+    "ann_cosine_ivf",
+    "ann_cosine_ivfpq",
+    "ann_recall_ivf",
+    "ann_recall_ivfpq",
+    "dedup_semantic",
+    "dedup_semantic_probe2",
     "kmeans_embeddings",
-    "cluster_balanced_sample",
-    "readability_scores",
-    "knn_graph_communities",
+    # null-safe oracle grid join fixed in r14 (advice)
     "token_label_mi_lang",
-    "dp_event_type_release",
-    "ann_rbo_prefix",
-    "profile_documents",
-    "constraint_check_orders",
-    "text_feature_hash_embed",
-    "pii_l_diversity",
-    "pii_t_closeness",
-    "partition_digests_events",
+    # NULLS LAST on the primary n_tokens sort key in r14 (advice)
     "source_mix_report",
-    "ann_mrr_prefix",
-    "manifest_diff_events",
-    # quantizer-selection refactor + auto-sizing default in round 13
-    "knn_graph_ivf",
-    # fingerprint-keyed index cache + atomic rename in round 13
-    "ann_cosine_prefix_indexed",
-    # max_grid_points guard moved into the plan in round 13
-    "resample_user_values",
-    "resample_user_interp",
-    # silence_spans gained the assume_bits opt-in in round 13
-    "audio_silence_spans",
+    # NaN-sensitive-value guard in r14 (advice)
+    "pii_t_closeness",
+    # delta-thresholding landed next to the bare mechanism in r14
+    "dp_event_type_release",
+    # eager plan cuts on e/deg/oriented in r14
+    "triangle_census_parts",
 ]
 
 

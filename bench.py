@@ -190,6 +190,8 @@ HEADLINE = [
     "source_mix_report",
     "ann_mrr_prefix",
     "manifest_diff_events",
+    "ann_cosine_ivf_auto",
+    "dp_release_stability",
 ]
 
 N_WARMUP_READS = 500

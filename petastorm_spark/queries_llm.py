@@ -7205,3 +7205,102 @@ def audio_silence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wavs = ids.mapInPandas(gen, "doc_id bigint, audio binary")
     return silence_spans(wavs, "audio", "doc_id", window=16, threshold=160)
+
+
+def _ivf_auto_oracle(n_probe: int = 3, k: int = 5) -> str:
+    """:func:`_ivf_oracle` with the AUTO cell count — the quantizer
+    takes the greatest(16, ceil(sqrt(N))) lowest-id vectors, computed
+    from the corpus itself exactly as
+    operators/similarity.auto_n_cells does (the r14 default)."""
+    cos = lambda a, b: (  # noqa: E731
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell, v AS cv FROM (
+        SELECT vec_id, v,
+               row_number() OVER (ORDER BY vec_id) AS rk,
+               count(*) OVER () AS n
+        FROM e) WHERE rk <= greatest(16, CAST(ceil(sqrt(n)) AS BIGINT))),
+    ca AS (SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM e, cent c) WHERE rn = 1),
+    qp AS (SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM e, cent c WHERE e.vec_id < 10) WHERE rn <= {n_probe}),
+    s AS (SELECT query_id, ca.vec_id AS neighbor_id, {cos('qp.qv', 'ca.v')} AS cos
+          FROM qp JOIN ca USING (cell) WHERE ca.vec_id != query_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cos, 4) AS cos_sim
+    FROM r WHERE rank <= {k}
+    """
+
+
+@register("ann_cosine_ivf_auto", oracle=_ivf_auto_oracle())
+def ann_cosine_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 under the r14 AUTO sizing default
+    (n_cells=None): the quantizer is sqrt(N) lowest-id vectors,
+    derived from one metadata-cheap count — at corpus scale a fixed
+    cell count turns the candidate join quadratic; sqrt(N) keeps
+    per-query candidate work ~sqrt(N). The oracle recomputes
+    greatest(16, ceil(sqrt(N))) from the same corpus, so the gate
+    pins the SIZING RULE itself, not just one pinned quantizer."""
+    from petastorm_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_probe=3
+    )
+
+
+@register(
+    "dp_release_stability",
+    oracle="""
+    WITH g AS (
+      SELECT n_chars // 4 AS len_bucket, count(*) AS n
+      FROM documents GROUP BY 1),
+    u AS (
+      SELECT len_bucket, n,
+             (('0x' || substr(md5('0n|' || coalesce(CAST(len_bucket AS VARCHAR),
+                                                    chr(0))), 1, 15))::BIGINT
+              / 1152921504606846976.0) AS un
+      FROM g),
+    rel AS (
+      SELECT len_bucket,
+             round(CAST(n AS DOUBLE)
+                   + (-1.0) * (CASE WHEN un >= 0.5 THEN 1.0 ELSE -1.0 END)
+                     * ln(greatest(1e-12, 1.0 - 2.0 * abs(un - 0.5))), 6)
+                 AS noisy_count
+      FROM u)
+    SELECT len_bucket, noisy_count
+    FROM rel WHERE noisy_count >= 1.0 + ln(10.0)
+    """,
+)
+def dp_release_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(eps, delta)-DP histogram release over an UNBOUNDED key domain
+    (doc-length buckets — the key set itself is data): the stability
+    threshold withholds any group whose noisy count falls under
+    1 + ln(1/(2*delta))/eps (eps=1, delta=0.05 -> tau = 1 + ln 10),
+    so a neighboring dataset's extra singleton group changes the
+    output only with probability <= delta — the presence leak the
+    bare release has (see dp_event_type_release's public-enum domain).
+    The md5-seeded noise makes the whole mechanism, threshold
+    included, bit-replayable by the oracle. Scale: one partial-agg
+    groupBy; noise + threshold are output-sized maps."""
+    from petastorm_spark.operators.privacy import dp_group_release
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.expr("n_chars div 4")
+    )
+    return dp_group_release(
+        docs, "len_bucket", epsilon=1.0, seed=0, delta=0.05
+    )
