@@ -396,3 +396,71 @@ def read_dataset_manifest(spark, dataset_url: str) -> DataFrame:
     return spark.read.parquet(
         dataset_url.rstrip("/") + "/" + MANIFEST_DIRNAME
     )
+
+
+def snapshot_diff(
+    spark,
+    url_a: str,
+    url_b: str,
+    key_col: str,
+    compare_cols,
+) -> DataFrame:
+    """The two-phase 100 TB snapshot diff, end to end: compare two
+    engine-written datasets' STORED ``_ps_manifest`` sidecars
+    (:func:`manifest_diff` — a partition-count-sized join, zero data
+    scanned), then run the row-level
+    :func:`operators.diagnostics.dataset_diff` ONLY over the
+    partitions whose digest moved — both reads carry a literal
+    partition predicate, so a dataset written ``partitionBy`` prunes
+    to exactly the changed directories (receipt: the test pins
+    ``inputFiles()`` of the pruned reads).
+
+    Output = dataset_diff's difference-sized (key, status,
+    old_digest, new_digest). The changed-partition key list is
+    collected to the driver to become a plan literal — bounded by the
+    PARTITION count (the manifest's own size), never by rows; at 100
+    TB a snapshot has thousands of partitions, not millions."""
+    from petastorm_spark.operators.diagnostics import dataset_diff
+
+    ma = read_dataset_manifest(spark, url_a)
+    mb = read_dataset_manifest(spark, url_b)
+    ka = ma.select("_manifest_key").first()["_manifest_key"]
+    kb = mb.select("_manifest_key").first()["_manifest_key"]
+    if ka != kb:
+        raise ValueError(
+            f"manifest keys differ: {ka!r} (A) vs {kb!r} (B) — "
+            "snapshots must be manifested on the same partition columns"
+        )
+    part_cols = ka.split(",")
+    moved = (
+        manifest_diff(
+            ma.drop("_manifest_key"), mb.drop("_manifest_key"), part_cols
+        )
+        .where(F.col("status") != "same")
+        .select(*part_cols)
+        .collect()  # partition-count-bounded (see docstring)
+    )
+    if not moved:
+        # nothing moved: a FALSE-filtered read keeps the exact output
+        # schema (key type included) at footer-only cost
+        return dataset_diff(
+            spark.read.parquet(url_a).where(F.lit(False)),
+            spark.read.parquet(url_b).where(F.lit(False)),
+            key_col,
+            list(compare_cols),
+        )
+
+    def key_pred(row):
+        cond = None
+        for c in part_cols:
+            v = row[c]
+            eq = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            cond = eq if cond is None else (cond & eq)
+        return cond
+
+    pred = key_pred(moved[0])
+    for r in moved[1:]:
+        pred = pred | key_pred(r)
+    old = spark.read.parquet(url_a).where(pred)
+    new = spark.read.parquet(url_b).where(pred)
+    return dataset_diff(old, new, key_col, list(compare_cols))

@@ -52,6 +52,7 @@ def curate(
     zorder_bits: int = 10,
     zorder_partitions: int | None = None,
     contract: str | list | None = None,
+    manifest_cols: list[str] | None = None,
 ) -> dict[str, int]:
     """Run the pipeline and write DST (+ optional report parquet).
     Returns the attrition counts per stage.
@@ -120,7 +121,10 @@ def curate(
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
         contract_report = enforce_contract(out, checks)  # raises on fail
     try:
-        with materialize_dataset(spark, target_url, schema, row_group_size_mb):
+        with materialize_dataset(
+            spark, target_url, schema, row_group_size_mb,
+            manifest_part_cols=manifest_cols,
+        ):
             out.write.mode("errorifexists").parquet(target_url)
     finally:
         if contract is not None:
@@ -189,6 +193,14 @@ def main() -> None:
     p.add_argument("--zorder-bits", type=int, default=10)
     p.add_argument("--zorder-partitions", type=int, default=None)
     p.add_argument(
+        "--manifest",
+        default=None,
+        help="comma-separated partition-key columns: also write the "
+        "_ps_manifest partition-digest sidecar at write time, so later "
+        "snapshot diffs (operators.layout.manifest_diff) never re-scan "
+        "the curated corpus",
+    )
+    p.add_argument(
         "--contract",
         default=None,
         help="data-contract gate on the curated output, checked BEFORE "
@@ -225,6 +237,7 @@ def main() -> None:
         zorder_bits=a.zorder_bits,
         zorder_partitions=a.zorder_partitions,
         contract=a.contract,
+        manifest_cols=a.manifest.split(",") if a.manifest else None,
     )
     for stage, n in counts.items():
         print(f"{stage}: {n}")

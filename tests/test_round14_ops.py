@@ -266,3 +266,64 @@ def test_curate_cli_contract_gate(spark, sf_dir, tmp_path):
     )
     assert counts["output"] > 0
     assert spark.read.parquet(dst_ok).count() == counts["output"]
+
+
+def test_snapshot_diff_prunes_to_changed_partitions(spark, tmp_path_factory):
+    """snapshot_diff composes the stored manifests (zero-scan
+    partition triage) with the row-level dataset_diff CONFINED to the
+    moved partitions — the inputFiles() receipt pins that the pruned
+    reads touch only the changed/added directories, never the whole
+    snapshot."""
+    from petastorm_spark.etl.dataset_metadata import materialize_dataset
+    from petastorm_spark.operators.layout import snapshot_diff
+    from petastorm_spark.unischema import Unischema
+
+    root = tmp_path_factory.mktemp("snapdiff")
+    u1, u2 = str(root / "a"), str(root / "b")
+
+    def rows(v2=False):
+        data = [(p, 10 * p + i, f"v{p}-{i}") for p in range(5) for i in range(4)]
+        if v2:
+            data[0] = (0, 0, "EDITED")           # partition 0 changes
+            data = [r for r in data if r[0] != 4]  # partition 4 removed
+            data += [(9, 90, "v9-0")]             # partition 9 added
+        return spark.createDataFrame(data, "part int, doc_id bigint, v string")
+
+    for url, v2 in ((u1, False), (u2, True)):
+        df = rows(v2)
+        schema = Unischema.from_spark_schema(df.schema)
+        with materialize_dataset(
+            spark, url, schema, manifest_part_cols=["part"]
+        ):
+            df.write.mode("overwrite").partitionBy("part").parquet(url)
+
+    out = snapshot_diff(spark, u1, u2, "doc_id", ["v"])
+    got = {(r["doc_id"], r["status"]) for r in out.collect()}
+    want = {(0, "changed"), (90, "added")} | {
+        (40 + i, "removed") for i in range(4)
+    }
+    assert got == want
+
+    # pruning receipt: the moved partitions are 0 (changed), 4
+    # (removed), 9 (added) — the files a pruned read ACTUALLY touches
+    # (runtime input_file_name(), not the pre-pushdown inputFiles())
+    # must all lie under part=0/4/9 directories
+    pred = F.col("part").isin(0, 4, 9)
+    for url in (u1, u2):
+        files = [
+            r[0]
+            for r in spark.read.parquet(url)
+            .where(pred)
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        ]
+        assert files, url
+        assert all(
+            any(f"part={p}" in f for p in (0, 4, 9)) for f in files
+        ), files
+
+    # untouched snapshots diff to empty with the right schema
+    empty = snapshot_diff(spark, u1, u1, "doc_id", ["v"])
+    assert empty.count() == 0
+    assert "doc_id" in empty.columns and "status" in empty.columns
