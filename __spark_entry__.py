@@ -67,6 +67,8 @@ CHANGED_THIS_ROUND = [
     # new in round 14
     "ann_cosine_ivf_auto",
     "dp_release_stability",
+    "vocab_growth_heaps",
+    "embedding_intrinsic_dim",
     # sqrt(N) auto-sizing default across the whole IVF family in r14
     "ann_cosine_ivf",
     "ann_cosine_ivfpq",

@@ -192,6 +192,8 @@ HEADLINE = [
     "manifest_diff_events",
     "ann_cosine_ivf_auto",
     "dp_release_stability",
+    "vocab_growth_heaps",
+    "embedding_intrinsic_dim",
 ]
 
 N_WARMUP_READS = 500

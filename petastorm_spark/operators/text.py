@@ -1284,3 +1284,78 @@ def lm_score_from_model(
             ),
         )
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    n_points: int = 16,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (Heaps 1978: V ~ K * n^beta,
+    beta ~ 0.4-0.6 for natural language): the corpus is walked in
+    ``order_col`` order and at ``n_points`` evenly-spaced prefixes the
+    CUMULATIVE token count and DISTINCT vocabulary size are reported —
+    one (ln n, ln V) point per row, so the Heaps exponent is the slope
+    an external fit reads off. The growth diagnostic next to Zipf
+    (zipf_corpus_fit is the static rank law; this is the accretion
+    law): a corpus whose vocab curve flattens early is repetitive /
+    template-heavy; synthetic data often shows beta near 0 or 1.
+
+    Exactness: a token's contribution to every prefix is decided by
+    its FIRST occurrence rank (min global row_number of its doc), so
+    vocab-at-prefix is one integer count per point — no re-scan per
+    point, no approximate distinct. ln values are IEEE doubles over
+    identical integers (the unigram_logprob contract), rounded to 6.
+
+    Scale: the global order rank uses :func:`operators.rank.global_rank`
+    (range exchange + broadcast offsets — no single-task window); one
+    token explode feeds BOTH the first-occurrence table (vocab-sized)
+    and the per-doc token counts; the prefix thresholds are a
+    broadcast ``n_points``-row literal, so the theta-joins are
+    nested-loop over a 16-row broadcast, never a shuffle."""
+    from petastorm_spark.operators.rank import global_rank
+    from petastorm_spark.session import arrow_local_df
+
+    n = df.count()
+    if n == 0:
+        raise ValueError("vocab_growth needs a non-empty corpus")
+    pts = [
+        (k, (n * k + n_points - 1) // n_points) for k in range(1, n_points + 1)
+    ]
+    points = F.broadcast(
+        arrow_local_df(
+            df.sparkSession,
+            {"point": [p[0] for p in pts], "prefix_docs": [p[1] for p in pts]},
+            "point int, prefix_docs bigint",
+        )
+    )
+    ranked = global_rank(
+        df.select(F.col(order_col), F.col(text_col)), [order_col], "rn"
+    )
+    tok = ranked.select(
+        F.col("rn"), F.explode(tokens(text_col)).alias("token")
+    )
+    firsts = tok.groupBy("token").agg(F.min("rn").alias("first_rn"))
+    dtc = tok.groupBy("rn").agg(F.count(F.lit(1)).alias("tc"))
+    voc = (
+        firsts.join(points, F.col("first_rn") <= F.col("prefix_docs"))
+        .groupBy("point", "prefix_docs")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    )
+    cum = (
+        dtc.join(points, F.col("rn") <= F.col("prefix_docs"))
+        .groupBy("point")
+        .agg(F.sum("tc").cast("bigint").alias("n_tokens_cum"))
+    )
+    ln6 = lambda c: F.when(  # noqa: E731
+        c > 0, F.round(F.log(c.cast("double")), 6)
+    )
+    return voc.join(cum, "point").select(
+        "point",
+        "prefix_docs",
+        "n_tokens_cum",
+        "vocab",
+        ln6(F.col("n_tokens_cum")).alias("ln_tokens"),
+        ln6(F.col("vocab")).alias("ln_vocab"),
+    )

@@ -7304,3 +7304,111 @@ def dp_release_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_group_release(
         docs, "len_bucket", epsilon=1.0, seed=0, delta=0.05
     )
+
+
+@register(
+    "vocab_growth_heaps",
+    oracle=r"""
+    WITH d AS (SELECT text,
+                      row_number() OVER (ORDER BY doc_id) AS rn
+               FROM documents),
+    nn AS (SELECT count(*) AS n FROM documents),
+    pts AS (SELECT CAST(k AS INT) AS point,
+                   ((SELECT n FROM nn) * k + 15) // 16 AS prefix_docs
+            FROM (SELECT unnest(range(1, 17)) AS k)),
+    tok AS (SELECT rn, t.token
+            FROM d, unnest(string_split_regex(lower(trim(text)), '\s+'))
+                 AS t(token)),
+    firsts AS (SELECT token, min(rn) AS first_rn FROM tok GROUP BY token),
+    dtc AS (SELECT rn, count(*) AS tc FROM tok GROUP BY rn),
+    voc AS (SELECT point, prefix_docs, count(*) AS vocab
+            FROM pts JOIN firsts ON first_rn <= prefix_docs
+            GROUP BY point, prefix_docs),
+    cum AS (SELECT point, sum(tc) AS n_tokens_cum
+            FROM pts JOIN dtc ON rn <= prefix_docs
+            GROUP BY point)
+    SELECT voc.point, CAST(voc.prefix_docs AS BIGINT) AS prefix_docs,
+           CAST(cum.n_tokens_cum AS BIGINT) AS n_tokens_cum,
+           CAST(voc.vocab AS BIGINT) AS vocab,
+           CASE WHEN cum.n_tokens_cum > 0
+                THEN round(ln(CAST(cum.n_tokens_cum AS DOUBLE)), 6) END
+               AS ln_tokens,
+           CASE WHEN voc.vocab > 0
+                THEN round(ln(CAST(voc.vocab AS DOUBLE)), 6) END AS ln_vocab
+    FROM voc JOIN cum USING (point)
+    """,
+)
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth over the documents corpus: 16
+    evenly-spaced doc-order prefixes, each reporting cumulative token
+    count, distinct vocabulary, and their ln terms — the accretion
+    law next to zipf_corpus_fit's static rank law (template-heavy or
+    synthetic corpora bend the curve). Exact: vocab-at-prefix counts
+    tokens by FIRST-occurrence rank (min global row_number), integer
+    thresholds (N*k+15) div 16 on both engines. Scale: global_rank
+    two-phase rank (no single-task window), ONE token explode feeding
+    both tables, 16-row broadcast thresholds."""
+    from petastorm_spark.operators.text import vocab_growth
+
+    return vocab_growth(
+        _t_wide(spark, sf_dir, "documents"), "text", "doc_id", n_points=16
+    )
+
+
+@register(
+    "embedding_intrinsic_dim",
+    oracle=_knn_graph_cte(k=2, n_cells=16, n_probe=2)
+    + r"""
+    , pivoted AS (
+      SELECT query_id,
+             round(1.0 - max(CASE WHEN rank = 1 THEN cos END), 4) AS r1,
+             round(1.0 - max(CASE WHEN rank = 2 THEN cos END), 4) AS r2
+      FROM r WHERE rank <= 2 GROUP BY query_id)
+    SELECT query_id, r1, r2,
+           round(ln(r2 / r1), 6) AS ln_ratio
+    FROM pivoted
+    WHERE r1 > 0 AND r2 > 0
+    """,
+)
+def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN intrinsic-dimension terms (Facco et al. 2017 MLE: the
+    data manifold's dimension is 1 / mean(ln(r2/r1)) over each
+    point's two nearest-neighbor distances) — the geometry diagnostic
+    that tells an embedding-pipeline owner whether 64 stored
+    dimensions carry ~8 effective ones (quantize/project harder, see
+    embedding_jl_projection) or genuinely need the width. Distances
+    are cosine distances over the SAME deterministic IVF kNN graph
+    the knn_graph_ivf gate pins (k=2, 16 lowest-id cells, 2 probes),
+    so the oracle replays the exact candidate structure; per-query
+    term rows (query_id, r1, r2, ln_ratio) follow the psi_term/
+    rbo_term convention — the MLE is one mean away, never a cross-row
+    double sum inside the gate. Duplicate-free fixture: r1 > 0
+    enforced by the c1 < 1.0 filter on both engines. Scale: the kNN
+    graph is the bucket-first candidate plan; the pivot is one
+    groupBy over 2N edge rows."""
+    from petastorm_spark.operators.similarity import knn_graph
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    edges = knn_graph(
+        emb, k=2, n_cells=16, n_probe=2, score_kernel="fold"
+    )
+    piv = edges.groupBy("query_id").agg(
+        F.round(
+            F.lit(1.0) - F.max(F.when(F.col("rank") == 1, F.col("cos_sim"))),
+            4,
+        ).alias("r1"),
+        F.round(
+            F.lit(1.0) - F.max(F.when(F.col("rank") == 2, F.col("cos_sim"))),
+            4,
+        ).alias("r2"),
+    )
+    # the ln rides on the ALREADY-4dp-rounded distances so both
+    # engines take ln over identical quantities (last-bit cos skew
+    # amplified by the near-1 ratio would otherwise flip a direct
+    # 4dp rounding of ln((1-c2)/(1-c1)) — measured on this fixture)
+    return piv.where((F.col("r1") > 0) & (F.col("r2") > 0)).select(
+        "query_id",
+        "r1",
+        "r2",
+        F.round(F.log(F.col("r2") / F.col("r1")), 6).alias("ln_ratio"),
+    )

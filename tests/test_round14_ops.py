@@ -327,3 +327,65 @@ def test_snapshot_diff_prunes_to_changed_partitions(spark, tmp_path_factory):
     empty = snapshot_diff(spark, u1, u1, "doc_id", ["v"])
     assert empty.count() == 0
     assert "doc_id" in empty.columns and "status" in empty.columns
+
+
+def test_vocab_growth_hand_fixture(spark):
+    """Heaps curve on a hand corpus: 4 docs, 2 prefix points —
+    thresholds (N*k+1) div 2 = 2, 4; exact vocab-by-first-occurrence
+    and cumulative token counts."""
+    from petastorm_spark.operators.text import vocab_growth
+
+    df = arrow_local_df(
+        spark,
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b", "b c", "c d a", "e"],
+        },
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["point"]: (
+            r["prefix_docs"], r["n_tokens_cum"], r["vocab"]
+        )
+        for r in vocab_growth(df, "text", "doc_id", n_points=2).collect()
+    }
+    # prefix 2 docs: tokens a b b c (4), vocab {a,b,c} (3)
+    # prefix 4 docs: tokens 8, vocab {a,b,c,d,e} (5)
+    assert got == {1: (2, 4, 3), 2: (4, 8, 5)}
+
+
+def test_intrinsic_dim_recovers_planar_manifold(spark):
+    """Two-NN MLE sanity: 400 vectors on a 2-D plane embedded in 8
+    dims (plus a tiny seeded jitter so no exact duplicates) must
+    estimate an intrinsic dimension near 2, far from the ambient 8.
+    Uses the same pivot the registered query runs, over the exact
+    brute-force 2-NN (no IVF approximation in the unit test)."""
+    from petastorm_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(7)
+    basis = rng.normal(size=(2, 8))
+    coords = rng.normal(size=(400, 2))
+    vecs = coords @ basis + rng.normal(size=(400, 8)) * 1e-6
+    emb = arrow_local_df(
+        spark,
+        {
+            "vec_id": list(range(400)),
+            "embedding": [list(map(float, v)) for v in vecs],
+        },
+        "vec_id bigint, embedding array<double>",
+    )
+    edges = cosine_topk(emb, emb, k=2).collect()
+    byq = {}
+    for r in edges:
+        byq.setdefault(r["query_id"], {})[r["rank"]] = r["cos_sim"]
+    import math
+
+    terms = []
+    for q, rk in byq.items():
+        r1, r2 = 1.0 - rk[1], 1.0 - rk[2]
+        if r1 > 1e-12 and r2 > 0:
+            terms.append(math.log(r2 / r1))
+    d = 1.0 / (sum(terms) / len(terms))
+    # cosine distance on a 2-D linear manifold behaves ~1-dimensional
+    # in angle space... assert it is FAR from ambient 8 and positive
+    assert 0.5 < d < 4.0, d
