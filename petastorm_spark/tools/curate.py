@@ -69,7 +69,12 @@ def curate(
     ``doc_id % 1024`` / day buckets) clusters the WRITE on the Morton
     curve, so file/row-group min-max stats prune scans on any of those
     columns — the layout knob that matters once the curated corpus is
-    re-read selectively at scale."""
+    re-read selectively at scale.
+
+    ``manifest_cols`` also writes the ``_ps_manifest`` partition-digest
+    sidecar (one extra scan), so later snapshot diffs against a
+    re-curated corpus are manifest-only joins
+    (:func:`operators.layout.snapshot_diff`)."""
     df = spark.read.parquet(source_url)
     stages = curate_corpus(
         df,

@@ -409,3 +409,37 @@ def test_dp_release_single_exchange_noise_after_agg(spark, sf_dir):
     ep = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in ep
     assert "Join" not in ep
+
+
+def test_ivf_auto_assignment_is_single_python_map(spark, sf_dir):
+    """ivf_build's AUTO path (r14 default): once the bounded quantizer
+    is collected, corpus assignment is ONE Arrow/numpy map over the
+    scan — no join, no window, no exchange anywhere in the assignment
+    plan (the n x n_cells blowup the broadcast-join fallback pays is
+    reserved for quantizers too big to ship to tasks)."""
+    from petastorm_spark.operators.similarity import ivf_build
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, assigned = ivf_build(emb, "vec_id", "embedding")
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan or "EvalPython" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_vocab_growth_broadcast_points_bounded_single_partitions(
+    spark, sf_dir
+):
+    """vocab_growth_heaps: the prefix thresholds ride as a broadcast
+    16-row literal (nested-loop joins against a BroadcastExchange,
+    never a shuffle of the vocab/doc tables against points), and the
+    only SinglePartition exchanges are global_rank's offset tables —
+    one row PER PARTITION each, never corpus rows (two rank
+    consumers -> at most two such bounded exchanges)."""
+    from petastorm_spark.plans.checks import formatted_plan
+
+    df = QUERIES["vocab_growth_heaps"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("SinglePartition") <= 2, plan
+    assert "EvalPython" not in plan, plan
