@@ -69,6 +69,8 @@ CHANGED_THIS_ROUND = [
     "dp_release_stability",
     "vocab_growth_heaps",
     "embedding_intrinsic_dim",
+    "event_gap_report",
+    "equidepth_hist_prices",
     # sqrt(N) auto-sizing default across the whole IVF family in r14
     "ann_cosine_ivf",
     "ann_cosine_ivfpq",

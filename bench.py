@@ -194,6 +194,8 @@ HEADLINE = [
     "dp_release_stability",
     "vocab_growth_heaps",
     "embedding_intrinsic_dim",
+    "event_gap_report",
+    "equidepth_hist_prices",
 ]
 
 N_WARMUP_READS = 500

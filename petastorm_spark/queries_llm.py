@@ -7412,3 +7412,94 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r2",
         F.round(F.log(F.col("r2") / F.col("r1")), 6).alias("ln_ratio"),
     )
+
+
+@register(
+    "event_gap_report",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+    g AS (SELECT user_id,
+                 t - lag(t) OVER (PARTITION BY user_id
+                                  ORDER BY t, event_id) AS gap_us
+          FROM e)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gaps_over_1h,
+           CAST(coalesce(max(gap_us), 0) AS BIGINT) AS max_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def event_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap report: count of gaps over one hour
+    and the longest silence — the stream-health / liveness diagnostic
+    next to sessionization (that one CUTS on gaps; this one MEASURES
+    them, feeding downtime alerts and activity-based user tiering).
+    All exact integer microsecond arithmetic. Scale: ONE
+    user-partitioned window (lag) then a partial-agg groupBy on the
+    same key — Spark plans a single exchange reused by both, no
+    global sort, no Python."""
+    from pyspark.sql import Window
+
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", events_ts_us(ev).alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    g = e.withColumn("gap_us", F.col("t") - F.lag("t").over(w))
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(F.col("gap_us") > 3_600_000_000, 1).otherwise(0)
+        ).cast("bigint").alias("n_gaps_over_1h"),
+        F.coalesce(F.max("gap_us"), F.lit(0)).cast("bigint").alias("max_gap_us"),
+    )
+
+
+@register(
+    "equidepth_hist_prices",
+    oracle="""
+    WITH r AS (SELECT o_totalprice,
+                      row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                          AS rk
+               FROM orders),
+    nn AS (SELECT count(*) AS n FROM orders),
+    pts AS (SELECT CAST(k AS INT) AS bucket,
+                   ((SELECT n FROM nn) * k + 15) // 16 AS thr
+            FROM (SELECT unnest(range(1, 17)) AS k))
+    SELECT bucket, o_totalprice AS boundary_price,
+           CAST(thr AS BIGINT) AS boundary_rank
+    FROM pts JOIN r ON r.rk = pts.thr
+    """,
+)
+def equidepth_hist_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth histogram boundaries over order prices (16
+    buckets): the k-th boundary is the order-statistic at rank
+    ceil(N*k/16) — the planner-statistics / data-skew readout that
+    approx_quantiles_chars approximates, computed exactly. Boundaries
+    are SELECTED values (no arithmetic), so cross-engine parity is
+    trivial; ranks are exact integers. Scale: the global order
+    statistic uses the two-phase global_rank (range exchange +
+    broadcast per-partition offsets — no single-task sort), and the
+    16-row threshold table joins broadcast."""
+    from petastorm_spark.operators.rank import global_rank
+    from petastorm_spark.session import arrow_local_df
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    n = o.count()
+    pts = [(k, (n * k + 15) // 16) for k in range(1, 17)]
+    points = F.broadcast(
+        arrow_local_df(
+            spark,
+            {"bucket": [p[0] for p in pts], "thr": [p[1] for p in pts]},
+            "bucket int, thr bigint",
+        )
+    )
+    ranked = global_rank(o, ["o_totalprice", "o_orderkey"], "rk")
+    return ranked.join(points, F.col("rk") == F.col("thr")).select(
+        "bucket",
+        F.col("o_totalprice").alias("boundary_price"),
+        F.col("thr").cast("bigint").alias("boundary_rank"),
+    )
