@@ -614,6 +614,7 @@ def ivf_build(
     vec_col: str = "embedding",
     n_cells: int | None = None,
     centroids: DataFrame | None = None,
+    hierarchical: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index: returns ``(centroids, assignments)`` —
     centroids as (cell, cent_vec); assignments as (id, vec, cell) with
@@ -628,7 +629,11 @@ def ivf_build(
     matmul (:func:`_probe_cells_numpy`); no shuffle, no join, no
     n x n_cells row blowup. Falls back to the broadcast-join +
     partial-agg argmax only when the quantizer outgrows the local
-    matrix (at which point use a hierarchical quantizer).
+    matrix; ``hierarchical=True`` opts into the two-level
+    :func:`probe_cells_hierarchical` assignment instead (per-vector
+    score work ~2*sqrt(C) not C — the billion-vector regime where
+    auto sizing derives >16384 cells; APPROXIMATE near L1-group
+    boundaries, see its docstring).
 
     ``n_cells=None`` (the default) AUTO-sizes the quantizer to
     :func:`auto_n_cells` = sqrt(N) from one metadata-cheap count —
@@ -647,6 +652,14 @@ def ivf_build(
             .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
         )
     crows = cent.select("cell", "cent_vec").collect()
+    if hierarchical and len(crows) > 0:
+        probed = probe_cells_hierarchical(
+            corpus, crows, id_col, vec_col, 1, keep_order=True
+        )
+        assigned = probed.select(
+            F.col(id_col), F.col(vec_col), F.element_at("_cells", 1).alias("cell")
+        )
+        return cent, assigned
     if 0 < len(crows) <= _MAX_LOCAL_CELLS:
         probed = _probe_cells_numpy(corpus, crows, id_col, vec_col, 1)
         assigned = probed.select(
@@ -3681,3 +3694,116 @@ def prefix_query(
         .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("_cv")))
     )
     return topk_per_query(rescored, k)
+
+
+def probe_cells_hierarchical(
+    corpus: DataFrame,
+    crows,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+    l1_probe: int = 4,
+    keep_order: bool = False,
+) -> DataFrame:
+    """Two-level coarse probe for quantizers too big to matmul flat —
+    the "hierarchical quantizer" the :func:`ivf_build` docstring
+    delegates to once ``auto_n_cells`` outgrows ``_MAX_LOCAL_CELLS``
+    (sqrt(1e9) ~ 31623 cells at billion-vector scale).
+
+    Level 1 is the sqrt(C) lowest-cell-id centroids; every centroid is
+    pre-assigned (locally, one C x sqrt(C) matmul at plan time) to its
+    nearest L1 cell. Per Arrow batch: one batch x sqrt(C) matmul picks
+    each row's ``l1_probe`` nearest L1 groups, rows sharing the same
+    group signature are scored together against ONLY those groups'
+    member centroids, and the exact top-``n_probe`` among the
+    candidates is taken with the same stable (cos DESC, cell ASC)
+    tie-break as :func:`_probe_cells_numpy`. Per-vector score work
+    drops from C to ~sqrt(C) + l1_probe * C/sqrt(C) (~60x at C=32k,
+    l1_probe=4).
+
+    APPROXIMATE by design: a vector whose true nearest centroid lives
+    outside its ``l1_probe`` nearest L1 groups gets its best candidate
+    instead (raise ``l1_probe`` for recall, the IVF n_probe story one
+    level up). Ties, NaN and zero-norm handling match the flat probe
+    ("degenerate never wins")."""
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(crows, key=lambda r: r["cell"])
+    C = np.array([list(r["cent_vec"]) for r in crows], dtype=np.float64)
+    cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+    if not np.all(cn > 0):
+        bad = [r["cell"] for r, n in zip(crows, cn) if not n > 0]
+        raise ValueError(f"zero-norm centroid(s) for cell(s) {bad[:5]}")
+    cells_np = np.array([r["cell"] for r in crows])
+    int_cells = cells_np.dtype.kind in "iu"
+    cell_sql = "bigint" if int_cells else "string"
+    k = min(n_probe, len(crows))
+    Cu = C / cn[:, None]  # unit centroids: candidate scoring is a dot
+
+    n_l1 = max(4, int(np.ceil(np.sqrt(len(crows)))))
+    L1 = Cu[:n_l1]  # lowest-cell-id centroids, already unit
+    # pre-assign every centroid to its nearest L1 group (stable ties
+    # to the lower group, same rule as the per-row probe below)
+    g_cos = Cu @ L1.T
+    g_of_centroid = np.argsort(-g_cos, axis=1, kind="stable")[:, 0]
+    members = [
+        np.nonzero(g_of_centroid == g)[0] for g in range(n_l1)
+    ]  # each ascending -> cell-ascending within a group
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, {vec_col} {vec_t}, _cells array<{cell_sql}>"
+    lp = min(l1_probe, n_l1)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], vec_col: pdf[vec_col], "_cells": []}
+                )
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Vu = V / vn[:, None]
+            Vu = np.where(np.isfinite(Vu), Vu, 0.0)  # zero-norm -> 0 row
+            cos1 = Vu @ L1.T
+            sig = np.sort(
+                np.argsort(-cos1, axis=1, kind="stable")[:, :lp], axis=1
+            )
+            # group rows by identical L1 signature; score each group
+            # against only its groups' member centroids
+            uniq, inv = np.unique(sig, axis=0, return_inverse=True)
+            sel = np.empty((len(V), k), dtype=cells_np.dtype)
+            for u in range(len(uniq)):
+                rows = np.nonzero(inv == u)[0]
+                cand = np.concatenate([members[g] for g in uniq[u]])
+                cand = np.sort(cand)  # cell-ASC for the stable tie-break
+                if len(cand) == 0:  # all selected groups empty
+                    cand = np.arange(min(k, len(cells_np)))
+                cos = Vu[rows] @ Cu[cand].T
+                cos = np.where(np.isnan(cos), -np.inf, cos)
+                kk = min(k, len(cand))
+                idx = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+                got = cells_np[cand[idx]]
+                if kk < k:  # pad by repeating the last cell (rare,
+                    # degenerate tiny-candidate case; callers dedupe)
+                    got = np.concatenate(
+                        [got, np.repeat(got[:, -1:], k - kk, axis=1)], axis=1
+                    )
+                sel[rows] = got if keep_order else np.sort(got, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "_cells": [
+                        [int(c) for c in row] if int_cells else list(row)
+                        for row in sel
+                    ],
+                }
+            )
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign, out_schema
+    )

@@ -389,3 +389,71 @@ def test_intrinsic_dim_recovers_planar_manifold(spark):
     # cosine distance on a 2-D linear manifold behaves ~1-dimensional
     # in angle space... assert it is FAR from ambient 8 and positive
     assert 0.5 < d < 4.0, d
+
+
+def test_hierarchical_probe_agrees_with_flat_on_clusters(spark):
+    """Two-level probe (the >16384-cell regime's assignment path):
+    on clustered data with a 64-cell quantizer, the hierarchical
+    home-cell assignment must agree with the exact flat probe for the
+    overwhelming majority of vectors (L1 pruning only loses vectors
+    sitting ON an L1-group boundary), be deterministic, and plug into
+    ivf_build(hierarchical=True) with every vector assigned."""
+    from petastorm_spark.operators.similarity import (
+        _probe_cells_numpy,
+        ivf_build,
+        probe_cells_hierarchical,
+    )
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(size=(64, 16)) * 10.0
+    vecs = np.concatenate(
+        [c + rng.normal(size=(20, 16)) for c in centers]
+    )
+    emb = arrow_local_df(
+        spark,
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": [list(map(float, v)) for v in vecs],
+        },
+        "vec_id bigint, embedding array<double>",
+    )
+    # production shape: a TRAINED quantizer (the true cluster
+    # centers) — lowest-id corpus vectors would make the L1 grouping
+    # quasi-random and measure quantizer quality, not the probe
+    cents = arrow_local_df(
+        spark,
+        {
+            "cell": list(range(64)),
+            "cent_vec": [list(map(float, c)) for c in centers],
+        },
+        "cell int, cent_vec array<double>",
+    )
+    cent, _ = ivf_build(emb, centroids=cents)
+    crows = cent.collect()
+
+    def homes(df):
+        return {
+            r["vec_id"]: r["_cells"][0]
+            for r in df.select("vec_id", "_cells").collect()
+        }
+
+    flat = homes(
+        _probe_cells_numpy(emb, crows, "vec_id", "embedding", 1, True)
+    )
+    hier = homes(
+        probe_cells_hierarchical(
+            emb, crows, "vec_id", "embedding", 1, l1_probe=4, keep_order=True
+        )
+    )
+    agree = sum(1 for k in flat if flat[k] == hier[k]) / len(flat)
+    assert agree >= 0.9, agree
+    hier2 = homes(
+        probe_cells_hierarchical(
+            emb, crows, "vec_id", "embedding", 1, l1_probe=4, keep_order=True
+        )
+    )
+    assert hier == hier2  # deterministic
+
+    _, assigned = ivf_build(emb, centroids=cents, hierarchical=True)
+    assert assigned.count() == len(vecs)
+    assert assigned.where(F.col("cell").isNull()).count() == 0
