@@ -159,33 +159,45 @@ def test_zorder_skips_row_groups_on_both_dimensions(spark, tmp_path_factory):
     lb = _rg_boxes(root + "/linear", ("ub", "dy"))
     assert len(zb) >= n_files and len(lb) >= n_files
 
-    # a ~5%-of-domain box on each dimension, centered
-    def mid_box(c, frac=0.05):
+    # ~5%-of-domain boxes at a 3x3 grid of positions — single-box
+    # counts jitter with repartitionByRange's SAMPLED boundaries
+    # (measured: the same code gave the z-side 5 one session and 9
+    # the next), so the receipts compare grid AGGREGATES
+    def box(c, at, frac=0.05):
         span = hi[c] - lo[c]
         w = max(1, int(span * frac))
-        m = lo[c] + span // 2
+        m = lo[c] + int(span * at)
         return (m, m + w)
 
-    box_ub, box_dy = mid_box("ub"), mid_box("dy")
-
-    # dimension 1 (ub): both layouts prune, z-order strictly skips
-    q_z_ub = _n_overlapping(zb, {"ub": box_ub})
-    assert q_z_ub < len(zb)
+    centers = (0.25, 0.5, 0.75)
+    # dimension 1 (ub): z-order strictly skips at every position
+    for at in centers:
+        assert _n_overlapping(zb, {"ub": box("ub", at)}) < len(zb)
     # dimension 2 (dy): z-order strictly skips; the ub-sorted linear
     # layout reads EVERYTHING (its dy stats span the whole domain)
-    q_z_dy = _n_overlapping(zb, {"dy": box_dy})
-    q_l_dy = _n_overlapping(lb, {"dy": box_dy})
-    assert q_z_dy < len(zb)
-    assert q_l_dy == len(lb)
-    assert q_z_dy < q_l_dy
-    # the 2-D box: z-order beats linear (linear prunes on ub only)
-    q_z_box = _n_overlapping(zb, {"ub": box_ub, "dy": box_dy})
-    q_l_box = _n_overlapping(lb, {"ub": box_ub, "dy": box_dy})
-    assert q_z_box < q_l_box
+    for at in centers:
+        q_z_dy = _n_overlapping(zb, {"dy": box("dy", at)})
+        q_l_dy = _n_overlapping(lb, {"dy": box("dy", at)})
+        assert q_z_dy < len(zb)
+        assert q_l_dy == len(lb)
+        assert q_z_dy < q_l_dy
+    # 2-D boxes: z-order beats linear in AGGREGATE over the grid
+    # (linear prunes on ub only, so each of its boxes reads every
+    # row group overlapping the ub range regardless of dy)
+    z_total = sum(
+        _n_overlapping(zb, {"ub": box("ub", au), "dy": box("dy", ad)})
+        for au in centers
+        for ad in centers
+    )
+    l_total = sum(
+        _n_overlapping(lb, {"ub": box("ub", au), "dy": box("dy", ad)})
+        for au in centers
+        for ad in centers
+    )
+    assert z_total < l_total, (z_total, l_total)
     print(
         f"row groups: total z={len(zb)} lin={len(lb)}; "
-        f"ub-box z={q_z_ub}; dy-box z={q_z_dy} lin={q_l_dy}; "
-        f"2D box z={q_z_box} lin={q_l_box}"
+        f"9-box 2D grid totals z={z_total} lin={l_total}"
     )
 
 
