@@ -813,6 +813,7 @@ def knn_graph(
     n_probe: int = 2,
     centroids: DataFrame | None = None,
     score_kernel: str = "fold",
+    hierarchical: bool = False,
 ) -> DataFrame:
     """ALL-PAIRS approximate k-nearest-neighbor GRAPH: every corpus
     vector's top-``k`` neighbors by EXACT cosine among IVF-blocked
@@ -866,12 +867,30 @@ def knn_graph(
     quantizer fits the local-matrix bound (the _probe_cells_numpy
     contract); past ``_MAX_LOCAL_CELLS`` it degrades to the same
     broadcast-join + per-vector rank window :func:`ivf_query` uses —
-    never a full quantizer matrix serialized into every task."""
+    never a full quantizer matrix serialized into every task.
+    ``hierarchical=True`` swaps in the two-level
+    :func:`probe_cells_hierarchical` pass (per-vector probe work
+    ~2*sqrt(C), the billion-vector regime; approximate at L1-group
+    boundaries)."""
     from pyspark.sql import Window
 
     cent = _knn_quantizer(corpus, id_col, vec_col, n_cells, centroids)
     crows = cent.select("cell", "cent_vec").collect()  # bounded quantizer
-    if 0 < len(crows) <= _MAX_LOCAL_CELLS:
+    if hierarchical and len(crows) > 0:
+        probed = probe_cells_hierarchical(
+            corpus, crows, id_col, vec_col, n_probe, keep_order=True
+        )
+        cand = probed.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.get("_cells", 0).alias("cell"),
+        )
+        probes = probed.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode("_cells").alias("cell"),
+        )
+    elif 0 < len(crows) <= _MAX_LOCAL_CELLS:
         probed = _probe_cells_numpy(
             corpus, crows, id_col, vec_col, n_probe, keep_order=True
         )
@@ -990,6 +1009,7 @@ def knn_graph_write(
     n_cells: int | None = None,
     n_probe: int = 2,
     centroids: DataFrame | None = None,
+    hierarchical: bool = False,
 ) -> None:
     """Persist the all-pairs kNN graph as an INCREMENTAL index — the
     graph member of the persistent-index family (LSH / IVF / PQ /
@@ -1021,13 +1041,14 @@ def knn_graph_write(
     root = index_url.rstrip("/")
     cent = _knn_quantizer(corpus, id_col, vec_col, n_cells, centroids)
     crows = cent.select("cell", "cent_vec").collect()
-    if not 0 < len(crows) <= _MAX_LOCAL_CELLS:
+    if not hierarchical and not 0 < len(crows) <= _MAX_LOCAL_CELLS:
         raise ValueError(
             f"knn_graph_write needs a bounded local quantizer "
-            f"(1..{_MAX_LOCAL_CELLS} cells, got {len(crows)}); use a "
-            "coarser (hierarchical) quantizer"
+            f"(1..{_MAX_LOCAL_CELLS} cells, got {len(crows)}); pass "
+            "hierarchical=True for the two-level probe"
         )
-    probed = _probe_cells_numpy(
+    probe_fn = probe_cells_hierarchical if hierarchical else _probe_cells_numpy
+    probed = probe_fn(
         corpus, crows, id_col, vec_col, n_probe, keep_order=True
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:

@@ -469,3 +469,22 @@ def test_hierarchical_probe_agrees_with_flat_on_clusters(spark):
     _, assigned = ivf_build(emb, centroids=cents, hierarchical=True)
     assert assigned.count() == len(vecs)
     assert assigned.where(F.col("cell").isNull()).count() == 0
+
+
+def test_knn_graph_hierarchical_probe_edges(spark, corpus400):
+    """knn_graph(hierarchical=True) builds the same edge STRUCTURE as
+    the flat probe on a well-quantized corpus — overwhelming edge
+    overlap, exact schema, deterministic."""
+    from petastorm_spark.operators.similarity import knn_graph
+
+    def edges(hier):
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_graph(
+                corpus400, k=3, n_cells=20, n_probe=2, hierarchical=hier
+            ).collect()
+        }
+
+    flat, hier = edges(False), edges(True)
+    assert len(hier) == len(flat)
+    assert len(flat & hier) / len(flat) >= 0.8
