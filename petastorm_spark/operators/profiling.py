@@ -302,3 +302,82 @@ def enforce_contract(df: DataFrame, checks: Sequence[tuple]) -> list:
             rows,
         )
     return rows
+
+
+def suggest_constraints(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    in_set_max: int = 16,
+    range_slack: float = 0.0,
+) -> list[tuple]:
+    """Profile-driven contract SUGGESTION (the Deequ
+    ConstraintSuggestion leg): run :func:`profile_columns` once and
+    derive the checks the data currently satisfies —
+
+    - ``not_null`` where the column has zero NULLs;
+    - ``unique`` where distinct count == non-null row count;
+    - ``range`` for numeric columns (observed [min, max], widened by
+      ``range_slack`` * span on each side so the first new row a
+      hair past the observed extreme doesn't page anyone);
+    - ``in_set`` for string columns with <= ``in_set_max`` distinct
+      values (collected — bounded by in_set_max by construction).
+
+    Returns :func:`check_constraints` tuples, so the loop closes:
+    ``enforce_contract(new_batch, suggest_constraints(blessed))`` is
+    a one-line drift gate between a blessed snapshot and the next.
+    Suggestions describe the PROFILED data — review before trusting
+    (a unique suggestion from a small sample won't survive scale).
+
+    Scale: one profile scan + one in_set_max-bounded distinct collect
+    per qualifying string column."""
+    prof = {r["column"]: r for r in profile_columns(df, cols).collect()}
+    checks: list[tuple] = []
+    for c, r in prof.items():
+        if r["n_null"] == 0 and r["n"] > 0:
+            checks.append(("not_null", c))
+        if r["n_distinct"] == r["n"] - r["n_null"] and r["n"] > r["n_null"]:
+            checks.append(("unique", c))
+        if r["min_num"] is not None and r["max_num"] is not None:
+            span = r["max_num"] - r["min_num"]
+            pad = span * range_slack
+            checks.append(("range", c, r["min_num"] - pad, r["max_num"] + pad))
+        elif (
+            r["min_str"] is not None
+            and 0 < r["n_distinct"] <= in_set_max
+        ):
+            vals = sorted(
+                x[c]
+                for x in df.select(c).where(F.col(c).isNotNull())
+                .distinct()
+                .collect()
+            )
+            checks.append(("in_set", c, vals))
+    if not checks:
+        raise ValueError("no suggestable constraints (empty profile?)")
+    return checks
+
+
+def schema_diff(spark, url_a: str, url_b: str) -> list[dict]:
+    """Footer-only schema drift report between two parquet datasets:
+    one dict per drifted column — ``{"column", "status"
+    ('added'|'removed'|'type_changed'), "type_a", "type_b"}`` —
+    reading ONLY the unified schemas (no data scan; the metadata
+    sibling of :func:`operators.layout.manifest_diff`'s content
+    triage). Empty list = schemas identical (order ignored; parquet
+    column order is not semantic)."""
+    a = {f.name: f.dataType.simpleString()
+         for f in spark.read.parquet(url_a).schema}
+    b = {f.name: f.dataType.simpleString()
+         for f in spark.read.parquet(url_b).schema}
+    out = []
+    for c in sorted(set(a) | set(b)):
+        if c not in b:
+            out.append({"column": c, "status": "removed",
+                        "type_a": a[c], "type_b": None})
+        elif c not in a:
+            out.append({"column": c, "status": "added",
+                        "type_a": None, "type_b": b[c]})
+        elif a[c] != b[c]:
+            out.append({"column": c, "status": "type_changed",
+                        "type_a": a[c], "type_b": b[c]})
+    return out

@@ -488,3 +488,70 @@ def test_knn_graph_hierarchical_probe_edges(spark, corpus400):
     flat, hier = edges(False), edges(True)
     assert len(hier) == len(flat)
     assert len(flat & hier) / len(flat) >= 0.8
+
+
+def test_suggest_constraints_roundtrip_and_drift(spark):
+    """suggest_constraints derives the checks a blessed snapshot
+    satisfies; enforce_contract over the SAME data passes (roundtrip),
+    and a drifted batch (new enum value, out-of-range numeric, a NULL
+    in a not-null column) fails with the right checks named."""
+    from petastorm_spark.operators.profiling import (
+        ContractViolationError,
+        enforce_contract,
+        suggest_constraints,
+    )
+
+    blessed = arrow_local_df(
+        spark,
+        {
+            "id": [1, 2, 3, 4],
+            "lang": ["en", "fr", "en", "de"],
+            "score": [0.1, 0.9, 0.5, 0.3],
+        },
+        "id bigint, lang string, score double",
+    )
+    checks = suggest_constraints(blessed)
+    kinds = {(c[0], c[1]) for c in checks}
+    assert ("not_null", "id") in kinds
+    assert ("unique", "id") in kinds
+    assert ("range", "score") in kinds
+    assert ("in_set", "lang") in kinds
+    # roundtrip: the blessed data satisfies its own suggestions
+    rows = enforce_contract(blessed, checks)
+    assert all(r["passed"] for r in rows)
+
+    drifted = arrow_local_df(
+        spark,
+        {
+            "id": [5, None],
+            "lang": ["zz", "en"],
+            "score": [1.5, 0.2],
+        },
+        "id bigint, lang string, score double",
+    )
+    with pytest.raises(ContractViolationError) as ei:
+        enforce_contract(drifted, checks)
+    msg = str(ei.value)
+    assert "in_set(lang)" in msg and "range(score)" in msg
+    assert "not_null(id)" in msg
+
+
+def test_schema_diff_footer_only(spark, tmp_path_factory):
+    """schema_diff reads only footers: added/removed/type_changed
+    columns reported, identical schemas -> empty."""
+    from petastorm_spark.operators.profiling import schema_diff
+
+    root = tmp_path_factory.mktemp("schdiff")
+    a, b = str(root / "a"), str(root / "b")
+    spark.createDataFrame(
+        [(1, "x", 0.5)], "id bigint, name string, v double"
+    ).write.parquet(a)
+    spark.createDataFrame(
+        [(1, 2.0, 7)], "id bigint, v double, extra int"
+    ).select("id", F.col("v").cast("float").alias("v"), "extra").write.parquet(b)
+    diff = {d["column"]: d for d in schema_diff(spark, a, b)}
+    assert diff["name"]["status"] == "removed"
+    assert diff["extra"]["status"] == "added"
+    assert diff["v"]["status"] == "type_changed"
+    assert diff["v"]["type_a"] == "double" and diff["v"]["type_b"] == "float"
+    assert schema_diff(spark, a, a) == []
