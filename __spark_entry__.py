@@ -71,6 +71,7 @@ CHANGED_THIS_ROUND = [
     "embedding_intrinsic_dim",
     "event_gap_report",
     "equidepth_hist_prices",
+    "knn_graph_hier",
     # sqrt(N) auto-sizing default across the whole IVF family in r14
     "ann_cosine_ivf",
     "ann_cosine_ivfpq",

@@ -196,6 +196,7 @@ HEADLINE = [
     "embedding_intrinsic_dim",
     "event_gap_report",
     "equidepth_hist_prices",
+    "knn_graph_hier",
 ]
 
 N_WARMUP_READS = 500

@@ -7503,3 +7503,81 @@ def equidepth_hist_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("boundary_price"),
         F.col("thr").cast("bigint").alias("boundary_rank"),
     )
+
+
+def _knn_hier_oracle(
+    k: int = 3, n_cells: int = 64, n_l1: int = 8, l1_probe: int = 4,
+    n_probe: int = 2,
+) -> str:
+    """SQL replay of BOTH quantizer levels of
+    operators/similarity.probe_cells_hierarchical: L1 = the ``n_l1``
+    lowest-cell centroids; each centroid joins its nearest L1 group
+    (ties to the lower group); each vector picks its ``l1_probe``
+    nearest groups, and the exact top-``n_probe`` cells among those
+    groups' member centroids (cos DESC, cell ASC — the flat probe's
+    stable tie-break) become its probe list; rank-1 is the home cell;
+    edges = the knn_graph candidate rule over (home, probes)."""
+    cos = lambda a, b: (  # noqa: E731
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell, v AS cv FROM e
+             ORDER BY vec_id LIMIT {n_cells}),
+    l1 AS (SELECT cell AS g, cv AS gv FROM cent ORDER BY cell LIMIT {n_l1}),
+    cg AS (SELECT cell, g FROM (
+        SELECT c.cell, l.g,
+               row_number() OVER (PARTITION BY c.cell
+                                  ORDER BY {cos('c.cv', 'l.gv')} DESC, l.g)
+                   AS rn
+        FROM cent c, l1 l) WHERE rn = 1),
+    vg AS (SELECT vec_id, g FROM (
+        SELECT e.vec_id, l.g,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.v', 'l.gv')} DESC, l.g)
+                   AS rn
+        FROM e, l1 l) WHERE rn <= {l1_probe}),
+    vc AS (SELECT vec_id, cell, rn FROM (
+        SELECT vg.vec_id, cg.cell,
+               row_number() OVER (PARTITION BY vg.vec_id
+                                  ORDER BY {cos('ev.v', 'ct.cv')} DESC,
+                                           cg.cell) AS rn
+        FROM vg JOIN cg ON cg.g = vg.g
+                JOIN e ev ON ev.vec_id = vg.vec_id
+                JOIN cent ct ON ct.cell = cg.cell) WHERE rn <= {n_probe}),
+    asg AS (SELECT vc.vec_id, e.v, vc.cell
+            FROM vc JOIN e USING (vec_id) WHERE rn = 1),
+    pr AS (SELECT vc.vec_id AS query_id, e.v AS qv, vc.cell
+           FROM vc JOIN e USING (vec_id)),
+    x AS (SELECT pr.query_id, asg.vec_id AS neighbor_id,
+                 {cos('pr.qv', 'asg.v')} AS cos
+          FROM pr JOIN asg ON asg.cell = pr.cell
+          WHERE asg.vec_id != pr.query_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM x)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cos, 4) AS cos_sim
+    FROM r WHERE rank <= {k}
+    """
+
+
+@register("knn_graph_hier", oracle=_knn_hier_oracle())
+def knn_graph_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs kNN graph through the TWO-LEVEL coarse probe (r14's
+    probe_cells_hierarchical, the assignment path for quantizers past
+    _MAX_LOCAL_CELLS): 64 lowest-id cells, sqrt(64)=8 L1 groups,
+    4-group probes — per-vector probe work ~2*sqrt(C) instead of C.
+    Unlike the pytest agreement check, THIS gate replays both
+    quantizer levels in SQL (centroid->group argmax, vector->group
+    top-4, exact top-2 cells among member centroids with the flat
+    probe's stable tie-break), so the hierarchical path is
+    hash-checked end to end, not just recall-checked."""
+    from petastorm_spark.operators.similarity import knn_graph
+
+    return knn_graph(
+        _t_wide(spark, sf_dir, "embeddings"),
+        k=3, n_cells=64, n_probe=2, hierarchical=True,
+    )
