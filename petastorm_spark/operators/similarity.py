@@ -3677,6 +3677,51 @@ def prefix_index_read(spark, index_url: str):
     return int(payload["prefix_dim"]), spark.read.parquet(root + "/prefix")
 
 
+def prefix_index_append(
+    spark,
+    index_url: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    check_ids: bool = True,
+) -> int:
+    """Fold a new vector batch into a persisted prefix index — the
+    append member that completes the write/read/append triple for the
+    LAST index family (LSH / IVF / PQ / IVF-PQ / kNN-graph all have
+    one). Slices the batch to the STORED prefix_dim (the sidecar is
+    the source of truth — a caller-supplied dim could silently mix
+    slice widths in one table) and appends (id, prefix) rows;
+    ``check_ids`` (default on, the lsh_index_append contract)
+    semi-joins batch ids against the stored ids and refuses overlaps.
+    Returns the number of rows appended. Scale: one column-pruned
+    id semi-join + one batch-sized append write."""
+    root = index_url.rstrip("/")
+    prefix_dim, existing = prefix_index_read(spark, index_url)
+    batch = new_vectors.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("prefix"),
+    )
+    if check_ids:
+        n_dup = (
+            batch.select(id_col)
+            .join(
+                existing.select(F.col(existing.columns[0]).alias(id_col)),
+                id_col,
+                "left_semi",
+            )
+            .count()
+        )
+        if n_dup:
+            raise ValueError(
+                f"prefix_index_append: {n_dup} batch id(s) already exist "
+                f"in {root}/prefix — appending would duplicate index rows "
+                "(pass check_ids=False only if ids are guaranteed fresh)"
+            )
+    n = batch.count()
+    batch.write.mode("append").parquet(root + "/prefix")
+    return n
+
+
 def prefix_query(
     prefix_df: DataFrame,
     vectors: DataFrame,

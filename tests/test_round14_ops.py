@@ -555,3 +555,41 @@ def test_schema_diff_footer_only(spark, tmp_path_factory):
     assert diff["v"]["status"] == "type_changed"
     assert diff["v"]["type_a"] == "double" and diff["v"]["type_b"] == "float"
     assert schema_diff(spark, a, a) == []
+
+
+def test_prefix_index_append_roundtrip(spark, corpus400, tmp_path_factory):
+    """prefix_index_append completes the write/read/append triple for
+    the prefix family: appended vectors are searchable through
+    prefix_query identically to a from-scratch rebuild, the stored
+    prefix_dim (not a caller guess) slices the batch, and duplicate
+    ids are refused."""
+    from petastorm_spark.operators.similarity import (
+        prefix_index_append,
+        prefix_index_read,
+        prefix_index_write,
+        prefix_query,
+    )
+
+    url = str(tmp_path_factory.mktemp("pfxapp") / "idx")
+    base = corpus400.where(F.col("vec_id") < 350)
+    batch = corpus400.where(F.col("vec_id") >= 350)
+    prefix_index_write(url, base, prefix_dim=4)
+    assert prefix_index_append(spark, url, batch) == 50
+
+    dim, pfx = prefix_index_read(spark, url)
+    assert dim == 4 and pfx.count() == 400
+
+    q = corpus400.where(F.col("vec_id") < 5)
+    got = sorted(map(tuple, prefix_query(
+        pfx, corpus400, q, k=3, prefix_dim=dim
+    ).collect()))
+    url2 = str(tmp_path_factory.mktemp("pfxapp") / "full")
+    prefix_index_write(url2, corpus400, prefix_dim=4)
+    _, pfx2 = prefix_index_read(spark, url2)
+    want = sorted(map(tuple, prefix_query(
+        pfx2, corpus400, q, k=3, prefix_dim=dim
+    ).collect()))
+    assert got == want and len(got) == 15
+
+    with pytest.raises(ValueError, match="already exist"):
+        prefix_index_append(spark, url, batch)
