@@ -593,3 +593,23 @@ def test_prefix_index_append_roundtrip(spark, corpus400, tmp_path_factory):
 
     with pytest.raises(ValueError, match="already exist"):
         prefix_index_append(spark, url, batch)
+
+
+def test_curate_cli_manifest_flag(spark, sf_dir, tmp_path):
+    """--manifest plumbs through the CLI: the curated dataset carries
+    the _ps_manifest sidecar keyed on the requested columns, readable
+    by read_dataset_manifest."""
+    from petastorm_spark.operators.layout import read_dataset_manifest
+    from petastorm_spark.tools.curate import curate
+
+    dst = str(tmp_path / "curated_m")
+    counts = curate(
+        spark, f"{sf_dir}/documents.parquet", dst,
+        quality_floor=0.0,
+        manifest_cols=["source"],
+    )
+    man = read_dataset_manifest(spark, dst)
+    assert man.where(F.col("_manifest_key") == "source").count() == man.count()
+    assert (
+        man.agg(F.sum("n_rows")).collect()[0][0] == counts["output"]
+    )
