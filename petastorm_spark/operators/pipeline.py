@@ -45,6 +45,8 @@ def curate_corpus(
     k_anon_k: int = 5,
     l_div_sensitive: str | None = None,
     l_div_l: int = 3,
+    t_close_sensitive: str | None = None,
+    t_close_t: float = 0.2,
 ) -> dict[str, DataFrame]:
     """Chain the standard curation passes and return every intermediate
     stage (lazy) keyed by name, in order:
@@ -98,6 +100,13 @@ def curate_corpus(
       ``l_div_l`` distinct ``l_div_sensitive`` values are dropped —
       the attribute-disclosure gate after the linkage gate (key absent
       when ``l_div_sensitive`` is None; requires ``k_anon_cols``);
+    - ``t_close`` (opt-in) — t-closeness suppression over the SAME QI
+      columns (:func:`~petastorm_spark.operators.privacy.
+      suppress_low_closeness`): classes whose ``t_close_sensitive``
+      DISTRIBUTION drifts more than ``t_close_t`` (ordered EMD) from
+      the corpus's are dropped — the skewness-attack gate above
+      l-diversity, completing the suppression ladder (key absent when
+      ``t_close_sensitive`` is None; requires ``k_anon_cols``);
     - ``output`` — PII scrubbed in place.
 
     The near-dedup stage EXECUTES when built (connected components is
@@ -225,6 +234,16 @@ def curate_corpus(
 
         pre_out = stages["l_div"] = suppress_low_diversity(
             pre_out, list(k_anon_cols), l_div_sensitive, l_div_l
+        )
+    if t_close_sensitive is not None:
+        if k_anon_cols is None:
+            raise ValueError(
+                "t_close_sensitive needs k_anon_cols as the QI columns"
+            )
+        from petastorm_spark.operators.privacy import suppress_low_closeness
+
+        pre_out = stages["t_close"] = suppress_low_closeness(
+            pre_out, list(k_anon_cols), t_close_sensitive, t_close_t
         )
 
     stages["output"] = pre_out.withColumn(text_col, scrub_pii(text_col))

@@ -381,3 +381,32 @@ def suppress_low_diversity(
         eq = df[c].eqNullSafe(safe[c])
         cond = eq if cond is None else (cond & eq)
     return df.join(safe, cond, "left_semi")
+
+
+def suppress_low_closeness(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """Enforce t-closeness by SUPPRESSION: drop every row whose QI
+    class's sensitive DISTRIBUTION drifts more than ``t`` (ordered
+    EMD) from the corpus's — the enforcement twin of
+    :func:`t_closeness_report` and the top rung of the suppression
+    ladder (:func:`suppress_small_classes` gates class SIZE,
+    :func:`suppress_low_diversity` distinct VALUES, this one the
+    distribution a skewness attack reads). Same shape as its
+    siblings: one left-semi join against the safe classes, null-safe
+    on the QI key. NaN/NULL sensitive rows contribute nothing to the
+    report but ARE kept or dropped with their class (row membership
+    is the QI key, not the sensitive value)."""
+    safe = (
+        t_closeness_report(df, qi_cols, sensitive_col, t)
+        .where(F.col("at_risk") == 0)
+        .select(*qi_cols)
+    )
+    cond = None
+    for c in qi_cols:
+        eq = df[c].eqNullSafe(safe[c])
+        cond = eq if cond is None else (cond & eq)
+    return df.join(safe, cond, "left_semi")

@@ -1,7 +1,8 @@
 """Corpus-curation CLI: run the full curate_corpus pipeline (exact
 dedup -> optional near-dedup -> optional span excision -> quality
 floor -> optional classifier/LM gates -> per-source cap ->
-k-anonymity suppression -> l-diversity suppression -> PII scrub)
+k-anonymity suppression -> l-diversity suppression ->
+t-closeness suppression -> PII scrub)
 over a parquet corpus, optionally gate the result on a data contract
 (--contract; violations abort before anything is written), and
 write the curated output plus a per-stage attrition report.
@@ -46,6 +47,8 @@ def curate(
     k_anon_k: int = 5,
     l_div_sensitive: str | None = None,
     l_div_l: int = 3,
+    t_close_sensitive: str | None = None,
+    t_close_t: float = 0.2,
     report_url: str | None = None,
     row_group_size_mb: int | None = None,
     zorder_cols: list[str] | None = None,
@@ -95,6 +98,8 @@ def curate(
         k_anon_k=k_anon_k,
         l_div_sensitive=l_div_sensitive,
         l_div_l=l_div_l,
+        t_close_sensitive=t_close_sensitive,
+        t_close_t=t_close_t,
     )
     out = stages["output"]
     if zorder_cols:
@@ -187,6 +192,15 @@ def main() -> None:
         "--l-div-l distinct values are dropped)",
     )
     p.add_argument("--l-div-l", type=int, default=3)
+    p.add_argument(
+        "--t-close-sensitive",
+        default=None,
+        help="sensitive column for t-closeness suppression over the "
+        "--k-anon-cols QI classes (classes whose sensitive "
+        "distribution drifts more than --t-close-t ordered-EMD from "
+        "the corpus's are dropped)",
+    )
+    p.add_argument("--t-close-t", type=float, default=0.2)
     p.add_argument("--report", dest="report_url", default=None)
     p.add_argument("--row-group-size-mb", type=int, default=None)
     p.add_argument(
@@ -236,6 +250,8 @@ def main() -> None:
         k_anon_k=a.k_anon_k,
         l_div_sensitive=a.l_div_sensitive,
         l_div_l=a.l_div_l,
+        t_close_sensitive=a.t_close_sensitive,
+        t_close_t=a.t_close_t,
         report_url=a.report_url,
         row_group_size_mb=a.row_group_size_mb,
         zorder_cols=a.zorder.split(",") if a.zorder else None,

@@ -613,3 +613,49 @@ def test_curate_cli_manifest_flag(spark, sf_dir, tmp_path):
     assert (
         man.agg(F.sum("n_rows")).collect()[0][0] == counts["output"]
     )
+
+
+def test_suppress_low_closeness_and_curation_stage(spark):
+    """t-closeness enforcement completes the suppression ladder: a QI
+    class whose sensitive distribution concentrates far from the
+    corpus's is dropped wholesale (its NULL-sensitive rows included —
+    membership is the QI key); balanced classes survive. The opt-in
+    curation stage runs after l_div and shows in the attrition
+    report."""
+    from petastorm_spark.operators.pipeline import curate_corpus
+    from petastorm_spark.operators.privacy import (
+        suppress_low_closeness,
+        t_closeness_report,
+    )
+
+    # 3 classes x sensitive in {0,1}: 'skew' is all-1 (EMD far from
+    # the global mix), 'bal1'/'bal2' mirror the global 50/50
+    df = arrow_local_df(
+        spark,
+        {
+            "qi": ["bal1"] * 4 + ["bal2"] * 4 + ["skew"] * 4,
+            "s": [0, 1, 0, 1, 0, 1, 0, 1, 1, 1, 1, 1],
+            "text": [f"d{i}" for i in range(12)],
+        },
+        "qi string, s bigint, text string",
+    )
+    rep = {
+        r["qi"]: r["at_risk"]
+        for r in t_closeness_report(df, ["qi"], "s", t=0.2).collect()
+    }
+    assert rep["skew"] == 1 and rep["bal1"] == 0
+    kept = suppress_low_closeness(df, ["qi"], "s", t=0.2)
+    assert {r["qi"] for r in kept.collect()} == {"bal1", "bal2"}
+    assert kept.count() == 8
+
+    stages = curate_corpus(
+        df, "text", "text",
+        quality_floor=0.0,
+        k_anon_cols=["qi"], k_anon_k=2,
+        t_close_sensitive="s", t_close_t=0.2,
+    )
+    assert "t_close" in stages
+    assert stages["t_close"].count() == 8
+    assert stages["output"].count() == 8
+    with pytest.raises(ValueError, match="needs k_anon_cols"):
+        curate_corpus(df, "text", "text", t_close_sensitive="s")
