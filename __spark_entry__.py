@@ -72,6 +72,7 @@ CHANGED_THIS_ROUND = [
     "event_gap_report",
     "equidepth_hist_prices",
     "knn_graph_hier",
+    "events_ohlc",
     # sqrt(N) auto-sizing default across the whole IVF family in r14
     "ann_cosine_ivf",
     "ann_cosine_ivfpq",

@@ -197,6 +197,7 @@ HEADLINE = [
     "event_gap_report",
     "equidepth_hist_prices",
     "knn_graph_hier",
+    "events_ohlc",
 ]
 
 N_WARMUP_READS = 500

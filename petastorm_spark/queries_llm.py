@@ -7581,3 +7581,55 @@ def knn_graph_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t_wide(spark, sf_dir, "embeddings"),
         k=3, n_cells=64, n_probe=2, hierarchical=True,
     )
+
+
+@register(
+    "events_ohlc",
+    oracle="""
+    WITH e AS (SELECT user_id,
+                      epoch_us(ts) // 86400000000 AS day,
+                      epoch_us(ts) AS t, event_id, value
+               FROM events WHERE value IS NOT NULL),
+    r AS (SELECT user_id, day, value, t, event_id,
+                 row_number() OVER (PARTITION BY user_id, day
+                                    ORDER BY t, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY user_id, day
+                                    ORDER BY t DESC, event_id DESC) AS rn_d
+          FROM e)
+    SELECT user_id, CAST(day AS BIGINT) AS day,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM r GROUP BY user_id, day
+    """,
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (candlestick) downsample per (user, day) — the classic
+    hypertable continuous-aggregate shape next to rollup_multigrain:
+    open/close are the values AT the bucket's first/last event
+    ((ts, event_id) total order, so ties are impossible and the
+    extraction is exact — values are SELECTED, never computed, so
+    cross-engine parity is trivial), high/low are plain extremes.
+    Scale: ONE partial-aggregated groupBy — open/close ride as
+    min/max over a (t, event_id, value) struct (argmin/argmax without
+    a window or second shuffle), the same partial-agg argmax trick as
+    ivf_build's fallback."""
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.where(F.col("value").isNotNull()).select(
+        "user_id",
+        F.expr("event_id").alias("eid"),
+        events_ts_us(ev).alias("t"),
+        "value",
+    )
+    e = e.withColumn("day", F.expr("t div 86400000000"))
+    return e.groupBy("user_id", "day").agg(
+        F.min(F.struct("t", "eid", "value")).getField("value").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.struct("t", "eid", "value")).getField("value").alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
