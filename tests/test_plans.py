@@ -443,3 +443,19 @@ def test_vocab_growth_broadcast_points_bounded_single_partitions(
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert plan.count("SinglePartition") <= 2, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_events_ohlc_single_exchange_no_window(spark, sf_dir):
+    """events_ohlc: open/close ride as struct min/max inside the ONE
+    partially-aggregated groupBy — no window, no join, no second
+    shuffle, no Python."""
+    from petastorm_spark.plans.checks import formatted_plan
+
+    df = QUERIES["events_ohlc"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "Window" not in plan, plan
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in ep
+    assert "Join" not in ep
