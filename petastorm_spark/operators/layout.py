@@ -422,10 +422,23 @@ def snapshot_diff(
     TB a snapshot has thousands of partitions, not millions."""
     from petastorm_spark.operators.diagnostics import dataset_diff
 
-    ma = read_dataset_manifest(spark, url_a)
-    mb = read_dataset_manifest(spark, url_b)
-    ka = ma.select("_manifest_key").first()["_manifest_key"]
-    kb = mb.select("_manifest_key").first()["_manifest_key"]
+    def manifest_key(url):
+        m = read_dataset_manifest(spark, url)
+        if "_manifest_key" not in m.columns:
+            raise ValueError(
+                f"{url}: _ps_manifest has no _manifest_key column — "
+                "legacy sidecar; rewrite with write_dataset_manifest"
+            )
+        row = m.select("_manifest_key").first()
+        if row is None:
+            raise ValueError(
+                f"{url}: _ps_manifest is empty — rewrite with "
+                "write_dataset_manifest"
+            )
+        return m, row["_manifest_key"]
+
+    ma, ka = manifest_key(url_a)
+    mb, kb = manifest_key(url_b)
     if ka != kb:
         raise ValueError(
             f"manifest keys differ: {ka!r} (A) vs {kb!r} (B) — "

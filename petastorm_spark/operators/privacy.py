@@ -399,12 +399,27 @@ def suppress_low_closeness(
     siblings: one left-semi join against the safe classes, null-safe
     on the QI key. NaN/NULL sensitive rows contribute nothing to the
     report but ARE kept or dropped with their class (row membership
-    is the QI key, not the sensitive value)."""
-    safe = (
+    is the QI key, not the sensitive value) — including classes whose
+    sensitive values are ALL NULL/NaN: those never enter the report
+    (its base excludes null/NaN), carry no orderable distribution for
+    a skewness attack to read, and are unioned into the safe set
+    here rather than silently suppressed."""
+    rep_safe = (
         t_closeness_report(df, qi_cols, sensitive_col, t)
         .where(F.col("at_risk") == 0)
         .select(*qi_cols)
     )
+    s = F.col(sensitive_col)
+    informative = s.isNotNull()
+    if df.schema[sensitive_col].dataType.simpleString() in ("float", "double"):
+        informative = informative & ~F.isnan(s)  # report excludes NaN too
+    all_null = (
+        df.groupBy(*[F.col(c) for c in qi_cols])
+        .agg(F.max(F.when(informative, 1).otherwise(0)).alias("_has"))
+        .where(F.col("_has") == 0)
+        .select(*qi_cols)
+    )
+    safe = rep_safe.unionByName(all_null)
     cond = None
     for c in qi_cols:
         eq = df[c].eqNullSafe(safe[c])

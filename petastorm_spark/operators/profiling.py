@@ -283,6 +283,39 @@ def parse_contract(spec: str) -> list[tuple]:
     return checks
 
 
+def format_contract(checks: Sequence[tuple]) -> str:
+    """The inverse of :func:`parse_contract`: render check tuples back
+    into the CLI spec grammar, so a :func:`suggest_constraints` result
+    can be printed once, reviewed, and pinned verbatim as a
+    ``--contract`` flag. ``parse_contract(format_contract(x))``
+    round-trips (in_set values are str()-ed — the grammar is string
+    typed — and range bounds render as floats, both exactly what
+    parse_contract reads back). Raises on values that would corrupt
+    the grammar (an in_set value containing ``|``/``;``/``:``)."""
+    parts = []
+    for chk in checks:
+        kind, col = chk[0], chk[1]
+        if kind in ("not_null", "unique"):
+            parts.append(f"{kind}:{col}")
+        elif kind == "range":
+            parts.append(f"range:{col}:{float(chk[2])!r}:{float(chk[3])!r}")
+        elif kind == "in_set":
+            vals = [str(v) for v in chk[2]]
+            bad = [v for v in vals if any(c in v for c in "|;:")]
+            if bad:
+                raise ValueError(
+                    f"in_set({col}) values not grammar-safe: {bad[:3]}"
+                )
+            parts.append(f"in_set:{col}:" + "|".join(vals))
+        elif kind == "regex":
+            parts.append(f"regex:{col}:{chk[2]}")
+        else:
+            raise ValueError(f"unknown check kind {kind!r}")
+    if not parts:
+        raise ValueError("empty checks")
+    return "; ".join(parts)
+
+
 def enforce_contract(df: DataFrame, checks: Sequence[tuple]) -> list:
     """Run :func:`check_constraints` and RAISE
     :class:`ContractViolationError` if any check fails — the abort
@@ -316,11 +349,18 @@ def suggest_constraints(
 
     - ``not_null`` where the column has zero NULLs;
     - ``unique`` where distinct count == non-null row count;
-    - ``range`` for numeric columns (observed [min, max], widened by
-      ``range_slack`` * span on each side so the first new row a
-      hair past the observed extreme doesn't page anyone);
-    - ``in_set`` for string columns with <= ``in_set_max`` distinct
-      values (collected — bounded by in_set_max by construction).
+    - ``range`` for NULL-free numeric columns (observed [min, max],
+      widened by ``range_slack`` * span on each side so the first new
+      row a hair past the observed extreme doesn't page anyone);
+    - ``in_set`` for NULL-free string columns with <= ``in_set_max``
+      distinct values (collected — bounded by in_set_max by
+      construction).
+
+    range/in_set are only suggested for columns with zero NULLs:
+    :func:`violation_expr` counts NULL as a violation for both kinds
+    (nullability is the separate ``not_null`` check), so suggesting
+    them for a nullable column would emit a contract the PROFILED
+    data itself fails — breaking the roundtrip guarantee below.
 
     Returns :func:`check_constraints` tuples, so the loop closes:
     ``enforce_contract(new_batch, suggest_constraints(blessed))`` is
@@ -337,6 +377,8 @@ def suggest_constraints(
             checks.append(("not_null", c))
         if r["n_distinct"] == r["n"] - r["n_null"] and r["n"] > r["n_null"]:
             checks.append(("unique", c))
+        if r["n_null"] > 0:
+            continue  # range/in_set count NULL as a violation
         if r["min_num"] is not None and r["max_num"] is not None:
             span = r["max_num"] - r["min_num"]
             pad = span * range_slack

@@ -814,6 +814,7 @@ def knn_graph(
     centroids: DataFrame | None = None,
     score_kernel: str = "fold",
     hierarchical: bool = False,
+    l1_probe: int = 4,
 ) -> DataFrame:
     """ALL-PAIRS approximate k-nearest-neighbor GRAPH: every corpus
     vector's top-``k`` neighbors by EXACT cosine among IVF-blocked
@@ -871,14 +872,16 @@ def knn_graph(
     ``hierarchical=True`` swaps in the two-level
     :func:`probe_cells_hierarchical` pass (per-vector probe work
     ~2*sqrt(C), the billion-vector regime; approximate at L1-group
-    boundaries)."""
+    boundaries — ``l1_probe`` trades L1 recall for assignment cost,
+    see the SCALING_OUT tuning curve)."""
     from pyspark.sql import Window
 
     cent = _knn_quantizer(corpus, id_col, vec_col, n_cells, centroids)
     crows = cent.select("cell", "cent_vec").collect()  # bounded quantizer
     if hierarchical and len(crows) > 0:
         probed = probe_cells_hierarchical(
-            corpus, crows, id_col, vec_col, n_probe, keep_order=True
+            corpus, crows, id_col, vec_col, n_probe,
+            l1_probe=l1_probe, keep_order=True,
         )
         cand = probed.select(
             F.col(id_col).alias("neighbor_id"),
@@ -1010,6 +1013,7 @@ def knn_graph_write(
     n_probe: int = 2,
     centroids: DataFrame | None = None,
     hierarchical: bool = False,
+    l1_probe: int = 4,
 ) -> None:
     """Persist the all-pairs kNN graph as an INCREMENTAL index — the
     graph member of the persistent-index family (LSH / IVF / PQ /
@@ -1047,10 +1051,16 @@ def knn_graph_write(
             f"(1..{_MAX_LOCAL_CELLS} cells, got {len(crows)}); pass "
             "hierarchical=True for the two-level probe"
         )
-    probe_fn = probe_cells_hierarchical if hierarchical else _probe_cells_numpy
-    probed = probe_fn(
-        corpus, crows, id_col, vec_col, n_probe, keep_order=True
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if hierarchical:
+        probed = probe_cells_hierarchical(
+            corpus, crows, id_col, vec_col, n_probe,
+            l1_probe=l1_probe, keep_order=True,
+        )
+    else:
+        probed = _probe_cells_numpy(
+            corpus, crows, id_col, vec_col, n_probe, keep_order=True
+        )
+    probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         repl = _knn_replicated_cells(probed, id_col, vec_col)
         repl.write.mode("overwrite").partitionBy("cell").parquet(
@@ -3841,7 +3851,7 @@ def probe_cells_hierarchical(
             # group rows by identical L1 signature; score each group
             # against only its groups' member centroids
             uniq, inv = np.unique(sig, axis=0, return_inverse=True)
-            sel = np.empty((len(V), k), dtype=cells_np.dtype)
+            sel: list = [None] * len(V)
             for u in range(len(uniq)):
                 rows = np.nonzero(inv == u)[0]
                 cand = np.concatenate([members[g] for g in uniq[u]])
@@ -3850,15 +3860,18 @@ def probe_cells_hierarchical(
                     cand = np.arange(min(k, len(cells_np)))
                 cos = Vu[rows] @ Cu[cand].T
                 cos = np.where(np.isnan(cos), -np.inf, cos)
+                # kk < k when the probed groups hold fewer than
+                # n_probe centroids: TRUNCATE (variable-length _cells)
+                # rather than pad — padding repeated a cell, and
+                # consumers that explode _cells (knn_graph's candidate
+                # join) would double-count that cell's members
                 kk = min(k, len(cand))
                 idx = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
                 got = cells_np[cand[idx]]
-                if kk < k:  # pad by repeating the last cell (rare,
-                    # degenerate tiny-candidate case; callers dedupe)
-                    got = np.concatenate(
-                        [got, np.repeat(got[:, -1:], k - kk, axis=1)], axis=1
-                    )
-                sel[rows] = got if keep_order else np.sort(got, axis=1)
+                if not keep_order:
+                    got = np.sort(got, axis=1)
+                for j, r0 in enumerate(rows):
+                    sel[r0] = got[j]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

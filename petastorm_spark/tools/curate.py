@@ -55,6 +55,8 @@ def curate(
     zorder_bits: int = 10,
     zorder_partitions: int | None = None,
     contract: str | list | None = None,
+    suggest_contract_from: str | None = None,
+    suggest_cols: list[str] | None = None,
     manifest_cols: list[str] | None = None,
 ) -> dict[str, int]:
     """Run the pipeline and write DST (+ optional report parquet).
@@ -67,6 +69,15 @@ def curate(
     :class:`operators.profiling.ContractViolationError` carrying the
     per-check report — nothing partial is published. The output frame
     is persisted across gate + write so the pipeline runs once.
+
+    ``suggest_contract_from`` closes the drift-gate loop in ONE call
+    (the r14 verdict's #3): profile a BLESSED snapshot
+    (:func:`operators.profiling.suggest_constraints`, optionally
+    restricted to ``suggest_cols``), keep the checks whose columns
+    exist in the curated output, print the derived spec
+    (:func:`operators.profiling.format_contract` — pin it as a
+    literal ``--contract`` once reviewed), and gate the write on it.
+    Mutually exclusive with ``contract``.
 
     ``zorder_cols`` (>= 2 integer bucket columns, e.g. pre-computed
     ``doc_id % 1024`` / day buckets) clusters the WRITE on the Morton
@@ -116,6 +127,27 @@ def curate(
             out, zorder_value(list(zorder_cols), bits=zorder_bits), parts
         )
     schema = Unischema.from_spark_schema(out.schema)
+    if suggest_contract_from is not None:
+        if contract is not None:
+            raise ValueError(
+                "pass either contract or suggest_contract_from, not both"
+            )
+        from petastorm_spark.operators.profiling import (
+            format_contract,
+            suggest_constraints,
+        )
+
+        blessed = spark.read.parquet(suggest_contract_from)
+        suggested = suggest_constraints(blessed, suggest_cols)
+        # keep only checks whose column survives the pipeline (the
+        # blessed snapshot may carry columns curation drops)
+        contract = [c for c in suggested if c[1] in out.columns]
+        if not contract:
+            raise ValueError(
+                f"no suggested check from {suggest_contract_from} names a "
+                "curated-output column — nothing to gate on"
+            )
+        print("suggested contract: " + format_contract(contract))
     contract_report = None
     if contract is not None:
         from pyspark import StorageLevel
@@ -129,8 +161,12 @@ def curate(
             parse_contract(contract) if isinstance(contract, str) else contract
         )
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
-        contract_report = enforce_contract(out, checks)  # raises on fail
+    # the finally starts at the persist, not at the write: a contract
+    # gate that raises must not leak the full curated corpus into the
+    # session's cache when curate() is called programmatically
     try:
+        if contract is not None:
+            contract_report = enforce_contract(out, checks)  # raises on fail
         with materialize_dataset(
             spark, target_url, schema, row_group_size_mb,
             manifest_part_cols=manifest_cols,
@@ -227,6 +263,21 @@ def main() -> None:
         "'not_null:doc_id; unique:doc_id; range:n_chars:1:1e9; "
         "in_set:lang:en|fr; regex:doc_id:^[0-9]+$'",
     )
+    p.add_argument(
+        "--suggest-contract-from",
+        default=None,
+        help="derive the contract gate from a BLESSED parquet snapshot "
+        "(profiling.suggest_constraints) instead of spelling it: the "
+        "derived spec is printed (pin it as --contract once reviewed) "
+        "and the curated output is gated on it; mutually exclusive "
+        "with --contract",
+    )
+    p.add_argument(
+        "--suggest-cols",
+        default=None,
+        help="comma-separated columns to restrict --suggest-contract-from "
+        "profiling to (default: every blessed column)",
+    )
     a = p.parse_args()
     from petastorm_spark.session import get_spark
 
@@ -258,6 +309,8 @@ def main() -> None:
         zorder_bits=a.zorder_bits,
         zorder_partitions=a.zorder_partitions,
         contract=a.contract,
+        suggest_contract_from=a.suggest_contract_from,
+        suggest_cols=a.suggest_cols.split(",") if a.suggest_cols else None,
         manifest_cols=a.manifest.split(",") if a.manifest else None,
     )
     for stage, n in counts.items():

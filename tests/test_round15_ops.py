@@ -1,0 +1,280 @@
+"""Round-15 fixes from the r14 ADVICE: nullable-safe constraint
+suggestion, truncating (never padding) hierarchical probes, guarded
+manifest reads, all-NULL-class t-closeness suppression semantics, and
+the curate contract-gate persist leak."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from petastorm_spark.session import arrow_local_df
+
+
+def test_suggest_constraints_nullable_roundtrip(spark):
+    """The r14 ADVICE medium: range/in_set count NULL as a violation,
+    so suggesting them for a NULLABLE column broke the documented
+    enforce_contract(blessed, suggest_constraints(blessed)) roundtrip.
+    Now nullable columns only get the checks they actually satisfy."""
+    from petastorm_spark.operators.profiling import (
+        enforce_contract,
+        suggest_constraints,
+    )
+
+    blessed = arrow_local_df(
+        spark,
+        {
+            "id": [1, 2, 3, 4],
+            "lang": ["en", None, "en", "de"],     # nullable low-card str
+            "score": [0.1, None, 0.5, 0.3],       # nullable numeric
+            "n": [10, 20, 30, 40],                # null-free numeric
+        },
+        "id bigint, lang string, score double, n bigint",
+    )
+    checks = suggest_constraints(blessed)
+    kinds = {(c[0], c[1]) for c in checks}
+    # nullable columns: no range/in_set suggestion (NULL would violate)
+    assert ("range", "score") not in kinds
+    assert ("in_set", "lang") not in kinds
+    # null-free columns still get their range
+    assert ("range", "n") in kinds and ("range", "id") in kinds
+    assert ("not_null", "score") not in kinds
+    # THE guarantee: the blessed data passes its own suggested contract
+    rows = enforce_contract(blessed, checks)
+    assert all(r["passed"] for r in rows)
+
+
+def test_hierarchical_probe_truncates_never_pads(spark):
+    """The r14 ADVICE: a signature group with fewer than n_probe member
+    centroids used to PAD _cells by repeating the last cell; knn_graph
+    explodes _cells without distinct, so the duplicate probe row
+    doubled that cell's members as candidates and one neighbor could
+    take two of the top-k ranks. Now _cells is variable-length: every
+    row's probe list is duplicate-free."""
+    from petastorm_spark.operators.similarity import (
+        probe_cells_hierarchical,
+    )
+
+    rng = np.random.default_rng(15)
+    # 9 centroids -> n_l1 = max(4, ceil(sqrt(9))) = 4 L1 groups; with
+    # l1_probe=1 a group with < n_probe members forces truncation
+    cents = rng.normal(size=(9, 6))
+    vecs = np.concatenate([c + 0.01 * rng.normal(size=(5, 6)) for c in cents])
+    emb = arrow_local_df(
+        spark,
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": [list(map(float, v)) for v in vecs],
+        },
+        "vec_id bigint, embedding array<double>",
+    )
+    crows = arrow_local_df(
+        spark,
+        {
+            "cell": list(range(9)),
+            "cent_vec": [list(map(float, c)) for c in cents],
+        },
+        "cell int, cent_vec array<double>",
+    ).collect()
+    out = probe_cells_hierarchical(
+        emb, crows, "vec_id", "embedding", n_probe=5, l1_probe=1
+    ).collect()
+    assert len(out) == len(vecs)
+    saw_short = False
+    for r in out:
+        cells = r["_cells"]
+        assert len(cells) == len(set(cells)), f"duplicate probe: {cells}"
+        assert 1 <= len(cells) <= 5
+        saw_short = saw_short or len(cells) < 5
+    # the fixture must actually exercise the truncation branch
+    assert saw_short, "no signature group was smaller than n_probe"
+
+
+def test_knn_graph_hier_ranks_are_distinct_neighbors(spark):
+    """End-to-end receipt for the same ADVICE item: under a
+    deliberately starved l1_probe, knn_graph(hierarchical=True) must
+    never list the same neighbor at two ranks of one query."""
+    from petastorm_spark.operators.similarity import knn_graph
+
+    rng = np.random.default_rng(16)
+    vecs = rng.normal(size=(120, 6))
+    emb = arrow_local_df(
+        spark,
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": [list(map(float, v)) for v in vecs],
+        },
+        "vec_id bigint, embedding array<double>",
+    )
+    g = knn_graph(
+        emb, k=3, n_cells=9, n_probe=5, hierarchical=True, l1_probe=1
+    )
+    dup = (
+        g.groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert dup == 0
+
+
+def test_snapshot_diff_rejects_empty_and_legacy_manifests(
+    spark, tmp_path_factory
+):
+    """The r14 ADVICE: an empty _ps_manifest raised TypeError on
+    first()[...] and a pre-r14 sidecar (no _manifest_key column)
+    raised an opaque AnalysisException. Both now get a descriptive
+    ValueError naming write_dataset_manifest."""
+    from petastorm_spark.operators.layout import (
+        MANIFEST_DIRNAME,
+        snapshot_diff,
+        write_dataset_manifest,
+    )
+
+    root = tmp_path_factory.mktemp("manifguard")
+    good = str(root / "good")
+    legacy = str(root / "legacy")
+    df = spark.createDataFrame(
+        [(p, i, f"v{p}-{i}") for p in range(2) for i in range(3)],
+        "part int, id bigint, v string",
+    )
+    for url in (good, legacy):
+        df.write.mode("overwrite").partitionBy("part").parquet(url)
+    write_dataset_manifest(spark, good, ["part"])
+
+    # legacy sidecar: manifest parquet WITHOUT the _manifest_key column
+    spark.createDataFrame([(0, "d0")], "part int, digest string").write.mode(
+        "overwrite"
+    ).parquet(legacy + "/" + MANIFEST_DIRNAME)
+    with pytest.raises(ValueError, match="write_dataset_manifest"):
+        snapshot_diff(spark, good, legacy, "id", ["v"])
+
+    # empty sidecar: schema-only manifest, zero rows
+    spark.createDataFrame(
+        [], "part int, digest string, _manifest_key string"
+    ).write.mode("overwrite").parquet(legacy + "/" + MANIFEST_DIRNAME)
+    with pytest.raises(ValueError, match="empty"):
+        snapshot_diff(spark, good, legacy, "id", ["v"])
+
+
+def test_suppress_low_closeness_keeps_all_null_classes(spark):
+    """The r14 ADVICE: a QI class whose sensitive values are ALL
+    NULL/NaN never enters t_closeness_report (its base excludes
+    null/NaN), so the left-semi join silently dropped it despite the
+    docstring's keep-with-class promise. Such classes carry no
+    orderable distribution to attack — they are now kept."""
+    from petastorm_spark.operators.privacy import suppress_low_closeness
+
+    df = arrow_local_df(
+        spark,
+        {
+            # class "a": balanced sensitive values (safe); class "z":
+            # all-NULL sensitive (must be KEPT, not silently dropped)
+            "qi": ["a"] * 8 + ["z"] * 4,
+            "sal": [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]
+            + [None, None, float("nan"), None],
+        },
+        "qi string, sal double",
+    )
+    kept = suppress_low_closeness(df, ["qi"], "sal", t=0.9)
+    by_class = {
+        r["qi"]: r["n"]
+        for r in kept.groupBy("qi").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_class.get("z") == 4, by_class
+    assert by_class.get("a") == 8, by_class
+
+
+def test_curate_contract_failure_unpersists(spark, sf_dir, tmp_path):
+    """The r14 ADVICE: the contract gate persisted the output frame
+    BEFORE the try/finally, so a ContractViolationError leaked the
+    full curated corpus into the session cache. The finally now wraps
+    the gate itself."""
+    from petastorm_spark.operators.profiling import ContractViolationError
+    from petastorm_spark.tools.curate import curate
+
+    jsc = spark.sparkContext._jsc  # JavaSparkContext: java.util.Map
+
+    def rdd_ids():
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = rdd_ids()
+    with pytest.raises(ContractViolationError):
+        curate(
+            spark,
+            f"{sf_dir}/documents.parquet",
+            str(tmp_path / "curated_leak"),
+            quality_floor=0.0,
+            contract="range:n_chars:1:2",
+        )
+    # no NEW rdd survives the failed gate (pre-existing localCheckpoint
+    # rdds from other tests may linger until the context cleaner runs)
+    leaked = rdd_ids() - before
+    assert not leaked, (
+        f"contract failure must unpersist the curated frame: {leaked}"
+    )
+
+
+def test_format_contract_roundtrips_through_parse(spark):
+    """format_contract is parse_contract's inverse: a suggested
+    contract prints to the CLI grammar and parses back to the same
+    checks — the one-call drift gate's serialization leg."""
+    from petastorm_spark.operators.profiling import (
+        format_contract,
+        parse_contract,
+    )
+
+    checks = [
+        ("not_null", "doc_id"),
+        ("unique", "doc_id"),
+        ("range", "n_chars", 1.0, 4096.0),
+        ("in_set", "lang", ["de", "en", "fr"]),
+        ("regex", "doc_id", "^doc:[0-9]+$"),  # colons survive in regex
+    ]
+    spec = format_contract(checks)
+    assert parse_contract(spec) == checks
+    with pytest.raises(ValueError, match="grammar-safe"):
+        format_contract([("in_set", "lang", ["a|b"])])
+
+
+def test_curate_suggest_contract_from_blessed(spark, sf_dir, tmp_path):
+    """The r14 verdict's #3 wired end to end: ONE curate call profiles
+    a blessed snapshot, derives its contract, and gates the new write
+    on it — passing when the new corpus fits the blessed envelope,
+    aborting (nothing published) when it drifted outside it."""
+    from petastorm_spark.operators.profiling import ContractViolationError
+    from petastorm_spark.tools.curate import curate
+
+    src = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(src)
+    # blessed snapshot that the full corpus FITS: same envelope
+    blessed_ok = str(tmp_path / "blessed_ok")
+    docs.write.parquet(blessed_ok)
+    dst = str(tmp_path / "curated")
+    counts = curate(
+        spark, src, dst,
+        quality_floor=0.0,
+        suggest_contract_from=blessed_ok,
+        suggest_cols=["doc_id", "n_chars", "lang"],
+    )
+    assert counts["output"] > 0
+    assert spark.read.parquet(dst).count() == counts["output"]
+
+    # blessed snapshot with a NARROWER n_chars envelope: the curated
+    # corpus drifts outside it -> the gate aborts before publishing
+    lo, hi = docs.agg(
+        F.min("n_chars"), F.max("n_chars")
+    ).first()
+    assert hi > lo  # fixture sanity: a narrowable envelope exists
+    blessed_narrow = str(tmp_path / "blessed_narrow")
+    docs.where(F.col("n_chars") < (lo + hi) / 2).write.parquet(blessed_narrow)
+    dst_fail = str(tmp_path / "curated_fail")
+    import os
+
+    with pytest.raises(ContractViolationError, match="range"):
+        curate(
+            spark, src, dst_fail,
+            quality_floor=0.0,
+            suggest_contract_from=blessed_narrow,
+            suggest_cols=["doc_id", "n_chars"],
+        )
+    assert not os.path.exists(dst_fail)
