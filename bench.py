@@ -25,6 +25,11 @@ from petastorm_spark.session import get_spark  # noqa: E402
 
 # Diverse headline set: scan+agg, join-heavy, windowing, distribution,
 # dedup/text/similarity. Driver compares the total against BASELINE.
+# Exclusion rule (the cap is curation, not coverage): registered
+# queries NOT listed here are sub-second TPC-H/operator family
+# DUPLICATES whose family representative is benched (q1/q3/q5/q9/q21
+# stand in for the TPC-H ladder, one variant per dedup/ANN/text
+# family) — every excluded query still runs in the oracle gate.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from petastorm_spark.etl.dataset_metadata import materialize_dataset
 from petastorm_spark.operators.pipeline import curate_corpus, curation_report
@@ -190,6 +191,215 @@ def curate(
     }
 
 
+SOURCE_MANIFEST_DIRNAME = "_ps_source_manifest"
+
+
+def _hive_part_segs(part_cols, row) -> str:
+    """`c1=v1/c2=v2` directory suffix for one partition-key row (Hive
+    layout; NULL renders as Spark's __HIVE_DEFAULT_PARTITION__).
+    Values are str()-rendered — partition values needing Hive path
+    escaping aren't supported for the removed-partition delete."""
+    segs = []
+    for c in part_cols:
+        v = row[c]
+        segs.append(
+            f"{c}=" + ("__HIVE_DEFAULT_PARTITION__" if v is None else str(v))
+        )
+    return "/".join(segs)
+
+
+def curate_incremental(
+    spark: SparkSession,
+    source_url: str,
+    target_url: str,
+    part_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    report_url: str | None = None,
+    row_group_size_mb: int | None = None,
+    **pipeline_kwargs,
+) -> dict[str, int]:
+    """MANIFEST-DRIVEN incremental curation (the r14 verdict's #4):
+    re-curate ONLY the source partitions whose ``_ps_manifest`` digest
+    moved since the last run, instead of reprocessing the full corpus
+    — the :func:`operators.dedup.incremental_near_dup` precedent
+    applied to the whole pipeline.
+
+    Protocol per run:
+
+    1. read the SOURCE's stored ``_ps_manifest`` (write it with
+       :func:`operators.layout.write_dataset_manifest` or
+       ``materialize_dataset(manifest_part_cols=...)`` — this function
+       never re-scans the source to find out what changed);
+    2. diff it against the source-manifest copy stored at the target
+       from the previous run (``_ps_source_manifest``); first run =
+       everything is 'added';
+    3. run ``curate_corpus`` over ONLY the added/changed partitions
+       (a literal partition predicate — Catalyst prunes the scan to
+       those directories) and write them into the target with DYNAMIC
+       partition overwrite, so untouched target partitions' files are
+       never rewritten;
+    4. drop target partitions that disappeared from the source (or
+       whose every row was curated away);
+    5. store the new source manifest at the target for the next run.
+
+    Scale: the work per run is bounded by the CHANGED partitions —
+    at 100 TB an append touches a handful of date/source directories
+    and the run costs that slice, not the corpus. SEMANTICS CAVEAT:
+    every pipeline stage runs over the changed SLICE, so exact/near
+    dedup is partition-confined in incremental mode — a new doc
+    duplicating a doc in an UNCHANGED partition survives. Cross-batch
+    dedup belongs to the persistent-index path
+    (:func:`operators.dedup.near_dup_index_build` + incremental
+    probes); partition-confined dedup is the price of not re-reading
+    the corpus, exactly as in the reference's row-group-local
+    operations.
+
+    Returns the attrition counts of the processed slice plus
+    ``partitions_added/changed/removed`` (all 0 = no-op run)."""
+    from petastorm_spark.etl.dataset_metadata import _fs_and_path
+    from petastorm_spark.operators.layout import (
+        manifest_diff,
+        read_dataset_manifest,
+    )
+
+    part_cols = list(part_cols)
+    key = ",".join(part_cols)
+    try:
+        cur = read_dataset_manifest(spark, source_url)
+    except Exception as e:
+        raise ValueError(
+            f"{source_url} has no _ps_manifest sidecar — write one with "
+            "write_dataset_manifest / materialize_dataset("
+            "manifest_part_cols=...) before curating incrementally"
+        ) from e
+    if "_manifest_key" not in cur.columns:
+        raise ValueError(
+            f"{source_url}: legacy _ps_manifest (no _manifest_key) — "
+            "rewrite with write_dataset_manifest"
+        )
+    krow = cur.select("_manifest_key").first()
+    if krow is None:
+        raise ValueError(f"{source_url}: _ps_manifest is empty")
+    if krow["_manifest_key"] != key:
+        raise ValueError(
+            f"source manifest is keyed on {krow['_manifest_key']!r}, "
+            f"not {key!r}"
+        )
+
+    fs, tpath = _fs_and_path(spark, target_url)
+    jvm = spark.sparkContext._jvm
+    prev_path = jvm.org.apache.hadoop.fs.Path(tpath, SOURCE_MANIFEST_DIRNAME)
+    src = spark.read.parquet(source_url)
+    if fs.exists(prev_path):
+        prev = spark.read.parquet(
+            target_url.rstrip("/") + "/" + SOURCE_MANIFEST_DIRNAME
+        )
+        diff = manifest_diff(
+            prev.drop("_manifest_key"), cur.drop("_manifest_key"), part_cols
+        ).persist()
+        moved = (
+            diff.where(F.col("status").isin("added", "changed"))
+            .select(*part_cols, "status")
+            .collect()
+        )
+        removed = [
+            _hive_part_segs(part_cols, r)
+            for r in diff.where(F.col("status") == "removed")
+            .select(*part_cols)
+            .collect()
+        ]
+        diff.unpersist()
+        n_added = sum(1 for r in moved if r["status"] == "added")
+        n_changed = len(moved) - n_added
+        if not moved and not removed:
+            return {
+                "partitions_added": 0,
+                "partitions_changed": 0,
+                "partitions_removed": 0,
+            }
+        pred = None
+        for r in moved:
+            cond = None
+            for c in part_cols:
+                v = r[c]
+                eq = (
+                    F.col(c).isNull()
+                    if v is None
+                    else (F.col(c) == F.lit(v))
+                )
+                cond = eq if cond is None else (cond & eq)
+            pred = cond if pred is None else (pred | cond)
+        src = src.where(pred) if pred is not None else src.where(F.lit(False))
+        moved_keys = [tuple(r[c] for c in part_cols) for r in moved]
+    else:  # first run: every source partition is 'added'
+        n_added = cur.count()
+        n_changed = 0
+        removed = []
+        moved_keys = None  # whole source
+
+    counts: dict[str, int] = {}
+    if moved_keys is None or moved_keys:
+        stages = curate_corpus(src, text_col, id_col, **pipeline_kwargs)
+        from pyspark import StorageLevel
+
+        out = stages["output"].persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            schema = Unischema.from_spark_schema(out.schema)
+            prev_mode = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                with materialize_dataset(
+                    spark, target_url, schema, row_group_size_mb
+                ):
+                    out.write.mode("overwrite").partitionBy(
+                        *part_cols
+                    ).parquet(target_url)
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev_mode
+                )
+            if moved_keys is not None:
+                # a changed partition whose every row was curated away
+                # writes nothing under dynamic overwrite — drop it like
+                # a removed one so no stale data survives
+                written = {
+                    tuple(r[c] for c in part_cols)
+                    for r in out.select(*part_cols).distinct().collect()
+                }
+                gone = [k for k in moved_keys if k not in written]
+                removed = removed + [
+                    _hive_part_segs(part_cols, dict(zip(part_cols, k)))
+                    for k in gone
+                ]
+            report = curation_report(stages)
+            if report_url:
+                report.write.mode("errorifexists").parquet(report_url)
+            counts = {
+                r["stage"]: r["n_rows"]
+                for r in report.orderBy("stage_idx").collect()
+            }
+        finally:
+            out.unpersist()
+    for segs in removed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tpath, segs), True)
+    # store the new source manifest for the next run's diff (LAST — a
+    # failed run re-processes rather than silently skipping)
+    cur.write.mode("overwrite").parquet(
+        target_url.rstrip("/") + "/" + SOURCE_MANIFEST_DIRNAME
+    )
+    counts.update(
+        partitions_added=n_added,
+        partitions_changed=n_changed,
+        partitions_removed=len(removed),
+    )
+    return counts
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("source_url")
@@ -278,10 +488,61 @@ def main() -> None:
         help="comma-separated columns to restrict --suggest-contract-from "
         "profiling to (default: every blessed column)",
     )
+    p.add_argument(
+        "--incremental",
+        action="store_true",
+        help="manifest-driven incremental mode: re-curate ONLY source "
+        "partitions whose _ps_manifest digest moved since the last run "
+        "into a partitioned target (requires --manifest naming the "
+        "partition-key columns; the source must carry a stored "
+        "_ps_manifest). Dedup is partition-confined in this mode — see "
+        "curate_incremental's docstring",
+    )
     a = p.parse_args()
     from petastorm_spark.session import get_spark
 
     spark = get_spark("curate_cli")
+    if a.incremental:
+        if not a.manifest:
+            p.error("--incremental requires --manifest <part_cols>")
+        if a.contract or a.suggest_contract_from or a.zorder:
+            p.error(
+                "--incremental does not compose with --contract/"
+                "--suggest-contract-from/--zorder (gate or cluster the "
+                "full-corpus path instead)"
+            )
+        counts = curate_incremental(
+            spark,
+            a.source_url,
+            a.target_url,
+            a.manifest.split(","),
+            text_col=a.text_col,
+            id_col=a.id_col,
+            report_url=a.report_url,
+            row_group_size_mb=a.row_group_size_mb,
+            quality_floor=a.quality_floor,
+            quality_frac=a.quality_frac,
+            strata_col=a.strata_col,
+            max_per_stratum=a.max_per_stratum,
+            near_dedup=a.near_dedup,
+            excise_spans=a.excise_spans,
+            classifier_floor=a.classifier_floor,
+            lm_floor=a.lm_floor,
+            lm_model_df=(
+                spark.read.parquet(a.lm_model_url)
+                if a.lm_model_url
+                else None
+            ),
+            k_anon_cols=a.k_anon_cols.split(",") if a.k_anon_cols else None,
+            k_anon_k=a.k_anon_k,
+            l_div_sensitive=a.l_div_sensitive,
+            l_div_l=a.l_div_l,
+            t_close_sensitive=a.t_close_sensitive,
+            t_close_t=a.t_close_t,
+        )
+        for stage, n in counts.items():
+            print(f"{stage}: {n}")
+        return
     counts = curate(
         spark,
         a.source_url,

@@ -278,3 +278,99 @@ def test_curate_suggest_contract_from_blessed(spark, sf_dir, tmp_path):
             suggest_cols=["doc_id", "n_chars"],
         )
     assert not os.path.exists(dst_fail)
+
+
+def test_curate_incremental_bounded_by_changed_partitions(
+    spark, tmp_path_factory
+):
+    """The r14 verdict's #4: manifest-driven incremental curation.
+    An appended source partition triggers work bounded by THAT
+    partition (the attrition report's input count is the receipt),
+    unchanged target partitions' files are never rewritten (mtime
+    receipt), a changed partition is re-curated in place, and a
+    removed partition is dropped from the target."""
+    import glob
+    import os
+    import shutil
+
+    from petastorm_spark.operators.layout import write_dataset_manifest
+    from petastorm_spark.tools.curate import curate_incremental
+
+    root = tmp_path_factory.mktemp("inccur")
+    src = str(root / "src")
+    dst = str(root / "dst")
+
+    def docs(parts, salt=""):
+        rows = [
+            (p, f"d{p}-{i}", f"unique text {salt}{p} {i} " + "word " * 12)
+            for p in parts
+            for i in range(10)
+        ]
+        return spark.createDataFrame(
+            rows, "src_part int, doc_id string, text string"
+        )
+
+    docs([0, 1, 2]).write.partitionBy("src_part").parquet(src)
+    write_dataset_manifest(spark, src, ["src_part"])
+
+    # run 1: first run curates everything
+    c1 = curate_incremental(
+        spark, src, dst, ["src_part"], quality_floor=0.0
+    )
+    assert c1["partitions_added"] == 3 and c1["partitions_removed"] == 0
+    assert c1["input"] == 30
+    assert spark.read.parquet(dst).count() == c1["output"] > 0
+
+    def part_files(p):
+        return sorted(glob.glob(f"{dst}/src_part={p}/*.parquet"))
+
+    untouched = {p: [(f, os.path.getmtime(f)) for f in part_files(p)]
+                 for p in (1, 2)}
+
+    # append partition 3 and refresh the source manifest
+    docs([3]).write.mode("append").partitionBy("src_part").parquet(src)
+    write_dataset_manifest(spark, src, ["src_part"])
+    c2 = curate_incremental(
+        spark, src, dst, ["src_part"], quality_floor=0.0
+    )
+    assert c2["partitions_added"] == 1 and c2["partitions_changed"] == 0
+    assert c2["input"] == 10, "work must be bounded by the new partition"
+    assert spark.read.parquet(dst).where(
+        F.col("src_part") == 3
+    ).count() > 0
+    for p, files in untouched.items():
+        assert [(f, os.path.getmtime(f)) for f in part_files(p)] == files, (
+            f"unchanged target partition {p} was rewritten"
+        )
+
+    # change partition 0 (new digest) and remove partition 2
+    shutil.rmtree(f"{src}/src_part=0")
+    shutil.rmtree(f"{src}/src_part=2")
+    docs([0], salt="edited-").write.mode("append").partitionBy(
+        "src_part"
+    ).parquet(src)
+    write_dataset_manifest(spark, src, ["src_part"])
+    c3 = curate_incremental(
+        spark, src, dst, ["src_part"], quality_floor=0.0
+    )
+    assert c3["partitions_changed"] == 1 and c3["partitions_removed"] == 1
+    assert c3["input"] == 10
+    got = spark.read.parquet(dst)
+    assert got.where(F.col("src_part") == 2).count() == 0, "removed"
+    assert (
+        got.where(
+            (F.col("src_part") == 0)
+            & F.col("text").contains("edited-")
+        ).count()
+        > 0
+    ), "changed partition re-curated"
+
+    # no-op run: nothing moved, nothing processed
+    c4 = curate_incremental(
+        spark, src, dst, ["src_part"], quality_floor=0.0
+    )
+    assert c4 == {
+        "partitions_added": 0,
+        "partitions_changed": 0,
+        "partitions_removed": 0,
+    }
