@@ -64,33 +64,16 @@ def _last_green_round() -> dict[str, int]:
 # round's CORRECTNESS file is committed the staleness sort would have
 # rotated them forward anyway.
 CHANGED_THIS_ROUND = [
-    # new in round 14
-    "ann_cosine_ivf_auto",
-    "dp_release_stability",
-    "vocab_growth_heaps",
-    "embedding_intrinsic_dim",
-    "event_gap_report",
-    "equidepth_hist_prices",
+    # new in round 15
+    "event_transition_matrix",
+    "session_paths_topk",
+    "contract_suggest_docs",
+    # hierarchical probe: pad->truncate fix + l1_probe knob in r15
+    # (advice)
     "knn_graph_hier",
-    "events_ohlc",
-    # sqrt(N) auto-sizing default across the whole IVF family in r14
-    "ann_cosine_ivf",
-    "ann_cosine_ivfpq",
-    "ann_recall_ivf",
-    "ann_recall_ivfpq",
-    "dedup_semantic",
-    "dedup_semantic_probe2",
-    "kmeans_embeddings",
-    # null-safe oracle grid join fixed in r14 (advice)
-    "token_label_mi_lang",
-    # NULLS LAST on the primary n_tokens sort key in r14 (advice)
-    "source_mix_report",
-    # NaN-sensitive-value guard in r14 (advice)
+    # t-closeness suppression keeps all-NULL-sensitive classes in r15
+    # (advice; the report query itself is unchanged but re-certify)
     "pii_t_closeness",
-    # delta-thresholding landed next to the bare mechanism in r14
-    "dp_event_type_release",
-    # eager plan cuts on e/deg/oriented in r14
-    "triangle_census_parts",
 ]
 
 

@@ -203,6 +203,10 @@ HEADLINE = [
     "equidepth_hist_prices",
     "knn_graph_hier",
     "events_ohlc",
+    # round 15
+    "event_transition_matrix",
+    "session_paths_topk",
+    "contract_suggest_docs",
 ]
 
 N_WARMUP_READS = 500

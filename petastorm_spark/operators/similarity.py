@@ -815,6 +815,7 @@ def knn_graph(
     score_kernel: str = "fold",
     hierarchical: bool = False,
     l1_probe: int = 4,
+    l1_rounds: int = 4,
 ) -> DataFrame:
     """ALL-PAIRS approximate k-nearest-neighbor GRAPH: every corpus
     vector's top-``k`` neighbors by EXACT cosine among IVF-blocked
@@ -881,7 +882,7 @@ def knn_graph(
     if hierarchical and len(crows) > 0:
         probed = probe_cells_hierarchical(
             corpus, crows, id_col, vec_col, n_probe,
-            l1_probe=l1_probe, keep_order=True,
+            l1_probe=l1_probe, keep_order=True, l1_rounds=l1_rounds,
         )
         cand = probed.select(
             F.col(id_col).alias("neighbor_id"),
@@ -1014,6 +1015,7 @@ def knn_graph_write(
     centroids: DataFrame | None = None,
     hierarchical: bool = False,
     l1_probe: int = 4,
+    l1_rounds: int = 4,
 ) -> None:
     """Persist the all-pairs kNN graph as an INCREMENTAL index — the
     graph member of the persistent-index family (LSH / IVF / PQ /
@@ -1054,7 +1056,7 @@ def knn_graph_write(
     if hierarchical:
         probed = probe_cells_hierarchical(
             corpus, crows, id_col, vec_col, n_probe,
-            l1_probe=l1_probe, keep_order=True,
+            l1_probe=l1_probe, keep_order=True, l1_rounds=l1_rounds,
         )
     else:
         probed = _probe_cells_numpy(
@@ -3780,18 +3782,28 @@ def probe_cells_hierarchical(
     n_probe: int,
     l1_probe: int = 4,
     keep_order: bool = False,
+    l1_rounds: int = 4,
 ) -> DataFrame:
     """Two-level coarse probe for quantizers too big to matmul flat —
     the "hierarchical quantizer" the :func:`ivf_build` docstring
     delegates to once ``auto_n_cells`` outgrows ``_MAX_LOCAL_CELLS``
     (sqrt(1e9) ~ 31623 cells at billion-vector scale).
 
-    Level 1 is the sqrt(C) lowest-cell-id centroids; every centroid is
-    pre-assigned (locally, one C x sqrt(C) matmul at plan time) to its
-    nearest L1 cell. Per Arrow batch: one batch x sqrt(C) matmul picks
-    each row's ``l1_probe`` nearest L1 groups, rows sharing the same
-    group signature are scored together against ONLY those groups'
-    member centroids, and the exact top-``n_probe`` among the
+    Level 1 starts from the sqrt(C) lowest-cell-id centroids and is
+    then REFINED by ``l1_rounds`` deterministic spherical-k-means
+    sweeps over the centroid matrix (plan-time numpy on the bounded
+    quantizer — a few C x sqrt(C) matmuls, microseconds next to the
+    corpus scan): real two-level quantizers train the coarse level,
+    and the r15 receipt measures why — on 200k clustered vectors at
+    C=4096 the refined L1 lifts home-cell agreement from 0.51 to 0.95
+    at l1_probe=4 (SCALING_OUT round-15). ``l1_rounds=0`` keeps the
+    raw lowest-id L1 — the SQL-replayable shape the knn_graph_hier
+    oracle pins, exactly like the IVF family's explicit-n_cells
+    escape hatch. Every centroid is pre-assigned (stable argmax) to
+    its nearest L1 cell. Per Arrow batch: one batch x sqrt(C) matmul
+    picks each row's ``l1_probe`` nearest L1 groups, rows sharing the
+    same group signature are scored together against ONLY those
+    groups' member centroids, and the exact top-``n_probe`` among the
     candidates is taken with the same stable (cos DESC, cell ASC)
     tie-break as :func:`_probe_cells_numpy`. Per-vector score work
     drops from C to ~sqrt(C) + l1_probe * C/sqrt(C) (~60x at C=32k,
@@ -3800,8 +3812,11 @@ def probe_cells_hierarchical(
     APPROXIMATE by design: a vector whose true nearest centroid lives
     outside its ``l1_probe`` nearest L1 groups gets its best candidate
     instead (raise ``l1_probe`` for recall, the IVF n_probe story one
-    level up). Ties, NaN and zero-norm handling match the flat probe
-    ("degenerate never wins")."""
+    level up — the measured tuning curve lives in SCALING_OUT
+    round-15; on unclusterable data no L1 grouping carries signal, so
+    check clusterability before trusting low l1_probe). Ties, NaN and
+    zero-norm handling match the flat probe ("degenerate never
+    wins")."""
     import numpy as np
     import pandas as pd
 
@@ -3818,7 +3833,19 @@ def probe_cells_hierarchical(
     Cu = C / cn[:, None]  # unit centroids: candidate scoring is a dot
 
     n_l1 = max(4, int(np.ceil(np.sqrt(len(crows)))))
-    L1 = Cu[:n_l1]  # lowest-cell-id centroids, already unit
+    L1 = Cu[:n_l1].copy()  # init: lowest-cell-id centroids, unit
+    # refine the L1 level with deterministic spherical k-means over
+    # the (bounded) centroid matrix: seeded init above, fixed sweep
+    # count, stable argmax assignment, empty groups keep their center
+    for _ in range(max(l1_rounds, 0)):
+        g = np.argsort(-(Cu @ L1.T), axis=1, kind="stable")[:, 0]
+        for j in range(n_l1):
+            m = Cu[g == j]
+            if len(m):
+                v = m.sum(axis=0)
+                nv = np.sqrt((v * v).sum())
+                if nv > 0:
+                    L1[j] = v / nv
     # pre-assign every centroid to its nearest L1 group (stable ties
     # to the lower group, same rule as the per-row probe below)
     g_cos = Cu @ L1.T

@@ -7574,12 +7574,15 @@ def knn_graph_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer levels in SQL (centroid->group argmax, vector->group
     top-4, exact top-2 cells among member centroids with the flat
     probe's stable tie-break), so the hierarchical path is
-    hash-checked end to end, not just recall-checked."""
+    hash-checked end to end, not just recall-checked. ``l1_rounds=0``
+    pins the RAW lowest-id L1 level (the r15 spherical-k-means L1
+    refinement is plan-time iterative numpy — not SQL-replayable; the
+    explicit-pin-for-oracle-parity convention of the IVF family)."""
     from petastorm_spark.operators.similarity import knn_graph
 
     return knn_graph(
         _t_wide(spark, sf_dir, "embeddings"),
-        k=3, n_cells=64, n_probe=2, hierarchical=True,
+        k=3, n_cells=64, n_probe=2, hierarchical=True, l1_rounds=0,
     )
 
 
@@ -7632,4 +7635,240 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max(F.struct("t", "eid", "value")).getField("value").alias("close"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 15: sequence analytics (Markov transitions, session path mining)
+# and the oracle-gated contract-suggestion rules
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+               FROM events),
+    s AS (SELECT event_type AS prev_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY t, event_id) AS next_type
+          FROM e),
+    c AS (SELECT prev_type, next_type, count(*) AS n_trans
+          FROM s WHERE next_type IS NOT NULL GROUP BY prev_type, next_type)
+    SELECT prev_type, next_type, CAST(n_trans AS BIGINT) AS n_trans,
+           round(n_trans / sum(n_trans) OVER (PARTITION BY prev_type), 6)
+               AS prob
+    FROM c
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov TRANSITION MATRIX over per-user event
+    sequences ((ts, event_id) total order): corpus-wide (prev_type,
+    next_type) counts and the row-normalized transition probability —
+    the behavioral fingerprint under next-event prediction baselines,
+    anomaly scoring (improbable transitions), and bot detection.
+    Engine-exact: counts are exact integers, prob is one IEEE double
+    division of exact integers (both engines), rounded at 6.
+
+    Scale: ONE exchange on user_id feeds the lead() window (sequences
+    never cross partitions), the count is a partial-aggregated groupBy
+    on the K^2 type-pair domain, and the normalizing window runs on
+    that K^2-row table — nothing downstream of the first shuffle is
+    corpus-sized."""
+    from pyspark.sql import Window
+
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        events_ts_us(ev).alias("t"),
+        F.col("event_id").alias("eid"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "eid")
+    s = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .select(F.col("event_type").alias("prev_type"), "next_type")
+    )
+    c = s.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trans")
+    )
+    wn = Window.partitionBy("prev_type")
+    return c.withColumn(
+        "prob", F.round(F.col("n_trans") / F.sum("n_trans").over(wn), 6)
+    )
+
+
+@register(
+    "session_paths_topk",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+               FROM events),
+    g AS (SELECT *,
+                 CASE WHEN lag(t) OVER win IS NULL
+                      OR t - lag(t) OVER win > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e
+          WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id)),
+    s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY t, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+          FROM g),
+    p AS (SELECT event_type || '>' ||
+                 lead(event_type, 1) OVER win2 || '>' ||
+                 lead(event_type, 2) OVER win2 AS path,
+                 lead(event_type, 2) OVER win2 AS t3
+          FROM s
+          WINDOW win2 AS (PARTITION BY user_id, sess ORDER BY t, event_id)),
+    c AS (SELECT path, count(*) AS n FROM p WHERE t3 IS NOT NULL
+          GROUP BY path),
+    r AS (SELECT path, n,
+                 row_number() OVER (ORDER BY n DESC, path) AS rank
+          FROM c)
+    SELECT CAST(rank AS INT) AS rank, path, CAST(n AS BIGINT) AS n
+    FROM r WHERE rank <= 20
+    """,
+)
+def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-20 session PATHS: sessionize per user (the sessionization
+    query's 30-min gap rule), slide a 3-event window WITHIN each
+    session, and rank the corpus's most frequent event-type trigram
+    paths — the clickstream path-mining staple (funnel discovery
+    without pre-declaring the funnel). Deterministic rank: (count
+    DESC, path ASC) row_number, paths are unique per row so the
+    tie-break is total.
+
+    Scale: the gap flag, session id, and both leads all ride ONE
+    exchange on user_id (the two windows share the (user, sess)
+    prefix so Catalyst plans one sort); the path count is a
+    partial-aggregated groupBy on the bounded type^3 path domain and
+    the top-k window runs on that bounded table."""
+    from pyspark.sql import Window
+
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        events_ts_us(ev).alias("t"),
+        F.col("event_id").alias("eid"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "eid")
+    s = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("t").over(w).isNull()
+            | (F.col("t") - F.lag("t").over(w) > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "sess",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w2 = Window.partitionBy("user_id", "sess").orderBy("t", "eid")
+    p = (
+        s.withColumn("t2", F.lead("event_type", 1).over(w2))
+        .withColumn("t3", F.lead("event_type", 2).over(w2))
+        .where(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+    )
+    c = p.groupBy("path").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("path"))
+    return (
+        c.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= 20)
+        .select("rank", "path", "n")
+    )
+
+
+@register(
+    "contract_suggest_docs",
+    oracle="""
+    WITH p AS (
+      SELECT 'doc_id' AS col_name, count(*) AS n,
+             count(*) FILTER (doc_id IS NULL) AS n_null,
+             count(DISTINCT doc_id) AS n_distinct,
+             CAST(min(doc_id) AS DOUBLE) AS min_num,
+             CAST(max(doc_id) AS DOUBLE) AS max_num,
+             CAST(NULL AS VARCHAR) AS set_vals
+      FROM documents
+      UNION ALL
+      SELECT 'n_chars', count(*), count(*) FILTER (n_chars IS NULL),
+             count(DISTINCT n_chars),
+             CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+             NULL
+      FROM documents
+      UNION ALL
+      SELECT 'text', count(*), count(*) FILTER (text IS NULL),
+             count(DISTINCT text), NULL, NULL,
+             CASE WHEN count(DISTINCT text) BETWEEN 1 AND 16
+                  THEN string_agg(DISTINCT text, '|' ORDER BY text) END
+      FROM documents
+      UNION ALL
+      SELECT 'lang', count(*), count(*) FILTER (lang IS NULL),
+             count(DISTINCT lang), NULL, NULL,
+             CASE WHEN count(DISTINCT lang) BETWEEN 1 AND 16
+                  THEN string_agg(DISTINCT lang, '|' ORDER BY lang) END
+      FROM documents
+      UNION ALL
+      SELECT 'source', count(*), count(*) FILTER (source IS NULL),
+             count(DISTINCT source), NULL, NULL,
+             CASE WHEN count(DISTINCT source) BETWEEN 1 AND 16
+                  THEN string_agg(DISTINCT source, '|' ORDER BY source) END
+      FROM documents
+    )
+    SELECT 'not_null' AS chk, col_name, '' AS detail FROM p
+    WHERE n_null = 0 AND n > 0
+    UNION ALL
+    SELECT 'unique', col_name, '' FROM p
+    WHERE n_distinct = n - n_null AND n > n_null
+    UNION ALL
+    SELECT 'range', col_name,
+           CAST(min_num AS VARCHAR) || '..' || CAST(max_num AS VARCHAR)
+    FROM p WHERE n_null = 0 AND min_num IS NOT NULL
+    UNION ALL
+    SELECT 'in_set', col_name, set_vals FROM p
+    WHERE n_null = 0 AND min_num IS NULL AND set_vals IS NOT NULL
+    """,
+)
+def contract_suggest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contract-SUGGESTION rules (operators/profiling.py
+    suggest_constraints — Deequ's ConstraintSuggestion leg) as an
+    oracle-gated query: the checks the documents table currently
+    satisfies, one row per (check kind, column, detail) with range
+    bounds as 'lo..hi' and in_set values '|'-joined. The oracle
+    re-derives every RULE independently in SQL — zero-null gating for
+    range/in_set (the r14 ADVICE fix: both kinds count NULL as a
+    violation, so nullable columns must not get them), uniqueness as
+    distinct == non-null count, the 16-value in_set cap — so a rule
+    regression flips the driver row, not just a unit test.
+
+    Scale: suggest_constraints is one profile scan (every per-column
+    aggregate fused) plus one bounded distinct collect per qualifying
+    low-cardinality string column; the output is columns-sized."""
+    from petastorm_spark.operators.profiling import suggest_constraints
+    from petastorm_spark.session import arrow_local_df
+
+    docs = _t(spark, sf_dir, "documents")
+    rows: dict[str, list] = {"chk": [], "col_name": [], "detail": []}
+    for chk in suggest_constraints(docs):
+        kind, col = chk[0], chk[1]
+        if kind == "range":
+            detail = f"{float(chk[2])!r}..{float(chk[3])!r}"
+        elif kind == "in_set":
+            detail = "|".join(str(v) for v in chk[2])
+        else:
+            detail = ""
+        rows["chk"].append(kind)
+        rows["col_name"].append(col)
+        rows["detail"].append(detail)
+    return arrow_local_df(
+        spark, rows, "chk string, col_name string, detail string"
     )

@@ -749,6 +749,60 @@ def next_event_stream(
     )
 
 
+def transition_pairs_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of the ``event_transition_matrix`` query's pair
+    extraction: emit one (user, prev_type, next_type) row the moment a
+    user's next event arrives — a downstream count over the emitted
+    pairs IS the live Markov transition matrix. State per user is the
+    single LAST event type (bounded forever — the smallest state of
+    any stateful operator here; :func:`next_event_stream` keeps a
+    context window, this keeps one value).
+
+    Events fold in (event-time, id) order within each micro-batch;
+    same in-order-feed contract as :func:`next_event_stream` — one
+    availableNow batch over a static dir reproduces the batch lead()
+    pair set exactly (pinned by test against the
+    event_transition_matrix counts)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    utype = events.schema[user_col].dataType.simpleString()
+    out_schema = f"{user_col} {utype}, prev_type string, next_type string"
+    state_schema = "last string"
+
+    def update(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        rows = {"prev_type": [], "next_type": []}
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame(columns=[user_col, ts_col, id_col, type_col])
+        )
+        batch = batch.sort_values([ts_col, id_col])
+        for e in batch[type_col]:
+            if last is not None:
+                rows["prev_type"].append(last)
+                rows["next_type"].append(e)
+            last = e
+        if last is not None:
+            state.update((last,))
+        out = pd.DataFrame(rows)
+        out[user_col] = key[0]
+        yield out[[user_col, "prev_type", "next_type"]]
+
+    ordered = events.select(user_col, ts_col, id_col, type_col)
+    return ordered.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def log2_histogram_stream(
     events: DataFrame,
     value_col: str,

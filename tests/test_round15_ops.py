@@ -374,3 +374,108 @@ def test_curate_incremental_bounded_by_changed_partitions(
         "partitions_changed": 0,
         "partitions_removed": 0,
     }
+
+
+def test_transition_pairs_stream_matches_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """availableNow over a static events dir == the batch lead() pair
+    extraction: counting the stream's emitted (prev_type, next_type)
+    pairs reproduces event_transition_matrix's n_trans exactly (the
+    streaming-twin contract; state = ONE last-type value per user)."""
+    from petastorm_spark.queries_llm import event_transition_matrix
+    from petastorm_spark.session import events_ts_us
+    from petastorm_spark.streaming.feed import (
+        stream_dataset,
+        transition_pairs_stream,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    evb = ev.withColumn("ts_us", events_ts_us(ev))
+    d = str(tmp_path_factory.mktemp("tps") / "events")
+    evb.select("user_id", "ts_us", "event_id", "event_type").coalesce(
+        1
+    ).write.parquet(d)
+
+    q = (
+        transition_pairs_stream(
+            stream_dataset(spark, d), "user_id", "ts_us", "event_id",
+            "event_type",
+        )
+        .writeStream.format("memory")
+        .queryName("tps_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in spark.table("tps_out")
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        (r["prev_type"], r["next_type"]): r["n_trans"]
+        for r in event_transition_matrix(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_l1_refinement_lifts_hierarchical_agreement(spark):
+    """The r15 L1 upgrade: probe_cells_hierarchical's coarse level is
+    now refined by deterministic spherical k-means over the centroid
+    matrix (l1_rounds, default 4) instead of staying the raw lowest-id
+    centroids. On clustered data where the lowest-id L1 grouping is
+    incoherent, the refined level must agree with the exact flat
+    assignment strictly more often — and stay deterministic."""
+    from petastorm_spark.operators.similarity import (
+        _probe_cells_numpy,
+        probe_cells_hierarchical,
+    )
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(1024, 64)) * 10.0
+    assign = rng.integers(0, 1024, size=1500)
+    pts = centers[assign] + rng.normal(size=(1500, 64)) * 0.5
+    emb = arrow_local_df(
+        spark,
+        {
+            "vec_id": list(range(len(pts))),
+            "embedding": [list(map(float, v)) for v in pts],
+        },
+        "vec_id bigint, embedding array<double>",
+    )
+    crows = arrow_local_df(
+        spark,
+        {
+            "cell": list(range(1024)),
+            "cent_vec": [list(map(float, c)) for c in centers],
+        },
+        "cell int, cent_vec array<double>",
+    ).collect()
+
+    def homes(rounds):
+        return {
+            r["vec_id"]: r["_cells"][0]
+            for r in probe_cells_hierarchical(
+                emb, crows, "vec_id", "embedding", 1,
+                l1_probe=1, keep_order=True, l1_rounds=rounds,
+            ).collect()
+        }
+
+    flat = {
+        r["vec_id"]: r["_cells"][0]
+        for r in _probe_cells_numpy(
+            emb, crows, "vec_id", "embedding", 1, True
+        ).collect()
+    }
+
+    def agree(h):
+        return sum(1 for k in flat if flat[k] == h[k]) / len(flat)
+
+    raw, refined = agree(homes(0)), agree(homes(4))
+    assert refined - raw > 0.02, (raw, refined)
+    assert refined >= 0.97, refined
+    assert homes(4) == homes(4)  # deterministic
