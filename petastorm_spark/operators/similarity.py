@@ -3793,13 +3793,17 @@ def probe_cells_hierarchical(
     then REFINED by ``l1_rounds`` deterministic spherical-k-means
     sweeps over the centroid matrix (plan-time numpy on the bounded
     quantizer — a few C x sqrt(C) matmuls, microseconds next to the
-    corpus scan): real two-level quantizers train the coarse level,
-    and the r15 receipt measures why — on 200k clustered vectors at
-    C=4096 the refined L1 lifts home-cell agreement from 0.51 to 0.95
-    at l1_probe=4 (SCALING_OUT round-15). ``l1_rounds=0`` keeps the
-    raw lowest-id L1 — the SQL-replayable shape the knn_graph_hier
-    oracle pins, exactly like the IVF family's explicit-n_cells
-    escape hatch. Every centroid is pre-assigned (stable argmax) to
+    corpus scan): real two-level quantizers train the coarse level.
+    The r15 receipt (SCALING_OUT, 200k vectors, C=4096): on CLUSTERED
+    data — the regime real embeddings live in — home-cell agreement
+    with the exact flat probe is already >= 0.992 at l1_probe=2 and
+    the refinement buys rank-2+ probe recall (+0.03-0.05); on
+    deliberately decorrelated data (the unclusterable worst case) no
+    L1 grouping carries much signal (agreement 0.21-0.49 raw) and the
+    refinement adds ~+0.05-0.09 per l1_probe step. ``l1_rounds=0``
+    keeps the raw lowest-id L1 — the SQL-replayable shape the
+    knn_graph_hier oracle pins, exactly like the IVF family's
+    explicit-n_cells escape hatch. Every centroid is pre-assigned (stable argmax) to
     its nearest L1 cell. Per Arrow batch: one batch x sqrt(C) matmul
     picks each row's ``l1_probe`` nearest L1 groups, rows sharing the
     same group signature are scored together against ONLY those

@@ -7740,11 +7740,15 @@ def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DESC, path ASC) row_number, paths are unique per row so the
     tie-break is total.
 
-    Scale: the gap flag, session id, and both leads all ride ONE
-    exchange on user_id (the two windows share the (user, sess)
-    prefix so Catalyst plans one sort); the path count is a
-    partial-aggregated groupBy on the bounded type^3 path domain and
-    the top-k window runs on that bounded table."""
+    Scale: the gap flag, session id, AND the trigram leads all ride
+    ONE exchange + ONE sort on the user_id window — a per-session
+    window would re-exchange on (user, sess), and the sf1->sf10
+    receipt measured that second shuffle+sort at 2x the decade ratio
+    (4.8x vs 2.3x); instead, because ``sess`` is NONDECREASING in the
+    user ordering, "all three events in one session" is exactly
+    ``lead(sess, 2) == sess``, evaluated on the same window. The path
+    count is a partial-aggregated groupBy on the bounded type^3 path
+    domain and the top-k window runs on that bounded table."""
     from pyspark.sql import Window
 
     from petastorm_spark.session import events_ts_us
@@ -7770,11 +7774,14 @@ def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    w2 = Window.partitionBy("user_id", "sess").orderBy("t", "eid")
     p = (
-        s.withColumn("t2", F.lead("event_type", 1).over(w2))
-        .withColumn("t3", F.lead("event_type", 2).over(w2))
-        .where(F.col("t3").isNotNull())
+        s.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        # sess is nondecreasing within the user ordering, so equal
+        # endpoints pin the middle event to the same session too;
+        # a NULL lead(sess, 2) (sequence tail) fails the equality
+        .withColumn("s3", F.lead("sess", 2).over(w))
+        .where(F.col("s3") == F.col("sess"))
         .select(
             F.concat_ws(">", "event_type", "t2", "t3").alias("path")
         )
