@@ -7,7 +7,10 @@ blessed-snapshot workflow a 100 TB pipeline runs between versions —
    write) and manifest it too;
 4. diff the snapshots: schema drift from footers alone, partition
    triage from the stored manifests, row-level diff confined to the
-   moved partitions.
+   moved partitions;
+5. curate INCREMENTALLY off the stored manifest: the first run
+   processes everything, an appended source partition triggers work
+   bounded by that partition, a no-change run is a no-op.
 
     PYTHONPATH=. python examples/governance_tour.py
 """
@@ -74,6 +77,27 @@ def main() -> None:
     diff = snapshot_diff(spark, v1, v2, "doc_id", ["text", "lang"])
     print("row-level changes (moved partitions only):")
     diff.groupBy("status").count().show()
+
+    # 5. manifest-driven incremental curation: only partitions whose
+    # stored digest moved are re-read, re-curated, and re-written
+    from petastorm_spark.operators.layout import write_dataset_manifest
+    from petastorm_spark.tools.curate import curate_incremental
+
+    cur = f"{root}/curated"
+    c1 = curate_incremental(spark, v1, cur, ["source"], quality_floor=0.0)
+    print("incremental run 1 (everything is new):", c1)
+    extra = (
+        docs.limit(20)
+        .withColumn("source", F.lit("srcNEW"))
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    extra.write.mode("append").partitionBy("source").parquet(v1)
+    write_dataset_manifest(spark, v1, ["source"])  # refresh the sidecar
+    c2 = curate_incremental(spark, v1, cur, ["source"], quality_floor=0.0)
+    print("incremental run 2 (one appended partition):", c2)
+    assert c2["input"] == 20 and c2["partitions_added"] == 1
+    c3 = curate_incremental(spark, v1, cur, ["source"], quality_floor=0.0)
+    print("incremental run 3 (nothing moved):", c3)
 
 
 if __name__ == "__main__":
