@@ -68,6 +68,9 @@ CHANGED_THIS_ROUND = [
     "event_transition_matrix",
     "session_paths_topk",
     "contract_suggest_docs",
+    "rolling_active_users",
+    "event_type_lift",
+    "quality_quantile_norm_source",
     # hierarchical probe: pad->truncate fix + l1_probe knob in r15
     # (advice)
     "knn_graph_hier",

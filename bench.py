@@ -207,6 +207,9 @@ HEADLINE = [
     "event_transition_matrix",
     "session_paths_topk",
     "contract_suggest_docs",
+    "rolling_active_users",
+    "event_type_lift",
+    "quality_quantile_norm_source",
 ]
 
 N_WARMUP_READS = 500

@@ -7879,3 +7879,172 @@ def contract_suggest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arrow_local_df(
         spark, rows, "chk string, col_name string, detail string"
     )
+
+
+@register(
+    "rolling_active_users",
+    oracle="""
+    WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                                user_id
+                FROM events),
+    d AS (SELECT DISTINCT day FROM du)
+    SELECT CAST(d.day AS BIGINT) AS day,
+           CAST(count(DISTINCT CASE WHEN u.day = d.day
+                                    THEN u.user_id END) AS BIGINT) AS dau,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau_7d
+    FROM d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling engagement: per day, the distinct users active
+    THAT day (DAU) and in the trailing 7 days (WAU) — the liveness
+    dashboard pair; exact, not sketched (the HLL twin is
+    hll_distinct_users). Distinct-over-a-sliding-window does not
+    partial-aggregate, so the plan pre-collapses the corpus to the
+    (day, user) DISTINCT pairs FIRST — the only corpus-sized shuffle
+    — then range-joins the day grid (a broadcast literal frame,
+    days-sized) against those pairs: a bounded 7x blowup of the
+    already-tiny pair table, one final groupBy on days. At 100 TB the
+    pair table is |days| x |users-active-per-day|, orders below the
+    event count."""
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    du = (
+        ev.select(events_ts_us(ev).alias("t"), "user_id")
+        .select(F.expr("t div 86400000000").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct().select(F.col("day").alias("d"))
+    out = (
+        F.broadcast(days)
+        .join(
+            du,
+            (du["day"] >= days["d"] - 6) & (du["day"] <= days["d"]),
+        )
+        .groupBy("d")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("d"), F.col("user_id"))
+            ).cast("bigint").alias("dau"),
+            F.countDistinct("user_id").cast("bigint").alias("wau_7d"),
+        )
+    )
+    return out.select(F.col("d").cast("bigint").alias("day"), "dau", "wau_7d")
+
+
+@register(
+    "event_type_lift",
+    oracle="""
+    WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    t AS (SELECT event_type, count(*) AS n_t FROM du GROUP BY event_type),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 count(*) AS n_both
+          FROM du a JOIN du b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY a.event_type, b.event_type)
+    SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+           round(p.n_both * 1.0 * n.n_users / (ta.n_t * tb.n_t), 6) AS lift
+    FROM p, n
+    JOIN t ta ON ta.event_type = p.type_a
+    JOIN t tb ON tb.event_type = p.type_b
+    """,
+)
+def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket LIFT between event types with users as baskets:
+    for each unordered type pair, P(a,b) / (P(a) P(b)) over the user
+    population — >1 = the behaviors attract, <1 = they repel; the
+    cross-sell / feature-affinity primitive (pmi_collocations is the
+    text-domain sibling; this is the behavioral one). Exact-integer
+    counts, one IEEE division of exact integers, round 6.
+
+    Scale: the corpus collapses to DISTINCT (user, type) pairs first
+    (bounded by users x type-domain); the pair self-join is per-user
+    and the type domain is small, so its volume is <= K^2 per user;
+    type totals and the user count ride in as broadcast literals."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select("user_id", "event_type").distinct()
+    n_users = ev.select("user_id").distinct().count()  # 1 scalar
+    t = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = du.select("user_id", F.col("event_type").alias("type_a"))
+    b = du.select(
+        F.col("user_id").alias("_ub"), F.col("event_type").alias("type_b")
+    )
+    p = (
+        a.join(
+            b,
+            (a["user_id"] == b["_ub"]) & (a["type_a"] < b["type_b"]),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    ta = t.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("_na"))
+    tb = t.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("_nb"))
+    return (
+        p.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both") * F.lit(float(n_users))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "quality_quantile_norm_source",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, lower(trim(text)) AS low, {_TOK} AS t
+                 FROM documents),
+    m AS (SELECT doc_id, source,
+                 len(list_filter(t, x -> list_contains({_SW_LIST}, x))) * 1.0 / len(t) AS sw,
+                 len(list_distinct(t)) * 1.0 / len(t) AS uniq,
+                 length(regexp_replace(low, '[^a-z ]', '', 'g')) * 1.0 / length(low) AS alpha,
+                 len(t) AS n
+          FROM tok),
+    q AS (SELECT doc_id, source,
+                 floor(((CASE WHEN sw > 0.01 AND sw < 0.6 THEN 1.0 ELSE 0.5 END) * 0.3
+                       + uniq * 0.3 + alpha * 0.2
+                       + (CASE WHEN n >= 10 AND n <= 5000 THEN 1.0 ELSE 0.5 END) * 0.2)
+                       * 10000) / 10000 AS quality
+          FROM m)
+    SELECT doc_id, source, quality,
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY quality, doc_id), 6) AS qnorm
+    FROM q
+    """,
+)
+def quality_quantile_norm_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE QUANTILE NORMALIZATION of the composite quality
+    score: percent_rank within each source over a TOTAL order
+    (quality, doc_id), so every source's scores map onto a uniform
+    [0, 1] — the calibration step before cross-source mixing (a raw
+    0.7 from a boilerplate-heavy crawl and a curated wiki are not
+    comparable; their percentiles are). Deterministic: the tie-break
+    on doc_id makes ranks total, and percent_rank = (rank-1)/(n-1) is
+    one IEEE division of exact integers in both engines.
+
+    Scale: one shuffle on source (low-cardinality but
+    bounded-per-source sort; the same exchange quality_floor_source
+    prices), pure map before it."""
+    from pyspark.sql import Window
+
+    from petastorm_spark.operators import text as T
+
+    d = _t_wide(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        (F.floor(T.quality_score("text") * 10000) / 10000).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return scored.withColumn(
+        "qnorm", F.round(F.percent_rank().over(w), 6)
+    )
