@@ -71,6 +71,7 @@ CHANGED_THIS_ROUND = [
     "rolling_active_users",
     "event_type_lift",
     "quality_quantile_norm_source",
+    "seasonal_decompose_daily",
     # hierarchical probe: pad->truncate fix + l1_probe knob in r15
     # (advice)
     "knn_graph_hier",

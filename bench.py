@@ -210,6 +210,7 @@ HEADLINE = [
     "rolling_active_users",
     "event_type_lift",
     "quality_quantile_norm_source",
+    "seasonal_decompose_daily",
 ]
 
 N_WARMUP_READS = 500

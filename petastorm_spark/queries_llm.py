@@ -8048,3 +8048,92 @@ def quality_quantile_norm_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "qnorm", F.round(F.percent_rank().over(w), 6)
     )
+
+
+@register(
+    "seasonal_decompose_daily",
+    oracle="""
+    WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      CAST(round(value * 1000000) AS BIGINT) AS c
+               FROM events WHERE value IS NOT NULL),
+    d AS (SELECT day, sum(c) AS tc FROM e GROUP BY day),
+    w AS (SELECT day, tc,
+                 sum(tc) OVER win AS s7,
+                 count(*) OVER win AS n7
+          FROM d
+          WINDOW win AS (ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    t AS (SELECT day, tc, CASE WHEN n7 = 7 THEN s7 END AS s7c FROM w),
+    s AS (SELECT day % 7 AS dow,
+                 sum(7 * tc - s7c) AS sd, count(*) AS nd
+          FROM t WHERE s7c IS NOT NULL GROUP BY day % 7)
+    SELECT CAST(t.day AS BIGINT) AS day,
+           round(t.tc / 1000000.0, 2) AS total,
+           round(t.s7c / 7000000.0, 4) AS trend,
+           round(s.sd / (7000000.0 * s.nd), 4) AS seasonal,
+           round((7.0 * t.tc - t.s7c) / 7000000.0
+                 - s.sd / (7000000.0 * s.nd), 4) AS residual
+    FROM t JOIN s ON t.day % 7 = s.dow
+    WHERE t.s7c IS NOT NULL
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical SEASONAL DECOMPOSITION of the daily value series:
+    total = trend (centered 7-day moving average, full windows only)
+    + seasonal (day-of-week mean of the detrended series) + residual
+    — the weekly-pattern / anomaly-baseline primitive next to
+    events_ewma and cusum_drift_users.
+
+    Engine-exact by integer discipline: values micro-quantize to
+    1e-6 ints (the covariance recipe), so the daily totals, the 7-day
+    window sums, AND the day-of-week sums are exact integer
+    arithmetic — 7*detrended = 7*total - window_sum stays integral —
+    with ONE IEEE division per output column over identical integers,
+    then round. Scale: one partial-agg groupBy collapses the corpus
+    to the day table; every window/join after that runs on the
+    days-sized series (the single-partition ordered window is bounded
+    by the calendar, not the data)."""
+    from pyspark.sql import Window
+
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    e = (
+        ev.where(F.col("value").isNotNull())
+        .select(
+            events_ts_us(ev).alias("t"),
+            F.round(F.col("value") * 1_000_000).cast("bigint").alias("c"),
+        )
+        .select(F.expr("t div 86400000000").alias("day"), "c")
+    )
+    d = e.groupBy("day").agg(F.sum("c").alias("tc"))
+    win = Window.orderBy("day").rowsBetween(-3, 3)
+    t = (
+        d.withColumn("s7", F.sum("tc").over(win))
+        .withColumn("n7", F.count(F.lit(1)).over(win))
+        .withColumn("s7c", F.when(F.col("n7") == 7, F.col("s7")))
+        .where(F.col("s7c").isNotNull())
+    )
+    s = (
+        t.groupBy((F.col("day") % 7).alias("dow"))
+        .agg(
+            F.sum(F.lit(7) * F.col("tc") - F.col("s7c")).alias("sd"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+    )
+    return (
+        t.join(F.broadcast(s), (F.col("day") % 7) == F.col("dow"))
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            F.round(F.col("tc") / 1_000_000.0, 2).alias("total"),
+            F.round(F.col("s7c") / 7_000_000.0, 4).alias("trend"),
+            F.round(
+                F.col("sd") / (F.lit(7_000_000.0) * F.col("nd")), 4
+            ).alias("seasonal"),
+            F.round(
+                (F.lit(7.0) * F.col("tc") - F.col("s7c")) / 7_000_000.0
+                - F.col("sd") / (F.lit(7_000_000.0) * F.col("nd")),
+                4,
+            ).alias("residual"),
+        )
+    )
