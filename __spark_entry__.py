@@ -72,6 +72,7 @@ CHANGED_THIS_ROUND = [
     "event_type_lift",
     "quality_quantile_norm_source",
     "seasonal_decompose_daily",
+    "survival_signup_purchase",
     # hierarchical probe: pad->truncate fix + l1_probe knob in r15
     # (advice)
     "knn_graph_hier",

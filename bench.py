@@ -211,6 +211,7 @@ HEADLINE = [
     "event_type_lift",
     "quality_quantile_norm_source",
     "seasonal_decompose_daily",
+    "survival_signup_purchase",
 ]
 
 N_WARMUP_READS = 500

@@ -8137,3 +8137,132 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+@register(
+    "survival_signup_purchase",
+    oracle="""
+    WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t0
+          GROUP BY e.user_id),
+    mx AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+    b AS (SELECT s.user_id,
+                 (coalesce(p.tp, mx.tmax) - s.t0) // 86400000000 AS dur,
+                 CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS obs
+          FROM s LEFT JOIN p ON s.user_id = p.user_id, mx),
+    g AS (SELECT dur, sum(obs) AS d_i, count(*) AS m_i FROM b GROUP BY dur),
+    w AS (SELECT dur, d_i,
+                 sum(m_i) OVER () - coalesce(
+                     sum(m_i) OVER (ORDER BY dur
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS n_risk
+          FROM g),
+    k AS (SELECT dur, d_i, n_risk,
+                 sum(CASE WHEN d_i < n_risk
+                          THEN ln(1.0 - d_i * 1.0 / n_risk)
+                          ELSE 0.0 END) OVER cum AS ls,
+                 max(CASE WHEN d_i = n_risk THEN 1 ELSE 0 END)
+                     OVER cum AS z
+          FROM w WHERE d_i > 0
+          WINDOW cum AS (ORDER BY dur ROWS UNBOUNDED PRECEDING))
+    SELECT CAST(dur AS BIGINT) AS day, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_i AS BIGINT) AS n_events,
+           CASE WHEN z = 1 THEN 0.0 ELSE round(exp(ls), 6) END AS survival
+    FROM k
+    """,
+)
+def survival_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve for signup -> first purchase: per
+    event day, the at-risk count, conversion events, and the product-
+    limit estimate S(t) = prod(1 - d_i/n_i) — time-to-conversion with
+    RIGHT-CENSORING done properly (users who never purchase are
+    censored at the observation end, which a naive conversion-rate
+    cut silently miscounts). The survival-analysis staple next to
+    retention_cohorts (fixed-window return rates) and
+    funnel_signup_purchase (ordered-step counts).
+
+    Engine-exact: d_i / n_i are exact integers; the product rides as
+    exp(cumulative sum of ln(1 - d_i/n_i)) — identical doubles in,
+    libm drift absorbed by round 6 (the unigram_logprob ln/pow
+    precedent). Scale: two per-user partial-agg mins + one left join
+    collapse the corpus to one row per signup user; everything after
+    (day rollup, risk-set window, cumulative product) runs on the
+    days-sized table (the ordered single-partition windows are
+    calendar-bounded)."""
+    from pyspark.sql import Window
+
+    from petastorm_spark.session import events_ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", events_ts_us(ev).alias("t"))
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t0"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("t") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tp"))
+    )
+    tmax = e.agg(F.max("t")).first()[0]  # 1 scalar
+    b = (
+        s.join(p, "user_id", "left")
+        .select(
+            F.expr(
+                f"(coalesce(tp, {tmax}L) - t0) div 86400000000"
+            ).alias("dur"),
+            F.col("tp").isNotNull().cast("bigint").alias("obs"),
+        )
+    )
+    g = b.groupBy("dur").agg(
+        F.sum("obs").alias("d_i"), F.count(F.lit(1)).alias("m_i")
+    )
+    whole = Window.partitionBy()
+    before = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w = g.select(
+        "dur",
+        "d_i",
+        (
+            F.sum("m_i").over(whole)
+            - F.coalesce(F.sum("m_i").over(before), F.lit(0))
+        ).alias("n_risk"),
+    )
+    cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    k = (
+        w.where(F.col("d_i") > 0)
+        .withColumn(
+            "ls",
+            F.sum(
+                # the day the whole risk set converts contributes
+                # ln(0): flag it instead (S drops to exactly 0)
+                F.when(
+                    F.col("d_i") < F.col("n_risk"),
+                    F.log(F.lit(1.0) - F.col("d_i") / F.col("n_risk")),
+                ).otherwise(F.lit(0.0))
+            ).over(cum),
+        )
+        .withColumn(
+            "z",
+            F.max(
+                (F.col("d_i") == F.col("n_risk")).cast("int")
+            ).over(cum),
+        )
+    )
+    return k.select(
+        F.col("dur").cast("bigint").alias("day"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d_i").cast("bigint").alias("n_events"),
+        F.when(F.col("z") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("ls"), 6))
+        .alias("survival"),
+    )
