@@ -308,7 +308,15 @@ def format_contract(checks: Sequence[tuple]) -> str:
                 )
             parts.append(f"in_set:{col}:" + "|".join(vals))
         elif kind == "regex":
-            parts.append(f"regex:{col}:{chk[2]}")
+            pat = str(chk[2])
+            # ';' is the entry separator and parse_contract strips
+            # entry whitespace — such a pattern cannot round-trip (it
+            # would split into bogus extra checks)
+            if ";" in pat or pat != pat.strip():
+                raise ValueError(
+                    f"regex({col}) pattern not grammar-safe: {pat!r}"
+                )
+            parts.append(f"regex:{col}:{pat}")
         else:
             raise ValueError(f"unknown check kind {kind!r}")
     if not parts:

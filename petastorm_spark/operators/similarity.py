@@ -1086,6 +1086,14 @@ def knn_graph_write(
         "n_cells": len(crows),
         "id_col": id_col,
         "vec_col": vec_col,
+        # the probe CONFIGURATION is part of the index: an append must
+        # assign new vectors with the same (possibly approximate)
+        # probe the build used, or its cells disagree with the stored
+        # graph (and a flat probe of a past-the-ceiling quantizer
+        # would be the exact blowup hierarchical=True exists to avoid)
+        "hierarchical": bool(hierarchical),
+        "l1_probe": int(l1_probe),
+        "l1_rounds": int(l1_rounds),
     }
     with fs.open_output_stream(
         local_root.rstrip("/") + "/knn_graph.json"
@@ -1223,9 +1231,22 @@ def knn_graph_append(
             )
 
     crows = spark.read.parquet(root + "/centroids").collect()
-    probed = _probe_cells_numpy(
-        new_vectors, crows, id_col, vec_col, n_probe, keep_order=True
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # probe with the configuration the index was BUILT with (stored in
+    # knn_graph.json; absent = legacy flat index): a flat probe of a
+    # hierarchical index assigns different cells than the build did —
+    # and cannot run at all past the flat-quantizer ceiling
+    if params.get("hierarchical"):
+        probed = probe_cells_hierarchical(
+            new_vectors, crows, id_col, vec_col, n_probe,
+            l1_probe=int(params.get("l1_probe", 4)),
+            keep_order=True,
+            l1_rounds=int(params.get("l1_rounds", 4)),
+        )
+    else:
+        probed = _probe_cells_numpy(
+            new_vectors, crows, id_col, vec_col, n_probe, keep_order=True
+        )
+    probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # bounded driver lists: |B|*n_probe probe cells, |B| home cells
         cell_rows = probed.select(

@@ -7966,7 +7966,14 @@ def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     type totals and the user count ride in as broadcast literals."""
     ev = _t(spark, sf_dir, "events")
     du = ev.select("user_id", "event_type").distinct()
-    n_users = ev.select("user_id").distinct().count()  # 1 scalar
+    # NULL is not a user: the oracle's count(DISTINCT user_id) skips
+    # NULL, so the Spark scalar must too or every lift scales off
+    n_users = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )  # 1 scalar
     t = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
     a = du.select("user_id", F.col("event_type").alias("type_a"))
     b = du.select(

@@ -764,10 +764,16 @@ def transition_pairs_stream(
     any stateful operator here; :func:`next_event_stream` keeps a
     context window, this keeps one value).
 
-    Events fold in (event-time, id) order within each micro-batch;
-    same in-order-feed contract as :func:`next_event_stream` — one
-    availableNow batch over a static dir reproduces the batch lead()
-    pair set exactly (pinned by test against the
+    Events fold in (``ts_col``, ``id_col``) order within each
+    micro-batch; same in-order-feed contract as
+    :func:`next_event_stream`. ORDERING-KEY contract: pass the SAME
+    time representation the batch twin orders by — the batch
+    (event_transition_matrix) orders by microsecond-truncated
+    ``events_ts_us``, so feed that column, not a raw nanosecond ts
+    (two events inside one microsecond tie-break on id in the batch
+    but order by raw ns here, flipping the emitted pair). Under that
+    contract one availableNow batch over a static dir reproduces the
+    batch lead() pair set exactly (pinned by test against the
     event_transition_matrix counts)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout

@@ -378,7 +378,12 @@ def curate_incremental(
                 ]
             report = curation_report(stages)
             if report_url:
-                report.write.mode("errorifexists").parquet(report_url)
+                # overwrite, not errorifexists: the report describes
+                # THIS run's slice and the path recurs every run — a
+                # second run must not fail here (that would skip the
+                # manifest store below and wedge the pipeline into
+                # re-detecting the same partitions forever)
+                report.write.mode("overwrite").parquet(report_url)
             counts = {
                 r["stage"]: r["n_rows"]
                 for r in report.orderBy("stage_idx").collect()

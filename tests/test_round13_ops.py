@@ -262,6 +262,9 @@ def test_knn_graph_write_read_round_trip(spark, clustered, tmp_path):
     assert params == {
         "k": 3, "n_probe": 2, "n_cells": 8,
         "id_col": "vec_id", "vec_col": "embedding",
+        # r15: the probe configuration is part of the index, so an
+        # append can reproduce the build's assignment
+        "hierarchical": False, "l1_probe": 4, "l1_rounds": 4,
     }
     want = knn_graph(clustered, k=3, n_cells=8, n_probe=2)
     assert _edge_tuples(edges) == _edge_tuples(want)

@@ -479,3 +479,60 @@ def test_l1_refinement_lifts_hierarchical_agreement(spark):
     assert refined - raw > 0.02, (raw, refined)
     assert refined >= 0.97, refined
     assert homes(4) == homes(4)  # deterministic
+
+
+def test_knn_graph_append_hierarchical_uses_build_probe(spark, tmp_path):
+    """The r15 review fix: knn_graph.json now records the probe
+    configuration (hierarchical / l1_probe / l1_rounds) and
+    knn_graph_append probes new batches with the BUILD's probe — a
+    flat exact probe of a hierarchical index would assign different
+    cells than the build did (and cannot run at all past the
+    flat-quantizer ceiling). Append == full rebuild under the same
+    hierarchical configuration."""
+    from petastorm_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_append,
+        knn_graph_read,
+        knn_graph_write,
+    )
+
+    rng = np.random.default_rng(18)
+    centers = rng.normal(size=(12, 8)) * 10.0
+    vecs = np.concatenate(
+        [c + 0.1 * rng.normal(size=(10, 8)) for c in centers]
+    )
+    full = arrow_local_df(
+        spark,
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": [list(map(float, v)) for v in vecs],
+        },
+        "vec_id bigint, embedding array<double>",
+    )
+    initial = full.where(F.col("vec_id") < 100)
+    batch = full.where(F.col("vec_id") >= 100)
+
+    url = str(tmp_path / "kg_hier")
+    knn_graph_write(
+        url, initial, k=3, n_cells=12, n_probe=2,
+        hierarchical=True, l1_probe=2, l1_rounds=4,
+    )
+    params, _ = knn_graph_read(spark, url)
+    assert params["hierarchical"] is True
+    assert params["l1_probe"] == 2 and params["l1_rounds"] == 4
+
+    knn_graph_append(spark, url, batch)
+    _, edges = knn_graph_read(spark, url)
+    want = knn_graph(
+        full, k=3, n_cells=12, n_probe=2,
+        hierarchical=True, l1_probe=2, l1_rounds=4,
+    )
+
+    def tup(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"],
+             round(r["cos_sim"], 4))
+            for r in df.collect()
+        )
+
+    assert tup(edges) == tup(want)
