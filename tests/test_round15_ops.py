@@ -536,3 +536,27 @@ def test_knn_graph_append_hierarchical_uses_build_probe(spark, tmp_path):
         )
 
     assert tup(edges) == tup(want)
+
+
+def test_session_paths_single_user_exchange(spark, sf_dir):
+    """Regression pin for the r15 decade-receipt finding: the trigram
+    leads must ride the SAME user_id window as the session ids — a
+    per-(user, sess) window re-exchanged and re-sorted the corpus and
+    measured 2x the decade ratio. The corpus may be hash-exchanged on
+    user_id exactly ONCE and never on (user_id, sess); the remaining
+    exchanges (path-count partial agg, single-partition top-k) operate
+    on the bounded K^3 path table."""
+    import re
+
+    from petastorm_spark.queries_llm import session_paths_topk
+
+    plan = (
+        session_paths_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    on_user = [p for p in parts if "user_id" in p]
+    assert len(on_user) == 1, parts
+    assert not any("sess" in p for p in parts), parts
