@@ -73,6 +73,7 @@ CHANGED_THIS_ROUND = [
     "quality_quantile_norm_source",
     "seasonal_decompose_daily",
     "survival_signup_purchase",
+    "activity_gini_by_type",
     # hierarchical probe: pad->truncate fix + l1_probe knob in r15
     # (advice)
     "knn_graph_hier",

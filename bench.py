@@ -212,6 +212,7 @@ HEADLINE = [
     "quality_quantile_norm_source",
     "seasonal_decompose_daily",
     "survival_signup_purchase",
+    "activity_gini_by_type",
 ]
 
 N_WARMUP_READS = 500

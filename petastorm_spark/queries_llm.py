@@ -8273,3 +8273,61 @@ def survival_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("ls"), 6))
         .alias("survival"),
     )
+
+
+@register(
+    "activity_gini_by_type",
+    oracle="""
+    WITH c AS (SELECT event_type, user_id, count(*) AS x
+               FROM events GROUP BY event_type, user_id),
+    r AS (SELECT event_type, x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY x, user_id) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS n,
+                 sum(x) OVER (PARTITION BY event_type) AS tot
+          FROM c)
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_users,
+           CAST(max(tot) AS BIGINT) AS n_events,
+           round(sum((2 * rk - n - 1) * x) * 1.0
+                 / (max(n) * max(tot)), 6) AS gini
+    FROM r GROUP BY event_type
+    """,
+)
+def activity_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of per-user activity, per event type — the
+    concentration report a data-mixing pipeline reads before trusting
+    per-source/per-user counts (gini ~0 = activity spread evenly,
+    ~1 = a few power users dominate; the inequality sibling of
+    skew_report_sources' raw top-k shares). Exact: integer counts,
+    the mean-difference identity sum((2 r_i - n - 1) x_i) / (n sum x)
+    over a TOTAL (count, user_id) rank — every term is exact integer
+    arithmetic, one IEEE division, round 6.
+
+    Scale: one partial-agg groupBy collapses events to (type, user)
+    counts; the rank window partitions by type over that bounded
+    table (users x types), never the event count."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    wp = Window.partitionBy("event_type")
+    r = (
+        c.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn("tot", F.sum("x").over(wp))
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.max("tot").cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(
+                (F.lit(2) * F.col("rk") - F.col("n") - F.lit(1))
+                * F.col("x")
+            )
+            / (F.max("n") * F.max("tot")),
+            6,
+        ).alias("gini"),
+    )
