@@ -290,11 +290,16 @@ def format_contract(checks: Sequence[tuple]) -> str:
     ``--contract`` flag. ``parse_contract(format_contract(x))``
     round-trips (in_set values are str()-ed — the grammar is string
     typed — and range bounds render as floats, both exactly what
-    parse_contract reads back). Raises on values that would corrupt
-    the grammar (an in_set value containing ``|``/``;``/``:``)."""
+    parse_contract reads back). Raises on tokens that would corrupt
+    the grammar: a column name containing ``;``/``:`` or flanking
+    whitespace (any kind), an in_set value containing ``|``/``;``/
+    ``:``, or a regex pattern containing ``;`` or trailing whitespace
+    (parse_contract splits entries on ``;`` and strips entry ends)."""
     parts = []
     for chk in checks:
         kind, col = chk[0], chk[1]
+        if any(c in col for c in ";:") or col != col.strip():
+            raise ValueError(f"column name not grammar-safe: {col!r}")
         if kind in ("not_null", "unique"):
             parts.append(f"{kind}:{col}")
         elif kind == "range":
@@ -310,9 +315,10 @@ def format_contract(checks: Sequence[tuple]) -> str:
         elif kind == "regex":
             pat = str(chk[2])
             # ';' is the entry separator and parse_contract strips
-            # entry whitespace — such a pattern cannot round-trip (it
-            # would split into bogus extra checks)
-            if ";" in pat or pat != pat.strip():
+            # entry ENDS — a ';' or trailing whitespace cannot
+            # round-trip (leading whitespace is interior to the entry
+            # after 'regex:col:' and survives fine)
+            if ";" in pat or pat != pat.rstrip():
                 raise ValueError(
                     f"regex({col}) pattern not grammar-safe: {pat!r}"
                 )

@@ -7937,7 +7937,8 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_type_lift",
     oracle="""
-    WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+    WITH du AS (SELECT DISTINCT user_id, event_type FROM events
+                WHERE user_id IS NOT NULL),
     n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
     t AS (SELECT event_type, count(*) AS n_t FROM du GROUP BY event_type),
     p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -7965,9 +7966,14 @@ def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the type domain is small, so its volume is <= K^2 per user;
     type totals and the user count ride in as broadcast literals."""
     ev = _t(spark, sf_dir, "events")
-    du = ev.select("user_id", "event_type").distinct()
-    # NULL is not a user: the oracle's count(DISTINCT user_id) skips
-    # NULL, so the Spark scalar must too or every lift scales off
+    # NULL is not a user, anywhere in this query: dropped from the
+    # basket table (else one giant pseudo-user inflates n_t) AND from
+    # the population scalar (the oracle's count(DISTINCT) skips NULL)
+    du = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("user_id", "event_type")
+        .distinct()
+    )
     n_users = (
         ev.where(F.col("user_id").isNotNull())
         .select("user_id")
@@ -8150,7 +8156,8 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "survival_signup_purchase",
     oracle="""
     WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
-               WHERE event_type = 'signup' GROUP BY user_id),
+               WHERE event_type = 'signup' AND user_id IS NOT NULL
+               GROUP BY user_id),
     p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS tp
           FROM events e JOIN s ON e.user_id = s.user_id
           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t0
@@ -8206,7 +8213,12 @@ def survival_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     e = ev.select("user_id", "event_type", events_ts_us(ev).alias("t"))
     s = (
-        e.where(F.col("event_type") == "signup")
+        # NULL is not a user: a NULL-user pseudo-cohort would sit in
+        # every risk set and never convert
+        e.where(
+            (F.col("event_type") == "signup")
+            & F.col("user_id").isNotNull()
+        )
         .groupBy("user_id")
         .agg(F.min("t").alias("t0"))
     )
@@ -8218,6 +8230,11 @@ def survival_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("t").alias("tp"))
     )
     tmax = e.agg(F.max("t")).first()[0]  # 1 scalar
+    if tmax is None:  # empty/all-NULL-ts events: empty curve, not a
+        # ParseException from f-stringing None into the plan
+        return spark.createDataFrame(
+            [], "day bigint, n_risk bigint, n_events bigint, survival double"
+        )
     b = (
         s.join(p, "user_id", "left")
         .select(
@@ -8289,7 +8306,7 @@ def survival_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, CAST(max(n) AS BIGINT) AS n_users,
            CAST(max(tot) AS BIGINT) AS n_events,
            round(sum((2 * rk - n - 1) * x) * 1.0
-                 / (max(n) * max(tot)), 6) AS gini
+                 / (max(n) * 1.0 * max(tot)), 6) AS gini
     FROM r GROUP BY event_type
     """,
 )
@@ -8315,7 +8332,11 @@ def activity_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("x", "user_id")
     wp = Window.partitionBy("event_type")
     r = (
-        c.withColumn("rk", F.row_number().over(w))
+        # rk widened to bigint (row_number is int32: 2*rk would wrap
+        # past ~1e9 users/type); the term sum rides as decimal(38,0)
+        # because sum((2rk-n-1)*x) exceeds int64 at the billion-user
+        # scale this table is bounded by (DuckDB promotes to HUGEINT)
+        c.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .withColumn("n", F.count(F.lit(1)).over(wp))
         .withColumn("tot", F.sum("x").over(wp))
     )
@@ -8324,10 +8345,12 @@ def activity_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tot").cast("bigint").alias("n_events"),
         F.round(
             F.sum(
-                (F.lit(2) * F.col("rk") - F.col("n") - F.lit(1))
-                * F.col("x")
-            )
-            / (F.max("n") * F.max("tot")),
+                (
+                    (F.lit(2) * F.col("rk") - F.col("n") - F.lit(1))
+                    * F.col("x")
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / (F.max("n").cast("double") * F.max("tot")),
             6,
         ).alias("gini"),
     )
