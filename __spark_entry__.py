@@ -74,6 +74,7 @@ CHANGED_THIS_ROUND = [
     "seasonal_decompose_daily",
     "survival_signup_purchase",
     "activity_gini_by_type",
+    "vocab_overlap_sources",
     # hierarchical probe: pad->truncate fix + l1_probe knob in r15
     # (advice)
     "knn_graph_hier",

@@ -213,6 +213,7 @@ HEADLINE = [
     "seasonal_decompose_daily",
     "survival_signup_purchase",
     "activity_gini_by_type",
+    "vocab_overlap_sources",
 ]
 
 N_WARMUP_READS = 500

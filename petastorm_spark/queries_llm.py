@@ -8354,3 +8354,76 @@ def activity_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "vocab_overlap_sources",
+    oracle=f"""
+    WITH du AS (SELECT DISTINCT source, unnest({_TOK}) AS tok
+                FROM documents),
+    sz AS (SELECT source, count(*) AS v FROM du GROUP BY source),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS n_shared
+          FROM du a JOIN du b
+            ON a.tok = b.tok AND a.source < b.source
+          GROUP BY a.source, b.source)
+    SELECT p.source_a, p.source_b,
+           CAST(p.n_shared AS BIGINT) AS n_shared,
+           round(p.n_shared * 1.0 / (sa.v + sb.v - p.n_shared), 6)
+               AS jaccard
+    FROM p JOIN sz sa ON sa.source = p.source_a
+           JOIN sz sb ON sb.source = p.source_b
+    """,
+)
+def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source VOCABULARY overlap matrix: per source pair, the
+    shared distinct-token count and vocabulary Jaccard — the
+    source-redundancy signal a mixing pipeline reads BEFORE paying
+    for document-level dedup (dedup_source_matrix counts duplicate
+    DOCS across sources; this measures whether two sources even speak
+    the same vocabulary — near-1 pairs are re-crawls or mirrors,
+    near-0 pairs genuinely diversify the mix). Tokenization matches
+    the corpus-wide parity contract (split lower trim whitespace).
+
+    Scale: ONE token explode collapses to the DISTINCT (source,
+    token) table — vocabulary-bounded, orders below the token count —
+    and the pair intersection is a self-equi-join on token whose
+    volume is sum over tokens of (sources-containing-it choose 2),
+    bounded by the SOURCE domain squared per token, never documents.
+    Vocab sizes broadcast into the final join; exact integer counts,
+    one IEEE division, round 6."""
+    d = _t_wide(spark, sf_dir, "documents")
+    du = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    sz = du.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = du.select(F.col("source").alias("source_a"), "tok")
+    b = du.select(F.col("source").alias("source_b"), "tok")
+    p = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("v").alias("_va"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("v").alias("_vb"))
+    return (
+        p.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("_va") + F.col("_vb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
