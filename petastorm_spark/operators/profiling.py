@@ -293,7 +293,9 @@ def format_contract(checks: Sequence[tuple]) -> str:
     parse_contract reads back). Raises on tokens that would corrupt
     the grammar: a column name containing ``;``/``:`` or flanking
     whitespace (any kind), an in_set value containing ``|``/``;``/
-    ``:``, or a regex pattern containing ``;`` or trailing whitespace
+    ``:`` (or a FINAL in_set value with trailing whitespace — entry
+    ends are stripped, so it would silently round-trip as its rstrip),
+    or a regex pattern containing ``;`` or trailing whitespace
     (parse_contract splits entries on ``;`` and strips entry ends)."""
     parts = []
     for chk in checks:
@@ -310,6 +312,15 @@ def format_contract(checks: Sequence[tuple]) -> str:
             if bad:
                 raise ValueError(
                     f"in_set({col}) values not grammar-safe: {bad[:3]}"
+                )
+            # parse_contract strips entry ENDS, so trailing whitespace
+            # on the LAST value silently round-trips as its rstrip —
+            # a contract that rejects the very rows it was profiled
+            # from (r15 ADVICE); mid-list values are interior and fine
+            if vals and vals[-1] != vals[-1].rstrip():
+                raise ValueError(
+                    f"in_set({col}) final value has trailing whitespace "
+                    f"(cannot round-trip): {vals[-1]!r}"
                 )
             parts.append(f"in_set:{col}:" + "|".join(vals))
         elif kind == "regex":

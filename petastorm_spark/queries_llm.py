@@ -7704,7 +7704,8 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "session_paths_topk",
     oracle="""
-    WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+                      coalesce(event_type, chr(0)) AS event_type
                FROM events),
     g AS (SELECT *,
                  CASE WHEN lag(t) OVER win IS NULL
@@ -7758,7 +7759,11 @@ def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         events_ts_us(ev).alias("t"),
         F.col("event_id").alias("eid"),
-        "event_type",
+        # sentinel-coalesce (repo convention, chr(0)): concat_ws SKIPS
+        # NULLs while the oracle's '||' NULL-propagates, so a NULL
+        # event_type would silently collapse to a 2-element path here
+        # but a NULL row there (r15 ADVICE)
+        F.coalesce(F.col("event_type"), F.lit("\x00")).alias("event_type"),
     )
     w = Window.partitionBy("user_id").orderBy("t", "eid")
     s = e.withColumn(

@@ -780,10 +780,18 @@ def transition_pairs_stream(
 
     utype = events.schema[user_col].dataType.simpleString()
     out_schema = f"{user_col} {utype}, prev_type string, next_type string"
-    state_schema = "last string"
+    # two-field state so 'no events folded yet' is distinguishable from
+    # 'last event_type was NULL' (r15 ADVICE): the batch twin's lead()
+    # emits a (NULL, next) pair after a NULL-type event and only
+    # filters NULL NEXT_type — a single nullable 'last' field conflated
+    # the two and silently dropped that pair
+    state_schema = "last string, has_last boolean"
 
     def update(key, pdfs, state):
-        last = state.get[0] if state.exists else None
+        if state.exists:
+            last, has_last = state.get
+        else:
+            last, has_last = None, False
         rows = {"prev_type": [], "next_type": []}
         chunks = list(pdfs)
         batch = (
@@ -793,12 +801,14 @@ def transition_pairs_stream(
         )
         batch = batch.sort_values([ts_col, id_col])
         for e in batch[type_col]:
-            if last is not None:
+            e = None if pd.isna(e) else e
+            # batch twin filters NULL next_type only; prev may be NULL
+            if has_last and e is not None:
                 rows["prev_type"].append(last)
                 rows["next_type"].append(e)
-            last = e
-        if last is not None:
-            state.update((last,))
+            last, has_last = e, True
+        if has_last:
+            state.update((last, True))
         out = pd.DataFrame(rows)
         out[user_col] = key[0]
         yield out[[user_col, "prev_type", "next_type"]]

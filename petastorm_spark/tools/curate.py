@@ -194,18 +194,77 @@ def curate(
 SOURCE_MANIFEST_DIRNAME = "_ps_source_manifest"
 
 
+# the characters Spark escapes in partition directory names
+# (ExternalCatalogUtils.escapePathName, inherited from Hive
+# FileUtils.charToEscape): control chars, the Hive layout
+# metacharacters, and glob/path specials
+_HIVE_ESCAPE = (
+    set(chr(c) for c in range(1, 0x20))
+    | set('"#%\'*/:=?\\{[]^')
+    | {chr(0x7F)}
+)
+
+
+def _escape_hive_path_name(s: str) -> str:
+    """Spark's partition-directory escaping: every reserved character
+    renders as ``%XX`` (two-digit uppercase hex), everything else
+    passes through — so ``a/b`` becomes ``a%2Fb`` exactly as
+    ``df.write.partitionBy`` renders it on disk."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPE else c for c in s
+    )
+
+
 def _hive_part_segs(part_cols, row) -> str:
-    """`c1=v1/c2=v2` directory suffix for one partition-key row (Hive
-    layout; NULL renders as Spark's __HIVE_DEFAULT_PARTITION__).
-    Values are str()-rendered — partition values needing Hive path
-    escaping aren't supported for the removed-partition delete."""
+    """`c1=v1/c2=v2` directory suffix for one partition-key row,
+    rendered the way SPARK renders it on disk (r15 ADVICE: a bare
+    str() wrote ``True`` where Spark writes ``true``, making the
+    removed-partition delete a silent no-op): NULL ->
+    ``__HIVE_DEFAULT_PARTITION__``, bool -> lowercase, date ->
+    ISO, strings Hive-escaped. Partition-column types whose disk
+    rendering is ambiguous (float, timestamp, binary, ...) are
+    rejected up front rather than guessed."""
+    import datetime
+
     segs = []
     for c in part_cols:
         v = row[c]
-        segs.append(
-            f"{c}=" + ("__HIVE_DEFAULT_PARTITION__" if v is None else str(v))
-        )
+        if v is None:
+            r = "__HIVE_DEFAULT_PARTITION__"
+        elif isinstance(v, bool):
+            r = "true" if v else "false"
+        elif isinstance(v, int):
+            r = str(v)
+        elif isinstance(v, str):
+            r = _escape_hive_path_name(v)
+        elif isinstance(v, datetime.date) and not isinstance(
+            v, datetime.datetime
+        ):
+            r = v.isoformat()
+        else:
+            raise ValueError(
+                f"partition column {c!r} has type {type(v).__name__} — "
+                "its on-disk directory rendering is engine-version-"
+                "dependent, so the removed-partition delete cannot be "
+                "computed safely; partition on int/string/bool/date "
+                "columns for incremental curation"
+            )
+        segs.append(f"{c}={r}")
     return "/".join(segs)
+
+
+def _keys_pred(part_cols, keys):
+    """OR-of-ANDs Column predicate matching any of the given partition
+    key dicts (NULL-safe: a None value matches isNull)."""
+    pred = None
+    for k in keys:
+        cond = None
+        for c in part_cols:
+            v = k[c]
+            eq = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            cond = eq if cond is None else (cond & eq)
+        pred = cond if pred is None else (pred | cond)
+    return pred
 
 
 def curate_incremental(
@@ -304,7 +363,7 @@ def curate_incremental(
             .collect()
         )
         removed = [
-            _hive_part_segs(part_cols, r)
+            {c: r[c] for c in part_cols}
             for r in diff.where(F.col("status") == "removed")
             .select(*part_cols)
             .collect()
@@ -318,18 +377,9 @@ def curate_incremental(
                 "partitions_changed": 0,
                 "partitions_removed": 0,
             }
-        pred = None
-        for r in moved:
-            cond = None
-            for c in part_cols:
-                v = r[c]
-                eq = (
-                    F.col(c).isNull()
-                    if v is None
-                    else (F.col(c) == F.lit(v))
-                )
-                cond = eq if cond is None else (cond & eq)
-            pred = cond if pred is None else (pred | cond)
+        pred = _keys_pred(
+            part_cols, [{c: r[c] for c in part_cols} for r in moved]
+        )
         src = src.where(pred) if pred is not None else src.where(F.lit(False))
         moved_keys = [tuple(r[c] for c in part_cols) for r in moved]
     else:  # first run: every source partition is 'added'
@@ -373,8 +423,7 @@ def curate_incremental(
                 }
                 gone = [k for k in moved_keys if k not in written]
                 removed = removed + [
-                    _hive_part_segs(part_cols, dict(zip(part_cols, k)))
-                    for k in gone
+                    dict(zip(part_cols, k)) for k in gone
                 ]
             report = curation_report(stages)
             if report_url:
@@ -390,8 +439,43 @@ def curate_incremental(
             }
         finally:
             out.unpersist()
-    for segs in removed:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(tpath, segs), True)
+    # delete removed partitions and VERIFY (r15 ADVICE: a rendering
+    # mismatch made fs.delete a silent no-op and the manifest store
+    # below then pinned the stale rows in forever)
+    for key in removed:
+        segs = _hive_part_segs(part_cols, key)
+        p = jvm.org.apache.hadoop.fs.Path(tpath, segs)
+        if fs.exists(p):
+            if not fs.delete(p, True):
+                raise IOError(
+                    f"failed to delete removed partition {segs!r} under "
+                    f"{target_url} — aborting before the source manifest "
+                    "is stored so the next run retries"
+                )
+        # a missing directory is legitimate (a partition whose every
+        # row was curated away in an earlier run wrote no files); the
+        # data probe below is the authoritative staleness check
+    if removed:
+        # partition-pruned existence probe, independent of path
+        # rendering: any surviving row under a removed key means the
+        # delete missed (cost ∝ removed partitions, not the target)
+        try:
+            leftover = (
+                spark.read.parquet(target_url)
+                .where(_keys_pred(part_cols, removed))
+                .select(*part_cols)
+                .limit(1)
+                .collect()
+            )
+        except Exception:  # target emptied entirely: nothing survives
+            leftover = []
+        if leftover:
+            stale = {c: leftover[0][c] for c in part_cols}
+            raise IOError(
+                f"rows for removed partition {stale!r} survive under "
+                f"{target_url} after delete — aborting before the "
+                "source manifest is stored so the next run retries"
+            )
     # store the new source manifest for the next run's diff (LAST — a
     # failed run re-processes rather than silently skipping)
     cur.write.mode("overwrite").parquet(
