@@ -64,23 +64,15 @@ def _last_green_round() -> dict[str, int]:
 # round's CORRECTNESS file is committed the staleness sort would have
 # rotated them forward anyway.
 CHANGED_THIS_ROUND = [
-    # new in round 15
-    "event_transition_matrix",
+    # new in round 16
+    "incremental_dedup_tombstoned",
+    # r15-ADVICE fixes landed in r16: NULL-sentinel path elements
+    # (session_paths_topk + its oracle changed together — re-certify)
     "session_paths_topk",
+    # transition stream state fix shares the batch twin's contract
+    "event_transition_matrix",
+    # format_contract grammar guard tightened (suggest-rule family)
     "contract_suggest_docs",
-    "rolling_active_users",
-    "event_type_lift",
-    "quality_quantile_norm_source",
-    "seasonal_decompose_daily",
-    "survival_signup_purchase",
-    "activity_gini_by_type",
-    "vocab_overlap_sources",
-    # hierarchical probe: pad->truncate fix + l1_probe knob in r15
-    # (advice)
-    "knn_graph_hier",
-    # t-closeness suppression keeps all-NULL-sensitive classes in r15
-    # (advice; the report query itself is unchanged but re-certify)
-    "pii_t_closeness",
 ]
 
 

@@ -156,6 +156,7 @@ HEADLINE = [
     "label_propagation_parts",
     "quantile_sketch_chars",
     "incremental_near_dup",
+    "incremental_dedup_tombstoned",
     "doc_ngram_novelty",
     "shard_plan_docs",
     "image_dhash_pairs",

@@ -384,6 +384,114 @@ def lsh_index_read(spark, index_url: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def lsh_index_tombstone(index_url: str, ids: DataFrame) -> None:
+    """Mark index entries DEAD without rewriting the shard layout:
+    append the ids to the index's ``tombstones/`` table (LSM-style —
+    parquet appends only; the physical bucket/signature rows stay on
+    disk until :func:`lsh_index_compact`). ``ids`` must be a one-column
+    frame whose column name matches the index's id column.
+
+    Dead ids stop matching immediately: :func:`lsh_index_read_live`
+    anti-joins them out, so probes never emit a tombstoned ``old_id``.
+    Cost: one batch-sized append — nothing corpus-sized moves."""
+    root = index_url.rstrip("/")
+    if len(ids.columns) != 1:
+        raise ValueError(
+            f"tombstone frame must have exactly the id column, got "
+            f"{ids.columns}"
+        )
+    ids.distinct().write.mode("append").parquet(root + "/tombstones")
+
+
+def lsh_live_view(
+    buckets: DataFrame,
+    sigs: DataFrame,
+    tombstones: DataFrame | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Apply a tombstone set to index tables: dead ids stop matching.
+    The anti-join sits ABOVE the (possibly shard-pruned) scan, so
+    probe-side ``bh_shard`` pushdown is preserved; the tombstone side
+    is broadcast (it is batch-scale by construction — compact before
+    it is not)."""
+    if tombstones is None:
+        return buckets, sigs
+    id_col = tombstones.columns[0]
+    return (
+        buckets.join(F.broadcast(tombstones), id_col, "left_anti"),
+        sigs.join(F.broadcast(tombstones), id_col, "left_anti"),
+    )
+
+
+def lsh_index_read_live(
+    spark, index_url: str
+) -> tuple[DataFrame, DataFrame]:
+    """Load the LIVE view of a persisted index: ``(buckets,
+    signatures)`` with tombstoned ids anti-joined out
+    (:func:`lsh_live_view`)."""
+    root = index_url.rstrip("/")
+    return lsh_live_view(
+        spark.read.parquet(root + "/buckets"),
+        spark.read.parquet(root + "/signatures"),
+        _lsh_read_tombstones(spark, root),
+    )
+
+
+def _lsh_read_tombstones(spark, root: str) -> DataFrame | None:
+    """The index's tombstone table, or None when none exist."""
+    try:
+        tomb = spark.read.parquet(root.rstrip("/") + "/tombstones")
+    except Exception:
+        return None
+    return tomb
+
+
+def lsh_index_compact(spark, index_url: str) -> dict:
+    """Physically drop tombstoned rows: rewrite ``buckets`` (keeping
+    the ``bh_shard`` partition layout — flattening it would destroy
+    probe pruning) and ``signatures`` minus the tombstone set, then
+    clear ``tombstones/``. Run when the dead fraction grows (every
+    probe pays the anti-join against the tombstone table) or before
+    re-appending an id that was tombstoned earlier — a plain re-append
+    would resurrect its DEAD rows too, since a tombstone kills every
+    row of the id regardless of generation.
+
+    Returns ``{"dropped_ids": n, "live_ids": m}``. Not atomic on a
+    plain filesystem (rewrite happens via a sibling temp dir + rename);
+    schedule it like any table-maintenance job."""
+    root = index_url.rstrip("/")
+    tomb = _lsh_read_tombstones(spark, root)
+    if tomb is None:
+        n_live = spark.read.parquet(root + "/signatures").count()
+        return {"dropped_ids": 0, "live_ids": n_live}
+    id_col = tomb.columns[0]
+    tomb = tomb.distinct()
+    n_dead = tomb.count()
+    buckets, sigs = lsh_index_read_live(spark, index_url)
+    jvm = spark.sparkContext._jvm
+    jconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _swap(sub: str, df: DataFrame, part_cols: list[str]) -> None:
+        tmp = f"{root}/_{sub}_compact_tmp"
+        w = df.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(tmp)
+        old = jvm.org.apache.hadoop.fs.Path(f"{root}/{sub}")
+        new = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = old.getFileSystem(jconf)
+        if not fs.delete(old, True):
+            raise IOError(f"compact: failed to delete {root}/{sub}")
+        if not fs.rename(new, old):
+            raise IOError(f"compact: failed to rename {tmp}")
+
+    _swap("buckets", buckets, ["bh_shard"])
+    _swap("signatures", sigs, [])
+    tpath = jvm.org.apache.hadoop.fs.Path(f"{root}/tombstones")
+    tpath.getFileSystem(jconf).delete(tpath, True)
+    n_live = spark.read.parquet(root + "/signatures").count()
+    return {"dropped_ids": n_dead, "live_ids": n_live}
+
+
 def incremental_near_dup(
     new_df: DataFrame,
     index_buckets: DataFrame,

@@ -924,7 +924,10 @@ def dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incr_near_dup_oracle(
-    num_hashes: int = 16, bands: int = 4, min_est: float = 0.5
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est: float = 0.5,
+    old_where: str = "",
 ) -> str:
     from petastorm_spark.operators.dedup import MINHASH_MOD, cw_hash_pair_sql
 
@@ -958,7 +961,7 @@ def _incr_near_dup_oracle(
         f"(sn.mh_{i} = so.mh_{i})::INT" for i in range(num_hashes)
     )
     return f"""
-    WITH d_old AS (SELECT doc_id, text FROM documents),
+    WITH d_old AS (SELECT doc_id, text FROM documents{old_where}),
     d_new AS (SELECT doc_id + {_COPY_SHIFT} AS doc_id,
                      text || '{_TAIL}' AS text FROM documents),
     {chain("old").lstrip()},
@@ -999,6 +1002,48 @@ def incremental_near_dup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, sigs = lsh_index_build(d, "text", "doc_id")
     return incremental_near_dup(
         new, buckets, sigs, "text", "doc_id", min_est=0.5
+    )
+
+
+@register(
+    "incremental_dedup_tombstoned",
+    oracle=_incr_near_dup_oracle(
+        old_where=" WHERE doc_id % 7 <> 0"
+    ),
+)
+def incremental_dedup_tombstoned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental near-dup against the LIVE view of an index with
+    TOMBSTONES (r16: the LSM-style delete path behind global dedup in
+    ``curate --incremental``): docs leaving the corpus are tombstoned
+    (operators/dedup.lsh_index_tombstone) rather than rewritten out of
+    the sharded bucket layout, and :func:`operators.dedup.lsh_live_view`
+    anti-joins them ABOVE the shard-pruned scan so a dead doc stops
+    matching immediately. Here every ``doc_id % 7 == 0`` doc is
+    tombstoned; the oracle rebuilds the whole MinHash/band chain over
+    only the surviving corpus — a probe pair against a dead doc
+    flips the row set, not just a unit test.
+
+    Scale: identical plan to incremental_near_dup plus one broadcast
+    anti-join (tombstones are batch-scale by contract; compaction
+    rewrites before they are not)."""
+    from petastorm_spark.operators.dedup import (
+        incremental_near_dup,
+        lsh_index_build,
+        lsh_live_view,
+    )
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.select(
+        (F.col("doc_id") + _COPY_SHIFT).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TAIL)).alias("text"),
+    )
+    buckets, sigs = lsh_index_build(d, "text", "doc_id")
+    tomb = d.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    live_b, live_s = lsh_live_view(buckets, sigs, tomb)
+    return incremental_near_dup(
+        new, live_b, live_s, "text", "doc_id", min_est=0.5
     )
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import argparse
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from petastorm_spark.etl.dataset_metadata import materialize_dataset
@@ -267,6 +267,30 @@ def _keys_pred(part_cols, keys):
     return pred
 
 
+SID_COL = "_ps_sid"
+
+
+def _with_sid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Attach the content SURROGATE id the global-dedup index is keyed
+    on: sha2-256 of ``id || US || text``. Keying on (id, content)
+    rather than id alone is what makes incremental maintenance cheap:
+    an UNCHANGED doc re-curated inside a changed partition maps to the
+    SAME surrogate, so it is already in the index (skip the append)
+    and a probe against itself is dropped by the candidate join's
+    ``new_id != old_id`` guard — no tombstone ever needed for it."""
+    return df.withColumn(
+        SID_COL,
+        F.sha2(
+            F.concat_ws(
+                "\x1f",
+                F.col(id_col).cast("string"),
+                F.coalesce(F.col(text_col).cast("string"), F.lit("\x00")),
+            ),
+            256,
+        ),
+    )
+
+
 def curate_incremental(
     spark: SparkSession,
     source_url: str,
@@ -276,6 +300,12 @@ def curate_incremental(
     id_col: str = "doc_id",
     report_url: str | None = None,
     row_group_size_mb: int | None = None,
+    dedup_index_url: str | None = None,
+    dedup_min_est: float = 0.8,
+    dedup_num_hashes: int = 16,
+    dedup_bands: int = 4,
+    dedup_shingle_n: int = 3,
+    dedup_n_shards: int = 256,
     **pipeline_kwargs,
 ) -> dict[str, int]:
     """MANIFEST-DRIVEN incremental curation (the r14 verdict's #4):
@@ -304,18 +334,46 @@ def curate_incremental(
 
     Scale: the work per run is bounded by the CHANGED partitions —
     at 100 TB an append touches a handful of date/source directories
-    and the run costs that slice, not the corpus. SEMANTICS CAVEAT:
-    every pipeline stage runs over the changed SLICE, so exact/near
-    dedup is partition-confined in incremental mode — a new doc
-    duplicating a doc in an UNCHANGED partition survives. Cross-batch
-    dedup belongs to the persistent-index path
-    (:func:`operators.dedup.near_dup_index_build` + incremental
-    probes); partition-confined dedup is the price of not re-reading
-    the corpus, exactly as in the reference's row-group-local
-    operations.
+    and the run costs that slice, not the corpus.
+
+    GLOBAL DEDUP (``dedup_index_url``, the r15 verdict's #2): without
+    it, every pipeline stage runs over the changed SLICE only, so
+    exact/near dedup is partition-confined — a new doc duplicating a
+    doc in an UNCHANGED partition survives. Passing ``dedup_index_url``
+    closes that gap with the persistent LSH index
+    (:func:`operators.dedup.lsh_index_build` family), keyed on the
+    CONTENT surrogate sha2(id, text):
+
+    - first run: the curated corpus is indexed (build + write, with a
+      ``config`` table pinning num_hashes/bands/shingle_n/n_shards so
+      later runs cannot probe with mismatched parameters);
+    - each later run: the re-curated slice is PROBED against the live
+      index (:func:`operators.dedup.incremental_near_dup` — shard-
+      pruned, batch-bounded); slice docs whose MinHash agreement with
+      any indexed doc reaches ``dedup_min_est`` are dropped (keep-
+      first: the already-indexed copy wins) as a ``global_near_dup``
+      report stage;
+    - index maintenance: surrogates of changed/removed-partition docs
+      that no longer exist are TOMBSTONED
+      (:func:`operators.dedup.lsh_index_tombstone` — their stale rows
+      stop matching immediately); the slice's surviving NEW surrogates
+      are appended; a tombstoned surrogate coming back (a partition
+      reverted) triggers :func:`operators.dedup.lsh_index_compact`
+      first so the append cannot resurrect dead rows.
+
+    Every index step is slice/batch-bounded: the probe prunes bucket
+    shards to the batch's band hashes, tombstones are appends, and
+    compaction only runs on the rare revert. Within-slice duplicates
+    are the pipeline's own ``near_dedup=True`` stage's job — enable
+    both for full coverage. A pre-existing target without an index
+    cannot start mid-stream (the index would silently cover only new
+    slices): backfill one first with ``lsh_index_build`` over the
+    target and ``lsh_index_write``, keyed on this module's
+    ``_with_sid`` surrogate.
 
     Returns the attrition counts of the processed slice plus
-    ``partitions_added/changed/removed`` (all 0 = no-op run)."""
+    ``partitions_added/changed/removed`` (all 0 = no-op run) and,
+    under global dedup, ``index_appended``/``index_tombstoned``."""
     from petastorm_spark.etl.dataset_metadata import _fs_and_path
     from petastorm_spark.operators.layout import (
         manifest_diff,
@@ -383,15 +441,133 @@ def curate_incremental(
         src = src.where(pred) if pred is not None else src.where(F.lit(False))
         moved_keys = [tuple(r[c] for c in part_cols) for r in moved]
     else:  # first run: every source partition is 'added'
+        moved = []
         n_added = cur.count()
         n_changed = 0
         removed = []
         moved_keys = None  # whole source
 
+    from pyspark import StorageLevel
+
+    use_index = dedup_index_url is not None
+    index_exists = False
+    old_sids = None
+    idx_root = tmp_sids_url = None
+    if use_index:
+        from petastorm_spark.operators import dedup as _dd
+
+        idx_root = dedup_index_url.rstrip("/")
+        ifs, ipath = _fs_and_path(spark, idx_root + "/signatures")
+        index_exists = ifs.exists(ipath)
+        if not index_exists and moved_keys is not None:
+            raise ValueError(
+                f"no LSH index at {dedup_index_url} but the target "
+                "already has history — an index started mid-stream "
+                "would silently cover only new slices; backfill one "
+                "over the full target first (lsh_index_build + "
+                "lsh_index_write keyed on the _with_sid surrogate)"
+            )
+        cfg = {
+            "num_hashes": dedup_num_hashes,
+            "bands": dedup_bands,
+            "shingle_n": dedup_shingle_n,
+            "n_shards": dedup_n_shards,
+        }
+        if index_exists:
+            stored = (
+                spark.read.parquet(idx_root + "/config").first().asDict()
+            )
+            mism = {
+                k: (stored.get(k), v)
+                for k, v in cfg.items()
+                if stored.get(k) != v
+            }
+            if mism:
+                raise ValueError(
+                    f"LSH index at {dedup_index_url} was built with "
+                    f"different parameters — stored vs requested: {mism}"
+                )
+            # surrogates currently in the target's changed/removed
+            # partitions: materialize to a spill table NOW — dynamic
+            # overwrite and the removal deletes rewrite those very
+            # directories later this run
+            old_keys = [
+                {c: r[c] for c in part_cols}
+                for r in moved
+                if r["status"] == "changed"
+            ] + removed
+            if old_keys:
+                tmp_sids_url = idx_root + "/_run_old_sids"
+                (
+                    _with_sid(
+                        spark.read.parquet(target_url)
+                        .where(_keys_pred(part_cols, old_keys))
+                        .select(id_col, text_col),
+                        id_col,
+                        text_col,
+                    )
+                    .select(SID_COL)
+                    .distinct()
+                    .write.mode("overwrite")
+                    .parquet(tmp_sids_url)
+                )
+                old_sids = spark.read.parquet(tmp_sids_url)
+
     counts: dict[str, int] = {}
     if moved_keys is None or moved_keys:
         stages = curate_corpus(src, text_col, id_col, **pipeline_kwargs)
-        from pyspark import StorageLevel
+        out_sid = dup_sids = final_sid = None
+        if use_index and index_exists:
+            # GLOBAL near-dedup: probe the re-curated slice against the
+            # live index (shard-pruned, batch-bounded) and drop slice
+            # docs that duplicate an indexed doc (keep-first policy —
+            # the already-accepted copy wins)
+            out_sid = _with_sid(
+                stages["output"], id_col, text_col
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            live_b, live_s = _dd.lsh_index_read_live(spark, dedup_index_url)
+            if old_sids is not None:
+                # surrogates that existed in the changed/removed
+                # partitions but are NOT re-produced by this slice are
+                # leaving the corpus — exclude their stale index rows
+                # from the probe so a vanished doc cannot kill its
+                # replacement
+                gone = old_sids.join(
+                    out_sid.select(SID_COL).distinct(), SID_COL, "left_anti"
+                )
+                live_b = live_b.join(F.broadcast(gone), SID_COL, "left_anti")
+                live_s = live_s.join(F.broadcast(gone), SID_COL, "left_anti")
+            # localCheckpoint, NOT persist: the probe's lineage reads
+            # the index's bucket/signature/tombstone files, and every
+            # later index APPEND triggers Spark's refreshByPath recache
+            # — which would re-execute a merely-persisted plan against
+            # files compaction may have deleted. The eager checkpoint
+            # truncates the lineage so downstream consumers (the
+            # output write, report counts, the append batch) never
+            # re-touch index files.
+            dup_sids = (
+                _dd.incremental_near_dup(
+                    out_sid,
+                    live_b,
+                    live_s,
+                    text_col,
+                    SID_COL,
+                    num_hashes=dedup_num_hashes,
+                    bands=dedup_bands,
+                    shingle_n=dedup_shingle_n,
+                    min_est=dedup_min_est,
+                    n_shards=dedup_n_shards,
+                )
+                .select(F.col("new_id").alias(SID_COL))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            final_sid = out_sid.join(dup_sids, SID_COL, "left_anti")
+            final = final_sid.drop(SID_COL)
+            stages = dict(stages)
+            stages.pop("output")
+            stages["global_near_dup"] = final
+            stages["output"] = final
 
         out = stages["output"].persist(StorageLevel.MEMORY_AND_DISK)
         try:
@@ -437,13 +613,89 @@ def curate_incremental(
                 r["stage"]: r["n_rows"]
                 for r in report.orderBy("stage_idx").collect()
             }
+            if use_index and not index_exists:
+                # first run: index the accepted corpus and pin the LSH
+                # parameters so later probes cannot silently mismatch
+                b, s = _dd.lsh_index_build(
+                    _with_sid(out, id_col, text_col),
+                    text_col,
+                    SID_COL,
+                    dedup_num_hashes,
+                    dedup_bands,
+                    dedup_shingle_n,
+                    dedup_n_shards,
+                )
+                _dd.lsh_index_write(dedup_index_url, b, s)
+                spark.createDataFrame(
+                    [tuple(cfg.values())],
+                    ", ".join(f"{k} int" for k in cfg),
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    idx_root + "/config"
+                )
+                counts["index_appended"] = counts.get("output", 0)
+            elif use_index:
+                # a tombstoned surrogate coming back (partition revert)
+                # must compact first: a tombstone kills EVERY row of
+                # the id, so appending over dead rows would bury the
+                # resurrected doc with them
+                tomb = _dd._lsh_read_tombstones(spark, idx_root)
+                if (
+                    tomb is not None
+                    and final_sid.select(SID_COL)
+                    .join(tomb, SID_COL, "left_semi")
+                    .limit(1)
+                    .count()
+                    > 0
+                ):
+                    _dd.lsh_index_compact(spark, dedup_index_url)
+                raw_ids = spark.read.parquet(
+                    idx_root + "/signatures"
+                ).select(SID_COL)
+                batch = final_sid.join(raw_ids, SID_COL, "left_anti")
+                n_app = batch.count()
+                if n_app:
+                    b, s = _dd.lsh_index_build(
+                        batch,
+                        text_col,
+                        SID_COL,
+                        dedup_num_hashes,
+                        dedup_bands,
+                        dedup_shingle_n,
+                        dedup_n_shards,
+                    )
+                    # the anti-join above IS the id check — skip the
+                    # redundant index re-read inside append
+                    _dd.lsh_index_append(
+                        dedup_index_url, b, s, check_ids=False
+                    )
+                counts["index_appended"] = n_app
+                if old_sids is not None:
+                    dead = old_sids.join(
+                        final_sid.select(SID_COL).distinct(),
+                        SID_COL,
+                        "left_anti",
+                    )
+                    n_dead = dead.count()
+                    if n_dead:
+                        _dd.lsh_index_tombstone(dedup_index_url, dead)
+                    counts["index_tombstoned"] = n_dead
         finally:
             out.unpersist()
+            if out_sid is not None:
+                out_sid.unpersist()
+    elif use_index and index_exists and old_sids is not None:
+        # removal-only run: no slice was curated, but the removed
+        # partitions' docs are leaving the corpus — their index rows
+        # must stop matching future probes
+        n_dead = old_sids.count()
+        if n_dead:
+            _dd.lsh_index_tombstone(dedup_index_url, old_sids)
+        counts["index_tombstoned"] = n_dead
     # delete removed partitions and VERIFY (r15 ADVICE: a rendering
     # mismatch made fs.delete a silent no-op and the manifest store
     # below then pinned the stale rows in forever)
-    for key in removed:
-        segs = _hive_part_segs(part_cols, key)
+    for pkey in removed:
+        segs = _hive_part_segs(part_cols, pkey)
         p = jvm.org.apache.hadoop.fs.Path(tpath, segs)
         if fs.exists(p):
             if not fs.delete(p, True):
@@ -481,6 +733,9 @@ def curate_incremental(
     cur.write.mode("overwrite").parquet(
         target_url.rstrip("/") + "/" + SOURCE_MANIFEST_DIRNAME
     )
+    if tmp_sids_url is not None:
+        sfs, spath = _fs_and_path(spark, tmp_sids_url)
+        sfs.delete(spath, True)
     counts.update(
         partitions_added=n_added,
         partitions_changed=n_changed,
@@ -584,13 +839,28 @@ def main() -> None:
         "partitions whose _ps_manifest digest moved since the last run "
         "into a partitioned target (requires --manifest naming the "
         "partition-key columns; the source must carry a stored "
-        "_ps_manifest). Dedup is partition-confined in this mode — see "
-        "curate_incremental's docstring",
+        "_ps_manifest). Dedup is partition-confined in this mode unless "
+        "--dedup-index is given — see curate_incremental's docstring",
     )
+    p.add_argument(
+        "--dedup-index",
+        default=None,
+        help="(with --incremental) URL of the persistent LSH index for "
+        "GLOBAL near-dedup: each run probes the re-curated slice "
+        "against the whole corpus's index, drops duplicates of "
+        "already-accepted docs, tombstones vanished docs, and appends "
+        "the survivors — first run builds the index",
+    )
+    p.add_argument("--dedup-min-est", type=float, default=0.8)
     a = p.parse_args()
     from petastorm_spark.session import get_spark
 
     spark = get_spark("curate_cli")
+    if a.dedup_index and not a.incremental:
+        p.error(
+            "--dedup-index only applies to --incremental (the full-"
+            "corpus path is already globally deduped by --near-dedup)"
+        )
     if a.incremental:
         if not a.manifest:
             p.error("--incremental requires --manifest <part_cols>")
@@ -609,6 +879,8 @@ def main() -> None:
             id_col=a.id_col,
             report_url=a.report_url,
             row_group_size_mb=a.row_group_size_mb,
+            dedup_index_url=a.dedup_index,
+            dedup_min_est=a.dedup_min_est,
             quality_floor=a.quality_floor,
             quality_frac=a.quality_frac,
             strata_col=a.strata_col,

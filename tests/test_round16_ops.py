@@ -184,3 +184,152 @@ def test_transition_stream_null_event_type_matches_batch(
     }
     # batch lead() semantics: NULL next_type filtered, NULL prev kept
     assert got == {(1, None, "buy"), (2, None, "view")}
+
+
+def _gd_docs(spark, parts, copy_of=None, salt=""):
+    """Distinct-token docs for the global-dedup tests: every doc's
+    shingle set is unique unless it is an exact copy_of=(part, i)."""
+    rows = []
+    for p in parts:
+        for i in range(4):
+            if copy_of is not None:
+                sp, si = copy_of  # exact text copy; salt only in the id
+                text = " ".join(f"t{sp}x{si}x{j}" for j in range(15))
+            else:
+                text = " ".join(f"t{salt}{p}x{i}x{j}" for j in range(15))
+            rows.append((p, f"d{p}-{i}{salt}", text))
+    return spark.createDataFrame(
+        rows, "src_part int, doc_id string, text string"
+    )
+
+
+def test_curate_incremental_global_dedup(spark, tmp_path_factory):
+    """The r15 verdict's #2 — THE remaining 100-TB curation gap: under
+    --incremental, dedup used to be partition-confined, so a duplicate
+    added in a NEW partition of a doc in an UNCHANGED partition
+    silently survived. With dedup_index_url the persistent LSH index
+    closes it: the dup is dropped (keep-first), work stays bounded by
+    the slice (input-count receipt), vanished docs are tombstoned so
+    they stop matching, and a reverted partition triggers compaction
+    instead of resurrecting dead index rows."""
+    from petastorm_spark.operators.layout import write_dataset_manifest
+    from petastorm_spark.tools.curate import curate_incremental
+
+    root = tmp_path_factory.mktemp("gdedup")
+    src, dst, idx = str(root / "src"), str(root / "dst"), str(root / "idx")
+
+    def run():
+        write_dataset_manifest(spark, src, ["src_part"])
+        return curate_incremental(
+            spark, src, dst, ["src_part"],
+            quality_floor=0.0, dedup_index_url=idx,
+        )
+
+    # run 1: two partitions of unique docs -> index built
+    _gd_docs(spark, [0, 1]).write.partitionBy("src_part").parquet(src)
+    c1 = run()
+    assert c1["partitions_added"] == 2 and c1["index_appended"] == 8
+
+    # run 2: NEW partition 2 = 4 exact copies of doc (0,1) from the
+    # UNCHANGED partition 0, plus 4 unique docs in partition 3.
+    # Partition-confined dedup would keep every copy; the index probe
+    # must drop all 4.
+    _gd_docs(spark, [2], copy_of=(0, 1), salt="c").write.mode(
+        "append"
+    ).partitionBy("src_part").parquet(src)
+    _gd_docs(spark, [3]).write.mode("append").partitionBy(
+        "src_part"
+    ).parquet(src)
+    c2 = run()
+    assert c2["partitions_added"] == 2
+    assert c2["input"] == 8, "work must stay bounded by the new slice"
+    # within-slice exact dedup collapses p2's 4 identical copies to 1;
+    # the index probe must then drop that survivor too (its original
+    # lives in the UNCHANGED partition 0) — p2 contributes nothing
+    assert c2["dedup"] == 5 and c2["global_near_dup"] == 4
+    assert c2["index_appended"] == 4
+    got = spark.read.parquet(dst)
+    assert got.where(F.col("src_part") == 2).count() == 0, (
+        "cross-partition duplicates of an unchanged old doc survived"
+    )
+    assert got.where(F.col("src_part") == 3).count() == 4
+
+    # run 3: REMOVE partition 0 -> its 4 docs' surrogates tombstoned
+    import shutil
+
+    shutil.rmtree(f"{src}/src_part=0")
+    c3 = run()
+    assert c3["partitions_removed"] == 1 and c3["index_tombstoned"] == 4
+
+    # run 4: NEW partition 4 duplicates the now-REMOVED doc (0,1): the
+    # tombstone must stop the stale index rows from matching — the
+    # (exact-dedup-surviving) copy is ACCEPTED and indexed
+    _gd_docs(spark, [4], copy_of=(0, 1), salt="r").write.mode(
+        "append"
+    ).partitionBy("src_part").parquet(src)
+    c4 = run()
+    assert c4["global_near_dup"] == 1, "tombstoned rows still matched"
+    assert c4["index_appended"] == 1
+    assert spark.read.parquet(dst).where(
+        F.col("src_part") == 4
+    ).count() == 1
+
+    # run 5: RE-ADD partition 0 with its original content — its
+    # surrogates are tombstoned AND physically present, so the append
+    # path must compact first (resurrection) instead of burying the
+    # returning docs under their own dead rows. Keep-first still
+    # holds: doc (0,1) now duplicates partition 4's accepted copy, so
+    # the RETURNING original is the one dropped.
+    _gd_docs(spark, [0]).write.mode("append").partitionBy(
+        "src_part"
+    ).parquet(src)
+    c5 = run()
+    assert c5["partitions_added"] == 1
+    assert c5["global_near_dup"] == 3 and c5["index_appended"] == 3
+    import glob
+
+    assert not glob.glob(f"{idx}/tombstones/*.parquet"), (
+        "compaction must clear the tombstone table"
+    )
+    # ...and a fresh copy of that doc still dedups against the index
+    _gd_docs(spark, [5], copy_of=(0, 1), salt="z").write.mode(
+        "append"
+    ).partitionBy("src_part").parquet(src)
+    c6 = run()
+    assert c6["global_near_dup"] == 0 and c6["index_appended"] == 0
+
+    # the index's config is pinned: probing with mismatched LSH
+    # parameters must refuse rather than silently miss duplicates
+    _gd_docs(spark, [6]).write.mode("append").partitionBy(
+        "src_part"
+    ).parquet(src)
+    write_dataset_manifest(spark, src, ["src_part"])
+    with pytest.raises(ValueError, match="different parameters"):
+        curate_incremental(
+            spark, src, dst, ["src_part"],
+            quality_floor=0.0, dedup_index_url=idx, dedup_bands=8,
+        )
+
+
+def test_curate_incremental_rejects_midstream_index(
+    spark, tmp_path_factory
+):
+    """An index introduced on a target that already has history would
+    silently cover only new slices — refuse it with a backfill hint."""
+    from petastorm_spark.operators.layout import write_dataset_manifest
+    from petastorm_spark.tools.curate import curate_incremental
+
+    root = tmp_path_factory.mktemp("midstream")
+    src, dst = str(root / "src"), str(root / "dst")
+    _gd_docs(spark, [0]).write.partitionBy("src_part").parquet(src)
+    write_dataset_manifest(spark, src, ["src_part"])
+    curate_incremental(spark, src, dst, ["src_part"], quality_floor=0.0)
+    _gd_docs(spark, [1]).write.mode("append").partitionBy(
+        "src_part"
+    ).parquet(src)
+    write_dataset_manifest(spark, src, ["src_part"])
+    with pytest.raises(ValueError, match="backfill"):
+        curate_incremental(
+            spark, src, dst, ["src_part"],
+            quality_floor=0.0, dedup_index_url=str(root / "idx"),
+        )
