@@ -244,8 +244,23 @@ def lsh_candidate_pairs(
     buckets = sig_df.select(
         F.col(id_col), F.array(*band_cols).alias("bhs")
     ).select(id_col, "bhs", F.posexplode_outer("bhs").alias("band", "bh"))
+    # shuffle_hash pins the self-join to the exchange-sharing plan
+    # (the embedding_near_dup_pairs pattern): both sides are the SAME
+    # subtree hashed on the same (band, bh) key, so the second side
+    # becomes a ReusedExchange and everything above the exchange —
+    # tokenize + shingle explode + the 16-min-agg MinHash signature,
+    # the expensive part — executes ONCE. Left to the planner, a
+    # small/estimate-shrunk side triggers a broadcast join whose
+    # build side RE-EXECUTES the whole signature pipeline (a
+    # BroadcastExchange subtree is not the shuffle exchange, so
+    # exchange reuse can never apply): measured r16, the minhash
+    # verify family paid the signature aggregate twice. An r16 A/B
+    # also rejected persist() here — at bench scale the cache write +
+    # un-coalesced cached partitions cost MORE than the recompute
+    # (dedup_minhash_lsh 2.15s -> 3.26s); exchange reuse dedups the
+    # subtree with zero extra materialization at any scale.
     a = buckets.alias("a")
-    b = buckets.alias("b")
+    b = buckets.hint("shuffle_hash").alias("b")
     first_match = F.lit(bands - 1)
     for j in reversed(range(bands - 1)):
         first_match = F.when(
@@ -530,8 +545,20 @@ def incremental_near_dup(
     tables — no text is touched."""
     from pyspark import StorageLevel
 
+    from petastorm_spark.session import register_persisted
+
     new_buckets, new_sigs = lsh_index_build(
         new_df, text_col, id_col, num_hashes, bands, shingle_n, n_shards
+    )
+    # persist the batch SIGNATURES: they are the shared ancestor of
+    # every consumer here — the bucket table (shard collect + candidate
+    # join) derives from them by a cheap band-hash map, and the
+    # est_jaccard join reads them directly. Without the cut the batch
+    # was tokenized + shingled + min-aggregated once per consumer
+    # (batch-sized, but the tokenize pass is the expensive part of the
+    # probe). Registered for release by the caller/bench.
+    new_sigs = register_persisted(
+        new_sigs.persist(StorageLevel.MEMORY_AND_DISK)
     )
     if prune_shards:
         # the shard collect below materializes this batch-sized cache,
@@ -610,9 +637,13 @@ def _pair_join(
 ) -> DataFrame:
     """Self-join a bucket table on ``keys``, returning candidate pairs
     (id_a < id_b) with both fingerprints carried along. ``carry``
-    columns ride through from the join (key-equal or a/b-suffixed)."""
+    columns ride through from the join (key-equal or a/b-suffixed).
+    The join is pinned to shuffle_hash so both sides share one
+    exchange (ReusedExchange) instead of a broadcast build side
+    re-executing the fingerprint subtree — see the note on `marked`
+    in :func:`simhash_pair_candidates`."""
     a = buckets.alias("a")
-    b = buckets.alias("b")
+    b = buckets.hint("shuffle_hash").alias("b")
     cond = reduce(
         lambda acc, k: acc & (F.col(f"a.{k}") == F.col(f"b.{k}")),
         keys[1:],
@@ -736,6 +767,23 @@ def simhash_pair_candidates(
     marked = buckets.withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "val"))
     )
+    # `marked` feeds FOUR subtree references (cold a/b, hot a/b), and
+    # the signature pipeline above it is the expensive part of every
+    # caller — tokenize + 60-vote agg for text SimHash, a decode
+    # mapInPandas for the image/audio/video fingerprints. All four
+    # references share the ONE hashpartitioning(band, val) exchange
+    # the window creates — the hot join's (band, val, sub, subval)
+    # keys are satisfied by subset clustering
+    # (requireAllClusterKeysForCoPartition=false, see session.py) —
+    # PROVIDED no side is planned as a broadcast build (a
+    # BroadcastExchange subtree is not the shuffle exchange, so reuse
+    # can never apply; measured r16: 16 parquet scans / 16
+    # MapInPandas in the audio_dup_pairs plan, 8x the fingerprint
+    # work). _pair_join therefore pins the self-joins to
+    # shuffle_hash, the embedding_near_dup_pairs pattern; an r16 A/B
+    # rejected persist() here (cache write + un-coalesced cached
+    # partitions cost more than they save at bench scale, and the
+    # exchange-sharing plan dedups the subtree at any scale).
     cold = marked.where(F.col("_n") <= hot_threshold)
     # first-match emission instead of a distinct: a pair colliding in
     # several bands is emitted only by its MINIMAL matching band — a
@@ -1938,17 +1986,31 @@ def winnowing_matches(
     pair stage groups by fingerprint VALUE with group size capped at
     max_df, so pair fan-out per fingerprint is C(max_df, 2) at worst
     — never corpus-quadratic."""
+    from pyspark.sql import Window
+
     sel = winnow_fingerprints(df, text_col, id_col, k, w).select(
         F.col(id_col), "fp"
     ).distinct()
-    df_counts = sel.groupBy("fp").agg(
-        F.count("*").alias("_df")
-    )
-    rare = sel.join(
-        df_counts.where(F.col("_df") <= max_df).select("fp"), "fp"
-    )
+    # r16: the df-cap as a WINDOW over the same fp key the pair join
+    # shuffles on, instead of a separate groupBy + filter-join. The
+    # expensive selection pass (tokenize + k-gram hash + window-min
+    # over the corpus) previously fed THREE subtree references — the
+    # df-count aggregate and both pair-join sides, each re-executing
+    # it whenever one side was planned as a broadcast build. Now every
+    # consumer sits above ONE hashpartitioning(fp) exchange: the
+    # window counts each fingerprint's docs post-shuffle, the cap
+    # filter runs in place, and the shuffle_hash-pinned self-join
+    # reuses the exchange for its second side (ReusedExchange; the
+    # simhash_pair_candidates / embedding_near_dup_pairs pattern).
+    # Selection runs once, and two corpus-scale exchanges disappear —
+    # at any scale.
+    rare = sel.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).where(F.col("_df") <= max_df)
     a = rare.select(F.col("fp"), F.col(id_col).alias("id_a"))
-    b = rare.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    b = rare.hint("shuffle_hash").select(
+        F.col("fp"), F.col(id_col).alias("id_b")
+    )
     return (
         a.join(b, "fp")
         .where(F.col("id_a") < F.col("id_b"))

@@ -420,10 +420,24 @@ def label_propagation(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    sym = (
+    # persist, NOT localCheckpoint (r16): a checkpointed RDD scan
+    # comes back with UnknownPartitioning — measured on the executed
+    # plan — so the repartition("b") ahead of it was a full edge-scale
+    # exchange whose alignment every round then threw away. The
+    # InMemoryRelation KEEPS hashpartitioning(b), so each round's
+    # edge-side join reads the cache partition-aligned (the original
+    # design intent); sym is static across rounds (no compounding
+    # re-analysis — the kcore lesson applies to the ITERATED tables,
+    # which keep their per-round checkpoint below). Registered for
+    # release since the returned labels are lazy.
+    from pyspark import StorageLevel
+
+    from petastorm_spark.session import register_persisted
+
+    sym = register_persisted(
         e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .repartition("b")
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")

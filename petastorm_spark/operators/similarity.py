@@ -877,12 +877,23 @@ def knn_graph(
     see the SCALING_OUT tuning curve)."""
     from pyspark.sql import Window
 
+    from pyspark import StorageLevel
+
+    from petastorm_spark.session import register_persisted
+
     cent = _knn_quantizer(corpus, id_col, vec_col, n_cells, centroids)
     crows = cent.select("cell", "cent_vec").collect()  # bounded quantizer
     if hierarchical and len(crows) > 0:
-        probed = probe_cells_hierarchical(
-            corpus, crows, id_col, vec_col, n_probe,
-            l1_probe=l1_probe, keep_order=True, l1_rounds=l1_rounds,
+        # persist: probed feeds BOTH join sides (home-cell candidates
+        # and exploded probes) — without it the Arrow/BLAS probe pass
+        # over the whole corpus executes once per side (the
+        # knn_graph_write sibling already persists for the same
+        # reason; here the result is lazy, so register for release)
+        probed = register_persisted(
+            probe_cells_hierarchical(
+                corpus, crows, id_col, vec_col, n_probe,
+                l1_probe=l1_probe, keep_order=True, l1_rounds=l1_rounds,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         )
         cand = probed.select(
             F.col(id_col).alias("neighbor_id"),
@@ -895,8 +906,11 @@ def knn_graph(
             F.explode("_cells").alias("cell"),
         )
     elif 0 < len(crows) <= _MAX_LOCAL_CELLS:
-        probed = _probe_cells_numpy(
-            corpus, crows, id_col, vec_col, n_probe, keep_order=True
+        # persist: same two-consumer shape as the hierarchical branch
+        probed = register_persisted(
+            _probe_cells_numpy(
+                corpus, crows, id_col, vec_col, n_probe, keep_order=True
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         )
         cand = probed.select(
             F.col(id_col).alias("neighbor_id"),
@@ -925,6 +939,12 @@ def knn_graph(
                 ),
             )
             .where(F.col("_r") <= max(n_probe, 1))
+        )
+        # persist: ranked feeds both the home-cell filter and the
+        # probe list — without it the corpus x quantizer rank window
+        # executes once per consumer
+        ranked = register_persisted(
+            ranked.persist(StorageLevel.MEMORY_AND_DISK)
         )
         cand = ranked.where(F.col("_r") == 1).select(
             F.col(id_col).alias("neighbor_id"),
@@ -2709,6 +2729,17 @@ def ivfpq_build(
         .select(F.col(id_col), "cell", "_res")
     )
     if codebooks is None:
+        # r16: the deterministic-codebook collect is a SECOND full
+        # evaluation of the residual pipeline (ivf_build's Arrow/BLAS
+        # assignment map + centroid join + zip_with) — the first being
+        # the encode below. Persist the residual table across the two
+        # (registered; the production path passes trained codebooks
+        # and never takes this branch, so nothing is cached there).
+        from pyspark import StorageLevel
+
+        from petastorm_spark.session import register_persisted
+
+        res = register_persisted(res.persist(StorageLevel.MEMORY_AND_DISK))
         # deterministic: the k_codes lowest-id residuals' subvectors
         rows = sorted(
             res.orderBy(id_col).limit(k_codes).collect(), key=lambda r: r[id_col]

@@ -1000,6 +1000,17 @@ def incremental_near_dup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(_TAIL)).alias("text"),
     )
     buckets, sigs = lsh_index_build(d, "text", "doc_id")
+    # this wrapper skips lsh_index_write (no files in a bench query),
+    # so the lazy index would re-tokenize the corpus once for the
+    # bucket probe AND once for the signature join; persisting the
+    # signature table — the shared ancestor of both — is the
+    # in-memory stand-in for the parquet index the production path
+    # reads (r16 optimization; result set unchanged)
+    from pyspark import StorageLevel
+
+    from petastorm_spark.session import register_persisted
+
+    sigs = register_persisted(sigs.persist(StorageLevel.MEMORY_AND_DISK))
     return incremental_near_dup(
         new, buckets, sigs, "text", "doc_id", min_est=0.5
     )
@@ -1040,6 +1051,13 @@ def incremental_dedup_tombstoned(
         F.concat(F.col("text"), F.lit(_TAIL)).alias("text"),
     )
     buckets, sigs = lsh_index_build(d, "text", "doc_id")
+    # persist the shared signature ancestor — same rationale as
+    # incremental_near_dup above (lazy index, no file write here)
+    from pyspark import StorageLevel
+
+    from petastorm_spark.session import register_persisted
+
+    sigs = register_persisted(sigs.persist(StorageLevel.MEMORY_AND_DISK))
     tomb = d.where(F.col("doc_id") % 7 == 0).select("doc_id")
     live_b, live_s = lsh_live_view(buckets, sigs, tomb)
     return incremental_near_dup(
