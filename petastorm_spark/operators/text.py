@@ -480,19 +480,27 @@ def ngram_novelty(
     tokens dropped.
 
     Scale: shingles shuffle as 60-bit md5-prefix ints (text never
-    shuffles), document frequency is one partial-agg count per
-    distinct shingle, and the verdict joins back on the hash — two
-    hash exchanges at occurrence scale, no windows. A shingle's df
-    counts documents (per-doc shingles are distinct by construction),
-    so df = 1 means "this doc only"."""
+    shuffles) and document frequency is a COUNT WINDOW over the hash —
+    the tokenize/shingle pass runs ONCE and feeds one
+    occurrence-scale (id, hash) exchange, vs. the prior df-table
+    self-join that re-tokenized the corpus per side and let the
+    planner broadcast an occurrence-scale build table (an OOM hazard
+    the moment the corpus outgrows the bench). A shingle's df counts
+    documents (per-doc shingles are distinct by construction), so
+    df = 1 means "this doc only". The not-null guard keeps the old
+    inner-join null-key semantics bit-identical."""
+    from pyspark.sql import Window
+
     from petastorm_spark.operators.dedup import exploded_shingles, hash60
 
     sh = exploded_shingles(df, text_col, id_col, shingle_n).select(
         F.col(id_col), hash60("sh").alias("_h")
     )
-    dfreq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     return (
-        sh.join(dfreq, "_h")
+        sh.where(F.col("_h").isNotNull())
+        .withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

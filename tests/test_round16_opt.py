@@ -128,6 +128,41 @@ def test_winnowing_df_cap_still_drops_hot_fingerprints(spark):
     assert out.count() == 0
 
 
+def test_ngram_novelty_single_tokenize_pass(spark):
+    from petastorm_spark.operators.text import ngram_novelty
+
+    docs = arrow_local_df(
+        spark,
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon",
+                "alpha beta gamma delta epsilon",
+                "zeta eta theta iota kappa",
+            ],
+        },
+        "doc_id bigint, text string",
+    )
+    out = ngram_novelty(docs, "text", "doc_id")
+    plan = _final_plan(out)
+    # df is a count window over the shingle hash: the tokenize/shingle
+    # Generate runs once and no occurrence-scale table is broadcast
+    # (the old df-table self-join tokenized per side and broadcast the
+    # (id, hash) occurrence table — an OOM hazard beyond bench scale)
+    final_tree = plan.split("== Initial Plan ==")[0]
+    assert final_tree.count("Generate") == 1, (
+        "shingle pipeline executes more than once:\n" + plan
+    )
+    assert "BroadcastHashJoin" not in plan and "Window" in plan, (
+        "df no longer computed as a window over the shingle hash:\n"
+        + plan
+    )
+    rows = {r.doc_id: (r.n_shingles, float(r.novelty)) for r in out.collect()}
+    # docs 1/2 are identical (all shingles df=2 -> novelty 0); doc 3 is
+    # fully novel (df=1 -> novelty 1); 5 tokens -> 3 distinct trigrams
+    assert rows == {1: (3, 0.0), 2: (3, 0.0), 3: (3, 1.0)}
+
+
 def test_knn_graph_materializes_probe_pass_once(spark):
     from petastorm_spark.operators.similarity import knn_graph
 
