@@ -602,27 +602,56 @@ def incremental_near_dup(
     )
 
 
+# Packed-lane SimHash vote accumulators: 3 counters of _VOTE_FIELD
+# bits per 64-bit sum. A counter holds the COUNT of tokens with that
+# bit set (not the signed vote), so majority "votes_b > 0" becomes the
+# integer-exact "2*count_b > n_tokens". Safe while every doc has
+# < 2^20 distinct tokens (a ~10 MB document is ~10^5 distinct unigrams;
+# the top field then stays < 2^60, no carry and no bigint overflow).
+_VOTE_FIELD = 20
+_VOTE_PER_LANE = 3
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFrame:
     """60-bit SimHash over unigram tokens: per-bit signed vote of token
-    hashes, majority -> bit set. One explode + one agg with ``bits``
-    expressions — no 60x row blowup."""
+    hashes, majority -> bit set. One explode + one agg — and the
+    ``bits`` per-bit vote sums are packed 3-per-long (20-bit count
+    fields), so the aggregation state is 21 longs instead of 60 and
+    each input row contributes bit shifts instead of 60 CASE branches.
+    Exactly the same signature: count_b > half ⟺ signed vote > 0."""
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
-    ).withColumn("h", hash60(F.col("tok")))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
+    ).withColumn("h", F.coalesce(hash60(F.col("tok")), F.lit(0).cast("bigint")))
+    n_lanes = (bits + _VOTE_PER_LANE - 1) // _VOTE_PER_LANE
+    packed = []
+    for j in range(n_lanes):
+        fields = [
+            F.shiftleft(
+                F.shiftright(F.col("h"), j * _VOTE_PER_LANE + f).bitwiseAND(
+                    F.lit(1)
+                ),
+                _VOTE_FIELD * f,
             )
-        ).alias(f"s_{b}")
-        for b in range(bits)
-    ]
-    per_doc = tok.groupBy(id_col).agg(*votes)
+            for f in range(_VOTE_PER_LANE)
+            if j * _VOTE_PER_LANE + f < bits
+        ]
+        packed.append(
+            F.sum(reduce(lambda a, b: a + b, fields)).alias(f"p_{j}")
+        )
+    per_doc = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"), *packed
+    )
+    mask = F.lit((1 << _VOTE_FIELD) - 1)
+
+    def count_bit(b: int):
+        j, f = divmod(b, _VOTE_PER_LANE)
+        return F.shiftright(F.col(f"p_{j}"), _VOTE_FIELD * f).bitwiseAND(mask)
+
     sim = reduce(
         lambda acc, b: acc
-        + F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        ),
+        + F.when(
+            count_bit(b) * 2 > F.col("_n"), F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint")),
         range(bits),
         F.lit(0).cast("bigint"),
     )

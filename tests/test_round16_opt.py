@@ -163,6 +163,44 @@ def test_ngram_novelty_single_tokenize_pass(spark):
     assert rows == {1: (3, 0.0), 2: (3, 0.0), 3: (3, 1.0)}
 
 
+def test_simhash_packed_votes_match_reference(spark):
+    """The packed-lane vote accumulators (3x20-bit count fields per
+    long) must reproduce the signed-majority SimHash exactly,
+    including the tie case (2*count == n_tokens -> bit UNSET, the old
+    strict `vote > 0`)."""
+    import hashlib
+
+    from petastorm_spark.operators.dedup import simhash
+
+    texts = {
+        1: "alpha beta gamma delta",
+        2: "alpha beta",                      # even token count -> ties
+        3: "epsilon zeta eta theta iota kappa lambda mu",
+        4: "single",
+    }
+
+    def h60(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    expected = {}
+    for doc, text in texts.items():
+        toks = sorted(set(text.lower().split()))
+        sig = 0
+        for b in range(60):
+            count = sum((h60(t) >> b) & 1 for t in toks)
+            if 2 * count > len(toks):
+                sig |= 1 << b
+        expected[doc] = sig
+
+    docs = arrow_local_df(
+        spark,
+        {"doc_id": list(texts), "text": list(texts.values())},
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.simhash for r in simhash(docs, "text", "doc_id").collect()}
+    assert got == expected
+
+
 def test_knn_graph_materializes_probe_pass_once(spark):
     from petastorm_spark.operators.similarity import knn_graph
 
