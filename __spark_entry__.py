@@ -73,6 +73,39 @@ CHANGED_THIS_ROUND = [
     "event_transition_matrix",
     # format_contract grammar guard tightened (suggest-rule family)
     "contract_suggest_docs",
+    # r16 OPTIMIZATION plan changes (OPTIMIZATION_r16.md changes 1-6):
+    # banded self-joins share one exchange (shuffle_hash) / registered
+    # persists, ivfpq residual pass persisted, label_propagation
+    # persist-not-checkpoint, ngram_novelty df window, simhash packed
+    # votes — every plan below differs from its r15 shape.
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_ngram_novelty",
+    "dedup_near_pairs",
+    "dedup_containment_pairs",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_threshold_curve",
+    "dedup_source_matrix",
+    "incremental_near_dup",
+    "winnowing_matches",
+    "dedup_minhash_lsh",
+    "image_dhash_pairs",
+    "audio_dup_pairs",
+    "video_dup_pairs",
+    "split_leakage_safe",
+    "knn_graph_ivf",
+    "knn_graph_hier",
+    "knn_graph_incremental",
+    "knn_graph_communities",
+    "dedup_semantic",
+    "dedup_semantic_probe2",
+    "curate_corpus_docs",
+    "curate_corpus_report",
+    "embedding_intrinsic_dim",
+    "ann_cosine_ivfpq",
+    "ann_recall_ivfpq",
+    "label_propagation_parts",
 ]
 
 
