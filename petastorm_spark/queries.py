@@ -74,13 +74,41 @@ def _session_key(spark: SparkSession) -> tuple:
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from petastorm_spark.session import ensure_session_confs
 
+    # unconditional (r16 ADVICE): the expensive part being cached is the
+    # read.parquet resolution; the conf re-assert is a cheap get/set and
+    # must hold at EXECUTION time even if a driver mutated session confs
+    # after the handle was first cached (nanosAsLong/UTC are runtime-
+    # settable and a cache hit used to skip them)
+    ensure_session_confs(spark)
     key = (*_session_key(spark), sf_dir, name)
     df = _T_CACHE.get(key)
     if df is None:
-        ensure_session_confs(spark)  # driver sessions lack nanosAsLong/UTC
+        _evict_dead_sessions(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         _T_CACHE[key] = df
     return df
+
+
+def _evict_dead_sessions(live: SparkSession) -> None:
+    """Drop cached handles whose session is not the live one (r16
+    ADVICE: entries for stopped sessions held strong refs to their
+    SparkSession forever). Called on the miss path only — one tuple
+    compare per cached key, no JVM round trips."""
+    live_key = _session_key(live)
+    for cache in (_T_CACHE, _T_WIDE_PARTS):
+        dead = [k for k in cache if k[:2] != live_key]
+        for k in dead:
+            del cache[k]
+
+
+def invalidate_table_cache() -> None:
+    """Drop every cached table handle (r16 ADVICE): cached
+    spark.read.parquet handles snapshot the file listing/footer schema
+    at first resolution, so tools that REGENERATE data under a path
+    already read in this session must call this before re-querying (the
+    bench/oracle paths never rewrite testdata, so they never need it)."""
+    _T_CACHE.clear()
+    _T_WIDE_PARTS.clear()
 
 
 def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
