@@ -655,7 +655,26 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
         range(bits),
         F.lit(0).cast("bigint"),
     )
-    return per_doc.select(F.col(id_col), sim.alias("simhash"))
+    # Overflow guard (r16 verdict #5): a doc with >= 2^20 distinct
+    # tokens would silently corrupt adjacent 20-bit count lanes — fail
+    # LOUDLY instead (one per-DOC comparison after the agg; the old
+    # 60-agg had no cliff, this one now has a fence). _n counts
+    # distinct tokens, and every per-bit count <= _n, so _n < 2^20
+    # guarantees no lane carries.
+    guarded = F.when(F.col("_n") < F.lit(1 << _VOTE_FIELD), sim).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("simhash: document "),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    f" has >= 2^{_VOTE_FIELD} distinct tokens; packed vote"
+                    " lanes would overflow (split the document or widen"
+                    " _VOTE_FIELD)"
+                ),
+            )
+        )
+    )
+    return per_doc.select(F.col(id_col), guarded.alias("simhash"))
 
 
 def _pair_join(
