@@ -99,6 +99,13 @@ def pagerank(
             s_col = F.lit(1.0 / n)
         nodes = nodes.withColumn("_s", s_col)
         ranks = nodes.select("node", F.col("_s").alias("rank"))
+        # r17 A/B-REJECTED: explicitly broadcasting the node-sized
+        # sides (ranks into the contribution join, contrib into the
+        # update join) when n <= 4M left the executed structure
+        # byte-identical (15 jobs / 62 stages / 1356 tasks on
+        # pagerank_purchases) — AQE already flips both joins to
+        # broadcast — and min-of-3 walls were worse (5.22 -> 6.93 s).
+        # Keep the shuffle-planned loop and let AQE pick.
         for i in range(iters):
             contrib = (
                 ed.join(ranks, ed.src == ranks.node)
@@ -405,11 +412,13 @@ def label_propagation(
     comparison is lexicographic: count first, ties to the smallest
     label) — one exchange instead of the three the type-agnostic
     two-phase path needs; string labels keep the two-phase path.
-    The symmetric edge table is pre-partitioned on the join key
-    before its checkpoint so every round's edge side reads
-    partition-aligned. Rounds are cut with eager localCheckpoint
-    (the kcore_decompose lesson: persist alone lets re-analysis
-    compound round-over-round)."""
+    The symmetric edge table is repartitioned on the join key and
+    PERSISTED (r16: InMemoryRelation keeps hashpartitioning, a
+    localCheckpoint scan comes back UnknownPartitioning), so every
+    round's edge side reads the cache partition-aligned; only the
+    per-round LABEL tables are cut with eager localCheckpoint (the
+    kcore_decompose lesson: persist alone lets re-analysis compound
+    round-over-round)."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     e = (
