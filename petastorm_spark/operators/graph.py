@@ -382,6 +382,13 @@ def degree_assortativity(
     )
 
 
+# Cut the iterated label plan's lineage every this many LPA rounds:
+# shallow ladders (the 3-round benches) run cut-free — each round's
+# labels feed exactly one consumer, so nothing re-executes — while
+# deep ladders keep analysis cost and plan depth bounded.
+_LPA_CUT_INTERVAL = 8
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 3,
@@ -415,10 +422,23 @@ def label_propagation(
     The symmetric edge table is repartitioned on the join key and
     PERSISTED (r16: InMemoryRelation keeps hashpartitioning, a
     localCheckpoint scan comes back UnknownPartitioning), so every
-    round's edge side reads the cache partition-aligned; only the
-    per-round LABEL tables are cut with eager localCheckpoint (the
-    kcore_decompose lesson: persist alone lets re-analysis compound
-    round-over-round)."""
+    round's edge side reads the cache partition-aligned.
+
+    r17 round shape: the per-round label tables are NOT cut any more
+    for shallow ladders. Each round's labels feed exactly one
+    consumer (the next round's join), so the chain is linear — no
+    subtree ever re-executes without a cut — and the round's final
+    ``groupBy(node)`` aggregate leaves the labels hashpartitioned on
+    node, which IS the next join's key (aliased to the edge column):
+    the label side joins the persisted edge cache with no exchange.
+    The r16 per-round eager localCheckpoint both destroyed that
+    alignment (UnknownPartitioning again) and submitted an eager
+    materialization job per round — one wasted label-scale exchange
+    plus one job per round, measured 3 jobs / 9 stages fewer on the
+    3-round benches. Deep ladders still cut every
+    ``_LPA_CUT_INTERVAL`` rounds so plan depth and re-analysis cost
+    stay bounded (the kcore_decompose lesson applies to ITERATED
+    plans only when they grow unboundedly)."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     e = (
@@ -456,7 +476,7 @@ def label_propagation(
     numeric_labels = isinstance(
         labels.schema["label"].dataType, NumericType
     )
-    for _ in range(rounds):
+    for i in range(rounds):
         neigh = sym.join(
             labels.select(F.col("node").alias("b"), "label"), "b"
         ).select(F.col("a").alias("node"), "label")
@@ -474,17 +494,18 @@ def label_propagation(
                     ).alias("_m")
                 )
                 .select("node", (-F.col("_m._nl")).alias("label"))
-                .localCheckpoint(eager=True)
             )
-            continue
-        # two-phase, type-agnostic argmax (labels may be strings):
-        # best count per node, then the smallest label achieving it
-        best = counts.groupBy("node").agg(F.max("_c").alias("_bc"))
-        labels = (
-            counts.join(best, "node")
-            .where(F.col("_c") == F.col("_bc"))
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
+        else:
+            # two-phase, type-agnostic argmax (labels may be strings):
+            # best count per node, then the smallest label achieving it
+            best = counts.groupBy("node").agg(F.max("_c").alias("_bc"))
+            labels = (
+                counts.join(best, "node")
+                .where(F.col("_c") == F.col("_bc"))
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+        # depth cut for deep ladders only — see docstring
+        if (i + 1) % _LPA_CUT_INTERVAL == 0 and (i + 1) < rounds:
+            labels = labels.localCheckpoint(eager=True)
     return labels

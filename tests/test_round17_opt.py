@@ -4,6 +4,14 @@
   lanes silently corrupt for a document with >= 2^20 distinct tokens;
   the r17 guard turns that silent corruption into a loud error while
   leaving every legal document's signature byte-identical.
+- label_propagation round shape: shallow ladders run cut-free (each
+  round's labels feed exactly one consumer), so no per-round eager
+  localCheckpoint job and no label-side exchange destroyed by the
+  checkpoint's UnknownPartitioning; the result is pinned against the
+  brute-force round unroll.
+- lsh_candidate_pairs hot bucket: a bucket where every doc collides
+  (the pinned ShuffledHashJoin's worst case) completes and emits each
+  pair exactly once.
 """
 from __future__ import annotations
 
@@ -43,3 +51,71 @@ def test_simhash_guard_leaves_legal_docs_alone(spark):
     rows = simhash(docs, "text", "doc_id").collect()
     sigs = {r["doc_id"]: r["simhash"] for r in rows}
     assert sigs[1] == sigs[2] and sigs[1] is not None
+
+
+def test_label_propagation_shallow_runs_cut_free(spark):
+    """Shallow LPA ladders must not pay a per-round eager
+    localCheckpoint: the executed plan of a 3-round run contains no
+    checkpoint-RDD scan, and the labels match the brute-force
+    synchronous unroll (max count, ties to the smallest label)."""
+    from petastorm_spark.session import arrow_local_df, release_persisted
+    from petastorm_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one edge: LPA converges to two
+    # communities with deterministic smallest-label ties
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    df = arrow_local_df(
+        spark,
+        {"src": [a for a, _ in edges], "dst": [b for _, b in edges]},
+        "src bigint, dst bigint",
+    )
+    try:
+        out = label_propagation(df, rounds=3)
+        rows = {r["node"]: r["label"] for r in out.collect()}
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "Scan ExistingRDD" not in plan, (
+            "shallow ladder paid a localCheckpoint cut:\n" + plan
+        )
+
+        # brute-force synchronous unroll
+        sym = set()
+        for a, b in edges:
+            if a != b:
+                sym.add((a, b))
+                sym.add((b, a))
+        labels = {n: n for n in {x for e in sym for x in e}}
+        for _ in range(3):
+            nxt = {}
+            for n in labels:
+                counts: dict[int, int] = {}
+                for a, b in sym:
+                    if a == n:
+                        lb = labels[b]
+                        counts[lb] = counts.get(lb, 0) + 1
+                best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[n] = best[0]
+            labels = nxt
+        assert rows == labels
+    finally:
+        release_persisted()
+
+
+def test_lsh_candidate_pairs_hot_bucket_exact(spark):
+    """A bucket where EVERY doc collides in every band (identical
+    docs) — the pinned ShuffledHashJoin's worst case. The join must
+    complete and emit each pair exactly once (first-match emission),
+    with no pair lost or duplicated."""
+    from petastorm_spark.operators.dedup import minhash_signatures, lsh_candidate_pairs
+
+    n = 200
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate document body for every row").alias("text"),
+    )
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, bands=4).collect()
+    seen = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert len(pairs) == len(seen) == n * (n - 1) // 2
+    assert all(a < b for a, b in seen)
