@@ -15,12 +15,29 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _shuffle_partitions(cpus: int) -> int:
+    """Post-shuffle partition count. Local default = core count (one
+    wave, minimal task overhead at bench scale). At data scale this
+    MUST grow with input bytes, not cores: several operators pin
+    ShuffledHashJoin for exchange reuse (dedup._pair_join,
+    lsh_candidate_pairs, winnowing) and an SHJ build side holds one
+    PARTITION of bucket rows in a per-task hash map — corpus/partitions
+    rows. Size via SPARK_GRAFT_SHUFFLE_PARTITIONS to keep partitions in
+    the 100-200 MB range (e.g. ~8000 for a 1 TB fingerprint exchange);
+    AQE coalesces the small ones back down, and AQE skew-join splits
+    oversized SHJ partitions at runtime (receipt:
+    tools/skew_shj_receipt.py — the split fires on the pinned
+    ReusedExchange self-join shape), so over-provisioning costs little
+    while under-provisioning risks build-side OOM at 100 TB."""
+    return int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus)))
+
+
 def get_spark(app_name: str = "petastorm_spark", cpus: int | None = None) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(_shuffle_partitions(cpus)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # parallelism floor for AQE coalescing: the default 1m floor
