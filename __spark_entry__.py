@@ -64,48 +64,45 @@ def _last_green_round() -> dict[str, int]:
 # round's CORRECTNESS file is committed the staleness sort would have
 # rotated them forward anyway.
 CHANGED_THIS_ROUND = [
-    # new in round 16
-    "incremental_dedup_tombstoned",
-    # r15-ADVICE fixes landed in r16: NULL-sentinel path elements
-    # (session_paths_topk + its oracle changed together — re-certify)
-    "session_paths_topk",
-    # transition stream state fix shares the batch twin's contract
-    "event_transition_matrix",
-    # format_contract grammar guard tightened (suggest-rule family)
-    "contract_suggest_docs",
-    # r16 OPTIMIZATION plan changes (OPTIMIZATION_r16.md changes 1-6):
-    # banded self-joins share one exchange (shuffle_hash) / registered
-    # persists, ivfpq residual pass persisted, label_propagation
-    # persist-not-checkpoint, ngram_novelty df window, simhash packed
-    # votes — every plan below differs from its r15 shape.
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "doc_ngram_novelty",
-    "dedup_near_pairs",
-    "dedup_containment_pairs",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "dedup_threshold_curve",
-    "dedup_source_matrix",
-    "incremental_near_dup",
-    "winnowing_matches",
-    "dedup_minhash_lsh",
-    "image_dhash_pairs",
-    "audio_dup_pairs",
-    "video_dup_pairs",
-    "split_leakage_safe",
-    "knn_graph_ivf",
-    "knn_graph_hier",
-    "knn_graph_incremental",
-    "knn_graph_communities",
-    "dedup_semantic",
-    "dedup_semantic_probe2",
-    "curate_corpus_docs",
-    "curate_corpus_report",
-    "embedding_intrinsic_dim",
+    # r17 OPTIMIZATION plan changes (OPTIMIZATION_r17.md): the
+    # topk_per_query collapse to one WindowGroupLimit window reaches
+    # every cosine_topk/ivf/pq/lsh/prefix/knn_graph consumer; the
+    # ivfpq driver-side deterministic codebooks change both ivfpq
+    # queries; label_propagation shallow ladders run cut-free; the
+    # simhash overflow guard adds a per-doc fence expression. List =
+    # the token-closure of registered queries reaching topk_per_query,
+    # simhash, label_propagation or ivfpq_build (29 names, inside the
+    # ~50-query window; the r16-rotated-out TPC-H/analytics queries
+    # refill the remaining slots by staleness order).
     "ann_cosine_ivfpq",
     "ann_recall_ivfpq",
     "label_propagation_parts",
+    "knn_graph_communities",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "bitext_margin_mine",
+    "hybrid_search_rrf",
+    "knn_classify",
+    "ann_cosine_topk",
+    "ann_cosine_lsh",
+    "ann_cosine_multiprobe",
+    "ann_cosine_pq",
+    "ann_cosine_prefix",
+    "ann_cosine_prefix_indexed",
+    "ann_cosine_sq8",
+    "ann_cosine_ivf",
+    "ann_cosine_ivf_auto",
+    "ann_mrr_prefix",
+    "ann_rbo_prefix",
+    "ann_recall_ivf",
+    "ann_recall_lsh",
+    "ann_recall_pq",
+    "ann_recall_prefix",
+    "embedding_intrinsic_dim",
+    "hard_negatives_labeled",
+    "knn_graph_ivf",
+    "knn_graph_hier",
+    "knn_graph_incremental",
 ]
 
 

@@ -62,17 +62,27 @@ def test_topk_has_no_per_query_corpus_funnel(spark, sf_dir):
     """Round-1 verdict #1: the per-query top-k must do a
     partition-local pass first — the full scored set may never be
     range/hash-partitioned on query_id alone (one corpus-sized sorted
-    task per query). The first window's exchange must key on
-    (_pid, query_id)."""
+    task per query). r17 shape: the single rank<=k window is planned
+    as WindowGroupLimit(Partial) BELOW the query_id exchange, so each
+    map partition ships at most k rows per query — same guarantee as
+    the old hand-rolled (_pid, query_id) pre-window, one exchange and
+    one sort cheaper."""
     from petastorm_spark.operators.similarity import cosine_topk
     from petastorm_spark.plans.checks import formatted_plan
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     df = cosine_topk(emb, emb.where("vec_id < 10"), k=5)
     plan = formatted_plan(df)
-    assert "hashpartitioning(_pid" in plan, plan
-    # the merge window exists, but it only ever sees <= k * P survivors
-    assert plan.count("Window (") >= 2
+    # in formatted output children print AFTER parents, so the partial
+    # (pre-exchange, map-side) WindowGroupLimit must appear after the
+    # exchange line in text order, and there must be two of them
+    # (Partial below the exchange, Final above it)
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    tree = plan.split("\n\n", 1)[0]
+    exch = tree.index("Exchange")
+    assert "WindowGroupLimit" in tree[exch:], (
+        "no map-side WindowGroupLimit below the query_id exchange:\n" + plan
+    )
 
 
 def test_pseudorandom_split_single_scan(spark, sf_dir):
