@@ -59,6 +59,19 @@ def get_spark(app_name: str = "petastorm_spark", cpus: int | None = None) -> Spa
         # nanosecond timestamp type — read as bigint ns-since-epoch and
         # convert with ns_to_timestamp() where needed.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # PySpark 4 wraps every Column/functions API call with a
+        # call-site capture (traceback walk + 2 extra JVM round trips
+        # to set/clear PySparkCurrentOrigin) so error messages can
+        # point at user code. On wide-expression queries that is the
+        # dominant CONSTRUCTION cost (measured: ~40% of the py4j
+        # round trips building the 219-query registry). The flag is
+        # read ONCE per process (errors.utils caches it at the first
+        # wrapped call), so it must be set at builder time, not after.
+        # SPARK_GRAFT_DF_DEBUG=true restores the friendlier errors.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+        )
         # subset co-partitioning — see ensure_session_confs
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
@@ -106,6 +119,13 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
         # a fresh (bucket, _sub) exchange per side and the shared-scan
         # design degrades to two full corpus evaluations.
         "spark.sql.requireAllClusterKeysForCoPartition": "false",
+        # Construction-cost switch (see get_spark): only effective if
+        # set before the process's first wrapped pyspark call — for an
+        # external driver session that means this first _t() touch.
+        # Harmless later (the python-side cache is already frozen).
+        "spark.python.sql.dataFrameDebugging.enabled": os.environ.get(
+            "SPARK_GRAFT_DF_DEBUG", "false"
+        ),
     }
     for k, v in want.items():
         try:

@@ -119,3 +119,23 @@ def test_lsh_candidate_pairs_hot_bucket_exact(spark):
     seen = {(r["id_a"], r["id_b"]) for r in pairs}
     assert len(pairs) == len(seen) == n * (n - 1) // 2
     assert all(a < b for a, b in seen)
+
+
+def test_dataframe_debugging_off_by_default(spark):
+    """r17 construction-cost lever: pyspark 4's per-call call-site
+    capture (2 extra JVM round trips + a traceback walk on EVERY
+    Column/functions call) is disabled unless SPARK_GRAFT_DF_DEBUG
+    opts back in. Measured: 219-query registry construction 115.7s ->
+    46.3s (avg 529 -> 211 ms) at sf0.001. The conf only decorates
+    error messages — no plan or result changes."""
+    import os
+
+    from petastorm_spark.session import ensure_session_confs
+
+    want = os.environ.get("SPARK_GRAFT_DF_DEBUG", "false")
+    ensure_session_confs(spark)
+    assert spark.conf.get("spark.python.sql.dataFrameDebugging.enabled") == want
+    # the python-side cache must agree (it froze at first wrapped call)
+    from pyspark.errors.utils import is_debugging_enabled
+
+    assert is_debugging_enabled() == (want.lower() == "true")
