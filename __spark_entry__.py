@@ -69,17 +69,25 @@ CHANGED_THIS_ROUND = [
     # every cosine_topk/ivf/pq/lsh/prefix/knn_graph consumer; the
     # ivfpq driver-side deterministic codebooks change both ivfpq
     # queries; label_propagation shallow ladders run cut-free; the
-    # simhash overflow guard adds a per-doc fence expression. List =
-    # the token-closure of registered queries reaching topk_per_query,
-    # simhash, label_propagation or ivfpq_build (29 names, inside the
-    # ~50-query window; the r16-rotated-out TPC-H/analytics queries
-    # refill the remaining slots by staleness order).
+    # simhash overflow guard adds a per-doc fence expression; the
+    # banded self-join's union branches now share ONE bucket exchange
+    # (`rest` derived post-shuffle) and the multimodal fingerprint
+    # kernels return (id, simhash) without echoing the blob — that
+    # last pair changes dedup_simhash_pairs plus the three *_dup_pairs
+    # queries. List = the token-closure of registered queries reaching
+    # topk_per_query, simhash, simhash_pair_candidates,
+    # label_propagation or ivfpq_build (32 names, inside the ~50-query
+    # window; the r16-rotated-out TPC-H/analytics queries refill the
+    # remaining slots by staleness order).
     "ann_cosine_ivfpq",
     "ann_recall_ivfpq",
     "label_propagation_parts",
     "knn_graph_communities",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "image_dhash_pairs",
+    "audio_dup_pairs",
+    "video_dup_pairs",
     "bitext_margin_mine",
     "hybrid_search_rrf",
     "knn_classify",

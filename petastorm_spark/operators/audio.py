@@ -300,12 +300,18 @@ def audio_dup_pairs(
     from pyspark.sql import functions as F
 
     from petastorm_spark.operators.dedup import simhash_pair_candidates
+    from petastorm_spark.operators.multimodal import fingerprint60_table
 
-    sig = (
-        audio_fingerprints(df, binary_col, "simhash")
-        .where(F.col("simhash").isNotNull())
-        .select(F.col(id_col), F.col("simhash"))
-    )
+    def fp(raw: bytes) -> int:
+        arr, _ = decode_wav(raw)
+        return audio_fingerprint60(arr)
+
+    # (id, simhash) only — the blob is decoded in Python but never
+    # shipped back out of the Arrow stage (see fingerprint60_table)
+    sig = fingerprint60_table(
+        df, binary_col, id_col, fp,
+        errors=(NotImplementedError, ValueError, struct.error),
+    ).where(F.col("simhash").isNotNull())
     cand = simhash_pair_candidates(
         sig, id_col, bits=60, bands=bands,
         max_hamming=max_hamming, hot_threshold=hot_threshold,

@@ -783,21 +783,24 @@ def simhash_pair_candidates(
     mask = (1 << width) - 1
     band_structs = []
     for b in range(bands):
-        # fingerprint with band b's bits excised: high bits shifted down
-        # next to the low bits — the "rest" the sub-bands slice.
-        high = F.shiftleft(
-            F.shiftright(F.col("simhash"), (b + 1) * width), b * width
-        )
-        low = F.col("simhash").bitwiseAND(F.lit((1 << (b * width)) - 1))
         band_structs.append(
             F.struct(
                 F.lit(b).alias("band"),
                 F.shiftright(F.col("simhash"), b * width)
                 .bitwiseAND(F.lit(mask))
                 .alias("val"),
-                high.bitwiseOR(low).alias("rest"),
             )
         )
+    # NOTE: `rest` (the fingerprint with the matching band excised, the
+    # column the hot path's sub-bands slice) is NOT carried through the
+    # exchange — it is pure bit math over (simhash, band) and is derived
+    # AFTER the shuffle on the hot branch only. Carrying it made the two
+    # union branches' exchanges differ (the planner pruned it from the
+    # cold side), so the whole upstream fingerprint pipeline — tokenize
+    # + vote agg for text, a decode mapInPandas for image/audio/video —
+    # executed once PER BRANCH; with identical projections both branches
+    # share ONE exchange (ReusedExchange) and the pipeline runs once,
+    # and the hot branch's shuffle is 8 bytes/row narrower.
     buckets = sig.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("bk")
     ).select(
@@ -805,7 +808,6 @@ def simhash_pair_candidates(
         "simhash",
         F.col("bk.band").alias("band"),
         F.col("bk.val").alias("val"),
-        F.col("bk.rest").alias("rest"),
     )
     # bucket sizes via a window over the SAME key the self-join shuffles
     # on — no separate agg job or broadcast marking join, and Spark
@@ -866,8 +868,17 @@ def simhash_pair_candidates(
             )
         )
         off += w
+    # post-shuffle twin of the old pre-exchange `rest` struct field:
+    # high bits (above band b) shifted down next to the low bits.
+    # shiftleft(1L, band*width) - 1 is the low-bits mask; CAST keeps the
+    # shift in bigint (an int32 literal 1 would overflow at band*15=45).
+    rest_expr = F.expr(
+        f"shiftleft(shiftright(simhash, (band + 1) * {width}), band * {width})"
+        f" | (simhash & (shiftleft(CAST(1 AS BIGINT), band * {width}) - 1))"
+    )
     hot_rows = (
         marked.where(F.col("_n") > hot_threshold)
+        .withColumn("rest", rest_expr)
         .select(
             id_col, "simhash", "band", "val", "rest",
             F.explode(F.array(*sub_structs)).alias("sb"),

@@ -244,6 +244,47 @@ def image_dhash(
     return df.mapInPandas(kernel, schema=out_schema)
 
 
+def fingerprint60_table(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    fp_from_bytes,
+    errors: tuple = (NotImplementedError, ValueError),
+) -> DataFrame:
+    """(id, simhash) 60-bit fingerprint table from a binary column:
+    ships ONLY (id, blob) into the Python decode stage and ONLY
+    (id, simhash) back out. The attach-style operators (image_dhash,
+    audio_fingerprints) echo every input column — including the blob —
+    back across the Arrow boundary, which the dup-pair callers drop
+    one Project later; at corpus scale that return trip re-serializes
+    every payload byte for nothing (guide §4: pass only the columns
+    the function needs — in both directions). ``fp_from_bytes`` maps
+    raw bytes -> int fingerprint or None; ``errors`` are the decode
+    exceptions mapped to NULL."""
+    out_schema = StructType(
+        [df.schema[id_col], StructField("simhash", LongType(), True)]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = []
+            for raw in pdf[binary_col]:
+                try:
+                    hs.append(fp_from_bytes(bytes(raw)))
+                except errors:
+                    hs.append(None)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "simhash": pd.array(hs, dtype="Int64")}
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(kernel, schema=out_schema)
+
+
+def _dhash60_from_bytes(raw: bytes) -> int:
+    arr, _ = decode_image_bytes(raw)
+    return dhash60(arr)
+
+
 def image_dup_pairs(
     df: DataFrame,
     binary_col: str,
@@ -262,11 +303,9 @@ def image_dup_pairs(
 
     from petastorm_spark.operators.dedup import simhash_pair_candidates
 
-    sig = (
-        image_dhash(df, binary_col, "simhash")
-        .where(F2.col("simhash").isNotNull())
-        .select(F2.col(id_col), F2.col("simhash"))
-    )
+    sig = fingerprint60_table(
+        df, binary_col, id_col, _dhash60_from_bytes
+    ).where(F2.col("simhash").isNotNull())
     cand = simhash_pair_candidates(
         sig, id_col, bits=60, bands=bands,
         max_hamming=max_hamming, hot_threshold=hot_threshold,
@@ -315,28 +354,12 @@ def video_dup_pairs(
 
     from petastorm_spark.operators.dedup import simhash_pair_candidates
 
-    out_schema = StructType(
-        df.schema.fields + [StructField("simhash", LongType(), True)]
-    )
+    def fp(raw: bytes):
+        arr, _ = decode_image_bytes(raw)
+        return video_fingerprint60(arr) if arr.ndim >= 3 else None
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            hs = []
-            for raw in pdf[binary_col]:
-                try:
-                    arr, _ = decode_image_bytes(bytes(raw))
-                    hs.append(
-                        video_fingerprint60(arr) if arr.ndim >= 3 else None
-                    )
-                except (NotImplementedError, ValueError):
-                    hs.append(None)
-            pdf["simhash"] = pd.array(hs, dtype="Int64")
-            yield pdf
-
-    sig = (
-        df.mapInPandas(kernel, schema=out_schema)
-        .where(F2.col("simhash").isNotNull())
-        .select(F2.col(id_col), F2.col("simhash"))
+    sig = fingerprint60_table(df, binary_col, id_col, fp).where(
+        F2.col("simhash").isNotNull()
     )
     cand = simhash_pair_candidates(
         sig, id_col, bits=60, bands=bands,

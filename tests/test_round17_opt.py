@@ -139,3 +139,68 @@ def test_dataframe_debugging_off_by_default(spark):
     from pyspark.errors.utils import is_debugging_enabled
 
     assert is_debugging_enabled() == (want.lower() == "true")
+
+
+def _final_plan_sections(df) -> tuple[str, str]:
+    """(final, full) formatted plan AFTER executing the frame — the
+    cross-branch ReusedExchange only exists in the final adaptive plan."""
+    df.collect()
+    full = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    return full.split("Initial Plan")[0], full
+
+
+def test_multimodal_dup_pairs_decode_runs_once(spark):
+    """The banded self-join's cold and hot union branches must share
+    ONE bucket exchange (identical projections — `rest` is derived
+    post-shuffle on the hot branch), so the upstream decode mapInPandas
+    executes exactly once, not once per branch; and the decode stage
+    ships only (id, simhash) back across the Arrow boundary, never the
+    blob. Data populates BOTH branches (a 3-copy bucket over
+    hot_threshold=2, plus a 2-copy cold bucket)."""
+    import numpy as np
+
+    from petastorm_spark.operators.multimodal import (
+        encode_fake_image,
+        image_dup_pairs,
+    )
+    from petastorm_spark.session import arrow_local_df
+
+    grad_up = np.tile(np.arange(11, dtype=np.uint8) * 20, (6, 1))
+    grad_dn = grad_up[:, ::-1].copy()
+    a, b = encode_fake_image(grad_up), encode_fake_image(grad_dn)
+    df = arrow_local_df(
+        spark,
+        {"doc_id": [0, 1, 2, 3, 4], "image": [a, a, a, b, b]},
+        "doc_id bigint, image binary",
+    )
+    out = image_dup_pairs(
+        df, "image", "doc_id", max_hamming=3, bands=4, hot_threshold=2
+    )
+    final, full = _final_plan_sections(out)
+    assert final.count("MapInPandas") == 1, (
+        "decode pipeline executed more than once — the union branches "
+        "no longer share the bucket exchange:\n" + full
+    )
+    assert final.count("ReusedExchange") >= 3, (
+        "expected cold-b, hot-a and hot-b to reuse the one bucket "
+        "exchange:\n" + full
+    )
+    # the decode stage's output schema must not carry the blob back out:
+    # every MapInPandas detail block emits exactly [id, simhash]
+    import re
+
+    outs = re.findall(
+        r"\(\d+\) MapInPandas\nInput.*\nArguments: kernel\([^)]*\)#\d+, \[([^\]]*)\]",
+        full,
+    )
+    assert outs and all(
+        "simhash#" in o and "image#" not in o and o.count(",") == 1
+        for o in outs
+    ), (
+        "fingerprint MapInPandas ships more than (id, simhash) back "
+        "across the Arrow boundary:\n" + full
+    )
+    rows = {(r.id_a, r.id_b) for r in out.collect()}
+    assert rows == {(0, 1), (0, 2), (1, 2), (3, 4)}
